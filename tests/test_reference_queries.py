@@ -1,0 +1,77 @@
+"""Unit tests for the reference-derived query surface (SURVEY.md §2).
+
+The reference's own correctness machinery is the reconciliation
+EXCLUSION JOIN plus a golden federation query with published counts
+(SURVEY.md §5); we mirror both, including the mutation test (a
+corrupted row must surface, not vanish)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from yc_yq_airflow_etl_spark.functions import unwrap
+from yc_yq_airflow_etl_spark.operators import exclusion_join
+from yc_yq_airflow_etl_spark.plans.federation import (
+    federated_counts_by_year,
+    split_hot_cold,
+)
+
+
+def test_federation_counts_partition_totals(spark, testdata):
+    hot, cold = split_hot_cold(testdata["orders"], "o_orderdate", 1998)
+    out = federated_counts_by_year(hot, cold, "o_orderkey", "o_orderdate").collect()
+    # hot years tagged pg, cold tagged s3, disjoint and complete
+    assert {(r.src, r.dyear >= 1998) for r in out} == {("pg", True), ("s3", False)}
+    assert sum(r.cnt for r in out) == testdata["orders"].count()
+    years = [r.dyear for r in out]
+    assert years == sorted(years)
+
+
+def test_exclusion_join_identical_sides_empty(spark, testdata):
+    o = testdata["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    assert exclusion_join(o, o, list(o.columns)).count() == 0
+
+
+def test_exclusion_join_surfaces_mutation_on_both_sides(spark, testdata):
+    """The reference's reason to exist: one corrupt row in the cold
+    copy must produce a non-zero symmetric difference
+    (README_en.md:223)."""
+    s = testdata["orders"].select("o_orderkey", "o_totalprice")
+    d = s.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == 1, F.col("o_totalprice") + 1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    diff = exclusion_join(s, d, ["o_orderkey", "o_totalprice"], tag_column="side")
+    rows = diff.collect()
+    assert len(rows) == 2
+    assert {r.side for r in rows} == {"left", "right"}
+    assert all(r.o_orderkey == 1 for r in rows)
+
+
+def test_exclusion_join_missing_row(spark, testdata):
+    s = testdata["orders"].select("o_orderkey")
+    d = s.filter(F.col("o_orderkey") != 1)
+    diff = exclusion_join(s, d, ["o_orderkey"], tag_column="side").collect()
+    assert len(diff) == 1 and diff[0].side == "left"
+
+
+def test_unwrap_passes_non_null(spark):
+    df = spark.range(3).select(unwrap("id").alias("id"))
+    assert [r.id for r in df.collect()] == [0, 1, 2]
+
+
+def test_unwrap_raises_on_null(spark):
+    df = spark.sql("SELECT CAST(NULL AS BIGINT) AS x").select(unwrap("x", "x"))
+    with pytest.raises(Exception, match="unwrap"):
+        df.collect()
+
+
+def test_events_ns_timestamp_roundtrip(spark, testdata):
+    ev = testdata["events"]
+    assert ev.schema["ts"].dataType.simpleString() == "timestamp"
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    assert lo.year == 2024 and hi.year == 2024

@@ -1,0 +1,148 @@
+"""Named connection/binding registry.
+
+The reference separates *connections* (a named federated source, e.g.
+the PG cluster ``pg-finance`` — img/YQPGConnection.png) from
+*bindings* (a schema-declared table over a connection, e.g. the
+Parquet binding ``etl_object_storage`` over bucket ``etl-bucket``,
+prefix ``etl/``, Hive-partitioned by ``payment_year`` —
+img/YQLink1.png–YQLink4.png). Queries then refer to both by name
+(``yq_dag.py:67,89``).
+
+We keep the same two-level model: a :class:`Catalog` maps names to
+source descriptors; ``plans``/``sources`` resolve names to DataFrames.
+For tests the ``pg-finance`` connection is backed by a parquet fixture
+standing in for JDBC (same schema, same semantics); against a real
+cluster it is a JDBC descriptor with partitioned-read options.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+@dataclass(frozen=True)
+class JdbcConnection:
+    """Federated JDBC source (reference S1; yq_dag.py:67).
+
+    ``partition_column``/``num_partitions`` give Spark a partitioned
+    read — the reference reads through one PG connection, which cannot
+    feed 1000 executors; at scale every JDBC scan must be split.
+    """
+
+    name: str
+    url: str
+    table: str
+    properties: dict[str, str] = field(default_factory=dict)
+    partition_column: str | None = None
+    lower_bound: str | None = None
+    upper_bound: str | None = None
+    num_partitions: int = 32
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        reader = (
+            spark.read.format("jdbc")
+            .option("url", self.url)
+            .option("dbtable", self.table)
+            .option("pushDownPredicate", "true")
+        )
+        for k, v in self.properties.items():
+            reader = reader.option(k, v)
+        if self.partition_column:
+            reader = (
+                reader.option("partitionColumn", self.partition_column)
+                .option("lowerBound", self.lower_bound)
+                .option("upperBound", self.upper_bound)
+                .option("numPartitions", str(self.num_partitions))
+            )
+        return reader.load()
+
+
+@dataclass(frozen=True)
+class ParquetTable:
+    """A path-backed Parquet table, optionally Hive-partitioned
+    (reference S2/S3 binding; img/YQLink4.png)."""
+
+    name: str
+    path: str
+    schema: T.StructType | None = None
+    partition_columns: tuple[str, ...] = ()
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        reader = spark.read
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        return reader.parquet(self.path)
+
+
+Source = JdbcConnection | ParquetTable
+
+
+class Catalog:
+    """Name → source registry (the engine's analog of the YQ
+    connection list plus Airflow's connection bootstrap,
+    yq_dag.py:35-43: registering is idempotent-upsert)."""
+
+    def __init__(self) -> None:
+        self._sources: dict[str, Source] = {}
+
+    def register(self, source: Source) -> None:
+        self._sources[source.name] = source
+
+    def get(self, name: str) -> Source:
+        try:
+            return self._sources[name]
+        except KeyError:
+            raise KeyError(
+                f"unknown source {name!r}; registered: {sorted(self._sources)}"
+            ) from None
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        return self.get(name).read(spark)
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._sources
+
+
+def testdata_catalog(sf_dir: str) -> Catalog:
+    """Catalog over the driver-generated testdata directory."""
+    from . import schemas
+
+    cat = Catalog()
+    for name, schema in schemas.TESTDATA_TABLES.items():
+        cat.register(ParquetTable(name, f"{sf_dir}/{name}.parquet", schema))
+    return cat
+
+
+def read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Read the events table, whose ``ts`` is Parquet TIMESTAMP(NANOS)
+    — illegal for Spark's vectorized reader. We flip the runtime conf
+    ``spark.sql.legacy.parquet.nanosAsLong`` (works on a session we do
+    not own, e.g. the verify driver's), read ns-as-long, and truncate
+    to Spark's native microsecond TimestampType."""
+    from pyspark.sql import functions as F
+
+    from . import schemas
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.schema(schemas.EVENTS_RAW).parquet(path)
+    # integer division: a float division would lose ns precision at 2^60
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read all testdata tables and register them as temp views."""
+    from . import schemas
+
+    out: dict[str, DataFrame] = {}
+    for name in schemas.TESTDATA_TABLES:
+        path = f"{sf_dir}/{name}.parquet"
+        if name == "events":
+            df = read_events(spark, path)
+        else:
+            df = spark.read.schema(schemas.TESTDATA_TABLES[name]).parquet(path)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,126 @@
+"""Join operators missing from the built-in DataFrame API.
+
+``exclusion_join`` is the load-bearing one: YQL's EXCLUSION JOIN is
+the reference's reconciliation primitive (yq_dag.py:93-94) — it
+returns the rows of *both* inputs that have no key match on the other
+side (symmetric difference by key; README_en.md:223 expects count 0).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exclusion_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    tag_column: str | None = None,
+) -> DataFrame:
+    """YQL EXCLUSION JOIN (yq_dag.py:93-94) as two anti-joins.
+
+    Chosen over the full-outer formulation because (a) anti-joins are
+    null-clean — no post-filter on possibly-null key columns, (b) each
+    anti-join is independently broadcast-eligible and AQE can pick
+    broadcast/SMJ per side, and (c) at 100 TB both sides shuffle once
+    on the same key set, so the two anti-joins reuse co-partitioned
+    exchanges rather than materializing a full-outer row set.
+
+    Columns of the result = columns of ``left`` (both inputs must be
+    union-compatible on those names, as in YQL). ``tag_column`` adds
+    'left'/'right' provenance.
+    """
+    keys = list(on)
+    l_only = left.join(right, on=keys, how="left_anti")
+    r_only = right.join(left, on=keys, how="left_anti")
+    if tag_column is not None:
+        l_only = l_only.withColumn(tag_column, F.lit("left"))
+        r_only = r_only.withColumn(tag_column, F.lit("right"))
+    return l_only.unionByName(r_only, allowMissingColumns=True)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point: str | Column,
+    lower: str | Column,
+    upper: str | Column,
+    extra_on: Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join: ``left.point ∈ [right.lower, right.upper)``.
+
+    Expressed as a non-equi join condition so Catalyst can still use a
+    broadcast-nested-loop when ``right`` is small (the common case for
+    interval/dimension tables); callers with a large right side should
+    pre-bucket both sides on a coarsened range key and add the bucket
+    equality via ``extra_on`` to convert it into an equi-join shuffle.
+    """
+    p = F.col(point) if isinstance(point, str) else point
+    lo = F.col(lower) if isinstance(lower, str) else lower
+    hi = F.col(upper) if isinstance(upper, str) else upper
+    cond = (p >= lo) & (p < hi)
+    if extra_on is not None:
+        cond = cond & extra_on
+    return left.join(right, on=cond, how=how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on_time: str,
+    by: Sequence[str],
+    right_prefix: str = "r_",
+    tolerance: str | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right.on_time <= left.on_time`` within the same ``by`` group
+    (optionally within ``tolerance``, an INTERVAL literal string).
+
+    Implementation: union both sides tagged, single window sort per
+    ``by`` group carrying the last-seen right payload forward
+    (last_value ignoring nulls), then keep left rows. One shuffle on
+    ``by`` + one sort — no per-key collect, no broadcast requirement,
+    scales to arbitrarily large sides; skewed ``by`` keys are handled
+    by AQE skew-split on the exchange feeding the window sort.
+    """
+    from pyspark.sql import Window
+
+    by = list(by)
+    payload = [c for c in right.columns if c not in (*by, on_time)]
+
+    l_tag = left.withColumn("_side", F.lit(1))
+    r_tag = right.select(
+        *by,
+        F.col(on_time),
+        F.struct(*[F.col(c) for c in payload]).alias("_r_payload"),
+    ).withColumn("_side", F.lit(0))
+
+    merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*by)
+        # right rows (_side=0) sort before left rows at equal times →
+        # "<=" as-of semantics
+        .orderBy(F.col(on_time).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn(
+        "_asof", F.last(F.when(F.col("_side") == 0, F.struct(
+            F.col(on_time).alias("_r_time"), F.col("_r_payload"))), ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("_side") == 1)
+    if tolerance is not None:
+        out = out.withColumn(
+            "_asof",
+            F.when(
+                F.col(f"_asof._r_time") >= F.col(on_time) - F.expr(f"INTERVAL {tolerance}"),
+                F.col("_asof"),
+            ),
+        )
+    for c in payload:
+        out = out.withColumn(right_prefix + c, F.col(f"_asof._r_payload.{c}"))
+    out = out.withColumn(right_prefix + on_time, F.col("_asof._r_time"))
+    return out.drop("_side", "_asof", "_r_payload")

@@ -1,0 +1,68 @@
+"""SparkSession builder with the engine's scale-oriented defaults.
+
+The reference delegates planning to Yandex Query / PostgreSQL; our
+equivalent of its observed behavior (column pruning, predicate
+pushdown, partition pruning — SURVEY.md §4) is Catalyst with AQE on.
+The settings below are the ones that matter at 100 TB:
+
+- AQE: runtime coalescing of shuffle partitions, skew-join splitting,
+  dynamic broadcast demotion — replaces hand-tuned partition counts.
+- ``partitionOverwriteMode=dynamic``: the reference's
+  delete-prefix-then-insert idempotency step (yq_dag.py:16-19) becomes
+  an atomic per-partition overwrite.
+- UTC session timezone: the reference's minute-grid data is TZ-naive;
+  fixing UTC keeps parity with the DuckDB oracle.
+- Arrow enabled: every Pandas-UDF operator (similarity, multimodal)
+  rides Arrow batches, never row-at-a-time pickling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def build_session(
+    app_name: str = "yc-yq-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, else ``*``)
+    so the same entry point works in tests, bench, and a real cluster
+    (where ``master`` is injected by spark-submit and must be None).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+        )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # Files-first workloads: pack small test files but keep 128 MiB
+        # splits so a 100 TB lake scan parallelizes across executors.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
