@@ -1,0 +1,130 @@
+"""End-to-end tests of the cooling pipeline — the reference's golden
+properties (SURVEY.md §5):
+
+1. closed-form per-year counts from the minute-grid generator;
+2. a clean year loads, reconciles to diff=0, retires the source year,
+   and advances the watermark;
+3. a corrupted lake row flips the branch to ReconciliationError and
+   the source year is NOT retired (the safety ordering of
+   yq_dag.py:136-137);
+4. re-running a year is idempotent (dynamic partition overwrite
+   replaces, never duplicates).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from yc_yq_airflow_etl_spark.plans.cooling import (
+    CoolingPipeline,
+    ReconciliationError,
+    load_year,
+    reconcile_year,
+)
+from yc_yq_airflow_etl_spark.sources.generator import generate_payments
+from yc_yq_airflow_etl_spark.sources.lake import LakeTable
+from yc_yq_airflow_etl_spark.sources.state import PipelineState
+
+# 2020 (leap) + 2021: small enough for tests, two full years
+TWO_YEARS_MINUTES = 527040 + 525600
+
+
+@pytest.fixture(scope="module")
+def payments(spark):
+    df = generate_payments(spark, minutes=60 * 24 * 366 + 60 * 24 * 365)
+    df.cache().count()
+    yield df
+    df.unpersist()
+
+
+def test_generator_closed_form_counts(payments):
+    counts = {
+        r.y: r.c
+        for r in payments.groupBy(F.year("payment_date").alias("y"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert counts == {2020: 527040, 2021: 525600}
+
+
+def test_generator_columns_match_reference_rules(payments):
+    row = payments.filter(F.col("id") == 7).first()
+    assert row.doc_num == "7"
+    assert row.descr == "payment 7"
+    assert row.state == "done"
+    assert row.acckt == 1000 - row.accdt
+    assert row.amount == float(row.accdt)
+    bad = payments.filter(
+        (F.col("accdt") < 0) | (F.col("accdt") >= 1000)
+    ).count()
+    assert bad == 0
+
+
+def _pipeline(spark, payments, tmpdir, retired):
+    return CoolingPipeline(
+        spark=spark,
+        source=lambda: payments,
+        lake=LakeTable(os.path.join(tmpdir, "lake")),
+        state=PipelineState(os.path.join(tmpdir, "state.json")),
+        initial_watermark="2020-01-01",
+        retire=retired.append,
+    )
+
+
+def test_run_once_clean(spark, payments, tmp_path):
+    retired: list[int] = []
+    pipe = _pipeline(spark, payments, str(tmp_path), retired)
+    result = pipe.run_once()
+    assert result["diff"] == 0
+    assert retired == [2020]
+    # watermark advanced: next window is 2021
+    lo, hi = pipe.window()
+    assert (lo.year, hi.year) == (2021, 2022)
+    # lake holds exactly the 2020 partition in Hive layout
+    assert (tmp_path / "lake" / "payment_year=2020").is_dir()
+    cold = spark.read.parquet(str(tmp_path / "lake"))
+    assert cold.count() == 527040
+    assert dict(cold.groupBy("payment_year").count().collect()[0].asDict()) == {
+        "payment_year": 2020,
+        "count": 527040,
+    }
+
+
+def test_corruption_blocks_retirement(spark, payments, tmp_path):
+    """Mutation test of the reconciliation oracle: corrupt one lake
+    row after load; reconcile must fail and retire must NOT run."""
+    retired: list[int] = []
+    pipe = _pipeline(spark, payments, str(tmp_path), retired)
+    lo, hi = pipe.window()
+    load_year(payments, pipe.lake, lo, hi)
+    # corrupt: rewrite the partition with one amount changed
+    cold = pipe.lake.read(spark)
+    corrupted = cold.withColumn(
+        "amount",
+        F.when(F.col("id") == 123, F.col("amount") + 1).otherwise(F.col("amount")),
+    )
+    pipe.lake.overwrite_partitions(corrupted)
+
+    diff = reconcile_year(spark, payments, pipe.lake, lo, hi)
+    assert diff == 2  # the corrupted row surfaces from BOTH sides
+
+    # verification-only run must hit the raise_error branch and must
+    # NOT retire the source year or advance the watermark
+    with pytest.raises(ReconciliationError, match="Data are not equal"):
+        pipe.run_once(skip_load=True)
+    assert retired == []
+    assert pipe.window()[0].year == 2020
+
+
+def test_rerun_idempotent(spark, payments, tmp_path):
+    retired: list[int] = []
+    pipe = _pipeline(spark, payments, str(tmp_path), retired)
+    lo, hi = pipe.window()
+    load_year(payments, pipe.lake, lo, hi)
+    load_year(payments, pipe.lake, lo, hi)  # second run of same year
+    cold = pipe.lake.read(spark)
+    assert cold.count() == 527040  # replaced, not appended
+    assert reconcile_year(spark, payments, pipe.lake, lo, hi) == 0

@@ -1,0 +1,74 @@
+"""Deterministic payments/accounts generator — the reference's
+``src/sql/db_init.sql`` fixture re-expressed as a distributed Spark
+plan (no driver-side loops; ``spark.range`` parallelizes the grid).
+
+Generator rules (db_init.sql:40-66):
+- one payment per minute from 2020-01-01 00:00, id sequential from 1
+- ``doc_num = id::varchar``, ``descr = 'payment '||id``, ``state='done'``
+- ``accdt = floor(random()*acc_pool)``, ``acckt = acc_pool - accdt``,
+  ``amount = accdt`` (an int stored in float8 — what makes the
+  reference's float equality join safe, SURVEY.md §2.4)
+- accounts: ids 0..pool, ``num = lpad(id, 20, '0')``, saldo 0
+
+The reference leaves ``random()`` unseeded; our fixtures fix seed=42
+so every run (and the DuckDB oracle side, which reads our parquet
+output rather than regenerating) is reproducible.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ACCOUNT_POOL = 1000  # variables.tf:22-26 default
+
+
+def generate_payments(
+    spark: SparkSession,
+    start: str = "2020-01-01",
+    minutes: int = 527040 * 5 + 44640,  # 2020-01 .. 2025-01 grid
+    account_pool: int = ACCOUNT_POOL,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Minute-grid payments; closed-form row counts per year
+    (527,040 leap / 525,600 common — BASELINE.md)."""
+    start_dt = datetime.strptime(start, "%Y-%m-%d")
+    rng = spark.range(1, minutes + 1, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    accdt = F.floor(F.rand(seed) * account_pool).cast("long")
+    return (
+        rng.withColumnRenamed("id", "_i")
+        .select(
+            F.col("_i").alias("id"),
+            F.col("_i").cast("string").alias("doc_num"),
+            accdt.alias("accdt"),
+            F.expr(
+                f"timestampadd(MINUTE, CAST(_i - 1 AS INT), "
+                f"TIMESTAMP'{start_dt:%Y-%m-%d %H:%M:%S}')"
+            ).alias("payment_date"),
+        )
+        .select(
+            "id",
+            "doc_num",
+            "accdt",
+            (F.lit(account_pool) - F.col("accdt")).alias("acckt"),
+            F.col("accdt").cast("double").alias("amount"),
+            "payment_date",
+            F.concat(F.lit("payment "), F.col("id").cast("string")).alias("descr"),
+            F.lit("done").alias("state"),
+        )
+    )
+
+
+def generate_accounts(
+    spark: SparkSession, account_pool: int = 10000
+) -> DataFrame:
+    """db_init.sql:5-14: ids 0..pool inclusive."""
+    return spark.range(0, account_pool + 1).select(
+        F.col("id"),
+        F.lpad(F.col("id").cast("string"), 20, "0").alias("num"),
+        F.lit(0).cast("decimal(10,2)").alias("saldo"),
+        F.current_timestamp().alias("open_date"),
+    )
