@@ -1,9 +1,484 @@
-"""Analytic operator coverage over the TPC-H-ish testdata: joins,
-windows, aggregations, set ops, sorts, top-k, json/array functions —
-the SURVEY.md §2.12 extension rows."""
+"""Analytic operator coverage over the TPC-H-ish testdata — the
+SURVEY.md §2.12 extension rows (joins beyond exclusion, windows,
+distinct/rollup/grouping sets, set ops, top-k, json/array functions,
+approx sketches), each with a DuckDB oracle where SQL-expressible.
+
+Numeric-parity convention (see registry docstring): money math is done
+entirely in DECIMAL (exact, order-independent across partitions/
+engines) and cast to DOUBLE at the output boundary; ratios/averages
+are rounded to 6 decimals on both sides.
+
+Scale notes, applied throughout:
+- dimension tables (region/nation/customer/supplier/part) are
+  broadcast-joined — at 100 TB the fact side never shuffles for them;
+- aggregations are expressed so Catalyst plans partial+final
+  HashAggregate (map-side combine before the exchange);
+- top-k is ORDER BY + LIMIT, which Spark executes as TakeOrdered
+  (per-partition heaps + driver merge), not a global sort.
+"""
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_testdata
+from ..schemas import EVENT_PROPS
+
+DEC = "decimal(18,2)"
+
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast(DEC)
+
+
+# --- aggregations -------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide aggregate over lineitem with computed
+    measures. Partial aggregation handles the heavy lifting; only
+    (flag, status) groups cross the exchange."""
+    t = load_testdata(spark, sf_dir)
+    li = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast(DEC) + _dec("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 6)
+            .alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+           AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group (Catalyst expands to a two-
+    phase aggregate) — the exact twin of the approx sketch below."""
+    t = load_testdata(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+DISTINCT_ORACLE = """
+SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch (approx_count_distinct) — the scale path
+    for distinct counting: one pass, fixed memory, no exact-distinct
+    shuffle explosion. No oracle (sketch values are engine-specific);
+    tests assert <2% relative error vs exact."""
+    t = load_testdata(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"))
+        .orderBy("o_orderstatus")
+    )
+
+
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(year, status): hierarchical totals with NULL-filled
+    grouping levels normalized to 'ALL' sentinels."""
+    t = load_testdata(spark, sf_dir)
+    o = t["orders"].select(
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_orderstatus").alias("status"),
+        _dec("o_totalprice").alias("price"),
+    )
+    return (
+        o.rollup("yr", "status")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("price").cast("double").alias("total"))
+        .select(
+            F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("yr"),
+            F.coalesce(F.col("status"), F.lit("ALL")).alias("status"),
+            "cnt",
+            "total",
+        )
+        .orderBy("yr", "status")
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS cnt,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
+ORDER BY yr, status
+"""
+
+
+# --- joins --------------------------------------------------------------
+
+
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: fact ⋈ snowflaked dims. Every dimension is
+    explicitly broadcast — the lineitem/orders join is the only
+    shuffle, on o_orderkey."""
+    t = load_testdata(spark, sf_dir)
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.year("o_orderdate") == 1997)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+REGION_REVENUE_ORACLE = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE year(o_orderdate) = 1997
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join keeping order-less customers (count = 0)."""
+    t = load_testdata(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec("o_totalprice")).cast("double"), F.lit(0.0)).alias(
+                "total_spent"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+CUSTOMER_ORDER_STATS_ORACLE = """
+SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
+       coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0)
+           AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+ORDER BY c_custkey
+"""
+
+
+def semi_anti_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI joins: per nation, customers with and
+    without 1998 orders. Both joins share one shuffled build side."""
+    t = load_testdata(spark, sf_dir)
+    orders_98 = t["orders"].filter(F.year("o_orderdate") == 1998)
+    cust = t["customer"]
+    with_orders = (
+        cust.join(orders_98, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("with_orders"))
+    )
+    without_orders = (
+        cust.join(orders_98, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("without_orders"))
+    )
+    return (
+        with_orders.join(without_orders, "c_nationkey", "full_outer")
+        .select(
+            "c_nationkey",
+            F.coalesce("with_orders", F.lit(0)).alias("with_orders"),
+            F.coalesce("without_orders", F.lit(0)).alias("without_orders"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+SEMI_ANTI_ORACLE = """
+WITH w AS (
+    SELECT c_nationkey, count(*) AS with_orders FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1998)
+    GROUP BY c_nationkey
+), wo AS (
+    SELECT c_nationkey, count(*) AS without_orders FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND year(o_orderdate) = 1998)
+    GROUP BY c_nationkey
+)
+SELECT coalesce(w.c_nationkey, wo.c_nationkey) AS c_nationkey,
+       coalesce(with_orders, 0) AS with_orders,
+       coalesce(without_orders, 0) AS without_orders
+FROM w FULL OUTER JOIN wo ON w.c_nationkey = wo.c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+def cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS JOIN of two tiny relations (region × distinct order
+    status) — the only safe cardinality class for cross joins; both
+    sides broadcastable."""
+    t = load_testdata(spark, sf_dir)
+    statuses = t["orders"].select("o_orderstatus").distinct()
+    return (
+        t["region"]
+        .crossJoin(statuses)
+        .select("r_name", F.col("o_orderstatus").alias("status"))
+        .orderBy("r_name", "status")
+    )
+
+
+CROSS_JOIN_ORACLE = """
+SELECT r_name, o_orderstatus AS status
+FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+ORDER BY r_name, status
+"""
+
+
+# --- window functions ---------------------------------------------------
+
+
+def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking windows (row_number/rank) with deterministic tiebreak;
+    rn <= 3 filter is pushed into a WindowGroupLimit by Catalyst, so
+    each partition keeps a top-3 heap instead of fully sorting."""
+    t = load_testdata(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        t["orders"]
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rk"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+WINDOW_TOP_ORACLE = """
+SELECT * FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER w AS rn, rank() OVER w AS rk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC)
+)
+WHERE rn <= 3 ORDER BY o_custkey, rn
+"""
+
+
+def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows: running DECIMAL sum + lag over each
+    customer's order history."""
+    t = load_testdata(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        t["orders"]
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(_dec("o_totalprice")).over(run).cast("double").alias("running_total"),
+            F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+            F.lead("o_orderkey", 1).over(w).alias("next_orderkey"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+WINDOW_RUNNING_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_total,
+       lag(o_totalprice, 1) OVER w AS prev_price,
+       lead(o_orderkey, 1) OVER w AS next_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+# --- sorts / top-k / set ops -------------------------------------------
+
+
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 by price: ORDER BY + LIMIT → TakeOrderedAndProject
+    (no global sort; unique-key tiebreak keeps it deterministic)."""
+    t = load_testdata(spark, sf_dir)
+    return (
+        t["orders"]
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(20)
+    )
+
+
+TOPK_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+"""
+
+
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (distinct semantics in both engines):
+    BUILDING-segment customers vs customers with 1998 orders."""
+    t = load_testdata(spark, sf_dir)
+    building = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    active98 = (
+        t["orders"].filter(F.year("o_orderdate") == 1998).select(
+            F.col("o_custkey").alias("c_custkey")
+        )
+    )
+    both = building.intersect(active98).withColumn("tag", F.lit("both"))
+    only_building = building.exceptAll(active98.distinct()).distinct().withColumn(
+        "tag", F.lit("building_only")
+    )
+    return both.unionByName(only_building).orderBy("tag", "c_custkey")
+
+
+SET_OPS_ORACLE = """
+WITH building AS (
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+), active98 AS (
+    SELECT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) = 1998
+)
+SELECT c_custkey, 'both' AS tag FROM (
+    SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM active98)
+UNION ALL
+SELECT c_custkey, 'building_only' AS tag FROM (
+    SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM active98)
+ORDER BY tag, c_custkey
+"""
+
+
+# --- json / array functions --------------------------------------------
+
+
+def json_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json over the events props payload + grouped aggregation
+    of an extracted field."""
+    t = load_testdata(spark, sf_dir)
+    ev = t["events"].withColumn("k", F.from_json("props", EVENT_PROPS).getField("k"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_PROPS_ORACLE = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k,
+       max(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def array_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-typed column handling: per-vector dimension, L2 norm and
+    mean via higher-order functions (JVM-side aggregate/transform — no
+    Python in the loop)."""
+    t = load_testdata(spark, sf_dir)
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq_sum = F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x)
+    el_sum = F.aggregate(vec, F.lit(0.0), lambda a, x: a + x)
+    return t["embeddings"].select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.round(el_sum / F.size("embedding"), 6).alias("mean_val"),
+    ).orderBy("vec_id")
+
+
+ARRAY_STATS_ORACLE = """
+SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS dim,
+       round(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+             / len(embedding), 6) AS mean_val
+FROM embeddings ORDER BY vec_id
+"""
+
 
 def register_all() -> None:
-    pass
+    from .registry import register
+
+    register("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE)
+    register("distinct_counts", distinct_counts, DISTINCT_ORACLE)
+    register("approx_distinct_customers", approx_distinct_customers, None)
+    register("rollup_orders", rollup_orders, ROLLUP_ORACLE)
+    register("region_revenue", region_revenue, REGION_REVENUE_ORACLE)
+    register("customer_order_stats", customer_order_stats, CUSTOMER_ORDER_STATS_ORACLE)
+    register("semi_anti_by_nation", semi_anti_by_nation, SEMI_ANTI_ORACLE)
+    register("cross_join_grid", cross_join_grid, CROSS_JOIN_ORACLE)
+    register(
+        "window_top_orders_per_customer",
+        window_top_orders_per_customer,
+        WINDOW_TOP_ORACLE,
+    )
+    register("window_running_totals", window_running_totals, WINDOW_RUNNING_ORACLE)
+    register("topk_orders", topk_orders, TOPK_ORACLE)
+    register("set_ops_customers", set_ops_customers, SET_OPS_ORACLE)
+    register("json_event_props", json_event_props, JSON_PROPS_ORACLE)
+    register("array_vector_stats", array_vector_stats, ARRAY_STATS_ORACLE)
