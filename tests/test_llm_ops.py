@@ -1,0 +1,138 @@
+"""Property tests for the training-data pipeline operators whose
+xxhash64-based construction has no DuckDB oracle (SimHash, hyperplane
+LSH) plus plumbing tests for dedup/similarity/multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from yc_yq_airflow_etl_spark.operators.dedup import (
+    embedding_cosine_dupes,
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_dup_pairs,
+)
+from yc_yq_airflow_etl_spark.operators.multimodal import (
+    DecodeStub,
+    documents_as_media,
+    extract_features,
+)
+from yc_yq_airflow_etl_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    topk_join,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    variant = base.replace("lazy", "sleepy")  # one token differs
+    other = "completely different content about spark query engines and shuffles"
+    return spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact dup of 1
+            (3, variant),  # near dup of 1
+            (4, other),
+            (5, base.upper()),  # case-normalized dup of 1
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_groups_normalized_copies(docs):
+    out = {r.keeper_id: r.copies for r in exact_dedup(docs).collect()}
+    assert out == {1: 3, 3: 1, 4: 1}
+
+
+def test_minhash_finds_near_dup_and_estimates_jaccard(docs):
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=24, bands=8, jaccard_threshold=0.3
+    ).collect()
+    got = {(r.id_a, r.id_b): r for r in pairs}
+    # exact dups: jaccard 1.0, estimator exact
+    assert got[(1, 2)].jaccard == 1.0 and got[(1, 2)].est_jaccard == 1.0
+    assert got[(1, 5)].jaccard == 1.0
+    # near dup surfaces with high (but < 1) similarity
+    assert 0.3 <= got[(1, 3)].jaccard < 1.0
+    # unrelated doc never pairs
+    assert not any(4 in k for k in got)
+
+
+def test_simhash_deterministic_and_locality(spark, docs):
+    fp = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    fp2 = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert fp == fp2  # deterministic
+    assert fp[1] == fp[2] == fp[5]  # normalized dups collide
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(fp[1], fp[3]) < hamming(fp[1], fp[4])
+
+
+def test_simhash_pairs_pigeonhole(docs):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_dup_pairs(docs).collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 5)] == 0 and pairs[(2, 5)] == 0
+
+
+def test_lsh_topk_subset_of_bruteforce_scores(spark, testdata):
+    emb = testdata["embeddings"]
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    brute = brute_force_topk(emb, q, k=10).collect()
+    approx = lsh_topk(emb, q, k=10, max_hamming=3).collect()
+    brute_scores = {r.vec_id: r.cosine for r in brute}
+    # the query itself (hamming 0) is always retrieved, with cosine 1
+    assert approx[0].vec_id == 0 and approx[0].cosine == 1.0
+    # every approx hit's score is a real score (consistency with brute
+    # scan), and results are sorted desc
+    scores = [r.cosine for r in approx]
+    assert scores == sorted(scores, reverse=True)
+    for r in approx:
+        if r.vec_id in brute_scores:
+            assert r.cosine == brute_scores[r.vec_id]
+
+
+def test_embedding_cosine_dupes_precision(spark):
+    # construct: v1 ≈ v2 (near-dup), v3 orthogonal
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_cosine_dupes(df, threshold=0.95, planes=4).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    assert pairs[0].cosine > 0.99
+
+
+def test_topk_join_per_row_neighbors(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = topk_join(df, df, k=1)
+    best = {r.id_a: r.id_b for r in out.collect()}
+    assert best[1] == 2 and best[2] == 1 and best[3] == 2
+
+
+def test_multimodal_stub_raises(spark, docs):
+    media = documents_as_media(docs)
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        extract_features(media, decode=DecodeStub()).collect()
+
+
+def test_multimodal_fake_decode_roundtrip(spark, docs):
+    import hashlib
+
+    media = documents_as_media(docs)
+    out = {r.media_id: r for r in extract_features(media).collect()}
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    assert out[1].n_bytes == len(base.encode())
+    assert out[1].digest == hashlib.md5(base.encode()).hexdigest()
+    assert out[1].byte_sum_mod == sum(base.encode()) % 1_000_000_007

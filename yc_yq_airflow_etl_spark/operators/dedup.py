@@ -1,0 +1,345 @@
+"""Deduplication operator family for training-data pipelines:
+
+- :func:`exact_dedup` — hash-groupBy exact dedup (canonical keeper)
+- :func:`minhash_lsh_pairs` — MinHash + banded LSH near-dup pairs
+  with exact-Jaccard verification of candidates
+- :func:`simhash` / :func:`simhash_dup_pairs` — 64-bit SimHash with
+  banded hamming candidate search
+- :func:`ngram_jaccard_pairs` — exact n-gram Jaccard for a bounded
+  candidate set
+- :func:`embedding_cosine_dupes` — near-dup pairs by embedding cosine
+  with random-hyperplane LSH blocking
+
+Scale design (the 100 TB story, applied to every op here):
+- nothing collects to the driver; every step is groupBy/join/explode;
+- LSH banding turns the O(n²) pair space into per-bucket joins — the
+  shuffle key is (band_index, band_hash), and pathological buckets
+  (boilerplate docs) are capped with a per-bucket size guard before
+  the self-join, which is exactly the salting-style skew defense the
+  AQE skew-join cannot apply to an exploding self-join;
+- exact verification (Jaccard / cosine) happens only on LSH
+  candidates, never all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import minhash_signature, normalize_text, word_shingles
+
+
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Repartition compute-heavy per-row stages when the input arrives
+    under-partitioned (e.g. one small parquet file). At lake scale the
+    input already has hundreds of splits and this is a no-op; locally
+    it's what turns a single-thread md5 loop into 32 parallel tasks."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target, F.col(key))
+    return df
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by md5 of normalized text: one row per distinct
+    content with the canonical (min-id) keeper and the duplicate
+    count. Pure hash aggregation — one shuffle on the fingerprint."""
+    return (
+        df.select(F.md5(normalize_text(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("copies"),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 24,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """MinHash→LSH→verify near-duplicate pairs.
+
+    Pipeline: k-word shingles → ``num_hashes`` md5 min-hashes →
+    ``bands`` bands of ``num_hashes // bands`` rows → docs sharing any
+    band bucket become candidates → candidates are verified with
+    EXACT Jaccard over their shingle sets → pairs ≥ threshold.
+
+    ``max_bucket`` drops degenerate buckets (e.g. empty/boilerplate
+    docs all hashing together) whose self-join would explode
+    quadratically — the standard guard in web-scale dedup.
+
+    Output: ``id_a < id_b, est_jaccard, jaccard``.
+    """
+    r = num_hashes // bands
+    # The signature table is the expensive stage (num_hashes × shingles
+    # md5 calls per doc). Everything downstream references it 3× (band
+    # explode, and both sides of the verify join), so persist it once —
+    # Spark would otherwise recompute the full hashing per branch of
+    # the self-join. MEMORY_AND_DISK: a signature row is O(kB), so at
+    # 100 TB of docs this is ~0.1% of input and spills harmlessly.
+    from pyspark import StorageLevel
+
+    sig = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).alias("_id"),
+            word_shingles(text_col, shingle_k).alias("_sh"),
+        )
+        .filter(F.size("_sh") > 0)
+        .withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Materialize the cache NOW: the three downstream branches (band
+    # explode + both verify-join sides) otherwise run as concurrent
+    # stages of one job, each recomputing the full hash plan before
+    # any of them has populated the cache.
+    sig.count()
+
+    # narrow band table: (id, band, bucket) only — keeps the explode,
+    # the bucket-size aggregation, and the candidate self-join free of
+    # the wide shingle/signature payloads
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(F.array_join(F.slice(F.col("_sig"), b * r + 1, r), "|"))
+                    .alias("bucket"),
+                ),
+            )
+        ).alias("_b"),
+    ).select("_id", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket"))
+
+    # skew guard: cap bucket size before the quadratic self-join
+    bucket_sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+    capped = banded.join(
+        bucket_sizes.filter(F.col("_n") <= max_bucket), ["band", "bucket"]
+    )
+
+    cand = (
+        capped.select("band", "bucket", F.col("_id").alias("id_a"))
+        .join(
+            capped.select("band", "bucket", F.col("_id").alias("id_b")),
+            ["band", "bucket"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    # verification join: candidates (small) back to the persisted
+    # signature table for exact Jaccard + signature-agreement estimate
+    pairs = cand.join(
+        sig.select(
+            F.col("_id").alias("id_a"),
+            F.col("_sh").alias("sh_a"),
+            F.col("_sig").alias("sig_a"),
+        ),
+        "id_a",
+    ).join(
+        sig.select(
+            F.col("_id").alias("id_b"),
+            F.col("_sh").alias("sh_b"),
+            F.col("_sig").alias("sig_b"),
+        ),
+        "id_b",
+    )
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+            lambda x: x,
+        )
+    ) / F.lit(num_hashes)
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over tokens (xxhash64-based — Spark-native path,
+    no SQL-oracle twin). Bit b of the result is the sign of the sum
+    over tokens of ±1 according to bit b of the token hash.
+
+    Built entirely from higher-order functions: per-doc cost is
+    O(tokens × 64) JVM ops, no explode, no shuffle until the caller
+    groups/joins on the fingerprint.
+    """
+    from ..functions.text import tokenize
+
+    # materialize token hashes once; 64 per-bit balances are unrolled
+    # in Python (shiftright needs a literal bit count) over the same
+    # hash array, so the text is tokenized/hashed exactly once
+    hashed = _spread(df, id_col).select(
+        F.col(id_col),
+        F.transform(tokenize(text_col), lambda w: F.xxhash64(w)).alias("_h"),
+    )
+    # per-bit balance: sum over words of (bit set ? +1 : -1); bit b of
+    # the fingerprint is set iff balance > 0. Sum of disjoint bit
+    # values == bitwise OR (two's-complement literal for bit 63).
+    def _balance_fn(bit: int):
+        # NB: bind via closure, not a default arg — PySpark derives the
+        # lambda-variable count from the function signature
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    fingerprint = None
+    for b in range(64):
+        balance = F.aggregate(F.col("_h"), F.lit(0), _balance_fn(b))
+        bit_val = F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long")
+        term = F.when(balance > 0, bit_val).otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return hashed.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Candidate generation: split the 64-bit fingerprint into 4 16-bit
+    bands; by pigeonhole, any pair within hamming ≤ 3 agrees exactly
+    on ≥ 1 band → join on (band, band_value), verify with popcount.
+    """
+    fp = simhash(df, text_col, id_col)
+    banded = fp.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("_b"),
+    ).select(F.col(id_col), "simhash", "_b.band", "_b.val")
+    a = banded.select(
+        "band", "val", F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a")
+    )
+    b = banded.select(
+        "band", "val", F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b")
+    )
+    cand = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for an externally-supplied candidate
+    pair set (columns ``id_a``, ``id_b``) — the verification stage
+    shared by every blocking scheme."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), word_shingles(text_col, n).alias("_sh")
+    )
+    out = (
+        candidate_pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+    )
+
+
+def embedding_cosine_dupes(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold, blocked
+    by random-hyperplane LSH (sign sketch).
+
+    Hyperplane h's component for dimension d is a deterministic ±1
+    derived from xxhash64(seed, h, d) — no driver-side random state to
+    broadcast. Pairs agreeing on the full sign sketch are candidates;
+    exact cosine verifies. P(miss) for cosine≥0.9 with 8 planes ≈
+    1-(1-θ/π)^8 where θ=acos(0.9)≈0.45rad → sketch collision ~0.29 per
+    plane-set; callers needing recall repeat with several seeds.
+    """
+    from .similarity import cosine_similarity
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dim = F.size(F.col(vec_col))
+    # sign sketch: bit h = sign(sum_d v[d] * rademacher(seed,h,d))
+    sketch = F.transform(
+        F.sequence(F.lit(0), F.lit(planes - 1)),
+        lambda h: F.when(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.sequence(F.lit(0), dim - 1),
+                    lambda x, d: x
+                    * F.when(
+                        F.pmod(F.xxhash64(F.lit(seed), h, d), F.lit(2)) == 0, 1.0
+                    ).otherwise(-1.0),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sk = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.array_join(sketch, "").alias("_sketch"),
+    )
+    a = sk.select(
+        F.col("_sketch"), F.col("_id").alias("id_a"), F.col("_v").alias("v_a")
+    )
+    b = sk.select(
+        F.col("_sketch"), F.col("_id").alias("id_b"), F.col("_v").alias("v_b")
+    )
+    cand = a.join(b, "_sketch").filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine_similarity(F.col("v_a"), F.col("v_b"))
+    return cand.select(
+        "id_a", "id_b", F.round(cos, 6).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)

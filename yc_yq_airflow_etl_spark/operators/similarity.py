@@ -1,0 +1,173 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, matching the build target's scale story:
+
+- :func:`brute_force_topk` — exact cosine top-k against one query
+  vector. Linear scan, JVM-side arithmetic, TakeOrdered top-k: the
+  correct baseline at any scale where a full pass is affordable, and
+  the verification oracle for the ANN path.
+- :func:`lsh_topk` — approximate top-k: random-hyperplane sign
+  sketch (shared with ``embedding_cosine_dupes``) prunes the scan to
+  buckets within a hamming radius of the query's sketch, then exact
+  cosine re-ranks survivors. At 1000 executors the bucket filter is a
+  partition-pruned scan, not a broadcast nested loop.
+
+All vector math is built-in higher-order functions (zip_with /
+aggregate) — Arrow/pandas never enters the hot path for 64-dim
+vectors; a Pandas-UDF BLAS path only pays off at ≥ O(1k) dims.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _to_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢbᵢ via zip_with+aggregate (strict left-to-right sum —
+    deterministic and reproducible across engines)."""
+    return F.aggregate(
+        F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_to_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def query_literal(vec: Sequence[float]) -> Column:
+    """A query vector as a literal array<double> column (embedded in
+    the plan → shipped once with the task binary, no join needed)."""
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: scan + per-partition heap (TakeOrdered).
+    Deterministic output via (score desc, id asc) ordering."""
+    q = query_literal(query)
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def sign_sketch(vec: Column, planes: int = 8, seed: int = 42) -> Column:
+    """Random-hyperplane sign sketch as an array<int> of 0/1. The
+    hyperplane for (plane h, dim d) is a ±1 Rademacher component
+    derived from xxhash64(seed, h, d) — fully deterministic, no
+    broadcast state."""
+    v = _to_double(vec)
+    dim = F.size(vec)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(planes - 1)),
+        lambda h: F.when(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.sequence(F.lit(0), dim - 1),
+                    lambda x, d: x
+                    * F.when(
+                        F.pmod(F.xxhash64(F.lit(seed), h, d), F.lit(2)) == 0, 1.0
+                    ).otherwise(-1.0),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+
+
+def lsh_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 8,
+    max_hamming: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: keep only vectors whose sign sketch
+    is within ``max_hamming`` bits of the query's sketch, then exact
+    cosine re-rank. The sketch filter is a cheap JVM predicate — at
+    scale, persist the sketch as a materialized column (or partition
+    by a sketch prefix) and the filter becomes partition pruning."""
+    q = query_literal(query)
+    q_sketch = sign_sketch(q, planes, seed)
+    hamming = F.aggregate(
+        F.zip_with(
+            sign_sketch(F.col(vec_col), planes, seed),
+            q_sketch,
+            lambda a, b: F.abs(a - b),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df.withColumn("_ham", hamming)
+        .filter(F.col("_ham") <= max_hamming)
+        .select(
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def topk_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    left_vec: str = "embedding",
+    right_vec: str = "embedding",
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+) -> DataFrame:
+    """All-pairs top-k join (each left row → its k nearest right
+    rows): broadcast the smaller right side, window-rank per left id.
+    For large right sides, swap in the sketch filter first."""
+    from pyspark.sql import Window
+
+    r = F.broadcast(
+        right.select(
+            F.col(right_id).alias("_rid"), F.col(right_vec).alias("_rvec")
+        )
+    )
+    scored = left.select(
+        F.col(left_id).alias("id_a"), F.col(left_vec).alias("_lvec")
+    ).crossJoin(r).select(
+        "id_a",
+        F.col("_rid").alias("id_b"),
+        F.round(cosine_similarity(F.col("_lvec"), F.col("_rvec")), 6).alias("cosine"),
+    ).filter(F.col("id_a") != F.col("id_b"))
+    w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )

@@ -1,8 +1,289 @@
-"""Training-data pipeline queries: dedup family, similarity search,
-text analysis, multimodal — over documents/embeddings."""
+"""Training-data pipeline queries over ``documents``/``embeddings`` —
+the driver-mandated extension surface (dedup, similarity search, text
+analysis, multimodal), each oracle-checked where SQL-expressible.
+
+The md5-based MinHash construction (functions/text.py) exists
+precisely so the full minhash→LSH→verify pipeline has a DuckDB twin;
+the xxhash64-based ops (SimHash, hyperplane LSH) have no SQL twin and
+get rows-only checks plus property tests in tests/test_llm_ops.py.
+"""
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_testdata
+from ..functions.text import (
+    LANG_ORDER,
+    STOPWORDS,
+    lang_id,
+    normalize_text,
+    rolling_fingerprint,
+    token_count,
+)
+from ..operators.dedup import (
+    embedding_cosine_dupes,
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_dup_pairs,
+)
+from ..operators.multimodal import documents_as_media, extract_features
+from ..operators.similarity import brute_force_topk, lsh_topk
+
+# --- dedup --------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_testdata(spark, sf_dir)
+    return exact_dedup(t["documents"]).orderBy("keeper_id")
+
+
+DEDUP_EXACT_ORACLE = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+       min(doc_id) AS keeper_id, count(*) AS copies
+FROM documents GROUP BY 1 ORDER BY keeper_id
+"""
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_testdata(spark, sf_dir)
+    return minhash_lsh_pairs(t["documents"]).orderBy("id_a", "id_b")
+
+
+# DuckDB replay of the identical minhash→banding→verify pipeline.
+# Parameters must mirror minhash_lsh_pairs defaults: k=3 shingles,
+# 24 hashes, 8 bands × 3 rows, jaccard ≥ 0.5, bucket cap 50.
+DEDUP_MINHASH_ORACLE = r"""
+WITH base AS (
+    SELECT doc_id AS id,
+           list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+    FROM (SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+          FROM documents)
+    WHERE len(w) >= 3
+), sig AS (
+    SELECT id, sh,
+           list_transform(generate_series(0, 23),
+               i -> list_min(list_transform(sh, s -> md5(i || ':' || s)))) AS sig
+    FROM base
+), banded AS (
+    SELECT id, sh, sig, b.band AS band,
+           md5(array_to_string(sig[b.band*3+1 : b.band*3+3], '|')) AS bucket
+    FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) b
+), capped AS (
+    SELECT * FROM banded
+    WHERE (band, bucket) IN (
+        SELECT (band, bucket) FROM banded GROUP BY band, bucket
+        HAVING count(*) <= 50)
+), cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           a.sh AS sh_a, b.sh AS sh_b, a.sig AS sig_a, b.sig AS sig_b
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+)
+SELECT id_a, id_b,
+       round(len(list_filter(list_zip(sig_a, sig_b), x -> x[1] = x[2])) / 24.0, 6)
+           AS est_jaccard,
+       round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+             / len(list_distinct(sh_a || sh_b)), 6) AS jaccard
+FROM cand
+WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+      / len(list_distinct(sh_a || sh_b)) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (xxhash64-based → rows-only check;
+    property-tested against minhash results in tests)."""
+    t = load_testdata(spark, sf_dir)
+    return simhash_dup_pairs(t["documents"], max_hamming=8).orderBy("id_a", "id_b")
+
+
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane LSH blocking
+    (threshold tuned to the near-random testdata embeddings)."""
+    t = load_testdata(spark, sf_dir)
+    return embedding_cosine_dupes(t["embeddings"], threshold=0.30).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# --- similarity search --------------------------------------------------
+
+# Deterministic query vector: embedding of vec_id = 0 (fetched by the
+# builder at plan time — a tiny driver-side lookup of ONE row, which
+# stands in for the user-supplied query vector of a real ANN service).
+
+
+def _query_vec(t: dict[str, DataFrame]) -> list[float]:
+    row = t["embeddings"].filter(F.col("vec_id") == 0).select("embedding").first()
+    return [float(x) for x in row[0]]
+
+
+def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_testdata(spark, sf_dir)
+    q = _query_vec(t)
+    return brute_force_topk(t["embeddings"], q, k=10)
+
+
+SIMILARITY_BRUTEFORCE_ORACLE = """
+WITH q AS (
+    SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+    FROM embeddings WHERE vec_id = 0
+), scored AS (
+    SELECT vec_id,
+           round(
+             list_sum(list_transform(list_zip(
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)), qv),
+                 p -> p[1] * p[2]))
+             / (sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cosine
+    FROM embeddings, q
+)
+SELECT vec_id, cosine FROM scored
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN path (hyperplane sketch prune + exact re-rank) — rows-only
+    check; recall vs brute force asserted in tests."""
+    t = load_testdata(spark, sf_dir)
+    q = _query_vec(t)
+    return lsh_topk(t["embeddings"], q, k=10, max_hamming=3)
+
+
+# --- text analysis ------------------------------------------------------
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality/statistics panel: token count, char count,
+    punctuation count, mean word length, rolling fingerprint."""
+    t = load_testdata(spark, sf_dir)
+    d = t["documents"]
+    norm = normalize_text("text")
+    n_chars = F.length(norm)
+    n_punct = n_chars - F.length(F.regexp_replace(norm, r"[.,!?;:]", ""))
+    toks = token_count("text")
+    return d.select(
+        "doc_id",
+        toks.alias("n_tokens"),
+        n_chars.alias("n_chars_norm"),
+        n_punct.alias("n_punct"),
+        F.round(
+            (n_chars - (toks - 1)).cast("double") / toks, 6
+        ).alias("avg_word_len"),
+        rolling_fingerprint("text").alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+TEXT_STATS_ORACLE = r"""
+WITH d AS (
+    SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(string_split(norm, ' ')) AS INTEGER) AS n_tokens,
+       CAST(length(norm) AS INTEGER) AS n_chars_norm,
+       CAST(length(norm) - length(regexp_replace(norm, '[.,!?;:]', '', 'g'))
+            AS INTEGER) AS n_punct,
+       round(CAST(length(norm) - (len(string_split(norm, ' ')) - 1) AS DOUBLE)
+             / len(string_split(norm, ' ')), 6) AS avg_word_len,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split_regex(norm, ''),
+                          c -> CAST(ascii(c) AS BIGINT))),
+           (a, c) -> (a * 31 + c) % 1000000007) AS fingerprint
+FROM d ORDER BY doc_id
+"""
+
+
+def lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic vs the labeled ``lang`` column: confusion
+    counts per (label, prediction)."""
+    t = load_testdata(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(F.col("lang").alias("label"), lang_id("text").alias("predicted"))
+        .groupBy("label", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "predicted")
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    arr = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_intersect(w, [{arr}]))"
+
+
+LANG_ID_ORACLE = (
+    r"""
+WITH d AS (
+    SELECT lang AS label,
+           list_distinct(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+    FROM documents
+), scored AS (
+    SELECT label, """
+    + ", ".join(f"{_lang_hits_sql(lang)} AS h_{lang}" for lang in LANG_ORDER)
+    + """,
+           greatest("""
+    + ", ".join(f"{_lang_hits_sql(lang)}" for lang in LANG_ORDER)
+    + """) AS best
+    FROM d
+)
+SELECT label,
+       CASE """
+    + " ".join(f"WHEN h_{lang} = best THEN '{lang}'" for lang in LANG_ORDER)
+    + """ END AS predicted,
+       count(*) AS n
+FROM scored GROUP BY label, predicted ORDER BY label, predicted
+"""
+)
+
+
+# --- multimodal ---------------------------------------------------------
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through the Arrow/mapInPandas
+    plumbing (deterministic fake decoder). The oracle recomputes
+    n_bytes/byte_sum/md5 from the (pure-ASCII) text — verifying the
+    bytes really round-tripped through the binary column and the
+    pandas batches."""
+    t = load_testdata(spark, sf_dir)
+    media = documents_as_media(t["documents"])
+    return extract_features(media).orderBy("media_id")
+
+
+MULTIMODAL_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST(list_sum(list_transform(string_split_regex(text, ''),
+                                    c -> ascii(c))) % 1000000007 AS BIGINT)
+           AS byte_sum_mod,
+       md5(text) AS digest
+FROM documents ORDER BY media_id
+"""
+
 
 def register_all() -> None:
-    pass
+    from .registry import register
+
+    register("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE)
+    register("dedup_minhash_pairs", dedup_minhash_pairs, DEDUP_MINHASH_ORACLE)
+    register("dedup_simhash_pairs", dedup_simhash_pairs, None)
+    register("dedup_embedding_pairs", dedup_embedding_pairs, None)
+    register(
+        "similarity_bruteforce_topk",
+        similarity_bruteforce_topk,
+        SIMILARITY_BRUTEFORCE_ORACLE,
+    )
+    register("similarity_lsh_topk", similarity_lsh_topk, None)
+    register("text_stats", text_stats, TEXT_STATS_ORACLE)
+    register("lang_id_eval", lang_id_eval, LANG_ID_ORACLE)
+    register("multimodal_features", multimodal_features, MULTIMODAL_ORACLE)
