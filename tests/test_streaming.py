@@ -1,0 +1,152 @@
+"""Live Structured Streaming tests: real readStream sources,
+micro-batch execution, watermark state, and the cooling pipeline as a
+stream — the behavior the batch oracles can't check."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from yc_yq_airflow_etl_spark.schemas import EVENTS
+from yc_yq_airflow_etl_spark.sources.generator import generate_payments
+from yc_yq_airflow_etl_spark.sources.lake import LakeTable
+from yc_yq_airflow_etl_spark.streaming.cooling_stream import (
+    read_file_stream,
+    run_cooling_stream,
+    stream_events_to_lake,
+)
+from yc_yq_airflow_etl_spark.streaming.windows import (
+    tumbling_window_counts,
+    with_watermark,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, testdata, tmp_path_factory):
+    """Materialize the events table as a multi-file directory usable
+    as a file-stream source (micro-batch per file group)."""
+    d = str(tmp_path_factory.mktemp("events_src"))
+    testdata["events"].repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _wait(query, timeout=60):
+    query.processAllAvailable()
+    query.stop()
+    query.awaitTermination(timeout)
+
+
+def test_streaming_tumbling_equals_batch(spark, testdata, events_dir, tmp_path):
+    """The SAME plan function over a stream must produce the batch
+    answer once all input is processed (complete mode)."""
+    stream = read_file_stream(spark, events_dir, EVENTS, max_files_per_trigger=2)
+    agg = tumbling_window_counts(with_watermark(stream, "30 minutes"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_live")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    _wait(q)
+    live = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in spark.sql("SELECT * FROM tumbling_live").collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in tumbling_window_counts(testdata["events"]).collect()
+    }
+    assert live == batch
+    assert q.lastProgress["batchId"] >= 1  # really ran micro-batches
+
+
+def test_streaming_append_drops_late_events(spark, tmp_path):
+    """Watermark semantics: in append mode a window only emits once
+    the watermark passes its end; an event arriving with event-time
+    older than the watermark is dropped from state."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write_batch(name: str, rows):
+        spark.createDataFrame(rows, EVENTS).coalesce(1).write.mode("append").parquet(
+            src
+        )
+
+    from datetime import datetime
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    late = datetime(2024, 1, 1, 8, 0, 0)  # 2h before the watermark
+    fresh = datetime(2024, 1, 1, 12, 0, 0)
+
+    write_batch("b1", [(1, t0, 1, "click", 1.0, None)])
+    stream = read_file_stream(spark, src, EVENTS, max_files_per_trigger=1)
+    agg = tumbling_window_counts(with_watermark(stream, "10 minutes"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.processAllAvailable()
+    # advance watermark far past the late event's window, then feed
+    # the late event plus a fresh one
+    write_batch("b2", [(2, fresh, 1, "click", 1.0, None)])
+    q.processAllAvailable()
+    write_batch("b3", [(3, late, 1, "click", 1.0, None)])
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    emitted = spark.sql("SELECT * FROM late_test").collect()
+    starts = {r.window_start for r in emitted}
+    # the 10:00 window emitted (closed by the 12:00 event advancing
+    # the watermark); the late 08:00 event must NOT have created or
+    # reopened its (already-expired) window
+    assert int(t0.timestamp()) in starts
+    assert int(late.timestamp()) not in starts
+
+
+def test_stream_events_to_lake_exactly_once(spark, testdata, events_dir, tmp_path):
+    lake = str(tmp_path / "lake")
+    stream = read_file_stream(spark, events_dir, EVENTS, max_files_per_trigger=2)
+    q = stream_events_to_lake(stream, lake, str(tmp_path / "ckpt3"))
+    _wait(q)
+    written = spark.read.parquet(lake)
+    assert written.count() == testdata["events"].count()
+    # partitioned layout materialized
+    assert any(p.startswith("event_type=") for p in os.listdir(lake))
+
+
+def test_cooling_stream_foreach_batch(spark, tmp_path):
+    """The cooling pipeline as a stream: payments arrive as files,
+    each micro-batch is written+reconciled transactionally."""
+    src = str(tmp_path / "pg")
+    # one file per year: micro-batches must be partition-aligned for
+    # the dynamic-overwrite idempotency contract (same alignment the
+    # reference guarantees with its one-year-per-run window)
+    payments = generate_payments(spark, minutes=527040 + 1440)  # 2020 + 1 day of 2021
+    for y in (2020, 2021):
+        payments.filter(F.year("payment_date") == y).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    diffs: list[tuple[int, int]] = []
+    lake = LakeTable(str(tmp_path / "lake"))
+    stream = spark.readStream.schema(payments.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = run_cooling_stream(
+        stream, lake, str(tmp_path / "ckpt4"), on_diff=lambda b, d: diffs.append((b, d))
+    )
+    q.awaitTermination(120)
+
+    assert len(diffs) >= 2  # multiple micro-batches ran
+    assert all(d == 0 for _, d in diffs)  # every batch reconciled clean
+    cold = spark.read.parquet(lake.path)
+    assert cold.count() == payments.count()
