@@ -1,0 +1,120 @@
+"""Physical-plan audit: assert the scale-critical plan properties the
+engine is designed around (SURVEY.md §4), query by query.
+
+Checks per query (where applicable):
+- PushedFilters reach the parquet scan (predicate pushdown)
+- ReadSchema is pruned to referenced columns (column pruning)
+- dimension joins are BroadcastHashJoin (no fact-side shuffle)
+- aggregates are partial+final HashAggregate (map-side combine)
+- WholeStageCodegen spans exist (JVM-compiled, not interpreted)
+
+Usage: python tools/plan_audit.py [query ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# name -> list of (description, regex that must match the plan)
+EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
+    "cooling_window_filter": [
+        ("orderdate pushed to scan", r"PushedFilters: \[.*o_orderdate.*\]"),
+        ("column-pruned read", r"ReadSchema: [^\n]*o_orderkey[^\n]*o_orderdate"),
+        ("whole-stage codegen", "CODEGEN"),
+    ],
+    "federation_counts": [
+        ("partial aggregation", r"partial_count"),
+        ("scan pruned to the single grouping column", r"ReadSchema: struct<o_orderdate:timestamp>"),
+        ("split boundary is a min/max-prunable range filter",
+         r"PushedFilters: \[[^\]]*(LessThan|GreaterThanOrEqual)\(o_orderdate"),
+        ("whole-stage codegen", "CODEGEN"),
+    ],
+    "region_revenue": [
+        ("dims broadcast", r"BroadcastHashJoin"),
+        ("partial aggregation", r"partial_(sum|count)"),
+        ("year range pushed as min/max-prunable filter",
+         r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate"),
+    ],
+    "q1_pricing_summary": [
+        ("shipdate pushed to scan", r"PushedFilters: \[.*l_shipdate.*LessThanOrEqual.*\]"),
+        ("partial aggregation", r"partial_sum"),
+        ("pruned: no l_orderkey read", r"ReadSchema: (?:(?!l_orderkey)[^\n])*$"),
+    ],
+    "exclusion_join_diff": [
+        ("anti joins present", r"LeftAnti"),
+        ("whole-stage codegen", "CODEGEN"),
+    ],
+    "topk_orders": [
+        ("top-k, not global sort", r"TakeOrderedAndProject"),
+    ],
+    "window_top_orders_per_customer": [
+        ("rank pushed into window group limit", r"WindowGroupLimit"),
+    ],
+    "similarity_bruteforce_topk": [
+        ("top-k, not global sort", r"TakeOrderedAndProject"),
+    ],
+    "dedup_exact": [
+        ("partial aggregation", r"partial_(min|count)"),
+    ],
+    "events_tumbling_hourly": [
+        ("partial aggregation", r"partial_(sum|count)"),
+    ],
+}
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    import __spark_entry__ as entrymod
+    from yc_yq_airflow_etl_spark.session import build_session
+
+    spark = build_session(app_name="plan_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    failures = []
+    for name, checks in EXPECTATIONS.items():
+        if only and name not in only:
+            continue
+        df = qs[name](spark, SF_DIR)
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        simple = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        executed = None
+        for desc, pattern in checks:
+            if pattern == "CODEGEN":
+                # simple-mode marks codegen stages with *(n); under AQE
+                # the final (annotated) plan only exists post-execution
+                if executed is None:
+                    df.collect()  # count() would build a different plan
+                    executed = spark._jvm.PythonSQLUtils.explainString(
+                        df._jdf.queryExecution(), "simple"
+                    )
+                pattern = r"\*\(\d+\)"
+                target = executed
+            else:
+                target = plan
+            if re.search(pattern, target, re.MULTILINE):
+                print(f"PASS  {name:32s} {desc}")
+            else:
+                print(f"FAIL  {name:32s} {desc}  (pattern: {pattern})")
+                failures.append((name, desc, plan))
+
+    if failures and len(failures) <= 3:
+        for name, desc, plan in failures:
+            print(f"\n===== plan of {name} ({desc}) =====")
+            print(plan[:6000])
+    print(f"\n{len(failures)} failed check(s)")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -161,7 +161,11 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
-        .filter(F.year("o_orderdate") == 1997)
+        # range predicate, not year()==1997: pushes to the scan
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
         .groupBy("r_name", "n_name")
         .agg(
             F.sum(revenue).cast("double").alias("revenue"),
@@ -218,7 +222,10 @@ def semi_anti_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI + LEFT ANTI joins: per nation, customers with and
     without 1998 orders. Both joins share one shuffled build side."""
     t = load_testdata(spark, sf_dir)
-    orders_98 = t["orders"].filter(F.year("o_orderdate") == 1998)
+    orders_98 = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
     cust = t["customer"]
     with_orders = (
         cust.join(orders_98, F.col("c_custkey") == F.col("o_custkey"), "left_semi")

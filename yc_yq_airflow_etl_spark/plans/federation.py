@@ -65,6 +65,11 @@ def split_hot_cold(
 ) -> tuple[DataFrame, DataFrame]:
     """Split a timestamped table into a 'hot' (recent) and 'cold'
     (historical) relation — the testdata stand-in for the reference's
-    PG/S3 split at the capture point (3 years cooled, 2+ hot)."""
-    cond: Column = F.year(F.col(ts_col)) < cold_before_year
+    PG/S3 split at the capture point (3 years cooled, 2+ hot).
+
+    Written as a raw range predicate (not ``year(col) < y``) so it
+    reaches the scan as a min/max-prunable PushedFilter — a
+    year()-wrapped column defeats row-group and partition pruning."""
+    boundary = F.lit(f"{cold_before_year}-01-01").cast("timestamp")
+    cond: Column = F.col(ts_col) < boundary
     return df.filter(~cond), df.filter(cond)

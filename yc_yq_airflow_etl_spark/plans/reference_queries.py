@@ -51,9 +51,10 @@ def _recon_sides(t: dict[str, DataFrame]) -> tuple[DataFrame, DataFrame]:
     """Hot side = 1998 orders; 'cold written copy' = same rows with a
     deterministic corruption of every 97th key — the mutation the
     reference's reconciliation exists to catch (README_en.md:223)."""
-    s = t["orders"].filter(F.year("o_orderdate") == 1998).select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
-    )
+    s = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     d = s.withColumn(
         "o_totalprice",
         F.when(F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + F.lit(1.0))
