@@ -1,0 +1,110 @@
+"""Multi-format round-trips + hypothesis property tests of the
+exclusion join (the operator whose null/float subtleties SURVEY.md
+§2.4 flags as the hard part)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from yc_yq_airflow_etl_spark.operators import exclusion_join
+from yc_yq_airflow_etl_spark.sources.formats import read_table, write_table
+from yc_yq_airflow_etl_spark.sources.generator import generate_payments
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json", "orc", "parquet"])
+def test_format_roundtrip(spark, tmp_path, fmt):
+    df = generate_payments(spark, minutes=1440)  # one day
+    path = str(tmp_path / fmt)
+    write_table(df, path, fmt)
+    back = read_table(spark, path, fmt, df.schema)
+    assert back.count() == 1440
+    # readers surface everything nullable; compare names + types
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in df.schema.fields
+    ]
+    # value fidelity: exclusion join against the original is empty
+    keys = ["id", "doc_num", "accdt", "acckt", "amount", "state"]
+    assert exclusion_join(df.select(*keys), back.select(*keys), keys).count() == 0
+
+
+def test_format_partitioned_write(spark, tmp_path):
+    df = generate_payments(spark, minutes=3 * 1440).withColumn(
+        "day", F.dayofmonth("payment_date")
+    )
+    path = str(tmp_path / "parts")
+    write_table(df, path, "parquet", partition_by=("day",))
+    import os
+
+    dirs = [d for d in sorted(os.listdir(path)) if d.startswith("day=")]
+    assert dirs == ["day=1", "day=2", "day=3"]
+
+
+def test_unknown_format_rejected(spark, tmp_path):
+    df = generate_payments(spark, minutes=10)
+    with pytest.raises(ValueError, match="unsupported format"):
+        write_table(df, str(tmp_path / "x"), "avro")
+
+
+# --- hypothesis: exclusion join algebra --------------------------------
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),  # key (collisions likely)
+        st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False,
+                                       width=32)),  # nullable float payload-key
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(left=rows_strategy, right=rows_strategy)
+def test_exclusion_join_matches_multiset_semantics(spark, left, right):
+    """Property: exclusion_join(L, R, on=k) returns exactly the rows
+    of L whose key has no match in R, plus vice versa — where the key
+    includes a NULLABLE float column (NULL keys never match anything,
+    mirroring SQL join semantics on both anti-join sides)."""
+    schema = "k int, v float"
+    ldf = spark.createDataFrame(left, schema) if left else spark.createDataFrame([], schema)
+    rdf = spark.createDataFrame(right, schema) if right else spark.createDataFrame([], schema)
+    got = sorted(
+        ((r.k, r.v, r.side) for r in
+         exclusion_join(ldf, rdf, ["k", "v"], tag_column="side").collect()),
+        key=str,
+    )
+
+    def keyset(rows):
+        return {(k, v) for k, v in rows if v is not None}
+
+    lkeys, rkeys = keyset(left), keyset(right)
+    expected = sorted(
+        [(k, v, "left") for k, v in left if v is None or (k, v) not in rkeys]
+        + [(k, v, "right") for k, v in right if v is None or (k, v) not in lkeys],
+        key=str,
+    )
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(rows=rows_strategy)
+def test_exclusion_join_self_is_null_rows_only(spark, rows):
+    """Property: X exclusion-join X returns exactly the NULL-keyed
+    rows of both sides (NULL = unmatchable), never a non-null row."""
+    schema = "k int, v float"
+    df = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+    out = exclusion_join(df, df, ["k", "v"]).collect()
+    n_null = sum(1 for _, v in rows if v is None)
+    assert len(out) == 2 * n_null
+    assert all(r.v is None for r in out)
