@@ -136,3 +136,32 @@ def test_multimodal_fake_decode_roundtrip(spark, docs):
     assert out[1].n_bytes == len(base.encode())
     assert out[1].digest == hashlib.md5(base.encode()).hexdigest()
     assert out[1].byte_sum_mod == sum(base.encode()) % 1_000_000_007
+
+
+def test_ivf_topk_recall_dial(spark, testdata):
+    """IVF ANN: probing all clusters reproduces brute force exactly;
+    probing few clusters returns a consistent subset that always
+    includes the query's own cluster."""
+    from yc_yq_airflow_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = testdata["embeddings"]
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    cents = train_ivf_centroids(emb, k_clusters=8, iters=3)
+    assert len(cents) == 8 and len(cents[0]) == 64
+
+    full = ivf_topk(emb, q, cents, k=10, nprobe=8).collect()
+    brute = brute_force_topk(emb, q, k=10).collect()
+    assert [(r.vec_id, r.cosine) for r in full] == [
+        (r.vec_id, r.cosine) for r in brute
+    ]
+
+    narrow = ivf_topk(emb, q, cents, k=10, nprobe=2).collect()
+    assert narrow[0].vec_id == 0 and narrow[0].cosine == 1.0
+    brute_scores = {r.vec_id: r.cosine for r in brute}
+    for r in narrow:
+        if r.vec_id in brute_scores:
+            assert r.cosine == brute_scores[r.vec_id]

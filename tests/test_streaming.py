@@ -150,3 +150,46 @@ def test_cooling_stream_foreach_batch(spark, tmp_path):
     assert all(d == 0 for _, d in diffs)  # every batch reconciled clean
     cold = spark.read.parquet(lake.path)
     assert cold.count() == payments.count()
+
+
+def test_stateful_tracker_accumulates_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: per-user state must carry across
+    micro-batches (count/sum keep growing, not reset per batch)."""
+    from datetime import datetime
+
+    from yc_yq_airflow_etl_spark.streaming.stateful import user_activity_tracker
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write_rows(rows):
+        spark.createDataFrame(rows, EVENTS).coalesce(1).write.mode("append").parquet(src)
+
+    t = datetime(2024, 1, 1, 10, 0, 0)
+    write_rows([(1, t, 7, "click", 1.5, None), (2, t, 7, "view", 2.0, None)])
+
+    stream = read_file_stream(spark, src, EVENTS, max_files_per_trigger=1)
+    q = (
+        user_activity_tracker(stream)
+        .writeStream.format("memory")
+        .queryName("tracker")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    first = {r.user_id: r for r in spark.sql("SELECT * FROM tracker").collect()}
+    assert first[7].n_events == 2 and first[7].sum_value == 3.5
+
+    t2 = datetime(2024, 1, 1, 11, 0, 0)
+    write_rows([(3, t2, 7, "click", 4.0, None)])
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    rows = [r for r in spark.sql("SELECT * FROM tracker").collect() if r.user_id == 7]
+    latest = max(rows, key=lambda r: r.n_events)
+    # state carried over: 2 (batch 1) + 1 (batch 2), sum 3.5 + 4.0
+    assert latest.n_events == 3
+    assert latest.sum_value == 7.5
+    assert latest.last_ts_epoch == int(t2.timestamp())

@@ -141,6 +141,113 @@ def lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    k_clusters: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Lloyd's k-means over the embedding column, Spark-side.
+
+    Assignment is a broadcast cross-join + argmin (distributed, scales
+    with the data); the centroid update is a per-cluster numpy mean via
+    applyInPandas; only the k×dim centroid matrix ever reaches the
+    driver (the loop is driver-coordinated, data never is). Init is
+    deterministic: the k lowest-id vectors.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    base = df.select(F.col(id_col).alias("_id"), _to_double(F.col(vec_col)).alias("_v"))
+    centroids = [
+        [float(x) for x in r._v]
+        for r in base.orderBy("_id").limit(k_clusters).collect()
+    ]
+    dim = len(centroids[0])
+    mean_schema = T.StructType(
+        [
+            T.StructField("_c", T.IntegerType(), False),
+            T.StructField("_v", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+
+    def cluster_mean(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        mat = np.vstack(pdf["_v"].to_numpy())
+        return pd.DataFrame({"_c": [int(pdf["_c"].iloc[0])], "_v": [mat.mean(axis=0).tolist()]})
+
+    for _ in range(iters):
+        assigned = base.withColumn("_c", _nearest_centroid(F.col("_v"), centroids))
+        new = assigned.groupBy("_c").applyInPandas(cluster_mean, mean_schema).collect()
+        got = {r._c: list(r._v) for r in new}
+        # empty clusters keep their previous centroid
+        centroids = [got.get(c, centroids[c]) for c in range(k_clusters)]
+    return centroids
+
+
+def _nearest_centroid(v: Column, centroids: list[list[float]]) -> Column:
+    """argmin over squared L2 distance to each (literal) centroid —
+    unrolled JVM expressions, no UDF in the assignment hot path."""
+    best_c = F.lit(0)
+    best_d = None
+    for ci, cvec in enumerate(centroids):
+        lit_c = F.array(*[F.lit(float(x)) for x in cvec])
+        d = F.aggregate(
+            F.zip_with(v, lit_c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        if best_d is None:
+            best_d = d
+            best_c = F.lit(ci)
+        else:
+            cond = d < best_d
+            best_c = F.when(cond, F.lit(ci)).otherwise(best_c)
+            best_d = F.when(cond, d).otherwise(best_d)
+    return best_c.cast("int")
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: restrict the exact cosine scan to the ``nprobe``
+    clusters whose centroids are nearest the query, then re-rank.
+
+    At scale the cluster id is a materialized/partition column, so the
+    probe filter is partition pruning — the scan reads nprobe/k of the
+    data instead of all of it. ``nprobe == k_clusters`` degrades to
+    the exact brute-force result (the recall dial)."""
+    import math
+
+    def sq(a: Sequence[float], b: Sequence[float]) -> float:
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    probe = sorted(range(len(centroids)), key=lambda c: sq(query, centroids[c]))[
+        :nprobe
+    ]
+    q = query_literal(query)
+    assigned = df.withColumn(
+        "_c", _nearest_centroid(_to_double(F.col(vec_col)), centroids)
+    )
+    return (
+        assigned.filter(F.col("_c").isin([int(c) for c in probe]))
+        .select(
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def topk_join(
     left: DataFrame,
     right: DataFrame,

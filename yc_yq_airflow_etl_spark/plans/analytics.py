@@ -468,6 +468,62 @@ FROM embeddings ORDER BY vec_id
 """
 
 
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile``
+    ≡ DuckDB ``quantile_cont``). The sketch twin for massive inputs is
+    percentile_approx (rows-only, like approx_count_distinct)."""
+    t = load_testdata(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("p75"),
+            F.round(F.min("o_totalprice"), 6).alias("lo"),
+            F.round(F.max("o_totalprice"), 6).alias("hi"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+PERCENTILE_ORACLE = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+       round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+       round(min(o_totalprice), 6) AS lo,
+       round(max(o_totalprice), 6) AS hi
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint single-dimension totals —
+    the shape ROLLUP/CUBE can't express)."""
+    load_testdata(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT coalesce(CAST(year(o_orderdate) AS STRING), 'ALL') AS yr,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               count(*) AS cnt
+        FROM orders
+        GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderstatus), ())
+        ORDER BY yr, status
+        """
+    )
+
+
+GROUPING_SETS_ORACLE = """
+SELECT coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS cnt
+FROM orders
+GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderstatus), ())
+ORDER BY yr, status
+"""
+
+
 def register_all() -> None:
     from .registry import register
 
@@ -489,3 +545,5 @@ def register_all() -> None:
     register("set_ops_customers", set_ops_customers, SET_OPS_ORACLE)
     register("json_event_props", json_event_props, JSON_PROPS_ORACLE)
     register("array_vector_stats", array_vector_stats, ARRAY_STATS_ORACLE)
+    register("percentile_stats", percentile_stats, PERCENTILE_ORACLE)
+    register("grouping_sets_orders", grouping_sets_orders, GROUPING_SETS_ORACLE)

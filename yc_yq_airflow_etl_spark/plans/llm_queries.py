@@ -158,6 +158,18 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(t["embeddings"], q, k=10, max_hamming=3)
 
 
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN path: k-means centroids (trained Spark-side) + probe of
+    the nearest clusters + exact re-rank — rows-only check; the
+    nprobe=k recall dial is asserted against brute force in tests."""
+    from ..operators.similarity import ivf_topk, train_ivf_centroids
+
+    t = load_testdata(spark, sf_dir)
+    q = _query_vec(t)
+    cents = train_ivf_centroids(t["embeddings"], k_clusters=8, iters=2)
+    return ivf_topk(t["embeddings"], q, cents, k=10, nprobe=3)
+
+
 # --- text analysis ------------------------------------------------------
 
 
@@ -271,6 +283,72 @@ FROM documents ORDER BY media_id
 """
 
 
+# --- UDF surface --------------------------------------------------------
+
+
+def udf_text_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Pandas UDF over Arrow batches (functions/udfs.py)."""
+    from ..functions.udfs import text_density_score
+
+    t = load_testdata(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", text_density_score("text").alias("density")
+    ).orderBy("doc_id")
+
+
+UDF_DENSITY_ORACLE = r"""
+SELECT doc_id,
+       round(len(string_split_regex(trim(lower(text)), '\s+'))
+             / sqrt(1 + length(trim(text))), 6) AS density
+FROM documents ORDER BY doc_id
+"""
+
+
+def udaf_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas aggregation (UDAF surface)."""
+    from ..functions.udfs import lang_char_stats
+
+    t = load_testdata(spark, sf_dir)
+    return lang_char_stats(t["documents"]).orderBy("lang")
+
+
+UDAF_LANG_STATS_ORACLE = """
+SELECT lang, count(*) AS n_docs,
+       round(avg(n_chars), 6) AS mean_chars,
+       round(stddev_samp(n_chars), 6) AS std_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def udtf_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF in a LATERAL join: explode word trigrams, count the
+    most frequent (deterministic tiebreak on the ngram)."""
+    from ..functions.udfs import register_all as register_udfs
+
+    load_testdata(spark, sf_dir)
+    register_udfs(spark)
+    return spark.sql(
+        """
+        SELECT ngram, count(*) AS n
+        FROM documents, LATERAL word_ngrams(doc_id, text, 3) g
+        GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 10
+        """
+    )
+
+
+UDTF_NGRAMS_ORACLE = r"""
+WITH g AS (
+    SELECT unnest(list_transform(
+        generate_series(1, greatest(len(w) - 2, 0)),
+        i -> array_to_string(w[i:i+2], ' '))) AS ngram
+    FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS w
+          FROM documents)
+)
+SELECT ngram, count(*) AS n FROM g
+GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 10
+"""
+
+
 def register_all() -> None:
     from .registry import register
 
@@ -284,6 +362,10 @@ def register_all() -> None:
         SIMILARITY_BRUTEFORCE_ORACLE,
     )
     register("similarity_lsh_topk", similarity_lsh_topk, None)
+    register("similarity_ivf_topk", similarity_ivf_topk, None)
     register("text_stats", text_stats, TEXT_STATS_ORACLE)
     register("lang_id_eval", lang_id_eval, LANG_ID_ORACLE)
     register("multimodal_features", multimodal_features, MULTIMODAL_ORACLE)
+    register("udf_text_density", udf_text_density, UDF_DENSITY_ORACLE)
+    register("udaf_lang_stats", udaf_lang_stats, UDAF_LANG_STATS_ORACLE)
+    register("udtf_top_ngrams", udtf_top_ngrams, UDTF_NGRAMS_ORACLE)
