@@ -1,0 +1,84 @@
+"""Scale-mechanics tests: bucketed exchange-free joins and skew
+salting — correctness plus the plan property that motivates them."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from yc_yq_airflow_etl_spark.operators.skew import salted_count, salted_join
+from yc_yq_airflow_etl_spark.sources.bucketing import bucketed_join, write_bucketed
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, testdata):
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    write_bucketed(testdata["orders"], "b_orders", "o_orderkey", 8)
+    write_bucketed(
+        testdata["lineitem"].withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        "o_orderkey",
+        8,
+    )
+    yield
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_join_is_exchange_free(spark, testdata, bucketed_tables):
+    joined = bucketed_join(spark, "b_lineitem", "b_orders", "o_orderkey")
+    # disable broadcast so the plan must choose SMJ — the point is
+    # that bucketing removes the per-query shuffle, not broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10m")
+    # correctness: same row count as the plain join
+    plain = testdata["lineitem"].join(
+        testdata["orders"], F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    assert joined.count() == plain.count()
+
+
+def test_salted_count_equals_plain_groupby(spark, testdata):
+    plain = {
+        (r.o_orderstatus,): r.cnt
+        for r in testdata["orders"]
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    salted = {
+        (r.o_orderstatus,): r.cnt
+        for r in salted_count(testdata["orders"], ["o_orderstatus"]).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_preserves_multiplicity(spark, testdata):
+    """Salted join ≡ plain join, row for row — including customers
+    with many orders (the 'hot key' stand-in)."""
+    orders = testdata["orders"]
+    cust = testdata["customer"].select("c_custkey", "c_mktsegment")
+    plain = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    ).groupBy("c_mktsegment").count()
+    salted = salted_join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"), cust, on="c_custkey"
+    ).groupBy("c_mktsegment").count()
+    assert {(r.c_mktsegment, r["count"]) for r in plain.collect()} == {
+        (r.c_mktsegment, r["count"]) for r in salted.collect()
+    }
+
+
+def test_salted_join_left_outer_keeps_unmatched(spark):
+    skewed = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (99, "z")], "k int, v string"
+    )
+    small = spark.createDataFrame([(1, "one")], "k int, name string")
+    out = salted_join(skewed, small, on="k", how="left").collect()
+    got = {(r.k, r.v): r.name for r in out}
+    assert got == {(1, "a"): "one", (1, "b"): "one", (99, "z"): None}
