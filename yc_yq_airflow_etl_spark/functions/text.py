@@ -47,25 +47,66 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 24) -> Column:
-    """MinHash signature as an array of ``num_hashes`` lexicographic-
-    min md5 digests of seed-prefixed shingles.
+# Affine min-hash family over md5-derived integers. One md5 per
+# shingle (the expensive part), then num_hashes cheap (a*h1+b*h2+c)
+# mod P permutations. Constants are fixed (seeded) and inlined into
+# both the Spark expressions and the DuckDB oracle SQL so the
+# construction is bit-identical across engines. P = 2^31-1; h1/h2 are
+# 28-bit md5 prefixes, a,b < 2^31 → products stay under 2^59 (no
+# int64 overflow under ANSI mode).
+MINHASH_P = 2_147_483_647
 
-    md5 is a uniform permutation of the shingle space, so the
-    lexicographic min over hex strings is a valid min-hash; equality
-    probability across two docs per position = Jaccard similarity
-    (Broder's original estimator). Using the hex string (not a parsed
-    int) keeps the construction bit-identical in any engine with md5.
-    """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                shingles,
-                lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)),
-            )
-        ),
+
+def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int, int]]:
+    import random
+
+    rng = random.Random(42)
+    return [
+        (rng.randrange(1, MINHASH_P), rng.randrange(1, MINHASH_P), rng.randrange(MINHASH_P))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 24) -> Column:
+    """MinHash signature: array of ``num_hashes`` min-values of an
+    affine hash family applied to each shingle's md5-derived integer
+    pair (Broder's estimator: P[sig_i(A) = sig_i(B)] = Jaccard(A,B))."""
+    digests = F.transform(shingles, lambda s: F.md5(s))
+    h1 = F.transform(
+        digests, lambda d: F.conv(F.substring(d, 1, 7), 16, 10).cast("long")
     )
+    h2 = F.transform(
+        digests, lambda d: F.conv(F.substring(d, 9, 7), 16, 10).cast("long")
+    )
+    def _mk(a: int, b: int, c: int):
+        # closure factory, NOT default args: PySpark derives the
+        # lambda-variable count from the function signature
+        return lambda x, y: (F.lit(a) * x + F.lit(b) * y + F.lit(c)) % F.lit(
+            MINHASH_P
+        )
+
+    mins = [
+        F.array_min(F.zip_with(h1, h2, _mk(a, b, c)))
+        for a, b, c in _minhash_coeffs(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_signature_sql(
+    shingles_expr: str, num_hashes: int = 24
+) -> str:
+    """The DuckDB replay of :func:`minhash_signature` — same md5
+    prefixes, same inlined coefficients, same modulus — as a SQL
+    expression over ``shingles_expr`` (a list<varchar> expression)."""
+    parts = []
+    for a, b, c in _minhash_coeffs(num_hashes):
+        parts.append(
+            f"list_min(list_transform({shingles_expr}, s -> "
+            f"({a} * ('0x' || substr(md5(s), 1, 7))::BIGINT "
+            f"+ {b} * ('0x' || substr(md5(s), 9, 7))::BIGINT "
+            f"+ {c}) % {MINHASH_P}))"
+        )
+    return "[" + ", ".join(parts) + "]"
 
 
 def rolling_fingerprint(col: Column | str) -> Column:

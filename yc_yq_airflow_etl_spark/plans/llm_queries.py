@@ -53,7 +53,10 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # DuckDB replay of the identical minhash→banding→verify pipeline.
 # Parameters must mirror minhash_lsh_pairs defaults: k=3 shingles,
-# 24 hashes, 8 bands × 3 rows, jaccard ≥ 0.5, bucket cap 50.
+# 24 hashes (affine family, constants inlined from _minhash_coeffs),
+# 8 bands × 3 rows, jaccard ≥ 0.5, bucket cap 50.
+from ..functions.text import minhash_signature_sql  # noqa: E402
+
 DEDUP_MINHASH_ORACLE = r"""
 WITH base AS (
     SELECT doc_id AS id,
@@ -65,9 +68,7 @@ WITH base AS (
           FROM documents)
     WHERE len(w) >= 3
 ), sig AS (
-    SELECT id, sh,
-           list_transform(generate_series(0, 23),
-               i -> list_min(list_transform(sh, s -> md5(i || ':' || s)))) AS sig
+    SELECT id, sh, """ + minhash_signature_sql("sh") + r""" AS sig
     FROM base
 ), banded AS (
     SELECT id, sh, sig, b.band AS band,
