@@ -53,6 +53,44 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
+    # Reference-scale datapoint: the federation verification query at
+    # the reference's own dataset size (2,675,520 payment rows,
+    # 2020-01..2025-01 minute grid; BASELINE.md: 3 s wall on Yandex
+    # Query). Hot side = 2023+ in memory (PG stand-in), cold side =
+    # 2020-2022 read back from Hive-partitioned parquet (S3 stand-in)
+    # — the same 3-cooled/2-hot split as the published run. Setup
+    # (generate + write) is excluded from the timing, like YQ's.
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from yc_yq_airflow_etl_spark.plans.federation import federated_counts_by_year
+    from yc_yq_airflow_etl_spark.sources.generator import generate_payments
+
+    workdir = tempfile.mkdtemp(prefix="bench_refscale_")
+    payments = generate_payments(spark, minutes=2675520)
+    boundary = F.lit("2023-01-01").cast("timestamp")
+    hot = payments.filter(F.col("payment_date") >= boundary).cache()
+    hot.count()
+    cold_path = f"{workdir}/lake"
+    (
+        payments.filter(F.col("payment_date") < boundary)
+        .withColumn("payment_year", F.year("payment_date"))
+        .write.partitionBy("payment_year")
+        .parquet(cold_path)
+    )
+    cold = spark.read.parquet(cold_path).drop("payment_year")
+    t0 = time.time()
+    rows = federated_counts_by_year(hot, cold).collect()
+    timings["reference_scale_federation_2675520_rows"] = round(time.time() - t0, 3)
+    assert sum(r.cnt for r in rows) == 2675520, rows
+    print(
+        f"# reference-scale federation: {len(rows)} rows in "
+        f"{timings['reference_scale_federation_2675520_rows']}s "
+        f"(baseline: 3s)",
+        file=sys.stderr,
+    )
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     out = {
         "metric": "headline_queries_total_wall",

@@ -1,6 +1,6 @@
-"""Property tests for the training-data pipeline operators whose
-xxhash64-based construction has no DuckDB oracle (SimHash, hyperplane
-LSH) plus plumbing tests for dedup/similarity/multimodal."""
+"""Property tests for the training-data pipeline operators without a
+DuckDB oracle (SimHash, hyperplane/IVF ANN — checked rows-only by the
+driver) plus plumbing tests for dedup/similarity/multimodal."""
 
 from __future__ import annotations
 

@@ -244,40 +244,54 @@ def minhash_lsh_pairs(
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over tokens (xxhash64-based — Spark-native path,
-    no SQL-oracle twin). Bit b of the result is the sign of the sum
-    over tokens of ±1 according to bit b of the token hash.
+    """64-bit SimHash over tokens. Bit b of the result is the sign of
+    the sum over tokens of ±1 according to bit b of the token hash
+    (md5-derived 64-bit int — engine-portable, unlike xxhash64).
 
-    Built entirely from higher-order functions: per-doc cost is
-    O(tokens × 64) JVM ops, no explode, no shuffle until the caller
-    groups/joins on the fingerprint.
+    Vectorized mapInPandas: the expression-level formulation (64
+    unrolled aggregates over a token-hash array) runs interpreted
+    outside codegen, ~10× slower. numpy does (tokens × 64) bit
+    balances in one shift-and-mask broadcast per doc.
     """
-    from ..functions.text import tokenize
+    import hashlib
+    import re
 
-    # materialize token hashes once; 64 per-bit balances are unrolled
-    # in Python (shiftright needs a literal bit count) over the same
-    # hash array, so the text is tokenized/hashed exactly once
-    hashed = _spread(df, id_col).select(
-        F.col(id_col),
-        F.transform(tokenize(text_col), lambda w: F.xxhash64(w)).alias("_h"),
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("simhash", T.LongType(), False),
+        ]
     )
-    # per-bit balance: sum over words of (bit set ? +1 : -1); bit b of
-    # the fingerprint is set iff balance > 0. Sum of disjoint bit
-    # values == bitwise OR (two's-complement literal for bit 63).
-    def _balance_fn(bit: int):
-        # NB: bind via closure, not a default arg — PySpark derives the
-        # lambda-variable count from the function signature
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
 
-    fingerprint = None
-    for b in range(64):
-        balance = F.aggregate(F.col("_h"), F.lit(0), _balance_fn(b))
-        bit_val = F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long")
-        term = F.when(balance > 0, bit_val).otherwise(F.lit(0).cast("long"))
-        fingerprint = term if fingerprint is None else fingerprint + term
-    return hashed.select(F.col(id_col), fingerprint.alias("simhash"))
+    def gen(batches):
+        shifts = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                words = re.sub(r"\s+", " ", str(text).strip().lower()).split(" ")
+                h = np.array(
+                    [
+                        int(hashlib.md5(w.encode("utf-8")).hexdigest()[:16], 16)
+                        for w in words
+                    ],
+                    dtype=np.uint64,
+                )
+                bits = (h[:, None] >> shifts) & np.uint64(1)  # (n, 64)
+                balance = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+                fp = np.uint64(0)
+                for b in np.nonzero(balance > 0)[0]:
+                    fp |= np.uint64(1) << np.uint64(b)
+                ids.append(doc_id)
+                fps.append(int(fp.astype(np.int64)))  # two's complement
+            yield pd.DataFrame({id_col: ids, "simhash": fps})
+
+    return _spread(df, id_col).select(id_col, text_col).mapInPandas(gen, schema)
 
 
 def simhash_dup_pairs(
@@ -285,12 +299,15 @@ def simhash_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
 
     Candidate generation: split the 64-bit fingerprint into 4 16-bit
     bands; by pigeonhole, any pair within hamming ≤ 3 agrees exactly
     on ≥ 1 band → join on (band, band_value), verify with popcount.
+    ``max_bucket`` caps degenerate band buckets before the quadratic
+    self-join (same skew guard as minhash_lsh_pairs).
     """
     fp = simhash(df, text_col, id_col)
     banded = fp.select(
@@ -310,6 +327,10 @@ def simhash_dup_pairs(
             )
         ).alias("_b"),
     ).select(F.col(id_col), "simhash", "_b.band", "_b.val")
+    sizes = banded.groupBy("band", "val").agg(F.count(F.lit(1)).alias("_n"))
+    banded = banded.join(sizes.filter(F.col("_n") <= max_bucket), ["band", "val"]).drop(
+        "_n"
+    )
     a = banded.select(
         "band", "val", F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a")
     )

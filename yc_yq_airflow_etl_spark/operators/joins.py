@@ -116,7 +116,7 @@ def asof_join(
         out = out.withColumn(
             "_asof",
             F.when(
-                F.col(f"_asof._r_time") >= F.col(on_time) - F.expr(f"INTERVAL {tolerance}"),
+                F.col("_asof._r_time") >= F.col(on_time) - F.expr(f"INTERVAL {tolerance}"),
                 F.col("_asof"),
             ),
         )

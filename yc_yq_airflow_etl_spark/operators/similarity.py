@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -188,25 +190,24 @@ def train_ivf_centroids(
 
 
 def _nearest_centroid(v: Column, centroids: list[list[float]]) -> Column:
-    """argmin over squared L2 distance to each (literal) centroid —
-    unrolled JVM expressions, no UDF in the assignment hot path."""
-    best_c = F.lit(0)
-    best_d = None
-    for ci, cvec in enumerate(centroids):
-        lit_c = F.array(*[F.lit(float(x)) for x in cvec])
-        d = F.aggregate(
-            F.zip_with(v, lit_c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        if best_d is None:
-            best_d = d
-            best_c = F.lit(ci)
-        else:
-            cond = d < best_d
-            best_c = F.when(cond, F.lit(ci)).otherwise(best_c)
-            best_d = F.when(cond, d).otherwise(best_d)
-    return best_c.cast("int")
+    """argmin over squared L2 distance to the centroid matrix, as a
+    vectorized Pandas UDF (numpy broadcast: one ‖x-C‖² matrix per
+    Arrow batch). An expression-level unrolled version was 10-50×
+    slower — k × dim nested higher-order functions run interpreted,
+    outside whole-stage codegen."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+
+    @pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        x = np.vstack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        # ‖x-c‖² = ‖x‖² - 2x·c + ‖c‖²; ‖x‖² is constant per row → drop
+        d = -2.0 * (x @ cmat.T) + (cmat * cmat).sum(axis=1)
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    return assign(v)
 
 
 def ivf_topk(

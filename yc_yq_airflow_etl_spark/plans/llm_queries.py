@@ -98,8 +98,8 @@ ORDER BY id_a, id_b
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (xxhash64-based → rows-only check;
-    property-tested against minhash results in tests)."""
+    """SimHash near-dup pairs (rows-only check; determinism and
+    locality property-tested in tests/test_llm_ops.py)."""
     t = load_testdata(spark, sf_dir)
     return simhash_dup_pairs(t["documents"], max_hamming=8).orderBy("id_a", "id_b")
 
@@ -167,7 +167,10 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_testdata(spark, sf_dir)
     q = _query_vec(t)
-    cents = train_ivf_centroids(t["embeddings"], k_clusters=8, iters=2)
+    # train on a deterministic sample — centroid quality needs a
+    # representative subset, not the full table (textbook IVF build)
+    sample = t["embeddings"].sample(fraction=0.25, seed=42)
+    cents = train_ivf_centroids(sample, k_clusters=8, iters=2)
     return ivf_topk(t["embeddings"], q, cents, k=10, nprobe=3)
 
 
