@@ -4,8 +4,6 @@ exclusion join (the operator whose null/float subtleties SURVEY.md
 
 from __future__ import annotations
 
-from datetime import datetime, timedelta
-
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st

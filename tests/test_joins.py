@@ -5,8 +5,6 @@ from __future__ import annotations
 
 from datetime import datetime
 
-from pyspark.sql import functions as F
-
 from yc_yq_airflow_etl_spark.operators import asof_join, range_join
 
 

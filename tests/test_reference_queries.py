@@ -10,7 +10,6 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_DIR
 from yc_yq_airflow_etl_spark.functions import unwrap
 from yc_yq_airflow_etl_spark.operators import exclusion_join
 from yc_yq_airflow_etl_spark.plans.federation import (
@@ -75,3 +74,16 @@ def test_events_ns_timestamp_roundtrip(spark, testdata):
     assert ev.schema["ts"].dataType.simpleString() == "timestamp"
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
     assert lo.year == 2024 and hi.year == 2024
+
+
+def test_strict_datetime_second_truncation(spark):
+    """YQL Datetime is second-precision; strict mode must truncate
+    sub-second parts (the cast the reference applies to the PG side of
+    the reconcile, yq_dag.py:66,83)."""
+    from yc_yq_airflow_etl_spark.functions import to_datetime
+
+    df = spark.sql("SELECT TIMESTAMP'2024-03-01 12:34:56.789123' AS ts")
+    strict = df.select(to_datetime("ts", strict=True).alias("t")).first().t
+    loose = df.select(to_datetime("ts", strict=False).alias("t")).first().t
+    assert strict.microsecond == 0 and strict.second == 56
+    assert loose.microsecond == 789123

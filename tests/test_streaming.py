@@ -5,12 +5,10 @@ stream — the behavior the batch oracles can't check."""
 from __future__ import annotations
 
 import os
-import time
 
 import pytest
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_DIR
 from yc_yq_airflow_etl_spark.schemas import EVENTS
 from yc_yq_airflow_etl_spark.sources.generator import generate_payments
 from yc_yq_airflow_etl_spark.sources.lake import LakeTable
@@ -193,3 +191,40 @@ def test_stateful_tracker_accumulates_across_microbatches(spark, tmp_path):
     assert latest.n_events == 3
     assert latest.sum_value == 7.5
     assert latest.last_ts_epoch == int(t2.timestamp())
+
+
+def test_streaming_exact_dedup_with_watermark(spark, tmp_path):
+    """Streaming exact dedup: withWatermark + dropDuplicates keeps the
+    first arrival of each key and drops re-deliveries across
+    micro-batches (state bounded by the watermark) — the streaming
+    twin of operators.dedup.exact_dedup."""
+    from datetime import datetime
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write_rows(rows):
+        spark.createDataFrame(rows, EVENTS).coalesce(1).write.mode("append").parquet(src)
+
+    t = datetime(2024, 1, 1, 10, 0, 0)
+    write_rows([(1, t, 1, "click", 1.0, None), (2, t, 1, "view", 2.0, None)])
+
+    stream = read_file_stream(spark, src, EVENTS, max_files_per_trigger=1)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # redeliver event 1 (same id) + a new event in a later batch
+    write_rows([(1, t, 1, "click", 1.0, None), (3, t, 2, "click", 3.0, None)])
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    rows = spark.sql("SELECT event_id FROM dedup_stream").collect()
+    ids = sorted(r.event_id for r in rows)
+    assert ids == [1, 2, 3]  # the redelivered event_id=1 was dropped

@@ -23,10 +23,10 @@ Scale design (the 100 TB story, applied to every op here):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import minhash_signature, normalize_text, word_shingles
+from ..functions.text import normalize_text, word_shingles
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:

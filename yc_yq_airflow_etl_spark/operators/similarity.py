@@ -226,8 +226,6 @@ def ivf_topk(
     probe filter is partition pruning — the scan reads nprobe/k of the
     data instead of all of it. ``nprobe == k_clusters`` degrades to
     the exact brute-force result (the recall dial)."""
-    import math
-
     def sq(a: Sequence[float], b: Sequence[float]) -> float:
         return sum((x - y) ** 2 for x, y in zip(a, b))
 

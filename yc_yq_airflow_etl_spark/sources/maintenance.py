@@ -18,8 +18,6 @@ is not a distributed operation.
 
 from __future__ import annotations
 
-from collections.abc import Iterable
-
 from pyspark.sql import SparkSession
 
 
