@@ -91,6 +91,27 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # The pipeline's other per-run query: reconcile one exported year
+    # (527,040 rows, leap 2020) between the hot store and its lake
+    # copy via the 6-column EXCLUSION JOIN (yq_dag.py:82-95).
+    from datetime import datetime
+
+    from yc_yq_airflow_etl_spark.plans.cooling import load_year, reconcile_year
+    from yc_yq_airflow_etl_spark.sources.lake import LakeTable
+
+    lake = LakeTable(f"{workdir}/recon_lake")
+    lo, hi = datetime(2020, 1, 1), datetime(2021, 1, 1)
+    load_year(payments, lake, lo, hi)  # setup, untimed
+    t0 = time.time()
+    diff = reconcile_year(spark, payments, lake, lo, hi)
+    timings["reference_scale_reconcile_527040_rows"] = round(time.time() - t0, 3)
+    assert diff == 0, diff
+    print(
+        f"# reference-scale reconcile: diff={diff} in "
+        f"{timings['reference_scale_reconcile_527040_rows']}s",
+        file=sys.stderr,
+    )
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     out = {
         "metric": "headline_queries_total_wall",

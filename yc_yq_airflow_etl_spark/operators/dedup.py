@@ -385,41 +385,22 @@ def embedding_cosine_dupes(
     """Near-duplicate pairs by embedding cosine ≥ threshold, blocked
     by random-hyperplane LSH (sign sketch).
 
-    Hyperplane h's component for dimension d is a deterministic ±1
-    derived from xxhash64(seed, h, d) — no driver-side random state to
-    broadcast. Pairs agreeing on the full sign sketch are candidates;
-    exact cosine verifies. P(miss) for cosine≥0.9 with 8 planes ≈
-    1-(1-θ/π)^8 where θ=acos(0.9)≈0.45rad → sketch collision ~0.29 per
-    plane-set; callers needing recall repeat with several seeds.
+    Hyperplanes are a seeded Rademacher ±1 matrix, identical on every
+    executor (similarity._rademacher) — no broadcast state. Pairs
+    agreeing on the full sign sketch are candidates; exact cosine
+    verifies. P(miss) for cosine≥0.9 with 8 planes ≈ 1-(1-θ/π)^8 where
+    θ=acos(0.9)≈0.45rad → sketch collision ~0.29 per plane-set;
+    callers needing recall repeat with several seeds.
     """
-    from .similarity import cosine_similarity
+    from .similarity import cosine_pairs_vectorized, sign_sketch
 
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    dim = F.size(F.col(vec_col))
-    # sign sketch: bit h = sign(sum_d v[d] * rademacher(seed,h,d))
-    sketch = F.transform(
-        F.sequence(F.lit(0), F.lit(planes - 1)),
-        lambda h: F.when(
-            F.aggregate(
-                F.zip_with(
-                    v,
-                    F.sequence(F.lit(0), dim - 1),
-                    lambda x, d: x
-                    * F.when(
-                        F.pmod(F.xxhash64(F.lit(seed), h, d), F.lit(2)) == 0, 1.0
-                    ).otherwise(-1.0),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            > 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
+    # sign sketch as an int bitmask (vectorized Pandas UDF; see
+    # similarity.sign_sketch) — pairs agreeing on the full sketch are
+    # candidates
     sk = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        F.array_join(sketch, "").alias("_sketch"),
+        sign_sketch(F.col(vec_col), planes, seed).alias("_sketch"),
     )
     a = sk.select(
         F.col("_sketch"), F.col("_id").alias("id_a"), F.col("_v").alias("v_a")
@@ -428,7 +409,7 @@ def embedding_cosine_dupes(
         F.col("_sketch"), F.col("_id").alias("id_b"), F.col("_v").alias("v_b")
     )
     cand = a.join(b, "_sketch").filter(F.col("id_a") < F.col("id_b"))
-    cos = cosine_similarity(F.col("v_a"), F.col("v_b"))
+    cos = cosine_pairs_vectorized(F.col("v_a"), F.col("v_b"))
     return cand.select(
         "id_a", "id_b", F.round(cos, 6).alias("cosine")
     ).filter(F.col("cosine") >= threshold)

@@ -51,6 +51,28 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_pairs_vectorized(a: Column, b: Column) -> Column:
+    """Cosine between two vector columns as a vectorized Pandas UDF —
+    the verification path for LSH candidate PAIRS, where per-row
+    expression evaluation (interpreted, not codegen) dominates once
+    candidates number in the tens of thousands. One stacked numpy
+    einsum per Arrow batch."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.DoubleType())
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        x = np.vstack(va.to_numpy()).astype(np.float64)
+        y = np.vstack(vb.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", x, y)
+        den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
+        return pd.Series(num / den)
+
+    return cos(a, b)
+
+
 def query_literal(vec: Sequence[float]) -> Column:
     """A query vector as a literal array<double> column (embedded in
     the plan → shipped once with the task binary, no join needed)."""
@@ -77,32 +99,41 @@ def brute_force_topk(
     )
 
 
+def _rademacher(planes: int, dim: int, seed: int):
+    """Deterministic ±1 hyperplane matrix (planes × dim): seeded
+    numpy, identical on driver and every executor — no broadcast."""
+    rng = np.random.RandomState(seed)
+    return rng.choice(np.array([-1.0, 1.0]), size=(planes, dim))
+
+
+def sketch_bits(vec: Sequence[float], planes: int = 8, seed: int = 42) -> int:
+    """Driver-side sketch of one vector (e.g. the query): bit h of the
+    result is sign(planes[h] · v)."""
+    x = np.asarray(vec, dtype=np.float64)
+    signs = (_rademacher(planes, len(x), seed) @ x) > 0
+    return int(sum(1 << h for h, s in enumerate(signs) if s))
+
+
 def sign_sketch(vec: Column, planes: int = 8, seed: int = 42) -> Column:
-    """Random-hyperplane sign sketch as an array<int> of 0/1. The
-    hyperplane for (plane h, dim d) is a ±1 Rademacher component
-    derived from xxhash64(seed, h, d) — fully deterministic, no
-    broadcast state."""
-    v = _to_double(vec)
-    dim = F.size(vec)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(planes - 1)),
-        lambda h: F.when(
-            F.aggregate(
-                F.zip_with(
-                    v,
-                    F.sequence(F.lit(0), dim - 1),
-                    lambda x, d: x
-                    * F.when(
-                        F.pmod(F.xxhash64(F.lit(seed), h, d), F.lit(2)) == 0, 1.0
-                    ).otherwise(-1.0),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            > 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
+    """Random-hyperplane sign sketch as an integer bitmask (bit h =
+    sign of the projection onto hyperplane h). Vectorized Pandas UDF —
+    one (n × dim) @ (dim × planes) matmul per Arrow batch; the
+    expression-level formulation ran interpreted and ~20× slower.
+    Hamming distance between sketches is ``bit_count(a ^ b)``,
+    JVM-side."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    weights = 1 << np.arange(planes, dtype=np.int64)
+
+    @pandas_udf(T.IntegerType())
+    def sketch(vecs: pd.Series) -> pd.Series:
+        x = np.vstack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        planes_mat = _rademacher(planes, x.shape[1], seed)  # (p, dim)
+        bits = (x @ planes_mat.T) > 0  # (n, p)
+        return pd.Series((bits @ weights).astype("int32"))
+
+    return sketch(vec)
 
 
 def lsh_topk(
@@ -121,15 +152,9 @@ def lsh_topk(
     scale, persist the sketch as a materialized column (or partition
     by a sketch prefix) and the filter becomes partition pruning."""
     q = query_literal(query)
-    q_sketch = sign_sketch(q, planes, seed)
-    hamming = F.aggregate(
-        F.zip_with(
-            sign_sketch(F.col(vec_col), planes, seed),
-            q_sketch,
-            lambda a, b: F.abs(a - b),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
+    q_mask = sketch_bits(query, planes, seed)
+    hamming = F.bit_count(
+        sign_sketch(F.col(vec_col), planes, seed).bitwiseXOR(F.lit(q_mask))
     )
     return (
         df.withColumn("_ham", hamming)
