@@ -106,3 +106,20 @@ def test_exclusion_join_self_is_null_rows_only(spark, rows):
     n_null = sum(1 for _, v in rows if v is None)
     assert len(out) == 2 * n_null
     assert all(r.v is None for r in out)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(left=rows_strategy, right=rows_strategy)
+def test_exclusion_diff_count_equals_join_count(spark, left, right):
+    """Property: the single-shuffle grouped count must equal
+    exclusion_join(...).count() on arbitrary inputs, including NULL
+    keys and duplicate rows."""
+    from yc_yq_airflow_etl_spark.operators.joins import exclusion_diff_count
+
+    schema = "k int, v float"
+    ldf = spark.createDataFrame(left, schema) if left else spark.createDataFrame([], schema)
+    rdf = spark.createDataFrame(right, schema) if right else spark.createDataFrame([], schema)
+    expected = exclusion_join(ldf, rdf, ["k", "v"]).count()
+    assert exclusion_diff_count(ldf, rdf, ["k", "v"]) == expected

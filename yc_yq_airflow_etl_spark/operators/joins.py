@@ -42,6 +42,49 @@ def exclusion_join(
     return l_only.unionByName(r_only, allowMissingColumns=True)
 
 
+def exclusion_diff_count(
+    left: DataFrame, right: DataFrame, on: Sequence[str]
+) -> int:
+    """``exclusion_join(left, right, on).count()`` in ONE shuffle.
+
+    The reconciliation check (yq_dag.py:93) only needs the count, and
+    the anti-join formulation shuffles both inputs into two joins. A
+    tagged union + groupBy over the key computes per-key multiset
+    sides in a single exchange: keys present on only one side
+    contribute that side's multiplicity. NULL-keyed rows never match
+    anything in SQL join semantics, so they are counted per-side
+    before the grouped pass (grouping would wrongly unify them).
+
+    At 100 TB this is the difference between one wide shuffle of the
+    union and two join shuffles — and partial aggregation compresses
+    each map task's output to its distinct keys before the exchange.
+    """
+    keys = list(on)
+    null_key = None
+    for k in keys:
+        c = F.col(k).isNull()
+        null_key = c if null_key is None else (null_key | c)
+
+    l = left.select(*keys)
+    r = right.select(*keys)
+    null_count = l.filter(null_key).count() + r.filter(null_key).count()
+
+    u = l.filter(~null_key).withColumn("_side", F.lit(0)).unionByName(
+        r.filter(~null_key).withColumn("_side", F.lit(1))
+    )
+    per_key = u.groupBy(*keys).agg(
+        F.sum(F.when(F.col("_side") == 0, 1).otherwise(0)).alias("_nl"),
+        F.sum(F.when(F.col("_side") == 1, 1).otherwise(0)).alias("_nr"),
+    )
+    row = per_key.select(
+        F.sum(
+            F.when(F.col("_nr") == 0, F.col("_nl")).otherwise(0)
+            + F.when(F.col("_nl") == 0, F.col("_nr")).otherwise(0)
+        ).alias("d")
+    ).first()
+    return int(row[0] or 0) + null_count
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

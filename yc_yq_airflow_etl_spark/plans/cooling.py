@@ -28,7 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import get_year, to_datetime, to_uint32, unwrap
-from ..operators import exclusion_join
+from ..operators import exclusion_join  # noqa: F401  (diff-row queries)
+from ..operators.joins import exclusion_diff_count
 from ..sources.lake import LakeTable
 from ..sources.state import PipelineState
 
@@ -108,8 +109,7 @@ def reconcile_year(
         )
         .select(*RECONCILE_KEY)
     )
-    diff = exclusion_join(s, d, RECONCILE_KEY)
-    return diff.count()
+    return exclusion_diff_count(s, d, RECONCILE_KEY)
 
 
 @dataclass
