@@ -128,3 +128,20 @@ def test_rerun_idempotent(spark, payments, tmp_path):
     cold = pipe.lake.read(spark)
     assert cold.count() == 527040  # replaced, not appended
     assert reconcile_year(spark, payments, pipe.lake, lo, hi) == 0
+
+
+def test_two_year_progression(spark, payments, tmp_path):
+    """Two consecutive runs cool consecutive years, retire both source
+    years, and leave the lake holding the full history — the DAG's
+    steady-state loop (reference walkthrough, README_en.md)."""
+    retired: list[int] = []
+    pipe = _pipeline(spark, payments, str(tmp_path), retired)
+    r1 = pipe.run_once()
+    r2 = pipe.run_once()
+    assert (r1["retired_year"], r2["retired_year"]) == (2020, 2021)
+    assert retired == [2020, 2021]
+    cold = spark.read.parquet(str(tmp_path / "lake"))
+    per_year = {r.payment_year: r.c for r in
+                cold.groupBy("payment_year").agg(F.count("*").alias("c")).collect()}
+    assert per_year == {2020: 527040, 2021: 525600}
+    assert pipe.window()[0].year == 2022
