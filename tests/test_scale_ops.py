@@ -82,3 +82,22 @@ def test_salted_join_left_outer_keeps_unmatched(spark):
     out = salted_join(skewed, small, on="k", how="left").collect()
     got = {(r.k, r.v): r.name for r in out}
     assert got == {(1, "a"): "one", (1, "b"): "one", (99, "z"): None}
+
+
+def test_approx_sketches_error_bounds(spark, testdata):
+    """Sketch aggregates must land within their advertised error of
+    the exact answers (HLL++ rsd=1%; percentile_approx accuracy
+    1000 ≈ exact at this cardinality)."""
+    from yc_yq_airflow_etl_spark.plans.analytics import (
+        approx_distinct_customers,
+        distinct_counts,
+        percentile_stats,
+    )
+    from tests.conftest import SF_DIR
+
+    approx = {r.o_orderstatus: r for r in approx_distinct_customers(spark, SF_DIR).collect()}
+    exact_d = {r.o_orderstatus: r.n_customers for r in distinct_counts(spark, SF_DIR).collect()}
+    exact_p = {r.o_orderstatus: r.p50 for r in percentile_stats(spark, SF_DIR).collect()}
+    for status, row in approx.items():
+        assert abs(row.approx_customers - exact_d[status]) <= 0.05 * exact_d[status]
+        assert abs(row.approx_p50 - exact_p[status]) <= 0.02 * exact_p[status]

@@ -100,15 +100,18 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 
 
 def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ sketch (approx_count_distinct) — the scale path
-    for distinct counting: one pass, fixed memory, no exact-distinct
-    shuffle explosion. No oracle (sketch values are engine-specific);
-    tests assert <2% relative error vs exact."""
+    """Sketch aggregates — the scale path: HyperLogLog++ distinct
+    counting and KLL/GK approximate percentiles, one pass, fixed
+    memory, no exact-distinct shuffle explosion. No oracle (sketch
+    values are engine-specific); tests assert error bounds vs exact."""
     t = load_testdata(spark, sf_dir)
     return (
         t["orders"]
         .groupBy("o_orderstatus")
-        .agg(F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"))
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"),
+            F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_p50"),
+        )
         .orderBy("o_orderstatus")
     )
 
