@@ -147,6 +147,12 @@ def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     if key in _TESTDATA_CACHE:
         return _TESTDATA_CACHE[key]
 
+    # The DuckDB oracle is timezone-naive; every timestamp-derived
+    # value (year(), date_format, window starts) must be computed in
+    # UTC regardless of who built this session (the verify driver
+    # builds its own). Runtime-settable, so safe on foreign sessions.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
     out: dict[str, DataFrame] = {}
     for name in schemas.TESTDATA_TABLES:
         path = f"{sf_dir}/{name}.parquet"
