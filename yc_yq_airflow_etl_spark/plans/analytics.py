@@ -527,6 +527,73 @@ ORDER BY yr, status
 """
 
 
+def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts as a (year × status) matrix. The status
+    value list is fixed so the output schema is static (dynamic pivot
+    would require a pre-pass to discover columns — an anti-pattern at
+    scale)."""
+    t = load_testdata(spark, sf_dir)
+    return (
+        t["orders"]
+        .select(F.year("o_orderdate").alias("yr"), "o_orderstatus")
+        .groupBy("yr")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "yr",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+        .orderBy("yr")
+    )
+
+
+PIVOT_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+       count(*) FILTER (o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY 1 ORDER BY yr
+"""
+
+
+def explode_embedding_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (lateral array flatten): per-dimension mean/extrema
+    across all embedding vectors — the array-to-rows direction the
+    UDTF/array queries don't cover."""
+    t = load_testdata(spark, sf_dir)
+    flat = t["embeddings"].select(
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim", "val"
+        )
+    )
+    return (
+        flat.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("val"), 6).alias("mean_val"),
+            F.round(F.min("val"), 6).alias("min_val"),
+            F.round(F.max("val"), 6).alias("max_val"),
+        )
+        .orderBy("dim")
+    )
+
+
+EXPLODE_DIMS_ORACLE = """
+WITH flat AS (
+    SELECT unnest(list_zip(embedding,
+                           generate_series(1, len(embedding)))) AS p
+    FROM embeddings
+)
+SELECT CAST(p[2] - 1 AS INTEGER) AS dim, count(*) AS n,
+       round(avg(CAST(p[1] AS DOUBLE)), 6) AS mean_val,
+       round(min(CAST(p[1] AS DOUBLE)), 6) AS min_val,
+       round(max(CAST(p[1] AS DOUBLE)), 6) AS max_val
+FROM flat GROUP BY 1 ORDER BY dim
+"""
+
+
 def register_all() -> None:
     from .registry import register
 
@@ -550,3 +617,5 @@ def register_all() -> None:
     register("array_vector_stats", array_vector_stats, ARRAY_STATS_ORACLE)
     register("percentile_stats", percentile_stats, PERCENTILE_ORACLE)
     register("grouping_sets_orders", grouping_sets_orders, GROUPING_SETS_ORACLE)
+    register("pivot_status_by_year", pivot_status_by_year, PIVOT_ORACLE)
+    register("explode_embedding_dims", explode_embedding_dims, EXPLODE_DIMS_ORACLE)
