@@ -1,0 +1,36 @@
+"""Physical-plan regression guard: the scale-critical plan properties
+(tools/plan_audit.py EXPECTATIONS) asserted in CI so a refactor can't
+silently un-push a filter or de-broadcast a dimension join."""
+
+from __future__ import annotations
+
+import re
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+
+from plan_audit import EXPECTATIONS, SF_DIR  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTATIONS))
+def test_plan_properties(spark, name):
+    qs = entrymod.queries()
+    df = qs[name](spark, "/root/testdata/sf0.001")
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    executed = None
+    for desc, pattern in EXPECTATIONS[name]:
+        if pattern == "CODEGEN":
+            if executed is None:
+                df.collect()
+                executed = spark._jvm.PythonSQLUtils.explainString(
+                    df._jdf.queryExecution(), "simple"
+                )
+            assert re.search(r"\*\(\d+\)", executed), f"{name}: {desc}"
+        else:
+            assert re.search(pattern, plan, re.MULTILINE), f"{name}: {desc}\n{plan[:3000]}"
