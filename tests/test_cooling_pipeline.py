@@ -145,3 +145,49 @@ def test_two_year_progression(spark, payments, tmp_path):
                 cold.groupBy("payment_year").agg(F.count("*").alias("c")).collect()}
     assert per_year == {2020: 527040, 2021: 525600}
     assert pipe.window()[0].year == 2022
+
+
+def test_single_active_run_lock(tmp_path):
+    """max_active_runs=1 (yq_dag.py:50): a second concurrent holder of
+    the pipeline lock fails fast with PipelineBusyError."""
+    import pytest as _pytest
+
+    from yc_yq_airflow_etl_spark.sources.state import (
+        PipelineBusyError,
+        PipelineState,
+    )
+
+    state = PipelineState(str(tmp_path / "state.json"))
+    with state.lock():
+        with _pytest.raises(PipelineBusyError):
+            with PipelineState(str(tmp_path / "state.json")).lock():
+                pass
+    # released: can lock again
+    with state.lock():
+        pass
+
+
+def test_lake_schema_evolution(spark, tmp_path):
+    """An ETL lake must absorb additive schema change: a partition
+    written with an extra column reads back merged (new column NULL
+    for old partitions) — parquet mergeSchema."""
+    from yc_yq_airflow_etl_spark.sources.generator import generate_payments
+
+    lake = str(tmp_path / "lake")
+    old = generate_payments(spark, minutes=60).withColumn(
+        "payment_year", F.lit(2020)
+    )
+    old.write.partitionBy("payment_year").parquet(lake)
+    new = (
+        generate_payments(spark, minutes=60)
+        .withColumn("payment_year", F.lit(2021))
+        .withColumn("batch_tag", F.lit("v2"))
+    )
+    new.write.mode("append").partitionBy("payment_year").parquet(lake)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(lake)
+    assert "batch_tag" in merged.columns
+    per_year = {r.payment_year: r.tag for r in
+                merged.groupBy("payment_year")
+                .agg(F.max("batch_tag").alias("tag")).collect()}
+    assert per_year == {2020: None, 2021: "v2"}

@@ -397,11 +397,14 @@ def embedding_cosine_dupes(
     # sign sketch as an int bitmask (vectorized Pandas UDF; see
     # similarity.sign_sketch) — pairs agreeing on the full sketch are
     # candidates
+    from pyspark import StorageLevel
+
     sk = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         sign_sketch(F.col(vec_col), planes, seed).alias("_sketch"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sk.count()  # materialize before the self-join branches (cache race)
     a = sk.select(
         F.col("_sketch"), F.col("_id").alias("id_a"), F.col("_v").alias("v_a")
     )

@@ -137,10 +137,16 @@ class CoolingPipeline:
         return lo, hi
 
     def run_once(self, skip_load: bool = False) -> dict:
-        """One DAG run: load → reconcile → branch → retire → advance.
+        """One DAG run: load → reconcile → branch → retire → advance,
+        under the single-active-run lock (``max_active_runs=1``,
+        yq_dag.py:50 — a concurrent run raises PipelineBusyError).
 
         ``skip_load=True`` runs verification-only over an existing
         lake partition (an operator re-checking a past export)."""
+        with self.state.lock():
+            return self._run_locked(skip_load)
+
+    def _run_locked(self, skip_load: bool) -> dict:
         lo, hi = self.window()
         payments = self.source()
         if not skip_load:

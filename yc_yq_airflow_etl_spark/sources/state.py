@@ -10,6 +10,8 @@ harmless — exactly the reference's crash-recovery story)."""
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import json
 import os
 import tempfile
@@ -17,9 +19,33 @@ from dataclasses import dataclass
 from datetime import datetime
 
 
+class PipelineBusyError(RuntimeError):
+    """A second concurrent run attempted to take the pipeline lock."""
+
+
 @dataclass
 class PipelineState:
     path: str
+
+    @contextlib.contextmanager
+    def lock(self):
+        """``max_active_runs=1`` (yq_dag.py:50) as an OS-level lock:
+        at most one pipeline run per state file, non-blocking — a
+        second runner fails fast instead of double-processing the
+        window."""
+        lock_path = self.path + ".lock"
+        os.makedirs(os.path.dirname(lock_path) or ".", exist_ok=True)
+        fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
+        try:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except BlockingIOError:
+                raise PipelineBusyError(
+                    f"another pipeline run holds {lock_path}"
+                ) from None
+            yield
+        finally:
+            os.close(fd)  # releases the flock
 
     def get_watermark(self, default: str) -> datetime:
         """Read EXP_DATE; ``default`` is 'YYYY-MM-DD' (the reference
