@@ -594,6 +594,78 @@ FROM flat GROUP BY 1 ORDER BY dim
 """
 
 
+def correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders priced above their own
+    customer's average. Catalyst decorrelates this into an aggregate +
+    join (no per-row re-execution) — the §4 'subquery decorrelation'
+    row, observable in the plan as a single extra aggregate."""
+    load_testdata(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > (
+            SELECT avg(o_totalprice) FROM orders i
+            WHERE i.o_custkey = o.o_custkey
+        )
+        ORDER BY o_orderkey
+        """
+    )
+
+
+CORRELATED_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > (
+    SELECT avg(o_totalprice) FROM orders i
+    WHERE i.o_custkey = o.o_custkey
+)
+ORDER BY o_orderkey
+"""
+
+
+def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join cross-validated against DuckDB's native ASOF JOIN:
+    for each click event, the user's latest purchase at-or-before the
+    click (operators/joins.asof_join — union+window, one shuffle)."""
+    from ..operators.joins import asof_join
+
+    t = load_testdata(spark, sf_dir)
+    ev = t["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof_join(clicks, purchases, on_time="ts", by=["user_id"])
+    return out.select(
+        "click_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("click_epoch"),
+        "r_purchase_value",
+        F.unix_timestamp("r_ts").alias("purchase_epoch"),
+    ).orderBy("click_id")
+
+
+ASOF_ORACLE = """
+WITH clicks AS (
+    SELECT user_id, ts, event_id AS click_id FROM events
+    WHERE event_type = 'click'
+), purchases AS (
+    SELECT user_id, ts, value AS purchase_value FROM events
+    WHERE event_type = 'purchase'
+)
+SELECT c.click_id, c.user_id,
+       CAST(epoch_ns(c.ts) // 1000000000 AS BIGINT) AS click_epoch,
+       p.purchase_value AS r_purchase_value,
+       CAST(epoch_ns(p.ts) // 1000000000 AS BIGINT) AS purchase_epoch
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+ORDER BY c.click_id
+"""
+
+
 def register_all() -> None:
     from .registry import register
 
@@ -619,3 +691,5 @@ def register_all() -> None:
     register("grouping_sets_orders", grouping_sets_orders, GROUPING_SETS_ORACLE)
     register("pivot_status_by_year", pivot_status_by_year, PIVOT_ORACLE)
     register("explode_embedding_dims", explode_embedding_dims, EXPLODE_DIMS_ORACLE)
+    register("correlated_above_avg", correlated_above_avg, CORRELATED_ORACLE)
+    register("asof_click_purchase", asof_click_purchase, ASOF_ORACLE)
