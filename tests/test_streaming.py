@@ -228,3 +228,51 @@ def test_streaming_exact_dedup_with_watermark(spark, tmp_path):
     rows = spark.sql("SELECT event_id FROM dedup_stream").collect()
     ids = sorted(r.event_id for r in rows)
     assert ids == [1, 2, 3]  # the redelivered event_id=1 was dropped
+
+
+def test_stream_stream_interval_join(spark, testdata, tmp_path):
+    """Stream-stream inner join with a time-range condition
+    (streaming/joins.py): two watermarked file streams, append mode.
+    The live result must equal the batch run of the SAME plan
+    function, and micro-batches must really have executed."""
+    from yc_yq_airflow_etl_spark.streaming.joins import (
+        click_purchase_join,
+        split_clicks_purchases,
+    )
+
+    clicks_b, purchases_b = split_clicks_purchases(testdata["events"])
+    expected = {
+        tuple(r) for r in click_purchase_join(clicks_b, purchases_b).collect()
+    }
+    assert expected  # fixture must produce at least one attributed pair
+
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    clicks_b.repartition(3).write.parquet(cdir)
+    purchases_b.repartition(3).write.parquet(pdir)
+    cs = (
+        spark.readStream.schema(clicks_b.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cdir)
+        .withWatermark("click_ts", "1 hour")
+    )
+    ps = (
+        spark.readStream.schema(purchases_b.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pdir)
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    q = (
+        click_purchase_join(cs, ps)
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    got = {tuple(r) for r in spark.sql("SELECT * FROM ss_join").collect()}
+    assert got == expected
+    assert q.lastProgress["batchId"] >= 1

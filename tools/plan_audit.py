@@ -64,6 +64,16 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
     "events_tumbling_hourly": [
         ("partial aggregation", r"partial_(sum|count)"),
     ],
+    "range_join_price_bands": [
+        ("band table broadcast, fact side unshuffled",
+         r"BroadcastNestedLoopJoin"),
+        ("partial aggregation", r"partial_(sum|count)"),
+    ],
+    "stream_click_purchase_join": [
+        ("event_type filters pushed to scan", r"PushedFilters: \[.*event_type.*\]"),
+        ("user_id equi-join (hash/SMJ, not NLJ)",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+    ],
 }
 
 

@@ -666,6 +666,42 @@ ORDER BY c.click_id
 """
 
 
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join (operators/joins.range_join): bucket
+    every order's o_totalprice into fixed 50k-wide bands and
+    aggregate. The band table is tiny and explicitly broadcast, so
+    the physical plan is a BroadcastNestedLoopJoin — no shuffle of
+    the fact side; at 100 TB the alternative equi-join form (via a
+    computed bucket key) is one `floor(price/50000)` away."""
+    t = load_testdata(spark, sf_dir)
+    from ..operators.joins import range_join
+
+    bands = spark.createDataFrame(
+        [(i, i * 50_000.0, (i + 1) * 50_000.0) for i in range(10)],
+        "band bigint, lo double, hi double",
+    )
+    joined = range_join(t["orders"], F.broadcast(bands), "o_totalprice", "lo", "hi")
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
+        .orderBy("band")
+    )
+
+
+RANGE_JOIN_ORACLE = """
+SELECT b.band AS band, count(*) AS n,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders o
+JOIN (SELECT i AS band, i * 50000.0 AS lo, (i + 1) * 50000.0 AS hi
+      FROM range(10) t(i)) b
+  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY 1 ORDER BY band
+"""
+
+
 def register_all() -> None:
     from .registry import register
 
@@ -693,3 +729,4 @@ def register_all() -> None:
     register("explode_embedding_dims", explode_embedding_dims, EXPLODE_DIMS_ORACLE)
     register("correlated_above_avg", correlated_above_avg, CORRELATED_ORACLE)
     register("asof_click_purchase", asof_click_purchase, ASOF_ORACLE)
+    register("range_join_price_bands", range_join_price_bands, RANGE_JOIN_ORACLE)

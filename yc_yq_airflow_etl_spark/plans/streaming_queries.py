@@ -85,9 +85,40 @@ ORDER BY user_id, session_start
 """
 
 
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the stream-stream interval join
+    (streaming/joins.py): per-user attributed purchases within 30
+    minutes of a click. The same ``click_purchase_join`` condition
+    runs live over two watermarked streams in
+    tests/test_streaming.py::test_stream_stream_interval_join."""
+    from ..streaming.joins import attributed_purchases_per_user
+
+    t = load_testdata(spark, sf_dir)
+    return attributed_purchases_per_user(t["events"]).orderBy("user_id")
+
+
+CLICK_PURCHASE_ORACLE = """
+SELECT c.user_id AS user_id,
+       count(*) AS n_pairs,
+       count(DISTINCT p.event_id) AS n_purchases,
+       CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events c
+JOIN events p
+  ON c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL '30 minutes'
+GROUP BY 1 ORDER BY user_id
+"""
+
+
 def register_all() -> None:
     from .registry import register
 
     register("events_tumbling_hourly", events_tumbling_hourly, TUMBLING_ORACLE)
     register("events_sliding_counts", events_sliding_counts, SLIDING_ORACLE)
     register("events_session_stats", events_session_stats, SESSION_ORACLE)
+    register(
+        "stream_click_purchase_join",
+        stream_click_purchase_join,
+        CLICK_PURCHASE_ORACLE,
+    )
