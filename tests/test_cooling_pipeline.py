@@ -191,3 +191,36 @@ def test_lake_schema_evolution(spark, tmp_path):
                 merged.groupBy("payment_year")
                 .agg(F.max("batch_tag").alias("tag")).collect()}
     assert per_year == {2020: None, 2021: "v2"}
+
+
+def test_compact_partitions_preserves_rows_and_reduces_files(spark, tmp_path):
+    """Small-file compaction (LakeTable.compact_partitions): many tiny
+    appends → one compaction pass → same rows, far fewer files, and
+    partitions already at target are left untouched."""
+    lake = LakeTable(str(tmp_path / "lake"))
+    pay = generate_payments(spark, minutes=2000).withColumn(
+        "payment_year", F.year("payment_date")
+    )
+    # 10 tiny appends to 2020 = lots of small files in one partition
+    for _ in range(10):
+        lake.append(pay.limit(200).repartition(4))
+    stats0 = lake.partition_stats(spark)
+    assert stats0["payment_year=2020"][1] >= 40
+
+    before_rows = lake.read(spark).groupBy().agg(
+        F.count(F.lit(1)), F.sum(F.crc32(F.col("doc_num").cast("binary")))
+    ).first()
+
+    report = lake.compact_partitions(spark, target_file_bytes=128 * 1024 * 1024)
+    assert report["payment_year=2020"][0] >= 40
+    assert report["payment_year=2020"][1] == 1  # fits one target file
+
+    stats1 = lake.partition_stats(spark)
+    assert stats1["payment_year=2020"][1] == 1
+    after_rows = lake.read(spark).groupBy().agg(
+        F.count(F.lit(1)), F.sum(F.crc32(F.col("doc_num").cast("binary")))
+    ).first()
+    assert tuple(before_rows) == tuple(after_rows)
+
+    # second pass: nothing left to compact
+    assert lake.compact_partitions(spark) == {}

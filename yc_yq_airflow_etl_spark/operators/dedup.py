@@ -309,7 +309,15 @@ def simhash_dup_pairs(
     ``max_bucket`` caps degenerate band buckets before the quadratic
     self-join (same skew guard as minhash_lsh_pairs).
     """
-    fp = simhash(df, text_col, id_col)
+    from pyspark import StorageLevel
+
+    # Same rationale as minhash_lsh_pairs: the fingerprint stage (the
+    # Python-side hashing) feeds three branches (bucket-size agg + both
+    # sides of the candidate self-join); persist it once or Spark
+    # recomputes the mapInPandas per branch. A fingerprint row is 16
+    # bytes — negligible even at 100 TB of input docs.
+    fp = simhash(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    fp.count()  # materialize before the concurrent downstream stages
     banded = fp.select(
         F.col(id_col),
         "simhash",

@@ -262,6 +262,82 @@ FROM scored GROUP BY label, predicted ORDER BY label, predicted
 )
 
 
+def pretrain_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical pretraining-corpus funnel as ONE distributed
+    pass: exact-dedup keeper → token-count gate → word-length gate →
+    language gate, reported as cumulative survivor counts. Every gate
+    is a column flag, so the whole funnel is a single scan + one
+    window (dedup keeper) + one partial+final aggregate — no
+    per-stage jobs, no driver loop; at 100 TB this runs exactly two
+    shuffles (fingerprint window, final 1-row agg)."""
+    from pyspark.sql import Window
+
+    t = load_testdata(spark, sf_dir)
+    d = t["documents"]
+    norm = normalize_text("text")
+    toks = token_count("text")
+    n_chars = F.length(norm)
+    awl = (n_chars - (toks - 1)).cast("double") / toks
+
+    flagged = d.select(
+        "doc_id",
+        "lang",
+        F.md5(norm).alias("_fp"),
+        toks.alias("_toks"),
+        awl.alias("_awl"),
+    ).withColumn(
+        "_keeper",
+        F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("_fp")),
+    )
+    k_dedup = F.col("_keeper")
+    k_len = k_dedup & F.col("_toks").between(30, 90)
+    k_awl = k_len & (F.col("_awl") >= 4.0) & (F.col("_awl") <= 5.0)
+    # language gate uses the stored classifier label: the in-engine
+    # heuristic (lang_id, see lang_id_eval) predicts 'en' for this
+    # whole synthetic corpus — all docs draw from one English-ish
+    # vocabulary — which would make the stage a no-op here
+    k_lang = k_awl & (F.col("lang") == "en")
+    one = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    return flagged.agg(
+        F.count(F.lit(1)).alias("total"),
+        one(k_dedup).alias("kept_dedup"),
+        one(k_len).alias("kept_length"),
+        one(k_awl).alias("kept_wordlen"),
+        one(k_lang).alias("kept_lang"),
+    )
+
+
+PRETRAIN_FILTER_ORACLE = r"""
+WITH d AS (
+    SELECT doc_id, lang,
+           regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+    FROM documents
+), m AS (
+    SELECT doc_id, lang, md5(norm) AS fp,
+           len(string_split(norm, ' ')) AS toks,
+           (length(norm) - (len(string_split(norm, ' ')) - 1)) * 1.0
+               / len(string_split(norm, ' ')) AS awl
+    FROM d
+), f AS (
+    SELECT *, doc_id = min(doc_id) OVER (PARTITION BY fp) AS keeper FROM m
+), g AS (
+    SELECT keeper AS k_dedup,
+           keeper AND toks BETWEEN 30 AND 90 AS k_len,
+           keeper AND toks BETWEEN 30 AND 90
+                  AND awl >= 4.0 AND awl <= 5.0 AS k_awl,
+           keeper AND toks BETWEEN 30 AND 90
+                  AND awl >= 4.0 AND awl <= 5.0 AND lang = 'en' AS k_lang
+    FROM f
+)
+SELECT count(*) AS total,
+       sum(CAST(k_dedup AS BIGINT)) AS kept_dedup,
+       sum(CAST(k_len AS BIGINT)) AS kept_length,
+       sum(CAST(k_awl AS BIGINT)) AS kept_wordlen,
+       sum(CAST(k_lang AS BIGINT)) AS kept_lang
+FROM g
+"""
+
+
 # --- multimodal ---------------------------------------------------------
 
 
@@ -369,6 +445,9 @@ def register_all() -> None:
     register("similarity_ivf_topk", similarity_ivf_topk, None)
     register("text_stats", text_stats, TEXT_STATS_ORACLE)
     register("lang_id_eval", lang_id_eval, LANG_ID_ORACLE)
+    register(
+        "pretrain_quality_filter", pretrain_quality_filter, PRETRAIN_FILTER_ORACLE
+    )
     register("multimodal_features", multimodal_features, MULTIMODAL_ORACLE)
     register("udf_text_density", udf_text_density, UDF_DENSITY_ORACLE)
     register("udaf_lang_stats", udaf_lang_stats, UDAF_LANG_STATS_ORACLE)

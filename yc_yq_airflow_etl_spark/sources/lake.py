@@ -15,9 +15,11 @@ bespoke S3 listing code.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -53,3 +55,108 @@ class LakeTable:
 
     def append(self, df: DataFrame) -> None:
         df.write.mode("append").partitionBy(*self.partition_columns).parquet(self.path)
+
+    def partition_stats(self, spark: SparkSession) -> dict[str, tuple[int, int]]:
+        """Driver-side metadata scan: ``{partition_dir_name: (bytes,
+        n_data_files)}`` via the Hadoop FileSystem API (the same
+        listing a query's file index performs). Metadata-only — cost
+        scales with partition/file count, not data size."""
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        out: dict[str, tuple[int, int]] = {}
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not st.isDirectory() or "=" not in name:
+                continue
+            files = [
+                f
+                for f in fs.listStatus(st.getPath())
+                if f.isFile() and not f.getPath().getName().startswith("_")
+            ]
+            out[name] = (sum(f.getLen() for f in files), len(files))
+        return out
+
+    def compact_partitions(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> dict[str, tuple[int, int]]:
+        """Small-file compaction — the lake maintenance step every
+        append-mode pipeline at scale needs (each incremental load
+        S3/yq_dag.py:71-73 adds files; a year of hourly micro-batches
+        is ~9k files/partition, and 100 TB tables die by file-listing
+        and per-file open cost long before they die by bytes).
+
+        For every Hive partition whose data-file count exceeds
+        ``ceil(bytes / target_file_bytes)``, rewrite that partition's
+        rows into that many ~target-size files. The rewrite is one
+        distributed job for all affected partitions: rows get a group
+        id assigned by hashing within their partition (group counts
+        arrive via a broadcast map), one shuffle co-locates each
+        output file's rows, and the result lands in a staging dir
+        that is swapped in per-partition with filesystem renames.
+
+        On HDFS the rename swap is atomic per partition; on S3-like
+        stores rename is copy+delete, so production deployments put a
+        table format's commit protocol (Delta/Iceberg snapshot) over
+        the same rewrite plan. The rewrite job itself — the scalable
+        part — is identical either way.
+
+        Returns ``{partition_dir: (files_before, files_after)}`` for
+        the partitions rewritten. Only single-column partitioning is
+        supported (all tables in this engine use one).
+        """
+        if len(self.partition_columns) != 1:
+            raise ValueError("compact_partitions supports 1 partition column")
+        pcol = self.partition_columns[0]
+
+        stats = self.partition_stats(spark)
+        plan: dict[str, int] = {}  # partition value -> target file count
+        before: dict[str, int] = {}
+        for dirname, (nbytes, nfiles) in stats.items():
+            target = max(1, math.ceil(nbytes / target_file_bytes))
+            if nfiles > target:
+                val = dirname.split("=", 1)[1]
+                plan[val] = target
+                before[dirname] = nfiles
+        if not plan:
+            return {}
+
+        # isin on the partition column → PartitionFilters: only the
+        # affected partitions are scanned (literals coerce to the
+        # column's inferred type, keeping pruning intact)
+        df = self.read(spark).filter(F.col(pcol).isin(list(plan)))
+        targets = spark.createDataFrame(
+            [(v, n) for v, n in plan.items()], "_pv string, _groups int"
+        )
+        data_cols = [c for c in df.columns if c != pcol]
+        grouped = (
+            df.join(F.broadcast(targets), df[pcol].cast("string") == F.col("_pv"))
+            .withColumn(
+                "_g", F.pmod(F.xxhash64(*data_cols), F.col("_groups"))
+            )
+            .drop("_pv", "_groups")
+        )
+        staging = self.path.rstrip("/") + "/_compacting"
+        (
+            grouped.repartition(sum(plan.values()), F.col(pcol), F.col("_g"))
+            .drop("_g")
+            .write.mode("overwrite")
+            .partitionBy(pcol)
+            .parquet(staging)
+        )
+
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(self.path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        for dirname in before:
+            old = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{dirname}")
+            new = jvm.org.apache.hadoop.fs.Path(f"{staging}/{dirname}")
+            fs.delete(old, True)
+            fs.rename(new, old)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+
+        after = self.partition_stats(spark)
+        return {d: (before[d], after[d][1]) for d in before}
