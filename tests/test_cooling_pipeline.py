@@ -224,3 +224,49 @@ def test_compact_partitions_preserves_rows_and_reduces_files(spark, tmp_path):
 
     # second pass: nothing left to compact
     assert lake.compact_partitions(spark) == {}
+
+
+def test_sorted_write_produces_disjoint_row_group_zone_maps(spark, tmp_path):
+    """``sort_by`` on the lake write clusters rows so parquet
+    row-group min/max stats (zone maps) become disjoint on the sort
+    key — verified by reading the footer stats with pyarrow. This is
+    the physical property that lets a payment_date range filter skip
+    row groups at scan time."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    lake = LakeTable(str(tmp_path / "lake"))
+    pay = generate_payments(spark, minutes=40_000).withColumn(
+        "payment_year", F.year("payment_date")
+    )
+    # small row groups (writer-level option) so files hold several;
+    # partition col leads the sort (see LakeTable._cluster)
+    sorted_df = pay.repartition(2).sortWithinPartitions(
+        "payment_year", "payment_date"
+    )
+    (
+        sorted_df.write.mode("overwrite")
+        .option("parquet.block.size", 64 * 1024)
+        .partitionBy("payment_year")
+        .parquet(lake.path)
+    )
+
+    files = glob.glob(str(tmp_path / "lake" / "payment_year=2020" / "*.parquet"))
+    assert files
+    checked_groups = 0
+    for fpath in files:
+        md = pq.ParquetFile(fpath).metadata
+        idx = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.row_group(0).num_columns)
+        }["payment_date"]
+        prev_max = None
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            assert st.has_min_max
+            if prev_max is not None:
+                assert st.min >= prev_max  # disjoint, ordered zone maps
+            prev_max = st.max
+            checked_groups += 1
+    assert checked_groups >= 4  # really saw multiple row groups

@@ -276,3 +276,57 @@ def test_stream_stream_interval_join(spark, testdata, tmp_path):
     got = {tuple(r) for r in spark.sql("SELECT * FROM ss_join").collect()}
     assert got == expected
     assert q.lastProgress["batchId"] >= 1
+
+
+def test_spend_alerts_state_across_microbatches(spark, tmp_path):
+    """Per-user spend alerts (applyInPandasWithState): lifetime cents
+    accumulate across micro-batches; alerts fire exactly at threshold
+    crossings and are never re-emitted."""
+    from datetime import datetime
+
+    from yc_yq_airflow_etl_spark.streaming.stateful import user_spend_alerts
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write_rows(rows):
+        spark.createDataFrame(rows, EVENTS).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    t1 = datetime(2024, 1, 1, 10, 0, 0)
+    t2 = datetime(2024, 1, 1, 10, 5, 0)
+    t3 = datetime(2024, 1, 1, 10, 10, 0)
+    write_rows([(1, t1, 7, "purchase", 150.0, None)])  # cum 15000 — no alert
+
+    stream = read_file_stream(spark, src, EVENTS, max_files_per_trigger=1)
+    q = (
+        user_spend_alerts(stream, threshold_cents=20_000)
+        .writeStream.format("memory")
+        .queryName("spend_live")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    assert spark.sql("SELECT * FROM spend_live").count() == 0
+
+    write_rows([(2, t2, 7, "purchase", 100.0, None)])  # cum 25000 → level 1
+    q.processAllAvailable()
+    rows = spark.sql("SELECT * FROM spend_live").collect()
+    assert [(r.alert_level, r.cum_cents) for r in rows] == [(1, 25_000)]
+
+    write_rows([(3, t3, 7, "purchase", 500.0, None)])  # cum 75000 → 2 and 3
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    rows = sorted(
+        spark.sql("SELECT * FROM spend_live").collect(),
+        key=lambda r: r.alert_level,
+    )
+    assert [(r.alert_level, r.cum_cents) for r in rows] == [
+        (1, 25_000),
+        (2, 75_000),
+        (3, 75_000),
+    ]
+    assert {r.user_id for r in rows} == {7}

@@ -13,6 +13,7 @@ session_window's 'absorb strictly-before last+gap' rule)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load_testdata
 from ..streaming.windows import (
@@ -111,6 +112,122 @@ GROUP BY 1 ORDER BY user_id
 """
 
 
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical time rollup: hourly AND daily
+    aggregates of the events stream in ONE scan + ONE shuffle via
+    GROUPING SETS ((day, hour), (day)) — the continuous-aggregate
+    shape time-series stores maintain, expressed declaratively so
+    Catalyst plans a single partial+final Expand/HashAggregate
+    instead of two scans + a union."""
+    t = load_testdata(spark, sf_dir)
+    t["events"].createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        SELECT CASE WHEN hour IS NULL THEN 'day' ELSE 'hour' END AS gran,
+               CAST(unix_timestamp(day) AS BIGINT) AS day_epoch,
+               hour,
+               count(1) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM (SELECT date_trunc('day', ts) AS day, hour(ts) AS hour, value
+              FROM events_v)
+        GROUP BY GROUPING SETS ((day, hour), (day))
+        ORDER BY day_epoch, gran, hour
+        """
+    )
+
+
+EVENTS_ROLLUP_ORACLE = """
+WITH b AS (
+    SELECT date_trunc('day', ts) AS day, hour(ts) AS hour, value FROM events
+)
+SELECT CASE WHEN hour IS NULL THEN 'day' ELSE 'hour' END AS gran,
+       CAST(epoch(day) AS BIGINT) AS day_epoch,
+       CAST(hour AS INT) AS hour,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM b
+GROUP BY GROUPING SETS ((day, hour), (day))
+ORDER BY day_epoch, gran, hour
+"""
+
+
+def stateful_spend_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator under REAL streaming execution,
+    oracle-checked: the per-user spend-threshold alert operator
+    (streaming/stateful.user_spend_alerts, applyInPandasWithState)
+    runs as a live multi-micro-batch file-stream query (4 source
+    files, 2 per trigger → ≥2 batches, so per-key state genuinely
+    crosses micro-batch boundaries), and the collected memory-sink
+    result is compared against DuckDB's windowed replay of the same
+    crossing rule. Cents-integer arithmetic keeps both engines
+    bit-identical."""
+    import tempfile
+    import time
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..streaming.stateful import user_spend_alerts
+
+    t = load_testdata(spark, sf_dir)
+    # Stage the source as a TIME-ORDERED log (4 files = 4 consecutive
+    # ts quartiles, written oldest-first so the file source's
+    # mod-time ordering replays them in event order) — the arrival
+    # contract a Kafka partition or CDC log provides, and what a
+    # lifetime-cumulative operator needs to be deterministic.
+    src = tempfile.mkdtemp(prefix="spend_src_")
+    ev = t["events"].withColumn("_q", F.ntile(4).over(Window.orderBy("ts")))
+    for i in range(1, 5):
+        ev.filter(F.col("_q") == i).drop("_q").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(0.05)  # distinct file mod-times → stable replay order
+    stream = (
+        spark.readStream.schema(t["events"].schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    name = "spend_alerts_" + uuid.uuid4().hex[:8]
+    q = (
+        user_spend_alerts(stream, threshold_cents=20_000)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="spend_ck_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    return spark.table(name).orderBy("user_id", "alert_level")
+
+
+SPEND_ALERTS_ORACLE = """
+WITH p AS (
+    SELECT user_id, ts, event_id,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+), c AS (
+    SELECT user_id, ts, event_id,
+           CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+    FROM p
+), lv AS (
+    SELECT user_id, ts, cum,
+           cum // 20000 AS level,
+           coalesce(lag(cum) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id), 0) // 20000 AS prev
+    FROM c
+)
+SELECT user_id,
+       unnest(generate_series(prev + 1, level)) AS alert_level,
+       cum AS cum_cents,
+       CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_epoch
+FROM lv WHERE level > prev
+ORDER BY user_id, alert_level
+"""
+
+
 def register_all() -> None:
     from .registry import register
 
@@ -122,3 +239,5 @@ def register_all() -> None:
         stream_click_purchase_join,
         CLICK_PURCHASE_ORACLE,
     )
+    register("stateful_spend_alerts", stateful_spend_alerts, SPEND_ALERTS_ORACLE)
+    register("events_time_rollup", events_time_rollup, EVENTS_ROLLUP_ORACLE)

@@ -56,6 +56,11 @@ def build_session(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Write timestamps as INT64 micros, not legacy INT96: INT96
+        # row groups carry no min/max statistics, which silently
+        # disables row-group skipping for every time-range filter on
+        # the lake (the cooling pipeline's main access pattern).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # Files-first workloads: pack small test files but keep 128 MiB
         # splits so a 100 TB lake scan parallelizes across executors.
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -40,21 +40,47 @@ class LakeTable:
         df = reader.parquet(self.path)
         return df
 
-    def overwrite_partitions(self, df: DataFrame) -> None:
+    def overwrite_partitions(
+        self, df: DataFrame, sort_by: tuple[str, ...] | None = None
+    ) -> None:
         """Replace exactly the Hive partitions present in ``df``
         (reference steps S3+S4 fused). Requires the session conf
         ``partitionOverwriteMode=dynamic`` (set by build_session); we
-        also set it per-write so driver-owned sessions behave."""
+        also set it per-write so driver-owned sessions behave.
+
+        ``sort_by``: cluster rows inside each task's output file by
+        these columns (``sortWithinPartitions`` — a per-task sort, no
+        extra shuffle). Sorted layout makes the parquet row-group
+        min/max statistics (zone maps) disjoint on the sort key, so a
+        later range filter — e.g. the reconciliation readback's
+        ``payment_date`` window (yq_dag.py:89-91) — skips whole row
+        groups instead of decoding them. At 100 TB this is the
+        difference between scanning a partition and scanning the few
+        megabytes the filter touches."""
         spark = df.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        if sort_by:
+            df = self._cluster(df, sort_by)
         (
             df.write.mode("overwrite")
             .partitionBy(*self.partition_columns)
             .parquet(self.path)
         )
 
-    def append(self, df: DataFrame) -> None:
+    def append(
+        self, df: DataFrame, sort_by: tuple[str, ...] | None = None
+    ) -> None:
+        if sort_by:
+            df = self._cluster(df, sort_by)
         df.write.mode("append").partitionBy(*self.partition_columns).parquet(self.path)
+
+    def _cluster(self, df: DataFrame, sort_by: tuple[str, ...]) -> DataFrame:
+        # The partition columns MUST lead the sort key: a partitioned
+        # write requires rows ordered by partition columns (one open
+        # file at a time per task) and inserts its own — unstable —
+        # sort if the incoming order doesn't already satisfy that,
+        # which would scramble the data-column clustering we're after.
+        return df.sortWithinPartitions(*self.partition_columns, *sort_by)
 
     def partition_stats(self, spark: SparkSession) -> dict[str, tuple[int, int]]:
         """Driver-side metadata scan: ``{partition_dir_name: (bytes,

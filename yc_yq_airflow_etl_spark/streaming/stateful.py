@@ -18,6 +18,7 @@ from collections.abc import Iterable
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -67,6 +68,93 @@ def user_activity_tracker(events: DataFrame) -> DataFrame:
         _track,
         outputStructType=TRACKER_OUTPUT,
         stateStructType=TRACKER_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- spend-threshold alerts (second custom stateful operator) -----------
+#
+# Emission depends on ALL history per key (lifetime cumulative spend
+# crossing multiples of a threshold) — exactly what fixed windows
+# cannot express. State is two longs per key: O(1), cents-integer so
+# the arithmetic is bit-identical across engines and micro-batch
+# boundaries (no float accumulation-order hazards).
+#
+# Note on API choice: Spark 4's transformWithStateInPandas is the
+# successor API for this shape, but its Python state client needs the
+# protobuf package, which this environment lacks — so the operator
+# rides applyInPandasWithState (same state-store machinery, GroupState
+# flavor). The call-site contract below is API-agnostic.
+
+SPEND_ALERT_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("alert_level", T.LongType(), False),
+        T.StructField("cum_cents", T.LongType(), False),
+        T.StructField("ts_epoch", T.LongType(), False),
+    ]
+)
+
+SPEND_ALERT_STATE = T.StructType(
+    [
+        T.StructField("cents", T.LongType(), False),
+        T.StructField("alerts", T.LongType(), False),
+    ]
+)
+
+
+def _make_spend_alert_fn(threshold_cents: int):
+    def _alerts(
+        key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        cents, alerts = state.get if state.exists else (0, 0)
+        out: dict[str, list] = {
+            "user_id": [],
+            "alert_level": [],
+            "cum_cents": [],
+            "ts_epoch": [],
+        }
+        pdfs = [p for p in batches if len(p)]
+        if pdfs:
+            pdf = pd.concat(pdfs).sort_values(["ts", "event_id"])
+            for ts, v in zip(pdf["ts"], pdf["value"]):
+                cents += int(round(float(v) * 100))
+                while alerts < cents // threshold_cents:
+                    alerts += 1
+                    out["user_id"].append(user_id)
+                    out["alert_level"].append(alerts)
+                    out["cum_cents"].append(cents)
+                    out["ts_epoch"].append(
+                        int(pd.Timestamp(ts).value // 1_000_000_000)
+                    )
+        state.update((cents, alerts))
+        if out["user_id"]:
+            yield pd.DataFrame(out)
+
+    return _alerts
+
+
+def user_spend_alerts(
+    events: DataFrame, threshold_cents: int = 50_000
+) -> DataFrame:
+    """Per-user spend-threshold alerts: one row each time a user's
+    lifetime ``purchase`` total crosses another multiple of
+    ``threshold_cents`` (several rows if one purchase jumps several
+    multiples). Rows are processed in (ts, event_id) order within a
+    key, so output is deterministic.
+
+    Works over a stream (state persists across micro-batches) or a
+    batch DataFrame (single state lifetime — the oracle-checkable
+    face, registered as ``stateful_spend_alerts``)."""
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return purchases.groupBy("user_id").applyInPandasWithState(
+        _make_spend_alert_fn(threshold_cents),
+        outputStructType=SPEND_ALERT_OUTPUT,
+        stateStructType=SPEND_ALERT_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
