@@ -131,3 +131,27 @@ def test_source_maintenance_drop_year(spark, derby):
     dropped = maint.drop_year(2020)
     assert len(dropped) == 2
     assert maint.partitions_for_year(2020) == []
+
+
+def test_jdbc_write_back_round_trip(spark, derby):
+    """JDBC sink (JdbcConnection.write): distributed append into the
+    external store, read back through the same connection and compare
+    counts + a content checksum."""
+    url, payments = derby
+    conn = JdbcConnection(
+        name="pg-finance",
+        url=url,
+        table="exported_payments",
+        properties={"driver": DERBY_DRIVER},
+    )
+    sample = payments.limit(500).coalesce(4)
+    conn.write(sample, mode="overwrite")
+    back = conn.read(spark)
+    agg = lambda df: tuple(  # noqa: E731
+        df.agg(
+            F.count(F.lit(1)),
+            F.sum("id"),
+            F.sum(F.crc32(F.col("doc_num").cast("binary"))),
+        ).first()
+    )
+    assert agg(back) == agg(sample)

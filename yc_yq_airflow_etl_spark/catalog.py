@@ -59,6 +59,29 @@ class JdbcConnection:
             )
         return reader.load()
 
+    def write(
+        self,
+        df: DataFrame,
+        table: str | None = None,
+        mode: str = "append",
+        batch_size: int = 10_000,
+    ) -> None:
+        """JDBC sink (extension — the reference only reads from PG).
+        Distributed INSERT: every task opens its own connection and
+        writes its partition in ``batch_size`` batches, so write
+        parallelism equals the DataFrame's partition count. Writing
+        back a 1000-partition DataFrame to one PG instance will melt
+        it — ``df.coalesce(n)`` to the connection budget first."""
+        writer = (
+            df.write.format("jdbc")
+            .option("url", self.url)
+            .option("dbtable", table or self.table)
+            .option("batchsize", str(batch_size))
+        )
+        for k, v in self.properties.items():
+            writer = writer.option(k, v)
+        writer.mode(mode).save()
+
 
 @dataclass(frozen=True)
 class ParquetTable:

@@ -153,3 +153,45 @@ def lang_id(col: Column | str) -> Column:
     for lang, score in reversed(list(zip(LANG_ORDER[:-1], scores[:-1]))):
         expr = F.when(score == best, F.lit(lang)).otherwise(expr)
     return expr
+
+
+def chunk_documents(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    stride: int = 24,
+):
+    """Context-window chunking: split each document's token stream
+    into overlapping windows of ``chunk_tokens`` tokens advancing by
+    ``stride`` — the standard pre-tokenization step for fixed-window
+    model training. Output: (id, chunk_id, n_tokens, chunk_md5).
+
+    Entirely JVM-side (sequence → explode → slice → md5): chunk
+    generation is a narrow per-row explode — no shuffle at all, so it
+    streams at scan speed over 100 TB. The md5 stands in for the
+    chunk payload so downstream exact-dedup of chunks is a plain
+    hash-groupBy.
+    """
+    toks = tokenize(text_col)
+    exploded = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            F.posexplode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size(toks) - 1, F.lit(0)),
+                    F.lit(stride),
+                )
+            ).alias("chunk_id", "_start"),
+        )
+    )
+    chunk = F.slice("_toks", F.col("_start") + 1, chunk_tokens)
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )

@@ -78,7 +78,10 @@ def load_year(
     staged = extract_window(payments, lo, hi).withColumn(
         "payment_year", to_uint32(get_year("payment_date"), "payment_year")
     )
-    lake.overwrite_partitions(staged)
+    # cluster by payment_date inside each file: the reconciliation
+    # readback and every time-range query then skip row groups via
+    # parquet min/max stats (see LakeTable.overwrite_partitions)
+    lake.overwrite_partitions(staged, sort_by=("payment_date",))
 
 
 def reconcile_year(

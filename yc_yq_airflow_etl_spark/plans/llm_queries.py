@@ -338,6 +338,37 @@ FROM g
 """
 
 
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (functions/text.
+    chunk_documents): 32-token windows, stride 24, chunk payload
+    represented by its md5 so the result is compact and
+    exactly comparable."""
+    from ..functions.text import chunk_documents
+
+    t = load_testdata(spark, sf_dir)
+    return chunk_documents(t["documents"]).orderBy("doc_id", "chunk_id")
+
+
+DOC_CHUNKS_ORACLE = r"""
+WITH t AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                        ' ') AS toks
+    FROM documents WHERE text IS NOT NULL
+), s AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(0, greatest(len(toks) - 1, 0), 24)) AS start
+    FROM t
+)
+SELECT doc_id,
+       CAST(start // 24 AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(toks, start + 1, start + 32)) AS INT) AS n_tokens,
+       md5(array_to_string(list_slice(toks, start + 1, start + 32), ' '))
+           AS chunk_md5
+FROM s ORDER BY doc_id, chunk_id
+"""
+
+
 # --- multimodal ---------------------------------------------------------
 
 
@@ -448,6 +479,7 @@ def register_all() -> None:
     register(
         "pretrain_quality_filter", pretrain_quality_filter, PRETRAIN_FILTER_ORACLE
     )
+    register("doc_chunks", doc_chunks, DOC_CHUNKS_ORACLE)
     register("multimodal_features", multimodal_features, MULTIMODAL_ORACLE)
     register("udf_text_density", udf_text_density, UDF_DENSITY_ORACLE)
     register("udaf_lang_stats", udaf_lang_stats, UDAF_LANG_STATS_ORACLE)
