@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from datetime import datetime
 
+from pyspark.sql import functions as F
+
 from yc_yq_airflow_etl_spark.operators import asof_join, range_join
 
 
@@ -85,3 +87,41 @@ def test_asof_join_tolerance(spark):
     assert wide.collect()[0].r_y == 7.0
     narrow = asof_join(left, right, on_time="ts", by=["sym"], tolerance="30 MINUTES")
     assert narrow.collect()[0].r_y is None
+
+
+def test_interval_overlap_join_matches_naive(spark, testdata):
+    """Bucket-equi interval-overlap join must produce exactly the
+    naive non-equi join's pairs (including multi-bucket spanners,
+    which the emit-once guard must not duplicate)."""
+    from yc_yq_airflow_etl_spark.operators.joins import interval_overlap_join
+
+    ev = testdata["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.unix_timestamp("ts").alias("c_lo"),
+        (F.unix_timestamp("ts") + 1500).alias("c_hi"),  # spans >2 buckets
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.unix_timestamp("ts").alias("p_lo"),
+        (F.unix_timestamp("ts") + 300).alias("p_hi"),
+    )
+    naive = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("c_lo") < F.col("p_hi"))
+        & (F.col("p_lo") < F.col("c_hi")),
+    )
+    expected = {(r.click_id, r.purchase_id) for r in naive.collect()}
+
+    got_df = interval_overlap_join(
+        clicks,
+        purchases.withColumnRenamed("p_user", "user_id"),
+        "c_lo", "c_hi", "p_lo", "p_hi",
+        on=["user_id"], bucket_width=600,
+    )
+    got = [(r.click_id, r.purchase_id) for r in got_df.collect()]
+    assert len(got) == len(set(got))  # emit-once really deduplicates
+    assert set(got) == expected and expected

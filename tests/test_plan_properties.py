@@ -33,4 +33,7 @@ def test_plan_properties(spark, name):
                 )
             assert re.search(r"\*\(\d+\)", executed), f"{name}: {desc}"
         else:
-            assert re.search(pattern, plan, re.MULTILINE), f"{name}: {desc}\n{plan[:3000]}"
+            negate = pattern.startswith("!")
+            pat = pattern[1:] if negate else pattern
+            found = bool(re.search(pat, plan, re.MULTILINE))
+            assert found != negate, f"{name}: {desc}\n{plan[:3000]}"

@@ -74,6 +74,21 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("user_id equi-join (hash/SMJ, not NLJ)",
          r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
     ],
+    # "!" prefix = the pattern must NOT appear in the plan
+    "interval_overlap_sessions": [
+        ("bucket-equi join runs on the hash/SMJ path",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("no nested-loop join anywhere", "!BroadcastNestedLoopJoin"),
+        ("partial aggregation", r"partial_(sum|count)"),
+    ],
+    "events_time_rollup": [
+        ("one-scan hierarchical rollup via Expand", r"Expand"),
+        ("partial aggregation", r"partial_(sum|count)"),
+    ],
+    "pretrain_quality_filter": [
+        ("column-pruned read (no embedding/media cols)", r"ReadSchema: [^\n]*text"),
+        ("partial aggregation", r"partial_(sum|count)"),
+    ],
 }
 
 
@@ -111,7 +126,10 @@ def main() -> int:
                 target = executed
             else:
                 target = plan
-            if re.search(pattern, target, re.MULTILINE):
+            negate = pattern.startswith("!")
+            if negate:
+                pattern = pattern[1:]
+            if bool(re.search(pattern, target, re.MULTILINE)) != negate:
                 print(f"PASS  {name:32s} {desc}")
             else:
                 print(f"FAIL  {name:32s} {desc}  (pattern: {pattern})")

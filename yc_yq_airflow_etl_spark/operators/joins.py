@@ -167,3 +167,62 @@ def asof_join(
         out = out.withColumn(right_prefix + c, F.col(f"_asof._r_payload.{c}"))
     out = out.withColumn(right_prefix + on_time, F.col("_asof._r_time"))
     return out.drop("_side", "_asof", "_r_payload")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    on: Sequence[str] = (),
+    bucket_width: int = 600,
+) -> DataFrame:
+    """Interval-overlap join — all (left, right) pairs whose half-open
+    numeric intervals ``[l_lo, l_hi)`` and ``[r_lo, r_hi)`` intersect,
+    optionally also matching on the ``on`` key columns.
+
+    The naive formulation is a non-equi condition that Spark can only
+    execute as a nested-loop join — O(|L|·|R|) and a broadcast
+    requirement, dead at scale. This operator converts it into an
+    EQUI-join: each interval is exploded to the coarse buckets
+    (``bucket_width`` units) it touches, the join runs on
+    (bucket, *on) through a regular shuffled hash/sort-merge path,
+    the true overlap predicate filters within buckets, and an
+    emit-once guard (only the bucket containing the overlap's start,
+    ``floor(max(l_lo, r_lo) / w)``, may emit the pair) removes
+    multi-bucket duplicates WITHOUT a distinct shuffle.
+
+    Pick ``bucket_width`` near the typical interval length: wider →
+    fewer replicas per interval, more false candidates per bucket.
+    Interval bounds must be numeric (cast timestamps to epoch first);
+    column names must be disjoint between the two inputs except the
+    shared ``on`` keys.
+    """
+    on = list(on)
+    w = F.lit(bucket_width).cast("long")
+
+    def buckets(df: DataFrame, lo: str, hi: str, side: str) -> DataFrame:
+        b = F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / w).cast("long"),
+                F.floor(F.col(hi) / w).cast("long"),
+            )
+        )
+        return df.withColumn(f"_b_{side}", b)
+
+    l = buckets(left, l_lo, l_hi, "l")
+    r = buckets(right, r_lo, r_hi, "r")
+    cond = l["_b_l"] == r["_b_r"]
+    for k in on:
+        cond = cond & (l[k] == r[k])
+    overlap = (l[l_lo] < r[r_hi]) & (r[r_lo] < l[l_hi])
+    emit_once = l["_b_l"] == F.floor(F.greatest(l[l_lo], r[r_lo]) / w).cast(
+        "long"
+    )
+    out = l.join(r, cond & overlap & emit_once, "inner")
+    out = out.drop("_b_l").drop("_b_r")
+    for k in on:
+        out = out.drop(r[k])
+    return out

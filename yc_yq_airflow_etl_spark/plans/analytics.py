@@ -702,6 +702,63 @@ GROUP BY 1 ORDER BY band
 """
 
 
+def interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via bucket-equi conversion
+    (operators/joins.interval_overlap_join): 10-minute click windows
+    against 5-minute purchase windows of the same user — pairs whose
+    activity intervals intersect, rolled up per user. The physical
+    plan is a shuffled equi-join on (bucket, user_id), NOT a
+    nested-loop (asserted in plan_audit)."""
+    from ..operators.joins import interval_overlap_join
+
+    t = load_testdata(spark, sf_dir)
+    ev = t["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.unix_timestamp("ts").alias("c_lo"),
+        (F.unix_timestamp("ts") + 600).alias("c_hi"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.unix_timestamp("ts").alias("p_lo"),
+        (F.unix_timestamp("ts") + 300).alias("p_hi"),
+    )
+    pairs = interval_overlap_join(
+        clicks, purchases, "c_lo", "c_hi", "p_lo", "p_hi",
+        on=["user_id"], bucket_width=600,
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlaps"),
+            F.sum(F.col("click_id") + F.col("purchase_id")).alias("id_checksum"),
+        )
+        .orderBy("user_id")
+    )
+
+
+INTERVAL_OVERLAP_ORACLE = """
+WITH c AS (
+    SELECT user_id, event_id AS click_id,
+           CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS c_lo,
+           CAST(epoch_ns(ts) // 1000000000 + 600 AS BIGINT) AS c_hi
+    FROM events WHERE event_type = 'click'
+), p AS (
+    SELECT user_id, event_id AS purchase_id,
+           CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS p_lo,
+           CAST(epoch_ns(ts) // 1000000000 + 300 AS BIGINT) AS p_hi
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id AS user_id, count(*) AS n_overlaps,
+       CAST(sum(c.click_id + p.purchase_id) AS BIGINT) AS id_checksum
+FROM c JOIN p
+  ON c.user_id = p.user_id AND c.c_lo < p.p_hi AND p.p_lo < c.c_hi
+GROUP BY 1 ORDER BY user_id
+"""
+
+
 def register_all() -> None:
     from .registry import register
 
@@ -730,3 +787,8 @@ def register_all() -> None:
     register("correlated_above_avg", correlated_above_avg, CORRELATED_ORACLE)
     register("asof_click_purchase", asof_click_purchase, ASOF_ORACLE)
     register("range_join_price_bands", range_join_price_bands, RANGE_JOIN_ORACLE)
+    register(
+        "interval_overlap_sessions",
+        interval_overlap_sessions,
+        INTERVAL_OVERLAP_ORACLE,
+    )
