@@ -85,6 +85,9 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("one-scan hierarchical rollup via Expand", r"Expand"),
         ("partial aggregation", r"partial_(sum|count)"),
     ],
+    "stratified_doc_sample": [
+        ("rank truncation compiles to WindowGroupLimit", r"WindowGroupLimit"),
+    ],
     "pretrain_quality_filter": [
         ("column-pruned read (no embedding/media cols)", r"ReadSchema: [^\n]*text"),
         ("partial aggregation", r"partial_(sum|count)"),

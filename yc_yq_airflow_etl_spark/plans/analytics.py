@@ -138,6 +138,43 @@ def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(priority, status): all four grouping combinations in one
+    Expand + aggregate pass (completes the rollup/grouping-sets/cube
+    trio from SURVEY §2.12)."""
+    t = load_testdata(spark, sf_dir)
+    o = t["orders"].select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+        _dec("o_totalprice").alias("price"),
+    )
+    return (
+        o.cube("priority", "status")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("price").cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce(F.col("priority"), F.lit("ALL")).alias("priority"),
+            F.coalesce(F.col("status"), F.lit("ALL")).alias("status"),
+            "cnt",
+            "total",
+        )
+        .orderBy("priority", "status")
+    )
+
+
+CUBE_ORACLE = """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS cnt,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+ORDER BY priority, status
+"""
+
+
 ROLLUP_ORACLE = """
 SELECT coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
        coalesce(o_orderstatus, 'ALL') AS status,
@@ -766,6 +803,7 @@ def register_all() -> None:
     register("distinct_counts", distinct_counts, DISTINCT_ORACLE)
     register("approx_distinct_customers", approx_distinct_customers, None)
     register("rollup_orders", rollup_orders, ROLLUP_ORACLE)
+    register("cube_orders", cube_orders, CUBE_ORACLE)
     register("region_revenue", region_revenue, REGION_REVENUE_ORACLE)
     register("customer_order_stats", customer_order_stats, CUSTOMER_ORDER_STATS_ORACLE)
     register("semi_anti_by_nation", semi_anti_by_nation, SEMI_ANTI_ORACLE)

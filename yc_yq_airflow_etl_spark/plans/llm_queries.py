@@ -369,6 +369,41 @@ FROM s ORDER BY doc_id, chunk_id
 """
 
 
+def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: n docs per language stratum,
+    chosen by md5-hash order — the seeded-sample shape every corpus
+    ablation needs, made engine-portable (no RNG) so the exact draw
+    replays bit-identically in DuckDB. One window shuffle on the
+    stratum key; rank truncation compiles to WindowGroupLimit so each
+    partition keeps only its top-n heap rather than sorting the
+    stratum."""
+    from pyspark.sql import Window
+
+    t = load_testdata(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        t["documents"]
+        .select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .orderBy("lang", "rn")
+    )
+
+
+STRATIFIED_SAMPLE_ORACLE = """
+WITH ranked AS (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+    FROM documents
+)
+SELECT doc_id, lang, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= 20 ORDER BY lang, rn
+"""
+
+
 # --- multimodal ---------------------------------------------------------
 
 
@@ -480,6 +515,7 @@ def register_all() -> None:
         "pretrain_quality_filter", pretrain_quality_filter, PRETRAIN_FILTER_ORACLE
     )
     register("doc_chunks", doc_chunks, DOC_CHUNKS_ORACLE)
+    register("stratified_doc_sample", stratified_doc_sample, STRATIFIED_SAMPLE_ORACLE)
     register("multimodal_features", multimodal_features, MULTIMODAL_ORACLE)
     register("udf_text_density", udf_text_density, UDF_DENSITY_ORACLE)
     register("udaf_lang_stats", udaf_lang_stats, UDAF_LANG_STATS_ORACLE)
