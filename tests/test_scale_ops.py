@@ -101,3 +101,48 @@ def test_approx_sketches_error_bounds(spark, testdata):
     for status, row in approx.items():
         assert abs(row.approx_customers - exact_d[status]) <= 0.05 * exact_d[status]
         assert abs(row.approx_p50 - exact_p[status]) <= 0.02 * exact_p[status]
+
+
+def test_sketch_store_survives_source_retirement(spark, tmp_path):
+    """Mergeable HLL sketches (operators/sketches.py): per-year
+    sketches persisted as the pipeline exports each year keep global
+    distinct-count questions answerable AFTER the raw partitions are
+    dropped — incremental, within HLL error of the exact answer."""
+    from pyspark.sql import functions as F
+
+    from yc_yq_airflow_etl_spark.operators.sketches import (
+        SketchStore,
+        build_sketches,
+    )
+    from yc_yq_airflow_etl_spark.sources.generator import generate_payments
+
+    pay = generate_payments(spark, minutes=3 * 365 * 1440).withColumn(
+        "payment_year", F.year("payment_date")
+    )
+    exact_total = pay.select("accdt").distinct().count()
+
+    store = SketchStore(str(tmp_path / "sketches"))
+    for year in (2020, 2021, 2022):
+        year_rows = pay.filter(F.col("payment_year") == year)
+        store.add(build_sketches(year_rows, ["payment_year"], "accdt"))
+        # raw rows for `year` could now be dropped — only the store
+        # is consulted below
+
+    per_year = {
+        r.payment_year: r.distinct_estimate
+        for r in store.estimate(spark, by=["payment_year"]).collect()
+    }
+    assert set(per_year) == {2020, 2021, 2022}
+
+    merged = store.estimate(spark).first()
+    assert merged.n_rows == pay.count()
+    rel_err = abs(merged.distinct_estimate - exact_total) / exact_total
+    assert rel_err < 0.05, (merged.distinct_estimate, exact_total)
+
+    # incremental: later sketches append without rebuilding old ones
+    extra = spark.range(10_000_000, 10_001_000).select(
+        F.lit(2023).alias("payment_year"), F.col("id").alias("accdt")
+    )
+    store.add(build_sketches(extra, ["payment_year"], "accdt"))
+    updated = store.estimate(spark).first()
+    assert updated.distinct_estimate > merged.distinct_estimate
