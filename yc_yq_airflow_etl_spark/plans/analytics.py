@@ -475,7 +475,7 @@ def json_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JSON_PROPS_ORACLE = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
        max(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type
 """

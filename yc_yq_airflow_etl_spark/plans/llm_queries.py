@@ -330,10 +330,10 @@ WITH d AS (
     FROM f
 )
 SELECT count(*) AS total,
-       sum(CAST(k_dedup AS BIGINT)) AS kept_dedup,
-       sum(CAST(k_len AS BIGINT)) AS kept_length,
-       sum(CAST(k_awl AS BIGINT)) AS kept_wordlen,
-       sum(CAST(k_lang AS BIGINT)) AS kept_lang
+       CAST(sum(CAST(k_dedup AS BIGINT)) AS BIGINT) AS kept_dedup,
+       CAST(sum(CAST(k_len AS BIGINT)) AS BIGINT) AS kept_length,
+       CAST(sum(CAST(k_awl AS BIGINT)) AS BIGINT) AS kept_wordlen,
+       CAST(sum(CAST(k_lang AS BIGINT)) AS BIGINT) AS kept_lang
 FROM g
 """
 
