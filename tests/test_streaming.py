@@ -246,9 +246,30 @@ def test_stream_stream_interval_join(spark, testdata, tmp_path):
     }
     assert expected  # fixture must produce at least one attributed pair
 
+    # Stage each side as a TIME-ORDERED log (3 sequential ts-tercile
+    # files, oldest first with distinct mod-times). Randomly-split
+    # files would each span the whole time range, so the watermark
+    # would jump to near-global-max after batch 0 and drop everything
+    # later as late data; time-ordered arrival (what a Kafka partition
+    # provides) keeps the watermark monotone and 1h behind, which
+    # covers the 30min join window deterministically.
+    import time
+
+    from pyspark.sql import Window
+
+    def stage_ordered(df, ts_col, id_col, path):
+        part = df.withColumn(
+            "_q", F.ntile(3).over(Window.orderBy(ts_col, id_col))
+        )
+        for i in range(1, 4):
+            part.filter(F.col("_q") == i).drop("_q").coalesce(1).write.mode(
+                "append"
+            ).parquet(path)
+            time.sleep(0.05)
+
     cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
-    clicks_b.repartition(3).write.parquet(cdir)
-    purchases_b.repartition(3).write.parquet(pdir)
+    stage_ordered(clicks_b, "click_ts", "click_id", cdir)
+    stage_ordered(purchases_b, "purchase_ts", "purchase_id", pdir)
     cs = (
         spark.readStream.schema(clicks_b.schema)
         .option("maxFilesPerTrigger", 1)

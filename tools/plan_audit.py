@@ -89,7 +89,10 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("rank truncation compiles to WindowGroupLimit", r"WindowGroupLimit"),
     ],
     "pretrain_quality_filter": [
-        ("column-pruned read (no embedding/media cols)", r"ReadSchema: [^\n]*text"),
+        # positive: text is read; negative: the unused source/n_chars
+        # columns must NOT survive into the scan schema
+        ("column-pruned read includes text", r"ReadSchema: [^\n]*text"),
+        ("pruned read excludes source/n_chars", r"!ReadSchema: [^\n]*(source|n_chars)"),
         ("partial aggregation", r"partial_(sum|count)"),
     ],
 }

@@ -232,15 +232,35 @@ def minhash_lsh_pairs(
             lambda x: x,
         )
     ) / F.lit(num_hashes)
-    return (
+    return _finish_pairs(
         pairs.select(
             "id_a",
             "id_b",
             F.round(est, 6).alias("est_jaccard"),
             F.round(inter.cast("double") / union, 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= jaccard_threshold)
+        ).filter(F.col("jaccard") >= jaccard_threshold),
+        sig,
     )
+
+
+def _finish_pairs(out: DataFrame, scratch: DataFrame) -> DataFrame:
+    """Materialize the (small) pair output and release the (large)
+    fingerprint/signature cache.
+
+    The heavy intermediate feeds several branches of ``out``'s plan,
+    so it must stay cached until ``out`` is computed — but holding it
+    for the session lifetime is an executor-memory leak when the
+    operator runs repeatedly inside a pipeline. The pair set is
+    bounded by the duplicate rate (orders of magnitude smaller than
+    the corpus), so persisting it and forcing evaluation now lets the
+    scratch cache drop immediately. Callers may ``.unpersist()`` the
+    returned frame when finished."""
+    from pyspark import StorageLevel
+
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    scratch.unpersist(blocking=False)
+    return out
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -351,8 +371,11 @@ def simhash_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
+    return _finish_pairs(
+        cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+            F.col("hamming") <= max_hamming
+        ),
+        fp,
     )
 
 
@@ -421,6 +444,9 @@ def embedding_cosine_dupes(
     )
     cand = a.join(b, "_sketch").filter(F.col("id_a") < F.col("id_b"))
     cos = cosine_pairs_vectorized(F.col("v_a"), F.col("v_b"))
-    return cand.select(
-        "id_a", "id_b", F.round(cos, 6).alias("cosine")
-    ).filter(F.col("cosine") >= threshold)
+    return _finish_pairs(
+        cand.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).filter(
+            F.col("cosine") >= threshold
+        ),
+        sk,
+    )

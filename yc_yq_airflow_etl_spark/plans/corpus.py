@@ -81,13 +81,25 @@ def build_training_corpus(
     total = documents.count()
     filtered = quality_filter(documents)
     n_filtered = filtered.count()
-    deduped = drop_near_duplicates(filtered)
-    n_deduped = deduped.count()
-    chunks = chunk_documents(deduped).join(
-        deduped.select("doc_id", "lang"), "doc_id"
-    )
-    corpus_lake.overwrite_partitions(chunks, sort_by=("doc_id", "chunk_id"))
-    n_chunks = corpus_lake.read(chunks.sparkSession).count()
+    # The MinHash/LSH lineage above `deduped` is the expensive part of
+    # the pipeline; persist it once so the count, the chunk explode and
+    # the landed write all reuse the materialized survivors instead of
+    # replaying the signature computation three times.
+    deduped = drop_near_duplicates(filtered).persist()
+    try:
+        n_deduped = deduped.count()
+        chunks = chunk_documents(deduped).join(
+            deduped.select("doc_id", "lang"), "doc_id"
+        ).persist()
+        # Count the chunks we are landing, not the lake path: dynamic
+        # partition overwrite only replaces partitions present in this
+        # write, so a whole-path count would include stale partitions
+        # from earlier runs with a different surviving-language set.
+        n_chunks = chunks.count()
+        corpus_lake.overwrite_partitions(chunks, sort_by=("doc_id", "chunk_id"))
+        chunks.unpersist(blocking=False)
+    finally:
+        deduped.unpersist(blocking=False)
     return {
         "total_docs": total,
         "after_quality_filter": n_filtered,

@@ -176,7 +176,11 @@ def stateful_spend_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contract a Kafka partition or CDC log provides, and what a
     # lifetime-cumulative operator needs to be deterministic.
     src = tempfile.mkdtemp(prefix="spend_src_")
-    ev = t["events"].withColumn("_q", F.ntile(4).over(Window.orderBy("ts")))
+    # (ts, event_id) is a total order — ties on ts alone would split
+    # a user's equal-ts events across files nondeterministically.
+    ev = t["events"].withColumn(
+        "_q", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    )
     for i in range(1, 5):
         ev.filter(F.col("_q") == i).drop("_q").coalesce(1).write.mode(
             "append"

@@ -16,6 +16,7 @@ bespoke S3 listing code.
 from __future__ import annotations
 
 import math
+import urllib.parse
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -143,8 +144,15 @@ class LakeTable:
         for dirname, (nbytes, nfiles) in stats.items():
             target = max(1, math.ceil(nbytes / target_file_bytes))
             if nfiles > target:
-                val = dirname.split("=", 1)[1]
-                plan[val] = target
+                raw = dirname.split("=", 1)[1]
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    # NULL partition value: isin(NULL) can never select
+                    # it, so a rewrite would stage nothing and the swap
+                    # below would destroy the partition. Leave it alone.
+                    continue
+                # Hive escapes special chars (space, '%', ':', ...) in
+                # directory names; the column holds the unescaped value.
+                plan[urllib.parse.unquote(raw)] = target
                 before[dirname] = nfiles
         if not plan:
             return {}
@@ -177,11 +185,30 @@ class LakeTable:
         fs = jvm.org.apache.hadoop.fs.Path(self.path).getFileSystem(
             spark._jsc.hadoopConfiguration()
         )
+        # Verify every staged replacement exists BEFORE deleting any
+        # live partition — a partition value that fails to round-trip
+        # through the isin() filter would otherwise be silently lost.
+        missing = [
+            d
+            for d in before
+            if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{staging}/{d}"))
+        ]
+        if missing:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+            raise RuntimeError(
+                f"compaction staged no data for partitions {missing}; "
+                "aborting swap (live data untouched)"
+            )
         for dirname in before:
             old = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{dirname}")
             new = jvm.org.apache.hadoop.fs.Path(f"{staging}/{dirname}")
             fs.delete(old, True)
-            fs.rename(new, old)
+            if not fs.rename(new, old):
+                # Hadoop rename signals failure by returning false.
+                raise RuntimeError(
+                    f"compaction swap rename failed for {dirname}; "
+                    f"rewritten data preserved at {staging}"
+                )
         fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
 
         after = self.partition_stats(spark)
