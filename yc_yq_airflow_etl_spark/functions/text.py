@@ -109,6 +109,14 @@ def minhash_signature_sql(
     return "[" + ", ".join(parts) + "]"
 
 
+def simhash_u64_sql(word_expr: str) -> str:
+    """DuckDB replay of the SimHash token hash
+    (operators/dedup.simhash): the first 16 hex chars of md5(word) as
+    an unsigned 64-bit integer — identical to Python's
+    ``int(hashlib.md5(w).hexdigest()[:16], 16)``."""
+    return f"('0x' || substr(md5({word_expr}), 1, 16))::UBIGINT"
+
+
 def rolling_fingerprint(col: Column | str) -> Column:
     """Polynomial rolling hash (mod 1e9+7) over the characters of the
     normalized text — an order-sensitive document fingerprint (two

@@ -98,10 +98,66 @@ ORDER BY id_a, id_b
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only check; determinism and
-    locality property-tested in tests/test_llm_ops.py)."""
+    """SimHash near-dup pairs. Oracle-checked: the md5-derived token
+    hash is replayed bit-for-bit in DuckDB (DEDUP_SIMHASH_ORACLE);
+    locality additionally property-tested in tests/test_llm_ops.py."""
     t = load_testdata(spark, sf_dir)
     return simhash_dup_pairs(t["documents"], max_hamming=8).orderBy("id_a", "id_b")
+
+
+# DuckDB replay of the identical simhash→banding→popcount pipeline.
+# Token hash = first 8 bytes of md5 (simhash_u64_sql); bit b of the
+# fingerprint is set iff the ±1 balance of bit b over all tokens
+# (duplicates counted) is > 0; candidates agree on one of four 16-bit
+# bands (bucket cap 1000); verify = two's-complement XOR popcount ≤ 8.
+from ..functions.text import simhash_u64_sql  # noqa: E402
+
+DEDUP_SIMHASH_ORACLE = (
+    r"""
+WITH w AS (
+    SELECT doc_id,
+           unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+    FROM documents WHERE text IS NOT NULL
+), h AS (
+    SELECT doc_id, """
+    + simhash_u64_sql("w")
+    + r""" AS h FROM w
+), bb AS (
+    SELECT doc_id, bit,
+           sum(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS bal
+    FROM h, (SELECT unnest(generate_series(0, 63)) AS bit) bits
+    GROUP BY doc_id, bit
+), fp AS (
+    SELECT doc_id,
+           sum(CASE WHEN bal > 0 THEN (CAST(1 AS HUGEINT) << bit)
+                    ELSE CAST(0 AS HUGEINT) END) AS fpu
+    FROM bb GROUP BY doc_id
+), banded AS (
+    SELECT doc_id, fpu, band,
+           CAST((fpu >> (band * 16)) & 65535 AS INTEGER) AS val
+    FROM fp, (SELECT unnest(generate_series(0, 3)) AS band) bands
+), capped AS (
+    SELECT * FROM banded WHERE (band, val) IN (
+        SELECT (band, val) FROM banded
+        GROUP BY band, val HAVING count(*) <= 1000)
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.fpu AS f_a, b.fpu AS f_b
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM (
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(
+               CAST(CASE WHEN f_a >= 9223372036854775808
+                         THEN f_a - 18446744073709551616 ELSE f_a END AS BIGINT),
+               CAST(CASE WHEN f_b >= 9223372036854775808
+                         THEN f_b - 18446744073709551616 ELSE f_b END AS BIGINT)
+           )) AS INTEGER) AS hamming
+    FROM cand)
+WHERE hamming <= 8 ORDER BY id_a, id_b
+"""
+)
 
 
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,7 +556,7 @@ def register_all() -> None:
 
     register("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE)
     register("dedup_minhash_pairs", dedup_minhash_pairs, DEDUP_MINHASH_ORACLE)
-    register("dedup_simhash_pairs", dedup_simhash_pairs, None)
+    register("dedup_simhash_pairs", dedup_simhash_pairs, DEDUP_SIMHASH_ORACLE)
     register("dedup_embedding_pairs", dedup_embedding_pairs, None)
     register(
         "similarity_bruteforce_topk",
