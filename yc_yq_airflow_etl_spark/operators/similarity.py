@@ -20,6 +20,7 @@ vectors; a Pandas-UDF BLAS path only pays off at ≥ O(1k) dims.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -99,28 +100,52 @@ def brute_force_topk(
     )
 
 
+@lru_cache(maxsize=16)
 def _rademacher(planes: int, dim: int, seed: int):
-    """Deterministic ±1 hyperplane matrix (planes × dim): seeded
-    numpy, identical on driver and every executor — no broadcast."""
-    rng = np.random.RandomState(seed)
-    return rng.choice(np.array([-1.0, 1.0]), size=(planes, dim))
+    """Deterministic ±1 hyperplane matrix (planes × dim), derived from
+    md5 so ANY engine can replay it (the DuckDB oracles do): the sign
+    for (plane p, dim d) is +1 iff the first hex digit of
+    ``md5(f"hp:{seed}:{p}:{d}")`` is odd. Identical on driver and
+    every executor — no broadcast, no RNG library dependence."""
+    import hashlib
+
+    m = np.empty((planes, dim), dtype=np.int64)
+    for p in range(planes):
+        for d in range(dim):
+            digit = int(
+                hashlib.md5(f"hp:{seed}:{p}:{d}".encode()).hexdigest()[0], 16
+            )
+            m[p, d] = 1 if digit & 1 else -1
+    return m
+
+
+def _quantize_micro(x: np.ndarray) -> np.ndarray:
+    """float64 → int64 micro-units via ``floor(x*1e6 + 0.5)``. The
+    sketch sign test then runs in exact integer arithmetic: no
+    float-summation-order ambiguity between numpy (pairwise sums) and
+    a SQL engine's sequential sum, so the sketch is bit-reproducible
+    everywhere. 1e-6 resolution is far below any meaningful embedding
+    geometry."""
+    return np.floor(x * 1e6 + 0.5).astype(np.int64)
 
 
 def sketch_bits(vec: Sequence[float], planes: int = 8, seed: int = 42) -> int:
     """Driver-side sketch of one vector (e.g. the query): bit h of the
-    result is sign(planes[h] · v)."""
-    x = np.asarray(vec, dtype=np.float64)
-    signs = (_rademacher(planes, len(x), seed) @ x) > 0
+    result is sign(planes[h] · quantize(v)) — exact integer math,
+    matching :func:`sign_sketch` and the DuckDB replay bit-for-bit."""
+    xq = _quantize_micro(np.asarray(vec, dtype=np.float64))
+    signs = (_rademacher(planes, len(xq), seed) @ xq) > 0
     return int(sum(1 << h for h, s in enumerate(signs) if s))
 
 
 def sign_sketch(vec: Column, planes: int = 8, seed: int = 42) -> Column:
     """Random-hyperplane sign sketch as an integer bitmask (bit h =
-    sign of the projection onto hyperplane h). Vectorized Pandas UDF —
-    one (n × dim) @ (dim × planes) matmul per Arrow batch; the
-    expression-level formulation ran interpreted and ~20× slower.
-    Hamming distance between sketches is ``bit_count(a ^ b)``,
-    JVM-side."""
+    sign of the projection of the micro-quantized vector onto
+    hyperplane h — exact int64 arithmetic, engine-portable).
+    Vectorized Pandas UDF — one (n × dim) @ (dim × planes) matmul per
+    Arrow batch; the expression-level formulation ran interpreted and
+    ~20× slower. Hamming distance between sketches is
+    ``bit_count(a ^ b)``, JVM-side."""
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
 
@@ -129,8 +154,9 @@ def sign_sketch(vec: Column, planes: int = 8, seed: int = 42) -> Column:
     @pandas_udf(T.IntegerType())
     def sketch(vecs: pd.Series) -> pd.Series:
         x = np.vstack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        xq = _quantize_micro(x)
         planes_mat = _rademacher(planes, x.shape[1], seed)  # (p, dim)
-        bits = (x @ planes_mat.T) > 0  # (n, p)
+        bits = (xq @ planes_mat.T) > 0  # (n, p)
         return pd.Series((bits @ weights).astype("int32"))
 
     return sketch(vec)

@@ -162,11 +162,66 @@ WHERE hamming <= 8 ORDER BY id_a, id_b
 
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via hyperplane LSH blocking
-    (threshold tuned to the near-random testdata embeddings)."""
+    (threshold tuned to the near-random testdata embeddings).
+    Oracle-checked: the md5-derived hyperplane signs and the
+    micro-quantized projection are replayed exactly in DuckDB."""
     t = load_testdata(spark, sf_dir)
     return embedding_cosine_dupes(t["embeddings"], threshold=0.30).orderBy(
         "id_a", "id_b"
     )
+
+
+def _sketch_cte(planes: int = 8, seed: int = 42) -> str:
+    """CTE chain ending in ``sk(vec_id, sketch)`` — the DuckDB replay
+    of similarity.sign_sketch: md5-parity hyperplane signs times the
+    micro-quantized (floor(x*1e6+0.5)) embedding, summed in exact
+    int64, bit h set iff the projection is > 0."""
+    return f"""qdim AS (
+    SELECT vec_id, i,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xq
+    FROM (SELECT vec_id, embedding,
+                 unnest(generate_series(1, len(embedding))) AS i
+          FROM embeddings)
+), proj AS (
+    SELECT vec_id, p,
+           sum(CASE WHEN (('0x' || substr(md5('hp:{seed}:' || p || ':' || (i-1)), 1, 1))::INT & 1) = 1
+                    THEN xq ELSE -xq END) AS s
+    FROM qdim, (SELECT unnest(generate_series(0, {planes - 1})) AS p) pl
+    GROUP BY vec_id, p
+), sk AS (
+    SELECT vec_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1 << p) ELSE 0 END) AS INTEGER) AS sketch
+    FROM proj GROUP BY vec_id
+)"""
+
+
+_COSINE_AB = """round(
+            list_sum(list_transform(list_zip(
+                list_transform(ea.embedding, x -> CAST(x AS DOUBLE)),
+                list_transform(eb.embedding, x -> CAST(x AS DOUBLE))),
+                pr -> pr[1] * pr[2]))
+            / (sqrt(list_sum(list_transform(ea.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(eb.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"""
+
+
+DEDUP_EMBEDDING_ORACLE = (
+    "WITH "
+    + _sketch_cte()
+    + f""", cand AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM sk a JOIN sk b ON a.sketch = b.sketch AND a.vec_id < b.vec_id
+), scored AS (
+    SELECT c.id_a, c.id_b, {_COSINE_AB} AS cosine
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+)
+SELECT id_a, id_b, cosine FROM scored
+WHERE cosine >= 0.30 ORDER BY id_a, id_b
+"""
+)
 
 
 # --- similarity search --------------------------------------------------
@@ -208,11 +263,40 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
 
 
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN path (hyperplane sketch prune + exact re-rank) — rows-only
-    check; recall vs brute force asserted in tests."""
+    """ANN path (hyperplane sketch prune + exact re-rank).
+    Oracle-checked: the sketch filter and the cosine re-rank are both
+    replayed in DuckDB; recall vs brute force additionally asserted in
+    tests."""
     t = load_testdata(spark, sf_dir)
     q = _query_vec(t)
     return lsh_topk(t["embeddings"], q, k=10, max_hamming=3)
+
+
+SIMILARITY_LSH_ORACLE = (
+    "WITH "
+    + _sketch_cte()
+    + """, qv AS (
+    SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+    FROM embeddings WHERE vec_id = 0
+), qs AS (
+    SELECT sketch AS qsk FROM sk WHERE vec_id = 0
+), cand AS (
+    SELECT s.vec_id FROM sk s, qs WHERE bit_count(xor(s.sketch, qsk)) <= 3
+), scored AS (
+    SELECT e.vec_id,
+           round(
+             list_sum(list_transform(list_zip(
+                 list_transform(e.embedding, x -> CAST(x AS DOUBLE)), qvec),
+                 pr -> pr[1] * pr[2]))
+             / (sqrt(list_sum(list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(qvec, x -> x * x)))), 6) AS cosine
+    FROM embeddings e JOIN cand USING (vec_id), qv
+)
+SELECT vec_id, cosine FROM scored
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+)
 
 
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -557,13 +641,13 @@ def register_all() -> None:
     register("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE)
     register("dedup_minhash_pairs", dedup_minhash_pairs, DEDUP_MINHASH_ORACLE)
     register("dedup_simhash_pairs", dedup_simhash_pairs, DEDUP_SIMHASH_ORACLE)
-    register("dedup_embedding_pairs", dedup_embedding_pairs, None)
+    register("dedup_embedding_pairs", dedup_embedding_pairs, DEDUP_EMBEDDING_ORACLE)
     register(
         "similarity_bruteforce_topk",
         similarity_bruteforce_topk,
         SIMILARITY_BRUTEFORCE_ORACLE,
     )
-    register("similarity_lsh_topk", similarity_lsh_topk, None)
+    register("similarity_lsh_topk", similarity_lsh_topk, SIMILARITY_LSH_ORACLE)
     register("similarity_ivf_topk", similarity_ivf_topk, None)
     register("text_stats", text_stats, TEXT_STATS_ORACLE)
     register("lang_id_eval", lang_id_eval, LANG_ID_ORACLE)
