@@ -88,6 +88,12 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
     "stratified_doc_sample": [
         ("rank truncation compiles to WindowGroupLimit", r"WindowGroupLimit"),
     ],
+    "similarity_ivf_topk": [
+        ("probe filter is partition pruning over the materialized index",
+         r"PartitionFilters: \[[^\]]*_c"),
+        ("pruned index read excludes the sketch column",
+         r"!ReadSchema: [^\n]*_sketch"),
+    ],
     "pretrain_quality_filter": [
         # positive: text is read; negative: the unused source/n_chars
         # columns must NOT survive into the scan schema

@@ -194,77 +194,125 @@ def lsh_topk(
     )
 
 
+def quantize_vec(vec: Column) -> Column:
+    """JVM-side micro-quantization of a float vector — the same
+    ``floor(x*1e6 + 0.5)`` rule as :func:`_quantize_micro`, so
+    expression-level and Pandas-UDF stages agree exactly."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long")
+    )
+
+
+def md5_bucket(col: Column, buckets: int) -> Column:
+    """Deterministic, engine-portable bucket id in [0, buckets): first
+    8 hex chars of md5(value-as-string) mod buckets. Used for
+    replayable sampling — Spark's ``DataFrame.sample`` draws from a
+    partition-local RNG, so its row set is neither stable across
+    repartitioning nor expressible in SQL."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+        % buckets
+    )
+
+
 def train_ivf_centroids(
     df: DataFrame,
     k_clusters: int = 16,
     iters: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> list[list[float]]:
-    """Lloyd's k-means over the embedding column, Spark-side.
+) -> list[list[int]]:
+    """Lloyd's k-means over the embedding column, Spark-side, in
+    integer micro-units (1e-6) so every step — assignment argmin,
+    centroid mean, tie-breaks — is exact integer arithmetic that a
+    DuckDB oracle replays bit-for-bit.
 
-    Assignment is a broadcast cross-join + argmin (distributed, scales
-    with the data); the centroid update is a per-cluster numpy mean via
+    Assignment is a broadcast argmin (distributed, scales with the
+    data); the centroid update is a per-cluster integer mean
+    (``floor(mean + 1/2)`` computed as ``(2·Σx + n) fdiv 2n``) via
     applyInPandas; only the k×dim centroid matrix ever reaches the
     driver (the loop is driver-coordinated, data never is). Init is
-    deterministic: the k lowest-id vectors.
+    deterministic: the k lowest-id vectors. Empty clusters keep their
+    previous centroid; argmin ties go to the lowest cluster id.
     """
     import pandas as pd
     from pyspark.sql import types as T
 
-    base = df.select(F.col(id_col).alias("_id"), _to_double(F.col(vec_col)).alias("_v"))
+    base = df.select(
+        F.col(id_col).alias("_id"), quantize_vec(F.col(vec_col)).alias("_v")
+    )
     centroids = [
-        [float(x) for x in r._v]
+        [int(x) for x in r._v]
         for r in base.orderBy("_id").limit(k_clusters).collect()
     ]
-    dim = len(centroids[0])
     mean_schema = T.StructType(
         [
             T.StructField("_c", T.IntegerType(), False),
-            T.StructField("_v", T.ArrayType(T.DoubleType()), False),
+            T.StructField("_v", T.ArrayType(T.LongType()), False),
         ]
     )
 
     def cluster_mean(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        mat = np.vstack(pdf["_v"].to_numpy())
-        return pd.DataFrame({"_c": [int(pdf["_c"].iloc[0])], "_v": [mat.mean(axis=0).tolist()]})
+        mat = np.vstack(pdf["_v"].to_numpy()).astype(np.int64)
+        n = mat.shape[0]
+        # floor(mean + 1/2) in pure integers (floor_divide = Python //)
+        newc = np.floor_divide(2 * mat.sum(axis=0) + n, 2 * n)
+        return pd.DataFrame(
+            {"_c": [int(pdf["_c"].iloc[0])], "_v": [newc.tolist()]}
+        )
 
     for _ in range(iters):
         assigned = base.withColumn("_c", _nearest_centroid(F.col("_v"), centroids))
         new = assigned.groupBy("_c").applyInPandas(cluster_mean, mean_schema).collect()
-        got = {r._c: list(r._v) for r in new}
+        got = {r._c: [int(x) for x in r._v] for r in new}
         # empty clusters keep their previous centroid
         centroids = [got.get(c, centroids[c]) for c in range(k_clusters)]
     return centroids
 
 
-def _nearest_centroid(v: Column, centroids: list[list[float]]) -> Column:
-    """argmin over squared L2 distance to the centroid matrix, as a
-    vectorized Pandas UDF (numpy broadcast: one ‖x-C‖² matrix per
-    Arrow batch). An expression-level unrolled version was 10-50×
-    slower — k × dim nested higher-order functions run interpreted,
-    outside whole-stage codegen."""
+def _nearest_centroid(v: Column, centroids: list[list[int]]) -> Column:
+    """argmin over squared L2 distance to the centroid matrix (integer
+    micro-units), as a vectorized Pandas UDF (numpy broadcast: one
+    ‖x-C‖² matrix per Arrow batch). Ties resolve to the lowest cluster
+    id (np.argmin first-match). An expression-level unrolled version
+    was 10-50× slower — k × dim nested higher-order functions run
+    interpreted, outside whole-stage codegen."""
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
 
-    cmat = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    cmat = np.asarray(centroids, dtype=np.int64)  # (k, dim)
 
     @pandas_udf(T.IntegerType())
     def assign(vecs: pd.Series) -> pd.Series:
-        x = np.vstack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        x = np.vstack(vecs.to_numpy()).astype(np.int64)  # (n, dim)
         # ‖x-c‖² = ‖x‖² - 2x·c + ‖c‖²; ‖x‖² is constant per row → drop
-        d = -2.0 * (x @ cmat.T) + (cmat * cmat).sum(axis=1)
+        d = -2 * (x @ cmat.T) + (cmat * cmat).sum(axis=1)
         return pd.Series(np.argmin(d, axis=1).astype("int32"))
 
     return assign(v)
 
 
+def _probe_clusters(
+    query: Sequence[float], centroids: list[list[int]], nprobe: int
+) -> list[int]:
+    """The nprobe cluster ids nearest the (quantized) query — exact
+    integer distances, ties to the lowest id."""
+    qq = _quantize_micro(np.asarray(query, dtype=np.float64))
+
+    def sq(c: Sequence[int]) -> int:
+        return int(sum((int(x) - int(y)) ** 2 for x, y in zip(qq, c)))
+
+    return sorted(range(len(centroids)), key=lambda c: (sq(centroids[c]), c))[
+        :nprobe
+    ]
+
+
 def ivf_topk(
     df: DataFrame,
     query: Sequence[float],
-    centroids: list[list[float]],
+    centroids: list[list[int]],
     k: int = 10,
     nprobe: int = 4,
     vec_col: str = "embedding",
@@ -273,22 +321,97 @@ def ivf_topk(
     """IVF search: restrict the exact cosine scan to the ``nprobe``
     clusters whose centroids are nearest the query, then re-rank.
 
-    At scale the cluster id is a materialized/partition column, so the
-    probe filter is partition pruning — the scan reads nprobe/k of the
-    data instead of all of it. ``nprobe == k_clusters`` degrades to
-    the exact brute-force result (the recall dial)."""
-    def sq(a: Sequence[float], b: Sequence[float]) -> float:
-        return sum((x - y) ** 2 for x, y in zip(a, b))
-
-    probe = sorted(range(len(centroids)), key=lambda c: sq(query, centroids[c]))[
-        :nprobe
-    ]
+    This variant computes the assignment inline (one scan); use
+    :func:`write_ann_index` + :func:`ivf_topk_indexed` to make the
+    probe filter PARTITION PRUNING instead of a scan predicate.
+    ``nprobe == k_clusters`` degrades to the exact brute-force result
+    (the recall dial)."""
+    probe = _probe_clusters(query, centroids, nprobe)
     q = query_literal(query)
     assigned = df.withColumn(
-        "_c", _nearest_centroid(_to_double(F.col(vec_col)), centroids)
+        "_c", _nearest_centroid(quantize_vec(F.col(vec_col)), centroids)
     )
     return (
         assigned.filter(F.col("_c").isin([int(c) for c in probe]))
+        .select(
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def write_ann_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[int]],
+    planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the ANN index the scale story needs: the IVF
+    cluster id ``_c`` becomes a Hive PARTITION column (probe filters
+    prune to nprobe/k of the files — the scan never touches the rest)
+    and the hyperplane ``_sketch`` a stored int column (the hamming
+    filter is a plain JVM predicate with row-group min/max stats — no
+    per-query sketch recompute). One job: assignment + sketch + one
+    partitioned write."""
+    (
+        df.withColumn(
+            "_c", _nearest_centroid(quantize_vec(F.col(vec_col)), centroids)
+        )
+        .withColumn("_sketch", sign_sketch(F.col(vec_col), planes, seed))
+        .write.mode("overwrite")
+        .partitionBy("_c")
+        .parquet(path)
+    )
+
+
+def ivf_topk_indexed(
+    index_df: DataFrame,
+    query: Sequence[float],
+    centroids: list[list[int]],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF top-k over a materialized index (read from
+    :func:`write_ann_index` output): ``_c`` is a partition column, so
+    the probe ``isin`` compiles to PartitionFilters — partition
+    pruning, not a full scan (asserted in tools/plan_audit.py)."""
+    probe = _probe_clusters(query, centroids, nprobe)
+    q = query_literal(query)
+    return (
+        index_df.filter(F.col("_c").isin([int(c) for c in probe]))
+        .select(
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def lsh_topk_indexed(
+    index_df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    planes: int = 8,
+    max_hamming: int = 2,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """LSH top-k over a materialized index: the stored ``_sketch``
+    column replaces the per-query sketch recompute — the hamming
+    filter is pure JVM bit arithmetic over an int column."""
+    q = query_literal(query)
+    q_mask = sketch_bits(query, planes, seed)
+    ham = F.bit_count(F.col("_sketch").bitwiseXOR(F.lit(q_mask)))
+    return (
+        index_df.filter(ham <= max_hamming)
         .select(
             F.col(id_col),
             F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine"),

@@ -300,18 +300,124 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
 
 
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN path: k-means centroids (trained Spark-side) + probe of
-    the nearest clusters + exact re-rank — rows-only check; the
-    nprobe=k recall dial is asserted against brute force in tests."""
-    from ..operators.similarity import ivf_topk, train_ivf_centroids
+    """IVF ANN over a MATERIALIZED index: k-means in integer
+    micro-units (trained on a deterministic md5-sampled quarter of the
+    table — representative subset, textbook IVF build), cluster id
+    written as a Hive partition column by write_ann_index, so the
+    probe filter compiles to PartitionFilters — partition pruning, the
+    scan reads nprobe/k of the files (asserted in tools/plan_audit).
+    Fully oracle-checked: DuckDB replays the sampling, both Lloyd
+    iterations, probe selection and the cosine re-rank exactly."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators.similarity import (
+        ivf_topk_indexed,
+        md5_bucket,
+        train_ivf_centroids,
+        write_ann_index,
+    )
 
     t = load_testdata(spark, sf_dir)
     q = _query_vec(t)
-    # train on a deterministic sample — centroid quality needs a
-    # representative subset, not the full table (textbook IVF build)
-    sample = t["embeddings"].sample(fraction=0.25, seed=42)
+    emb = t["embeddings"]
+    sample = emb.filter(md5_bucket(F.col("vec_id"), 4) == 0)
     cents = train_ivf_centroids(sample, k_clusters=8, iters=2)
-    return ivf_topk(t["embeddings"], q, cents, k=10, nprobe=3)
+    # Index location keyed by source dir — built once per dataset (the
+    # testdata is immutable), reused by every subsequent query run.
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx = os.path.join(tempfile.gettempdir(), f"ann_index_{tag}")
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        write_ann_index(emb, idx, cents)
+    return ivf_topk_indexed(spark.read.parquet(idx), q, cents, k=10, nprobe=3)
+
+
+def _fdiv(a: str, b: str) -> str:
+    """Python-semantics floor division as a DuckDB expression (DuckDB's
+    ``//`` truncates toward zero; numpy floor_divide floors)."""
+    return f"((({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) // ({b}))"
+
+
+def _kmeans_iter_sql(n: int, prev: str) -> str:
+    """One Lloyd iteration as CTEs d{n}/a{n}/u{n}/c{n}: integer argmin
+    assignment of the sample to ``prev``'s centroids (ties → lowest
+    cluster id), then the floor(mean + 1/2) integer centroid update
+    (empty clusters keep their previous centroid)."""
+    upd = _fdiv("2 * sum(s.x) + count(*)", "2 * count(*)")
+    return f"""d{n} AS (
+    SELECT s.vec_id, c.c, sum((s.x - c.x) * (s.x - c.x)) AS d
+    FROM samp s JOIN {prev} c USING (i) GROUP BY s.vec_id, c.c
+), a{n} AS (
+    SELECT vec_id, c FROM (
+        SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+        FROM d{n}) WHERE rn = 1
+), u{n} AS (
+    SELECT a.c, s.i, {upd} AS x
+    FROM a{n} a JOIN samp s USING (vec_id) GROUP BY a.c, s.i
+), c{n} AS (
+    SELECT p.c, p.i, COALESCE(u.x, p.x) AS x
+    FROM {prev} p LEFT JOIN u{n} u ON u.c = p.c AND u.i = p.i
+)"""
+
+
+SIMILARITY_IVF_ORACLE = (
+    r"""
+WITH xq AS (
+    SELECT vec_id, i,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
+    FROM (SELECT vec_id, embedding,
+                 unnest(generate_series(1, len(embedding))) AS i
+          FROM embeddings)
+), samp AS (
+    SELECT * FROM xq
+    WHERE (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 4) = 0
+), init_ids AS (
+    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+    FROM (SELECT DISTINCT vec_id FROM samp ORDER BY vec_id LIMIT 8)
+), c0 AS (
+    SELECT ii.c, s.i, s.x FROM init_ids ii JOIN samp s USING (vec_id)
+), """
+    + _kmeans_iter_sql(1, "c0")
+    + ", "
+    + _kmeans_iter_sql(2, "c1")
+    + r""", qx AS (
+    SELECT i, x FROM xq WHERE vec_id = 0
+), pd AS (
+    SELECT c.c, sum((q.x - c.x) * (q.x - c.x)) AS d
+    FROM qx q JOIN c2 c USING (i) GROUP BY c.c
+), probe AS (
+    SELECT c FROM (SELECT c, row_number() OVER (ORDER BY d, c) AS rn FROM pd)
+    WHERE rn <= 3
+), dall AS (
+    SELECT x.vec_id, c.c, sum((x.x - c.x) * (x.x - c.x)) AS d
+    FROM xq x JOIN c2 c USING (i) GROUP BY x.vec_id, c.c
+), assign_all AS (
+    SELECT vec_id, c FROM (
+        SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+        FROM dall) WHERE rn = 1
+), keep AS (
+    SELECT vec_id FROM assign_all WHERE c IN (SELECT c FROM probe)
+), qv AS (
+    SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+    FROM embeddings WHERE vec_id = 0
+), scored AS (
+    SELECT e.vec_id,
+           round(
+             list_sum(list_transform(list_zip(
+                 list_transform(e.embedding, x -> CAST(x AS DOUBLE)), qvec),
+                 pr -> pr[1] * pr[2]))
+             / (sqrt(list_sum(list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(qvec, x -> x * x)))), 6) AS cosine
+    FROM embeddings e JOIN keep USING (vec_id), qv
+)
+SELECT vec_id, cosine FROM scored
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+)
 
 
 # --- text analysis ------------------------------------------------------
@@ -648,7 +754,7 @@ def register_all() -> None:
         SIMILARITY_BRUTEFORCE_ORACLE,
     )
     register("similarity_lsh_topk", similarity_lsh_topk, SIMILARITY_LSH_ORACLE)
-    register("similarity_ivf_topk", similarity_ivf_topk, None)
+    register("similarity_ivf_topk", similarity_ivf_topk, SIMILARITY_IVF_ORACLE)
     register("text_stats", text_stats, TEXT_STATS_ORACLE)
     register("lang_id_eval", lang_id_eval, LANG_ID_ORACLE)
     register(
