@@ -46,7 +46,9 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("pruned: no l_orderkey read", r"ReadSchema: (?:(?!l_orderkey)[^\n])*$"),
     ],
     "exclusion_join_diff": [
-        ("anti joins present", r"LeftAnti"),
+        ("single-shuffle tagged-union formulation (window over keys)", r"Window"),
+        ("no anti-join double shuffle", "!LeftAnti"),
+        ("no join operator at all (union+window replaces it)", "!Join"),
         ("whole-stage codegen", "CODEGEN"),
     ],
     "topk_orders": [

@@ -19,27 +19,66 @@ def exclusion_join(
     right: DataFrame,
     on: Sequence[str],
     tag_column: str | None = None,
+    strategy: str = "union",
 ) -> DataFrame:
-    """YQL EXCLUSION JOIN (yq_dag.py:93-94) as two anti-joins.
+    """YQL EXCLUSION JOIN (yq_dag.py:93-94): the rows of *both*
+    inputs that have no key match on the other side (symmetric
+    difference by key).
 
-    Chosen over the full-outer formulation because (a) anti-joins are
-    null-clean — no post-filter on possibly-null key columns, (b) each
-    anti-join is independently broadcast-eligible and AQE can pick
-    broadcast/SMJ per side, and (c) at 100 TB both sides shuffle once
-    on the same key set, so the two anti-joins reuse co-partitioned
-    exchanges rather than materializing a full-outer row set.
+    ``strategy='union'`` (default): tag each side, ``unionByName``,
+    and compute per-key side counts with an unordered window — ONE
+    hash exchange on the key set at any scale. The two-anti-join
+    formulation shuffles each input twice, and those exchanges do NOT
+    canonicalize to a ReusedExchange (the build side is a key-only
+    projection, the probe side carries all columns), so at 100 TB it
+    pays four wide shuffles to this plan's one. Rows with a NULL in
+    any key column never match anything under SQL join semantics and
+    pass straight to the output (the window result is ignored for
+    them — no separate plan branch).
 
-    Columns of the result = columns of ``left`` (both inputs must be
-    union-compatible on those names, as in YQL). ``tag_column`` adds
+    ``strategy='anti'``: the two-anti-join plan — each side is
+    independently broadcast-eligible, the right choice when one side
+    is dim-sized and broadcastable.
+
+    Columns of the result = the union of both inputs' columns (inputs
+    are union-compatible in YQL usage). ``tag_column`` adds
     'left'/'right' provenance.
     """
     keys = list(on)
-    l_only = left.join(right, on=keys, how="left_anti")
-    r_only = right.join(left, on=keys, how="left_anti")
+    if strategy == "anti":
+        l_only = left.join(right, on=keys, how="left_anti")
+        r_only = right.join(left, on=keys, how="left_anti")
+        if tag_column is not None:
+            l_only = l_only.withColumn(tag_column, F.lit("left"))
+            r_only = r_only.withColumn(tag_column, F.lit("right"))
+        return l_only.unionByName(r_only, allowMissingColumns=True)
+    if strategy != "union":
+        raise ValueError(f"unknown exclusion_join strategy: {strategy!r}")
+
+    from pyspark.sql import Window
+
+    side = "_xj_side"
+    u = left.withColumn(side, F.lit("left")).unionByName(
+        right.withColumn(side, F.lit("right")), allowMissingColumns=True
+    )
+    null_key = None
+    for k in keys:
+        c = F.col(k).isNull()
+        null_key = c if null_key is None else (null_key | c)
+    w = Window.partitionBy(*keys)
+    n_left = F.sum(F.when(F.col(side) == "left", 1).otherwise(0)).over(w)
+    n_right = F.sum(F.when(F.col(side) == "right", 1).otherwise(0)).over(w)
+    keep = F.when(F.col(side) == "left", n_right == 0).otherwise(n_left == 0)
+    # window expressions are not allowed directly in a filter —
+    # materialize the flag as a column first
+    out = (
+        u.withColumn("_xj_keep", null_key | keep)
+        .filter(F.col("_xj_keep"))
+        .drop("_xj_keep")
+    )
     if tag_column is not None:
-        l_only = l_only.withColumn(tag_column, F.lit("left"))
-        r_only = r_only.withColumn(tag_column, F.lit("right"))
-    return l_only.unionByName(r_only, allowMissingColumns=True)
+        out = out.withColumn(tag_column, F.col(side))
+    return out.drop(side)
 
 
 def exclusion_diff_count(

@@ -155,9 +155,11 @@ def stateful_spend_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator under REAL streaming execution,
     oracle-checked: the per-user spend-threshold alert operator
     (streaming/stateful.user_spend_alerts, applyInPandasWithState)
-    runs as a live multi-micro-batch file-stream query (4 source
-    files, 2 per trigger → ≥2 batches, so per-key state genuinely
-    crosses micro-batch boundaries), and the collected memory-sink
+    runs as a live multi-micro-batch file-stream query (2 source
+    files, 1 per trigger → ≥2 batches, so per-key state genuinely
+    crosses micro-batch boundaries — the richer 4-file staging lives
+    in the pytest; the bench keeps the minimal boundary-crossing
+    shape), and the collected memory-sink
     result is compared against DuckDB's windowed replay of the same
     crossing rule. Cents-integer arithmetic keeps both engines
     bit-identical."""
@@ -179,16 +181,16 @@ def stateful_spend_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (ts, event_id) is a total order — ties on ts alone would split
     # a user's equal-ts events across files nondeterministically.
     ev = t["events"].withColumn(
-        "_q", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+        "_q", F.ntile(2).over(Window.orderBy("ts", "event_id"))
     )
-    for i in range(1, 5):
+    for i in range(1, 3):
         ev.filter(F.col("_q") == i).drop("_q").coalesce(1).write.mode(
             "append"
         ).parquet(src)
         time.sleep(0.05)  # distinct file mod-times → stable replay order
     stream = (
         spark.readStream.schema(t["events"].schema)
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
     name = "spend_alerts_" + uuid.uuid4().hex[:8]
