@@ -100,7 +100,8 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         # positive: text is read; negative: the unused source/n_chars
         # columns must NOT survive into the scan schema
         ("column-pruned read includes text", r"ReadSchema: [^\n]*text"),
-        ("pruned read excludes source/n_chars", r"!ReadSchema: [^\n]*(source|n_chars)"),
+        ("pruned read excludes source/n_chars/lang (gate runs the engine classifier)",
+         r"!ReadSchema: [^\n]*(source|n_chars|lang)"),
         ("partial aggregation", r"partial_(sum|count)"),
     ],
 }

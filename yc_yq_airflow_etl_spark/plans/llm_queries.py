@@ -464,13 +464,37 @@ FROM d ORDER BY doc_id
 """
 
 
+# Inline multilingual evaluation fixture: the synthetic corpus is
+# monolingual English-ish, so these literal rows (same rows replayed
+# via VALUES in the oracle) exercise the classifier across languages,
+# including deliberately confusable texts that produce off-diagonal
+# confusion rows (English-stopword-dominated text under a non-en
+# label).
+MULTILINGUAL_FIXTURE: list[tuple[str, str]] = [
+    ("en", "the cat and the dog of a to in is that with us"),
+    ("de", "der hund und die katze das ist nicht mit ein gut"),
+    ("fr", "le chat et la maison les est pas pour une belle"),
+    ("es", "el perro los gatos las es por para una con casa"),
+    ("zh", "wo men shi bu ni ta de le"),
+    ("fr", "the and of to in is that with le paris"),
+    ("de", "the and of to in is that with der berlin"),
+    ("es", "the is el la"),
+]
+
+
 def lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic vs the labeled ``lang`` column: confusion
-    counts per (label, prediction)."""
+    counts per (label, prediction) over documents plus the inline
+    multilingual fixture (the synthetic corpus alone is monolingual)."""
     t = load_testdata(spark, sf_dir)
+    fixture = spark.createDataFrame(
+        MULTILINGUAL_FIXTURE, "label string, text string"
+    )
+    src = t["documents"].select(
+        F.col("lang").alias("label"), F.col("text")
+    ).unionByName(fixture)
     return (
-        t["documents"]
-        .select(F.col("lang").alias("label"), lang_id("text").alias("predicted"))
+        src.select("label", lang_id("text").alias("predicted"))
         .groupBy("label", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("label", "predicted")
@@ -482,13 +506,23 @@ def _lang_hits_sql(lang: str) -> str:
     return f"len(list_intersect(w, [{arr}]))"
 
 
+_FIXTURE_VALUES = ", ".join(
+    "('" + lang + "', '" + text + "')" for lang, text in MULTILINGUAL_FIXTURE
+)
+
 LANG_ID_ORACLE = (
     r"""
-WITH d AS (
-    SELECT lang AS label,
+WITH src AS (
+    SELECT lang AS label, text FROM documents
+    UNION ALL
+    SELECT * FROM (VALUES """
+    + _FIXTURE_VALUES
+    + r""") AS f(label, text)
+), d AS (
+    SELECT label,
            list_distinct(string_split(
                regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
-    FROM documents
+    FROM src
 ), scored AS (
     SELECT label, """
     + ", ".join(f"{_lang_hits_sql(lang)} AS h_{lang}" for lang in LANG_ORDER)
@@ -527,10 +561,13 @@ def pretrain_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     flagged = d.select(
         "doc_id",
-        "lang",
         F.md5(norm).alias("_fp"),
         toks.alias("_toks"),
         awl.alias("_awl"),
+        # language gate runs the ENGINE classifier (lang_id), not the
+        # stored label — the funnel is self-contained and the scan no
+        # longer reads the lang column at all (column pruning)
+        lang_id("text").alias("_pred"),
     ).withColumn(
         "_keeper",
         F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("_fp")),
@@ -538,11 +575,7 @@ def pretrain_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     k_dedup = F.col("_keeper")
     k_len = k_dedup & F.col("_toks").between(30, 90)
     k_awl = k_len & (F.col("_awl") >= 4.0) & (F.col("_awl") <= 5.0)
-    # language gate uses the stored classifier label: the in-engine
-    # heuristic (lang_id, see lang_id_eval) predicts 'en' for this
-    # whole synthetic corpus — all docs draw from one English-ish
-    # vocabulary — which would make the stage a no-op here
-    k_lang = k_awl & (F.col("lang") == "en")
+    k_lang = k_awl & (F.col("_pred") == "en")
     one = lambda c: F.sum(c.cast("long"))  # noqa: E731
     return flagged.agg(
         F.count(F.lit(1)).alias("total"),
@@ -553,26 +586,38 @@ def pretrain_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PRETRAIN_FILTER_ORACLE = r"""
+PRETRAIN_FILTER_ORACLE = (
+    r"""
 WITH d AS (
-    SELECT doc_id, lang,
+    SELECT doc_id,
            regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
     FROM documents
 ), m AS (
-    SELECT doc_id, lang, md5(norm) AS fp,
+    SELECT doc_id, md5(norm) AS fp,
            len(string_split(norm, ' ')) AS toks,
            (length(norm) - (len(string_split(norm, ' ')) - 1)) * 1.0
-               / len(string_split(norm, ' ')) AS awl
+               / len(string_split(norm, ' ')) AS awl,
+           list_distinct(string_split(norm, ' ')) AS w
     FROM d
+), p AS (
+    SELECT *, CASE """
+    + " ".join(
+        f"WHEN {_lang_hits_sql(lang)} = greatest("
+        + ", ".join(_lang_hits_sql(g) for g in LANG_ORDER)
+        + f") THEN '{lang}'"
+        for lang in LANG_ORDER
+    )
+    + r""" END AS pred
+    FROM m
 ), f AS (
-    SELECT *, doc_id = min(doc_id) OVER (PARTITION BY fp) AS keeper FROM m
+    SELECT *, doc_id = min(doc_id) OVER (PARTITION BY fp) AS keeper FROM p
 ), g AS (
     SELECT keeper AS k_dedup,
            keeper AND toks BETWEEN 30 AND 90 AS k_len,
            keeper AND toks BETWEEN 30 AND 90
                   AND awl >= 4.0 AND awl <= 5.0 AS k_awl,
            keeper AND toks BETWEEN 30 AND 90
-                  AND awl >= 4.0 AND awl <= 5.0 AND lang = 'en' AS k_lang
+                  AND awl >= 4.0 AND awl <= 5.0 AND pred = 'en' AS k_lang
     FROM f
 )
 SELECT count(*) AS total,
@@ -582,6 +627,7 @@ SELECT count(*) AS total,
        CAST(sum(CAST(k_lang AS BIGINT)) AS BIGINT) AS kept_lang
 FROM g
 """
+)
 
 
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
