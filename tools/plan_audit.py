@@ -90,6 +90,11 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
     "stratified_doc_sample": [
         ("rank truncation compiles to WindowGroupLimit", r"WindowGroupLimit"),
     ],
+    "similarity_knn_join": [
+        ("per-probe rank truncated via WindowGroupLimit", r"WindowGroupLimit"),
+        ("right side broadcast (deliberate small-probe cross join)",
+         r"BroadcastExchange"),
+    ],
     "similarity_ivf_topk": [
         ("probe filter is partition pruning over the materialized index",
          r"PartitionFilters: \[[^\]]*_c"),

@@ -110,11 +110,12 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fingerprint is set iff the ±1 balance of bit b over all tokens
 # (duplicates counted) is > 0; candidates agree on one of four 16-bit
 # bands (bucket cap 1000); verify = two's-complement XOR popcount ≤ 8.
+# The CTE chain ends in ham_pairs(id_a, id_b, hamming) and is shared
+# with the n-gram Jaccard verification oracle.
 from ..functions.text import simhash_u64_sql  # noqa: E402
 
-DEDUP_SIMHASH_ORACLE = (
-    r"""
-WITH w AS (
+_SIMHASH_CTES = (
+    r"""w AS (
     SELECT doc_id,
            unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
     FROM documents WHERE text IS NOT NULL
@@ -145,8 +146,7 @@ WITH w AS (
            a.fpu AS f_a, b.fpu AS f_b
     FROM capped a JOIN capped b
       ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
-)
-SELECT id_a, id_b, hamming FROM (
+), ham_pairs AS (
     SELECT id_a, id_b,
            CAST(bit_count(xor(
                CAST(CASE WHEN f_a >= 9223372036854775808
@@ -154,8 +154,53 @@ SELECT id_a, id_b, hamming FROM (
                CAST(CASE WHEN f_b >= 9223372036854775808
                          THEN f_b - 18446744073709551616 ELSE f_b END AS BIGINT)
            )) AS INTEGER) AS hamming
-    FROM cand)
+    FROM cand
+)"""
+)
+
+DEDUP_SIMHASH_ORACLE = (
+    "WITH "
+    + _SIMHASH_CTES
+    + """
+SELECT id_a, id_b, hamming FROM ham_pairs
 WHERE hamming <= 8 ORDER BY id_a, id_b
+"""
+)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard verification over the SimHash
+    candidate pairs — the verification stage every blocking scheme
+    funnels into (operators/dedup.ngram_jaccard_pairs). Shuffle shape:
+    the candidate set is tiny, so both shingle joins broadcast."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    t = load_testdata(spark, sf_dir)
+    cand = simhash_dup_pairs(t["documents"], max_hamming=8).select("id_a", "id_b")
+    return ngram_jaccard_pairs(t["documents"], cand, n=3).orderBy("id_a", "id_b")
+
+
+DEDUP_NGRAM_ORACLE = (
+    "WITH "
+    + _SIMHASH_CTES
+    + r""", keep AS (
+    SELECT id_a, id_b FROM ham_pairs WHERE hamming <= 8
+), sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               generate_series(1, greatest(len(wl) - 2, 0)),
+               i -> array_to_string(wl[i:i+2], ' '))) AS grams
+    FROM (SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS wl
+          FROM documents)
+)
+SELECT k.id_a, k.id_b,
+       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(a.grams || b.grams)), 6) AS jaccard
+FROM keep k
+JOIN sh a ON a.doc_id = k.id_a
+JOIN sh b ON b.doc_id = k.id_b
+ORDER BY id_a, id_b
 """
 )
 
@@ -418,6 +463,42 @@ SELECT vec_id, cosine FROM scored
 ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 )
+
+
+def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs top-k similarity join (operators/similarity.topk_join):
+    each of the 20 lowest-id probe vectors → its 3 nearest neighbors
+    among all OTHER vectors by cosine. Physical shape: broadcast of
+    the right side + per-probe WindowGroupLimit rank — the cross-dedup
+    primitive between a small query set and a large corpus (at corpus
+    × corpus scale, swap the broadcast for the sketch filter)."""
+    from ..operators.similarity import topk_join
+
+    t = load_testdata(spark, sf_dir)
+    emb = t["embeddings"]
+    probes = emb.filter(F.col("vec_id") < 20)
+    return topk_join(probes, emb, k=3).orderBy("id_a", "rnk")
+
+
+SIMILARITY_KNN_JOIN_ORACLE = """
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), p AS (
+    SELECT * FROM e WHERE vec_id < 20
+), scored AS (
+    SELECT p.vec_id AS id_a, e.vec_id AS id_b,
+           round(list_sum(list_transform(list_zip(p.v, e.v), pr -> pr[1] * pr[2]))
+                 / (sqrt(list_sum(list_transform(p.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(e.v, x -> x * x)))), 6) AS cosine
+    FROM p JOIN e ON p.vec_id <> e.vec_id
+), ranked AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY id_a ORDER BY cosine DESC, id_b) AS INTEGER) AS rnk
+    FROM scored
+)
+SELECT id_a, id_b, cosine, rnk FROM ranked WHERE rnk <= 3 ORDER BY id_a, rnk
+"""
 
 
 # --- text analysis ------------------------------------------------------
@@ -793,6 +874,7 @@ def register_all() -> None:
     register("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE)
     register("dedup_minhash_pairs", dedup_minhash_pairs, DEDUP_MINHASH_ORACLE)
     register("dedup_simhash_pairs", dedup_simhash_pairs, DEDUP_SIMHASH_ORACLE)
+    register("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE)
     register("dedup_embedding_pairs", dedup_embedding_pairs, DEDUP_EMBEDDING_ORACLE)
     register(
         "similarity_bruteforce_topk",
@@ -801,6 +883,7 @@ def register_all() -> None:
     )
     register("similarity_lsh_topk", similarity_lsh_topk, SIMILARITY_LSH_ORACLE)
     register("similarity_ivf_topk", similarity_ivf_topk, SIMILARITY_IVF_ORACLE)
+    register("similarity_knn_join", similarity_knn_join, SIMILARITY_KNN_JOIN_ORACLE)
     register("text_stats", text_stats, TEXT_STATS_ORACLE)
     register("lang_id_eval", lang_id_eval, LANG_ID_ORACLE)
     register(
