@@ -165,3 +165,42 @@ def test_ivf_topk_recall_dial(spark, testdata):
     for r in narrow:
         if r.vec_id in brute_scores:
             assert r.cosine == brute_scores[r.vec_id]
+
+
+def test_indexed_ann_matches_inline_paths(spark, testdata, tmp_path):
+    """write_ann_index materializes cluster id + sketch; querying the
+    index must reproduce the inline (recompute-per-query) operators
+    exactly — stored sketch ≡ computed sketch, partitioned cluster id
+    ≡ inline assignment."""
+    from yc_yq_airflow_etl_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        lsh_topk,
+        lsh_topk_indexed,
+        train_ivf_centroids,
+        write_ann_index,
+    )
+
+    emb = testdata["embeddings"]
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    cents = train_ivf_centroids(emb, k_clusters=4, iters=2)
+    idx_path = str(tmp_path / "ann_idx")
+    write_ann_index(emb, idx_path, cents)
+    idx = spark.read.parquet(idx_path)
+
+    got_lsh = lsh_topk_indexed(idx, q, k=10, max_hamming=3).collect()
+    want_lsh = lsh_topk(emb, q, k=10, max_hamming=3).collect()
+    assert [tuple(r) for r in got_lsh] == [tuple(r) for r in want_lsh]
+
+    got_ivf = ivf_topk_indexed(idx, q, cents, k=10, nprobe=2).collect()
+    want_ivf = ivf_topk(emb, q, cents, k=10, nprobe=2).collect()
+    assert [tuple(r) for r in got_ivf] == [tuple(r) for r in want_ivf]
+
+    # the index read is partition-pruned, not a full scan
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ivf_topk_indexed(idx, q, cents, k=10, nprobe=2).explain("formatted")
+    assert "PartitionFilters: [_c" in buf.getvalue()

@@ -90,6 +90,12 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
     "stratified_doc_sample": [
         ("rank truncation compiles to WindowGroupLimit", r"WindowGroupLimit"),
     ],
+    "similarity_lsh_topk": [
+        ("stored sketch column read from the index (no recompute)",
+         r"ReadSchema: [^\n]*_sketch"),
+        ("no Python stage anywhere in the query", "!ArrowEvalPython"),
+        ("no row-at-a-time Python either", "!BatchEvalPython"),
+    ],
     "similarity_knn_join": [
         ("per-probe rank truncated via WindowGroupLimit", r"WindowGroupLimit"),
         ("right side broadcast (deliberate small-probe cross join)",
