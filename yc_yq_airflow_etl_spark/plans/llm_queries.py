@@ -519,6 +519,120 @@ SELECT id_a, id_b, cosine, rnk FROM ranked WHERE rnk <= 3 ORDER BY id_a, rnk
 # --- text analysis ------------------------------------------------------
 
 
+def text_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/boilerplate signal (the Gopher-style gate every
+    pretrain curation stack applies): per document, the fraction of
+    word-3-grams that are repeats of an earlier gram in the same doc
+    (1 − distinct/total). Entirely JVM-side higher-order functions —
+    a narrow per-row projection, zero shuffles at any scale."""
+    from ..functions.text import tokenize
+
+    t = load_testdata(spark, sf_dir)
+    words = tokenize("text")
+    n = F.size(words)
+    total = F.greatest(n - 2, F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+        lambda i: F.array_join(F.slice(words, i, 3), " "),
+    )
+    distinct = F.size(F.array_distinct(grams))
+    return t["documents"].select(
+        "doc_id",
+        total.alias("n_grams"),
+        F.when(total > 0, distinct).otherwise(F.lit(0)).alias("n_distinct"),
+        F.when(
+            total > 0,
+            F.round(F.lit(1.0) - distinct.cast("double") / total, 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rep_ratio"),
+    ).orderBy("doc_id")
+
+
+BOILERPLATE_ORACLE = r"""
+WITH d AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS wl
+    FROM documents
+), g AS (
+    SELECT doc_id,
+           greatest(len(wl) - 2, 0) AS total,
+           list_transform(generate_series(1, greatest(len(wl) - 2, 0)),
+                          i -> array_to_string(wl[i:i+2], ' ')) AS grams
+    FROM d
+)
+SELECT doc_id,
+       CAST(total AS INTEGER) AS n_grams,
+       CAST(CASE WHEN total > 0 THEN len(list_distinct(grams)) ELSE 0 END
+            AS INTEGER) AS n_distinct,
+       CASE WHEN total > 0
+            THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / total, 6)
+            ELSE 0.0 END AS rep_ratio
+FROM g ORDER BY doc_id
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic relevance/
+    distinctiveness score for corpus exploration. Distributed shape:
+    explode → (doc, term) partial-aggregated counts, document
+    frequency as a second small aggregate broadcast back, window
+    top-3. The vocabulary table is tiny next to the corpus, so the
+    idf join broadcasts at any scale."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokenize
+
+    t = load_testdata(spark, sf_dir)
+    d = t["documents"]
+    n_docs = d.count()  # one scalar job; embedded as a literal
+    terms = d.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "score",
+        F.round(
+            F.col("tf")
+            * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            6,
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+TFIDF_ORACLE = r"""
+WITH d AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS wl
+    FROM documents
+), n AS (
+    SELECT count(*) AS nd FROM documents
+), terms AS (
+    SELECT doc_id, unnest(wl) AS term FROM d
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+), dfreq AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+    SELECT doc_id, term, tf, df,
+           round(tf * (ln((nd + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+    FROM tf JOIN dfreq USING (term), n
+), ranked AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rnk
+    FROM scored
+)
+SELECT doc_id, term, tf, df, score, rnk FROM ranked
+WHERE rnk <= 3 ORDER BY doc_id, rnk
+"""
+
+
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality/statistics panel: token count, char count,
     punctuation count, mean word length, rolling fingerprint."""
@@ -900,6 +1014,8 @@ def register_all() -> None:
     register("similarity_ivf_topk", similarity_ivf_topk, SIMILARITY_IVF_ORACLE)
     register("similarity_knn_join", similarity_knn_join, SIMILARITY_KNN_JOIN_ORACLE)
     register("text_stats", text_stats, TEXT_STATS_ORACLE)
+    register("text_boilerplate_stats", text_boilerplate_stats, BOILERPLATE_ORACLE)
+    register("tfidf_top_terms", tfidf_top_terms, TFIDF_ORACLE)
     register("lang_id_eval", lang_id_eval, LANG_ID_ORACLE)
     register(
         "pretrain_quality_filter", pretrain_quality_filter, PRETRAIN_FILTER_ORACLE
