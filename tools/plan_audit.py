@@ -90,6 +90,17 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
     "stratified_doc_sample": [
         ("rank truncation compiles to WindowGroupLimit", r"WindowGroupLimit"),
     ],
+    "text_boilerplate_stats": [
+        ("narrow per-row projection: no hash shuffle anywhere",
+         "!Exchange hashpartitioning"),
+        ("no Python stage (pure higher-order functions)", "!ArrowEvalPython"),
+    ],
+    "tfidf_top_terms": [
+        ("term counts partially aggregated before the exchange",
+         r"partial_count"),
+        ("idf join broadcasts the small vocabulary", r"BroadcastHashJoin"),
+        ("top-3 compiles to WindowGroupLimit", r"WindowGroupLimit"),
+    ],
     "similarity_lsh_topk": [
         ("stored sketch column read from the index (no recompute)",
          r"ReadSchema: [^\n]*_sketch"),
