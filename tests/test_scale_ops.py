@@ -91,16 +91,18 @@ def test_approx_sketches_error_bounds(spark, testdata):
     from yc_yq_airflow_etl_spark.plans.analytics import (
         approx_distinct_customers,
         distinct_counts,
-        percentile_stats,
     )
     from tests.conftest import SF_DIR
 
-    approx = {r.o_orderstatus: r for r in approx_distinct_customers(spark, SF_DIR).collect()}
+    rows = {r.o_orderstatus: r for r in approx_distinct_customers(spark, SF_DIR).collect()}
     exact_d = {r.o_orderstatus: r.n_customers for r in distinct_counts(spark, SF_DIR).collect()}
-    exact_p = {r.o_orderstatus: r.p50 for r in percentile_stats(spark, SF_DIR).collect()}
-    for status, row in approx.items():
-        assert abs(row.approx_customers - exact_d[status]) <= 0.05 * exact_d[status]
-        assert abs(row.approx_p50 - exact_p[status]) <= 0.02 * exact_p[status]
+    for status, row in rows.items():
+        # the query emits the contract checks as data (exact value +
+        # within-bounds booleans); both must hold, and its exact
+        # distinct must agree with the independent distinct_counts query
+        assert row.exact_customers == exact_d[status]
+        assert row.hll_within_2pct is True
+        assert row.p50_within_rank_eps is True
 
 
 def test_sketch_store_survives_source_retirement(spark, tmp_path):
