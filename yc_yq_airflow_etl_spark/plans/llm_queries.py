@@ -350,6 +350,9 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 10
 )
 
 
+_ANN_CENTROID_CACHE: dict[str, list[list[int]]] = {}
+
+
 def _ensure_ann_index(spark: SparkSession, sf_dir: str):
     """Build (once per dataset) and read back the materialized ANN
     index over ``embeddings``: integer micro-unit k-means on a
@@ -370,9 +373,13 @@ def _ensure_ann_index(spark: SparkSession, sf_dir: str):
 
     t = load_testdata(spark, sf_dir)
     emb = t["embeddings"]
-    sample = emb.filter(md5_bucket(F.col("vec_id"), 4) == 0)
-    cents = train_ivf_centroids(sample, k_clusters=8, iters=2)
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    key = os.path.abspath(sf_dir)
+    cents = _ANN_CENTROID_CACHE.get(key)
+    if cents is None:
+        sample = emb.filter(md5_bucket(F.col("vec_id"), 4) == 0)
+        cents = train_ivf_centroids(sample, k_clusters=8, iters=2)
+        _ANN_CENTROID_CACHE[key] = cents
+    tag = hashlib.md5(key.encode()).hexdigest()[:12]
     idx = os.path.join(tempfile.gettempdir(), f"ann_index_{tag}")
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):
         write_ann_index(emb, idx, cents)
