@@ -230,6 +230,28 @@ def test_streaming_exact_dedup_with_watermark(spark, tmp_path):
     assert ids == [1, 2, 3]  # the redelivered event_id=1 was dropped
 
 
+def _stage_ordered(df, ts_col, id_col, path, n_files=3):
+    """Stage a DataFrame as a TIME-ORDERED log (n sequential ts-ntile
+    files, oldest first with distinct mod-times). Randomly-split files
+    would each span the whole time range, so the watermark would jump
+    to near-global-max after batch 0 and drop everything later as late
+    data; time-ordered arrival (what a Kafka partition provides) keeps
+    the watermark monotone and a full delay behind — covering the join
+    window deterministically."""
+    import time
+
+    from pyspark.sql import Window
+
+    part = df.withColumn(
+        "_q", F.ntile(n_files).over(Window.orderBy(ts_col, id_col))
+    )
+    for i in range(1, n_files + 1):
+        part.filter(F.col("_q") == i).drop("_q").coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        time.sleep(0.05)
+
+
 def test_stream_stream_interval_join(spark, testdata, tmp_path):
     """Stream-stream inner join with a time-range condition
     (streaming/joins.py): two watermarked file streams, append mode.
@@ -246,30 +268,9 @@ def test_stream_stream_interval_join(spark, testdata, tmp_path):
     }
     assert expected  # fixture must produce at least one attributed pair
 
-    # Stage each side as a TIME-ORDERED log (3 sequential ts-tercile
-    # files, oldest first with distinct mod-times). Randomly-split
-    # files would each span the whole time range, so the watermark
-    # would jump to near-global-max after batch 0 and drop everything
-    # later as late data; time-ordered arrival (what a Kafka partition
-    # provides) keeps the watermark monotone and 1h behind, which
-    # covers the 30min join window deterministically.
-    import time
-
-    from pyspark.sql import Window
-
-    def stage_ordered(df, ts_col, id_col, path):
-        part = df.withColumn(
-            "_q", F.ntile(3).over(Window.orderBy(ts_col, id_col))
-        )
-        for i in range(1, 4):
-            part.filter(F.col("_q") == i).drop("_q").coalesce(1).write.mode(
-                "append"
-            ).parquet(path)
-            time.sleep(0.05)
-
     cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
-    stage_ordered(clicks_b, "click_ts", "click_id", cdir)
-    stage_ordered(purchases_b, "purchase_ts", "purchase_id", pdir)
+    _stage_ordered(clicks_b, "click_ts", "click_id", cdir)
+    _stage_ordered(purchases_b, "purchase_ts", "purchase_id", pdir)
     cs = (
         spark.readStream.schema(clicks_b.schema)
         .option("maxFilesPerTrigger", 1)
@@ -351,3 +352,74 @@ def test_spend_alerts_state_across_microbatches(spark, tmp_path):
         (3, 75_000),
     ]
     assert {r.user_id for r in rows} == {7}
+
+
+def test_stream_stream_left_outer_join(spark, testdata, tmp_path):
+    """LEFT OUTER stream-stream join under live micro-batches:
+    unmatched clicks emit with NULL purchase columns only via
+    watermark STATE EVICTION — a batch after their join window
+    provably closed. Two far-future flush files per side drive the
+    watermark past all real data (the second flush triggers the batch
+    that applies the watermark the first one advanced); the surviving
+    rows must equal the batch run of the same plan function."""
+    import time
+
+    from yc_yq_airflow_etl_spark.streaming.joins import (
+        click_purchase_left_join,
+        split_clicks_purchases,
+    )
+
+    clicks_b, purchases_b = split_clicks_purchases(testdata["events"])
+    expected = {
+        tuple(r) for r in click_purchase_left_join(clicks_b, purchases_b).collect()
+    }
+    assert any(r[3] is None for r in expected)  # fixture has orphan clicks
+    assert any(r[3] is not None for r in expected)  # and attributed ones
+
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    _stage_ordered(clicks_b, "click_ts", "click_id", cdir)
+    _stage_ordered(purchases_b, "purchase_ts", "purchase_id", pdir)
+
+    max_ts = max(
+        clicks_b.agg(F.max("click_ts")).first()[0],
+        purchases_b.agg(F.max("purchase_ts")).first()[0],
+    )
+    from datetime import timedelta
+
+    for days in (1, 2):  # two flush rounds: advance, then apply
+        flush_ts = max_ts + timedelta(days=days)
+        spark.createDataFrame(
+            [(-1, flush_ts, -days)], clicks_b.schema
+        ).coalesce(1).write.mode("append").parquet(cdir)
+        spark.createDataFrame(
+            [(-2, flush_ts, -days, 0.0)], purchases_b.schema
+        ).coalesce(1).write.mode("append").parquet(pdir)
+        time.sleep(0.05)
+
+    cs = (
+        spark.readStream.schema(clicks_b.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cdir)
+        .withWatermark("click_ts", "1 hour")
+    )
+    ps = (
+        spark.readStream.schema(purchases_b.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pdir)
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    q = (
+        click_purchase_left_join(cs, ps)
+        .writeStream.format("memory")
+        .queryName("ss_left_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    got_all = [tuple(r) for r in spark.sql("SELECT * FROM ss_left_join").collect()]
+    got = {r for r in got_all if r[0] >= 0}  # drop flush rows
+    assert got == expected

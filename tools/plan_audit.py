@@ -90,6 +90,10 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
     "stratified_doc_sample": [
         ("rank truncation compiles to WindowGroupLimit", r"WindowGroupLimit"),
     ],
+    "salted_event_counts": [
+        ("phase-1 partial aggregation over (key, salt)", r"partial_count"),
+        ("phase-2 merge partially aggregated too", r"partial_sum"),
+    ],
     "text_boilerplate_stats": [
         ("narrow per-row projection: no hash shuffle anywhere",
          "!Exchange hashpartitioning"),

@@ -147,6 +147,26 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe two-phase aggregation (operators/skew.salted_count):
+    per-type event counts where phase 1 spreads each key over 16 salt
+    shards before any exchange — the explicit-salting shape for keys
+    too hot even for AQE. The contract is exact equivalence with the
+    plain groupBy count, which IS the DuckDB oracle."""
+    from ..operators.skew import salted_count
+
+    t = load_testdata(spark, sf_dir)
+    return salted_count(t["events"], ["event_type"], salt_buckets=16).orderBy(
+        "event_type"
+    )
+
+
+SALTED_COUNTS_ORACLE = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP(year, status): hierarchical totals with NULL-filled
     grouping levels normalized to 'ALL' sentinels."""
@@ -835,6 +855,7 @@ def register_all() -> None:
     register(
         "approx_distinct_customers", approx_distinct_customers, APPROX_DISTINCT_ORACLE
     )
+    register("salted_event_counts", salted_event_counts, SALTED_COUNTS_ORACLE)
     register("rollup_orders", rollup_orders, ROLLUP_ORACLE)
     register("cube_orders", cube_orders, CUBE_ORACLE)
     register("region_revenue", region_revenue, REGION_REVENUE_ORACLE)

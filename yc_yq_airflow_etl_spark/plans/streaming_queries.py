@@ -112,6 +112,34 @@ GROUP BY 1 ORDER BY user_id
 """
 
 
+def stream_click_purchase_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the LEFT OUTER stream-stream join
+    (streaming/joins.click_purchase_left_join): per-user join rows and
+    attributed count — orphan clicks included. The live variant (null
+    emission on watermark state eviction, a batch AFTER the window
+    closes) runs in tests/test_streaming.py::test_stream_stream_left_outer_join."""
+    from ..streaming.joins import attributed_and_orphan_clicks
+
+    t = load_testdata(spark, sf_dir)
+    return attributed_and_orphan_clicks(t["events"]).orderBy("user_id")
+
+
+CLICK_PURCHASE_LEFT_ORACLE = """
+WITH c AS (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+), p AS (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id AS user_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(p.event_id) AS BIGINT) AS n_attributed
+FROM c LEFT JOIN p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL '30 minutes'
+GROUP BY 1 ORDER BY user_id
+"""
+
+
 def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style hierarchical time rollup: hourly AND daily
     aggregates of the events stream in ONE scan + ONE shuffle via
@@ -244,6 +272,11 @@ def register_all() -> None:
         "stream_click_purchase_join",
         stream_click_purchase_join,
         CLICK_PURCHASE_ORACLE,
+    )
+    register(
+        "stream_click_purchase_left",
+        stream_click_purchase_left,
+        CLICK_PURCHASE_LEFT_ORACLE,
     )
     register("stateful_spend_alerts", stateful_spend_alerts, SPEND_ALERTS_ORACLE)
     register("events_time_rollup", events_time_rollup, EVENTS_ROLLUP_ORACLE)

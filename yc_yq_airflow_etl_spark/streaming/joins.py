@@ -88,3 +88,50 @@ def attributed_purchases_per_user(
         .cast("double")
         .alias("sum_value"),
     )
+
+
+def click_purchase_left_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "30 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every click, attributed or not.
+
+    Semantically distinct from the inner join in streaming execution:
+    an unmatched click emits (with NULL purchase columns) only once
+    the watermark proves no future purchase can land in its window —
+    i.e. on STATE EVICTION, a batch after the matching window closes.
+    The time bound is therefore doubly required here: it bounds both
+    state size and result latency. Batch mode is an ordinary left
+    join; tests/test_streaming.py drives the live eviction behavior
+    and asserts it equals this plan's batch run."""
+    cond = (
+        (clicks["user_id"] == purchases["p_user_id"])
+        & (purchases["purchase_ts"] >= clicks["click_ts"])
+        & (
+            purchases["purchase_ts"]
+            < clicks["click_ts"] + F.expr(f"interval {within}")
+        )
+    )
+    return clicks.join(purchases, cond, "left_outer").select(
+        "user_id",
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
+def attributed_and_orphan_clicks(
+    events: DataFrame, within: str = "30 minutes"
+) -> DataFrame:
+    """Batch rollup of the left-outer join: per-user total join rows
+    and attributed count — the oracle-checkable face (orphan clicks =
+    n_rows with NULL purchase)."""
+    clicks, purchases = split_clicks_purchases(events)
+    j = click_purchase_left_join(clicks, purchases, within)
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("purchase_id").alias("n_attributed"),
+    )
