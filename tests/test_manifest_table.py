@@ -1,0 +1,82 @@
+"""Snapshot-manifest commit protocol (sources/manifest.py): the
+S3-safe answer to directory-swap commits — readers resolve a file
+list, commits advance a single pointer, old snapshots stay complete
+until vacuumed."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from yc_yq_airflow_etl_spark.sources.manifest import ManifestTable
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return ManifestTable(str(tmp_path / "mt"))
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+
+
+def test_overwrite_and_read(spark, table):
+    v = table.overwrite(_df(spark, 0, 100))
+    assert v == 0
+    got = table.read(spark)
+    assert got.count() == 100
+    assert got.agg(F.sum("v")).first()[0] == sum(2 * i for i in range(100))
+
+
+def test_append_accumulates_and_time_travel(spark, table):
+    table.overwrite(_df(spark, 0, 100))
+    v1 = table.append(_df(spark, 100, 150))
+    assert v1 == 1
+    assert table.read(spark).count() == 150
+    # time travel: the previous snapshot is still a complete table
+    assert table.read(spark, version=0).count() == 100
+
+
+def test_compact_preserves_rows_and_snapshot_isolation(spark, table):
+    table.overwrite(_df(spark, 0, 50))
+    for lo in range(50, 250, 50):
+        table.append(_df(spark, lo, lo + 50))
+    pre_version = table.current_version()
+    pre_files = len(table._manifest(pre_version)["files"])
+    assert pre_files >= 5  # append built up small files
+
+    v = table.compact(spark, target_files=1)
+    assert len(table._manifest(v)["files"]) == 1
+    assert table.read(spark).count() == 250
+    # a reader pinned to the pre-compaction snapshot still sees a
+    # complete table: compaction rewrote, it did NOT delete
+    assert table.read(spark, version=pre_version).count() == 250
+
+
+def test_vacuum_retires_old_snapshots_only(spark, table):
+    table.overwrite(_df(spark, 0, 100))
+    table.compact(spark, target_files=1)
+    # orphan from a failed writer: never referenced by any manifest
+    orphan = os.path.join(table._data_dir, "deadbeef.parquet")
+    open(orphan, "wb").close()
+
+    deleted = table.vacuum(keep_versions=1)
+    assert "deadbeef.parquet" in deleted
+    assert table.read(spark).count() == 100  # live snapshot intact
+    with pytest.raises(FileNotFoundError):
+        table._manifest(0)  # retired manifest is gone
+
+
+def test_failed_write_leaves_table_untouched(spark, table):
+    table.overwrite(_df(spark, 0, 10))
+    # simulate a writer dying between writing files and publishing:
+    # files landed in data/ but no manifest references them
+    files, _ = table._write_files(_df(spark, 1000, 2000))
+    assert table.read(spark).count() == 10  # readers unaffected
+    deleted = table.vacuum(keep_versions=1)
+    assert set(files) <= set(deleted)  # garbage collected
+    assert table.read(spark).count() == 10

@@ -423,3 +423,56 @@ def test_stream_stream_left_outer_join(spark, testdata, tmp_path):
     got_all = [tuple(r) for r in spark.sql("SELECT * FROM ss_left_join").collect()]
     got = {r for r in got_all if r[0] >= 0}  # drop flush rows
     assert got == expected
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: re-deliveries of a key are
+    dropped even when their event-times differ (plain dropDuplicates
+    on (id) holds state forever; on (id, ts) it would pass them), and
+    the suppression state EXPIRES once the watermark moves past the
+    delay — a later re-delivery of the same key emits again. This is
+    the at-least-once-source dedup contract with bounded state."""
+    import time as _time
+    from datetime import datetime, timedelta
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write_rows(rows):
+        spark.createDataFrame(rows, EVENTS).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(0.05)
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    # batch 1: key 1 plus a re-delivery 1 minute later (different ts!)
+    write_rows(
+        [(1, t0, 1, "click", 1.0, None),
+         (1, t0 + timedelta(minutes=1), 1, "click", 1.0, None)]
+    )
+
+    stream = read_file_stream(spark, src, EVENTS, max_files_per_trigger=1)
+    deduped = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_wm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    assert [r.event_id for r in spark.sql("SELECT * FROM dedup_wm").collect()] == [1]
+
+    # batch 2: jump event time 2h ahead → watermark passes the key's
+    # expiry; batch 3: the SAME key re-delivered after expiry emits
+    write_rows([(2, t0 + timedelta(hours=2), 1, "view", 2.0, None)])
+    q.processAllAvailable()
+    write_rows([(1, t0 + timedelta(hours=2, minutes=1), 1, "click", 1.0, None)])
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    ids = sorted(r.event_id for r in spark.sql("SELECT * FROM dedup_wm").collect())
+    assert ids == [1, 1, 2]  # suppressed within delay, re-emitted after expiry
