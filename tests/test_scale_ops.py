@@ -148,3 +148,32 @@ def test_sketch_store_survives_source_retirement(spark, tmp_path):
     store.add(build_sketches(extra, ["payment_year"], "accdt"))
     updated = store.estimate(spark).first()
     assert updated.distinct_estimate > merged.distinct_estimate
+
+
+def test_histogram_store_merge_and_error_bound(spark, testdata):
+    """Mergeable histogram store: merging per-year histograms equals
+    the direct global histogram (losslessness of the merge), and each
+    quantile estimate is within one bin width of the exact quantile."""
+    from yc_yq_airflow_etl_spark.operators.sketches import (
+        build_histogram,
+        histogram_quantiles,
+        merge_histograms,
+    )
+
+    lo, hi, bins = 0.0, 600000.0, 256
+    o = testdata["orders"].withColumn("yr", F.year("o_orderdate"))
+    per_year = build_histogram(o, "o_totalprice", lo, hi, bins, group_cols=["yr"])
+    merged = merge_histograms(per_year)
+    direct = build_histogram(o, "o_totalprice", lo, hi, bins)
+    assert {(r.bin, r.cnt) for r in merged.collect()} == {
+        (r.bin, r.cnt) for r in direct.collect()
+    }
+
+    width = (hi - lo) / bins
+    ests = {
+        r.q: r.estimate
+        for r in histogram_quantiles(merged, [0.5, 0.9], lo, hi, bins).collect()
+    }
+    for q in (0.5, 0.9):
+        exact = o.agg(F.expr(f"percentile(o_totalprice, {q})")).first()[0]
+        assert abs(ests[q] - exact) <= width

@@ -72,3 +72,78 @@ class SketchStore:
         self, spark: SparkSession, by: Sequence[str] = ()
     ) -> DataFrame:
         return merge_estimate(self.read(spark), by)
+
+
+# --- mergeable quantile store (equi-width histograms) -------------------
+#
+# Same retirement problem as the HLL store, for QUANTILES: once the
+# raw partitions are dropped, "p95 payment amount across all years"
+# would need the full lake. An equi-width histogram is the trivially
+# mergeable quantile sketch — bin counts are plain BIGINTs, merging is
+# a sum per bin, and every step is exact integer arithmetic, so a SQL
+# oracle replays it bit-for-bit (unlike KLL/GK sketch internals).
+# Error bound: a quantile estimate is off by at most one bin width.
+
+
+def build_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group equi-width histogram of ``value_col`` over the fixed
+    domain [lo, hi): one row per (group, bin) with an exact count.
+    Values outside the domain clamp into the edge bins (so totals are
+    preserved and the merge stays lossless). Fixed domain is the price
+    of mergeability — pick it from the column's business range."""
+    x = F.col(value_col).cast("double")
+    raw = F.floor((x - F.lit(lo)) / F.lit(hi - lo) * bins).cast("int")
+    bin_ = F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw))
+    return (
+        df.groupBy(*group_cols, bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_histograms(hist: DataFrame, by: Sequence[str] = ()) -> DataFrame:
+    """Merge persisted histogram rows (optionally per ``by`` group):
+    sum counts per bin — the whole merge operator."""
+    return hist.groupBy(*by, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    qs: Sequence[float],
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """Quantile estimates from a merged histogram: for each q, the
+    LEFT EDGE of the first bin whose cumulative count reaches
+    ceil(q · N). Deterministic closed form over exact integers (the
+    only float is the final edge arithmetic), so the DuckDB twin
+    reproduces it exactly; estimate error ≤ one bin width."""
+    import math
+
+    from pyspark.sql import Window
+
+    total = hist.agg(F.sum("cnt")).first()[0] or 0
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("bin", "cnt").withColumn("cum", F.sum("cnt").over(w))
+    width = (hi - lo) / bins
+    out = None
+    for q in qs:
+        target = math.ceil(total * q)
+        row = (
+            cum.filter(F.col("cum") >= F.lit(int(target)))
+            .orderBy("bin")
+            .limit(1)
+            .select(
+                F.lit(float(q)).alias("q"),
+                (F.lit(lo) + F.col("bin") * F.lit(width)).alias("estimate"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

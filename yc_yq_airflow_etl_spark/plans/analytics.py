@@ -167,6 +167,48 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def histogram_quantile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile store (operators/sketches.build_histogram):
+    per-year equi-width histograms of order totals merged into global
+    p50/p90/p99 estimates — the percentile analogue of the HLL sketch
+    store, answering quantile questions after the raw partitions are
+    retired. Every step is exact integer bin counts (estimate error ≤
+    one bin width), so the DuckDB twin replays it exactly."""
+    from ..operators.sketches import (
+        build_histogram,
+        histogram_quantiles,
+        merge_histograms,
+    )
+
+    t = load_testdata(spark, sf_dir)
+    o = t["orders"].withColumn("yr", F.year("o_orderdate"))
+    per_year = build_histogram(
+        o, "o_totalprice", 0.0, 600000.0, 256, group_cols=["yr"]
+    )
+    merged = merge_histograms(per_year)
+    return histogram_quantiles(
+        merged, [0.5, 0.9, 0.99], 0.0, 600000.0, 256
+    ).orderBy("q")
+
+
+HISTOGRAM_QUANTILES_ORACLE = """
+WITH h AS (
+    SELECT least(255, greatest(0,
+               CAST(floor((o_totalprice - 0.0) / 600000.0 * 256) AS INT))) AS bin,
+           count(*) AS cnt
+    FROM orders GROUP BY 1
+), c AS (
+    SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM h
+), n AS (
+    SELECT count(*) AS total FROM orders
+)
+SELECT CAST(qs.q AS DOUBLE) AS q,
+       0.0 + (SELECT min(bin) FROM c, n WHERE cum >= ceil(n.total * qs.q))
+           * (600000.0 / 256) AS estimate
+FROM (VALUES (0.5), (0.9), (0.99)) qs(q) ORDER BY q
+"""
+
+
 def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP(year, status): hierarchical totals with NULL-filled
     grouping levels normalized to 'ALL' sentinels."""
@@ -856,6 +898,10 @@ def register_all() -> None:
         "approx_distinct_customers", approx_distinct_customers, APPROX_DISTINCT_ORACLE
     )
     register("salted_event_counts", salted_event_counts, SALTED_COUNTS_ORACLE)
+    register(
+        "histogram_quantile_store", histogram_quantile_store,
+        HISTOGRAM_QUANTILES_ORACLE,
+    )
     register("rollup_orders", rollup_orders, ROLLUP_ORACLE)
     register("cube_orders", cube_orders, CUBE_ORACLE)
     register("region_revenue", region_revenue, REGION_REVENUE_ORACLE)
