@@ -1,7 +1,8 @@
 """Snapshot-manifest commit protocol (sources/manifest.py): the
 S3-safe answer to directory-swap commits — readers resolve a file
-list, commits advance a single pointer, old snapshots stay complete
-until vacuumed."""
+list, the manifest file IS the commit record, old snapshots stay
+complete until vacuumed. All I/O via the Hadoop FS API (file:// here,
+same code for hdfs:// / s3a://)."""
 
 from __future__ import annotations
 
@@ -45,12 +46,11 @@ def test_compact_preserves_rows_and_snapshot_isolation(spark, table):
     table.overwrite(_df(spark, 0, 50))
     for lo in range(50, 250, 50):
         table.append(_df(spark, lo, lo + 50))
-    pre_version = table.current_version()
-    pre_files = len(table._manifest(pre_version)["files"])
-    assert pre_files >= 5  # append built up small files
+    pre_version = table.current_version(spark)
+    assert len(table._manifest(spark, pre_version)["files"]) >= 5  # small files
 
     v = table.compact(spark, target_files=1)
-    assert len(table._manifest(v)["files"]) == 1
+    assert len(table._manifest(spark, v)["files"]) == 1
     assert table.read(spark).count() == 250
     # a reader pinned to the pre-compaction snapshot still sees a
     # complete table: compaction rewrote, it did NOT delete
@@ -61,14 +61,14 @@ def test_vacuum_retires_old_snapshots_only(spark, table):
     table.overwrite(_df(spark, 0, 100))
     table.compact(spark, target_files=1)
     # orphan from a failed writer: never referenced by any manifest
-    orphan = os.path.join(table._data_dir, "deadbeef.parquet")
+    orphan = os.path.join(table.path, "data", "deadbeef.parquet")
     open(orphan, "wb").close()
 
-    deleted = table.vacuum(keep_versions=1)
+    deleted = table.vacuum(spark, keep_versions=1)
     assert "deadbeef.parquet" in deleted
     assert table.read(spark).count() == 100  # live snapshot intact
-    with pytest.raises(FileNotFoundError):
-        table._manifest(0)  # retired manifest is gone
+    with pytest.raises(Exception):
+        table._manifest(spark, 0)  # retired manifest is gone
 
 
 def test_failed_write_leaves_table_untouched(spark, table):
@@ -77,6 +77,6 @@ def test_failed_write_leaves_table_untouched(spark, table):
     # files landed in data/ but no manifest references them
     files, _ = table._write_files(_df(spark, 1000, 2000))
     assert table.read(spark).count() == 10  # readers unaffected
-    deleted = table.vacuum(keep_versions=1)
+    deleted = table.vacuum(spark, keep_versions=1)
     assert set(files) <= set(deleted)  # garbage collected
     assert table.read(spark).count() == 10

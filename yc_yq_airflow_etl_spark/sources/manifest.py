@@ -9,27 +9,32 @@ commit instead of the directory:
 
 - data files are immutable and write-once, under unique names;
 - a manifest (one small JSON) lists the files of a snapshot;
-- a commit writes new data files, writes manifest v(N+1), then
-  atomically advances a single pointer; readers resolve the pointer
-  and read exactly that manifest's files, never a directory listing.
+- the COMMIT POINT is the appearance of manifest v(N+1): it is
+  created under a temp name and renamed into place. Rename-to-a-
+  fresh-name is atomic on HDFS/local-fs; readers resolve the highest
+  complete manifest and read exactly its files, never a directory
+  listing of data/.
 
 Every mutation — overwrite, append, compaction — reduces to "write
-files, publish manifest, advance pointer", so concurrent readers
-always see a complete snapshot (old or new, never a mix), failed
-writers leave only unreferenced garbage for vacuum, and time travel is
-free (old manifests still resolve).
+files, publish manifest", so concurrent readers always see a complete
+snapshot (old or new, never a mix), failed writers leave only
+unreferenced garbage for vacuum, and time travel is free (old
+manifests still resolve).
 
-On HDFS/local-fs the pointer advance below (write temp + rename) is
-atomic. On S3 the same advance is a conditional PUT (If-Match) or a
-DynamoDB-style lock — single-object commit either way; the layout and
-reader protocol need no change. Single-writer is assumed, as in the
-reference's `max_active_runs=1` schedule (yq_dag.py:105).
+All I/O goes through the Hadoop FileSystem API resolved from the
+table path (same pattern as LakeTable.compact_partitions), so the
+same code runs over file://, hdfs:// or s3a://. On S3 the publish
+rename is copy+delete of ONE tiny object — the race window the
+directory swap has for the whole table shrinks to a single metadata
+file, and production deployments close even that with a conditional
+PUT (If-None-Match) on the manifest name; layout and reader protocol
+need no change. Single-writer is assumed, as in the reference's
+``max_active_runs=1`` schedule (yq_dag.py:105).
 
 Layout::
 
     <path>/data/<uuid>.parquet      immutable data files
     <path>/_manifests/v{N}.json     {"files": [...], "rows": R, ...}
-    <path>/_latest                  text file holding N
 
 Reference: the reference pipeline's idempotency contract
 (yq_dag.py:16-19 delete-prefix-then-insert) is subsumed — re-running a
@@ -40,105 +45,143 @@ files of the failed attempt are vacuumed, never read.
 from __future__ import annotations
 
 import json
-import os
+import re
 import time
 import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+_MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
+
 
 @dataclass(frozen=True)
 class ManifestTable:
     path: str
 
-    # -- internal layout helpers ----------------------------------------
+    # -- filesystem plumbing (Hadoop FS API — file://, hdfs://, s3a://) --
 
-    @property
-    def _data_dir(self) -> str:
-        return os.path.join(self.path, "data")
+    def _fs(self, spark: SparkSession):
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return jvm, fs
 
-    @property
-    def _manifest_dir(self) -> str:
-        return os.path.join(self.path, "_manifests")
+    def _jp(self, jvm, *parts: str):
+        return jvm.org.apache.hadoop.fs.Path("/".join((self.path,) + parts))
 
-    @property
-    def _pointer(self) -> str:
-        return os.path.join(self.path, "_latest")
-
-    def current_version(self) -> int | None:
+    def _read_text(self, spark: SparkSession, *parts: str) -> str:
+        jvm, fs = self._fs(spark)
+        stream = fs.open(self._jp(jvm, *parts))
         try:
-            with open(self._pointer) as fh:
-                return int(fh.read().strip())
-        except FileNotFoundError:
-            return None
+            return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
 
-    def _manifest(self, version: int) -> dict:
-        with open(os.path.join(self._manifest_dir, f"v{version}.json")) as fh:
-            return json.load(fh)
+    def _write_text_atomic(
+        self, spark: SparkSession, content: str, *parts: str
+    ) -> bool:
+        """Write under a temp name, rename to the final (fresh) name.
+        Returns False if the destination appeared concurrently — the
+        loser of a publish race must retry with the next version."""
+        jvm, fs = self._fs(spark)
+        tmp = self._jp(jvm, parts[0], f"_tmp_{uuid.uuid4().hex}")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(content.encode("utf-8")))
+        finally:
+            out.close()
+        dest = self._jp(jvm, *parts)
+        if not fs.rename(tmp, dest):
+            fs.delete(tmp, False)
+            return False
+        return True
+
+    def _list_names(self, spark: SparkSession, subdir: str) -> list[str]:
+        jvm, fs = self._fs(spark)
+        d = self._jp(jvm, subdir)
+        if not fs.exists(d):
+            return []
+        return [st.getPath().getName() for st in fs.listStatus(d)]
+
+    # -- snapshot resolution ---------------------------------------------
+
+    def current_version(self, spark: SparkSession) -> int | None:
+        """Highest published manifest version — the manifest FILE is
+        the commit record; no separate pointer object to keep
+        consistent with it."""
+        versions = [
+            int(m.group(1))
+            for n in self._list_names(spark, "_manifests")
+            if (m := _MANIFEST_RE.match(n))
+        ]
+        return max(versions) if versions else None
+
+    def _manifest(self, spark: SparkSession, version: int) -> dict:
+        return json.loads(self._read_text(spark, "_manifests", f"v{version}.json"))
 
     # -- write path ------------------------------------------------------
 
-    def _write_files(self, df: DataFrame) -> tuple[list[str], int]:
+    def _write_files(self, df: DataFrame) -> tuple[list[str], SparkSession]:
         """Land df as immutable uniquely-named parquet files under
-        data/ and return (relative file names, row count). Uses a
-        staging dir for the Spark job output, then gives each part
-        file a content-unique name — renaming UNPUBLISHED files is
-        safe on any store because no manifest references them yet."""
-        os.makedirs(self._data_dir, exist_ok=True)
-        staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(staging)
+        data/ and return their names. The Spark job writes to a
+        staging dir; each part file is renamed to a unique name under
+        data/ — renaming UNPUBLISHED files is safe on any store
+        because no manifest references them yet."""
+        spark = df.sparkSession
+        jvm, fs = self._fs(spark)
+        staging_name = f"_staging_{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(f"{self.path}/{staging_name}")
         names: list[str] = []
-        for f in sorted(os.listdir(staging)):
-            if f.endswith(".parquet"):
+        for fname in sorted(self._list_names(spark, staging_name)):
+            if fname.endswith(".parquet"):
                 name = f"{uuid.uuid4().hex}.parquet"
-                os.rename(
-                    os.path.join(staging, f), os.path.join(self._data_dir, name)
-                )
+                if not fs.rename(
+                    self._jp(jvm, staging_name, fname), self._jp(jvm, "data", name)
+                ):
+                    # first data file ever: parent may not exist yet
+                    fs.mkdirs(self._jp(jvm, "data"))
+                    if not fs.rename(
+                        self._jp(jvm, staging_name, fname),
+                        self._jp(jvm, "data", name),
+                    ):
+                        raise RuntimeError(f"staging rename failed for {fname}")
                 names.append(name)
-        # drop job-control files (_SUCCESS etc.) with the staging dir
-        for f in os.listdir(staging):
-            os.remove(os.path.join(staging, f))
-        os.rmdir(staging)
-        return names, 0
+        fs.delete(self._jp(jvm, staging_name), True)
+        return names, spark
 
-    def _publish(self, files: list[str], rows: int, op: str) -> int:
-        os.makedirs(self._manifest_dir, exist_ok=True)
-        prev = self.current_version()
-        version = 0 if prev is None else prev + 1
-        manifest = {
-            "version": version,
-            "files": files,
-            "rows": rows,
-            "op": op,
-            "committed_at": time.time(),
-        }
-        mpath = os.path.join(self._manifest_dir, f"v{version}.json")
-        with open(mpath, "w") as fh:
-            json.dump(manifest, fh)
-        # atomic pointer advance: temp write + rename (HDFS/local).
-        # On S3: conditional PUT of _latest with If-Match on the old
-        # version — same single-object commit point.
-        tmp = self._pointer + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as fh:
-            fh.write(str(version))
-        os.replace(tmp, self._pointer)
-        return version
+    def _publish(
+        self, spark: SparkSession, files: list[str], rows: int, op: str
+    ) -> int:
+        while True:
+            prev = self.current_version(spark)
+            version = 0 if prev is None else prev + 1
+            manifest = {
+                "version": version,
+                "files": files,
+                "rows": rows,
+                "op": op,
+                "committed_at": time.time(),
+            }
+            if self._write_text_atomic(
+                spark, json.dumps(manifest), "_manifests", f"v{version}.json"
+            ):
+                return version
+            # publish race lost: re-resolve and try the next version
 
     def overwrite(self, df: DataFrame) -> int:
         """Commit df as a full-replacement snapshot."""
-        files, _ = self._write_files(df)
-        rows = self._count_files(df.sparkSession, files)
-        return self._publish(files, rows, "overwrite")
+        files, spark = self._write_files(df)
+        return self._publish(spark, files, self._count(spark, files), "overwrite")
 
     def append(self, df: DataFrame) -> int:
         """Commit df's rows on top of the current snapshot: new files
         plus the previous snapshot's files — no rewrite of old data."""
-        files, _ = self._write_files(df)
-        prev = self.current_version()
-        old = self._manifest(prev)["files"] if prev is not None else []
-        rows = self._count_files(df.sparkSession, old + files)
-        return self._publish(old + files, rows, "append")
+        files, spark = self._write_files(df)
+        prev = self.current_version(spark)
+        old = self._manifest(spark, prev)["files"] if prev is not None else []
+        allf = old + files
+        return self._publish(spark, allf, self._count(spark, allf), "append")
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """Rewrite the current snapshot into ``target_files`` files and
@@ -148,8 +191,7 @@ class ManifestTable:
         LakeTable.compact_partitions' directory swap."""
         df = self.read(spark).coalesce(target_files)
         files, _ = self._write_files(df)
-        rows = self._count_files(spark, files)
-        return self._publish(files, rows, "compact")
+        return self._publish(spark, files, self._count(spark, files), "compact")
 
     # -- read path -------------------------------------------------------
 
@@ -157,44 +199,43 @@ class ManifestTable:
         """The snapshot's DataFrame: reads exactly the manifest's file
         list (time travel via ``version``) — never a directory
         listing, so concurrent commits cannot tear it."""
-        v = self.current_version() if version is None else version
+        v = self.current_version(spark) if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed snapshot at {self.path}")
-        files = [
-            os.path.join(self._data_dir, f) for f in self._manifest(v)["files"]
-        ]
-        return spark.read.parquet(*files)
+        files = self._manifest(spark, v)["files"]
+        return spark.read.parquet(*[f"{self.path}/data/{f}" for f in files])
 
-    def _count_files(self, spark: SparkSession, files: list[str]) -> int:
+    def _count(self, spark: SparkSession, files: list[str]) -> int:
         if not files:
             return 0
         return spark.read.parquet(
-            *[os.path.join(self._data_dir, f) for f in files]
+            *[f"{self.path}/data/{f}" for f in files]
         ).count()
 
     # -- maintenance -----------------------------------------------------
 
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    def vacuum(self, spark: SparkSession, keep_versions: int = 1) -> list[str]:
         """Delete data files referenced ONLY by manifests older than
         the newest ``keep_versions`` snapshots (plus stray uncommitted
         files), and drop the retired manifests. Returns deleted file
         names. With keep_versions=1 only the live snapshot survives —
         run after readers of old snapshots have drained (retention
         windows in production)."""
-        latest = self.current_version()
+        latest = self.current_version(spark)
         if latest is None:
             return []
+        jvm, fs = self._fs(spark)
         keep_from = max(0, latest - keep_versions + 1)
         live: set[str] = set()
         for v in range(keep_from, latest + 1):
-            live.update(self._manifest(v)["files"])
+            live.update(self._manifest(spark, v)["files"])
         deleted = []
-        for f in os.listdir(self._data_dir):
+        for f in self._list_names(spark, "data"):
             if f not in live:
-                os.remove(os.path.join(self._data_dir, f))
+                fs.delete(self._jp(jvm, "data", f), False)
                 deleted.append(f)
-        for mf in os.listdir(self._manifest_dir):
-            v = int(mf[1:-5])  # v{N}.json
-            if v < keep_from:
-                os.remove(os.path.join(self._manifest_dir, mf))
+        for mf in self._list_names(spark, "_manifests"):
+            m = _MANIFEST_RE.match(mf)
+            if m and int(m.group(1)) < keep_from:
+                fs.delete(self._jp(jvm, "_manifests", mf), False)
         return sorted(deleted)
