@@ -1,6 +1,8 @@
-"""Property tests for the training-data pipeline operators without a
-DuckDB oracle (SimHash, hyperplane/IVF ANN — checked rows-only by the
-driver) plus plumbing tests for dedup/similarity/multimodal."""
+"""Property tests for the training-data pipeline operators — SimHash
+locality, hyperplane/IVF ANN consistency and index lifecycle — on top
+of the DuckDB oracles that replay every one of these pipelines exactly
+(plans/llm_queries.py), plus plumbing tests for
+dedup/similarity/multimodal."""
 
 from __future__ import annotations
 
@@ -204,3 +206,39 @@ def test_indexed_ann_matches_inline_paths(spark, testdata, tmp_path):
     with contextlib.redirect_stdout(buf):
         ivf_topk_indexed(idx, q, cents, k=10, nprobe=2).explain("formatted")
     assert "PartitionFilters: [_c" in buf.getvalue()
+
+
+def test_ann_index_incremental_append(spark, testdata, tmp_path):
+    """Index maintenance: vectors appended later (assigned to the
+    EXISTING centroids, partitions extended in place) must make the
+    indexed queries equal a from-scratch run over the full corpus with
+    the same centroids."""
+    from yc_yq_airflow_etl_spark.operators.similarity import (
+        append_to_ann_index,
+        ivf_topk,
+        ivf_topk_indexed,
+        lsh_topk,
+        lsh_topk_indexed,
+        train_ivf_centroids,
+        write_ann_index,
+    )
+
+    emb = testdata["embeddings"]
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    later = emb.filter(F.col("vec_id") % 2 == 1)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+
+    cents = train_ivf_centroids(first, k_clusters=4, iters=2)
+    idx_path = str(tmp_path / "ann_idx")
+    write_ann_index(first, idx_path, cents)
+    append_to_ann_index(later, idx_path, cents)
+    idx = spark.read.parquet(idx_path)
+    assert idx.count() == emb.count()
+
+    got = [tuple(r) for r in ivf_topk_indexed(idx, q, cents, k=10, nprobe=2).collect()]
+    want = [tuple(r) for r in ivf_topk(emb, q, cents, k=10, nprobe=2).collect()]
+    assert got == want
+
+    got_l = [tuple(r) for r in lsh_topk_indexed(idx, q, k=10, max_hamming=3).collect()]
+    want_l = [tuple(r) for r in lsh_topk(emb, q, k=10, max_hamming=3).collect()]
+    assert got_l == want_l

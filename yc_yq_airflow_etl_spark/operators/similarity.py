@@ -368,6 +368,31 @@ def write_ann_index(
     )
 
 
+def append_to_ann_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[int]],
+    planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign NEW vectors to the
+    EXISTING centroids and append their files into the partitioned
+    layout — no retrain, no rewrite of landed partitions. This is the
+    standard IVF maintenance trade: centroids drift as the corpus
+    grows, so monitor recall (nprobe=k spot checks vs brute force) and
+    rebuild with :func:`write_ann_index` when it degrades."""
+    (
+        df.withColumn(
+            "_c", _nearest_centroid(quantize_vec(F.col(vec_col)), centroids)
+        )
+        .withColumn("_sketch", sign_sketch(F.col(vec_col), planes, seed))
+        .write.mode("append")
+        .partitionBy("_c")
+        .parquet(path)
+    )
+
+
 def ivf_topk_indexed(
     index_df: DataFrame,
     query: Sequence[float],
