@@ -177,3 +177,52 @@ def test_histogram_store_merge_and_error_bound(spark, testdata):
     for q in (0.5, 0.9):
         exact = o.agg(F.expr(f"percentile(o_totalprice, {q})")).first()[0]
         assert abs(ests[q] - exact) <= width
+
+
+def test_zorder_clusters_both_columns(spark, testdata, tmp_path):
+    """Z-ordered files cover small rectangles of BOTH clustering
+    columns (multi-column data skipping), where a plain single-column
+    sort leaves the second column's per-file range at ~full width."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from yc_yq_airflow_etl_spark.sources.zorder import write_zordered
+
+    o = testdata["orders"].select("o_custkey", "o_totalprice")
+
+    zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(o, zdir, ["o_custkey", "o_totalprice"], num_files=8)
+    (
+        o.repartitionByRange(8, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(sdir)
+    )
+
+    def avg_coverage(path, col):
+        lo_g, hi_g = None, None
+        spans = []
+        per_file = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.read_metadata(f)
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                c = md.row_group(rg).column(
+                    [md.schema.column(i).name for i in range(md.num_columns)].index(col)
+                )
+                st = c.statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            per_file.append((lo, hi))
+            lo_g = lo if lo_g is None else min(lo_g, lo)
+            hi_g = hi if hi_g is None else max(hi_g, hi)
+        width = hi_g - lo_g
+        return sum((hi - lo) / width for lo, hi in per_file) / len(per_file)
+
+    # z-order: both columns clustered (each file a small rectangle)
+    assert avg_coverage(zdir, "o_custkey") < 0.75
+    assert avg_coverage(zdir, "o_totalprice") < 0.75
+    # single-column sort: first column tight, second column ~full width
+    assert avg_coverage(sdir, "o_custkey") < 0.3
+    assert avg_coverage(sdir, "o_totalprice") > 0.9
