@@ -90,6 +90,21 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
     "stratified_doc_sample": [
         ("rank truncation compiles to WindowGroupLimit", r"WindowGroupLimit"),
     ],
+    "q3_shipping_priority": [
+        ("shipdate pushed to the lineitem scan",
+         r"PushedFilters: \[[^\]]*GreaterThan\(l_shipdate"),
+        ("orderdate pushed to the orders scan",
+         r"PushedFilters: \[[^\]]*LessThan\(o_orderdate"),
+        ("segment-filtered customer dim broadcast", r"BroadcastHashJoin"),
+        ("top-10 by revenue is TakeOrdered, not a global sort",
+         r"TakeOrderedAndProject"),
+    ],
+    "q6_revenue_delta": [
+        ("all three predicates pushed to the scan",
+         r"PushedFilters: \[[^\]]*l_shipdate[^\]]*l_discount[^\]]*l_quantity"),
+        ("partial aggregation before the single-row exchange", r"partial_sum"),
+        ("pruned read: no tax/returnflag columns", r"!ReadSchema: [^\n]*(l_tax|l_returnflag)"),
+    ],
     "salted_event_counts": [
         ("phase-1 partial aggregation over (key, salt)", r"partial_count"),
         ("phase-2 merge partially aggregated too", r"partial_sum"),

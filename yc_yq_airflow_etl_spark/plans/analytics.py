@@ -147,6 +147,91 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer dim (broadcast) ⋈
+    orders ⋈ lineitem with date predicates on BOTH fact scans (each
+    pushed to its own parquet scan), revenue aggregate per order,
+    top-10 by revenue — join + agg + TakeOrdered in one plan, the
+    canonical 'give me the urgent work' analytics query."""
+    t = load_testdata(spark, sf_dir)
+    cutoff = F.lit("1997-06-30").cast("timestamp")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") > cutoff)
+        .join(
+            t["orders"].filter(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q3_ORACLE = """
+SELECT l_orderkey AS o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-30'
+  AND l_shipdate > TIMESTAMP '1997-06-30'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-side query — every predicate
+    (date range, discount band, quantity cap) pushes to the parquet
+    scan, no join, one decimal-exact global aggregate. The query whose
+    entire cost at 100 TB is I/O after pruning — the benchmark of
+    filter pushdown working."""
+    t = load_testdata(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+Q6_ORACLE = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue_delta,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key-safe two-phase aggregation (operators/skew.salted_count):
     per-type event counts where phase 1 spreads each key over 16 salt
@@ -897,6 +982,8 @@ def register_all() -> None:
     register(
         "approx_distinct_customers", approx_distinct_customers, APPROX_DISTINCT_ORACLE
     )
+    register("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE)
+    register("q6_revenue_delta", q6_revenue_delta, Q6_ORACLE)
     register("salted_event_counts", salted_event_counts, SALTED_COUNTS_ORACLE)
     register(
         "histogram_quantile_store", histogram_quantile_store,
