@@ -80,3 +80,40 @@ def test_failed_write_leaves_table_untouched(spark, table):
     deleted = table.vacuum(spark, keep_versions=1)
     assert set(files) <= set(deleted)  # garbage collected
     assert table.read(spark).count() == 10
+
+
+def test_streaming_into_manifest_table_exactly_once(spark, testdata, tmp_path):
+    """Micro-batches land as atomic manifest commits; a replayed
+    batch id (at-least-once foreachBatch after a crash) is skipped
+    before any write, so rows land exactly once."""
+    from yc_yq_airflow_etl_spark.schemas import EVENTS
+    from yc_yq_airflow_etl_spark.streaming.manifest_sink import (
+        commit_batch,
+        stream_to_manifest_table,
+    )
+
+    src = str(tmp_path / "src")
+    testdata["events"].limit(200).repartition(3).write.parquet(src)
+
+    table = ManifestTable(str(tmp_path / "mt"))
+    stream = (
+        spark.readStream.schema(EVENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_to_manifest_table(stream, table, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    assert table.read(spark).count() == 200
+    hwm = table.last_batch_id(spark)
+    assert hwm >= 1  # multiple micro-batches really committed
+
+    # crash replay: the SAME batch id redelivered must be a no-op
+    dup = testdata["events"].limit(50)
+    assert commit_batch(table, dup, hwm) is False
+    assert table.read(spark).count() == 200
+    # a genuinely new batch commits
+    assert commit_batch(table, dup, hwm + 1) is True
+    assert table.read(spark).count() == 250

@@ -151,7 +151,12 @@ class ManifestTable:
         return names, spark
 
     def _publish(
-        self, spark: SparkSession, files: list[str], rows: int, op: str
+        self,
+        spark: SparkSession,
+        files: list[str],
+        rows: int,
+        op: str,
+        extra: dict | None = None,
     ) -> int:
         while True:
             prev = self.current_version(spark)
@@ -162,6 +167,7 @@ class ManifestTable:
                 "rows": rows,
                 "op": op,
                 "committed_at": time.time(),
+                **(extra or {}),
             }
             if self._write_text_atomic(
                 spark, json.dumps(manifest), "_manifests", f"v{version}.json"
@@ -174,14 +180,37 @@ class ManifestTable:
         files, spark = self._write_files(df)
         return self._publish(spark, files, self._count(spark, files), "overwrite")
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, batch_id: int | None = None) -> int:
         """Commit df's rows on top of the current snapshot: new files
-        plus the previous snapshot's files — no rewrite of old data."""
+        plus the previous snapshot's files — no rewrite of old data.
+
+        ``batch_id`` (for streaming sinks): recorded in the manifest
+        as a carried-forward high-water mark, so an at-least-once
+        replay of an already-committed micro-batch is detectable from
+        the LATEST manifest alone (surviving vacuum of old ones)."""
         files, spark = self._write_files(df)
         prev = self.current_version(spark)
-        old = self._manifest(spark, prev)["files"] if prev is not None else []
+        old_manifest = self._manifest(spark, prev) if prev is not None else {}
+        old = old_manifest.get("files", [])
         allf = old + files
-        return self._publish(spark, allf, self._count(spark, allf), "append")
+        extra = None
+        if batch_id is not None:
+            extra = {
+                "last_batch_id": max(
+                    int(old_manifest.get("last_batch_id", -1)), int(batch_id)
+                )
+            }
+        return self._publish(spark, allf, self._count(spark, allf), "append", extra)
+
+    def last_batch_id(self, spark: SparkSession) -> int:
+        """High-water mark of committed streaming batch ids (-1 if
+        none): micro-batch ids from a Structured Streaming checkpoint
+        are monotonically increasing, so ``batch_id <= last_batch_id``
+        identifies a replayed batch."""
+        v = self.current_version(spark)
+        if v is None:
+            return -1
+        return int(self._manifest(spark, v).get("last_batch_id", -1))
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """Rewrite the current snapshot into ``target_files`` files and
