@@ -117,3 +117,24 @@ def test_streaming_into_manifest_table_exactly_once(spark, testdata, tmp_path):
     # a genuinely new batch commits
     assert commit_batch(table, dup, hwm + 1) is True
     assert table.read(spark).count() == 250
+
+
+def test_schema_evolution_on_append(spark, table):
+    """Appending rows with an added column evolves the snapshot: the
+    read returns the union schema (old rows NULL in the new column),
+    and compaction re-baselines everything onto one schema."""
+    table.overwrite(_df(spark, 0, 10))
+    wide = _df(spark, 10, 20).withColumn("w", F.lit("new"))
+    table.append(wide)
+
+    got = table.read(spark)
+    assert set(got.columns) == {"id", "v", "w"}
+    assert got.count() == 20
+    assert got.filter(F.col("w").isNull()).count() == 10  # old rows
+    # pre-evolution snapshot unchanged (time travel)
+    assert set(table.read(spark, version=0).columns) == {"id", "v"}
+
+    v = table.compact(spark, target_files=1)
+    m = table._manifest(spark, v)
+    assert "evolved" not in m  # re-baselined onto one schema
+    assert table.read(spark).filter(F.col("w").isNull()).count() == 10

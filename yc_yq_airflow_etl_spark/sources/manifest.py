@@ -178,7 +178,13 @@ class ManifestTable:
     def overwrite(self, df: DataFrame) -> int:
         """Commit df as a full-replacement snapshot."""
         files, spark = self._write_files(df)
-        return self._publish(spark, files, self._count(spark, files), "overwrite")
+        return self._publish(
+            spark,
+            files,
+            self._count(spark, files),
+            "overwrite",
+            {"columns": sorted(df.columns)},
+        )
 
     def append(self, df: DataFrame, batch_id: int | None = None) -> int:
         """Commit df's rows on top of the current snapshot: new files
@@ -193,13 +199,18 @@ class ManifestTable:
         old_manifest = self._manifest(spark, prev) if prev is not None else {}
         old = old_manifest.get("files", [])
         allf = old + files
-        extra = None
+        extra: dict = {}
         if batch_id is not None:
-            extra = {
-                "last_batch_id": max(
-                    int(old_manifest.get("last_batch_id", -1)), int(batch_id)
-                )
-            }
+            extra["last_batch_id"] = max(
+                int(old_manifest.get("last_batch_id", -1)), int(batch_id)
+            )
+        # schema-evolution check at commit time: compare the new data's
+        # column set against the snapshot schema recorded previously
+        new_cols = sorted(df.columns)
+        old_cols = old_manifest.get("columns", new_cols)
+        extra["columns"] = sorted(set(new_cols) | set(old_cols))
+        if old_manifest.get("evolved") or new_cols != old_cols:
+            extra["evolved"] = True
         return self._publish(spark, allf, self._count(spark, allf), "append", extra)
 
     def last_batch_id(self, spark: SparkSession) -> int:
@@ -220,19 +231,38 @@ class ManifestTable:
         LakeTable.compact_partitions' directory swap."""
         df = self.read(spark).coalesce(target_files)
         files, _ = self._write_files(df)
-        return self._publish(spark, files, self._count(spark, files), "compact")
+        # compaction rewrites every row through one homogeneous schema,
+        # so the evolved flag resets and columns re-baseline here
+        return self._publish(
+            spark,
+            files,
+            self._count(spark, files),
+            "compact",
+            {"columns": sorted(df.columns)},
+        )
 
     # -- read path -------------------------------------------------------
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """The snapshot's DataFrame: reads exactly the manifest's file
         list (time travel via ``version``) — never a directory
-        listing, so concurrent commits cannot tear it."""
+        listing, so concurrent commits cannot tear it.
+
+        Schema evolution: appends may add columns. Rather than paying
+        ``mergeSchema``'s every-footer read on each query, the cheap
+        union of the file schemas is resolved at COMMIT time and the
+        manifest carries an ``evolved`` flag — only snapshots that
+        actually mix schemas read with merging."""
         v = self.current_version(spark) if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed snapshot at {self.path}")
-        files = self._manifest(spark, v)["files"]
-        return spark.read.parquet(*[f"{self.path}/data/{f}" for f in files])
+        manifest = self._manifest(spark, v)
+        reader = spark.read
+        if manifest.get("evolved"):
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(
+            *[f"{self.path}/data/{f}" for f in manifest["files"]]
+        )
 
     def _count(self, spark: SparkSession, files: list[str]) -> int:
         if not files:
