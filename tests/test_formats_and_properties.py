@@ -123,3 +123,29 @@ def test_exclusion_diff_count_equals_join_count(spark, left, right):
     rdf = spark.createDataFrame(right, schema) if right else spark.createDataFrame([], schema)
     expected = exclusion_join(ldf, rdf, ["k", "v"]).count()
     assert exclusion_diff_count(ldf, rdf, ["k", "v"]) == expected
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(left=rows_strategy, right=rows_strategy)
+def test_exclusion_strategies_agree(spark, left, right):
+    """Property: the single-shuffle union-window formulation and the
+    two-anti-join formulation are the same operator — identical row
+    multisets on arbitrary inputs, including NULL keys (always kept)
+    and duplicate rows (kept per-row)."""
+    from collections import Counter
+
+    schema = "k int, v float"
+    ldf = spark.createDataFrame(left, schema) if left else spark.createDataFrame([], schema)
+    rdf = spark.createDataFrame(right, schema) if right else spark.createDataFrame([], schema)
+    union_rows = Counter(
+        tuple(r) for r in exclusion_join(ldf, rdf, ["k", "v"], tag_column="side").collect()
+    )
+    anti_rows = Counter(
+        tuple(r)
+        for r in exclusion_join(
+            ldf, rdf, ["k", "v"], tag_column="side", strategy="anti"
+        ).collect()
+    )
+    assert union_rows == anti_rows
