@@ -90,6 +90,15 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
     "stratified_doc_sample": [
         ("rank truncation compiles to WindowGroupLimit", r"WindowGroupLimit"),
     ],
+    "stream_click_purchase_left": [
+        ("left-outer equi-join with residual range (hash/SMJ, no NLJ)",
+         "!BroadcastNestedLoopJoin"),
+        ("partial aggregation of the rollup", r"partial_count"),
+    ],
+    "histogram_quantile_store": [
+        ("bin counts partially aggregated before any exchange",
+         r"partial_count"),
+    ],
     "q3_shipping_priority": [
         ("shipdate pushed to the lineitem scan",
          r"PushedFilters: \[[^\]]*GreaterThan\(l_shipdate"),
