@@ -89,6 +89,84 @@ def test_asof_join_tolerance(spark):
     assert narrow.collect()[0].r_y is None
 
 
+def _skewed_asof_fixture(spark, seed: int = 7):
+    """One pathological hot key (most of the rows) plus normal keys.
+    Right timestamps are unique per key — the regime where the plain
+    and bucketed formulations are defined to agree exactly."""
+    import random
+
+    rng = random.Random(seed)
+    lrows, rrows = [], []
+    for sym, n_l, n_r in [("HOT", 400, 250), ("a", 12, 9), ("b", 7, 0), ("c", 0, 5)]:
+        # unique right times per key: sample without replacement
+        r_times = rng.sample(range(0, 500_000), n_r)
+        for i, t in enumerate(r_times):
+            rrows.append((sym, t, float(i)))
+        for i in range(n_l):
+            # left times may collide with right times (<= boundary) and
+            # with each other
+            lrows.append((sym, rng.randrange(0, 500_000), i))
+    left = spark.createDataFrame(lrows, "sym string, t long, lid long")
+    right = spark.createDataFrame(rrows, "sym string, t long, payload double")
+    return left, right
+
+
+def test_asof_join_bucketed_matches_plain_on_skew(spark):
+    """Property: the two-phase bucketed formulation produces exactly
+    the plain single-window formulation's rows on a skewed fixture —
+    including bucket widths that are tiny (many empty buckets between
+    matches, carry must hop them) and huge (whole key in one bucket)."""
+    left, right = _skewed_asof_fixture(spark)
+    expected = {
+        (r.sym, r.lid): (r.r_payload, r.r_t)
+        for r in asof_join(left, right, on_time="t", by=["sym"]).collect()
+    }
+    assert expected  # fixture sanity
+    for width in (1_000.0, 50_000.0, 10_000_000.0):
+        got = {
+            (r.sym, r.lid): (r.r_payload, r.r_t)
+            for r in asof_join(
+                left, right, on_time="t", by=["sym"], bucket_width=width
+            ).collect()
+        }
+        assert got == expected, f"bucket_width={width}"
+
+
+def test_asof_join_bucketed_boundary(spark):
+    """A right row exactly on a bucket boundary (t=600, width=600)
+    must match a left row at the same instant (<= semantics) and
+    carry into later buckets."""
+    left = spark.createDataFrame(
+        [("A", 600, 1), ("A", 1200, 2), ("A", 599, 3)],
+        "sym string, t long, lid int",
+    )
+    right = spark.createDataFrame([("A", 600, 9.0)], "sym string, t long, y double")
+    out = asof_join(left, right, on_time="t", by=["sym"], bucket_width=600.0)
+    got = {r.lid: r.r_y for r in out.collect()}
+    assert got == {1: 9.0, 2: 9.0, 3: None}
+
+
+def test_asof_join_bucketed_tolerance(spark):
+    """INTERVAL tolerance filtering survives the bucketed path, even
+    when the carry crosses many empty buckets."""
+    left = spark.createDataFrame(
+        [("A", _ts("2024-01-01 10:00"), 1.0)], "sym string, ts timestamp, x double"
+    )
+    right = spark.createDataFrame(
+        [("A", _ts("2024-01-01 08:00"), 7.0)], "sym string, ts timestamp, y double"
+    )
+    wide = asof_join(
+        left, right, on_time="ts", by=["sym"], tolerance="3 HOURS",
+        bucket_width=600.0,
+    )
+    assert wide.collect()[0].r_y == 7.0
+    narrow = asof_join(
+        left, right, on_time="ts", by=["sym"], tolerance="30 MINUTES",
+        bucket_width=600.0,
+    )
+    assert narrow.collect()[0].r_y is None
+
+
 def test_interval_overlap_join_matches_naive(spark, testdata):
     """Bucket-equi interval-overlap join must produce exactly the
     naive non-equi join's pairs (including multi-bucket spanners,

@@ -146,6 +146,16 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("pruned index read excludes the sketch column",
          r"!ReadSchema: [^\n]*_sketch"),
     ],
+    "asof_click_purchase_bucketed": [
+        # hot-key-safe formulation: the big per-row window partitions
+        # by (user_id, bucket) — a single user splits across buckets
+        ("in-bucket window partitioned by (user, time-bucket)",
+         r"windowspecdefinition\(user_id[^\)]*_b"),
+        ("carry joined back on the (user, bucket) equi path",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("per-bucket last-right-row aggregate is partial (map-side combine)",
+         r"partial_max_by"),
+    ],
     "pretrain_quality_filter": [
         # positive: text is read; negative: the unused source/n_chars
         # columns must NOT survive into the scan schema

@@ -150,6 +150,30 @@ def range_join(
     return left.join(right, on=cond, how=how)
 
 
+def _asof_finalize(
+    out: DataFrame,
+    on_time: str,
+    payload: Sequence[str],
+    right_prefix: str,
+    tolerance: str | None,
+) -> DataFrame:
+    """Shared tail of both as-of formulations: apply the tolerance
+    window to the carried ``_asof`` struct and unpack it into
+    ``right_prefix``-named columns."""
+    if tolerance is not None:
+        out = out.withColumn(
+            "_asof",
+            F.when(
+                F.col("_asof._r_time")
+                >= F.col(on_time) - F.expr(f"INTERVAL {tolerance}"),
+                F.col("_asof"),
+            ),
+        )
+    for c in payload:
+        out = out.withColumn(right_prefix + c, F.col(f"_asof._r_payload.{c}"))
+    return out.withColumn(right_prefix + on_time, F.col("_asof._r_time"))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -157,55 +181,128 @@ def asof_join(
     by: Sequence[str],
     right_prefix: str = "r_",
     tolerance: str | None = None,
+    bucket_width: float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right.on_time <= left.on_time`` within the same ``by`` group
     (optionally within ``tolerance``, an INTERVAL literal string).
 
-    Implementation: union both sides tagged, single window sort per
-    ``by`` group carrying the last-seen right payload forward
+    Default implementation: union both sides tagged, single window
+    sort per ``by`` group carrying the last-seen right payload forward
     (last_value ignoring nulls), then keep left rows. One shuffle on
-    ``by`` + one sort — no per-key collect, no broadcast requirement,
-    scales to arbitrarily large sides; skewed ``by`` keys are handled
-    by AQE skew-split on the exchange feeding the window sort.
+    ``by`` + one sort — no per-key collect, no broadcast requirement.
+    KNOWN LIMIT: a window partition cannot be split — ALL rows of a
+    ``by`` group land in one task (AQE's skew optimization splits
+    skewed *join* partitions, never window partitions), so one hot key
+    = one straggler task at 100 TB.
+
+    ``bucket_width`` (in units of ``on_time`` cast to double — seconds
+    for timestamps) enables the hot-key-safe two-phase formulation:
+
+    1. *Carry spine*: per (key, coarse time bucket), the last right
+       row of the bucket (map-side-combined aggregate — a hot key is
+       spread over its buckets), then one tiny window over the
+       per-bucket rows (partition size = #buckets per key, not #rows)
+       yields the last right row in any STRICTLY EARLIER bucket.
+    2. *In-bucket pass*: the union+window trick partitioned by
+       (key, bucket) — hot keys split across buckets — with the
+       bucket's carry as fallback for left rows before the bucket's
+       first right row.
+
+    Output is identical to the default path whenever right timestamps
+    are unique per key (with duplicate (key, time) right rows, which
+    of the tied payloads wins is nondeterministic in EITHER path —
+    same caveat as DuckDB/pandas as-of). Pick ``bucket_width`` near
+    the typical left-to-match gap; with ``tolerance`` set, a bucket
+    width ≥ the tolerance keeps phase-1 exact.
     """
     from pyspark.sql import Window
 
     by = list(by)
     payload = [c for c in right.columns if c not in (*by, on_time)]
 
-    l_tag = left.withColumn("_side", F.lit(1))
-    r_tag = right.select(
-        *by,
-        F.col(on_time),
-        F.struct(*[F.col(c) for c in payload]).alias("_r_payload"),
-    ).withColumn("_side", F.lit(0))
+    if bucket_width is None:
+        l_tag = left.withColumn("_side", F.lit(1))
+        r_tag = right.select(
+            *by,
+            F.col(on_time),
+            F.struct(*[F.col(c) for c in payload]).alias("_r_payload"),
+        ).withColumn("_side", F.lit(0))
 
-    merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
-    w = (
+        merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
+        w = (
+            Window.partitionBy(*by)
+            # right rows (_side=0) sort before left rows at equal times →
+            # "<=" as-of semantics
+            .orderBy(F.col(on_time).asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = merged.withColumn(
+            "_asof", F.last(F.when(F.col("_side") == 0, F.struct(
+                F.col(on_time).alias("_r_time"), F.col("_r_payload"))), ignorenulls=True).over(w)
+        )
+        out = carried.filter(F.col("_side") == 1)
+        out = _asof_finalize(out, on_time, payload, right_prefix, tolerance)
+        return out.drop("_side", "_asof", "_r_payload")
+
+    # -- two-phase time-bucketed formulation (hot-key safe) -----------
+    bw = F.lit(float(bucket_width))
+
+    def bucket_of(c: Column) -> Column:
+        return F.floor(c.cast("double") / bw).cast("long")
+
+    r_struct = F.struct(
+        F.col(on_time).alias("_r_time"),
+        F.struct(*[F.col(c) for c in payload]).alias("_r_payload"),
+    )
+    rb = right.select(*by, F.col(on_time), r_struct.alias("_r_struct")).withColumn(
+        "_b", bucket_of(F.col(on_time))
+    )
+    lb = left.withColumn("_b", bucket_of(F.col(on_time)))
+
+    # phase 1: carry = last right row in strictly earlier buckets.
+    # groupBy gets partial aggregation (a hot key's rows combine
+    # map-side per bucket); the window below runs over ONE ROW PER
+    # (key, bucket), so its per-key partition is tiny by construction.
+    per_bucket = rb.groupBy(*by, "_b").agg(
+        F.max_by("_r_struct", F.col(on_time)).alias("_last_in_bucket")
+    )
+    spine = lb.select(*by, "_b").union(rb.select(*by, "_b")).distinct()
+    w_carry = (
         Window.partitionBy(*by)
-        # right rows (_side=0) sort before left rows at equal times →
-        # "<=" as-of semantics
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        spine.join(per_bucket, on=[*by, "_b"], how="left")
+        .withColumn(
+            "_carry", F.last("_last_in_bucket", ignorenulls=True).over(w_carry)
+        )
+        .select(*by, "_b", "_carry")
+    )
+
+    # phase 2: in-bucket union+window, partitioned by (key, bucket)
+    l_tag = lb.withColumn("_side", F.lit(1))
+    r_tag = rb.withColumn("_side", F.lit(0))
+    merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    w_bucket = (
+        Window.partitionBy(*by, "_b")
         .orderBy(F.col(on_time).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.withColumn(
-        "_asof", F.last(F.when(F.col("_side") == 0, F.struct(
-            F.col(on_time).alias("_r_time"), F.col("_r_payload"))), ignorenulls=True).over(w)
+        "_in_bucket",
+        F.last(
+            F.when(F.col("_side") == 0, F.col("_r_struct")), ignorenulls=True
+        ).over(w_bucket),
     )
-    out = carried.filter(F.col("_side") == 1)
-    if tolerance is not None:
-        out = out.withColumn(
-            "_asof",
-            F.when(
-                F.col("_asof._r_time") >= F.col(on_time) - F.expr(f"INTERVAL {tolerance}"),
-                F.col("_asof"),
-            ),
-        )
-    for c in payload:
-        out = out.withColumn(right_prefix + c, F.col(f"_asof._r_payload.{c}"))
-    out = out.withColumn(right_prefix + on_time, F.col("_asof._r_time"))
-    return out.drop("_side", "_asof", "_r_payload")
+    out = (
+        carried.filter(F.col("_side") == 1)
+        .join(carry, on=[*by, "_b"], how="left")
+        .withColumn("_asof", F.coalesce("_in_bucket", "_carry"))
+    )
+    out = _asof_finalize(out, on_time, payload, right_prefix, tolerance)
+    return out.drop("_side", "_asof", "_r_struct", "_in_bucket", "_carry", "_b")
 
 
 def interval_overlap_join(

@@ -863,6 +863,34 @@ def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("click_id")
 
 
+def asof_click_purchase_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same as-of query through the hot-key-safe two-phase
+    formulation (operators/joins.asof_join with ``bucket_width``):
+    window partitions are (user, day-bucket) instead of (user), so a
+    single pathological user cannot produce a straggler task. Same
+    oracle as ``asof_click_purchase`` — the two plans must agree."""
+    from ..operators.joins import asof_join
+
+    t = load_testdata(spark, sf_dir)
+    ev = t["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof_join(
+        clicks, purchases, on_time="ts", by=["user_id"], bucket_width=86400.0
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("click_epoch"),
+        "r_purchase_value",
+        F.unix_timestamp("r_ts").alias("purchase_epoch"),
+    ).orderBy("click_id")
+
+
 ASOF_ORACLE = """
 WITH clicks AS (
     SELECT user_id, ts, event_id AS click_id FROM events
@@ -1011,6 +1039,9 @@ def register_all() -> None:
     register("explode_embedding_dims", explode_embedding_dims, EXPLODE_DIMS_ORACLE)
     register("correlated_above_avg", correlated_above_avg, CORRELATED_ORACLE)
     register("asof_click_purchase", asof_click_purchase, ASOF_ORACLE)
+    register(
+        "asof_click_purchase_bucketed", asof_click_purchase_bucketed, ASOF_ORACLE
+    )
     register("range_join_price_bands", range_join_price_bands, RANGE_JOIN_ORACLE)
     register(
         "interval_overlap_sessions",
