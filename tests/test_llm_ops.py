@@ -140,6 +140,81 @@ def test_multimodal_fake_decode_roundtrip(spark, docs):
     assert out[1].byte_sum_mod == sum(base.encode()) % 1_000_000_007
 
 
+def test_wav_codec_roundtrip():
+    """Manual RIFF encoder → stdlib wave decoder: independent
+    implementations must agree byte-for-byte on features."""
+    import numpy as np
+
+    from yc_yq_airflow_etl_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    samples = np.array([0, 100, -100, 32767, -32768], dtype=np.int16)
+    feats = decode_wav(encode_wav_pcm16(samples, sample_rate=44100))
+    assert feats == {
+        "sample_rate": 44100,
+        "n_channels": 1,
+        "n_samples": 5,
+        "peak_abs": 32768,  # abs(-32768) must not overflow int16
+        "sum_abs": 0 + 100 + 100 + 32767 + 32768,
+    }
+    with pytest.raises(Exception):  # truncated container must not decode
+        decode_wav(encode_wav_pcm16(samples)[:20])
+
+
+def test_ppm_codec_roundtrip_and_comments():
+    import numpy as np
+
+    from yc_yq_airflow_etl_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    feats = decode_ppm(encode_ppm(px))
+    assert feats["width"] == 3 and feats["height"] == 2 and feats["maxval"] == 255
+    assert (feats["sum_r"], feats["sum_g"], feats["sum_b"]) == (
+        int(px[:, :, 0].sum()), int(px[:, :, 1].sum()), int(px[:, :, 2].sum())
+    )
+    # netpbm headers may carry # comments — the parser must skip them
+    with_comment = b"P6\n# a comment\n3 2\n255\n" + px.tobytes()
+    assert decode_ppm(with_comment) == feats
+    with pytest.raises(ValueError, match="P6"):
+        decode_ppm(b"P3\n1 1\n255\n0 0 0")
+
+
+def test_multimodal_real_decode_pipeline(spark):
+    """End-to-end through Spark: synthesize real WAV/PPM payloads in
+    one Arrow stage, decode in another, features match the per-id
+    closed forms."""
+    import numpy as np
+
+    from yc_yq_airflow_etl_spark.operators.multimodal import (
+        extract_ppm_features,
+        extract_wav_features,
+        ppm_pixels_for,
+        synthesize_ppm_corpus,
+        synthesize_wav_corpus,
+        wav_samples_for,
+    )
+
+    ids = spark.createDataFrame([(7,), (42,), (123,)], "media_id long")
+    wav = {r.media_id: r for r in extract_wav_features(synthesize_wav_corpus(ids)).collect()}
+    for mid in (7, 42, 123):
+        s = np.abs(wav_samples_for(mid).astype(np.int64))
+        assert wav[mid].n_samples == len(s)
+        assert wav[mid].peak_abs == int(s.max())
+        assert wav[mid].sum_abs == int(s.sum())
+    ppm = {r.media_id: r for r in extract_ppm_features(synthesize_ppm_corpus(ids)).collect()}
+    for mid in (7, 42, 123):
+        px = ppm_pixels_for(mid).astype(np.int64)
+        assert (ppm[mid].width, ppm[mid].height) == (16, 12)
+        assert ppm[mid].sum_r == int(px[:, :, 0].sum())
+        assert ppm[mid].sum_g == int(px[:, :, 1].sum())
+        assert ppm[mid].sum_b == int(px[:, :, 2].sum())
+
+
 def test_ivf_topk_recall_dial(spark, testdata):
     """IVF ANN: probing all clusters reproduces brute force exactly;
     probing few clusters returns a consistent subset that always

@@ -938,6 +938,65 @@ FROM documents ORDER BY media_id
 """
 
 
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (operators/multimodal.decode_wav): synthesize
+    one genuine RIFF/WAV PCM16 payload per document id (manual byte
+    packer), decode it back through the stdlib ``wave`` module in an
+    Arrow-batched stage, and emit integer amplitude features. The
+    oracle recomputes the features closed-form from the synthesis
+    formula — a byte off anywhere in the RIFF container, the frame
+    extraction, or the sample decode shows up as a value mismatch."""
+    from ..operators.multimodal import extract_wav_features, synthesize_wav_corpus
+
+    t = load_testdata(spark, sf_dir)
+    ids = t["documents"].select(F.col("doc_id").alias("media_id"))
+    feats = extract_wav_features(synthesize_wav_corpus(ids))
+    return feats.withColumnRenamed("media_id", "doc_id").orderBy("doc_id")
+
+
+MULTIMODAL_WAV_ORACLE = """
+SELECT d.doc_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST(200 + d.doc_id % 100 AS INT) AS n_samples,
+       CAST(MAX(ABS(((d.doc_id*31 + t.i*17) % 65536) - 32768)) AS INT)
+           AS peak_abs,
+       CAST(SUM(ABS(((d.doc_id*31 + t.i*17) % 65536) - 32768)) AS BIGINT)
+           AS sum_abs
+FROM documents d CROSS JOIN generate_series(0, 298) t(i)
+WHERE t.i < 200 + d.doc_id % 100
+GROUP BY d.doc_id ORDER BY d.doc_id
+"""
+
+
+def multimodal_ppm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (operators/multimodal.decode_ppm): one
+    genuine binary P6 PPM payload per document id (numpy pixel
+    writer), parsed back by the from-scratch netpbm header parser,
+    per-channel integer sums as features; closed-form oracle."""
+    from ..operators.multimodal import extract_ppm_features, synthesize_ppm_corpus
+
+    t = load_testdata(spark, sf_dir)
+    ids = t["documents"].select(F.col("doc_id").alias("media_id"))
+    feats = extract_ppm_features(synthesize_ppm_corpus(ids))
+    return feats.withColumnRenamed("media_id", "doc_id").orderBy("doc_id")
+
+
+MULTIMODAL_PPM_ORACLE = """
+SELECT d.doc_id,
+       CAST(16 AS INT) AS width,
+       CAST(12 AS INT) AS height,
+       CAST(255 AS INT) AS maxval,
+       CAST(SUM((d.doc_id + x.x + y.y) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((d.doc_id * 3 + x.x) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((d.doc_id * 7 + y.y) % 256) AS BIGINT) AS sum_b
+FROM documents d
+CROSS JOIN generate_series(0, 15) x(x)
+CROSS JOIN generate_series(0, 11) y(y)
+GROUP BY d.doc_id ORDER BY d.doc_id
+"""
+
+
 # --- UDF surface --------------------------------------------------------
 
 
@@ -1030,6 +1089,12 @@ def register_all() -> None:
     register("doc_chunks", doc_chunks, DOC_CHUNKS_ORACLE)
     register("stratified_doc_sample", stratified_doc_sample, STRATIFIED_SAMPLE_ORACLE)
     register("multimodal_features", multimodal_features, MULTIMODAL_ORACLE)
+    register(
+        "multimodal_wav_features", multimodal_wav_features, MULTIMODAL_WAV_ORACLE
+    )
+    register(
+        "multimodal_ppm_features", multimodal_ppm_features, MULTIMODAL_PPM_ORACLE
+    )
     register("udf_text_density", udf_text_density, UDF_DENSITY_ORACLE)
     register("udaf_lang_stats", udaf_lang_stats, UDAF_LANG_STATS_ORACLE)
     register("udtf_top_ngrams", udtf_top_ngrams, UDTF_NGRAMS_ORACLE)
