@@ -119,6 +119,88 @@ def test_streaming_into_manifest_table_exactly_once(spark, testdata, tmp_path):
     assert table.read(spark).count() == 250
 
 
+def test_put_if_absent_claims_name_exactly_once(spark, tmp_path):
+    """The conditional-create commit primitive: the first writer to a
+    manifest name wins, the second gets False (never overwrites)."""
+    t = ManifestTable(str(tmp_path / "mt"), publish_mode="conditional-create")
+    assert t._put_if_absent(spark, '{"files": []}', "_manifests", "v0.json") is True
+    assert t._put_if_absent(spark, '{"files": ["x"]}', "_manifests", "v0.json") is False
+    # the winner's content is intact
+    assert t._try_manifest(spark, 0) == {"files": []}
+
+
+def test_torn_manifest_ignored_and_version_burned(spark, tmp_path):
+    """A writer that died mid-PUT (conditional-create mode) leaves a
+    torn manifest under a claimed name. Readers must treat it as
+    uncommitted — resolve the snapshot below it — and the next writer
+    must burn that version number, never reuse or overwrite it."""
+    t = ManifestTable(str(tmp_path / "mt"), publish_mode="conditional-create")
+    t.overwrite(_df(spark, 0, 100))  # v0
+    # simulate the crash: half-written JSON under the next version name
+    with open(os.path.join(t.path, "_manifests", "v1.json"), "w") as fh:
+        fh.write('{"version": 1, "files": ["aaa')
+
+    # no torn read: the snapshot resolves to the last VALID commit
+    assert t.current_version(spark) == 0
+    assert t.read(spark).count() == 100
+    # explicit time travel to the torn version is a clear error
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, version=1)
+
+    # the next commit lands ABOVE the torn name (burned, not reused)
+    v = t.append(_df(spark, 100, 150))
+    assert v == 2
+    assert t.read(spark).count() == 150
+    # vacuum with a torn manifest in range neither crashes nor deletes
+    # the live snapshot's files
+    t.vacuum(spark, keep_versions=1)
+    assert t.read(spark).count() == 150
+
+
+@pytest.mark.parametrize("mode", ["rename", "conditional-create"])
+def test_concurrent_appends_no_lost_update(spark, tmp_path, mode):
+    """Two writers interleaving appends: every publish race has exactly
+    one winner per version name, the loser REBASES onto the winner's
+    snapshot and retries — so no append is ever dropped (lost update)
+    and every intermediate snapshot a reader could resolve is complete."""
+    import threading
+
+    t = ManifestTable(str(tmp_path / "mt"), publish_mode=mode)
+    t.overwrite(_df(spark, 0, 100))
+
+    versions: list[int] = []
+    errors: list[Exception] = []
+    gate = threading.Barrier(2)
+
+    def writer(base: int) -> None:
+        try:
+            gate.wait()
+            for i in range(3):
+                lo = base + i * 10
+                versions.append(t.append(_df(spark, lo, lo + 10)))
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(1000,)),
+        threading.Thread(target=writer, args=(2000,)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    assert errors == []
+    assert len(set(versions)) == 6  # six distinct committed versions
+    # no lost update: all 6 appends' rows are in the final snapshot
+    got = t.read(spark)
+    assert got.count() == 160
+    assert got.filter(F.col("id") >= 1000).count() == 60
+    # every resolvable snapshot is a complete table (no torn reads)
+    for v in sorted(set(versions)):
+        assert t.read(spark, version=v).count() > 100
+
+
 def test_schema_evolution_on_append(spark, table):
     """Appending rows with an added column evolves the snapshot: the
     read returns the union schema (old rows NULL in the new column),

@@ -26,10 +26,21 @@ table path (same pattern as LakeTable.compact_partitions), so the
 same code runs over file://, hdfs:// or s3a://. On S3 the publish
 rename is copy+delete of ONE tiny object — the race window the
 directory swap has for the whole table shrinks to a single metadata
-file, and production deployments close even that with a conditional
-PUT (If-None-Match) on the manifest name; layout and reader protocol
-need no change. Single-writer is assumed, as in the reference's
-``max_active_runs=1`` schedule (yq_dag.py:105).
+file. ``publish_mode="conditional-create"`` closes even that:
+``FileSystem.create(dest, overwrite=False)`` is the putIfAbsent —
+exactly-one writer claims a version name (on S3A with Hadoop 3.3+
+conditional writes, the If-None-Match PUT commits at close). The
+cost of skipping the temp-file indirection is that a writer crashing
+mid-write can leave a TORN manifest under a claimed version name, so
+the reader protocol is hardened to match: a manifest that fails JSON
+parse (or lacks a ``files`` list) is treated as uncommitted and
+skipped during snapshot resolution; the next writer burns that
+version number and publishes the one above it. This mirrors the
+commit discipline of Delta's S3 LogStore / Iceberg's catalog swap:
+the commit point is "a VALID manifest exists at the next name", not
+merely "a file exists". The reference's ``max_active_runs=1``
+schedule (yq_dag.py:105) makes single-writer the common case; the
+guard makes the concurrent case safe rather than assumed away.
 
 Layout::
 
@@ -58,6 +69,10 @@ _MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
 @dataclass(frozen=True)
 class ManifestTable:
     path: str
+    # "rename": temp file + rename-to-fresh-name — atomic on local/HDFS.
+    # "conditional-create": create(dest, overwrite=False) putIfAbsent —
+    # the S3-safe claim; torn manifests possible, reader skips them.
+    publish_mode: str = "rename"
 
     # -- filesystem plumbing (Hadoop FS API — file://, hdfs://, s3a://) --
 
@@ -97,6 +112,25 @@ class ManifestTable:
             return False
         return True
 
+    def _put_if_absent(self, spark: SparkSession, content: str, *parts: str) -> bool:
+        """putIfAbsent commit: ``create(dest, overwrite=False)`` fails
+        with FileAlreadyExistsException if another writer already
+        claimed this version name — no rename needed, so it is safe on
+        stores without atomic rename (S3). A crash between create and
+        close leaves a torn manifest; `_try_manifest` quarantines it."""
+        jvm, fs = self._fs(spark)
+        dest = self._jp(jvm, *parts)
+        fs.mkdirs(dest.getParent())
+        try:
+            out = fs.create(dest, False)
+        except Exception:
+            return False  # lost the race: the name is claimed
+        try:
+            out.write(bytearray(content.encode("utf-8")))
+        finally:
+            out.close()
+        return True
+
     def _list_names(self, spark: SparkSession, subdir: str) -> list[str]:
         jvm, fs = self._fs(spark)
         d = self._jp(jvm, subdir)
@@ -106,19 +140,45 @@ class ManifestTable:
 
     # -- snapshot resolution ---------------------------------------------
 
-    def current_version(self, spark: SparkSession) -> int | None:
-        """Highest published manifest version — the manifest FILE is
-        the commit record; no separate pointer object to keep
-        consistent with it."""
-        versions = [
+    def _name_versions(self, spark: SparkSession) -> list[int]:
+        """Every version NUMBER with a manifest file present, valid or
+        torn — publish targeting must skip claimed names either way."""
+        return sorted(
             int(m.group(1))
             for n in self._list_names(spark, "_manifests")
             if (m := _MANIFEST_RE.match(n))
-        ]
-        return max(versions) if versions else None
+        )
+
+    def _try_manifest(self, spark: SparkSession, version: int) -> dict | None:
+        """The manifest if it is a COMPLETE commit record, else None.
+        A torn write (conditional-create writer crashed mid-PUT) fails
+        JSON parse or lacks `files` — treated as uncommitted."""
+        try:
+            m = json.loads(self._read_text(spark, "_manifests", f"v{version}.json"))
+        except Exception:
+            return None
+        if not isinstance(m, dict) or not isinstance(m.get("files"), list):
+            return None
+        return m
+
+    def current_version(self, spark: SparkSession) -> int | None:
+        """Highest VALID manifest version — the valid manifest FILE is
+        the commit record; no separate pointer object to keep
+        consistent with it. Scans from the top so the common case
+        (no torn manifests) costs one read."""
+        for v in reversed(self._name_versions(spark)):
+            if self._try_manifest(spark, v) is not None:
+                return v
+        return None
 
     def _manifest(self, spark: SparkSession, version: int) -> dict:
-        return json.loads(self._read_text(spark, "_manifests", f"v{version}.json"))
+        m = self._try_manifest(spark, version)
+        if m is None:
+            raise FileNotFoundError(
+                f"no committed manifest v{version} at {self.path} "
+                "(missing or torn)"
+            )
+        return m
 
     # -- write path ------------------------------------------------------
 
@@ -157,10 +217,33 @@ class ManifestTable:
         rows: int,
         op: str,
         extra: dict | None = None,
+        rebase=None,
     ) -> int:
+        """Optimistic-concurrency commit loop. ``rebase`` (for ops whose
+        content depends on the previous snapshot, i.e. append) is
+        re-evaluated on EVERY attempt, AFTER the target name is chosen:
+        losing the putIfAbsent race means the base snapshot moved, so
+        the commit content must be rebuilt on the new base — retrying
+        with the stale file list would silently drop the winner's rows
+        (the lost-update anomaly Delta/Iceberg commit loops re-check
+        for). Ordering matters: list names → rebase → put. A commit
+        landing after the listing claims our target name and fails our
+        put; one landing before it is seen by the rebase — either way
+        no commit is ever based on a snapshot older than the one it
+        replaces."""
+        put = (
+            self._put_if_absent
+            if self.publish_mode == "conditional-create"
+            else self._write_text_atomic
+        )
         while True:
-            prev = self.current_version(spark)
-            version = 0 if prev is None else prev + 1
+            # next version = above every CLAIMED name (even torn ones:
+            # their number is burned, never reused — else a slow torn
+            # writer finishing late could overwrite a real commit)
+            names = self._name_versions(spark)
+            version = names[-1] + 1 if names else 0
+            if rebase is not None:
+                files, rows, extra = rebase()
             manifest = {
                 "version": version,
                 "files": files,
@@ -169,11 +252,9 @@ class ManifestTable:
                 "committed_at": time.time(),
                 **(extra or {}),
             }
-            if self._write_text_atomic(
-                spark, json.dumps(manifest), "_manifests", f"v{version}.json"
-            ):
+            if put(spark, json.dumps(manifest), "_manifests", f"v{version}.json"):
                 return version
-            # publish race lost: re-resolve and try the next version
+            # publish race lost: re-resolve, rebase, try the next version
 
     def overwrite(self, df: DataFrame) -> int:
         """Commit df as a full-replacement snapshot."""
@@ -194,24 +275,31 @@ class ManifestTable:
         as a carried-forward high-water mark, so an at-least-once
         replay of an already-committed micro-batch is detectable from
         the LATEST manifest alone (surviving vacuum of old ones)."""
-        files, spark = self._write_files(df)
-        prev = self.current_version(spark)
-        old_manifest = self._manifest(spark, prev) if prev is not None else {}
-        old = old_manifest.get("files", [])
-        allf = old + files
-        extra: dict = {}
-        if batch_id is not None:
-            extra["last_batch_id"] = max(
-                int(old_manifest.get("last_batch_id", -1)), int(batch_id)
-            )
-        # schema-evolution check at commit time: compare the new data's
-        # column set against the snapshot schema recorded previously
+        new_files, spark = self._write_files(df)
         new_cols = sorted(df.columns)
-        old_cols = old_manifest.get("columns", new_cols)
-        extra["columns"] = sorted(set(new_cols) | set(old_cols))
-        if old_manifest.get("evolved") or new_cols != old_cols:
-            extra["evolved"] = True
-        return self._publish(spark, allf, self._count(spark, allf), "append", extra)
+
+        def rebase() -> tuple[list[str], int, dict]:
+            # re-resolved on every commit attempt: a concurrent commit
+            # winning the race moves the base snapshot, and this
+            # append's file list must sit on top of THAT, not the one
+            # read before the race (lost-update guard)
+            prev = self.current_version(spark)
+            old_manifest = self._manifest(spark, prev) if prev is not None else {}
+            allf = old_manifest.get("files", []) + new_files
+            extra: dict = {}
+            if batch_id is not None:
+                extra["last_batch_id"] = max(
+                    int(old_manifest.get("last_batch_id", -1)), int(batch_id)
+                )
+            # schema-evolution check at commit time: compare the new
+            # data's column set against the snapshot schema recorded
+            old_cols = old_manifest.get("columns", new_cols)
+            extra["columns"] = sorted(set(new_cols) | set(old_cols))
+            if old_manifest.get("evolved") or new_cols != old_cols:
+                extra["evolved"] = True
+            return allf, self._count(spark, allf), extra
+
+        return self._publish(spark, [], 0, "append", rebase=rebase)
 
     def last_batch_id(self, spark: SparkSession) -> int:
         """High-water mark of committed streaming batch ids (-1 if
@@ -287,7 +375,9 @@ class ManifestTable:
         keep_from = max(0, latest - keep_versions + 1)
         live: set[str] = set()
         for v in range(keep_from, latest + 1):
-            live.update(self._manifest(spark, v)["files"])
+            m = self._try_manifest(spark, v)
+            if m is not None:  # torn manifests reference nothing
+                live.update(m["files"])
         deleted = []
         for f in self._list_names(spark, "data"):
             if f not in live:
