@@ -179,6 +179,71 @@ def test_histogram_store_merge_and_error_bound(spark, testdata):
         assert abs(ests[q] - exact) <= width
 
 
+def test_zorder_pruned_scan_skips_row_groups(spark):
+    """The registered query's box predicate, checked against parquet
+    row-group statistics — the exact mechanism Spark's parquet reader
+    uses to skip. The Z-ordered layout must leave strictly fewer
+    candidate row groups than the md5-shuffled twin of the same rows
+    (which should prune nothing), and the query's answer must match
+    the same aggregate over the original table."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from yc_yq_airflow_etl_spark.plans.analytics import (
+        ensure_zorder_demo,
+        zorder_pruned_scan,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    cdir, sdir = ensure_zorder_demo(spark, sf_dir)
+
+    def candidates(path):
+        """Row groups whose [min,max] intersect the query's box."""
+        total = hits = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.read_metadata(f)
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            for rg in range(md.num_row_groups):
+                total += 1
+                q = md.row_group(rg).column(names.index("l_quantity")).statistics
+                p = md.row_group(rg).column(
+                    names.index("l_extendedprice")
+                ).statistics
+                if q.min <= 10.0 and q.max >= 5.0 and p.min <= 40000.0 and p.max >= 20000.0:
+                    hits += 1
+        return hits, total
+
+    c_hits, c_total = candidates(cdir)
+    s_hits, s_total = candidates(sdir)
+    assert s_hits == s_total  # decorrelated layout prunes nothing
+    assert c_hits < s_hits  # clustering actually skips data
+    assert c_hits <= c_total // 2  # and not marginally: >= half skipped
+
+    got = {
+        r.l_returnflag: (r.n, r.sum_qty, r.sum_price)
+        for r in zorder_pruned_scan(spark, sf_dir).collect()
+    }
+    from yc_yq_airflow_etl_spark.catalog import load_testdata
+
+    li = load_testdata(spark, sf_dir)["lineitem"]
+    exp = {
+        r.l_returnflag: (r.n, float(r.sum_qty), float(r.sum_price))
+        for r in li.filter(
+            F.col("l_quantity").between(5.0, 10.0)
+            & F.col("l_extendedprice").between(20000.0, 40000.0)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+
 def test_zorder_clusters_both_columns(spark, testdata, tmp_path):
     """Z-ordered files cover small rectangles of BOTH clustering
     columns (multi-column data skipping), where a plain single-column

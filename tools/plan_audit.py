@@ -156,6 +156,18 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("per-bucket last-right-row aggregate is partial (map-side combine)",
          r"partial_max_by"),
     ],
+    "zorder_pruned_scan": [
+        # the skipping itself is measured row-group-by-row-group in
+        # tests/test_scale_ops.py::test_zorder_pruned_scan_skips_row_groups;
+        # here: both box predicates must reach the scan, where the
+        # Morton-clustered min/max stats can act on them
+        ("quantity box pushed to the scan",
+         r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_quantity"),
+        ("price box pushed to the scan",
+         r"PushedFilters: \[[^\]]*LessThanOrEqual\(l_extendedprice"),
+        ("partial aggregation", r"partial_(sum|count)"),
+        ("pruned read: no date/tax columns", r"!ReadSchema: [^\n]*(l_shipdate|l_tax)"),
+    ],
     "pretrain_quality_filter": [
         # positive: text is read; negative: the unused source/n_chars
         # columns must NOT survive into the scan schema

@@ -1002,6 +1002,102 @@ GROUP BY 1 ORDER BY user_id
 """
 
 
+_ZORDER_DEMO_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def ensure_zorder_demo(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize (once per dataset, tempdir-keyed like the ANN
+    index) two physical layouts of the SAME lineitem rows:
+
+    - ``clustered/``: Z-ordered on (l_quantity, l_extendedprice) via
+      sources/zorder.write_zordered — every file covers a small
+      rectangle of the 2-D key space, so parquet min/max stats prune
+      files for a box predicate on EITHER or BOTH columns;
+    - ``shuffled/``: the worst case — rows ordered by an md5 of the
+      row key, decorrelating both columns, so every file's [min, max]
+      spans ~the full domain and nothing prunes.
+
+    Returns (clustered_path, shuffled_path). The registered query
+    reads only the clustered copy; the shuffled twin exists for the
+    skipping-evidence test (tests/test_scale_ops.py) and the bench."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.zorder import write_zordered
+
+    key = os.path.abspath(sf_dir)
+    cached = _ZORDER_DEMO_CACHE.get(key)
+    if cached is not None:
+        return cached
+    tag = hashlib.md5(key.encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"zorder_demo_{tag}")
+    cdir = os.path.join(base, "clustered")
+    sdir = os.path.join(base, "shuffled")
+    if not (
+        os.path.exists(os.path.join(cdir, "_SUCCESS"))
+        and os.path.exists(os.path.join(sdir, "_SUCCESS"))
+    ):
+        li = load_testdata(spark, sf_dir)["lineitem"]
+        write_zordered(li, cdir, ["l_quantity", "l_extendedprice"], num_files=8)
+        (
+            li.withColumn(
+                "_r",
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+            )
+            .repartitionByRange(8, "_r")
+            .sortWithinPartitions("_r")
+            .drop("_r")
+            .write.mode("overwrite")
+            .parquet(sdir)
+        )
+    _ZORDER_DEMO_CACHE[key] = (cdir, sdir)
+    return cdir, sdir
+
+
+def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box-selective aggregate over the Z-ORDERED lineitem copy
+    (ensure_zorder_demo): both range predicates reach the scan as
+    PushedFilters (plan-audited), and because the files are Morton-
+    clustered the row-group min/max stats satisfy most of them —
+    tests/test_scale_ops.py counts the candidate row groups directly
+    against the shuffled twin. The DuckDB oracle runs the same
+    aggregate over the ORIGINAL lineitem table, so a green row also
+    proves the clustered rewrite is lossless."""
+    cdir, _ = ensure_zorder_demo(spark, sf_dir)
+    li = spark.read.parquet(cdir)
+    return (
+        li.filter(
+            F.col("l_quantity").between(5.0, 10.0)
+            & F.col("l_extendedprice").between(20000.0, 40000.0)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ZORDER_PRUNED_ORACLE = """
+SELECT l_returnflag, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+WHERE l_quantity BETWEEN 5.0 AND 10.0
+  AND l_extendedprice BETWEEN 20000.0 AND 40000.0
+GROUP BY 1 ORDER BY l_returnflag
+"""
+
+
 def register_all() -> None:
     from .registry import register
 
@@ -1048,3 +1144,4 @@ def register_all() -> None:
         interval_overlap_sessions,
         INTERVAL_OVERLAP_ORACLE,
     )
+    register("zorder_pruned_scan", zorder_pruned_scan, ZORDER_PRUNED_ORACLE)
