@@ -120,6 +120,115 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf else None,
     }
+
+    # 10x scale datapoint for the dedup/ANN family: blow documents/
+    # embeddings up 10x while keeping duplicate DENSITY constant —
+    # copy i>0 suffixes every word with the copy index (same shingle
+    # counts, no cross-copy near-dup pairs) and jitters every embedding
+    # dimension by a vec_id-seeded hash (new distinct vectors). The
+    # family's banded/bucketed designs should scale ~linearly: ratios
+    # >> 10 would mean a bucket cap or index build went super-linear.
+    # Row-count note: minhash pairs scale exactly 10x; simhash pair
+    # counts are draw-sensitive (the synthetic corpus has a ~20-word
+    # vocabulary, so each copy's re-drawn token hashes shift how many
+    # pairs sit under the hamming<=8 threshold) — wall-time is the
+    # scaling signal, not rows. Disable with SPARK_GRAFT_SCALE_CHECK=0.
+    if os.environ.get("SPARK_GRAFT_SCALE_CHECK", "1") != "0":
+        factor = 10
+        scale_dir = os.path.join(workdir, f"scale{factor}x")
+        os.makedirs(scale_dir, exist_ok=True)
+        for t in (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events",
+        ):
+            os.symlink(f"{sf_dir}/{t}.parquet", f"{scale_dir}/{t}.parquet")
+        copies = F.broadcast(
+            spark.range(factor).select(F.col("id").alias("_i"))
+        )
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        salted_text = F.when(F.col("_i") == 0, F.col("text")).otherwise(
+            F.regexp_replace(
+                F.col("text"),
+                # every non-space run, not just Latin words — the
+                # corpus is multilingual and an unsalted script would
+                # leave exact cross-copy duplicates (pair explosion)
+                F.lit("(\\S+)"),
+                F.concat(F.lit("$1c"), F.col("_i").cast("string")),
+            )
+        )
+        (
+            docs.crossJoin(copies)
+            .select(
+                (F.col("doc_id") + F.col("_i") * F.lit(10_000_000)).alias(
+                    "doc_id"
+                ),
+                salted_text.alias("text"),
+                F.col("lang"),
+                F.col("source"),
+                F.length(salted_text).alias("n_chars"),
+            )
+            .repartition(8)
+            .write.parquet(f"{scale_dir}/documents.parquet")
+        )
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        jitter = lambda x, j: (  # noqa: E731
+            x
+            + (
+                F.pmod(
+                    F.xxhash64(F.col("vec_id"), F.col("_i"), j), F.lit(1000)
+                ).cast("double")
+                / 500.0
+                - 1.0
+            )
+        ).cast("float")
+        (
+            embs.crossJoin(copies)
+            .select(
+                (F.col("vec_id") + F.col("_i") * F.lit(10_000_000)).alias(
+                    "vec_id"
+                ),
+                F.when(F.col("_i") == 0, F.col("embedding"))
+                .otherwise(F.transform("embedding", jitter))
+                .alias("embedding"),
+                F.col("label"),
+            )
+            .repartition(4)
+            .write.parquet(f"{scale_dir}/embeddings.parquet")
+        )
+
+        scale: dict[str, dict] = {}
+        # first touch of similarity_* builds the 10x ANN index (shared
+        # lsh+ivf, amortized); the second run is the steady state
+        for name in (
+            "dedup_minhash_pairs",
+            "dedup_simhash_pairs",
+            "similarity_lsh_topk",
+            "similarity_ivf_topk",
+        ):
+            t0 = time.time()
+            n = qs[name](spark, scale_dir).count()
+            t = round(time.time() - t0, 3)
+            base = timings.get(name)
+            scale[name] = {
+                "t_10x": t,
+                "rows": n,
+                "ratio_vs_1x": round(t / base, 2) if base else None,
+            }
+            print(f"# scale10x {name}: {n} rows in {t}s", file=sys.stderr)
+        for name in ("similarity_lsh_topk", "similarity_ivf_topk"):
+            t0 = time.time()
+            qs[name](spark, scale_dir).count()
+            scale[name]["t_10x_steady"] = round(time.time() - t0, 3)
+            print(
+                f"# scale10x {name} steady: {scale[name]['t_10x_steady']}s",
+                file=sys.stderr,
+            )
+        out["scale_check"] = {
+            "factor": factor,
+            "base_dir": sf_dir,
+            "queries": scale,
+        }
+
     print(json.dumps(out))
     spark.stop()
 
