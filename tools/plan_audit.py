@@ -156,6 +156,49 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("per-bucket last-right-row aggregate is partial (map-side combine)",
          r"partial_max_by"),
     ],
+    "q4_late_shipment_priority": [
+        ("EXISTS compiles to a semi-join, not join+distinct",
+         r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*LeftSemi"),
+        ("order-date window pushed to the orders scan",
+         r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate"),
+        ("partial aggregation", r"partial_count"),
+    ],
+    "q5_local_supplier_volume": [
+        ("all dims broadcast (single fact shuffle)", r"BroadcastHashJoin"),
+        ("order-date window pushed", r"PushedFilters: \[[^\]]*o_orderdate"),
+        ("partial aggregation", r"partial_sum"),
+    ],
+    "q10_returned_item_customers": [
+        ("returnflag pushed to the lineitem scan",
+         r"PushedFilters: \[[^\]]*EqualTo\(l_returnflag,R\)"),
+        ("customer/nation dims broadcast", r"BroadcastHashJoin"),
+        ("top-20 is TakeOrdered, not a global sort", r"TakeOrderedAndProject"),
+    ],
+    "q18_large_volume_orders": [
+        ("quantity rollup partially aggregated before its one shuffle",
+         r"partial_sum"),
+        ("customer dim broadcast", r"BroadcastHashJoin"),
+    ],
+    "q22_idle_rich_customers": [
+        ("anti-join on the equi path", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*LeftAnti"),
+        ("lapsed-window predicate pushed to the orders scan",
+         r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate"),
+        ("orders read pruned to custkey+date",
+         r"!ReadSchema: [^\n]*o_totalprice"),
+    ],
+    "pii_redaction_stats": [
+        ("pure JVM regex path: no Python stage", "!ArrowEvalPython"),
+        ("no row-at-a-time Python either", "!BatchEvalPython"),
+        ("per-source rollup partially aggregated", r"partial_(sum|count)"),
+        ("scan pruned to text+source+doc_id only",
+         r"!ReadSchema: [^\n]*(n_chars|lang)"),
+    ],
+    "decontamination_overlap": [
+        ("benchmark n-gram set broadcast (training side unshuffled)",
+         r"BroadcastHashJoin"),
+        ("hit counts partially aggregated", r"partial_count"),
+        ("no Python stage (JVM higher-order shingles)", "!ArrowEvalPython"),
+    ],
     "zorder_pruned_scan": [
         # the skipping itself is measured row-group-by-row-group in
         # tests/test_scale_ops.py::test_zorder_pruned_scan_skips_row_groups;

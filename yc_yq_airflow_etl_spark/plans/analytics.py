@@ -1098,6 +1098,345 @@ GROUP BY 1 ORDER BY l_returnflag
 """
 
 
+def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-style correlated semi-join — orders of
+    1996 having at least one line item shipped > 90 days after the
+    order date, counted per priority. The semi-join keeps the orders
+    side un-duplicated (no post-join distinct), and the correlated
+    range condition rides the same o_orderkey shuffle as the equi key.
+    Reference parity: the reference's YQL supports the same EXISTS
+    rewrite (SURVEY.md §2 J1 family)."""
+    t = load_testdata(spark, sf_dir)
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    late = t["lineitem"].select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            late,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY 1 ORDER BY o_orderpriority
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 proper (region_revenue covers the snowflake shape;
+    this adds Q5's distinctive twist): revenue only where the CUSTOMER
+    and the SUPPLIER sit in the same nation of one region. The
+    same-nation constraint is a residual filter on the broadcast-join
+    outputs — the fact table still shuffles once, on o_orderkey."""
+    t = load_testdata(spark, sf_dir)
+    nat = F.broadcast(
+        t["nation"]
+        .join(
+            t["region"].filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    sup = F.broadcast(
+        t["supplier"].select("s_suppkey", F.col("s_nationkey").alias("sup_nk"))
+    )
+    cust = F.broadcast(
+        t["customer"].select("c_custkey", F.col("c_nationkey").alias("cust_nk"))
+    )
+    ords = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        t["lineitem"]
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("sup_nk") == F.col("cust_nk"))
+        .join(nat, F.col("sup_nk") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("n_name"))
+    )
+
+
+Q5_ORACLE = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1 ORDER BY revenue DESC, n_name
+"""
+
+
+def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns (l_returnflag = 'R')
+    per customer over one quarter, top 20. Join order puts the
+    selective lineitem filter before the orders shuffle; the final
+    top-20 compiles to TakeOrderedAndProject (plan-audited), never a
+    global sort."""
+    t = load_testdata(spark, sf_dir)
+    returned = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    ords = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        returned.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("lost_revenue"))
+        .orderBy(F.desc("lost_revenue"), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_ORACLE = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS lost_revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3
+ORDER BY lost_revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the two-level aggregation — orders per
+    customer (LEFT join keeps zero-order customers), then customers
+    per order-count. Both aggregations partial+final; the second one
+    runs over ~tens of distinct counts, so its exchange is trivial."""
+    t = load_testdata(spark, sf_dir)
+    per_cust = (
+        t["customer"]
+        .join(
+            t["orders"].select("o_custkey", "o_orderkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist FROM (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY 1)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose summed line quantity exceeds a
+    threshold, with customer attribution. The HAVING pre-aggregation
+    runs on lineitem alone (one shuffle on l_orderkey, partial
+    map-side combine), and only the few surviving keys join back —
+    at 100 TB the join input is the filtered aggregate, not the fact
+    table."""
+    t = load_testdata(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 200.0)
+    )
+    return (
+        big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), F.col("o_orderkey"))
+    )
+
+
+Q18_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_totalprice, total_qty
+FROM (
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem GROUP BY 1 HAVING total_qty > 200.0)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+"""
+
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average balance and no
+    RECENT orders (none since 1999 — at this data's density every
+    customer has some order, so the lapsed-window variant keeps the
+    anti-join meaningful), grouped by nation. The average threshold is
+    computed in integer cents and compared by cross-multiplication
+    (cents * n > sum_cents) — exact on both engines, immune to the
+    float-summation-order ulp drift a DOUBLE avg() would have at the
+    boundary. Anti-join prunes to orders' (o_custkey, o_orderdate)."""
+    t = load_testdata(spark, sf_dir)
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    thr = F.broadcast(
+        t["customer"]
+        .filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(cents).alias("_sum_cents"),
+            F.count(F.lit(1)).alias("_n_pos"),
+        )
+    )
+    return (
+        t["customer"]
+        .crossJoin(thr)
+        .filter(cents * F.col("_n_pos") > F.col("_sum_cents"))
+        .join(
+            t["orders"]
+            .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+            .select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_idle"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("idle_balance"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+Q22_ORACLE = """
+WITH t AS (
+    SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS sum_cents,
+           count(*) AS n_pos
+    FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, count(*) AS n_idle,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS idle_balance
+FROM customer c, t
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) * t.n_pos > t.sum_cents
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY 1 ORDER BY c_nationkey
+"""
+
+
+_MANIFEST_DEMO_CACHE: dict[str, str] = {}
+
+
+def ensure_manifest_demo(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per dataset) a three-snapshot ManifestTable
+    from lineitem year slices: v0 = overwrite(ship year < 1997),
+    v1 = append(1997), v2 = append(1998). Gives the registered query
+    below a deterministic time-travel surface."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.manifest import ManifestTable
+
+    key = os.path.abspath(sf_dir)
+    cached = _MANIFEST_DEMO_CACHE.get(key)
+    if cached is not None:
+        return cached
+    tag = hashlib.md5(key.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"manifest_demo_{tag}")
+    mt = ManifestTable(path)
+    if mt.current_version(spark) != 2:
+        li = load_testdata(spark, sf_dir)["lineitem"].select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"
+        )
+        yr = F.year("l_shipdate")
+        mt.overwrite(li.filter(yr < 1997))
+        mt.append(li.filter(yr == 1997))
+        mt.append(li.filter(yr == 1998))
+    _MANIFEST_DEMO_CACHE[key] = path
+    return path
+
+
+def manifest_time_travel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolation made driver-checkable: read each committed
+    version of the manifest table (sources/manifest.py) and count its
+    rows. The oracle recomputes the same three counts from the source
+    table with static year predicates — matching values prove every
+    historical snapshot is a complete, correct table (the commit
+    protocol's core promise), not just the latest one."""
+    from ..sources.manifest import ManifestTable
+
+    mt = ManifestTable(ensure_manifest_demo(spark, sf_dir))
+    per_version = [
+        mt.read(spark, version=v)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit(v).alias("version"), "n_rows")
+        for v in (0, 1, 2)
+    ]
+    out = per_version[0]
+    for df in per_version[1:]:
+        out = out.unionAll(df)
+    return out.orderBy("version")
+
+
+MANIFEST_TIME_TRAVEL_ORACLE = """
+SELECT 0 AS version,
+       (SELECT count(*) FROM lineitem WHERE year(l_shipdate) < 1997) AS n_rows
+UNION ALL
+SELECT 1,
+       (SELECT count(*) FROM lineitem WHERE year(l_shipdate) <= 1997)
+UNION ALL
+SELECT 2,
+       (SELECT count(*) FROM lineitem WHERE year(l_shipdate) <= 1998)
+ORDER BY version
+"""
+
+
 def register_all() -> None:
     from .registry import register
 
@@ -1145,3 +1484,18 @@ def register_all() -> None:
         INTERVAL_OVERLAP_ORACLE,
     )
     register("zorder_pruned_scan", zorder_pruned_scan, ZORDER_PRUNED_ORACLE)
+    register("q4_late_shipment_priority", q4_late_shipment_priority, Q4_ORACLE)
+    register("q5_local_supplier_volume", q5_local_supplier_volume, Q5_ORACLE)
+    register(
+        "q10_returned_item_customers", q10_returned_item_customers, Q10_ORACLE
+    )
+    register(
+        "q13_order_count_distribution", q13_order_count_distribution, Q13_ORACLE
+    )
+    register("q18_large_volume_orders", q18_large_volume_orders, Q18_ORACLE)
+    register("q22_idle_rich_customers", q22_idle_rich_customers, Q22_ORACLE)
+    register(
+        "manifest_time_travel_counts",
+        manifest_time_travel_counts,
+        MANIFEST_TIME_TRAVEL_ORACLE,
+    )

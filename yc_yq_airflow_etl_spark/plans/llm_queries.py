@@ -1063,6 +1063,185 @@ GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 10
 """
 
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+\d-\d{3}-\d{4}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the standard pretraining-compliance pass —
+    entirely in JVM regexp expressions (no Python in the path, one
+    scan, no shuffle until the tiny per-source rollup). The synthetic
+    corpus carries no organic PII, so the query first SEEDS
+    deterministic emails/phones/IPs from doc_id (identically in the
+    DuckDB oracle), then counts and strips them; chars_removed
+    cross-checks that replacement semantics agree between engines.
+
+    At 100 TB this is the exact shape to want: per-row narrow
+    projection, predicate-free single pass, partial aggregation —
+    the regex evaluation dominates and scales embarrassingly."""
+    t = load_testdata(spark, sf_dir)
+    seeded = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" host 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                F.expr("(doc_id div 7) % 256").cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(seeded, _PII_EMAIL, "[EMAIL]"),
+            _PII_PHONE,
+            "[PHONE]",
+        ),
+        _PII_IP,
+        "[IP]",
+    )
+    return (
+        t["documents"]
+        .select(
+            "source",
+            F.size(F.regexp_extract_all(seeded, F.lit(_PII_EMAIL), F.lit(0))).alias(
+                "_e"
+            ),
+            F.size(F.regexp_extract_all(seeded, F.lit(_PII_PHONE), F.lit(0))).alias(
+                "_p"
+            ),
+            F.size(F.regexp_extract_all(seeded, F.lit(_PII_IP), F.lit(0))).alias(
+                "_i"
+            ),
+            (F.length(seeded) - F.length(redacted)).alias("_d"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_e").alias("n_emails"),
+            F.sum("_p").alias("n_phones"),
+            F.sum("_i").alias("n_ips"),
+            F.sum("_d").alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+PII_REDACTION_ORACLE = r"""
+WITH seeded AS (
+    SELECT source,
+           text
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.' || CAST((doc_id // 7) % 256 AS VARCHAR)
+                   ELSE '' END AS s
+    FROM documents
+), red AS (
+    SELECT source, s,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(s,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                   '\+\d-\d{3}-\d{4}', '[PHONE]', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS r
+    FROM seeded
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_emails,
+       CAST(sum(len(regexp_extract_all(s, '\+\d-\d{3}-\d{4}'))) AS BIGINT) AS n_phones,
+       CAST(sum(len(regexp_extract_all(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) AS BIGINT) AS n_ips,
+       CAST(sum(length(s) - length(r)) AS BIGINT) AS chars_removed
+FROM red GROUP BY 1 ORDER BY source
+"""
+
+
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag training documents sharing
+    verbatim 8-gram windows with an eval/benchmark set (here: the
+    deterministic doc_id % 97 == 0 sample stands in for the benchmark
+    corpus). The benchmark's distinct 8-grams are BROADCAST — at
+    100 TB the training side streams through one scan + one explode
+    with no shuffle of raw text; only the per-doc hit counts (tiny)
+    shuffle for the rollup. This is the n-gram-overlap decontamination
+    used by standard pretraining pipelines, as a pure DataFrame plan."""
+    from ..functions.text import word_shingles
+
+    t = load_testdata(spark, sf_dir)
+    docs = t["documents"]
+    grams = docs.select(
+        "doc_id", F.explode(word_shingles("text", 8)).alias("g")
+    )
+    bench = F.broadcast(
+        grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(bench, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("n_shared").alias("n_contaminated"),
+            F.sum(F.coalesce("n_shared", F.lit(0))).alias("total_shared_ngrams"),
+        )
+        .orderBy("source")
+    )
+
+
+DECONTAMINATION_ORACLE = r"""
+WITH sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 7, 0)),
+               i -> array_to_string(w[i:i+7], ' ')))) AS g
+    FROM (SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+          FROM documents)
+), bench AS (
+    SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0
+), hits AS (
+    SELECT s.doc_id, count(*) AS n_shared
+    FROM sh s JOIN bench b ON s.g = b.g
+    WHERE s.doc_id % 97 <> 0
+    GROUP BY 1
+)
+SELECT d.source AS source, count(*) AS n_docs,
+       count(h.n_shared) AS n_contaminated,
+       CAST(COALESCE(sum(h.n_shared), 0) AS BIGINT) AS total_shared_ngrams
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 97 <> 0
+GROUP BY 1 ORDER BY source
+"""
+
+
 def register_all() -> None:
     from .registry import register
 
@@ -1094,6 +1273,10 @@ def register_all() -> None:
     )
     register(
         "multimodal_ppm_features", multimodal_ppm_features, MULTIMODAL_PPM_ORACLE
+    )
+    register("pii_redaction_stats", pii_redaction_stats, PII_REDACTION_ORACLE)
+    register(
+        "decontamination_overlap", decontamination_overlap, DECONTAMINATION_ORACLE
     )
     register("udf_text_density", udf_text_density, UDF_DENSITY_ORACLE)
     register("udaf_lang_stats", udaf_lang_stats, UDAF_LANG_STATS_ORACLE)

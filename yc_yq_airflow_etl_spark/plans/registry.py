@@ -51,6 +51,15 @@ _FRONT: tuple[str, ...] = (
     "multimodal_ppm_features",
     "asof_click_purchase_bucketed",
     "zorder_pruned_scan",
+    "manifest_time_travel_counts",
+    "pii_redaction_stats",
+    "decontamination_overlap",
+    "q4_late_shipment_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_item_customers",
+    "q13_order_count_distribution",
+    "q18_large_volume_orders",
+    "q22_idle_rich_customers",
     # green in r1 only; fell outside the r2 window
     "events_tumbling_hourly",
     "events_sliding_counts",
