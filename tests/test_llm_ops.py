@@ -317,3 +317,65 @@ def test_ann_index_incremental_append(spark, testdata, tmp_path):
     got_l = [tuple(r) for r in lsh_topk_indexed(idx, q, k=10, max_hamming=3).collect()]
     want_l = [tuple(r) for r in lsh_topk(emb, q, k=10, max_hamming=3).collect()]
     assert got_l == want_l
+
+
+def test_connected_components_structures(spark):
+    """Min-label propagation on a graph with the shapes that break
+    naive implementations: a 6-vertex chain (diameter > 1 round), a
+    triangle (cycle), an isolated pair, and a vertex bridging two
+    would-be clusters. Labels must be the component-wide min."""
+    from yc_yq_airflow_etl_spark.operators.dedup import connected_components
+
+    edges = [
+        # chain 10-11-12-13-14-15 (forces multi-round propagation)
+        (11, 10), (11, 12), (13, 12), (14, 13), (15, 14),
+        # triangle 20-21-22
+        (20, 21), (21, 22), (22, 20),
+        # isolated pair
+        (31, 30),
+        # bridge: 40-41, 42-43 joined through 44
+        (40, 41), (42, 43), (41, 44), (44, 42),
+    ]
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {
+        r.id: r.label for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30, 31: 30,
+        40: 40, 41: 40, 42: 40, 43: 40, 44: 40,
+    }
+
+
+def test_dedup_cluster_assignments_keeper_semantics(spark, testdata):
+    """Cluster assignments over real simhash pairs: every doc maps to
+    the min doc_id of its cluster, keeper rows are self-mapped, the
+    assignment is closed over the pair set (both ends of every pair
+    share a keeper), and cluster sizes add up."""
+    from yc_yq_airflow_etl_spark.operators.dedup import (
+        dedup_cluster_assignments,
+        simhash_dup_pairs,
+    )
+
+    docs = testdata["documents"]
+    pairs = simhash_dup_pairs(docs, max_hamming=8).select("id_a", "id_b")
+    pair_rows = [(r.id_a, r.id_b) for r in pairs.collect()]
+    assign = {
+        r.doc_id: (r.keeper_id, r.cluster_size)
+        for r in dedup_cluster_assignments(docs, pairs).collect()
+    }
+    # both ends of every pair are assigned, to the same keeper
+    for a, b in pair_rows:
+        assert assign[a][0] == assign[b][0]
+    # keepers are members of their own cluster and self-mapped
+    keepers = {k for k, _ in assign.values()}
+    for k in keepers:
+        assert assign[k][0] == k
+    # keeper is the min id of the cluster; sizes count the members
+    from collections import Counter
+
+    members = Counter(k for k, _ in assign.values())
+    for doc, (k, size) in assign.items():
+        assert k <= doc
+        assert size == members[k]

@@ -450,3 +450,108 @@ def embedding_cosine_dupes(
         ),
         sk,
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → the canonical
+    CLUSTER step every production dedup pipeline ends with (pairs tell
+    you who matches; components tell you which single doc to keep).
+    Returns (id, label) where ``label`` is the smallest vertex id in
+    the component — the conventional keeper.
+
+    Algorithm: min-label propagation with pointer jumping. Each round
+    every vertex takes the min of its own label and its neighbors'
+    labels (one shuffle join edges ⋈ labels + partial-combined groupBy
+    min), then SHORTCUTS through its label's own label (labels ⋈
+    labels — label values are always live vertex ids, so the lookup
+    is total). Plain propagation needs O(component diameter) rounds;
+    the shortcut compresses label chains geometrically, giving
+    O(log diameter) — the same doubling idea as the two-phase
+    algorithms in Kiveris et al., "Connected Components in MapReduce
+    and Beyond". LSH-derived dup graphs are locally dense near-cliques
+    so either converges fast, but at a 100 TB edge list every saved
+    round is a saved shuffle; ``max_iter`` bounds the rounds either
+    way.
+
+    Scale notes: state is one (id, label) row per vertex — no
+    adjacency materialization beyond the input edge list (symmetrized
+    once); every round ends in ``localCheckpoint`` — MANDATORY for any
+    iterative DataFrame loop, because each round's plan references the
+    previous round's twice (join + union), so without plan truncation
+    the logical tree grows exponentially and the driver dies in plan
+    analysis long before data is the problem (persist alone does NOT
+    cut the plan). Convergence is detected by an O(V) anti-join (any
+    (id, label) row that changed), riding the same partitioning as
+    the update itself. Labels only ever decrease, so the loop is
+    monotone and cannot oscillate.
+    """
+    from pyspark import StorageLevel
+
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        incoming = edges.join(
+            labels, edges["src"] == labels["id"]
+        ).select(F.col("dst").alias("id"), F.col("label"))
+        merged = (
+            labels.unionAll(incoming)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        # pointer jump: follow my label to ITS label (chain doubling)
+        lookup = merged.select(
+            F.col("id").alias("_lid"), F.col("label").alias("_llabel")
+        )
+        new_labels = (
+            merged.join(lookup, merged["label"] == lookup["_lid"])
+            .select("id", F.least("label", "_llabel").alias("label"))
+            .localCheckpoint()  # eager: truncates plan AND materializes
+        )
+        changed = (
+            new_labels.join(labels, ["id", "label"], "left_anti").limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_cluster_assignments(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cluster assignment from a near-dup pair set:
+    (doc_id, keeper_id, cluster_size) for every document that belongs
+    to a multi-document cluster. Downstream, the dedup decision is
+    ``keep iff doc_id == keeper_id`` — singletons (absent here) are
+    kept implicitly, so the output stays bounded by the duplicate
+    rate, not the corpus size."""
+    comp = connected_components(pairs, max_iter=25)
+    sizes = comp.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    # no forced broadcast: the cluster table scales with the duplicate
+    # rate; AQE picks broadcast when it is in fact small
+    return (
+        comp.join(sizes, "label")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("label").alias("keeper_id"),
+            "cluster_size",
+        )
+    )

@@ -1063,6 +1063,44 @@ GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 10
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: SimHash pairs (hamming ≤ 8) → connected
+    components → (doc_id, keeper_id, cluster_size) per clustered doc
+    (operators/dedup.connected_components — min-label propagation,
+    one shuffle join + partial-combined min per round). The DuckDB
+    oracle replays the simhash pipeline AND computes the transitive
+    closure with WITH RECURSIVE — the entire pairs→clusters step is
+    verified, not just the pair set."""
+    from ..operators.dedup import dedup_cluster_assignments
+
+    t = load_testdata(spark, sf_dir)
+    pairs = simhash_dup_pairs(t["documents"], max_hamming=8).select("id_a", "id_b")
+    return dedup_cluster_assignments(t["documents"], pairs).orderBy("doc_id")
+
+
+DEDUP_CLUSTERS_ORACLE = (
+    "WITH RECURSIVE "
+    + _SIMHASH_CTES
+    + """, edges AS (
+    SELECT id_a AS src, id_b AS dst FROM ham_pairs WHERE hamming <= 8
+    UNION
+    SELECT id_b, id_a FROM ham_pairs WHERE hamming <= 8
+), reach(id, r) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
+), lab AS (
+    SELECT id AS doc_id, min(r) AS keeper_id FROM reach GROUP BY 1
+), sizes AS (
+    SELECT keeper_id, count(*) AS cluster_size FROM lab GROUP BY 1
+)
+SELECT l.doc_id, l.keeper_id, s.cluster_size
+FROM lab l JOIN sizes s USING (keeper_id)
+ORDER BY doc_id
+"""
+)
+
+
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_PHONE = r"\+\d-\d{3}-\d{4}"
 _PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
@@ -1274,6 +1312,7 @@ def register_all() -> None:
     register(
         "multimodal_ppm_features", multimodal_ppm_features, MULTIMODAL_PPM_ORACLE
     )
+    register("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE)
     register("pii_redaction_stats", pii_redaction_stats, PII_REDACTION_ORACLE)
     register(
         "decontamination_overlap", decontamination_overlap, DECONTAMINATION_ORACLE

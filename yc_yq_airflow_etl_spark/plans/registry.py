@@ -52,6 +52,7 @@ _FRONT: tuple[str, ...] = (
     "asof_click_purchase_bucketed",
     "zorder_pruned_scan",
     "manifest_time_travel_counts",
+    "dedup_clusters",
     "pii_redaction_stats",
     "decontamination_overlap",
     "q4_late_shipment_priority",
