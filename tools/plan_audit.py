@@ -193,6 +193,13 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("scan pruned to text+source+doc_id only",
          r"!ReadSchema: [^\n]*(n_chars|lang)"),
     ],
+    "embedding_quantization_stats": [
+        ("pure JVM higher-order-function path: no Python stage",
+         "!ArrowEvalPython"),
+        ("no explode: per-element math stays inside the row",
+         "!Generate"),
+        ("per-label rollup partially aggregated", r"partial_(avg|count|max)"),
+    ],
     "decontamination_overlap": [
         ("benchmark n-gram set broadcast (training side unshuffled)",
          r"BroadcastHashJoin"),

@@ -1280,6 +1280,78 @@ GROUP BY 1 ORDER BY source
 """
 
 
+def embedding_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization quality report — the storage-
+    compression pass an embedding lake runs before serving (4×
+    smaller vectors; this query measures what that costs). Per-vector
+    symmetric scale (max|x| / 127), quantize, dequantize, and report
+    reconstruction error per label: all JVM higher-order functions
+    (transform/aggregate) over the array column — no Python, no
+    explode (the per-element work never leaves the row), one scan,
+    one tiny rollup shuffle. Elementwise math is done in DOUBLE on
+    both engines (the parquet column is fp32) so the oracle replays
+    it bit-for-bit; outputs round to 6 decimals."""
+    t = load_testdata(spark, sf_dir)
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # epsilon floor keeps an all-zero vector from dividing by zero
+    scale = F.greatest(
+        F.aggregate(vec, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))),
+        F.lit(1e-12),
+    ) / F.lit(127.0)
+    deq = F.transform(vec, lambda x: F.round(x / scale) * scale)
+    sq_err = F.aggregate(
+        F.zip_with(vec, deq, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    max_err = F.aggregate(
+        F.zip_with(vec, deq, lambda a, b: F.abs(a - b)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    per_vec = t["embeddings"].select(
+        "label",
+        (sq_err / F.size("embedding")).alias("_mse"),
+        max_err.alias("_maxe"),
+        scale.alias("_scale"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("_mse"), 6).alias("avg_mse"),
+            F.round(F.max("_maxe"), 6).alias("max_abs_err"),
+            F.round(F.avg("_scale"), 6).alias("avg_scale"),
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_QUANT_ORACLE = """
+WITH v AS (
+    SELECT label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+    FROM embeddings
+), s AS (
+    SELECT label, vec,
+           greatest(list_aggregate(list_transform(vec, x -> abs(x)), 'max'),
+                    1e-12) / 127.0 AS scale
+    FROM v
+), e AS (
+    SELECT label, scale,
+           list_transform(vec, x -> x - round(x / scale) * scale) AS err
+    FROM s
+)
+SELECT label, count(*) AS n_vecs,
+       round(avg(list_aggregate(list_transform(err, x -> x * x), 'sum')
+                 / len(err)), 6) AS avg_mse,
+       round(max(list_aggregate(list_transform(err, x -> abs(x)), 'max')), 6)
+           AS max_abs_err,
+       round(avg(scale), 6) AS avg_scale
+FROM e GROUP BY 1 ORDER BY label
+"""
+
+
 def register_all() -> None:
     from .registry import register
 
@@ -1313,6 +1385,11 @@ def register_all() -> None:
         "multimodal_ppm_features", multimodal_ppm_features, MULTIMODAL_PPM_ORACLE
     )
     register("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE)
+    register(
+        "embedding_quantization_stats",
+        embedding_quantization_stats,
+        EMBEDDING_QUANT_ORACLE,
+    )
     register("pii_redaction_stats", pii_redaction_stats, PII_REDACTION_ORACLE)
     register(
         "decontamination_overlap", decontamination_overlap, DECONTAMINATION_ORACLE

@@ -53,6 +53,7 @@ _FRONT: tuple[str, ...] = (
     "zorder_pruned_scan",
     "manifest_time_travel_counts",
     "dedup_clusters",
+    "embedding_quantization_stats",
     "pii_redaction_stats",
     "decontamination_overlap",
     "q4_late_shipment_priority",
