@@ -193,6 +193,15 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("scan pruned to text+source+doc_id only",
          r"!ReadSchema: [^\n]*(n_chars|lang)"),
     ],
+    "event_sessionization": [
+        # both windows share (user_id | ep, event_id) → Spark stacks
+        # them on ONE Sort+Exchange (no re-sort between lag and the
+        # running sum); the session rollup then reuses the user_id
+        # partitioning, so no exchange until the final orderBy
+        ("stacked windows over a single sort",
+         r"Window \(\d+\)\n(?:\s*\+- Project \(\d+\)\n)?\s*\+- Window \(\d+\)\n(?:\s*\+- Project \(\d+\)\n)?\s*\+- Sort"),
+        ("session rollup partially aggregated", r"partial_(count|max|min)"),
+    ],
     "embedding_quantization_stats": [
         ("pure JVM higher-order-function path: no Python stage",
          "!ArrowEvalPython"),

@@ -1369,6 +1369,78 @@ GROUP BY 1 ORDER BY c_nationkey
 """
 
 
+def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (the batch twin of streaming
+    session windows): a session breaks after 30 min of inactivity.
+    Two windows over ONE partitioning (user_id, ordered by ts) — the
+    new-session flag via lag(), then a running sum to number sessions
+    — so Spark plans a single sort+exchange, not one per window;
+    the per-session rollup shuffles only (user, session) aggregates."""
+    t = load_testdata(spark, sf_dir)
+    from pyspark.sql import Window
+
+    # order by SECOND-granularity epoch (+ event_id tiebreak), exactly
+    # as the oracle does — ordering by raw ts would tie-break
+    # sub-second neighbors differently between engines
+    epoch = F.unix_timestamp("ts")
+    base = t["events"].select("user_id", "event_id", epoch.alias("ep"))
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    new_sess = F.when(
+        F.col("ep") - F.lag("ep").over(w) > 1800, F.lit(1)
+    ).otherwise(F.lit(0))
+    flagged = base.select(
+        "user_id",
+        "ep",
+        "event_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("sess_id"),
+    )
+    per_session = flagged.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ep") - F.min("ep")).alias("duration_s"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("duration_s").alias("max_session_s"),
+            F.round(F.avg("n_events"), 6).alias("avg_events_per_session"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SESSIONIZATION_ORACLE = """
+WITH e AS (
+    SELECT user_id, event_id,
+           CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ep
+    FROM events
+), gaps AS (
+    SELECT user_id, event_id, ep,
+           CASE WHEN ep - lag(ep) OVER (PARTITION BY user_id
+                                        ORDER BY ep, event_id) > 1800
+                THEN 1 ELSE 0 END AS new_sess
+    FROM e
+), flagged AS (
+    SELECT user_id, event_id, ep,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM gaps
+), per_session AS (
+    SELECT user_id, sess_id, count(*) AS n_events,
+           max(ep) - min(ep) AS duration_s
+    FROM flagged GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       max(duration_s) AS max_session_s,
+       round(avg(n_events), 6) AS avg_events_per_session
+FROM per_session GROUP BY 1 ORDER BY user_id
+"""
+
+
 _MANIFEST_DEMO_CACHE: dict[str, str] = {}
 
 
@@ -1499,3 +1571,4 @@ def register_all() -> None:
         manifest_time_travel_counts,
         MANIFEST_TIME_TRAVEL_ORACLE,
     )
+    register("event_sessionization", event_sessionization, SESSIONIZATION_ORACLE)

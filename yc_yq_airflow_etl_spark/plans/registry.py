@@ -62,6 +62,7 @@ _FRONT: tuple[str, ...] = (
     "q13_order_count_distribution",
     "q18_large_volume_orders",
     "q22_idle_rich_customers",
+    "event_sessionization",
     # green in r1 only; fell outside the r2 window
     "events_tumbling_hourly",
     "events_sliding_counts",
