@@ -193,6 +193,12 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("scan pruned to text+source+doc_id only",
          r"!ReadSchema: [^\n]*(n_chars|lang)"),
     ],
+    "bucketed_join_revenue": [
+        ("join keys never exchanged (bucketed scan partitioning reused)",
+         r"!Exchange hashpartitioning\((l_orderkey|o_orderkey)"),
+        ("sort-merge join on the bucket key", r"SortMergeJoin"),
+        ("rollup partially aggregated", r"partial_(sum|count)"),
+    ],
     "event_sessionization": [
         # both windows share (user_id | ep, event_id) → Spark stacks
         # them on ONE Sort+Exchange (no re-sort between lag and the

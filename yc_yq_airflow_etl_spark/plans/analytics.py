@@ -1509,6 +1509,176 @@ ORDER BY version
 """
 
 
+_BUCKETED_DEMO_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def ensure_bucketed_demo(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize (once per dataset+warehouse) lineitem and orders as
+    SAME-bucketed catalog tables on the join key — the pay-the-shuffle-
+    once-at-write-time layout for repeated fact ⋈ fact joins
+    (sources/bucketing.py). Returns the two table names."""
+    import hashlib
+    import os
+
+    from ..sources.bucketing import write_bucketed
+
+    key = os.path.abspath(sf_dir)
+    cached = _BUCKETED_DEMO_CACHE.get(key)
+    if cached is not None:
+        return cached
+    tag = hashlib.md5(key.encode()).hexdigest()[:12]
+    lt, ot = f"bdemo_lineitem_{tag}", f"bdemo_orders_{tag}"
+    t = load_testdata(spark, sf_dir)
+
+    def _clear_stale(table: str) -> None:
+        # the warehouse dir outlives the in-memory catalog across
+        # processes: a dir without catalog metadata is unusable (the
+        # bucketing spec lives in the metastore), so rewrite it
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        loc = os.path.join(wh, table)
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
+
+    if not spark.catalog.tableExists(lt):
+        _clear_stale(lt)
+        write_bucketed(
+            t["lineitem"].select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            lt,
+            bucket_by="l_orderkey",
+            num_buckets=8,
+            sort_by="l_orderkey",
+        )
+    if not spark.catalog.tableExists(ot):
+        _clear_stale(ot)
+        write_bucketed(
+            t["orders"].select("o_orderkey", "o_orderstatus"),
+            ot,
+            bucket_by="o_orderkey",
+            num_buckets=8,
+            sort_by="o_orderkey",
+        )
+    _BUCKETED_DEMO_CACHE[key] = (lt, ot)
+    return lt, ot
+
+
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fact ⋈ fact through SAME-bucketed storage: the scan reports a
+    compatible HashPartitioning, so the join plans with ZERO exchange
+    on the join keys (plan-audited: no hashpartitioning exchange on
+    l_orderkey/o_orderkey — the only shuffle left is the tiny
+    per-status rollup). The oracle runs the identical join+aggregate
+    over the ORIGINAL tables, proving the bucketed rewrite is
+    lossless. At 100 TB this is the difference between shuffling two
+    fact tables per query and never shuffling them again."""
+    lt, ot = ensure_bucketed_demo(spark, sf_dir)
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    # MERGE hint: at test SF Catalyst would broadcast the small side,
+    # hiding the property under audit; at 100 TB neither fact side is
+    # broadcastable and sort-merge is the inevitable plan — the hint
+    # pins the at-scale plan shape so the zero-exchange claim is
+    # checked on it at every SF
+    return (
+        spark.table(lt)
+        .hint("merge")
+        .join(spark.table(ot), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+BUCKETED_JOIN_ORACLE = """
+SELECT o_orderstatus, count(*) AS n_lines,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY o_orderstatus
+"""
+
+
+_FORMATS_DEMO_CACHE: dict[str, str] = {}
+
+
+def ensure_formats_demo(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per dataset) CSV and JSON copies of the
+    nation table, exercising sources/formats.py's write path."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.formats import write_table
+
+    key = os.path.abspath(sf_dir)
+    cached = _FORMATS_DEMO_CACHE.get(key)
+    if cached is not None:
+        return cached
+    tag = hashlib.md5(key.encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"formats_demo_{tag}")
+    nation = load_testdata(spark, sf_dir)["nation"]
+    for fmt in ("csv", "json"):
+        d = os.path.join(base, fmt)
+        if not os.path.exists(os.path.join(d, "_SUCCESS")):
+            write_table(nation.coalesce(1), d, fmt)
+    _FORMATS_DEMO_CACHE[key] = base
+    return base
+
+
+def multi_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One logical table served from three physical formats — parquet
+    (the original), CSV and JSON copies (sources/formats.py) — unioned
+    with a format tag and aggregated. Equal per-format rows prove the
+    format round-trips preserve values exactly; the oracle states the
+    expected invariant directly from the source table."""
+    import os
+
+    from ..schemas import TESTDATA_TABLES
+    from ..sources.formats import read_table
+
+    base = ensure_formats_demo(spark, sf_dir)
+    nation = load_testdata(spark, sf_dir)["nation"]
+    schema = TESTDATA_TABLES["nation"]
+    frames = [nation.withColumn("fmt", F.lit("parquet"))]
+    for fmt in ("csv", "json"):
+        frames.append(
+            read_table(spark, os.path.join(base, fmt), fmt, schema).withColumn(
+                "fmt", F.lit(fmt)
+            )
+        )
+    out = frames[0]
+    for df in frames[1:]:
+        out = out.unionByName(df)
+    return (
+        out.groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_nationkey").alias("key_checksum"),
+            F.sum(F.length("n_name")).alias("name_chars"),
+        )
+        .orderBy("fmt")
+    )
+
+
+MULTI_FORMAT_ORACLE = """
+WITH base AS (
+    SELECT count(*) AS n_rows,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_checksum,
+           CAST(sum(length(n_name)) AS BIGINT) AS name_chars
+    FROM nation
+)
+SELECT fmt, n_rows, key_checksum, name_chars
+FROM base, (VALUES ('csv'), ('json'), ('parquet')) t(fmt)
+ORDER BY fmt
+"""
+
+
 def register_all() -> None:
     from .registry import register
 
@@ -1572,3 +1742,5 @@ def register_all() -> None:
         MANIFEST_TIME_TRAVEL_ORACLE,
     )
     register("event_sessionization", event_sessionization, SESSIONIZATION_ORACLE)
+    register("bucketed_join_revenue", bucketed_join_revenue, BUCKETED_JOIN_ORACLE)
+    register("multi_format_union", multi_format_union, MULTI_FORMAT_ORACLE)

@@ -63,6 +63,8 @@ _FRONT: tuple[str, ...] = (
     "q18_large_volume_orders",
     "q22_idle_rich_customers",
     "event_sessionization",
+    "bucketed_join_revenue",
+    "multi_format_union",
     # green in r1 only; fell outside the r2 window
     "events_tumbling_hourly",
     "events_sliding_counts",
