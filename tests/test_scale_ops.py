@@ -291,3 +291,33 @@ def test_zorder_clusters_both_columns(spark, testdata, tmp_path):
     # single-column sort: first column tight, second column ~full width
     assert avg_coverage(sdir, "o_custkey") < 0.3
     assert avg_coverage(sdir, "o_totalprice") > 0.9
+
+
+def test_cms_merge_and_overcount_contract(spark, testdata):
+    """CMS invariants: (a) estimates never undercount — min over hash
+    rows of added cells can only collide upward; (b) merging two
+    half-sketches cell-by-cell equals the sketch of the whole data
+    (linearity — what makes it a mergeable STORE, like the HLL and
+    histogram stores)."""
+    from yc_yq_airflow_etl_spark.operators.sketches import (
+        build_cms,
+        cms_estimate,
+        merge_cms,
+    )
+
+    ev = testdata["events"].select(
+        F.col("user_id").cast("string").alias("k"), "event_id"
+    )
+    whole = build_cms(ev, "k")
+    a = build_cms(ev.filter(F.col("event_id") % 2 == 0), "k")
+    b = build_cms(ev.filter(F.col("event_id") % 2 == 1), "k")
+    merged = merge_cms(a, b)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+    true_counts = ev.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    probe = true_counts.limit(50)
+    est = {r.k: r.cms_est for r in cms_estimate(whole, probe, "k").collect()}
+    truth = {r.k: r.n for r in probe.collect()}
+    assert all(est[k] >= n for k, n in truth.items())

@@ -147,3 +147,91 @@ def histogram_quantiles(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# -- count-min sketch ----------------------------------------------------
+
+
+def build_cms(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-min sketch cells over a key column: (r, bucket, cnt) with
+    ``depth`` md5-derived hash rows of ``width`` buckets. One scan —
+    explode the row indexes, bucket each (key, row), partial-combined
+    count. Like the HLL and histogram stores above, the sketch is
+    MERGEABLE (cells add), so per-partition/per-day sketches roll up
+    without touching raw data — frequency estimates survive source
+    retirement the same way the reference's verified-then-retired
+    contract expects. md5 keeps the construction engine-portable
+    (replayed exactly in the DuckDB oracle)."""
+    rows = F.explode(
+        F.array(*[F.lit(r) for r in range(depth)])
+    ).alias("r")
+    keyed = df.select(F.col(key_col).cast("string").alias("_k"), rows)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("_k"), F.lit("|"), F.col("r").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    return (
+        keyed.withColumn("bucket", bucket)
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_cms(*sketches: DataFrame) -> DataFrame:
+    """Merge CMS sketches: cells add (the linearity that makes the
+    sketch a store, not a one-shot query)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionAll(s)
+    return out.groupBy("r", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates for ``keys``: min over hash rows of
+    the key's cell (0 for an untouched cell). Estimates only ever
+    OVERcount (collisions add), never under — the caller-visible
+    contract. The probe set is small by construction (heavy-hitter
+    candidates), so the probe side broadcasts and the sketch itself
+    is ~depth×width rows — trivially broadcastable at any data
+    scale."""
+    rows = F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r")
+    probe = keys.select(F.col(key_col), rows).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(key_col).cast("string"),
+                        F.lit("|"),
+                        F.col("r").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width,
+    )
+    return (
+        probe.join(F.broadcast(cms), ["r", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
+    )

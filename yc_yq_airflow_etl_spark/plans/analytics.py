@@ -1509,6 +1509,70 @@ ORDER BY version
 """
 
 
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters through a count-min sketch
+    (operators/sketches.build_cms/cms_estimate): top-10 users by true
+    event count, with the CMS estimate and its overcount alongside —
+    the approximation error shipped as data, same contract as
+    ``approx_distinct_customers``. The sketch is depth×width cells
+    regardless of cardinality and merges by cell addition, so
+    per-day/per-partition sketches roll up without raw data. Oracle:
+    DuckDB replays the md5 bucketing and min-over-rows exactly."""
+    from ..operators.sketches import build_cms, cms_estimate
+
+    t = load_testdata(spark, sf_dir)
+    ev = t["events"].select(F.col("user_id").cast("string").alias("k"))
+    cms = build_cms(ev, "k", depth=4, width=256)
+    top = (
+        ev.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.col("k").cast("bigint"))
+        .limit(10)
+    )
+    est = cms_estimate(cms, top, "k", depth=4, width=256)
+    return (
+        top.join(est, "k")
+        .select(
+            F.col("k").cast("bigint").alias("user_id"),
+            "true_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("true_cnt")).alias("overestimate"),
+        )
+        .orderBy(F.desc("true_cnt"), "user_id")
+    )
+
+
+CMS_HEAVY_HITTERS_ORACLE = """
+WITH ev AS (
+    SELECT CAST(user_id AS VARCHAR) AS k FROM events
+), rows_ AS (
+    SELECT unnest(generate_series(0, 3)) AS r
+), cms AS (
+    SELECT r,
+           ('0x' || substr(md5(k || '|' || CAST(r AS VARCHAR)), 1, 8))::BIGINT
+               % 256 AS bucket,
+           count(*) AS cnt
+    FROM ev, rows_ GROUP BY 1, 2
+), top AS (
+    SELECT k, count(*) AS true_cnt FROM ev GROUP BY 1
+    ORDER BY true_cnt DESC, CAST(k AS BIGINT) LIMIT 10
+), probe AS (
+    SELECT t.k, t.true_cnt, r.r,
+           ('0x' || substr(md5(t.k || '|' || CAST(r.r AS VARCHAR)), 1, 8))::BIGINT
+               % 256 AS bucket
+    FROM top t CROSS JOIN rows_ r
+), est AS (
+    SELECT p.k, p.true_cnt, min(COALESCE(c.cnt, 0)) AS cms_est
+    FROM probe p LEFT JOIN cms c ON c.r = p.r AND c.bucket = p.bucket
+    GROUP BY 1, 2
+)
+SELECT CAST(k AS BIGINT) AS user_id, true_cnt,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - true_cnt AS BIGINT) AS overestimate
+FROM est ORDER BY true_cnt DESC, user_id
+"""
+
+
 _BUCKETED_DEMO_CACHE: dict[str, tuple[str, str]] = {}
 
 
@@ -1744,3 +1808,4 @@ def register_all() -> None:
     register("event_sessionization", event_sessionization, SESSIONIZATION_ORACLE)
     register("bucketed_join_revenue", bucketed_join_revenue, BUCKETED_JOIN_ORACLE)
     register("multi_format_union", multi_format_union, MULTI_FORMAT_ORACLE)
+    register("cms_heavy_hitters", cms_heavy_hitters, CMS_HEAVY_HITTERS_ORACLE)

@@ -65,6 +65,7 @@ _FRONT: tuple[str, ...] = (
     "event_sessionization",
     "bucketed_join_revenue",
     "multi_format_union",
+    "cms_heavy_hitters",
     # green in r1 only; fell outside the r2 window
     "events_tumbling_hourly",
     "events_sliding_counts",
