@@ -66,6 +66,7 @@ _FRONT: tuple[str, ...] = (
     "bucketed_join_revenue",
     "multi_format_union",
     "cms_heavy_hitters",
+    "stream_exact_dedup",
     # green in r1 only; fell outside the r2 window
     "events_tumbling_hourly",
     "events_sliding_counts",

@@ -262,6 +262,73 @@ ORDER BY user_id, alert_level
 """
 
 
+def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under LIVE execution, oracle-checked:
+    a deterministic event slice is staged as two micro-batch files
+    with replayed event_ids injected on BOTH sides of the batch
+    boundary (in-batch dupes in file 1, file 2 entirely replays of
+    file 1 rows), so ``dropDuplicates`` state must genuinely carry
+    across micro-batches to suppress them. The deduped stream's
+    per-type rollup then equals the oracle's replay-free aggregate.
+    Watermark bounds the key state at scale (the expiry/re-emission
+    semantics of the bounded variant are pytest-covered by
+    test_streaming_dedup_within_watermark); cents-integer sums keep
+    both engines exact."""
+    import tempfile
+    import time
+    import uuid
+
+    t = load_testdata(spark, sf_dir)
+    base = t["events"].filter(F.col("event_id") % 25 == 0).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    dup_in_batch = base.filter(F.col("event_id") % 50 == 0)
+    replay_next_batch = base.filter(F.col("event_id") % 50 == 25)
+
+    src = tempfile.mkdtemp(prefix="sdedup_src_")
+    base.unionAll(dup_in_batch).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(0.05)  # distinct mod-times → stable file replay order
+    replay_next_batch.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = stream.withWatermark("ts", "30 days").dropDuplicates(["event_id"])
+    name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sdedup_ck_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+STREAM_DEDUP_ORACLE = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+WHERE event_id % 25 = 0
+GROUP BY 1 ORDER BY event_type
+"""
+
+
 def register_all() -> None:
     from .registry import register
 
@@ -280,3 +347,4 @@ def register_all() -> None:
     )
     register("stateful_spend_alerts", stateful_spend_alerts, SPEND_ALERTS_ORACLE)
     register("events_time_rollup", events_time_rollup, EVENTS_ROLLUP_ORACLE)
+    register("stream_exact_dedup", stream_exact_dedup, STREAM_DEDUP_ORACLE)
