@@ -379,3 +379,33 @@ def test_dedup_cluster_assignments_keeper_semantics(spark, testdata):
     for doc, (k, size) in assign.items():
         assert k <= doc
         assert size == members[k]
+
+
+def test_ppm_resize_and_video_container_roundtrip():
+    """Pure-codec invariants (no Spark): nearest-neighbor resize picks
+    exactly source pixel ((x*W)//w, (y*H)//h); the concatenated-P6
+    video container splits back into the original frames bytewise."""
+    import numpy as np
+
+    from yc_yq_airflow_etl_spark.operators.multimodal import (
+        encode_ppm,
+        encode_video,
+        ppm_pixels_for,
+        ppm_to_array,
+        resize_nearest,
+        split_video_frames,
+    )
+
+    img = ppm_pixels_for(42)  # (12, 16, 3)
+    small = ppm_to_array(resize_nearest(encode_ppm(img), 8, 6))
+    assert small.shape == (6, 8, 3)
+    for y in range(6):
+        for x in range(8):
+            assert (small[y, x] == img[(y * 12) // 6, (x * 16) // 8]).all()
+
+    frames = [ppm_pixels_for(7), ppm_pixels_for(8), ppm_pixels_for(9)]
+    video = encode_video(frames)
+    back = split_video_frames(video)
+    assert len(back) == 3
+    for f, b in zip(frames, back):
+        assert np.array_equal(ppm_to_array(b), f)

@@ -318,3 +318,114 @@ def extract_ppm_features(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(run, schema=PPM_FEATURE_SCHEMA)
+
+
+# -- resize & video frame sampling --------------------------------------
+
+
+def ppm_to_array(payload: bytes) -> np.ndarray:
+    """Full P6 decode to an (H, W, 3) uint8 array (header parser
+    shared with decode_ppm)."""
+    (w, h, _maxval), pos = _ppm_header_tokens(payload)
+    body = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return body.reshape(h, w, 3)
+
+
+def resize_nearest(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL nearest-neighbor resize: source pixel (x*W)//out_w,
+    (y*H)//out_h — integer-exact index math, so the oracle can state
+    the resized image in closed form. Returns a re-encoded P6."""
+    img = ppm_to_array(payload)
+    h, w, _ = img.shape
+    ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return encode_ppm(img[ys[:, None], xs[None, :]])
+
+
+def resize_ppm_features(
+    media: DataFrame, out_w: int, out_h: int
+) -> DataFrame:
+    """Arrow-batched decode → nearest-neighbor resize → re-encode →
+    feature-extract, all inside one mapInPandas stage (the bytes never
+    leave the executor — at 100 TB the resize is a map-only pass with
+    zero shuffle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                decode_ppm(resize_nearest(p, out_w, out_h))
+                for p in pdf["payload"]
+            ]
+            out = pd.DataFrame(rows)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.mapInPandas(run, schema=PPM_FEATURE_SCHEMA)
+
+
+def encode_video(frames: list[np.ndarray]) -> bytes:
+    """Minimal video container: concatenated P6 frames (each frame a
+    complete self-describing P6 payload). Opaque binary column on the
+    Spark side, fully parseable with the same header walker."""
+    return b"".join(encode_ppm(f) for f in frames)
+
+
+def split_video_frames(payload: bytes) -> list[bytes]:
+    """Walk the concatenated-P6 container: each frame's length is its
+    header length + W*H*3, so the split is exact with no sentinels."""
+    frames: list[bytes] = []
+    pos = 0
+    while pos < len(payload):
+        (w, h, _m), data_off = _ppm_header_tokens(payload[pos:])
+        end = pos + data_off + w * h * 3
+        frames.append(payload[pos:end])
+        pos = end
+    return frames
+
+
+def sample_video_frames(
+    media: DataFrame, every_k: int = 2
+) -> DataFrame:
+    """Frame sampling over video payloads: parse the container, keep
+    every ``every_k``-th frame, decode each kept frame to features.
+    One mapInPandas stage — the explode happens executor-side on the
+    decoded rows, not on the binary (the payload is read once)."""
+    schema = T.StructType(
+        [T.StructField("media_id", T.LongType(), False),
+         T.StructField("n_frames", T.IntegerType(), False),
+         T.StructField("frame_idx", T.IntegerType(), False)]
+        + [f for f in PPM_FEATURE_SCHEMA.fields if f.name != "media_id"]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = split_video_frames(payload)
+                for i in range(0, len(frames), every_k):
+                    row = {"media_id": mid, "n_frames": len(frames),
+                           "frame_idx": i}
+                    row.update(decode_ppm(frames[i]))
+                    out_rows.append(row)
+            yield pd.DataFrame(out_rows)
+
+    return media.mapInPandas(run, schema=schema)
+
+
+def synthesize_video_corpus(ids: DataFrame, n_frames: int = 4) -> DataFrame:
+    """One concatenated-P6 video per id; frame f's pixels use the
+    closed-form pattern seeded with ``id * 10 + f`` (oracle-stateable)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_video(
+                    [ppm_pixels_for(m * 10 + f) for f in range(n_frames)]
+                )
+                for m in pdf["media_id"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    return ids.mapInPandas(gen, schema="media_id long, payload binary")

@@ -997,6 +997,79 @@ GROUP BY d.doc_id ORDER BY d.doc_id
 """
 
 
+def multimodal_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor image resize
+    (operators/multimodal.resize_nearest): each document's P6 payload
+    is decoded, resampled 16×12 → 8×6 with integer index math
+    (source pixel (2x, 2y)), re-encoded and feature-extracted — all
+    inside one mapInPandas stage, so the bytes never cross a shuffle.
+    The oracle states the resized image in closed form."""
+    from ..operators.multimodal import (
+        resize_ppm_features,
+        synthesize_ppm_corpus,
+    )
+
+    t = load_testdata(spark, sf_dir)
+    ids = t["documents"].select(F.col("doc_id").alias("media_id"))
+    feats = resize_ppm_features(synthesize_ppm_corpus(ids), out_w=8, out_h=6)
+    return feats.withColumnRenamed("media_id", "doc_id").orderBy("doc_id")
+
+
+MULTIMODAL_RESIZE_ORACLE = """
+SELECT d.doc_id,
+       CAST(8 AS INT) AS width,
+       CAST(6 AS INT) AS height,
+       CAST(255 AS INT) AS maxval,
+       CAST(SUM((d.doc_id + 2 * x.x + 2 * y.y) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((d.doc_id * 3 + 2 * x.x) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((d.doc_id * 7 + 2 * y.y) % 256) AS BIGINT) AS sum_b
+FROM documents d
+CROSS JOIN generate_series(0, 7) x(x)
+CROSS JOIN generate_series(0, 5) y(y)
+GROUP BY d.doc_id ORDER BY d.doc_id
+"""
+
+
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling
+    (operators/multimodal.sample_video_frames): each document gets a
+    4-frame concatenated-P6 video (frame f seeded doc_id*10+f), the
+    container is parsed frame-by-frame from its headers, every 2nd
+    frame kept and decoded. Payloads are read once per row,
+    executor-side — frame extraction is a map-only pass."""
+    from ..operators.multimodal import (
+        sample_video_frames,
+        synthesize_video_corpus,
+    )
+
+    t = load_testdata(spark, sf_dir)
+    ids = t["documents"].select(F.col("doc_id").alias("media_id"))
+    frames = sample_video_frames(
+        synthesize_video_corpus(ids, n_frames=4), every_k=2
+    )
+    return frames.withColumnRenamed("media_id", "doc_id").orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+MULTIMODAL_VIDEO_ORACLE = """
+SELECT d.doc_id,
+       CAST(4 AS INT) AS n_frames,
+       CAST(f.f AS INT) AS frame_idx,
+       CAST(16 AS INT) AS width,
+       CAST(12 AS INT) AS height,
+       CAST(255 AS INT) AS maxval,
+       CAST(SUM((d.doc_id * 10 + f.f + x.x + y.y) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM(((d.doc_id * 10 + f.f) * 3 + x.x) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM(((d.doc_id * 10 + f.f) * 7 + y.y) % 256) AS BIGINT) AS sum_b
+FROM documents d
+CROSS JOIN (VALUES (0), (2)) f(f)
+CROSS JOIN generate_series(0, 15) x(x)
+CROSS JOIN generate_series(0, 11) y(y)
+GROUP BY d.doc_id, f.f ORDER BY d.doc_id, frame_idx
+"""
+
+
 # --- UDF surface --------------------------------------------------------
 
 
@@ -1383,6 +1456,14 @@ def register_all() -> None:
     )
     register(
         "multimodal_ppm_features", multimodal_ppm_features, MULTIMODAL_PPM_ORACLE
+    )
+    register(
+        "multimodal_resize_features",
+        multimodal_resize_features,
+        MULTIMODAL_RESIZE_ORACLE,
+    )
+    register(
+        "multimodal_video_frames", multimodal_video_frames, MULTIMODAL_VIDEO_ORACLE
     )
     register("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE)
     register(

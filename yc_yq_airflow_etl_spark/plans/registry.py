@@ -67,6 +67,8 @@ _FRONT: tuple[str, ...] = (
     "multi_format_union",
     "cms_heavy_hitters",
     "stream_exact_dedup",
+    "multimodal_resize_features",
+    "multimodal_video_frames",
     # green in r1 only; fell outside the r2 window
     "events_tumbling_hourly",
     "events_sliding_counts",
