@@ -186,6 +186,28 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("orders read pruned to custkey+date",
          r"!ReadSchema: [^\n]*o_totalprice"),
     ],
+    "q7_bination_volume": [
+        ("both nation-resolved dims broadcast", r"BroadcastHashJoin"),
+        ("partial aggregation", r"partial_sum"),
+    ],
+    "q14_promo_revenue": [
+        ("part dim broadcast", r"BroadcastHashJoin"),
+        ("shipdate window pushed to the lineitem scan",
+         r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate"),
+        ("fact read pruned: no orderkey/tax",
+         r"!ReadSchema: [^\n]*(l_orderkey|l_tax)"),
+        ("single-pass conditional aggregation", r"partial_(sum|count)"),
+    ],
+    "q17_small_quantity_revenue": [
+        ("brand-filtered part keys broadcast", r"BroadcastHashJoin"),
+        ("per-part quantity rollup partially aggregated", r"partial_sum"),
+    ],
+    "q19_disjunctive_revenue": [
+        ("part dim broadcast", r"BroadcastHashJoin"),
+        ("fact read pruned to the four referenced columns",
+         r"!ReadSchema: [^\n]*(l_shipdate|l_tax|l_orderkey)"),
+        ("partial aggregation", r"partial_(sum|count)"),
+    ],
     "pii_redaction_stats": [
         ("pure JVM regex path: no Python stage", "!ArrowEvalPython"),
         ("no row-at-a-time Python either", "!BatchEvalPython"),

@@ -1509,6 +1509,203 @@ ORDER BY version
 """
 
 
+def q7_bination_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between two nations, both
+    directions, by year — supplier nation and customer nation resolved
+    through two independent broadcast dims, the direction filter as a
+    residual OR over their outputs. One fact shuffle (l_orderkey)."""
+    t = load_testdata(spark, sf_dir)
+    nat = t["nation"].select("n_nationkey", "n_name")
+    sup = F.broadcast(
+        t["supplier"]
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = F.broadcast(
+        t["customer"]
+        .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "yr")
+    )
+
+
+Q7_ORACLE = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+  AND cn.n_name IN ('NATION_1', 'NATION_2')
+  AND sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, yr
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share over one year — the part
+    dim broadcast, conditional aggregation (sum-if) in one pass, the
+    percentage derived from two decimal-exact sums so the division is
+    bit-identical across engines."""
+    t = load_testdata(spark, sf_dir)
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    joined = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+    )
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0).cast(DEC)))
+        .cast("double")
+        .alias("promo_revenue"),
+        F.sum(revenue).cast("double").alias("total_revenue"),
+    )
+    return agg.select(
+        "n_lines",
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 6
+        ).alias("promo_pct"),
+    )
+
+
+Q14_ORACLE = """
+WITH a AS (
+    SELECT count(*) AS n_lines,
+           CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                         ELSE 0 END) AS DOUBLE) AS promo_revenue,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+)
+SELECT n_lines, promo_revenue, total_revenue,
+       round(100.0 * promo_revenue / total_revenue, 6) AS promo_pct
+FROM a
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from unusually small orders of one
+    brand's parts — lineitems with quantity below 20% of their part's
+    average. The correlated avg decorrelates into a per-part aggregate
+    joined back; the threshold compares in cross-multiplied integers
+    (5·qty·count < sum_qty), exact on both engines where a float avg
+    would drift in the last ulp."""
+    t = load_testdata(spark, sf_dir)
+    brand_parts = F.broadcast(
+        t["part"].filter(F.col("p_brand") == "Brand#2").select("p_partkey")
+    )
+    li = t["lineitem"].join(
+        brand_parts, F.col("l_partkey") == F.col("p_partkey")
+    )
+    qty = F.round(F.col("l_quantity")).cast("long")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(qty).alias("_sum_q"), F.count(F.lit(1)).alias("_n_q")
+    )
+    small = li.join(per_part, "l_partkey").filter(
+        qty * F.lit(5) * F.col("_n_q") < F.col("_sum_q")
+    )
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small"),
+        F.round(
+            F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0), 6
+        ).alias("avg_yearly"),
+    )
+
+
+Q17_ORACLE = """
+WITH li AS (
+    SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
+           l_extendedprice
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#2'
+), pp AS (
+    SELECT l_partkey, sum(qty) AS sum_q, count(*) AS n_q
+    FROM li GROUP BY 1
+)
+SELECT count(*) AS n_small,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0, 6) AS avg_yearly
+FROM li JOIN pp USING (l_partkey)
+WHERE qty * 5 * pp.n_q < pp.sum_q
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three (brand,
+    size-range, quantity-range) conjuncts — the disjunction spans the
+    broadcast part dim and the fact columns, so it evaluates after the
+    join while the fact scan still prunes to the three columns it
+    needs. One row out."""
+    t = load_testdata(spark, sf_dir)
+    li = t["lineitem"].join(
+        F.broadcast(t["part"].select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(float(qlo), float(qhi))
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return li.filter(
+        arm("Brand#2", 15, 1, 11)
+        | arm("Brand#15", 25, 10, 20)
+        | arm("Brand#19", 35, 20, 30)
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(revenue).cast("double").alias("revenue"),
+    )
+
+
+Q19_ORACLE = """
+SELECT count(*) AS n_lines,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters through a count-min sketch
     (operators/sketches.build_cms/cms_estimate): top-10 users by true
@@ -1809,3 +2006,9 @@ def register_all() -> None:
     register("bucketed_join_revenue", bucketed_join_revenue, BUCKETED_JOIN_ORACLE)
     register("multi_format_union", multi_format_union, MULTI_FORMAT_ORACLE)
     register("cms_heavy_hitters", cms_heavy_hitters, CMS_HEAVY_HITTERS_ORACLE)
+    register("q7_bination_volume", q7_bination_volume, Q7_ORACLE)
+    register("q14_promo_revenue", q14_promo_revenue, Q14_ORACLE)
+    register(
+        "q17_small_quantity_revenue", q17_small_quantity_revenue, Q17_ORACLE
+    )
+    register("q19_disjunctive_revenue", q19_disjunctive_revenue, Q19_ORACLE)

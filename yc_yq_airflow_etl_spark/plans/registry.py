@@ -69,6 +69,10 @@ _FRONT: tuple[str, ...] = (
     "stream_exact_dedup",
     "multimodal_resize_features",
     "multimodal_video_frames",
+    "q7_bination_volume",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
     # green in r1 only; fell outside the r2 window
     "events_tumbling_hourly",
     "events_sliding_counts",
