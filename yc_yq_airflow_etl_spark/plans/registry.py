@@ -73,6 +73,7 @@ _FRONT: tuple[str, ...] = (
     "q14_promo_revenue",
     "q17_small_quantity_revenue",
     "q19_disjunctive_revenue",
+    "stream_static_enrichment",
     # green in r1 only; fell outside the r2 window
     "events_tumbling_hourly",
     "events_sliding_counts",

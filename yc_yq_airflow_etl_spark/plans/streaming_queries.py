@@ -329,6 +329,67 @@ GROUP BY 1 ORDER BY event_type
 """
 
 
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join under LIVE execution: each micro-batch of a
+    two-file event stream broadcast-joins a STATIC dimension (user →
+    tier, derived deterministically so the oracle can restate it) and
+    feeds a running aggregation in complete mode. Stream-static joins
+    are stateless on the stream side — the static table is just
+    re-broadcast per batch, the exact enrichment shape a 100 TB
+    pipeline uses for dimension lookup without any state store."""
+    import tempfile
+    import time
+    import uuid
+
+    t = load_testdata(spark, sf_dir)
+    base = t["events"].filter(F.col("event_id") % 10 == 0).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    tiers = (
+        base.select("user_id")
+        .distinct()
+        .withColumn("tier", (F.col("user_id") % 5).cast("int"))
+    )
+
+    src = tempfile.mkdtemp(prefix="senrich_src_")
+    half = F.col("event_id") % 20 == 0
+    base.filter(half).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(0.05)
+    base.filter(~half).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    enriched = stream.join(F.broadcast(tiers), "user_id")
+    agg = enriched.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+    name = "senrich_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="senrich_ck_"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    return spark.table(name).orderBy("tier")
+
+
+STREAM_STATIC_ORACLE = """
+SELECT CAST(user_id % 5 AS INT) AS tier, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+WHERE event_id % 10 = 0
+GROUP BY 1 ORDER BY tier
+"""
+
+
 def register_all() -> None:
     from .registry import register
 
@@ -348,3 +409,6 @@ def register_all() -> None:
     register("stateful_spend_alerts", stateful_spend_alerts, SPEND_ALERTS_ORACLE)
     register("events_time_rollup", events_time_rollup, EVENTS_ROLLUP_ORACLE)
     register("stream_exact_dedup", stream_exact_dedup, STREAM_DEDUP_ORACLE)
+    register(
+        "stream_static_enrichment", stream_static_enrichment, STREAM_STATIC_ORACLE
+    )
