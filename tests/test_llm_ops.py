@@ -409,3 +409,20 @@ def test_ppm_resize_and_video_container_roundtrip():
     assert len(back) == 3
     for f, b in zip(frames, back):
         assert np.array_equal(ppm_to_array(b), f)
+
+
+def test_connected_components_long_chain_converges_logarithmically(spark):
+    """The pointer-jumping claim, tested adversarially: a 200-vertex
+    path graph has diameter 199 — plain min-propagation would need
+    ~199 rounds and the operator caps at 25. With label-of-label
+    shortcutting the chain collapses geometrically, so convergence
+    inside the cap proves the O(log diameter) behavior, not just the
+    happy path of dense LSH clusters."""
+    from yc_yq_airflow_etl_spark.operators.dedup import connected_components
+
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a bigint, id_b bigint"
+    )
+    got = {r.id: r.label for r in connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
