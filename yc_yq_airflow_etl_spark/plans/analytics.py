@@ -1706,6 +1706,59 @@ WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
 """
 
 
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (argmax): revenue per supplier over one
+    quarter, then the supplier(s) achieving the maximum — the view +
+    scalar-subquery formulation decorrelated to aggregate →
+    broadcast scalar max → equality filter. The revenue stays a
+    DECIMAL through the comparison (exact equality; a double would
+    make 'equals the max' ulp-fragile) and becomes DOUBLE only in
+    the output projection."""
+    t = load_testdata(spark, sf_dir)
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(revenue).alias("_rev"))
+    )
+    mx = F.broadcast(rev.agg(F.max("_rev").alias("_mx")))
+    return (
+        rev.crossJoin(mx)
+        .filter(F.col("_rev") == F.col("_mx"))
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_ORACLE = """
+WITH r AS (
+    SELECT l_suppkey,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(r.rev AS DOUBLE) AS total_revenue
+FROM r JOIN supplier ON l_suppkey = s_suppkey
+WHERE r.rev = (SELECT max(rev) FROM r)
+ORDER BY s_suppkey
+"""
+
+
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters through a count-min sketch
     (operators/sketches.build_cms/cms_estimate): top-10 users by true
@@ -2012,3 +2065,4 @@ def register_all() -> None:
         "q17_small_quantity_revenue", q17_small_quantity_revenue, Q17_ORACLE
     )
     register("q19_disjunctive_revenue", q19_disjunctive_revenue, Q19_ORACLE)
+    register("q15_top_supplier", q15_top_supplier, Q15_ORACLE)

@@ -74,6 +74,7 @@ _FRONT: tuple[str, ...] = (
     "q17_small_quantity_revenue",
     "q19_disjunctive_revenue",
     "stream_static_enrichment",
+    "q15_top_supplier",
     # green in r1 only; fell outside the r2 window
     "events_tumbling_hourly",
     "events_sliding_counts",
