@@ -203,3 +203,34 @@ def test_interval_overlap_join_matches_naive(spark, testdata):
     got = [(r.click_id, r.purchase_id) for r in got_df.collect()]
     assert len(got) == len(set(got))  # emit-once really deduplicates
     assert set(got) == expected and expected
+
+
+def test_exclusion_join_strategies_agree_under_hot_keys(spark):
+    """Duplicate-heavy keys (10⁴ dups): the union-strategy window path,
+    the anti-join path, and the single-shuffle count must all agree —
+    including multiplicity of an unmatched hot key's rows."""
+    from yc_yq_airflow_etl_spark.operators.joins import (
+        exclusion_diff_count,
+        exclusion_join,
+    )
+
+    hot_both_l = spark.range(10_000).selectExpr("cast(1 as long) k", "id v")
+    hot_both_r = spark.range(10_000).selectExpr(
+        "cast(1 as long) k", "id + 500000 v"
+    )
+    hot_left_only = spark.range(10_000).selectExpr("cast(4 as long) k", "id v")
+    left = hot_both_l.union(hot_left_only).union(
+        spark.range(3).selectExpr("cast(2 as long) k", "id v")
+    )
+    right = hot_both_r.union(
+        spark.range(2).selectExpr("cast(3 as long) k", "id v")
+    )
+
+    u = sorted(map(tuple, exclusion_join(left, right, ["k"]).collect()))
+    a = sorted(
+        map(tuple, exclusion_join(left, right, ["k"], strategy="anti").collect())
+    )
+    assert u == a
+    # key 1 matched (drops entirely); key 4 ×10⁴ + key 2 ×3 + key 3 ×2 stay
+    assert len(u) == 10_005
+    assert exclusion_diff_count(left, right, ["k"]) == 10_005

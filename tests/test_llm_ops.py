@@ -426,3 +426,38 @@ def test_connected_components_long_chain_converges_logarithmically(spark):
     )
     got = {r.id: r.label for r in connected_components(pairs).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_topk_join_guard_rejects_unbroadcastable_right(spark):
+    df = spark.range(30).selectExpr(
+        "id as vec_id", "array(cast(id as float), 1.0f) as embedding"
+    )
+    with pytest.raises(ValueError, match="topk_join_blocked"):
+        topk_join(df, df, k=1, broadcast_limit=10)
+
+
+def test_topk_join_blocked_matches_broadcast_on_clustered_fixture(spark):
+    """Equivalence property: on clustered vectors (near-neighbors share
+    sketch bands), the sketch-blocked shuffle-join formulation returns
+    the SAME top-k as the exact broadcast crossJoin."""
+    import math
+
+    from yc_yq_airflow_etl_spark.operators.similarity import topk_join_blocked
+
+    rows = []
+    vid = 0
+    for c in range(3):  # 3 well-separated cluster axes in 8 dims
+        for j in range(5):
+            vec = [0.0] * 8
+            vec[c * 2] = 1.0
+            vec[c * 2 + 1] = 0.02 * j  # tight in-cluster spread
+            n = math.sqrt(sum(x * x for x in vec))
+            rows.append((vid, [x / n for x in vec]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = topk_join(df, df, k=2)
+    blocked = topk_join_blocked(df, df, k=2, planes=16, bands=4)
+    e = sorted(map(tuple, exact.select("id_a", "id_b", "cosine").collect()))
+    b = sorted(map(tuple, blocked.select("id_a", "id_b", "cosine").collect()))
+    assert e == b

@@ -489,8 +489,30 @@ def connected_components(
     (id, label) row that changed), riding the same partitioning as
     the update itself. Labels only ever decrease, so the loop is
     monotone and cannot oscillate.
+
+    Storage hygiene: checkpoint blocks are NOT freed by
+    ``DataFrame.unpersist()`` (the data lives in the checkpointed
+    RDD's storage, outside the CacheManager), so each round frees the
+    *previous* round's blocks by unpersisting the underlying RDD via
+    ``getPersistentRDDs`` — only AFTER the convergence check, which is
+    the last reader of the old generation. Freed checkpoint blocks are
+    unrecoverable by design, hence the strict generation handoff;
+    without this, ``max_iter`` generations of (id, label) state would
+    stay pinned in executor storage for the loop's duration.
     """
     from pyspark import StorageLevel
+
+    spark = pairs.sparkSession
+
+    def _persistent_ids() -> set[int]:
+        jm = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(i) for i in jm.keySet().toArray()}
+
+    def _free(ids: set[int]) -> None:
+        jm = spark.sparkContext._jsc.getPersistentRDDs()
+        for i in ids:
+            if jm.containsKey(i):
+                jm.get(i).unpersist(False)
 
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
@@ -498,12 +520,14 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    before = _persistent_ids()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    label_ids = _persistent_ids() - before
     for _ in range(max_iter):
         incoming = edges.join(
             labels, edges["src"] == labels["id"]
@@ -517,15 +541,18 @@ def connected_components(
         lookup = merged.select(
             F.col("id").alias("_lid"), F.col("label").alias("_llabel")
         )
+        before = _persistent_ids()
         new_labels = (
             merged.join(lookup, merged["label"] == lookup["_lid"])
             .select("id", F.least("label", "_llabel").alias("label"))
             .localCheckpoint()  # eager: truncates plan AND materializes
         )
+        new_ids = _persistent_ids() - before
         changed = (
             new_labels.join(labels, ["id", "label"], "left_anti").limit(1).count()
         )
-        labels = new_labels
+        _free(label_ids)  # previous generation: convergence check was its last read
+        labels, label_ids = new_labels, new_ids
         if changed == 0:
             break
     edges.unpersist()

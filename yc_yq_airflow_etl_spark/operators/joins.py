@@ -40,6 +40,16 @@ def exclusion_join(
     independently broadcast-eligible, the right choice when one side
     is dim-sized and broadcastable.
 
+    HOT-KEY CAVEAT (union strategy): the per-key side counts ride a
+    window partitioned by the join keys, and AQE never splits a window
+    partition — a key with millions of duplicates serializes into one
+    straggler task. The reference's reconcile keys are PK-like so this
+    is theoretical there, but for bulk NON-unique keys prefer
+    ``strategy='anti'`` (joins get AQE skew handling) or, when only
+    the count is needed, :func:`exclusion_diff_count` (groupBy
+    aggregates are partial-combined and skew-split). Both are pinned
+    equal to this path under 10⁴-duplicate keys by a property test.
+
     Columns of the result = the union of both inputs' columns (inputs
     are union-compatible in YQL usage). ``tag_column`` adds
     'left'/'right' provenance.

@@ -218,14 +218,18 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     ).tobytes()
 
 
-def _ppm_header_tokens(payload: bytes) -> tuple[list[int], int]:
+def _ppm_header_tokens(payload: bytes, start: int = 0) -> tuple[list[int], int]:
     """Parse the P6 header byte-by-byte (whitespace- and
-    ``#``-comment-aware, per the netpbm spec): returns (width, height,
-    maxval) and the offset where pixel data starts."""
-    if payload[:2] != b"P6":
+    ``#``-comment-aware, per the netpbm spec) beginning at ``start``:
+    returns (width, height, maxval) and the ABSOLUTE offset where
+    pixel data starts. The offset parameter lets container walkers
+    (``split_video_frames``) parse frame N's header in place instead
+    of slicing the remaining buffer per frame (which would copy
+    O(n_frames × payload) — quadratic for long videos)."""
+    if payload[start : start + 2] != b"P6":
         raise ValueError("not a binary PPM (P6) payload")
     tokens: list[int] = []
-    pos = 2
+    pos = start + 2
     tok = b""
     while len(tokens) < 3:
         if pos >= len(payload):
@@ -372,12 +376,14 @@ def encode_video(frames: list[np.ndarray]) -> bytes:
 
 def split_video_frames(payload: bytes) -> list[bytes]:
     """Walk the concatenated-P6 container: each frame's length is its
-    header length + W*H*3, so the split is exact with no sentinels."""
+    header length + W*H*3, so the split is exact with no sentinels.
+    Headers are parsed in place via the ``start`` offset; only each
+    final frame's bytes are sliced — O(payload) total, not quadratic."""
     frames: list[bytes] = []
     pos = 0
     while pos < len(payload):
-        (w, h, _m), data_off = _ppm_header_tokens(payload[pos:])
-        end = pos + data_off + w * h * 3
+        (w, h, _m), data_off = _ppm_header_tokens(payload, pos)
+        end = data_off + w * h * 3
         frames.append(payload[pos:end])
         pos = end
     return frames

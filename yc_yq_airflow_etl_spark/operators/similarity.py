@@ -454,12 +454,28 @@ def topk_join(
     right_vec: str = "embedding",
     left_id: str = "vec_id",
     right_id: str = "vec_id",
+    broadcast_limit: int = 2_000_000,
 ) -> DataFrame:
     """All-pairs top-k join (each left row → its k nearest right
     rows): broadcast the smaller right side, window-rank per left id.
-    For large right sides, swap in the sketch filter first."""
+
+    GUARDED: broadcast+crossJoin is correct only while the right side
+    is dim-sized. The guard counts the right side (one column-pruned
+    job — trivial next to the crossJoin it gates) and raises past
+    ``broadcast_limit`` so misuse fails loudly on the driver instead
+    of OOMing an executor mid-broadcast at scale. For large right
+    sides use :func:`topk_join_blocked`, whose band join shuffles on
+    sketch buckets and never broadcasts."""
     from pyspark.sql import Window
 
+    n_right = right.count()
+    if n_right > broadcast_limit:
+        raise ValueError(
+            f"topk_join right side has {n_right} rows "
+            f"(> broadcast_limit={broadcast_limit}); a side this large "
+            "cannot be broadcast — use topk_join_blocked (sketch-band "
+            "shuffle join) instead"
+        )
     r = F.broadcast(
         right.select(
             F.col(right_id).alias("_rid"), F.col(right_vec).alias("_rvec")
@@ -476,3 +492,69 @@ def topk_join(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= k
     )
+
+
+def topk_join_blocked(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    left_vec: str = "embedding",
+    right_vec: str = "embedding",
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+) -> DataFrame:
+    """Sketch-blocked top-k join — the scale path when the right side
+    is NOT broadcastable. Both sides get a ``planes``-bit hyperplane
+    sign sketch split into ``bands`` equal bit-bands; candidate pairs
+    are generated by an equi shuffle join on (band index, band value)
+    — the simhash pigeonhole: any pair whose sketches differ in fewer
+    than ``bands`` bits shares at least one identical band, so the
+    candidate set is a guaranteed superset of all pairs within hamming
+    radius ``bands - 1``. Exact cosine scores only the candidates.
+
+    At 100 TB: no broadcast, no crossJoin — two scans, one hash
+    exchange on band keys (both sides), dedupe + per-left-id window
+    rank. Recall is governed by (planes, bands) exactly as in the
+    SimHash dedup operator; :func:`topk_join` is the exact twin the
+    equivalence property test pins this against on fixtures."""
+    from pyspark.sql import Window
+
+    band_bits = planes // bands
+    if band_bits * bands != planes:
+        raise ValueError("planes must be divisible by bands")
+    mask = (1 << band_bits) - 1
+
+    def side(df: DataFrame, idc: str, vecc: str, pre: str) -> DataFrame:
+        sk = sign_sketch(F.col(vecc), planes, seed)
+        bvals = F.array(
+            *[
+                F.shiftright(sk, i * band_bits).bitwiseAND(F.lit(mask))
+                for i in range(bands)
+            ]
+        )
+        return df.select(
+            F.col(idc).alias(f"{pre}id"),
+            F.col(vecc).alias(f"{pre}vec"),
+            F.posexplode(bvals).alias("_band", "_bval"),
+        )
+
+    l = side(left, left_id, left_vec, "_l")
+    r = side(right, right_id, right_vec, "_r")
+    cand = (
+        l.join(r, ["_band", "_bval"])
+        .filter(F.col("_lid") != F.col("_rid"))
+        .select(
+            F.col("_lid").alias("id_a"),
+            F.col("_rid").alias("id_b"),
+            F.round(
+                cosine_similarity(F.col("_lvec"), F.col("_rvec")), 6
+            ).alias("cosine"),
+        )
+        # a pair can match in several bands — dedupe before ranking
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b").asc())
+    return cand.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

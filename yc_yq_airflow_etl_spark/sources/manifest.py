@@ -117,14 +117,38 @@ class ManifestTable:
         with FileAlreadyExistsException if another writer already
         claimed this version name — no rename needed, so it is safe on
         stores without atomic rename (S3). A crash between create and
-        close leaves a torn manifest; `_try_manifest` quarantines it."""
+        close leaves a torn manifest; `_try_manifest` quarantines it.
+
+        Only a *lost race* (FileAlreadyExistsException) returns False —
+        any other create failure (permissions, bad path, connectivity)
+        re-raises, because `_publish` responds to False by retrying the
+        next version forever: a persistent non-race failure must
+        surface as an error, not a livelock.
+
+        ATOMICITY CAVEAT: create(overwrite=False) is a true conditional
+        PUT only where the store provides one (HDFS namenode lease, S3
+        conditional writes / If-None-Match). On RawLocalFileSystem it
+        is check-then-act, so a real local race can lose an update —
+        use the default rename mode for ``file://`` tables (POSIX
+        rename is atomic); conditional-create mode is for object
+        stores."""
         jvm, fs = self._fs(spark)
         dest = self._jp(jvm, *parts)
         fs.mkdirs(dest.getParent())
         try:
             out = fs.create(dest, False)
-        except Exception:
-            return False  # lost the race: the name is claimed
+        except Exception as exc:
+            # py4j surfaces the Java class; match it precisely — any
+            # exception that is NOT the already-exists signal re-raises
+            java_cls = ""
+            je = getattr(exc, "java_exception", None)
+            if je is not None:
+                java_cls = je.getClass().getName()
+            if "FileAlreadyExistsException" in java_cls or (
+                je is None and "FileAlreadyExistsException" in str(exc)
+            ):
+                return False  # lost the race: the name is claimed
+            raise
         try:
             out.write(bytearray(content.encode("utf-8")))
         finally:
@@ -236,7 +260,10 @@ class ManifestTable:
             if self.publish_mode == "conditional-create"
             else self._write_text_atomic
         )
-        while True:
+        # Bounded: every retry means some OTHER writer claimed a name,
+        # so 1000 consecutive losses is contention pathology (or a put
+        # implementation bug), not normal operation — fail loudly.
+        for _ in range(1000):
             # next version = above every CLAIMED name (even torn ones:
             # their number is burned, never reused — else a slow torn
             # writer finishing late could overwrite a real commit)
@@ -255,6 +282,10 @@ class ManifestTable:
             if put(spark, json.dumps(manifest), "_manifests", f"v{version}.json"):
                 return version
             # publish race lost: re-resolve, rebase, try the next version
+        raise RuntimeError(
+            "manifest publish lost 1000 consecutive commit races — "
+            "pathological contention or a broken conditional-create store"
+        )
 
     def overwrite(self, df: DataFrame) -> int:
         """Commit df as a full-replacement snapshot."""
