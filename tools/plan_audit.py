@@ -263,6 +263,66 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
          r"!ReadSchema: [^\n]*(source|n_chars|lang)"),
         ("partial aggregation", r"partial_(sum|count)"),
     ],
+    "q2_min_cost_supplier": [
+        ("supplier snowflake collapsed to a broadcast", r"BroadcastHashJoin"),
+        ("correlated min is a window over the pair aggregate, not a self-join",
+         r"windowspecdefinition\(l_partkey"),
+        ("pair costs partially aggregated before the one fact shuffle",
+         r"partial_min"),
+        ("size filter pushed to the part scan",
+         r"PushedFilters: \[[^\]]*EqualTo\(p_size,15\)"),
+    ],
+    "q8_market_share": [
+        ("customer-region and supplier-nation dims broadcast",
+         r"BroadcastHashJoin"),
+        ("both ratio measures in ONE partial aggregate (no agg self-join)",
+         r"partial_sum"),
+        ("order-date window pushed to the orders scan",
+         r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate"),
+    ],
+    "q9_product_profit": [
+        ("part + supplier-nation dims broadcast", r"BroadcastHashJoin"),
+        ("name filter pushed to the part scan",
+         r"PushedFilters: \[[^\]]*StringContains\(p_name,bolt\)"),
+        ("profit rollup partially aggregated", r"partial_sum"),
+        ("orders read pruned to key+date", r"!ReadSchema: [^\n]*o_totalprice"),
+    ],
+    "q11_important_stock": [
+        ("EUROPE supplier keys broadcast", r"BroadcastHashJoin"),
+        ("per-part revenue partially aggregated", r"partial_sum"),
+        ("scalar total broadcast back (1-row nested loop, not a shuffle)",
+         r"BroadcastNestedLoopJoin"),
+    ],
+    "q12_priority_by_returnflag": [
+        ("shipdate window pushed to the lineitem scan",
+         r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate"),
+        ("CASE arms inside the partial aggregate", r"partial_sum"),
+        ("orders read pruned to key+priority",
+         r"!ReadSchema: [^\n]*o_totalprice"),
+    ],
+    "q16_supplier_part_counts": [
+        ("denylist anti-join broadcast",
+         r"BroadcastHashJoin[^\n]*LeftAnti"),
+        ("selected parts broadcast", r"BroadcastHashJoin"),
+        ("fact read pruned to partkey+suppkey",
+         r"ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"),
+    ],
+    "q20_dominant_part_suppliers": [
+        ("small-part keys broadcast before the fact aggregate",
+         r"BroadcastHashJoin"),
+        ("pair quantities partially aggregated", r"partial_sum"),
+        ("final probe is a semi-join", r"LeftSemi"),
+        ("shipdate window pushed to the lineitem scan",
+         r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate"),
+    ],
+    "q21_waiting_suppliers": [
+        ("status filter pushed to the orders scan",
+         r"PushedFilters: \[[^\]]*EqualTo\(o_orderstatus,F\)"),
+        ("per-order EXISTS/NOT-EXISTS collapsed to one partial aggregate",
+         r"partial_count"),
+        ("supplier name dim broadcast", r"BroadcastHashJoin"),
+        ("no nested-loop correlation anywhere", "!BroadcastNestedLoopJoin"),
+    ],
 }
 
 

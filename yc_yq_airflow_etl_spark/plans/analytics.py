@@ -1759,6 +1759,522 @@ ORDER BY s_suppkey
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated min over a snowflake): for every
+    size-15 part, the EUROPE supplier(s) offering the minimum unit
+    price. The testdata has no partsupp, so supply cost is derived as
+    each (part, supplier)'s minimum observed ``l_extendedprice /
+    l_quantity`` — the correlated ``MIN(ps_supplycost)`` subquery
+    becomes a window min over the per-part group.
+
+    Scale: the supplier→nation→region snowflake collapses to ONE
+    broadcast dim before it touches the fact table; the (part, supp)
+    cost aggregation is the only fact shuffle, and the correlated min
+    rides the same partitioning as a window — no self-join of the
+    aggregate. Unit price is IEEE double on both engines (identical
+    division), so min/round replay exactly."""
+    t = load_testdata(spark, sf_dir)
+    euro_sup = F.broadcast(
+        t["supplier"]
+        .join(
+            t["nation"], F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            t["region"].filter(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costs = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(
+                F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6
+            ).alias("supply_cost")
+        )
+    )
+    elig = costs.join(euro_sup, F.col("l_suppkey") == F.col("s_suppkey"))
+    w = Window.partitionBy("l_partkey")
+    best = elig.withColumn("_min_cost", F.min("supply_cost").over(w)).filter(
+        F.col("supply_cost") == F.col("_min_cost")
+    )
+    return (
+        best.join(
+            F.broadcast(t["part"].filter(F.col("p_size") == 15)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            F.round(F.col("s_acctbal"), 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "supply_cost",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_ORACLE = """
+WITH costs AS (
+    SELECT l_partkey, l_suppkey,
+           round(min(l_extendedprice / l_quantity), 6) AS supply_cost
+    FROM lineitem GROUP BY 1, 2
+), elig AS (
+    SELECT c.l_partkey, c.supply_cost, s_acctbal, s_name, n_name
+    FROM costs c
+    JOIN supplier ON c.l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+)
+SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_name,
+       supply_cost
+FROM elig
+JOIN part ON elig.l_partkey = p_partkey
+WHERE p_size = 15
+  AND supply_cost = (SELECT min(e2.supply_cost) FROM elig e2
+                     WHERE e2.l_partkey = elig.l_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (market-share ratio): of all revenue flowing to
+    AMERICA-region customers over 1995-1996, the share supplied by
+    NATION_3 suppliers, per order year. Numerator and denominator are
+    both DECIMAL sums over the SAME joined row set — one aggregation,
+    two conditional measures, ratio at the output boundary (never a
+    join of two aggregates).
+
+    Scale: customer-side region filter and both nation lookups are
+    broadcast; the fact shuffle is the lineitem⋈orders join plus one
+    partial+final aggregate keyed by ~2 years."""
+    t = load_testdata(spark, sf_dir)
+    cust_america = F.broadcast(
+        t["customer"]
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            t["region"].filter(F.col("r_name") == "AMERICA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    sup_nation = F.broadcast(
+        t["supplier"]
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("sup_nation"))
+    )
+    ords = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        t["lineitem"]
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_america, F.col("o_custkey") == F.col("c_custkey"))
+        .join(sup_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("sup_nation") == "NATION_3", rev).otherwise(
+                    F.lit(0).cast(DEC)
+                )
+            ).alias("_nat"),
+            F.sum(rev).alias("_all"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.col("_nat").cast("double") / F.col("_all").cast("double"), 6
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       round(
+         CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+         6) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE r_name = 'AMERICA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product profit, the classic multi-way join):
+    per (supplier nation, order year) profit on 'bolt' parts. Without
+    partsupp, cost is ``p_retailprice × l_quantity`` — profit =
+    discounted revenue minus that, all DECIMAL until the output.
+
+    Scale: part (filtered) and supplier→nation are broadcast; the only
+    wide exchange is lineitem⋈orders on the orderkey, then a
+    partial+final aggregate on (nation, year) — the 6-way TPC-H plan
+    with every dimension edge collapsed to a broadcast."""
+    t = load_testdata(spark, sf_dir)
+    bolt_parts = F.broadcast(
+        t["part"]
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    sup_nation = F.broadcast(
+        t["supplier"]
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    amount = _dec("l_extendedprice") * (
+        F.lit(1).cast(DEC) - _dec("l_discount")
+    ) - _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        t["lineitem"]
+        .join(bolt_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sup_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q9_ORACLE = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                - CAST(p_retailprice AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (HAVING over a scalar subquery): per-part
+    revenue through EUROPE suppliers, keeping parts above 0.1% of the
+    grand total. The scalar total is the aggregate OF the grouped
+    aggregate — computed once from the per-part frame and broadcast
+    back as a 1-row crossJoin, so the fact table is scanned and
+    shuffled exactly once for both levels.
+
+    The threshold comparison happens in DOUBLE on both engines from
+    identically-derived values (decimal sums cast at the boundary),
+    so the boundary is bit-reproducible."""
+    t = load_testdata(spark, sf_dir)
+    euro_sup = F.broadcast(
+        t["supplier"]
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            t["region"].filter(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    per_part = (
+        t["lineitem"]
+        .join(euro_sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(rev).alias("_v"))
+    )
+    total = F.broadcast(per_part.agg(F.sum("_v").alias("_t")))
+    return (
+        per_part.crossJoin(total)
+        .filter(
+            F.col("_v").cast("double") > F.col("_t").cast("double") * 0.001
+        )
+        .select("p_partkey", F.col("_v").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+Q11_ORACLE = """
+WITH pv AS (
+    SELECT l_partkey AS p_partkey,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS v
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+    GROUP BY 1
+)
+SELECT p_partkey, CAST(v AS DOUBLE) AS part_value
+FROM pv
+WHERE CAST(v AS DOUBLE) > (SELECT CAST(sum(v) AS DOUBLE) FROM pv) * 0.001
+ORDER BY part_value DESC, p_partkey
+"""
+
+
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (CASE aggregation over a join): lineitems
+    shipped in 1996 bucketed by return flag (the shipmode stand-in —
+    the testdata has no l_shipmode), counting high- vs low-priority
+    orders via conditional sums. One join shuffle, one tiny
+    3-group aggregate; the CASE arms are JVM expressions inside the
+    partial aggregate."""
+    t = load_testdata(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            t["orders"].select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_ORACLE = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (anti-join + COUNT DISTINCT): distinct supplier
+    count per (brand, type, size) for selected parts, EXCLUDING
+    suppliers from a computed denylist (negative account balance —
+    the '%Complaints%' stand-in). The denylist is a subquery → tiny
+    broadcast anti-join; the exact COUNT(DISTINCT) expands to
+    Catalyst's two-phase distinct aggregate keyed by the group."""
+    t = load_testdata(spark, sf_dir)
+    bad_sup = F.broadcast(
+        t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    )
+    sel_parts = F.broadcast(
+        t["part"]
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 9, 14, 23, 36, 45, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey")
+        .join(bad_sup, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(sel_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 14, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (nested semi-join chain): ASIA suppliers who
+    DOMINATE some 'small…' part — shipped more than 30% of that
+    part's total 1996 volume. Without partsupp's availqty, the
+    "excess stock" predicate becomes per-(part,supplier) quantity vs
+    the per-part total — a two-level aggregate feeding a semi-join
+    chain (pairs → dominant suppkeys → suppliers), exactly Q20's
+    nesting depth.
+
+    Scale: part filter broadcast before the fact aggregate; the
+    per-part total rides the same shuffled partitioning (partkey is a
+    prefix of the pair key); the final semi-join probes a tiny
+    distinct suppkey set."""
+    t = load_testdata(spark, sf_dir)
+    small_parts = F.broadcast(
+        t["part"].filter(F.col("p_name").like("small%")).select("p_partkey")
+    )
+    pairs = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(small_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_q"))
+    )
+    totals = pairs.groupBy("l_partkey").agg(F.sum("_q").alias("_tq"))
+    dominant = (
+        pairs.join(totals, "l_partkey")
+        .filter(
+            F.col("_q").cast("double") > F.col("_tq").cast("double") * 0.3
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    asia_sup = (
+        t["supplier"]
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            t["region"].filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        asia_sup.join(
+            dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_name")
+        .orderBy("s_name")
+    )
+
+
+Q20_ORACLE = """
+WITH ps AS (
+    SELECT l_partkey, l_suppkey,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'small%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2
+), pt AS (
+    SELECT l_partkey, sum(q) AS tq FROM ps GROUP BY 1
+)
+SELECT s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND s_suppkey IN (
+      SELECT DISTINCT ps.l_suppkey FROM ps
+      JOIN pt ON ps.l_partkey = pt.l_partkey
+      WHERE CAST(ps.q AS DOUBLE) > CAST(pt.tq AS DOUBLE) * 0.3)
+ORDER BY s_name
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (the hard one: correlated EXISTS + NOT EXISTS):
+    suppliers who single-handedly held up multi-supplier finalized
+    orders. 'Late' is adapted to the available columns: shipped more
+    than 90 days after the order date (no l_commitdate/l_receiptdate
+    in the testdata). A line is a 'wait' when its order has ANOTHER
+    supplier (EXISTS) but NO other LATE supplier (NOT EXISTS).
+
+    Decorrelation: both correlated subqueries collapse into ONE
+    per-order aggregate — distinct supplier count and distinct LATE
+    supplier count — joined back to the late lines. The fact table
+    shuffles once on orderkey for the aggregate and once for the
+    join-back; the DuckDB oracle keeps the textbook EXISTS/NOT EXISTS
+    formulation, pinning the rewrite's equivalence."""
+    t = load_testdata(spark, sf_dir)
+    lo = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            t["orders"]
+            .filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 90 DAYS"
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_ns"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("_nl"),
+    )
+    late_sup = (
+        lo.filter(late).select("l_orderkey", "l_suppkey").distinct()
+    )
+    return (
+        late_sup.join(per_order, "l_orderkey")
+        .filter((F.col("_ns") > 1) & (F.col("_nl") == 1))
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+Q21_ORACLE = """
+SELECT s_name, count(*) AS numwait FROM (
+    SELECT DISTINCT l1.l_suppkey, l1.l_orderkey
+    FROM lineitem l1
+    JOIN orders o1 ON l1.l_orderkey = o1.o_orderkey
+    WHERE o1.o_orderstatus = 'F'
+      AND l1.l_shipdate > o1.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate
+                                           + INTERVAL 90 DAY)
+) t
+JOIN supplier ON t.l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters through a count-min sketch
     (operators/sketches.build_cms/cms_estimate): top-10 users by true
@@ -2066,3 +2582,15 @@ def register_all() -> None:
     )
     register("q19_disjunctive_revenue", q19_disjunctive_revenue, Q19_ORACLE)
     register("q15_top_supplier", q15_top_supplier, Q15_ORACLE)
+    register("q2_min_cost_supplier", q2_min_cost_supplier, Q2_ORACLE)
+    register("q8_market_share", q8_market_share, Q8_ORACLE)
+    register("q9_product_profit", q9_product_profit, Q9_ORACLE)
+    register("q11_important_stock", q11_important_stock, Q11_ORACLE)
+    register(
+        "q12_priority_by_returnflag", q12_priority_by_returnflag, Q12_ORACLE
+    )
+    register("q16_supplier_part_counts", q16_supplier_part_counts, Q16_ORACLE)
+    register(
+        "q20_dominant_part_suppliers", q20_dominant_part_suppliers, Q20_ORACLE
+    )
+    register("q21_waiting_suppliers", q21_waiting_suppliers, Q21_ORACLE)
