@@ -1425,6 +1425,160 @@ FROM e GROUP BY 1 ORDER BY label
 """
 
 
+def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall as DATA — the operational gauge the incremental-
+    append story (operators/similarity.py append_to_ann_index) says to
+    monitor: at 100 TB with centroid drift, recall@k against a
+    brute-force spot-check is the number that tells you when to
+    re-train. Emits recall@10 for the IVF index at nprobe ∈ {1, 3} and
+    the LSH index at max_hamming=3, for two deterministic fixture
+    query vectors (vec_id 0 and 1), all against the exact brute-force
+    top-10.
+
+    Driver-side set intersection is over k=10-row result sets only
+    (same footprint class as the k-means centroid fetch) — in
+    production this is a scheduled audit over a small query sample,
+    not a data-path operator. The DuckDB oracle replays the whole
+    chain — integer k-means, probe selection, stored sketches, recall
+    arithmetic — exactly."""
+    from ..operators.similarity import (
+        brute_force_topk,
+        ivf_topk_indexed,
+        lsh_topk_indexed,
+    )
+
+    t = load_testdata(spark, sf_dir)
+    emb = t["embeddings"]
+    index_df, cents = _ensure_ann_index(spark, sf_dir)
+    rows = []
+    for qid in (0, 1):
+        qrow = (
+            emb.filter(F.col("vec_id") == qid).select("embedding").first()
+        )
+        q = [float(x) for x in qrow[0]]
+        bf_ids = {
+            r.vec_id for r in brute_force_topk(emb, q, k=10).collect()
+        }
+        for nprobe in (1, 3):
+            got = ivf_topk_indexed(
+                index_df, q, cents, k=10, nprobe=nprobe
+            ).collect()
+            hits = sum(1 for r in got if r.vec_id in bf_ids)
+            rows.append(("ivf", nprobe, qid, round(hits / 10.0, 6)))
+        got = lsh_topk_indexed(index_df, q, k=10, max_hamming=3).collect()
+        hits = sum(1 for r in got if r.vec_id in bf_ids)
+        rows.append(("lsh", 3, qid, round(hits / 10.0, 6)))
+    return spark.createDataFrame(
+        rows, "method string, param int, query_id int, recall double"
+    ).orderBy("method", "param", "query_id")
+
+
+def _recall_query_ctes(qid: int) -> str:
+    """Per-query-vector CTE chain: exact cosine scores (sc), brute-
+    force top-10 (bf), IVF top-10 at nprobe 1 and 3 (ivf{qid}_1/_3 —
+    probe clusters from the replayed c2 centroids, candidates from
+    assign_all), LSH top-10 at hamming ≤ 3 over the replayed sketches
+    (lsh{qid})."""
+    ivf = ""
+    for nprobe in (1, 3):
+        ivf += f""", ivf{qid}_{nprobe} AS (
+    SELECT sc.vec_id FROM sc{qid} sc
+    JOIN assign_all aa ON sc.vec_id = aa.vec_id
+    WHERE aa.c IN (SELECT c FROM (
+        SELECT c, row_number() OVER (ORDER BY d, c) AS rn FROM pd{qid})
+        WHERE rn <= {nprobe})
+    ORDER BY sc.cosine DESC, sc.vec_id ASC LIMIT 10
+)"""
+    return f"""qv{qid} AS (
+    SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+    FROM embeddings WHERE vec_id = {qid}
+), sc{qid} AS (
+    SELECT e.vec_id,
+           round(
+             list_sum(list_transform(list_zip(
+                 list_transform(e.embedding, x -> CAST(x AS DOUBLE)), qvec),
+                 pr -> pr[1] * pr[2]))
+             / (sqrt(list_sum(list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(qvec, x -> x * x)))), 6) AS cosine
+    FROM embeddings e, qv{qid}
+), bf{qid} AS (
+    SELECT vec_id FROM sc{qid}
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+), qx{qid} AS (
+    SELECT i, x FROM xq WHERE vec_id = {qid}
+), pd{qid} AS (
+    SELECT c.c, sum((q.x - c.x) * (q.x - c.x)) AS d
+    FROM qx{qid} q JOIN c2 c USING (i) GROUP BY c.c
+){ivf}, lsh{qid} AS (
+    SELECT sc.vec_id FROM sc{qid} sc
+    JOIN sk s ON sc.vec_id = s.vec_id,
+    (SELECT sketch AS qsk FROM sk WHERE vec_id = {qid}) q
+    WHERE bit_count(xor(s.sketch, q.qsk)) <= 3
+    ORDER BY sc.cosine DESC, sc.vec_id ASC LIMIT 10
+)"""
+
+
+def _recall_rows_sql(qid: int) -> str:
+    rows = []
+    for nprobe in (1, 3):
+        rows.append(
+            f"SELECT 'ivf' AS method, {nprobe} AS param, {qid} AS query_id, "
+            f"(SELECT count(*) FROM ivf{qid}_{nprobe} JOIN bf{qid} USING (vec_id)) AS cnt"
+        )
+    rows.append(
+        f"SELECT 'lsh' AS method, 3 AS param, {qid} AS query_id, "
+        f"(SELECT count(*) FROM lsh{qid} JOIN bf{qid} USING (vec_id)) AS cnt"
+    )
+    return " UNION ALL ".join(rows)
+
+
+# The shared WITH list: the IVF oracle's k-means/assignment replay,
+# the sketch replay (its own "qdim …, sk" chain splices in verbatim),
+# then both per-query chains, then the recall arithmetic.
+SIMILARITY_RECALL_ORACLE = (
+    r"""
+WITH xq AS (
+    SELECT vec_id, i,
+           CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
+    FROM (SELECT vec_id, embedding,
+                 unnest(generate_series(1, len(embedding))) AS i
+          FROM embeddings)
+), samp AS (
+    SELECT * FROM xq
+    WHERE (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 4) = 0
+), init_ids AS (
+    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+    FROM (SELECT DISTINCT vec_id FROM samp ORDER BY vec_id LIMIT 8)
+), c0 AS (
+    SELECT ii.c, s.i, s.x FROM init_ids ii JOIN samp s USING (vec_id)
+), """
+    + _kmeans_iter_sql(1, "c0")
+    + ", "
+    + _kmeans_iter_sql(2, "c1")
+    + r""", dall AS (
+    SELECT x.vec_id, c.c, sum((x.x - c.x) * (x.x - c.x)) AS d
+    FROM xq x JOIN c2 c USING (i) GROUP BY x.vec_id, c.c
+), assign_all AS (
+    SELECT vec_id, c FROM (
+        SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+        FROM dall) WHERE rn = 1
+), """
+    + _sketch_cte()
+    + ", "
+    + _recall_query_ctes(0)
+    + ", "
+    + _recall_query_ctes(1)
+    + f"""
+SELECT method, param, query_id, round(cnt / 10.0, 6) AS recall FROM (
+    {_recall_rows_sql(0)} UNION ALL {_recall_rows_sql(1)}
+)
+ORDER BY method, param, query_id
+"""
+)
+
+
 def register_all() -> None:
     from .registry import register
 
@@ -1441,6 +1595,11 @@ def register_all() -> None:
     register("similarity_lsh_topk", similarity_lsh_topk, SIMILARITY_LSH_ORACLE)
     register("similarity_ivf_topk", similarity_ivf_topk, SIMILARITY_IVF_ORACLE)
     register("similarity_knn_join", similarity_knn_join, SIMILARITY_KNN_JOIN_ORACLE)
+    register(
+        "similarity_recall_report",
+        similarity_recall_report,
+        SIMILARITY_RECALL_ORACLE,
+    )
     register("text_stats", text_stats, TEXT_STATS_ORACLE)
     register("text_boilerplate_stats", text_boilerplate_stats, BOILERPLATE_ORACLE)
     register("tfidf_top_terms", tfidf_top_terms, TFIDF_ORACLE)
