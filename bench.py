@@ -7,6 +7,12 @@
 
 Each query is executed once warm-up-free per name; timing covers plan
 + execution to a driver-side count/collect of the (small) result.
+
+Alongside wall time, every query records STRUCTURE — executed stage
+count and shuffle read/write bytes from the Spark status store — so
+rounds can be diffed on plan shape, not this sandbox's 2-5x CPU
+jitter: a new Exchange or a shuffle-bytes jump is a real regression
+even when wall time happens to look flat (and vice versa).
 """
 
 from __future__ import annotations
@@ -17,6 +23,68 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+class _StageMeter:
+    """Per-query stage/shuffle deltas from the JVM AppStatusStore.
+
+    Stage ids are globally increasing, so a high-water mark separates
+    one query's stages from the next; the listener bus is drained
+    before each reading so late metric updates are counted."""
+
+    def __init__(self, spark) -> None:
+        self._spark = spark
+        self._jvm = spark.sparkContext._jvm
+        self._gateway = spark.sparkContext._gateway
+        self._store = spark._jsparkSession.sparkContext().statusStore()
+        self._max_seen = -1
+
+    def _stage_list(self):
+        jvm = self._jvm
+        return self._store.stageList(
+            jvm.java.util.ArrayList(),
+            False,
+            False,
+            self._gateway.new_array(jvm.double, 0),
+            jvm.java.util.ArrayList(),
+        )
+
+    def _drain(self) -> None:
+        try:
+            self._spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+        except Exception:
+            pass  # diagnostic only — never fail the bench over it
+
+    def start(self) -> None:
+        self._drain()
+        it = self._stage_list().iterator()
+        while it.hasNext():
+            sid = it.next().stageId()
+            if sid > self._max_seen:
+                self._max_seen = sid
+
+    def finish(self) -> dict:
+        self._drain()
+        stages = rd = wr = 0
+        top = self._max_seen
+        it = self._stage_list().iterator()
+        while it.hasNext():
+            s = it.next()
+            sid = s.stageId()
+            if sid <= self._max_seen:
+                continue
+            if sid > top:
+                top = sid
+            if str(s.status()) != "SKIPPED":  # skipped = reused exchange
+                stages += 1
+                rd += s.shuffleReadBytes()
+                wr += s.shuffleWriteBytes()
+        self._max_seen = top
+        return {
+            "stages": stages,
+            "shuffle_read_bytes": int(rd),
+            "shuffle_write_bytes": int(wr),
+        }
 
 # Bench the queries whose runtime is data-proportional (headline set);
 # trivially-small queries are correctness-only and add noise here.
@@ -58,13 +126,22 @@ def main() -> None:
     _an.ensure_bucketed_demo(spark, sf_dir)
     _an.ensure_formats_demo(spark, sf_dir)
 
+    meter = _StageMeter(spark)
     timings: dict[str, float] = {}
+    structure: dict[str, dict] = {}
     for name in names:
+        meter.start()
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        structure[name] = meter.finish()
+        print(
+            f"# {name}: {n} rows in {timings[name]}s "
+            f"(stages={structure[name]['stages']}, "
+            f"shuf_w={structure[name]['shuffle_write_bytes']})",
+            file=sys.stderr,
+        )
 
     # Reference-scale datapoint: the federation verification query at
     # the reference's own dataset size (2,675,520 payment rows,
@@ -131,6 +208,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "structure": structure,
         "sf": float(sf) if sf else None,
     }
 
@@ -152,11 +230,40 @@ def main() -> None:
         os.makedirs(scale_dir, exist_ok=True)
         for t in (
             "region", "nation", "customer", "supplier", "part",
-            "orders", "lineitem", "events",
+            "orders", "lineitem",
         ):
             os.symlink(f"{sf_dir}/{t}.parquet", f"{scale_dir}/{t}.parquet")
+
+        # events: 10x SKEWED blow-up (not a symlink) — copies 1-3 remap
+        # user_id to a single hot user (~30% of all events on one key),
+        # the stress case the bucketed as-of join exists for. The raw
+        # ns-long ts column is kept (jittered +i ms) so read_events'
+        # nanos path applies to the copy exactly as to the original.
+        from yc_yq_airflow_etl_spark import schemas as _schemas
+
         copies = F.broadcast(
             spark.range(factor).select(F.col("id").alias("_i"))
+        )
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw_events = spark.read.schema(_schemas.EVENTS_RAW).parquet(
+            f"{sf_dir}/events.parquet"
+        )
+        (
+            raw_events.crossJoin(copies)
+            .select(
+                (F.col("event_id") + F.col("_i") * F.lit(10_000_000)).alias(
+                    "event_id"
+                ),
+                (F.col("ts") + F.col("_i") * F.lit(1_000_000)).alias("ts"),
+                F.when(F.col("_i").isin(1, 2, 3), F.lit(1))
+                .otherwise(F.col("user_id") + F.col("_i") * F.lit(1_000_000))
+                .alias("user_id"),
+                F.col("event_type"),
+                F.col("value"),
+                F.col("props"),
+            )
+            .repartition(8)
+            .write.parquet(f"{scale_dir}/events.parquet")
         )
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         salted_text = F.when(F.col("_i") == 0, F.col("text")).otherwise(
@@ -211,10 +318,18 @@ def main() -> None:
 
         scale: dict[str, dict] = {}
         # first touch of similarity_* builds the 10x ANN index (shared
-        # lsh+ivf, amortized); the second run is the steady state
+        # lsh+ivf, amortized); the second run is the steady state.
+        # dedup_clusters is the ITERATIVE heavy (its scale variable is
+        # the CC round count, recorded below); the bucketed as-of runs
+        # against the skewed events copy — the hot user exercises the
+        # (user, bucket) split that keeps stragglers bounded.
+        from yc_yq_airflow_etl_spark.operators import dedup as _dedup
+
         for name in (
             "dedup_minhash_pairs",
             "dedup_simhash_pairs",
+            "dedup_clusters",
+            "asof_click_purchase_bucketed",
             "similarity_lsh_topk",
             "similarity_ivf_topk",
         ):
@@ -227,6 +342,9 @@ def main() -> None:
                 "rows": n,
                 "ratio_vs_1x": round(t / base, 2) if base else None,
             }
+            if name == "dedup_clusters":
+                scale[name]["cc_rounds"] = _dedup.LAST_CC_ROUNDS
+                scale[name]["cc_round_cap"] = 25
             print(f"# scale10x {name}: {n} rows in {t}s", file=sys.stderr)
         for name in ("similarity_lsh_topk", "similarity_ivf_topk"):
             t0 = time.time()

@@ -452,6 +452,12 @@ def embedding_cosine_dupes(
     )
 
 
+# Diagnostic: rounds used by the most recent connected_components call
+# on this driver (bench/test introspection — the round count is THE
+# scale variable for the iterative loop; single-threaded use only).
+LAST_CC_ROUNDS: int = 0
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -528,7 +534,10 @@ def connected_components(
         .localCheckpoint()
     )
     label_ids = _persistent_ids() - before
+    global LAST_CC_ROUNDS
+    LAST_CC_ROUNDS = 0
     for _ in range(max_iter):
+        LAST_CC_ROUNDS += 1
         incoming = edges.join(
             labels, edges["src"] == labels["id"]
         ).select(F.col("dst").alias("id"), F.col("label"))
