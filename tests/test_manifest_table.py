@@ -220,3 +220,88 @@ def test_schema_evolution_on_append(spark, table):
     m = table._manifest(spark, v)
     assert "evolved" not in m  # re-baselined onto one schema
     assert table.read(spark).filter(F.col("w").isNull()).count() == 10
+
+
+@pytest.fixture()
+def stats_table(tmp_path):
+    return ManifestTable(str(tmp_path / "mts"), stat_cols=("id",))
+
+
+def _ranged(spark, lo, hi):
+    # one file per commit, disjoint id ranges -> exercisable stats
+    return (
+        spark.range(lo, hi)
+        .select(F.col("id"), (F.col("id") * 2).alias("v"))
+        .coalesce(1)
+    )
+
+
+def test_file_stats_recorded_and_pruned(spark, stats_table):
+    stats_table.overwrite(_ranged(spark, 0, 100))
+    stats_table.append(_ranged(spark, 100, 200))
+    stats_table.append(_ranged(spark, 200, 300))
+    m = stats_table._manifest(spark, stats_table.current_version(spark))
+    assert len(m["files"]) == 3
+    assert set(m["stats"]) == set(m["files"])
+    ranges = sorted(s["id"] for s in m["stats"].values())
+    assert ranges == [[0, 99], [100, 199], [200, 299]]
+    # manifest-level skipping: a mid-range probe keeps exactly 1 file
+    kept = stats_table.pruned_files(spark, "id", 120, 150)
+    assert len(kept) == 1
+    got = stats_table.read_where(spark, "id", 120, 150)
+    assert got.count() == 31
+    assert got.agg(F.sum("v")).first()[0] == sum(2 * i for i in range(120, 151))
+
+
+def test_merge_rewrites_only_touched_files(spark, stats_table):
+    stats_table.overwrite(_ranged(spark, 0, 100))
+    stats_table.append(_ranged(spark, 100, 200))
+    stats_table.append(_ranged(spark, 200, 300))
+    before = stats_table._manifest(spark, stats_table.current_version(spark))
+    untouched_expected = {
+        f for f, s in before["stats"].items() if s["id"][0] >= 100
+    }
+    # updates hit only the 0-99 file, plus one brand-new key (insert)
+    updates = spark.createDataFrame(
+        [(10, -1), (20, -2), (5000, -3)], ["id", "v"]
+    )
+    v = stats_table.merge(updates, "id")
+    after = stats_table._manifest(spark, v)
+    # the two out-of-range files were carried forward BY NAME
+    assert untouched_expected < set(after["files"])
+    assert set(after["files"]) != set(before["files"])
+    got = {r.id: r.v for r in stats_table.read(spark).collect()}
+    assert len(got) == 301  # 300 originals + 1 insert
+    assert got[10] == -1 and got[20] == -2 and got[5000] == -3
+    assert got[30] == 60  # untouched row in the rewritten file survives
+    assert got[150] == 300  # carried-forward file untouched
+    # stats follow the rewrite: carried files keep theirs, new files get new
+    assert set(after["stats"]) == set(after["files"])
+
+
+def test_merge_conflict_detection(spark, stats_table):
+    stats_table.overwrite(_ranged(spark, 0, 100))
+    base = stats_table.current_version(spark)
+    stats_table.append(_ranged(spark, 100, 200))  # snapshot advances
+    from yc_yq_airflow_etl_spark.sources.manifest import ConcurrentWriteError
+
+    updates = spark.createDataFrame([(1, -1)], ["id", "v"])
+    with pytest.raises(ConcurrentWriteError, match="re-run the merge"):
+        stats_table.merge(updates, "id", expected_version=base)
+    # the failed merge left only unreferenced garbage; data is intact
+    assert stats_table.read(spark).count() == 200
+
+
+def test_merge_without_stats_is_full_rewrite_but_correct(spark, table):
+    table.overwrite(_df(spark, 0, 100))
+    updates = spark.createDataFrame([(1, -1), (999, -9)], ["id", "v"])
+    table.merge(updates, "id")
+    got = {r.id: r.v for r in table.read(spark).collect()}
+    assert len(got) == 101 and got[1] == -1 and got[999] == -9
+
+
+def test_merge_rejects_duplicate_update_keys(spark, stats_table):
+    stats_table.overwrite(_ranged(spark, 0, 100))
+    dup = spark.createDataFrame([(1, -1), (1, -2)], ["id", "v"])
+    with pytest.raises(ValueError, match="duplicate"):
+        stats_table.merge(dup, "id")

@@ -1474,6 +1474,92 @@ def ensure_manifest_demo(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+_MANIFEST_STATS_DEMO_CACHE: dict[str, str] = {}
+
+
+def ensure_manifest_stats_demo(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per dataset) a STATS-ENABLED ManifestTable:
+    lineitem committed as four orderkey-quartile slices, one file
+    each, with per-file [min, max] of l_orderkey recorded in the
+    manifest (stat_cols) — the deterministic surface for the
+    manifest-level data-skipping query below."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..sources.manifest import ManifestTable
+
+    key = os.path.abspath(sf_dir)
+    cached = _MANIFEST_STATS_DEMO_CACHE.get(key)
+    if cached is not None:
+        return cached
+    tag = hashlib.md5(key.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"manifest_stats_demo_{tag}")
+    mt = ManifestTable(path, stat_cols=("l_orderkey",))
+    if mt.current_version(spark) != 3:
+        li = load_testdata(spark, sf_dir)["lineitem"].select(
+            "l_orderkey", "l_quantity"
+        )
+        m = int(li.agg(F.max("l_orderkey")).first()[0])
+        b1, b2, b3 = m // 4, m // 2, (3 * m) // 4
+        ok = F.col("l_orderkey")
+        mt.overwrite(li.filter(ok <= b1).coalesce(1))
+        mt.append(li.filter((ok > b1) & (ok <= b2)).coalesce(1))
+        mt.append(li.filter((ok > b2) & (ok <= b3)).coalesce(1))
+        mt.append(li.filter(ok > b3).coalesce(1))
+    _MANIFEST_STATS_DEMO_CACHE[key] = path
+    return path
+
+
+def manifest_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level data skipping made driver-checkable: a range
+    probe against the stats-enabled manifest table must (a) keep
+    exactly ONE of the four files — the kept-file count is emitted AS
+    DATA and pinned by the oracle's literal — and (b) aggregate to the
+    same rows/sum the oracle computes from raw lineitem with the same
+    predicate. This is the file-granularity layer of the skipping
+    stack (manifest stats → parquet row-group stats → predicate),
+    complementing zorder_pruned_scan which pins the row-group layer.
+
+    The probe bounds derive from max(l_orderkey) by integer division
+    on BOTH sides, so the query is deterministic at any SF."""
+    from ..sources.manifest import ManifestTable
+
+    mt = ManifestTable(
+        ensure_manifest_stats_demo(spark, sf_dir),
+        stat_cols=("l_orderkey",),
+    )
+    li = load_testdata(spark, sf_dir)["lineitem"]
+    m = int(li.agg(F.max("l_orderkey")).first()[0])
+    lo, hi = m // 10, m // 5
+    manifest = mt._manifest(spark, mt.current_version(spark))
+    kept = mt.pruned_files(spark, "l_orderkey", lo, hi)
+    return (
+        mt.read_where(spark, "l_orderkey", lo, hi)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.lit(len(manifest["files"])).alias("n_files_total"),
+            F.lit(len(kept)).alias("n_files_kept"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+MANIFEST_STATS_PRUNED_ORACLE = """
+WITH b AS (SELECT max(l_orderkey) AS m FROM lineitem)
+SELECT 4 AS n_files_total,
+       1 AS n_files_kept,
+       count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem, b
+WHERE l_orderkey >= m // 10 AND l_orderkey <= m // 5
+"""
+
+
 def manifest_time_travel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-isolation made driver-checkable: read each committed
     version of the manifest table (sources/manifest.py) and count its
@@ -2570,6 +2656,11 @@ def register_all() -> None:
         "manifest_time_travel_counts",
         manifest_time_travel_counts,
         MANIFEST_TIME_TRAVEL_ORACLE,
+    )
+    register(
+        "manifest_stats_pruned_scan",
+        manifest_stats_pruned_scan,
+        MANIFEST_STATS_PRUNED_ORACLE,
     )
     register("event_sessionization", event_sessionization, SESSIONIZATION_ORACLE)
     register("bucketed_join_revenue", bucketed_join_revenue, BUCKETED_JOIN_ORACLE)

@@ -56,6 +56,7 @@ _FRONT: tuple[str, ...] = (
     "q20_dominant_part_suppliers",
     "q21_waiting_suppliers",
     "similarity_recall_report",
+    "manifest_stats_pruned_scan",
     # green in r1/r2, cut from the r3 window by the 50-row cap
     "interval_overlap_sessions",
     "dedup_exact",

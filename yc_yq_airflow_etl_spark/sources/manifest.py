@@ -65,6 +65,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
 
+# column types whose min/max can round-trip through the JSON manifest
+# and compare correctly on read-back (ints/floats compare numerically,
+# strings lexicographically — both orderings match Spark's)
+_STATS_TYPES = {"tinyint", "smallint", "int", "bigint", "float", "double", "string"}
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A conditional commit found the snapshot advanced past the
+    version it was computed against — the caller must re-run against
+    the new base (same contract as Delta/Iceberg commit conflicts)."""
+
 
 @dataclass(frozen=True)
 class ManifestTable:
@@ -73,6 +84,12 @@ class ManifestTable:
     # "conditional-create": create(dest, overwrite=False) putIfAbsent —
     # the S3-safe claim; torn manifests possible, reader skips them.
     publish_mode: str = "rename"
+    # columns whose per-FILE min/max are recorded in the manifest at
+    # commit time (Iceberg-style file stats). They power manifest-level
+    # data skipping (`pruned_files`/`read_where`) and merge()'s
+    # touched-file selection — at 100 TB the difference between a
+    # metadata decision and a full-table scan. Numeric/string only.
+    stat_cols: tuple[str, ...] = ()
 
     # -- filesystem plumbing (Hadoop FS API — file://, hdfs://, s3a://) --
 
@@ -234,6 +251,45 @@ class ManifestTable:
         fs.delete(self._jp(jvm, staging_name), True)
         return names, spark
 
+    def _file_stats(
+        self, spark: SparkSession, files: list[str]
+    ) -> dict[str, dict[str, list]]:
+        """Per-file min/max of ``stat_cols`` for freshly-landed files:
+        ONE column-pruned Spark pass grouped by input_file_name (cost
+        scales with the NEW files only — carried-forward files keep
+        their recorded stats). Returns {} when stat_cols is unset."""
+        if not self.stat_cols or not files:
+            return {}
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(*[f"{self.path}/data/{f}" for f in files])
+        types = dict(df.dtypes)
+        for c in self.stat_cols:
+            if types.get(c) not in _STATS_TYPES:
+                raise ValueError(
+                    f"stat column {c!r} has type {types.get(c)} — only "
+                    f"{sorted(_STATS_TYPES)} survive the JSON manifest "
+                    "round-trip with correct ordering"
+                )
+        aggs = []
+        for c in self.stat_cols:
+            aggs.append(F.min(c).alias(f"_mn_{c}"))
+            aggs.append(F.max(c).alias(f"_mx_{c}"))
+        rows = (
+            df.withColumn(
+                "_f", F.element_at(F.split(F.input_file_name(), "/"), -1)
+            )
+            .groupBy("_f")
+            .agg(*aggs)
+            .collect()  # one row per NEW file — metadata-scale
+        )
+        return {
+            r["_f"]: {
+                c: [r[f"_mn_{c}"], r[f"_mx_{c}"]] for c in self.stat_cols
+            }
+            for r in rows
+        }
+
     def _publish(
         self,
         spark: SparkSession,
@@ -290,12 +346,12 @@ class ManifestTable:
     def overwrite(self, df: DataFrame) -> int:
         """Commit df as a full-replacement snapshot."""
         files, spark = self._write_files(df)
+        extra: dict = {"columns": sorted(df.columns)}
+        stats = self._file_stats(spark, files)
+        if stats:
+            extra["stats"] = stats
         return self._publish(
-            spark,
-            files,
-            self._count(spark, files),
-            "overwrite",
-            {"columns": sorted(df.columns)},
+            spark, files, self._count(spark, files), "overwrite", extra
         )
 
     def append(self, df: DataFrame, batch_id: int | None = None) -> int:
@@ -308,6 +364,7 @@ class ManifestTable:
         the LATEST manifest alone (surviving vacuum of old ones)."""
         new_files, spark = self._write_files(df)
         new_cols = sorted(df.columns)
+        new_stats = self._file_stats(spark, new_files)
 
         def rebase() -> tuple[list[str], int, dict]:
             # re-resolved on every commit attempt: a concurrent commit
@@ -328,6 +385,12 @@ class ManifestTable:
             extra["columns"] = sorted(set(new_cols) | set(old_cols))
             if old_manifest.get("evolved") or new_cols != old_cols:
                 extra["evolved"] = True
+            if new_stats or old_manifest.get("stats"):
+                # carried files keep their recorded stats untouched
+                extra["stats"] = {
+                    **old_manifest.get("stats", {}),
+                    **new_stats,
+                }
             return allf, self._count(spark, allf), extra
 
         return self._publish(spark, [], 0, "append", rebase=rebase)
@@ -352,12 +415,12 @@ class ManifestTable:
         files, _ = self._write_files(df)
         # compaction rewrites every row through one homogeneous schema,
         # so the evolved flag resets and columns re-baseline here
+        extra: dict = {"columns": sorted(df.columns)}
+        stats = self._file_stats(spark, files)
+        if stats:
+            extra["stats"] = stats
         return self._publish(
-            spark,
-            files,
-            self._count(spark, files),
-            "compact",
-            {"columns": sorted(df.columns)},
+            spark, files, self._count(spark, files), "compact", extra
         )
 
     # -- read path -------------------------------------------------------
@@ -389,6 +452,145 @@ class ManifestTable:
         return spark.read.parquet(
             *[f"{self.path}/data/{f}" for f in files]
         ).count()
+
+    def pruned_files(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo,
+        hi,
+        version: int | None = None,
+    ) -> list[str]:
+        """MANIFEST-LEVEL data skipping: the snapshot's files whose
+        recorded [min, max] for ``col`` overlaps [lo, hi]. This is the
+        decision Iceberg/Delta make from manifest stats BEFORE any
+        footer is opened — one JSON read instead of listing + opening
+        every file; parquet row-group skipping then prunes WITHIN the
+        survivors. Files with no recorded stats are kept
+        (conservative), so the result is always a correct superset."""
+        v = self.current_version(spark) if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.path}")
+        m = self._manifest(spark, v)
+        stats = m.get("stats", {})
+        out = []
+        for f in m["files"]:
+            rng = stats.get(f, {}).get(col)
+            if rng is None or (rng[0] <= hi and rng[1] >= lo):
+                out.append(f)
+        return out
+
+    def read_where(
+        self, spark: SparkSession, col: str, lo, hi
+    ) -> DataFrame:
+        """Range read through manifest stats: scan ONLY the files
+        `pruned_files` keeps, then apply the predicate (row-group
+        stats inside the kept files still prune further). Equivalent
+        to ``read().filter(lo <= col <= hi)`` — minus the skipped
+        files."""
+        from pyspark.sql import functions as F
+
+        files = self.pruned_files(spark, col, lo, hi)
+        if not files:
+            return self.read(spark).filter(F.lit(False))
+        df = spark.read.parquet(
+            *[f"{self.path}/data/{f}" for f in files]
+        )
+        return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+
+    def merge(
+        self,
+        updates: DataFrame,
+        key: str,
+        expected_version: int | None = None,
+    ) -> int:
+        """Copy-on-write MERGE (whole-row upsert by ``key``): rows of
+        the current snapshot whose key appears in ``updates`` are
+        replaced, unmatched update rows are inserted, everything else
+        is carried forward — BY FILE NAME, not by rewrite.
+
+        Touched-file selection is the point at 100 TB: a file is
+        rewritten only if its recorded [min, max] for ``key`` overlaps
+        an actual update key (small broadcast join of update keys
+        against the manifest's range list — a metadata decision).
+        Without stat_cols every file is conservatively touched and the
+        merge degrades to a full rewrite, still correct.
+
+        Concurrency is compare-and-swap: the commit validates the
+        snapshot is still ``expected_version`` (default: the version
+        read at entry) and raises :class:`ConcurrentWriteError`
+        otherwise — rewritten files computed against a stale base
+        cannot silently drop a concurrent commit's rows (the same
+        conflict rule Delta/Iceberg apply to row-rewriting ops; append
+        commutes and keeps its automatic rebase instead)."""
+        from pyspark.sql import functions as F
+
+        spark = updates.sparkSession
+        base = (
+            self.current_version(spark)
+            if expected_version is None
+            else expected_version
+        )
+        if base is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.path}")
+        m = self._manifest(spark, base)
+        stats = m.get("stats", {})
+
+        if updates.groupBy(key).count().filter("count > 1").limit(1).count():
+            raise ValueError(f"updates carry duplicate {key!r} values")
+
+        ranged = [
+            (f, stats[f][key][0], stats[f][key][1])
+            for f in m["files"]
+            if stats.get(f, {}).get(key) is not None
+        ]
+        unranged = [f for f in m["files"] if stats.get(f, {}).get(key) is None]
+        touched = set(unranged)
+        if ranged:
+            ranges = spark.createDataFrame(ranged, ["_f", "_mn", "_mx"])
+            hits = (
+                updates.select(F.col(key).alias("_k"))
+                .join(
+                    F.broadcast(ranges),
+                    (F.col("_k") >= F.col("_mn"))
+                    & (F.col("_k") <= F.col("_mx")),
+                )
+                .select("_f")
+                .distinct()
+                .collect()  # bounded by file count — metadata-scale
+            )
+            touched.update(r._f for r in hits)
+        untouched = [f for f in m["files"] if f not in touched]
+
+        if touched:
+            old_rows = spark.read.parquet(
+                *[f"{self.path}/data/{f}" for f in sorted(touched)]
+            )
+            new_data = old_rows.join(updates, on=key, how="left_anti").unionByName(
+                updates
+            )
+        else:
+            new_data = updates
+        new_files, _ = self._write_files(new_data)
+        new_stats = self._file_stats(spark, new_files)
+        final = untouched + new_files
+
+        def rebase() -> tuple[list[str], int, dict]:
+            cur = self.current_version(spark)
+            if cur != base:
+                raise ConcurrentWriteError(
+                    f"merge computed against v{base} but the snapshot is "
+                    f"now v{cur} — re-run the merge on the new base"
+                )
+            extra: dict = {"columns": sorted(new_data.columns)}
+            carried = {
+                f: s for f, s in stats.items() if f in set(untouched)
+            }
+            if carried or new_stats:
+                extra["stats"] = {**carried, **new_stats}
+            return final, self._count(spark, final), extra
+
+        return self._publish(spark, [], 0, "merge", rebase=rebase)
 
     # -- maintenance -----------------------------------------------------
 
