@@ -33,9 +33,51 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     """Repartition compute-heavy per-row stages when the input arrives
     under-partitioned (e.g. one small parquet file). At lake scale the
     input already has hundreds of splits and this is a no-op; locally
-    it's what turns a single-thread md5 loop into 32 parallel tasks."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    it's what turns a single-thread md5 loop into 32 parallel tasks.
+
+    Width is estimated from the scan's file list plus the same
+    maxPartitionBytes split math FileSourceScan uses — plan-level
+    metadata only, no ``df.rdd`` conversion (which would force
+    plan-to-RDD translation on the driver per call). Derived frames
+    with no file scan fall back to the RDD partition count."""
+    import math
+    import re
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    threshold = max(2, target // 2)
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        width = df.rdd.getNumPartitions()
+    elif len(files) >= threshold:
+        return df  # at least one split per file — already wide enough
+    else:
+        # few files can still mean many splits for big files: size them
+        # (a handful of driver FS calls, only on the small-count path)
+        mpb_raw = spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728"
+        )
+        jvm = spark.sparkContext._jvm
+        try:  # canonical parser: handles "128m"-style suffixed values
+            mpb = int(
+                jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+                    mpb_raw
+                )
+            )
+        except Exception:
+            mpb = int(re.sub(r"[^0-9]", "", mpb_raw) or "134217728")
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        width = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            size = p.getFileSystem(hconf).getFileStatus(p).getLen()
+            width += max(1, math.ceil(size / mpb))
+            if width >= threshold:
+                return df
+    if width < threshold:
         return df.repartition(target, F.col(key))
     return df
 
