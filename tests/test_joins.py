@@ -234,3 +234,48 @@ def test_exclusion_join_strategies_agree_under_hot_keys(spark):
     # key 1 matched (drops entirely); key 4 ×10⁴ + key 2 ×3 + key 3 ×2 stay
     assert len(u) == 10_005
     assert exclusion_diff_count(left, right, ["k"]) == 10_005
+
+
+def test_salted_join_matches_plain_join_under_skew(spark):
+    """Multiset equivalence of the salted formulation vs the plain
+    join, on a fixture with a 10⁴-duplicate hot key — inner and left,
+    with and without the hot_keys split."""
+    from yc_yq_airflow_etl_spark.operators.joins import salted_join
+
+    left = (
+        spark.range(10_000)
+        .selectExpr("cast(7 as long) k", "id lv")  # hot key
+        .union(spark.range(50).selectExpr("id % 10 k", "id + 100000 lv"))
+        .union(spark.range(3).selectExpr("cast(99 as long) k", "id lv"))
+    )  # key 99 has no right match (exercises 'left' nulls)
+    right = spark.range(10).selectExpr("id k", "id * 11 rv").union(
+        spark.range(4).selectExpr("cast(7 as long) k", "id + 50 rv")
+    )  # key 7 matches 5 right rows -> hot fan-out
+
+    for how in ("inner", "left"):
+        plain = sorted(
+            map(tuple, left.join(right, on=["k"], how=how).collect())
+        )
+        salted = sorted(
+            map(tuple, salted_join(left, right, ["k"], how=how).collect())
+        )
+        hot_split = sorted(
+            map(
+                tuple,
+                salted_join(
+                    left, right, ["k"], how=how, hot_keys=[7]
+                ).collect(),
+            )
+        )
+        assert salted == plain, how
+        assert hot_split == plain, how
+
+
+def test_salted_join_rejects_outer_sides(spark):
+    from yc_yq_airflow_etl_spark.operators.joins import salted_join
+
+    df = spark.range(5).selectExpr("id k", "id v")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="swap the inputs"):
+        salted_join(df, df, ["k"], how="right")

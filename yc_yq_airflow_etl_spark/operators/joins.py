@@ -372,3 +372,68 @@ def interval_overlap_join(
     for k in on:
         out = out.drop(r[k])
     return out
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    salt: int = 16,
+    hot_keys: Sequence | None = None,
+) -> DataFrame:
+    """Skew-safe equi-join by key salting — the manual escape hatch
+    for the cases AQE's skew-join split cannot reach (AQE only splits
+    sort-merge join partitions, and only when statistics surface the
+    skew; a hot key feeding a shuffled hash join, or a run with AQE
+    off, still serializes into one straggler task).
+
+    Mechanics: the left (probe/skewed) side gets a salt in
+    [0, salt); the right side is replicated ``salt`` times via a
+    broadcast range crossJoin; the join key becomes (keys..., salt),
+    so one hot key's rows spread across ``salt`` reducer partitions.
+    Correctness holds for ANY salt assignment (every right row exists
+    under every salt value), so the salt derives from
+    monotonically_increasing_id — cheap, and task retries that
+    reassign salts cannot change the result.
+
+    ``hot_keys``: when the skewed keys are known (they usually are —
+    heavy-hitter sketches are one `cms_heavy_hitters` query away),
+    only rows with those key values are salted and ONLY their right
+    rows are replicated; the cold remainder takes the plain join.
+    This bounds the replication cost to |hot slice| × salt instead of
+    |right| × salt.
+
+    ``how``: 'inner' or 'left' (for 'right'/'full', replicated
+    non-matching right rows would emit one null-padded row per salt;
+    flip the sides instead)."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' (got {how!r}); "
+            "for right/full outer, swap the inputs"
+        )
+    keys = list(on)
+    first_key = keys[0]
+
+    def _salted(lf: DataFrame, rt: DataFrame) -> DataFrame:
+        lf = lf.withColumn(
+            "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt))
+        )
+        salts = F.broadcast(
+            lf.sparkSession.range(salt).select(F.col("id").alias("_salt"))
+        )
+        rt = rt.crossJoin(salts)
+        out = lf.join(rt, on=keys + ["_salt"], how=how)
+        return out.drop("_salt")
+
+    if hot_keys is None:
+        return _salted(left, right)
+
+    hot = [k for k in hot_keys]
+    l_hot = left.filter(F.col(first_key).isin(hot))
+    l_cold = left.filter(
+        ~F.col(first_key).isin(hot) | F.col(first_key).isNull()
+    )
+    r_hot = right.filter(F.col(first_key).isin(hot))
+    plain = l_cold.join(right, on=keys, how=how)
+    return _salted(l_hot, r_hot).unionByName(plain)

@@ -2361,6 +2361,63 @@ LIMIT 20
 """
 
 
+def salted_join_user_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe enrichment join driven through operators/joins.
+    salted_join: purchases joined to a per-user click-count dimension
+    with the TOP user explicitly salted (hot_keys from a heavy-hitter
+    probe — in production that list is one cms_heavy_hitters query
+    away). Equivalence with the plain join is what the oracle checks;
+    the salting property test (test_salted_join_matches_plain_join_
+    under_skew) pins the multiset identity directly."""
+    from ..operators.joins import salted_join
+
+    t = load_testdata(spark, sf_dir)
+    ev = t["events"]
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "value"
+    )
+    hot = [
+        r.user_id
+        for r in purchases.groupBy("user_id")
+        .count()
+        .orderBy(F.desc("count"), "user_id")
+        .limit(1)
+        .collect()
+    ]
+    joined = salted_join(
+        purchases, clicks, ["user_id"], how="left", salt=8, hot_keys=hot
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(_dec("value")).cast("double").alias("purchase_total"),
+            F.coalesce(F.max("n_clicks"), F.lit(0)).alias("n_clicks"),
+        )
+        .orderBy(F.desc("purchase_total"), "user_id")
+        .limit(10)
+    )
+
+
+SALTED_JOIN_ORACLE = """
+WITH clicks AS (
+    SELECT user_id, count(*) AS n FROM events
+    WHERE event_type = 'click' GROUP BY 1
+)
+SELECT e.user_id, count(*) AS n_purchases,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_total,
+       COALESCE(max(n), 0) AS n_clicks
+FROM events e LEFT JOIN clicks USING (user_id)
+WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY purchase_total DESC, user_id LIMIT 10
+"""
+
+
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters through a count-min sketch
     (operators/sketches.build_cms/cms_estimate): top-10 users by true
@@ -2685,3 +2742,8 @@ def register_all() -> None:
         "q20_dominant_part_suppliers", q20_dominant_part_suppliers, Q20_ORACLE
     )
     register("q21_waiting_suppliers", q21_waiting_suppliers, Q21_ORACLE)
+    register(
+        "salted_join_user_enrichment",
+        salted_join_user_enrichment,
+        SALTED_JOIN_ORACLE,
+    )

@@ -57,6 +57,7 @@ _FRONT: tuple[str, ...] = (
     "q21_waiting_suppliers",
     "similarity_recall_report",
     "manifest_stats_pruned_scan",
+    "salted_join_user_enrichment",
     # green in r1/r2, cut from the r3 window by the 50-row cap
     "interval_overlap_sessions",
     "dedup_exact",
