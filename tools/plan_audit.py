@@ -315,6 +315,26 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("shipdate window pushed to the lineitem scan",
          r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate"),
     ],
+    "salted_join_user_enrichment": [
+        ("salt range replicated via broadcast (no build-side shuffle)",
+         r"BroadcastExchange"),
+        ("purchase/click filters pushed to the scans",
+         r"PushedFilters: \[[^\]]*event_type"),
+        ("per-user rollups partially aggregated", r"partial_(sum|count)"),
+        ("top-10 is TakeOrdered, not a global sort",
+         r"TakeOrderedAndProject"),
+    ],
+    "manifest_stats_pruned_scan": [
+        # file-level skipping happened at PLAN TIME (1 of 4 files in
+        # the scan); the oracle literal pins the kept-file count, and
+        # the in-file predicate still reaches the parquet reader
+        ("range predicate pushed into the kept file's scan",
+         r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_orderkey"),
+        ("aggregate partial before the single-row exchange",
+         r"partial_(sum|count)"),
+        ("read pruned to the two referenced columns",
+         r"ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+    ],
     "q21_waiting_suppliers": [
         ("status filter pushed to the orders scan",
          r"PushedFilters: \[[^\]]*EqualTo\(o_orderstatus,F\)"),
