@@ -46,65 +46,11 @@ _REGISTRY: list[QuerySpec] = []
 # overflow past _FRONT re-checks _BACK's head, so _BACK order also
 # rotates (least-recently-listed first).
 _FRONT: tuple[str, ...] = (
-    # round-4 additions — no CORRECTNESS row yet
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
+    # the one red r4 row (oracle HUGEINT hash artifact, fixed) — re-check first
     "q12_priority_by_returnflag",
-    "q16_supplier_part_counts",
-    "q20_dominant_part_suppliers",
-    "q21_waiting_suppliers",
-    "similarity_recall_report",
-    "manifest_stats_pruned_scan",
-    "salted_join_user_enrichment",
-    # green in r1/r2, cut from the r3 window by the 50-row cap
-    "interval_overlap_sessions",
-    "dedup_exact",
-    "dedup_minhash_pairs",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_pairs",
-    "similarity_bruteforce_topk",
-    "similarity_lsh_topk",
-    "similarity_ivf_topk",
-    "similarity_knn_join",
-    "text_stats",
-    "text_boilerplate_stats",
-    "tfidf_top_terms",
-    "lang_id_eval",
-    "pretrain_quality_filter",
-    "doc_chunks",
-    "stratified_doc_sample",
-    "multimodal_features",
-    "udf_text_density",
-    "distinct_counts",
-    "rollup_orders",
-    "cube_orders",
-    "region_revenue",
-    "semi_anti_by_nation",
-    "cross_join_grid",
-    "topk_orders",
-    "set_ops_customers",
-    "percentile_stats",
-    "grouping_sets_orders",
-    "pivot_status_by_year",
-    "explode_embedding_dims",
-    "array_vector_stats",
-    "window_top_orders_per_customer",
-    "customer_order_stats",
-    "correlated_above_avg",
-    "window_running_totals",
-    "scalar_expressions",
-)
-
-# Truncation absorbers: the 50 queries driver-verified all-green in
-# r03 (CORRECTNESS_r03.json order). If the 50-row cap cuts anything,
-# it cuts the tail of these — the head takes the window slots left
-# over after _FRONT.
-_BACK: tuple[str, ...] = (
-    "stream_click_purchase_left",
-    "multimodal_wav_features",
+    # round-5 additions — no CORRECTNESS row yet
+    # (inserted here as they land)
+    # green in r3, cut from the r4 window by the 50-row cap
     "multimodal_ppm_features",
     "asof_click_purchase_bucketed",
     "zorder_pruned_scan",
@@ -153,6 +99,62 @@ _BACK: tuple[str, ...] = (
     "cooling_window_filter",
     "exclusion_join_diff",
     "exclusion_join_clean_count",
+)
+
+# Truncation absorbers: the 49 queries driver-verified green in r04
+# (CORRECTNESS_r04.json order, minus the red q12 which moved to the
+# front). If the 50-row cap cuts anything, it cuts the tail of these —
+# the head takes the window slots left over after _FRONT.
+_BACK: tuple[str, ...] = (
+    "stream_click_purchase_left",
+    "multimodal_wav_features",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_dominant_part_suppliers",
+    "q21_waiting_suppliers",
+    "similarity_recall_report",
+    "manifest_stats_pruned_scan",
+    "salted_join_user_enrichment",
+    "interval_overlap_sessions",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_pairs",
+    "similarity_bruteforce_topk",
+    "similarity_lsh_topk",
+    "similarity_ivf_topk",
+    "similarity_knn_join",
+    "text_stats",
+    "text_boilerplate_stats",
+    "tfidf_top_terms",
+    "lang_id_eval",
+    "pretrain_quality_filter",
+    "doc_chunks",
+    "stratified_doc_sample",
+    "multimodal_features",
+    "udf_text_density",
+    "distinct_counts",
+    "rollup_orders",
+    "cube_orders",
+    "region_revenue",
+    "semi_anti_by_nation",
+    "cross_join_grid",
+    "topk_orders",
+    "set_ops_customers",
+    "percentile_stats",
+    "grouping_sets_orders",
+    "pivot_status_by_year",
+    "explode_embedding_dims",
+    "array_vector_stats",
+    "window_top_orders_per_customer",
+    "customer_order_stats",
+    "correlated_above_avg",
+    "window_running_totals",
+    "scalar_expressions",
 )
 
 
