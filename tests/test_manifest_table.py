@@ -305,3 +305,34 @@ def test_merge_rejects_duplicate_update_keys(spark, stats_table):
     dup = spark.createDataFrame([(1, -1), (1, -2)], ["id", "v"])
     with pytest.raises(ValueError, match="duplicate"):
         stats_table.merge(dup, "id")
+
+
+def test_all_null_stat_column_is_kept_conservatively(spark, tmp_path):
+    """A file whose stat column is entirely NULL must record no range
+    for it (not [null, null]) — and both pruning and merge must keep /
+    touch that file conservatively instead of comparing None bounds."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    mt = ManifestTable(str(tmp_path / "mtn"), stat_cols=("id",))
+    schema = StructType(
+        [StructField("id", LongType()), StructField("v", LongType())]
+    )
+    mt.overwrite(_ranged(spark, 0, 100))
+    mt.append(
+        spark.createDataFrame([(None, 7), (None, 8)], schema).coalesce(1)
+    )
+    m = mt._manifest(spark, mt.current_version(spark))
+    null_files = [f for f in m["files"] if "id" not in m["stats"].get(f, {})]
+    assert len(null_files) == 1  # range omitted, not [null, null]
+    # pruning keeps the stat-less file no matter the probe range
+    kept = mt.pruned_files(spark, "id", 500, 600)
+    assert null_files[0] in kept
+    assert mt.read_where(spark, "id", 10, 20).count() == 11
+    # merge conservatively rewrites the stat-less file and stays exact
+    updates = spark.createDataFrame([(10, -1), (5000, -3)], ["id", "v"])
+    mt.merge(updates, "id")
+    got = mt.read(spark)
+    assert got.count() == 103  # 100 + 2 null rows + 1 insert
+    vals = {r.id: r.v for r in got.filter(F.col("id").isNotNull()).collect()}
+    assert vals[10] == -1 and vals[5000] == -3
+    assert got.filter(F.col("id").isNull()).count() == 2

@@ -38,8 +38,13 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     Width is estimated from the scan's file list plus the same
     maxPartitionBytes split math FileSourceScan uses — plan-level
     metadata only, no ``df.rdd`` conversion (which would force
-    plan-to-RDD translation on the driver per call). Derived frames
-    with no file scan fall back to the RDD partition count."""
+    plan-to-RDD translation on the driver per call). The file estimate
+    is only trusted for SCAN-ROOTED plans (project/filter over a file
+    scan): ``inputFiles`` reports the leaf scan's files even for
+    frames that are already wide after a shuffle (groupBy/join
+    output), where a small file list says nothing about the frame's
+    actual width and would inject a redundant repartition. Shuffled or
+    scan-less frames fall back to the RDD partition count."""
     import math
     import re
 
@@ -47,9 +52,23 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     target = spark.sparkContext.defaultParallelism
     threshold = max(2, target // 2)
     try:
-        files = df.inputFiles()
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        # any width-changing node between scan and frame → file count lies
+        scan_rooted = not any(
+            op in analyzed
+            for op in (
+                "Aggregate", "Join", "Window", "Sort", "Deduplicate",
+                "Distinct", "Repartition", "Expand", "GlobalLimit",
+            )
+        )
     except Exception:
-        files = []
+        scan_rooted = False  # can't prove it — take the exact path
+    files: list[str] = []
+    if scan_rooted:
+        try:
+            files = df.inputFiles()
+        except Exception:
+            files = []
     if not files:
         width = df.rdd.getNumPartitions()
     elif len(files) >= threshold:
@@ -72,8 +91,11 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
         hconf = spark.sparkContext._jsc.hadoopConfiguration()
         width = 0
         for f in files:
-            p = jvm.org.apache.hadoop.fs.Path(f)
-            size = p.getFileSystem(hconf).getFileStatus(p).getLen()
+            try:
+                p = jvm.org.apache.hadoop.fs.Path(f)
+                size = p.getFileSystem(hconf).getFileStatus(p).getLen()
+            except Exception:
+                size = 0  # listed file vanished mid-plan: count 1 split
             width += max(1, math.ceil(size / mpb))
             if width >= threshold:
                 return df
@@ -541,26 +563,38 @@ def connected_components(
     Storage hygiene: checkpoint blocks are NOT freed by
     ``DataFrame.unpersist()`` (the data lives in the checkpointed
     RDD's storage, outside the CacheManager), so each round frees the
-    *previous* round's blocks by unpersisting the underlying RDD via
-    ``getPersistentRDDs`` — only AFTER the convergence check, which is
-    the last reader of the old generation. Freed checkpoint blocks are
-    unrecoverable by design, hence the strict generation handoff;
-    without this, ``max_iter`` generations of (id, label) state would
-    stay pinned in executor storage for the loop's duration.
+    *previous* round's blocks by unpersisting the checkpointed RDD —
+    only AFTER the convergence check, which is the last reader of the
+    old generation. The RDD is identified EXACTLY by reading it off
+    the checkpointed frame's own ``LogicalRDD`` plan node (not by
+    diffing the context-global ``getPersistentRDDs`` set, which would
+    mis-attribute — and irrecoverably free — an RDD a concurrent job
+    happened to persist inside the same window). Freed checkpoint
+    blocks are unrecoverable by design, hence the strict generation
+    handoff; without this, ``max_iter`` generations of (id, label)
+    state would stay pinned in executor storage for the loop's
+    duration.
     """
     from pyspark import StorageLevel
 
     spark = pairs.sparkSession
 
-    def _persistent_ids() -> set[int]:
-        jm = spark.sparkContext._jsc.getPersistentRDDs()
-        return {int(i) for i in jm.keySet().toArray()}
+    def _ckpt_id(df: DataFrame) -> int | None:
+        """The persisted RDD backing a localCheckpoint'd frame: its
+        analyzed plan is a LogicalRDD wrapping exactly the RDD that
+        localCheckpoint persisted."""
+        try:
+            return int(df._jdf.queryExecution().analyzed().rdd().id())
+        except Exception:
+            return None  # plan shape changed across Spark versions: leak
+            # one generation rather than risk freeing someone else's RDD
 
-    def _free(ids: set[int]) -> None:
+    def _free(rdd_id: int | None) -> None:
+        if rdd_id is None:
+            return
         jm = spark.sparkContext._jsc.getPersistentRDDs()
-        for i in ids:
-            if jm.containsKey(i):
-                jm.get(i).unpersist(False)
+        if jm.containsKey(rdd_id):
+            jm.get(rdd_id).unpersist(False)
 
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
@@ -568,14 +602,13 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    before = _persistent_ids()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
-    label_ids = _persistent_ids() - before
+    label_id = _ckpt_id(labels)
     global LAST_CC_ROUNDS
     LAST_CC_ROUNDS = 0
     for _ in range(max_iter):
@@ -592,18 +625,17 @@ def connected_components(
         lookup = merged.select(
             F.col("id").alias("_lid"), F.col("label").alias("_llabel")
         )
-        before = _persistent_ids()
         new_labels = (
             merged.join(lookup, merged["label"] == lookup["_lid"])
             .select("id", F.least("label", "_llabel").alias("label"))
             .localCheckpoint()  # eager: truncates plan AND materializes
         )
-        new_ids = _persistent_ids() - before
+        new_id = _ckpt_id(new_labels)
         changed = (
             new_labels.join(labels, ["id", "label"], "left_anti").limit(1).count()
         )
-        _free(label_ids)  # previous generation: convergence check was its last read
-        labels, label_ids = new_labels, new_ids
+        _free(label_id)  # previous generation: convergence check was its last read
+        labels, label_id = new_labels, new_id
         if changed == 0:
             break
     edges.unpersist()

@@ -393,9 +393,16 @@ def salted_join(
     broadcast range crossJoin; the join key becomes (keys..., salt),
     so one hot key's rows spread across ``salt`` reducer partitions.
     Correctness holds for ANY salt assignment (every right row exists
-    under every salt value), so the salt derives from
-    monotonically_increasing_id — cheap, and task retries that
-    reassign salts cannot change the result.
+    under every salt value). The salt is derived DETERMINISTICALLY —
+    xxhash64 over the full row, pmod salt — so a re-executed map task
+    after a shuffle-fetch failure assigns the same salts it did the
+    first time; a nondeterministic source (rand,
+    monotonically_increasing_id) could re-salt rows some reducers
+    already consumed, duplicating or dropping them under partial
+    stage recompute (the SPARK-23207 class of bugs). The one residual
+    caveat: byte-identical duplicate rows share a salt — a hot KEY
+    whose rows differ anywhere (the case salting exists for) still
+    spreads across all ``salt`` partitions.
 
     ``hot_keys``: when the skewed keys are known (they usually are —
     heavy-hitter sketches are one `cms_heavy_hitters` query away),
@@ -417,7 +424,8 @@ def salted_join(
 
     def _salted(lf: DataFrame, rt: DataFrame) -> DataFrame:
         lf = lf.withColumn(
-            "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt))
+            "_salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in lf.columns]), F.lit(salt)),
         )
         salts = F.broadcast(
             lf.sparkSession.range(salt).select(F.col("id").alias("_salt"))

@@ -7,8 +7,12 @@ but two shapes still need explicit salting at scale:
   lands on one reducer. Two-phase salted aggregation splits the key
   into N shards, partially aggregates, then merges.
 - **hot-key join against a non-broadcastable side**: salt the skewed
-  (probe) side N ways and explode the build side N times, turning one
-  straggler partition into N even ones.
+  (probe) side N ways and replicate the build side N times, turning
+  one straggler partition into N even ones. The single implementation
+  lives in :func:`..operators.joins.salted_join` (deterministic salt,
+  optional hot-key split that bounds build replication to the hot
+  slice); this module re-exposes it under the original positional
+  signature.
 """
 
 from __future__ import annotations
@@ -18,16 +22,23 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .joins import salted_join as _salted_join_impl
+
 
 def salted_count(
     df: DataFrame, keys: Sequence[str], salt_buckets: int = 16
 ) -> DataFrame:
     """Two-phase count per key: phase 1 aggregates (key, salt) —
     spreading any hot key over ``salt_buckets`` reducers — phase 2
-    merges the partial counts per key. Result ≡ groupBy(keys).count()."""
+    merges the partial counts per key. Result ≡ groupBy(keys).count()
+    for ANY salt assignment; the salt is a deterministic full-row hash
+    so partial-stage recompute after a shuffle-fetch failure reassigns
+    identical salts (byte-identical duplicate rows share a salt — the
+    spread still holds whenever a hot key's rows differ anywhere)."""
     keys = list(keys)
     salted = df.withColumn(
-        "_salt", (F.rand(seed=7) * salt_buckets).cast("int")
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)),
     )
     partial = salted.groupBy(*keys, "_salt").agg(F.count(F.lit(1)).alias("_c"))
     return partial.groupBy(*keys).agg(F.sum("_c").alias("cnt"))
@@ -39,20 +50,15 @@ def salted_join(
     on: str,
     salt_buckets: int = 8,
     how: str = "inner",
+    hot_keys: Sequence | None = None,
 ) -> DataFrame:
     """Equi-join where ``skewed`` has hot keys and ``small`` is too
     large to broadcast outright but small enough to replicate
-    ``salt_buckets`` times: each skewed row gets a random salt, each
-    small row is exploded once per salt value, and the join key
-    becomes (key, salt) — hot keys now spread over ``salt_buckets``
-    partitions. Row multiplicity is preserved exactly (each skewed row
-    matches the single replica carrying its salt)."""
-    skewed_s = skewed.withColumn(
-        "_salt", (F.rand(seed=11) * salt_buckets).cast("int")
+    ``salt_buckets`` times. Thin wrapper over
+    :func:`..operators.joins.salted_join` — ONE salting semantics in
+    the package: pass ``hot_keys`` (known skewed key values) to salt
+    only the hot slice and replicate only its build rows; without it
+    the whole build side is replicated ``salt_buckets`` times."""
+    return _salted_join_impl(
+        skewed, small, [on], how=how, salt=salt_buckets, hot_keys=hot_keys
     )
-    small_r = small.withColumn(
-        "_salt",
-        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
-    )
-    out = skewed_s.join(small_r, on=[on, "_salt"], how=how)
-    return out.drop("_salt")

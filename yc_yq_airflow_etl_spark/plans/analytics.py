@@ -1496,7 +1496,27 @@ def ensure_manifest_stats_demo(spark: SparkSession, sf_dir: str) -> str:
     tag = hashlib.md5(key.encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"manifest_stats_demo_{tag}")
     mt = ManifestTable(path, stat_cols=("l_orderkey",))
-    if mt.current_version(spark) != 3:
+
+    def _demo_complete() -> bool:
+        # completion sentinel: the LIVE snapshot holds the 4 quartile
+        # files with l_orderkey ranges recorded. Checking content (not
+        # a literal version number) means a crashed partial build is
+        # rebuilt exactly once and a healthy table — whatever version
+        # the overwrite+appends landed on — is never rebuilt again.
+        v = mt.current_version(spark)
+        if v is None:
+            return False
+        try:
+            m = mt._manifest(spark, v)
+        except Exception:
+            return False
+        files = m.get("files", [])
+        stats = m.get("stats", {})
+        return len(files) == 4 and all(
+            stats.get(f, {}).get("l_orderkey") for f in files
+        )
+
+    if not _demo_complete():
         li = load_testdata(spark, sf_dir)["lineitem"].select(
             "l_orderkey", "l_quantity"
         )

@@ -283,12 +283,18 @@ class ManifestTable:
             .agg(*aggs)
             .collect()  # one row per NEW file — metadata-scale
         )
-        return {
-            r["_f"]: {
-                c: [r[f"_mn_{c}"], r[f"_mx_{c}"]] for c in self.stat_cols
-            }
-            for r in rows
-        }
+        out: dict[str, dict[str, list]] = {}
+        for r in rows:
+            entry = {}
+            for c in self.stat_cols:
+                mn, mx = r[f"_mn_{c}"], r[f"_mx_{c}"]
+                # an entirely-null column yields null min/max: record NO
+                # range for it — readers then keep the file conservatively
+                # instead of comparing None against real bounds
+                if mn is not None and mx is not None:
+                    entry[c] = [mn, mx]
+            out[r["_f"]] = entry
+        return out
 
     def _publish(
         self,
@@ -476,7 +482,11 @@ class ManifestTable:
         out = []
         for f in m["files"]:
             rng = stats.get(f, {}).get(col)
-            if rng is None or (rng[0] <= hi and rng[1] >= lo):
+            # null bounds (stats written before the all-null guard, or a
+            # hand-edited manifest) read as "no stats" — keep the file
+            if rng is None or rng[0] is None or rng[1] is None:
+                out.append(f)
+            elif rng[0] <= hi and rng[1] >= lo:
                 out.append(f)
         return out
 
@@ -539,12 +549,18 @@ class ManifestTable:
         if updates.groupBy(key).count().filter("count > 1").limit(1).count():
             raise ValueError(f"updates carry duplicate {key!r} values")
 
+        def _bounds(f: str):
+            rng = stats.get(f, {}).get(key)
+            if rng is None or rng[0] is None or rng[1] is None:
+                return None  # no/null stats → conservatively touched
+            return rng
+
         ranged = [
-            (f, stats[f][key][0], stats[f][key][1])
+            (f, _bounds(f)[0], _bounds(f)[1])
             for f in m["files"]
-            if stats.get(f, {}).get(key) is not None
+            if _bounds(f) is not None
         ]
-        unranged = [f for f in m["files"] if stats.get(f, {}).get(key) is None]
+        unranged = [f for f in m["files"] if _bounds(f) is None]
         touched = set(unranged)
         if ranged:
             ranges = spark.createDataFrame(ranged, ["_f", "_mn", "_mx"])
