@@ -139,20 +139,65 @@ def testdata_catalog(sf_dir: str) -> Catalog:
     return cat
 
 
+def _events_ts_unit(path: str) -> tuple[str, bool]:
+    """(unit, annotated) of the events ``ts`` column, read from ONE
+    parquet footer — metadata only, no data scan. The fixture
+    generator has shipped this column as TIMESTAMP(NANOS) in some
+    refreshes and TIMESTAMP(MICROS) in others, and the bench's 10x
+    scale copies write it as plain INT64 — so the unit is DETECTED,
+    never assumed. For unannotated INT64 the row-group max decides:
+    ns epochs are ~1e18, µs ~1e15 (three orders of magnitude apart —
+    unambiguous for any date after 1973)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = path
+    if os.path.isdir(p):
+        cands = sorted(glob.glob(os.path.join(p, "*.parquet"))) or sorted(
+            glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+        )
+        if not cands:
+            return "ns", True
+        p = cands[0]
+    f = pq.ParquetFile(p)
+    t = f.schema_arrow.field("ts").type
+    unit = getattr(t, "unit", None)
+    if unit in ("ns", "us", "ms"):
+        return unit, True
+    try:
+        i = list(f.schema_arrow.names).index("ts")  # flat schema: same order
+        mx = f.metadata.row_group(0).column(i).statistics.max
+        if mx is not None:
+            return ("ns" if int(mx) > 10**17 else "us"), False
+    except Exception:
+        pass
+    return "ns", False
+
+
 def read_events(spark: SparkSession, path: str) -> DataFrame:
-    """Read the events table, whose ``ts`` is Parquet TIMESTAMP(NANOS)
-    — illegal for Spark's vectorized reader. We flip the runtime conf
-    ``spark.sql.legacy.parquet.nanosAsLong`` (works on a session we do
-    not own, e.g. the verify driver's), read ns-as-long, and truncate
-    to Spark's native microsecond TimestampType."""
+    """Read the events table with a unit-adaptive ``ts`` path:
+
+    - TIMESTAMP(MICROS)/(MILLIS): Spark-native — plain schema read.
+    - TIMESTAMP(NANOS): illegal for Spark's vectorized reader; flip
+      the runtime conf ``spark.sql.legacy.parquet.nanosAsLong`` (works
+      on a session we do not own, e.g. the verify driver's), read
+      ns-as-long, truncate to microsecond TimestampType.
+    - plain INT64 (the bench's scale copies): read as long, scale by
+      the footer-detected unit."""
     from pyspark.sql import functions as F
 
     from . import schemas
 
+    unit, annotated = _events_ts_unit(path)
+    if annotated and unit in ("us", "ms"):
+        return spark.read.schema(schemas.EVENTS).parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.schema(schemas.EVENTS_RAW).parquet(path)
     # integer division: a float division would lose ns precision at 2^60
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    to_us = {"ns": "ts div 1000", "us": "ts", "ms": "ts * 1000"}[unit]
+    return raw.withColumn("ts", F.timestamp_micros(F.expr(to_us)))
 
 
 _TESTDATA_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
@@ -187,3 +232,21 @@ def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         out[name] = df
     _TESTDATA_CACHE[key] = out
     return out
+
+
+def data_tag(sf_dir: str, table: str) -> str:
+    """Cache tag for demo artifacts derived from a testdata table —
+    tied to the dataset GENERATION, not just its path: the source
+    parquet's mtime is hashed in, so artifacts parked in the (round-
+    surviving) temp dir are rebuilt when the fixture generator
+    refreshes the data under the same path instead of silently serving
+    stale rows against a fresh oracle."""
+    import hashlib
+    import os
+
+    key = os.path.abspath(sf_dir)
+    try:
+        mt = int(os.path.getmtime(os.path.join(key, f"{table}.parquet")))
+    except OSError:
+        mt = 0
+    return hashlib.md5(f"{key}:{mt}".encode()).hexdigest()[:12]

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_testdata
+from ..catalog import data_tag, load_testdata
 from ..functions.text import (
     LANG_ORDER,
     STOPWORDS,
@@ -379,7 +379,7 @@ def _ensure_ann_index(spark: SparkSession, sf_dir: str):
         sample = emb.filter(md5_bucket(F.col("vec_id"), 4) == 0)
         cents = train_ivf_centroids(sample, k_clusters=8, iters=2)
         _ANN_CENTROID_CACHE[key] = cents
-    tag = hashlib.md5(key.encode()).hexdigest()[:12]
+    tag = data_tag(sf_dir, "embeddings")
     idx = os.path.join(tempfile.gettempdir(), f"ann_index_{tag}")
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):
         write_ann_index(emb, idx, cents)
