@@ -343,6 +343,39 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("supplier name dim broadcast", r"BroadcastHashJoin"),
         ("no nested-loop correlation anywhere", "!BroadcastNestedLoopJoin"),
     ],
+    "range_frame_rolling_revenue": [
+        ("RANGE frame runs in one partitioned window (no extra join)",
+         r"Window"),
+        ("window partitioned by custkey, not single-partition",
+         "!Exchange SinglePartition"),
+        ("read pruned: no o_orderpriority/o_orderstatus",
+         "!ReadSchema: [^\n]*(o_orderpriority|o_orderstatus)"),
+    ],
+    "ntile_customer_quartiles": [
+        ("customer dim broadcast", r"BroadcastHashJoin"),
+        ("spend rollup partially aggregated", r"partial_sum"),
+        ("ntile window is nation-partitioned — never a global sort",
+         "!Exchange SinglePartition"),
+    ],
+    "retention_cohorts": [
+        ("per-user first-week partially aggregated", r"partial_min"),
+        ("cohort cells partially aggregated", r"partial_count"),
+        ("user_id equi-join on the hash/SMJ path",
+         "!BroadcastNestedLoopJoin"),
+    ],
+    "incremental_agg_maintenance": [
+        ("base and delta states partially aggregated", r"partial_count"),
+        ("state merge partially aggregated too", r"partial_sum"),
+        ("read pruned to the three referenced columns",
+         "!ReadSchema: [^\n]*o_custkey"),
+    ],
+    "manifest_merge_upsert": [
+        ("verification rollup partially aggregated", r"partial_count"),
+        # the rollup needs only o_totalprice — the key column must be
+        # pruned out of the merged-table scan entirely
+        ("merged-table read pruned to the single referenced column",
+         "!ReadSchema: [^\n]*o_orderkey"),
+    ],
 }
 
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_testdata
+from ..catalog import data_tag, load_testdata
 from ..schemas import EVENT_PROPS
 
 DEC = "decimal(18,2)"
@@ -577,6 +577,116 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
+def range_frame_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-based window frames (RANGE, not ROWS): each order's
+    trailing-90-day revenue for its customer. A ROWS frame cannot
+    express this — customers place several orders per day and have
+    multi-month gaps, so "the last k rows" is not "the last 90 days".
+    The frame orders by an epoch-day integer and spans
+    ``rangeBetween(-89, 0)``; RANGE frames include ALL peers of the
+    boundary values, which also makes the sum deterministic under
+    same-day ties without any tiebreak column. One hash exchange on
+    o_custkey + one sort — identical plan shape to a ROWS frame; the
+    frame kind only changes the running-buffer logic inside the window
+    operator, not the shuffle structure, so it scales the same way."""
+    t = load_testdata(spark, sf_dir)
+    o = t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).alias("day_num"),
+        _dec("o_totalprice").alias("_price"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_num")
+        .rangeBetween(-89, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "day_num",
+        F.sum("_price").over(w).cast("double").alias("trailing_90d_revenue"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+RANGE_FRAME_ORACLE = """
+WITH o AS (
+    SELECT o_custkey, o_orderkey,
+           date_diff('day', DATE '1992-01-01',
+                     CAST(o_orderdate AS DATE)) AS day_num,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    FROM orders
+)
+SELECT o_custkey, o_orderkey, CAST(day_num AS INT) AS day_num,
+       CAST(sum(price) OVER (
+            PARTITION BY o_custkey ORDER BY day_num
+            RANGE BETWEEN 89 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS trailing_90d_revenue
+FROM o
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranking (ntile) done scale-correctly: spend
+    quartiles are computed WITHIN each nation — a partitioned window —
+    never as one global ntile, whose single un-partitioned sort
+    serializes the whole table into one task at 100 TB. (A global
+    quartile at scale would instead bucket against approx-quantile
+    boundaries — no total order needed.) Tiebreak (spend desc,
+    custkey asc) pinned on both sides so tile edges agree exactly."""
+    t = load_testdata(spark, sf_dir)
+    spend = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.sum(_dec("o_totalprice")).alias("_spend"))
+        .join(
+            F.broadcast(
+                t["customer"].select(
+                    F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+                )
+            ),
+            "o_custkey",
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("_spend").desc(), F.col("o_custkey").asc()
+    )
+    tiled = spend.select(
+        "c_nationkey", "_spend", F.ntile(4).over(w).alias("quartile")
+    )
+    return (
+        tiled.groupBy("c_nationkey", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("_spend").cast("double").alias("total_spend"),
+            F.min("_spend").cast("double").alias("min_spend"),
+        )
+        .orderBy("c_nationkey", "quartile")
+    )
+
+
+NTILE_QUARTILES_ORACLE = """
+WITH spend AS (
+    SELECT o_custkey, c_nationkey,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2
+), tiled AS (
+    SELECT c_nationkey, spend,
+           ntile(4) OVER (PARTITION BY c_nationkey
+                          ORDER BY spend DESC, o_custkey ASC) AS quartile
+    FROM spend
+)
+SELECT c_nationkey, quartile, count(*) AS n_customers,
+       CAST(sum(spend) AS DOUBLE) AS total_spend,
+       CAST(min(spend) AS DOUBLE) AS min_spend
+FROM tiled GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # --- sorts / top-k / set ops -------------------------------------------
 
 
@@ -1030,7 +1140,7 @@ def ensure_zorder_demo(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     cached = _ZORDER_DEMO_CACHE.get(key)
     if cached is not None:
         return cached
-    tag = hashlib.md5(key.encode()).hexdigest()[:12]
+    tag = data_tag(sf_dir, "lineitem")
     base = os.path.join(tempfile.gettempdir(), f"zorder_demo_{tag}")
     cdir = os.path.join(base, "clustered")
     sdir = os.path.join(base, "shuffled")
@@ -1441,6 +1551,94 @@ FROM per_session GROUP BY 1 ORDER BY user_id
 """
 
 
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts — the canonical product-analytics
+    rollup over an event stream: cohort = the user's first-activity
+    week, each cell = distinct users from that cohort active at week
+    offset k. Two shuffles at any scale: the per-user min week is a
+    partial-aggregated groupBy, folded back with a user_id equi-join
+    (AQE broadcasts it when the user dimension is small), and the
+    cell rollup is a count-distinct whose Expand rides the same
+    exchange. Epoch-week integers on both sides — never raw
+    timestamps (testdata mixes ms/ns physical types)."""
+    t = load_testdata(spark, sf_dir)
+    ev = t["events"].select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / F.lit(604800)).alias("wk"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_wk", "week_offset")
+    )
+
+
+RETENTION_COHORTS_ORACLE = """
+WITH e AS (
+    SELECT user_id,
+           (CAST(epoch_ns(ts) // 1000000000 AS BIGINT)) // 604800 AS wk
+    FROM events
+), f AS (
+    SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1
+)
+SELECT cohort_wk, wk - cohort_wk AS week_offset,
+       count(DISTINCT e.user_id) AS active_users
+FROM e JOIN f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: the pattern
+    that replaces full recomputes at 100 TB. The stored state is the
+    PARTIAL aggregate of the already-ingested base slice (orders
+    before 1998, one (year, status) row each — count and an exact
+    DECIMAL sum, both algebraic: mergeable by addition without seeing
+    old rows again); a delta batch (1998) folds in by aggregating ONLY
+    its own rows and merging states. The delta pass therefore scans
+    |delta|, not |base| — at a 100 TB history with a daily delta
+    that is the whole point — and the result is pinned equal to the
+    oracle's full recompute over base+delta. The mergeable-sketch
+    stores (operators/sketches.py) are the approximate twin of this
+    exact-aggregate pattern."""
+    t = load_testdata(spark, sf_dir)
+    o = t["orders"].select(
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        "o_orderstatus",
+        _dec("o_totalprice").alias("_price"),
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("order_year", "o_orderstatus").agg(
+            F.count(F.lit(1)).alias("_n"), F.sum("_price").alias("_rev")
+        )
+
+    base_state = partial(o.filter(F.col("order_year") < 1998))
+    delta_state = partial(o.filter(F.col("order_year") >= 1998))
+    return (
+        base_state.unionByName(delta_state)
+        .groupBy("order_year", "o_orderstatus")
+        .agg(
+            F.sum("_n").alias("n_orders"),
+            F.sum("_rev").cast("double").alias("revenue"),
+        )
+        .orderBy("order_year", "o_orderstatus")
+    )
+
+
+INCREMENTAL_AGG_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 _MANIFEST_DEMO_CACHE: dict[str, str] = {}
 
 
@@ -1459,7 +1657,7 @@ def ensure_manifest_demo(spark: SparkSession, sf_dir: str) -> str:
     cached = _MANIFEST_DEMO_CACHE.get(key)
     if cached is not None:
         return cached
-    tag = hashlib.md5(key.encode()).hexdigest()[:12]
+    tag = data_tag(sf_dir, "lineitem")
     path = os.path.join(tempfile.gettempdir(), f"manifest_demo_{tag}")
     mt = ManifestTable(path)
     if mt.current_version(spark) != 2:
@@ -1493,7 +1691,7 @@ def ensure_manifest_stats_demo(spark: SparkSession, sf_dir: str) -> str:
     cached = _MANIFEST_STATS_DEMO_CACHE.get(key)
     if cached is not None:
         return cached
-    tag = hashlib.md5(key.encode()).hexdigest()[:12]
+    tag = data_tag(sf_dir, "lineitem")
     path = os.path.join(tempfile.gettempdir(), f"manifest_stats_demo_{tag}")
     mt = ManifestTable(path, stat_cols=("l_orderkey",))
 
@@ -1612,6 +1810,96 @@ UNION ALL
 SELECT 2,
        (SELECT count(*) FROM lineitem WHERE year(l_shipdate) <= 1998)
 ORDER BY version
+"""
+
+
+def manifest_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE made driver-checkable (sources/manifest.py
+    ``ManifestTable.merge``): commit orders as four orderkey-quartile
+    files with recorded key ranges, MERGE an update slice (second
+    decile, whole-row replacement with negated price) plus one brand-
+    new key (insert), then verify THREE merge promises as data:
+
+    - upsert semantics: post-merge row count = pre + 1 insert, the
+      updated rows carry the new (negative) price, and the total is
+      exactly what the oracle computes from raw orders;
+    - touched-file minimality: the update range overlaps only the
+      first quartile file and the insert key is beyond every range, so
+      exactly 3 of the 4 base files must be carried forward BY NAME
+      (``n_files_carried`` — pinned by the oracle literal; a stats
+      regression degrading merge to a full rewrite flips it to 0);
+    - snapshot isolation: the pre-merge version still reads complete
+      (``n_rows_before``).
+
+    The base table is built in a fresh temp dir PER CALL: merge
+    mutates its table, so reusing a cached one would double-apply the
+    update on re-runs and break determinism."""
+    import tempfile
+
+    from ..sources.manifest import ManifestTable
+
+    o = load_testdata(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_totalprice"
+    )
+    m = int(o.agg(F.max("o_orderkey")).first()[0])
+    b1, b2, b3 = m // 4, m // 2, (3 * m) // 4
+    mt = ManifestTable(
+        tempfile.mkdtemp(prefix="manifest_merge_demo_"),
+        stat_cols=("o_orderkey",),
+    )
+    ok = F.col("o_orderkey")
+    mt.overwrite(o.filter(ok <= b1).coalesce(1))
+    mt.append(o.filter((ok > b1) & (ok <= b2)).coalesce(1))
+    mt.append(o.filter((ok > b2) & (ok <= b3)).coalesce(1))
+    mt.append(o.filter(ok > b3).coalesce(1))
+    base_v = mt.current_version(spark)
+    base_files = set(mt._manifest(spark, base_v)["files"])
+
+    lo, hi = m // 10, m // 5
+    updates = (
+        o.filter((ok >= lo) & (ok <= hi))
+        .withColumn("o_totalprice", -F.col("o_totalprice"))
+        .unionByName(
+            spark.createDataFrame(
+                [(m + 1000, 42.42)], "o_orderkey bigint, o_totalprice double"
+            )
+        )
+    )
+    v = mt.merge(updates, "o_orderkey")
+    carried = len(base_files & set(mt._manifest(spark, v)["files"]))
+
+    agg_before = mt.read(spark, version=base_v).agg(
+        F.count(F.lit(1)).alias("n_rows_before")
+    )
+    agg_after = mt.read(spark).agg(
+        F.count(F.lit(1)).alias("n_rows_after"),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_updated"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+    )
+    return agg_before.crossJoin(agg_after).select(
+        "n_rows_before",
+        "n_rows_after",
+        "n_updated",
+        "sum_price",
+        F.lit(carried).alias("n_files_carried"),
+    )
+
+
+MANIFEST_MERGE_UPSERT_ORACLE = """
+WITH b AS (SELECT max(o_orderkey) AS m FROM orders)
+SELECT (SELECT count(*) FROM orders) AS n_rows_before,
+       (SELECT count(*) FROM orders) + 1 AS n_rows_after,
+       (SELECT count(*) FROM orders, b
+         WHERE o_orderkey >= m // 10 AND o_orderkey <= m // 5) AS n_updated,
+       CAST((SELECT sum(CASE WHEN o_orderkey >= m // 10
+                              AND o_orderkey <= m // 5
+                             THEN -CAST(o_totalprice AS DECIMAL(18,2))
+                             ELSE CAST(o_totalprice AS DECIMAL(18,2)) END)
+               FROM orders, b)
+            + CAST(42.42 AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+       3 AS n_files_carried
 """
 
 
@@ -2519,7 +2807,7 @@ def ensure_bucketed_demo(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     cached = _BUCKETED_DEMO_CACHE.get(key)
     if cached is not None:
         return cached
-    tag = hashlib.md5(key.encode()).hexdigest()[:12]
+    tag = data_tag(sf_dir, "lineitem")
     lt, ot = f"bdemo_lineitem_{tag}", f"bdemo_orders_{tag}"
     t = load_testdata(spark, sf_dir)
 
@@ -2613,7 +2901,7 @@ def ensure_formats_demo(spark: SparkSession, sf_dir: str) -> str:
     cached = _FORMATS_DEMO_CACHE.get(key)
     if cached is not None:
         return cached
-    tag = hashlib.md5(key.encode()).hexdigest()[:12]
+    tag = data_tag(sf_dir, "nation")
     base = os.path.join(tempfile.gettempdir(), f"formats_demo_{tag}")
     nation = load_testdata(spark, sf_dir)["nation"]
     for fmt in ("csv", "json"):
@@ -2699,6 +2987,22 @@ def register_all() -> None:
         WINDOW_TOP_ORACLE,
     )
     register("window_running_totals", window_running_totals, WINDOW_RUNNING_ORACLE)
+    register(
+        "range_frame_rolling_revenue",
+        range_frame_rolling_revenue,
+        RANGE_FRAME_ORACLE,
+    )
+    register(
+        "ntile_customer_quartiles",
+        ntile_customer_quartiles,
+        NTILE_QUARTILES_ORACLE,
+    )
+    register("retention_cohorts", retention_cohorts, RETENTION_COHORTS_ORACLE)
+    register(
+        "incremental_agg_maintenance",
+        incremental_agg_maintenance,
+        INCREMENTAL_AGG_ORACLE,
+    )
     register("topk_orders", topk_orders, TOPK_ORACLE)
     register("set_ops_customers", set_ops_customers, SET_OPS_ORACLE)
     register("json_event_props", json_event_props, JSON_PROPS_ORACLE)
@@ -2738,6 +3042,11 @@ def register_all() -> None:
         "manifest_stats_pruned_scan",
         manifest_stats_pruned_scan,
         MANIFEST_STATS_PRUNED_ORACLE,
+    )
+    register(
+        "manifest_merge_upsert",
+        manifest_merge_upsert,
+        MANIFEST_MERGE_UPSERT_ORACLE,
     )
     register("event_sessionization", event_sessionization, SESSIONIZATION_ORACLE)
     register("bucketed_join_revenue", bucketed_join_revenue, BUCKETED_JOIN_ORACLE)

@@ -49,7 +49,11 @@ _FRONT: tuple[str, ...] = (
     # the one red r4 row (oracle HUGEINT hash artifact, fixed) — re-check first
     "q12_priority_by_returnflag",
     # round-5 additions — no CORRECTNESS row yet
-    # (inserted here as they land)
+    "manifest_merge_upsert",
+    "range_frame_rolling_revenue",
+    "ntile_customer_quartiles",
+    "retention_cohorts",
+    "incremental_agg_maintenance",
     # green in r3, cut from the r4 window by the 50-row cap
     "multimodal_ppm_features",
     "asof_click_purchase_bucketed",
