@@ -433,7 +433,32 @@ def test_topk_join_guard_rejects_unbroadcastable_right(spark):
         "id as vec_id", "array(cast(id as float), 1.0f) as embedding"
     )
     with pytest.raises(ValueError, match="topk_join_blocked"):
-        topk_join(df, df, k=1, broadcast_limit=10)
+        topk_join(df, df, k=1, broadcast_limit=10, oversize="error")
+
+
+def test_topk_join_auto_falls_back_to_blocked_past_limit(spark):
+    """An over-limit right side must route to the sketch-blocked path
+    (no broadcast) by default instead of raising — and on clustered
+    vectors the fallback's answer equals the exact broadcast one."""
+    import math
+
+    rows = []
+    vid = 0
+    for c in range(3):
+        for j in range(5):
+            vec = [0.0] * 8
+            vec[c * 2] = 1.0
+            vec[c * 2 + 1] = 0.02 * j
+            n = math.sqrt(sum(x * x for x in vec))
+            rows.append((vid, [x / n for x in vec]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = topk_join(df, df, k=2)  # 15 rows < default limit: broadcast
+    fallen = topk_join(df, df, k=2, broadcast_limit=5)  # forced fallback
+    e = sorted(map(tuple, exact.select("id_a", "id_b", "cosine").collect()))
+    f = sorted(map(tuple, fallen.select("id_a", "id_b", "cosine").collect()))
+    assert e == f
 
 
 def test_topk_join_blocked_matches_broadcast_on_clustered_fixture(spark):

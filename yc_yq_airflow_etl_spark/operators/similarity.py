@@ -455,21 +455,34 @@ def topk_join(
     left_id: str = "vec_id",
     right_id: str = "vec_id",
     broadcast_limit: int = 2_000_000,
+    oversize: str = "blocked",
 ) -> DataFrame:
     """All-pairs top-k join (each left row → its k nearest right
     rows): broadcast the smaller right side, window-rank per left id.
 
-    GUARDED: broadcast+crossJoin is correct only while the right side
-    is dim-sized. The guard counts the right side (one column-pruned
-    job — trivial next to the crossJoin it gates) and raises past
-    ``broadcast_limit`` so misuse fails loudly on the driver instead
-    of OOMing an executor mid-broadcast at scale. For large right
-    sides use :func:`topk_join_blocked`, whose band join shuffles on
-    sketch buckets and never broadcasts."""
+    GUARDED WITH AUTO-FALLBACK: broadcast+crossJoin is correct only
+    while the right side is dim-sized. The guard counts the right side
+    (one column-pruned job — trivial next to the crossJoin it gates);
+    past ``broadcast_limit`` the call ROUTES ITSELF to
+    :func:`topk_join_blocked` (sketch-band shuffle join, no broadcast)
+    instead of OOMing an executor mid-broadcast at scale — same output
+    schema, recall governed by that operator's default (planes, bands)
+    rather than exact. Pass ``oversize='error'`` to fail loudly on the
+    driver when an approximate answer is unacceptable."""
     from pyspark.sql import Window
 
     n_right = right.count()
     if n_right > broadcast_limit:
+        if oversize == "blocked":
+            return topk_join_blocked(
+                left,
+                right,
+                k=k,
+                left_vec=left_vec,
+                right_vec=right_vec,
+                left_id=left_id,
+                right_id=right_id,
+            )
         raise ValueError(
             f"topk_join right side has {n_right} rows "
             f"(> broadcast_limit={broadcast_limit}); a side this large "
