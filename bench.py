@@ -361,7 +361,35 @@ def main() -> None:
             "queries": scale,
         }
 
-    print(json.dumps(out))
+    # The driver's stdout capture keeps only the tail few KB, and the
+    # full record (per-query plan structure + scale detail) outgrew
+    # that window in round 4 — so the complete object goes to a sidecar
+    # file next to this script and the ONE printed line carries the
+    # contract fields ({metric, value, unit, queries, sf}) plus a
+    # compacted scale_check, staying safely inside the window.
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_structure.json"
+    )
+    with open(sidecar, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": out["sf"],
+        "detail_file": "bench_structure.json",
+    }
+    if "scale_check" in out:
+        keep = ("t_10x", "ratio_vs_1x", "t_10x_steady", "cc_rounds")
+        compact["scale_check"] = {
+            "factor": out["scale_check"]["factor"],
+            "queries": {
+                n: {k: v for k, v in d.items() if k in keep}
+                for n, d in out["scale_check"]["queries"].items()
+            },
+        }
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 
