@@ -428,6 +428,46 @@ def test_connected_components_long_chain_converges_logarithmically(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_connected_components_spares_concurrent_persists(spark):
+    """The CC loop frees each round's localCheckpoint blocks by the
+    RDD id read off its OWN plan node. Regression pin: a concurrent
+    thread persisting checkpoints on the same SparkContext during the
+    loop must keep every one of them readable afterwards — the old
+    getPersistentRDDs set-diff attribution would free (irrecoverably)
+    whatever happened to be persisted inside its window."""
+    import threading
+
+    from yc_yq_airflow_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 400, 2)], "id_a bigint, id_b bigint"
+    )
+    foreign, errors = [], []
+    stop = threading.Event()
+
+    def persister() -> None:
+        try:
+            while not stop.is_set() and len(foreign) < 15:
+                d = spark.range(1000).localCheckpoint()
+                foreign.append(d)
+        except Exception as e:  # surfaced below — thread must not die
+            errors.append(e)
+
+    th = threading.Thread(target=persister)
+    th.start()
+    try:
+        got = {r.id: r.label for r in connected_components(pairs).collect()}
+    finally:
+        stop.set()
+        th.join(60)
+    assert not errors, errors
+    assert len(foreign) > 0
+    # freed checkpoint blocks are unrecoverable: a count would raise
+    for d in foreign:
+        assert d.count() == 1000
+    assert got[1] == 0 and got[3] == 2
+
+
 def test_topk_join_guard_rejects_unbroadcastable_right(spark):
     df = spark.range(30).selectExpr(
         "id as vec_id", "array(cast(id as float), 1.0f) as embedding"

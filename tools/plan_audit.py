@@ -369,6 +369,17 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("read pruned to the three referenced columns",
          "!ReadSchema: [^\n]*o_custkey"),
     ],
+    "doc_repetition_stats": [
+        ("per-row n-gram lists never explode into rows (no shuffle "
+         "before the output sort)", "!Exchange hashpartitioning"),
+        ("no Python stage (pure higher-order functions)",
+         "!ArrowEvalPython"),
+    ],
+    "token_packing_bins": [
+        ("prefix sum partitioned by lang — no single-partition window",
+         "!Exchange SinglePartition"),
+        ("per-bin rollup partially aggregated", r"partial_(sum|count)"),
+    ],
     "manifest_merge_upsert": [
         ("verification rollup partially aggregated", r"partial_count"),
         # the rollup needs only o_totalprice — the key column must be

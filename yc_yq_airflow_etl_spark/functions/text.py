@@ -37,13 +37,20 @@ def token_count(col: Column | str) -> Column:
 def word_shingles(col: Column | str, k: int = 3) -> Column:
     """Distinct k-word shingles (the MinHash unit). Built with
     sequence+transform+slice; empty when the doc has < k tokens."""
+    return F.array_distinct(ngram_list(col, k))
+
+
+def ngram_list(col: Column | str, k: int = 3) -> Column:
+    """ALL k-word n-grams in document order, duplicates kept — the
+    unit of the within-document repetition signal (the duplicate
+    n-gram fraction quality filters threshold on);
+    :func:`word_shingles` is its distinct twin. Empty when the doc has
+    < k tokens."""
     words = tokenize(col)
     n = F.size(words)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
-            lambda i: F.array_join(F.slice(words, i, k), " "),
-        )
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i, k), " "),
     )
 
 

@@ -681,6 +681,120 @@ FROM d ORDER BY doc_id
 """
 
 
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition — the duplicate-n-gram-fraction
+    quality signal large-corpus filters threshold on (a high fraction
+    of repeated 3-grams marks boilerplate/spam/generation loops).
+    Pure JVM higher-order functions over one scan: the n-gram list is
+    built per row with sequence+transform+slice and never explodes
+    into rows, so the only exchange is the final ORDER BY — at 100 TB
+    this is a map-only pass."""
+    t = load_testdata(spark, sf_dir)
+    from ..functions.text import ngram_list
+
+    g = ngram_list("text", 3)
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.size(g).alias("n_ngrams"),
+            F.size(F.array_distinct(g)).alias("n_distinct"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.when(
+                F.col("n_ngrams") > 0,
+                F.round(
+                    F.lit(1.0)
+                    - F.col("n_distinct") / F.col("n_ngrams").cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_REPETITION_ORACLE = r"""
+WITH w AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                        ' ') AS words
+    FROM documents
+), g AS (
+    SELECT doc_id,
+           list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                          i -> array_to_string(words[i:i+2], ' ')) AS ngrams
+    FROM w
+)
+SELECT doc_id,
+       CAST(len(ngrams) AS INTEGER) AS n_ngrams,
+       CAST(len(list_distinct(ngrams)) AS INTEGER) AS n_distinct,
+       CASE WHEN len(ngrams) > 0
+            THEN round(1.0 - len(list_distinct(ngrams))
+                           / CAST(len(ngrams) AS DOUBLE), 6)
+            ELSE 0.0 END AS dup_frac
+FROM g ORDER BY doc_id
+"""
+
+
+def token_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential sequence packing — the batch-preparation step
+    that turns variable-length documents into fixed-token-budget
+    training bins: lay the docs out in a deterministic order and cut
+    at every 2048 cumulative tokens (next-fit packing: a doc's bin is
+    the budget-quotient of the tokens BEFORE it). The prefix sum is a
+    window PARTITIONED by lang — the shard key a real pipeline packs
+    within — so no single-partition global sort exists at any scale;
+    the per-bin rollup rides a partial-aggregated exchange."""
+    t = load_testdata(spark, sf_dir)
+    from pyspark.sql import Window
+
+    from ..functions.text import token_count
+
+    d = t["documents"].select(
+        "doc_id", "lang", token_count("text").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = d.withColumn(
+        "bin",
+        F.floor(
+            (F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(2048.0)
+        ).cast("int"),
+    )
+    return (
+        binned.groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("bin_tokens"),
+        )
+        .orderBy("lang", "bin")
+    )
+
+
+TOKEN_PACKING_ORACLE = r"""
+WITH d AS (
+    SELECT doc_id, lang,
+           len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ',
+                                           'g'), ' ')) AS n_tok
+    FROM documents
+), b AS (
+    SELECT lang, n_tok,
+           CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tok) / 2048.0)
+                AS INTEGER) AS bin
+    FROM d
+)
+SELECT lang, bin, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # Inline multilingual evaluation fixture: the synthetic corpus is
 # monolingual English-ish, so these literal rows (same rows replayed
 # via VALUES in the oracle) exercise the classifier across languages,
@@ -1601,6 +1715,8 @@ def register_all() -> None:
         SIMILARITY_RECALL_ORACLE,
     )
     register("text_stats", text_stats, TEXT_STATS_ORACLE)
+    register("doc_repetition_stats", doc_repetition_stats, DOC_REPETITION_ORACLE)
+    register("token_packing_bins", token_packing_bins, TOKEN_PACKING_ORACLE)
     register("text_boilerplate_stats", text_boilerplate_stats, BOILERPLATE_ORACLE)
     register("tfidf_top_terms", tfidf_top_terms, TFIDF_ORACLE)
     register("lang_id_eval", lang_id_eval, LANG_ID_ORACLE)

@@ -54,6 +54,8 @@ _FRONT: tuple[str, ...] = (
     "ntile_customer_quartiles",
     "retention_cohorts",
     "incremental_agg_maintenance",
+    "doc_repetition_stats",
+    "token_packing_bins",
     # green in r3, cut from the r4 window by the 50-row cap
     "multimodal_ppm_features",
     "asof_click_purchase_bucketed",
