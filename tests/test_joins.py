@@ -279,3 +279,67 @@ def test_salted_join_rejects_outer_sides(spark):
 
     with _pytest.raises(ValueError, match="swap the inputs"):
         salted_join(df, df, ["k"], how="right")
+
+
+def test_scd2_apply_dispositions(spark):
+    """Every SCD2 row disposition in one batch: unchanged carry (no
+    spurious version), changed close+reopen, unseen-key insert,
+    null-safe attribute comparison, history carry."""
+    from datetime import datetime
+
+    from yc_yq_airflow_etl_spark.operators.scd import scd2_apply
+
+    t0, t1 = datetime(2020, 1, 1), datetime(2021, 6, 1)
+    dim = spark.createDataFrame(
+        [
+            # key 1: open, attrs will change
+            (1, "A", None, t0, None),
+            # key 2: open, update is identical (incl. NULL extra) -> carry
+            (2, "B", None, t0, None),
+            # key 3: open, no update -> carry
+            (3, "C", "x", t0, None),
+            # key 1 also has an old closed version -> carried verbatim
+            (1, "A0", None, datetime(2019, 1, 1), t0),
+        ],
+        "k int, seg string, extra string, valid_from timestamp, valid_to timestamp",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "A2", None, t1),
+            (2, "B", None, t1),
+            (9, "NEW", "y", t1),
+        ],
+        "k int, seg string, extra string, eff_ts timestamp",
+    )
+    out = scd2_apply(dim, updates, "k", ["seg", "extra"]).collect()
+    rows = {(r.k, r.seg, r.valid_from, r.valid_to) for r in out}
+    assert rows == {
+        (1, "A0", datetime(2019, 1, 1), t0),  # history carried
+        (1, "A", t0, t1),                     # closed at eff_ts
+        (1, "A2", t1, None),                  # reopened from update
+        (2, "B", t0, None),                   # identical update: no-op
+        (3, "C", t0, None),                   # no update: carried
+        (9, "NEW", t1, None),                 # insert
+    }
+    # exactly one open row per live key
+    open_keys = [r.k for r in out if r.valid_to is None]
+    assert sorted(open_keys) == [1, 2, 3, 9]
+
+
+def test_scd2_apply_rejects_duplicate_batch_keys(spark):
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from yc_yq_airflow_etl_spark.operators.scd import scd2_apply
+
+    t0 = datetime(2020, 1, 1)
+    dim = spark.createDataFrame(
+        [(1, "A", t0, None)],
+        "k int, seg string, valid_from timestamp, valid_to timestamp",
+    )
+    dup = spark.createDataFrame(
+        [(1, "X", t0), (1, "Y", t0)], "k int, seg string, eff_ts timestamp"
+    )
+    with _pytest.raises(ValueError, match="duplicate"):
+        scd2_apply(dim, dup, "k", ["seg"])

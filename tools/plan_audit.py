@@ -369,6 +369,12 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("read pruned to the three referenced columns",
          "!ReadSchema: [^\n]*o_custkey"),
     ],
+    "scd2_customer_history": [
+        ("update batches broadcast against the open slice",
+         r"BroadcastHashJoin"),
+        ("no full-outer shuffle formulation", "!FullOuter"),
+        ("per-key rollup partially aggregated", r"partial_count"),
+    ],
     "doc_repetition_stats": [
         ("per-row n-gram lists never explode into rows (no shuffle "
          "before the output sort)", "!Exchange hashpartitioning"),

@@ -1,0 +1,107 @@
+"""Slowly-changing-dimension maintenance (SCD Type 2).
+
+The dimension-history pattern every warehouse keeps next to its fact
+tables: instead of overwriting a changed attribute, the current row is
+CLOSED (``valid_to`` set) and a new open row is inserted, so any fact
+row can be joined to the attribute values that were true at its
+timestamp. This is the temporal twin of ``ManifestTable.merge``
+(sources/manifest.py): merge rewrites rows in place, SCD2 preserves
+them as history.
+
+Scale shape: one equi-shuffle of the OPEN slice against the update
+batch (AQE broadcasts the batch when it is small — the common case:
+|daily changes| << |dimension|); the closed history — the bulk of the
+table at year N — is carried by a union without ever being read's
+shuffled. No window, no collect.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: Sequence[str],
+    eff_col: str = "eff_ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Apply one update batch to an SCD2 dimension.
+
+    ``dim``: (key, attrs..., valid_from, valid_to) — ``valid_to`` NULL
+    marks the single open row per key. ``updates``: (key, attrs...,
+    eff_col) — at most one row per key (enforced: duplicate keys in
+    one batch have no defined order and raise).
+
+    Row disposition:
+    - open row, no update for its key        → carried unchanged
+    - open row, update with IDENTICAL attrs  → carried unchanged (no
+      spurious version; null-safe comparison)
+    - open row, update with changed attrs    → closed at ``eff_ts``
+      AND a new open row from the update (valid_from = eff_ts)
+    - update for an unseen key               → new open row (insert)
+    - already-closed history rows            → carried unchanged
+
+    Returns the complete new dimension frame (same schema as ``dim``).
+    """
+    keys = [key]
+    a = list(attrs)
+
+    if updates.groupBy(key).count().filter("count > 1").limit(1).count():
+        raise ValueError(f"update batch carries duplicate {key!r} values")
+
+    hist = dim.filter(F.col(valid_to).isNotNull())
+    open_rows = dim.filter(F.col(valid_to).isNull())
+
+    u = updates.select(
+        F.col(key).alias("_u_key"),
+        *[F.col(c).alias(f"_u_{c}") for c in a],
+        F.col(eff_col).alias("_u_eff"),
+    )
+    # LEFT join + separate insert anti-join, NOT one full_outer: Spark
+    # cannot broadcast a full outer join, so that shape would shuffle
+    # the whole open slice even for a 100-row batch. These two joins
+    # both broadcast the batch; the open slice never moves.
+    j = open_rows.join(u, F.col(key) == F.col("_u_key"), "left")
+
+    # null-safe "any attribute differs" — NULL attr values must compare
+    # equal to NULL, not poison the predicate
+    changed = F.lit(False)
+    for c in a:
+        changed = changed | ~F.col(c).eqNullSafe(F.col(f"_u_{c}"))
+
+    has_update = F.col("_u_key").isNotNull()
+    null_to = F.lit(None).cast(dim.schema[valid_to].dataType)
+
+    carried = j.filter(~has_update | ~changed).select(
+        key, *a, valid_from, valid_to
+    )
+    closed = j.filter(has_update & changed).select(
+        key, *a, valid_from, F.col("_u_eff").alias(valid_to)
+    )
+    reopened = j.filter(has_update & changed).select(
+        F.col("_u_key").alias(key),
+        *[F.col(f"_u_{c}").alias(c) for c in a],
+        F.col("_u_eff").alias(valid_from),
+        null_to.alias(valid_to),
+    )
+    inserts = u.join(
+        open_rows.select(F.col(key)), F.col("_u_key") == F.col(key), "left_anti"
+    ).select(
+        F.col("_u_key").alias(key),
+        *[F.col(f"_u_{c}").alias(c) for c in a],
+        F.col("_u_eff").alias(valid_from),
+        null_to.alias(valid_to),
+    )
+    return (
+        hist.unionByName(carried)
+        .unionByName(closed)
+        .unionByName(reopened)
+        .unionByName(inserts)
+    )

@@ -1639,6 +1639,69 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history (operators/scd.scd2_apply), made
+    driver-checkable by two deterministic update batches over the
+    customer dimension: batch 1 (2021-06-01) re-segments every
+    custkey % 5 == 0, batch 2 (2022-06-01) re-segments every
+    custkey % 10 == 0 again — so %10 keys end with three versions
+    (two closed), %5-but-not-%10 keys with two, everyone else with
+    their original open row. The per-key version/closure counts and
+    current segment are CLOSED-FORM from the key alone, which is
+    exactly what the oracle pins — any misclassification in the
+    apply's carried/closed/reopened/insert split breaks a row."""
+    from ..operators.scd import scd2_apply
+
+    t = load_testdata(spark, sf_dir)
+    c = t["customer"].select("c_custkey", "c_mktsegment")
+    dim = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2020-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    u1 = c.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.concat("c_mktsegment", F.lit("*")).alias("segment"),
+        F.lit("2021-06-01").cast("timestamp").alias("eff_ts"),
+    )
+    u2 = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.concat("c_mktsegment", F.lit("**")).alias("segment"),
+        F.lit("2022-06-01").cast("timestamp").alias("eff_ts"),
+    )
+    dim = scd2_apply(dim, u1, "c_custkey", ["segment"])
+    dim = scd2_apply(dim, u2, "c_custkey", ["segment"])
+    return (
+        dim.groupBy("c_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.sum(F.when(F.col("valid_to").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_closed"),
+            F.max(
+                F.when(F.col("valid_to").isNull(), F.col("segment"))
+            ).alias("current_segment"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+SCD2_ORACLE = """
+SELECT c_custkey,
+       CAST(CASE WHEN c_custkey % 10 = 0 THEN 3
+                 WHEN c_custkey % 5 = 0 THEN 2
+                 ELSE 1 END AS BIGINT) AS n_versions,
+       CAST(CASE WHEN c_custkey % 10 = 0 THEN 2
+                 WHEN c_custkey % 5 = 0 THEN 1
+                 ELSE 0 END AS BIGINT) AS n_closed,
+       CASE WHEN c_custkey % 10 = 0 THEN c_mktsegment || '**'
+            WHEN c_custkey % 5 = 0 THEN c_mktsegment || '*'
+            ELSE c_mktsegment END AS current_segment
+FROM customer ORDER BY c_custkey
+"""
+
+
 _MANIFEST_DEMO_CACHE: dict[str, str] = {}
 
 
@@ -2998,6 +3061,7 @@ def register_all() -> None:
         NTILE_QUARTILES_ORACLE,
     )
     register("retention_cohorts", retention_cohorts, RETENTION_COHORTS_ORACLE)
+    register("scd2_customer_history", scd2_customer_history, SCD2_ORACLE)
     register(
         "incremental_agg_maintenance",
         incremental_agg_maintenance,

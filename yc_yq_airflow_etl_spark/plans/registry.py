@@ -56,6 +56,7 @@ _FRONT: tuple[str, ...] = (
     "incremental_agg_maintenance",
     "doc_repetition_stats",
     "token_packing_bins",
+    "scd2_customer_history",
     # green in r3, cut from the r4 window by the 50-row cap
     "multimodal_ppm_features",
     "asof_click_purchase_bucketed",
