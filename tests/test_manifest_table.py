@@ -336,3 +336,83 @@ def test_all_null_stat_column_is_kept_conservatively(spark, tmp_path):
     vals = {r.id: r.v for r in got.filter(F.col("id").isNotNull()).collect()}
     assert vals[10] == -1 and vals[5000] == -3
     assert got.filter(F.col("id").isNull()).count() == 2
+
+
+def test_merge_and_compact_carry_batch_high_water_mark(spark, stats_table):
+    """The streaming replay guard must survive EVERY commit type: a
+    merge or compaction that dropped last_batch_id would let a
+    replayed micro-batch re-land after it."""
+    stats_table.overwrite(_ranged(spark, 0, 100))
+    stats_table.append(_ranged(spark, 100, 200), batch_id=7)
+    assert stats_table.last_batch_id(spark) == 7
+
+    updates = spark.createDataFrame([(10, -1)], ["id", "v"])
+    stats_table.merge(updates, "id")
+    assert stats_table.last_batch_id(spark) == 7  # merge carried it
+
+    stats_table.compact(spark, target_files=1)
+    assert stats_table.last_batch_id(spark) == 7  # compaction carried it
+
+    stats_table.merge(spark.createDataFrame([(11, -2)], ["id", "v"]),
+                      "id", batch_id=9)
+    assert stats_table.last_batch_id(spark) == 9  # merge can advance it
+
+
+def test_streaming_cdc_upsert_exactly_once(spark, tmp_path):
+    """Changelog-apply sink: micro-batches MERGE by key (last change
+    per key wins within a batch), replayed batch ids are skipped, and
+    the final table is the net state — not the event log."""
+    from yc_yq_airflow_etl_spark.streaming.manifest_sink import (
+        upsert_batch,
+        upsert_stream_to_manifest_table,
+    )
+
+    table = ManifestTable(str(tmp_path / "cdc"), stat_cols=("id",))
+    table.overwrite(
+        spark.createDataFrame(
+            [(i, 0, 0) for i in range(10)], "id long, v long, seq long"
+        ).coalesce(1)
+    )
+
+    # two changelog files -> two micro-batches; file 1 carries TWO
+    # changes for id=1 (seq 1 then 2: last-wins collapse), file 2
+    # updates id=1 again and inserts id=100
+    src = str(tmp_path / "log")
+    spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (2, 5, 1)], "id long, v long, seq long"
+    ).coalesce(1).write.mode("append").parquet(src)
+    import time as _t
+
+    _t.sleep(0.05)  # distinct mod-times -> stable file replay order
+    spark.createDataFrame(
+        [(1, 30, 3), (100, 7, 1)], "id long, v long, seq long"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("id long, v long, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = upsert_stream_to_manifest_table(
+        stream, table, "id", "seq", str(tmp_path / "ck")
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    got = {r.id: r.v for r in table.read(spark).collect()}
+    assert len(got) == 11  # 10 seeded + 1 insert, upserts in place
+    assert got[1] == 30 and got[2] == 5 and got[100] == 7 and got[3] == 0
+
+    # crash replay of the last committed batch id is a no-op
+    hwm = table.last_batch_id(spark)
+    replay = spark.createDataFrame([(1, 999, 9)], "id long, v long, seq long")
+    assert upsert_batch(table, replay, hwm, "id", "seq") is False
+    assert {r.id: r.v for r in table.read(spark).collect()}[1] == 30
+
+    # tied (key, seq) rows have no defined "latest" -> loud failure
+    tied = spark.createDataFrame(
+        [(5, 1, 4), (5, 2, 4)], "id long, v long, seq long"
+    )
+    with pytest.raises(ValueError, match="tied"):
+        upsert_batch(table, tied, hwm + 1, "id", "seq")

@@ -417,11 +417,17 @@ class ManifestTable:
         previous manifest — readers mid-flight keep a complete table)
         until vacuum() retires them. This is the S3-safe version of
         LakeTable.compact_partitions' directory swap."""
-        df = self.read(spark).coalesce(target_files)
+        v = self.current_version(spark)
+        df = self.read(spark, version=v).coalesce(target_files)
         files, _ = self._write_files(df)
         # compaction rewrites every row through one homogeneous schema,
         # so the evolved flag resets and columns re-baseline here
         extra: dict = {"columns": sorted(df.columns)}
+        # ...but the streaming high-water mark is NOT content-derived:
+        # it must survive the rewrite or replay protection is lost
+        hwm = int(self._manifest(spark, v).get("last_batch_id", -1))
+        if hwm >= 0:
+            extra["last_batch_id"] = hwm
         stats = self._file_stats(spark, files)
         if stats:
             extra["stats"] = stats
@@ -513,6 +519,7 @@ class ManifestTable:
         updates: DataFrame,
         key: str,
         expected_version: int | None = None,
+        batch_id: int | None = None,
     ) -> int:
         """Copy-on-write MERGE (whole-row upsert by ``key``): rows of
         the current snapshot whose key appears in ``updates`` are
@@ -599,6 +606,13 @@ class ManifestTable:
                     f"now v{cur} — re-run the merge on the new base"
                 )
             extra: dict = {"columns": sorted(new_data.columns)}
+            # the streaming high-water mark must SURVIVE a merge — a
+            # commit that dropped it would let an at-least-once replay
+            # of an already-committed batch re-land after any upsert
+            hwm = max(int(m.get("last_batch_id", -1)),
+                      -1 if batch_id is None else int(batch_id))
+            if hwm >= 0:
+                extra["last_batch_id"] = hwm
             carried = {
                 f: s for f, s in stats.items() if f in set(untouched)
             }

@@ -49,3 +49,73 @@ def stream_to_manifest_table(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def upsert_batch(
+    table: ManifestTable,
+    batch_df: DataFrame,
+    batch_id: int,
+    key: str,
+    order_col: str,
+) -> bool:
+    """Idempotent CDC upsert of one micro-batch — the changelog-apply
+    twin of :func:`commit_batch`: replays are skipped by the same
+    high-water mark (which :meth:`ManifestTable.merge` now carries
+    through the commit), live batches MERGE by ``key`` (copy-on-write
+    upsert — only stat-overlapping files rewrite).
+
+    A CDC batch may carry several changes to one key; merge upserts
+    whole rows, so the batch is first collapsed to each key's LAST
+    change by ``order_col`` (change sequence / commit timestamp).
+    ``(key, order_col)`` must be unique — "latest of a tie" has no
+    defined answer, so ties raise rather than pick one silently.
+
+    Crash safety: merge's compare-and-swap conflict raises into
+    ``foreachBatch``, the streaming engine retries the SAME batch id,
+    and the not-yet-recorded high-water mark lets the retry through —
+    at-least-once delivery collapses to exactly-once."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = batch_df.sparkSession
+    if batch_id <= table.last_batch_id(spark):
+        return False
+    dup = (
+        batch_df.groupBy(key, order_col)
+        .count()
+        .filter("count > 1")
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            f"micro-batch {batch_id} has tied ({key}, {order_col}) rows — "
+            "last-change collapse would be nondeterministic"
+        )
+    w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+    last = (
+        batch_df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    table.merge(last, key, batch_id=batch_id)
+    return True
+
+
+def upsert_stream_to_manifest_table(
+    stream: DataFrame,
+    table: ManifestTable,
+    key: str,
+    order_col: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Start the exactly-once CDC-apply query: every micro-batch is an
+    atomic MERGE commit (upsert by ``key``), replays are skipped by
+    batch id."""
+    return (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: upsert_batch(table, df, bid, key, order_col)
+        )
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
