@@ -48,6 +48,12 @@ _REGISTRY: list[QuerySpec] = []
 _FRONT: tuple[str, ...] = (
     # the one red r4 row (oracle HUGEINT hash artifact, fixed) — re-check first
     "q12_priority_by_returnflag",
+    # reference-core queries (r3-green backlog) — pinned in-window ahead
+    # of the extension backlog: reference parity is the prime signal
+    "federation_counts",
+    "cooling_window_filter",
+    "exclusion_join_diff",
+    "exclusion_join_clean_count",
     # round-5 additions — no CORRECTNESS row yet
     "manifest_merge_upsert",
     "range_frame_rolling_revenue",
@@ -102,10 +108,6 @@ _FRONT: tuple[str, ...] = (
     "asof_click_purchase",
     "range_join_price_bands",
     "histogram_quantile_store",
-    "federation_counts",
-    "cooling_window_filter",
-    "exclusion_join_diff",
-    "exclusion_join_clean_count",
 )
 
 # Truncation absorbers: the 49 queries driver-verified green in r04
