@@ -331,6 +331,7 @@ def main() -> None:
             "dedup_simhash_pairs",
             "dedup_clusters",
             "asof_click_purchase_bucketed",
+            "retention_cohorts",  # hot-user skew: one key holds ~30%
             "similarity_lsh_topk",
             "similarity_ivf_topk",
         ):
