@@ -416,3 +416,46 @@ def test_streaming_cdc_upsert_exactly_once(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="tied"):
         upsert_batch(table, tied, hwm + 1, "id", "seq")
+
+
+def test_concurrent_merges_one_wins_one_conflicts(spark, stats_table):
+    """Two writers merging from the same base snapshot: exactly one
+    commit wins; the loser gets ConcurrentWriteError (its rewrite was
+    computed against a stale base and silently dropping the winner's
+    rows is the failure mode the CAS exists to prevent). Data equals
+    the winner's merge applied exactly once."""
+    import threading
+
+    from yc_yq_airflow_etl_spark.sources.manifest import ConcurrentWriteError
+
+    stats_table.overwrite(_ranged(spark, 0, 100))
+    base = stats_table.current_version(spark)
+
+    results: dict[str, object] = {}
+    barrier = threading.Barrier(2)
+
+    def writer(tag: str, rows):
+        updates = spark.createDataFrame(rows, ["id", "v"])
+        try:
+            barrier.wait(30)
+            results[tag] = stats_table.merge(
+                updates, "id", expected_version=base
+            )
+        except ConcurrentWriteError:
+            results[tag] = "conflict"
+        except Exception as e:  # pragma: no cover - surfaced in assert
+            results[tag] = e
+
+    t1 = threading.Thread(target=writer, args=("a", [(1, -1)]))
+    t2 = threading.Thread(target=writer, args=("b", [(2, -2)]))
+    t1.start(); t2.start(); t1.join(120); t2.join(120)
+
+    outcomes = sorted(str(v) for v in results.values())
+    wins = [v for v in results.values() if isinstance(v, int)]
+    assert len(wins) == 1 and "conflict" in results.values(), outcomes
+    got = {r.id: r.v for r in stats_table.read(spark).collect()}
+    assert len(got) == 100  # no insert, one in-place update
+    winner = [k for k, v in results.items() if isinstance(v, int)][0]
+    assert got[1 if winner == "a" else 2] == (-1 if winner == "a" else -2)
+    # the loser's key is untouched
+    assert got[2 if winner == "a" else 1] == (4 if winner == "a" else 2)

@@ -1911,6 +1911,11 @@ def manifest_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         stat_cols=("o_orderkey",),
     )
     ok = F.col("o_orderkey")
+    # four separate commits, one single-file slice each: the file
+    # boundaries must be EXACT quartiles (the oracle pins the carried-
+    # file count) — a range-partitioned single write would sample its
+    # bounds and a union of coalesced slices collapses to one output
+    # partition, so per-slice commits are the deterministic layout
     mt.overwrite(o.filter(ok <= b1).coalesce(1))
     mt.append(o.filter((ok > b1) & (ok <= b2)).coalesce(1))
     mt.append(o.filter((ok > b2) & (ok <= b3)).coalesce(1))
