@@ -321,3 +321,35 @@ def test_cms_merge_and_overcount_contract(spark, testdata):
     est = {r.k: r.cms_est for r in cms_estimate(whole, probe, "k").collect()}
     truth = {r.k: r.n for r in probe.collect()}
     assert all(est[k] >= n for k, n in truth.items())
+
+
+def test_salted_join_auto_detects_hot_key_and_matches_plain(spark):
+    """hot_keys='auto': the sampled probe must surface a key holding
+    ~half the rows, the salted result must equal the plain join as a
+    multiset, and an unskewed input must degrade to the plain join
+    (empty detection -> zero replication)."""
+    from yc_yq_airflow_etl_spark.operators.joins import (
+        detect_hot_keys,
+        salted_join,
+    )
+
+    rows = [(7, i) for i in range(20_000)] + [
+        (k, k) for k in range(1000) if k != 7
+    ]
+    left = spark.createDataFrame(rows, "k long, payload long")
+    right = spark.createDataFrame(
+        [(k, k * 10) for k in range(1000)], "k long, r long"
+    )
+
+    assert detect_hot_keys(left, "k") == [7]
+
+    auto = salted_join(left, right, ["k"], hot_keys="auto")
+    plain = left.join(right, on=["k"], how="inner")
+    from collections import Counter
+
+    a = Counter(tuple(r) for r in auto.collect())
+    p = Counter(tuple(r) for r in plain.collect())
+    assert a == p
+
+    flat = spark.range(5000).selectExpr("id as k", "id as payload")
+    assert detect_hot_keys(flat, "k") == []

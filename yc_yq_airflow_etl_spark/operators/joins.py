@@ -409,7 +409,10 @@ def salted_join(
     only rows with those key values are salted and ONLY their right
     rows are replicated; the cold remainder takes the plain join.
     This bounds the replication cost to |hot slice| × salt instead of
-    |right| × salt.
+    |right| × salt. Pass the string ``"auto"`` to probe the left side
+    with :func:`detect_hot_keys` first — with no skew detected the
+    call degrades to the PLAIN join (zero replication), which makes
+    auto mode safe to leave on.
 
     ``how``: 'inner' or 'left' (for 'right'/'full', replicated
     non-matching right rows would emit one null-padded row per salt;
@@ -421,6 +424,12 @@ def salted_join(
         )
     keys = list(on)
     first_key = keys[0]
+    if isinstance(hot_keys, str):
+        if hot_keys != "auto":
+            raise ValueError(f"hot_keys must be a sequence, None, or 'auto'")
+        hot_keys = detect_hot_keys(left, first_key)
+        if not hot_keys:
+            return left.join(right, on=keys, how=how)  # no skew: no salting
 
     def _salted(lf: DataFrame, rt: DataFrame) -> DataFrame:
         lf = lf.withColumn(
@@ -445,3 +454,40 @@ def salted_join(
     r_hot = right.filter(F.col(first_key).isin(hot))
     plain = l_cold.join(right, on=keys, how=how)
     return _salted(l_hot, r_hot).unionByName(plain)
+
+
+def detect_hot_keys(
+    probe: DataFrame,
+    key: str,
+    sample_fraction: float = 0.02,
+    factor: float = 2.0,
+    max_keys: int = 100,
+    min_sampled_rows: int = 8,
+) -> list:
+    """Heavy-hitter probe for :func:`salted_join`'s ``hot_keys``: key
+    values whose estimated share of the probe side exceeds ``factor``
+    × the fair per-reducer share (1 / shuffle partitions).
+
+    Cost: one column-pruned aggregation over a ``sample_fraction``
+    sample — at 100 TB this reads ~2% of one column, trivial next to
+    the join it tunes. Sampling is SAFE BY CONSTRUCTION here: salting
+    any key set (or none) leaves salted_join's result unchanged, so a
+    missed borderline key only costs the straggler it would have
+    split, never correctness. ``min_sampled_rows`` floors the call so
+    tiny samples cannot promote noise; the result is capped at
+    ``max_keys`` (the ``isin`` filter broadcasts it into the plan)."""
+    spark = probe.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    s = probe.select(key).sample(fraction=sample_fraction, seed=42)
+    counts = s.groupBy(key).agg(F.count(F.lit(1)).alias("_c"))
+    n = counts.agg(F.sum("_c")).first()[0] or 0
+    if not n:
+        return []
+    cutoff = max(factor * n / parts, float(min_sampled_rows))
+    top = (
+        counts.filter(F.col("_c") >= cutoff)
+        .orderBy(F.col("_c").desc())
+        .limit(max_keys)
+        .collect()
+    )
+    return [r[key] for r in top]
