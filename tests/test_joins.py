@@ -343,3 +343,26 @@ def test_scd2_apply_rejects_duplicate_batch_keys(spark):
     )
     with _pytest.raises(ValueError, match="duplicate"):
         scd2_apply(dim, dup, "k", ["seg"])
+
+
+def test_exclusion_join_auto_strategy_picks_plan_by_skew(spark):
+    """strategy='auto': a PK-like input keeps the single-shuffle union
+    plan (no Join operator); a pathologically duplicated key routes to
+    the anti-join plan (AQE-splittable). Results match the explicit
+    strategies either way."""
+    from yc_yq_airflow_etl_spark.operators.joins import exclusion_join
+
+    pk_l = spark.range(0, 3000).selectExpr("id as k", "id as v")
+    pk_r = spark.range(1000, 4000).selectExpr("id as k", "id as v")
+    flat = exclusion_join(pk_l, pk_r, ["k"], strategy="auto")
+    assert "Join" not in flat._jdf.queryExecution().executedPlan().toString()
+    assert flat.count() == 2000  # 0-999 left-only + 3000-3999 right-only
+
+    hot_l = spark.createDataFrame(
+        [(7, i) for i in range(30_000)] + [(1, 1)], "k long, v long"
+    )
+    hot_r = spark.createDataFrame([(2, 2)], "k long, v long")
+    skewed = exclusion_join(hot_l, hot_r, ["k"], strategy="auto")
+    plan = skewed._jdf.queryExecution().executedPlan().toString()
+    assert "Anti" in plan  # skew detected -> anti-join formulation
+    assert skewed.count() == 30_002  # everything is unmatched here

@@ -459,3 +459,24 @@ def test_concurrent_merges_one_wins_one_conflicts(spark, stats_table):
     assert got[1 if winner == "a" else 2] == (-1 if winner == "a" else -2)
     # the loser's key is untouched
     assert got[2 if winner == "a" else 1] == (4 if winner == "a" else 2)
+
+
+def test_maybe_compact_policy(spark, table):
+    """maybe_compact fires only past the file-count threshold and is a
+    metadata-only no-op below it."""
+    table.overwrite(_df(spark, 0, 10))
+    for lo in range(10, 60, 10):
+        table.append(_df(spark, lo, lo + 10))
+    v = table.current_version(spark)
+    n_files = len(table._manifest(spark, v)["files"])
+    assert n_files >= 6
+    # below threshold: no new commit
+    assert table.maybe_compact(spark, max_files=100) is None
+    assert table.current_version(spark) == v
+    # above threshold: one compaction commit, data intact
+    new_v = table.maybe_compact(spark, max_files=4, target_files=2)
+    assert new_v == v + 1
+    assert len(table._manifest(spark, new_v)["files"]) <= 2
+    assert table.read(spark).count() == 60
+    # idempotent afterwards
+    assert table.maybe_compact(spark, max_files=4) is None

@@ -50,11 +50,31 @@ def exclusion_join(
     aggregates are partial-combined and skew-split). Both are pinned
     equal to this path under 10⁴-duplicate keys by a property test.
 
+    ``strategy='auto'``: a 2% sampled per-key count over the union of
+    both key projections decides — any key whose estimated multiset
+    share exceeds twice the fair per-reducer share routes to 'anti'
+    (AQE-splittable joins), otherwise the single-shuffle 'union' plan.
+    Safe by construction: both strategies are result-equivalent
+    (property-pinned), the probe only picks the physical plan.
+
     Columns of the result = the union of both inputs' columns (inputs
     are union-compatible in YQL usage). ``tag_column`` adds
     'left'/'right' provenance.
     """
     keys = list(on)
+    if strategy == "auto":
+        u_keys = left.select(*keys).unionByName(right.select(*keys))
+        s = u_keys.sample(fraction=0.02, seed=42).groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        mx = s.agg(F.max("_c").alias("m"), F.sum("_c").alias("n")).first()
+        parts = int(
+            left.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        hot = bool(
+            mx["m"] and mx["n"] and mx["m"] > max(2.0 * mx["n"] / parts, 8.0)
+        )
+        strategy = "anti" if hot else "union"
     if strategy == "anti":
         l_only = left.join(right, on=keys, how="left_anti")
         r_only = right.join(left, on=keys, how="left_anti")

@@ -624,6 +624,26 @@ class ManifestTable:
 
     # -- maintenance -----------------------------------------------------
 
+    def maybe_compact(
+        self,
+        spark: SparkSession,
+        max_files: int = 64,
+        target_files: int = 8,
+    ) -> int | None:
+        """Small-file maintenance policy: compact only when the live
+        snapshot references more than ``max_files`` files (a streaming
+        sink committing one file per micro-batch crosses this in
+        minutes). The threshold check is one manifest read — metadata
+        only — so this is safe to call after every commit; returns the
+        new version, or None when below threshold. Old files remain
+        until :meth:`vacuum` retires them."""
+        v = self.current_version(spark)
+        if v is None:
+            return None
+        if len(self._manifest(spark, v)["files"]) <= max_files:
+            return None
+        return self.compact(spark, target_files=target_files)
+
     def vacuum(self, spark: SparkSession, keep_versions: int = 1) -> list[str]:
         """Delete data files referenced ONLY by manifests older than
         the newest ``keep_versions`` snapshots (plus stray uncommitted
