@@ -381,6 +381,13 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no Python stage (pure higher-order functions)",
          "!ArrowEvalPython"),
     ],
+    "unigram_logprob_scores": [
+        ("token frequencies partially aggregated before the exchange",
+         r"partial_count"),
+        ("corpus total rides a broadcast, never a driver collect",
+         r"BroadcastExchange"),
+        ("per-doc rollup partially aggregated", r"partial_avg|partial_count"),
+    ],
     "token_packing_bins": [
         ("prefix sum partitioned by lang — no single-partition window",
          "!Exchange SinglePartition"),

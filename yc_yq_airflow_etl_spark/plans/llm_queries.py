@@ -21,6 +21,7 @@ from ..functions.text import (
     normalize_text,
     rolling_fingerprint,
     token_count,
+    tokenize,
 )
 from ..operators.dedup import (
     embedding_cosine_dupes,
@@ -792,6 +793,59 @@ WITH d AS (
 SELECT lang, bin, count(*) AS n_docs,
        CAST(sum(n_tok) AS BIGINT) AS bin_tokens
 FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality proxy — the unigram version of the
+    KenLM-perplexity filter production corpus pipelines run: score
+    each document by the mean log-probability of its tokens under the
+    corpus's own unigram distribution (low = rare-token-dense: OCR
+    noise, codes, gibberish; filters threshold the tail).
+
+    Shape at scale: token frequencies are ONE partial-aggregated
+    shuffle of the exploded corpus; the corpus-total is a 1-row frame
+    cross-joined (broadcast) rather than a driver collect; the
+    score-back join hits the frequency table on the token key (AQE
+    broadcasts it — a natural-language vocabulary is sublinear in
+    corpus size). Rounded to 6 decimals on both engines so last-ulp
+    ln/avg differences cannot hash-mismatch."""
+    t = load_testdata(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id", F.explode(tokenize("text")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
+    total = freq.agg(F.sum("_c").alias("_n"))
+    return (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("_c") / F.col("_n"))), 6
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+UNIGRAM_LOGPROB_ORACLE = r"""
+WITH t AS (
+    SELECT doc_id,
+           unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ',
+                                              'g'), ' ')) AS tok
+    FROM documents
+), f AS (
+    SELECT tok, count(*) AS c FROM t GROUP BY 1
+), n AS (
+    SELECT sum(c) AS nn FROM f
+)
+SELECT doc_id,
+       CAST(count(*) AS INTEGER) AS n_tokens,
+       round(avg(ln(CAST(c AS DOUBLE) / nn)), 6) AS avg_logprob
+FROM t JOIN f USING (tok), n
+GROUP BY doc_id ORDER BY doc_id
 """
 
 
@@ -1717,6 +1771,9 @@ def register_all() -> None:
     register("text_stats", text_stats, TEXT_STATS_ORACLE)
     register("doc_repetition_stats", doc_repetition_stats, DOC_REPETITION_ORACLE)
     register("token_packing_bins", token_packing_bins, TOKEN_PACKING_ORACLE)
+    register(
+        "unigram_logprob_scores", unigram_logprob_scores, UNIGRAM_LOGPROB_ORACLE
+    )
     register("text_boilerplate_stats", text_boilerplate_stats, BOILERPLATE_ORACLE)
     register("tfidf_top_terms", tfidf_top_terms, TFIDF_ORACLE)
     register("lang_id_eval", lang_id_eval, LANG_ID_ORACLE)
