@@ -446,7 +446,7 @@ def salted_join(
     first_key = keys[0]
     if isinstance(hot_keys, str):
         if hot_keys != "auto":
-            raise ValueError(f"hot_keys must be a sequence, None, or 'auto'")
+            raise ValueError("hot_keys must be a sequence, None, or 'auto'")
         hot_keys = detect_hot_keys(left, first_key)
         if not hot_keys:
             return left.join(right, on=keys, how=how)  # no skew: no salting
