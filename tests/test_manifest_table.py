@@ -480,3 +480,31 @@ def test_maybe_compact_policy(spark, table):
     assert table.read(spark).count() == 60
     # idempotent afterwards
     assert table.maybe_compact(spark, max_files=4) is None
+
+
+def test_history_and_timestamp_time_travel(spark, table):
+    """DESCRIBE HISTORY + AS OF TIMESTAMP: the commit log lists every
+    valid snapshot newest-first, and timestamp resolution returns the
+    snapshot that was current at that moment."""
+    import time as _t
+
+    table.overwrite(_df(spark, 0, 100))
+    t_after_v0 = _t.time()
+    _t.sleep(0.05)
+    table.append(_df(spark, 100, 150))
+    _t.sleep(0.05)
+    t_after_v1 = _t.time()
+    _t.sleep(0.05)
+    table.append(_df(spark, 150, 160))
+
+    h = table.history(spark)
+    assert [e["version"] for e in h] == [2, 1, 0]
+    assert [e["op"] for e in h] == ["append", "append", "overwrite"]
+    assert h[-1]["rows"] == 100 and h[0]["rows"] == 160
+    assert all(e["committed_at"] is not None for e in h)
+
+    assert table.version_as_of(spark, t_after_v0) == 0
+    assert table.read_as_of(spark, t_after_v1).count() == 150
+    assert table.read_as_of(spark, _t.time()).count() == 160
+    with pytest.raises(FileNotFoundError, match="at or before"):
+        table.version_as_of(spark, h[-1]["committed_at"] - 10.0)

@@ -458,6 +458,55 @@ class ManifestTable:
             *[f"{self.path}/data/{f}" for f in manifest["files"]]
         )
 
+    def history(self, spark: SparkSession) -> list[dict]:
+        """Commit log, newest first — the DESCRIBE HISTORY surface:
+        one entry per valid committed snapshot with (version, op,
+        rows, n_files, committed_at). Metadata-only (reads manifests);
+        vacuumed or torn versions are simply absent."""
+        latest = self.current_version(spark)
+        if latest is None:
+            return []
+        out = []
+        for v in range(latest, -1, -1):
+            m = self._try_manifest(spark, v)
+            if m is not None:
+                out.append(
+                    {
+                        "version": v,
+                        "op": m.get("op"),
+                        "rows": m.get("rows"),
+                        "n_files": len(m.get("files", [])),
+                        "committed_at": m.get("committed_at"),
+                    }
+                )
+        return out
+
+    def version_as_of(self, spark: SparkSession, ts) -> int:
+        """Newest version committed at or before ``ts`` (datetime or
+        epoch seconds) — Delta's AS OF TIMESTAMP resolution, against
+        the commit times the manifests already record. Raises when the
+        table has no commit that old (or it was vacuumed away)."""
+        from datetime import datetime
+
+        t = ts.timestamp() if isinstance(ts, datetime) else float(ts)
+        best = None
+        for entry in self.history(spark):
+            at = entry.get("committed_at")
+            if at is not None and float(at) <= t:
+                best = entry["version"]
+                break  # history is newest-first: first hit is the answer
+        if best is None:
+            raise FileNotFoundError(
+                f"no snapshot at {self.path} committed at or before {ts!r} "
+                "(older than the first commit, or vacuumed)"
+            )
+        return best
+
+    def read_as_of(self, spark: SparkSession, ts) -> DataFrame:
+        """Time travel by timestamp: the snapshot that was current at
+        ``ts``."""
+        return self.read(spark, version=self.version_as_of(spark, ts))
+
     def _count(self, spark: SparkSession, files: list[str]) -> int:
         if not files:
             return 0
