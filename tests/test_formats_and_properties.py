@@ -4,6 +4,8 @@ exclusion join (the operator whose null/float subtleties SURVEY.md
 
 from __future__ import annotations
 
+from collections import Counter
+
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -149,3 +151,77 @@ def test_exclusion_strategies_agree(spark, left, right):
         ).collect()
     )
     assert union_rows == anti_rows
+
+
+# --- hypothesis: SCD2 apply vs a pure-Python model ----------------------
+
+_scd_dims = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),            # key
+        st.one_of(st.none(), st.sampled_from("ABC")),     # nullable attr
+        st.integers(min_value=0, max_value=3),            # n closed versions
+        st.booleans(),                                    # has open row
+    ),
+    min_size=0,
+    max_size=6,
+    unique_by=lambda t: t[0],
+)
+_scd_updates = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),            # key (may be new)
+        st.one_of(st.none(), st.sampled_from("ABC")),     # nullable attr
+    ),
+    min_size=0,
+    max_size=6,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(dims=_scd_dims, updates=_scd_updates)
+def test_scd2_apply_matches_model(spark, dims, updates):
+    """Model-based property: scd2_apply over random dimensions
+    (nullable attrs, arbitrary history depth, keys with and without an
+    open row) equals a pure-Python replay of the disposition rules —
+    including the null-safe attr comparison and insert-for-closed-only
+    keys (a key whose versions are ALL closed gets a fresh open row)."""
+    from datetime import datetime
+
+    from yc_yq_airflow_etl_spark.operators.scd import scd2_apply
+
+    t0 = datetime(2020, 1, 1)
+    eff = datetime(2021, 6, 1)
+    dim_rows, model = [], []
+    for k, attr, n_closed, has_open in dims:
+        for i in range(n_closed):
+            r = (k, attr, datetime(2019, 1 + i, 1), t0)
+            dim_rows.append(r)
+            model.append(r)  # closed history always carries
+        if has_open:
+            dim_rows.append((k, attr, t0, None))
+    open_map = {k: attr for k, attr, _, has in dims if has}
+    open_keys = set(open_map)
+    for k, attr in updates:
+        if k in open_keys:
+            if open_map[k] == attr:           # identical: no-op
+                model.append((k, attr, t0, None))
+            else:                             # changed: close + reopen
+                model.append((k, open_map[k], t0, eff))
+                model.append((k, attr, eff, None))
+        else:                                 # unseen or closed-only key
+            model.append((k, attr, eff, None))
+    for k in open_keys - {k for k, _ in updates}:
+        model.append((k, open_map[k], t0, None))  # untouched open rows
+
+    schema = "k int, seg string, valid_from timestamp, valid_to timestamp"
+    dim = spark.createDataFrame(dim_rows, schema)
+    upd = spark.createDataFrame(
+        [(k, a, eff) for k, a in updates], "k int, seg string, eff_ts timestamp"
+    )
+    got = Counter(tuple(r) for r in scd2_apply(dim, upd, "k", ["seg"]).collect())
+    want = Counter(model)
+    assert got == want
