@@ -1876,6 +1876,36 @@ ORDER BY version
 """
 
 
+def manifest_history_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The commit-log surface (``ManifestTable.history`` — DESCRIBE
+    HISTORY) made driver-checkable over the deterministic three-commit
+    demo table: operation kinds and per-snapshot row counts must match
+    the oracle's closed-form replay of the same year slices. The log
+    itself is manifest metadata (bounded by version count), so the
+    createDataFrame here is metadata-scale, not a data collect."""
+    from ..sources.manifest import ManifestTable
+
+    mt = ManifestTable(ensure_manifest_demo(spark, sf_dir))
+    h = mt.history(spark)
+    return spark.createDataFrame(
+        [(e["version"], e["op"], int(e["rows"])) for e in h],
+        "version int, op string, n_rows bigint",
+    ).orderBy("version")
+
+
+MANIFEST_HISTORY_ORACLE = """
+SELECT 0 AS version, 'overwrite' AS op,
+       (SELECT count(*) FROM lineitem WHERE year(l_shipdate) < 1997) AS n_rows
+UNION ALL
+SELECT 1, 'append',
+       (SELECT count(*) FROM lineitem WHERE year(l_shipdate) <= 1997)
+UNION ALL
+SELECT 2, 'append',
+       (SELECT count(*) FROM lineitem WHERE year(l_shipdate) <= 1998)
+ORDER BY version
+"""
+
+
 def manifest_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write MERGE made driver-checkable (sources/manifest.py
     ``ManifestTable.merge``): commit orders as four orderkey-quartile
@@ -3116,6 +3146,9 @@ def register_all() -> None:
         "manifest_merge_upsert",
         manifest_merge_upsert,
         MANIFEST_MERGE_UPSERT_ORACLE,
+    )
+    register(
+        "manifest_history_ops", manifest_history_ops, MANIFEST_HISTORY_ORACLE
     )
     register("event_sessionization", event_sessionization, SESSIONIZATION_ORACLE)
     register("bucketed_join_revenue", bucketed_join_revenue, BUCKETED_JOIN_ORACLE)
