@@ -508,3 +508,32 @@ def test_history_and_timestamp_time_travel(spark, table):
     assert table.read_as_of(spark, _t.time()).count() == 160
     with pytest.raises(FileNotFoundError, match="at or before"):
         table.version_as_of(spark, h[-1]["committed_at"] - 10.0)
+
+
+def test_bucket_transform_pruning(spark, tmp_path):
+    """Iceberg-style bucket metadata: files written bucket-clustered
+    record singleton bucket sets, and an equality probe keeps exactly
+    the one file whose set holds the probe's bucket — the pruning
+    min/max ranges cannot give when key values interleave."""
+    mt = ManifestTable(str(tmp_path / "mb"), bucket_cols=(("id", 8),))
+    base = spark.range(0, 400).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    bexpr = F.pmod(F.xxhash64(F.col("id").cast("bigint")), F.lit(8))
+    for i in range(8):
+        part = base.filter(bexpr == i).coalesce(1)
+        (mt.overwrite if i == 0 else mt.append)(part)
+    m = mt._manifest(spark, mt.current_version(spark))
+    assert len(m["files"]) == 8
+    sets = [m["stats"][f]["bucket:id"] for f in m["files"]]
+    assert all(len(s) <= 1 for s in sets)  # clustered: one bucket per file
+
+    kept = mt.pruned_files_eq(spark, "id", 123)
+    assert len(kept) == 1  # id=123's own bucket is nonempty by definition
+    got = mt.read_where_eq(spark, "id", 123).collect()
+    assert [(r.id, r.v) for r in got] == [(123, 246)]
+    # a value outside the data still reads correctly (bucket superset,
+    # exact predicate empties it)
+    assert mt.read_where_eq(spark, "id", 100_000).count() == 0
+    # range stats absent -> plain pruned_files keeps everything
+    assert len(mt.pruned_files(spark, "id", 0, 10)) == 8
+    with pytest.raises(ValueError, match="bucket probe"):
+        mt.bucket_of(spark, "id", [1])

@@ -369,6 +369,14 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("read pruned to the three referenced columns",
          "!ReadSchema: [^\n]*o_custkey"),
     ],
+    "manifest_bucket_pruned_scan": [
+        # bucket skipping happened at PLAN TIME (1 of 8 files in the
+        # scan); the residual equality still reaches the parquet reader
+        ("equality predicate pushed into the kept file's scan",
+         r"PushedFilters: \[[^\]]*EqualTo\(o_custkey"),
+        ("aggregate partial before the single-row exchange",
+         r"partial_(sum|count)"),
+    ],
     "scd2_customer_history": [
         ("update batches broadcast against the open slice",
          r"BroadcastHashJoin"),

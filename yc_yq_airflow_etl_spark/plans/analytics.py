@@ -1876,6 +1876,102 @@ ORDER BY version
 """
 
 
+_MANIFEST_BUCKET_DEMO_CACHE: dict[str, str] = {}
+
+
+def ensure_manifest_bucket_demo(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per dataset generation) a BUCKET-CLUSTERED
+    ManifestTable: orders committed as 8 files, one per
+    xxhash64(o_custkey) % 8 bucket, with each file's bucket set
+    recorded in the manifest — the layout under the bucket-pruned
+    scan query below."""
+    import os
+    import tempfile
+
+    from ..sources.manifest import ManifestTable
+
+    key = os.path.abspath(sf_dir)
+    cached = _MANIFEST_BUCKET_DEMO_CACHE.get(key)
+    if cached is not None:
+        return cached
+    tag = data_tag(sf_dir, "orders")
+    path = os.path.join(tempfile.gettempdir(), f"manifest_bucket_demo_{tag}")
+    mt = ManifestTable(path, bucket_cols=(("o_custkey", 8),))
+
+    def _complete() -> bool:
+        v = mt.current_version(spark)
+        if v is None:
+            return False
+        try:
+            m = mt._manifest(spark, v)
+        except Exception:
+            return False
+        files = m.get("files", [])
+        stats = m.get("stats", {})
+        return len(files) == 8 and all(
+            stats.get(f, {}).get("bucket:o_custkey") is not None for f in files
+        )
+
+    if not _complete():
+        o = load_testdata(spark, sf_dir)["orders"].select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        bexpr = F.pmod(F.xxhash64(F.col("o_custkey").cast("bigint")), F.lit(8))
+        for i in range(8):
+            part = o.filter(bexpr == i).coalesce(1)
+            (mt.overwrite if i == 0 else mt.append)(part)
+    _MANIFEST_BUCKET_DEMO_CACHE[key] = path
+    return path
+
+
+def manifest_bucket_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKET-transform data skipping made driver-checkable (the
+    equality-probe layer of the skipping stack, next to
+    manifest_stats_pruned_scan's range layer): an equality probe on
+    the bucket-clustered table must (a) keep exactly ONE of the eight
+    files — emitted as data, pinned by the oracle literal; a regression
+    to "keep all" flips it to 8 — and (b) aggregate to the same
+    rows/sum the oracle computes from raw orders with the same
+    predicate. Range min/max could not prune this layout: every file
+    spans nearly the full custkey range (hash interleaving), which is
+    exactly the case bucket metadata exists for."""
+    from ..sources.manifest import ManifestTable
+
+    mt = ManifestTable(
+        ensure_manifest_bucket_demo(spark, sf_dir),
+        bucket_cols=(("o_custkey", 8),),
+    )
+    o = load_testdata(spark, sf_dir)["orders"]
+    m = int(o.agg(F.max("o_custkey")).first()[0])
+    probe = max(1, m // 3)
+    manifest = mt._manifest(spark, mt.current_version(spark))
+    kept = mt.pruned_files_eq(spark, "o_custkey", probe)
+    return (
+        mt.read_where_eq(spark, "o_custkey", probe)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
+        .select(
+            F.lit(len(manifest["files"])).alias("n_files_total"),
+            F.lit(len(kept)).alias("n_files_kept"),
+            "n_rows",
+            "sum_price",
+        )
+    )
+
+
+MANIFEST_BUCKET_PRUNED_ORACLE = """
+WITH b AS (SELECT max(o_custkey) AS m FROM orders)
+SELECT 8 AS n_files_total,
+       1 AS n_files_kept,
+       count(*) AS n_rows,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders, b
+WHERE o_custkey = greatest(m // 3, 1)
+"""
+
+
 def manifest_history_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The commit-log surface (``ManifestTable.history`` — DESCRIBE
     HISTORY) made driver-checkable over the deterministic three-commit
@@ -3149,6 +3245,11 @@ def register_all() -> None:
     )
     register(
         "manifest_history_ops", manifest_history_ops, MANIFEST_HISTORY_ORACLE
+    )
+    register(
+        "manifest_bucket_pruned_scan",
+        manifest_bucket_pruned_scan,
+        MANIFEST_BUCKET_PRUNED_ORACLE,
     )
     register("event_sessionization", event_sessionization, SESSIONIZATION_ORACLE)
     register("bucketed_join_revenue", bucketed_join_revenue, BUCKETED_JOIN_ORACLE)

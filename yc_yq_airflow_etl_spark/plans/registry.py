@@ -65,6 +65,7 @@ _FRONT: tuple[str, ...] = (
     "scd2_customer_history",
     "unigram_logprob_scores",
     "manifest_history_ops",
+    "manifest_bucket_pruned_scan",
     # green in r3, cut from the r4 window by the 50-row cap
     "multimodal_ppm_features",
     "asof_click_purchase_bucketed",

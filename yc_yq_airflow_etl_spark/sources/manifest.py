@@ -71,6 +71,35 @@ _MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
 _STATS_TYPES = {"tinyint", "smallint", "int", "bigint", "float", "double", "string"}
 
 
+def _bucket_canon_type(dtype: str | None, col: str) -> str:
+    """Canonical hash-input type for a bucket column: integer widths
+    all hash as bigint, floats as double, strings as-is — so the probe
+    side (hashing a Python literal) and the commit side (hashing the
+    column) always feed xxhash64 identical bytes."""
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        return "bigint"
+    if dtype in ("float", "double"):
+        return "double"
+    if dtype == "string":
+        return "string"
+    raise ValueError(
+        f"bucket column {col!r} has type {dtype} — only integer, "
+        "float/double, and string columns bucket deterministically"
+    )
+
+
+def _bucket_canon_type_of_value(value) -> str:
+    if isinstance(value, bool):
+        raise ValueError("bucket probes on booleans are not supported")
+    if isinstance(value, int):
+        return "bigint"
+    if isinstance(value, float):
+        return "double"
+    if isinstance(value, str):
+        return "string"
+    raise ValueError(f"unsupported bucket probe type: {type(value).__name__}")
+
+
 class ConcurrentWriteError(RuntimeError):
     """A conditional commit found the snapshot advanced past the
     version it was computed against — the caller must re-run against
@@ -90,6 +119,17 @@ class ManifestTable:
     # touched-file selection — at 100 TB the difference between a
     # metadata decision and a full-table scan. Numeric/string only.
     stat_cols: tuple[str, ...] = ()
+    # Iceberg-style BUCKET transform metadata: {col: n_buckets}. Each
+    # commit records, per file, the SET of xxhash64-derived bucket
+    # values present for the column (bounded by n_buckets — metadata-
+    # scale). An equality probe then keeps only files whose set holds
+    # the probe's bucket (`pruned_files_eq`/`read_where_eq`) — the
+    # pruning min/max ranges cannot give for high-cardinality keys
+    # whose values interleave across files. Effective when the writer
+    # clusters files by the same bucket function (the usual layout for
+    # bucketed tables); harmless (prunes nothing) when it does not.
+    # Tuple-of-pairs (not a dict) keeps the frozen dataclass hashable.
+    bucket_cols: tuple[tuple[str, int], ...] = ()
 
     # -- filesystem plumbing (Hadoop FS API — file://, hdfs://, s3a://) --
 
@@ -254,11 +294,14 @@ class ManifestTable:
     def _file_stats(
         self, spark: SparkSession, files: list[str]
     ) -> dict[str, dict[str, list]]:
-        """Per-file min/max of ``stat_cols`` for freshly-landed files:
-        ONE column-pruned Spark pass grouped by input_file_name (cost
+        """Per-file metadata for freshly-landed files in ONE
+        column-pruned Spark pass grouped by input_file_name (cost
         scales with the NEW files only — carried-forward files keep
-        their recorded stats). Returns {} when stat_cols is unset."""
-        if not self.stat_cols or not files:
+        their recorded stats): min/max for ``stat_cols``, and for
+        ``bucket_cols`` the bounded set of bucket values present
+        (recorded under a ``bucket:<col>`` key so it can never collide
+        with a range entry). Returns {} when neither is configured."""
+        if (not self.stat_cols and not self.bucket_cols) or not files:
             return {}
         from pyspark.sql import functions as F
 
@@ -275,6 +318,13 @@ class ManifestTable:
         for c in self.stat_cols:
             aggs.append(F.min(c).alias(f"_mn_{c}"))
             aggs.append(F.max(c).alias(f"_mx_{c}"))
+        for c, n in self.bucket_cols:
+            canon = _bucket_canon_type(types.get(c), c)
+            aggs.append(
+                F.collect_set(
+                    F.pmod(F.xxhash64(F.col(c).cast(canon)), F.lit(n))
+                ).alias(f"_bk_{c}")
+            )
         rows = (
             df.withColumn(
                 "_f", F.element_at(F.split(F.input_file_name(), "/"), -1)
@@ -293,8 +343,69 @@ class ManifestTable:
                 # instead of comparing None against real bounds
                 if mn is not None and mx is not None:
                     entry[c] = [mn, mx]
+            for c, _ in self.bucket_cols:
+                # empty set is VALID metadata: only-null files match no
+                # equality probe, pruning them is correct
+                entry[f"bucket:{c}"] = sorted(int(x) for x in r[f"_bk_{c}"])
             out[r["_f"]] = entry
         return out
+
+    def bucket_of(self, spark: SparkSession, col: str, value) -> int:
+        """The bucket a probe value hashes to — computed with the SAME
+        Spark expression the commit side records (xxhash64 over the
+        canonical type), so probe and metadata can never disagree on
+        hashing. One 1-row local job."""
+        from pyspark.sql import functions as F
+
+        n = dict(self.bucket_cols)[col]
+        canon = _bucket_canon_type_of_value(value)
+        row = (
+            spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(F.lit(value).cast(canon)), F.lit(n)).alias("b")
+            )
+            .first()
+        )
+        return int(row["b"])
+
+    def pruned_files_eq(
+        self,
+        spark: SparkSession,
+        col: str,
+        value,
+        version: int | None = None,
+    ) -> list[str]:
+        """BUCKET-transform data skipping for an equality probe: keep
+        only the snapshot's files whose recorded bucket set contains
+        the probe's bucket. Files without bucket metadata are kept
+        (conservative) — the result is always a correct superset of
+        the files holding ``col = value``."""
+        v = self.current_version(spark) if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.path}")
+        b = self.bucket_of(spark, col, value)
+        m = self._manifest(spark, v)
+        stats = m.get("stats", {})
+        out = []
+        for f in m["files"]:
+            bset = stats.get(f, {}).get(f"bucket:{col}")
+            if bset is None or b in bset:
+                out.append(f)
+        return out
+
+    def read_where_eq(self, spark: SparkSession, col: str, value) -> DataFrame:
+        """Equality read through bucket metadata: scan ONLY the files
+        `pruned_files_eq` keeps, then apply the exact predicate (the
+        bucket set is a superset filter, never the answer)."""
+        from pyspark.sql import functions as F
+
+        files = self.pruned_files_eq(spark, col, value)
+        if not files:
+            return self.read(spark).filter(F.lit(False))
+        df = spark.read.parquet(
+            *[f"{self.path}/data/{f}" for f in files]
+        )
+        return df.filter(F.col(col) == value)
 
     def _publish(
         self,
