@@ -537,3 +537,30 @@ def test_bucket_transform_pruning(spark, tmp_path):
     assert len(mt.pruned_files(spark, "id", 0, 10)) == 8
     with pytest.raises(ValueError, match="bucket probe"):
         mt.bucket_of(spark, "id", [1])
+
+
+def test_null_count_stats_and_is_null_pruning(spark, tmp_path):
+    """The stats triad's third leg: per-file null counts power IS NULL
+    skipping — files recorded null-free are pruned, a mixed file is
+    kept, and the read returns exactly the null rows."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    mt = ManifestTable(str(tmp_path / "mtn2"), stat_cols=("id",))
+    schema = StructType(
+        [StructField("id", LongType()), StructField("v", LongType())]
+    )
+    mt.overwrite(_ranged(spark, 0, 100))  # null-free file
+    mt.append(
+        spark.createDataFrame(
+            [(None, 7), (500, 8), (None, 9)], schema
+        ).coalesce(1)
+    )  # mixed file: 2 nulls
+    m = mt._manifest(spark, mt.current_version(spark))
+    counts = sorted(s["nulls:id"] for s in m["stats"].values())
+    assert counts == [0, 2]
+    kept = mt.pruned_files_null(spark, "id")
+    assert len(kept) == 1  # the null-free file is skipped
+    got = mt.read_where_null(spark, "id").collect()
+    assert sorted(r.v for r in got) == [7, 9]
+    # range pruning is unaffected by the extra stat keys
+    assert len(mt.pruned_files(spark, "id", 10, 20)) == 1

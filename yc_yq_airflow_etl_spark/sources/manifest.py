@@ -318,6 +318,9 @@ class ManifestTable:
         for c in self.stat_cols:
             aggs.append(F.min(c).alias(f"_mn_{c}"))
             aggs.append(F.max(c).alias(f"_mx_{c}"))
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("int")).alias(f"_nn_{c}")
+            )
         for c, n in self.bucket_cols:
             canon = _bucket_canon_type(types.get(c), c)
             aggs.append(
@@ -343,6 +346,10 @@ class ManifestTable:
                 # instead of comparing None against real bounds
                 if mn is not None and mx is not None:
                     entry[c] = [mn, mx]
+                # null count completes the stats triad (ranges, buckets,
+                # nulls): IS NULL probes prune on it, and min/max alone
+                # cannot say whether a file HAS nulls
+                entry[f"nulls:{c}"] = int(r[f"_nn_{c}"] or 0)
             for c, _ in self.bucket_cols:
                 # empty set is VALID metadata: only-null files match no
                 # equality probe, pruning them is correct
@@ -392,6 +399,38 @@ class ManifestTable:
             if bset is None or b in bset:
                 out.append(f)
         return out
+
+    def pruned_files_null(
+        self, spark: SparkSession, col: str, version: int | None = None
+    ) -> list[str]:
+        """IS NULL data skipping: keep only files whose recorded null
+        count for ``col`` is positive (files without the stat are kept
+        conservatively). The mirror of range pruning for the predicate
+        min/max can never answer."""
+        v = self.current_version(spark) if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.path}")
+        m = self._manifest(spark, v)
+        stats = m.get("stats", {})
+        out = []
+        for f in m["files"]:
+            nn = stats.get(f, {}).get(f"nulls:{col}")
+            if nn is None or nn > 0:
+                out.append(f)
+        return out
+
+    def read_where_null(self, spark: SparkSession, col: str) -> DataFrame:
+        """IS NULL read through null-count metadata: scan only files
+        that record (or might hold) nulls, then apply the predicate."""
+        from pyspark.sql import functions as F
+
+        files = self.pruned_files_null(spark, col)
+        if not files:
+            return self.read(spark).filter(F.lit(False))
+        df = spark.read.parquet(
+            *[f"{self.path}/data/{f}" for f in files]
+        )
+        return df.filter(F.col(col).isNull())
 
     def read_where_eq(self, spark: SparkSession, col: str, value) -> DataFrame:
         """Equality read through bucket metadata: scan ONLY the files
