@@ -271,6 +271,88 @@ def test_salted_join_matches_plain_join_under_skew(spark):
         assert hot_split == plain, how
 
 
+def test_salted_join_null_heavy_keys_survive_auto(spark):
+    """Null join keys must never become 'hot keys': a None in the hot
+    list makes isin() NULL for every cold row, and NULL is not true,
+    so the pre-fix code dropped the entire cold slice. Fixture: nulls
+    dominate the left side (the common real-world skew), plus one
+    genuinely hot non-null key."""
+    from yc_yq_airflow_etl_spark.operators.joins import (
+        detect_hot_keys,
+        salted_join,
+    )
+
+    rows = (
+        [(None, i) for i in range(20_000)]  # null-heavy
+        + [(7, i) for i in range(15_000)]  # real hot key
+        + [(k, k) for k in range(200)]  # cold tail
+    )
+    left = spark.createDataFrame(rows, "k long, lv long")
+    right = spark.createDataFrame(
+        [(k, k * 10) for k in range(200)], "k long, rv long"
+    )
+
+    hot = detect_hot_keys(left, "k")
+    assert None not in hot
+    assert hot == [7]
+
+    from collections import Counter
+
+    for how in ("inner", "left"):
+        plain = Counter(
+            tuple(r) for r in left.join(right, on=["k"], how=how).collect()
+        )
+        auto = Counter(
+            tuple(r)
+            for r in salted_join(
+                left, right, ["k"], how=how, hot_keys="auto"
+            ).collect()
+        )
+        # An explicit None in the caller's list must be stripped, not
+        # poison the filters.
+        explicit = Counter(
+            tuple(r)
+            for r in salted_join(
+                left, right, ["k"], how=how, hot_keys=[None, 7]
+            ).collect()
+        )
+        only_none = Counter(
+            tuple(r)
+            for r in salted_join(
+                left, right, ["k"], how=how, hot_keys=[None]
+            ).collect()
+        )
+        assert auto == plain, how
+        assert explicit == plain, how
+        assert only_none == plain, how
+
+
+def test_salted_join_tolerates_map_columns(spark):
+    """xxhash64 refuses MapType; the deterministic salt must skip
+    unhashable columns instead of raising (regression: the rand-based
+    salt worked on any schema)."""
+    from yc_yq_airflow_etl_spark.operators.joins import salted_join
+
+    left = spark.range(100).selectExpr(
+        "id % 5 k", "id lv", "map('a', id) props"
+    )
+    right = spark.range(5).selectExpr("id k", "id * 10 rv")
+    plain = sorted(
+        (r.k, r.lv, dict(r.props), r.rv)
+        for r in left.join(right, on=["k"], how="inner").collect()
+    )
+    salted = sorted(
+        (r.k, r.lv, dict(r.props), r.rv)
+        for r in salted_join(left, right, ["k"]).collect()
+    )
+    hot_split = sorted(
+        (r.k, r.lv, dict(r.props), r.rv)
+        for r in salted_join(left, right, ["k"], hot_keys=[3]).collect()
+    )
+    assert salted == plain
+    assert hot_split == plain
+
+
 def test_salted_join_rejects_outer_sides(spark):
     from yc_yq_airflow_etl_spark.operators.joins import salted_join
 

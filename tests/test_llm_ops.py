@@ -472,13 +472,17 @@ def test_topk_join_guard_rejects_unbroadcastable_right(spark):
     df = spark.range(30).selectExpr(
         "id as vec_id", "array(cast(id as float), 1.0f) as embedding"
     )
+    # 'error' is the DEFAULT: exact contract, no silent approximation
+    with pytest.raises(ValueError, match="topk_join_blocked"):
+        topk_join(df, df, k=1, broadcast_limit=10)
     with pytest.raises(ValueError, match="topk_join_blocked"):
         topk_join(df, df, k=1, broadcast_limit=10, oversize="error")
 
 
 def test_topk_join_auto_falls_back_to_blocked_past_limit(spark):
-    """An over-limit right side must route to the sketch-blocked path
-    (no broadcast) by default instead of raising — and on clustered
+    """With the explicit opt-in oversize='blocked', an over-limit
+    right side must route to the sketch-blocked path (no broadcast,
+    with a RuntimeWarning) instead of raising — and on clustered
     vectors the fallback's answer equals the exact broadcast one."""
     import math
 
@@ -495,7 +499,10 @@ def test_topk_join_auto_falls_back_to_blocked_past_limit(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
     exact = topk_join(df, df, k=2)  # 15 rows < default limit: broadcast
-    fallen = topk_join(df, df, k=2, broadcast_limit=5)  # forced fallback
+    with pytest.warns(RuntimeWarning, match="recall-bounded"):
+        fallen = topk_join(
+            df, df, k=2, broadcast_limit=5, oversize="blocked"
+        )  # forced, explicitly-opted-in fallback
     e = sorted(map(tuple, exact.select("id_a", "id_b", "cosine").collect()))
     f = sorted(map(tuple, fallen.select("id_a", "id_b", "cosine").collect()))
     assert e == f

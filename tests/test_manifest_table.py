@@ -539,6 +539,96 @@ def test_bucket_transform_pruning(spark, tmp_path):
         mt.bucket_of(spark, "id", [1])
 
 
+def test_bucket_probe_promotes_to_column_type(spark, tmp_path):
+    """The bucket hash canonicalizes on the COLUMN's type, not the
+    probe's Python type (Iceberg literal promotion): an int probe
+    against a double column must hash the recorded double bytes —
+    pre-fix it hashed bigint bytes and could prune the file that
+    actually holds the matching rows."""
+    mt = ManifestTable(str(tmp_path / "mbp"), bucket_cols=(("x", 8),))
+    base = spark.range(0, 400).selectExpr(
+        "cast(id as double) x", "id * 2 v"
+    )
+    bexpr = F.pmod(F.xxhash64(F.col("x").cast("double")), F.lit(8))
+    for i in range(8):
+        part = base.filter(bexpr == i).coalesce(1)
+        (mt.overwrite if i == 0 else mt.append)(part)
+
+    # int probe on a double column: must find exactly the row x=123.0
+    got = mt.read_where_eq(spark, "x", 123).collect()
+    assert [(r.x, r.v) for r in got] == [(123.0, 246)]
+    # float probe, same row
+    got_f = mt.read_where_eq(spark, "x", 123.0).collect()
+    assert [(r.x, r.v) for r in got_f] == [(123.0, 246)]
+    # and the pruning itself is a correct non-trivial subset
+    assert len(mt.pruned_files_eq(spark, "x", 123)) == 1
+
+    # string probe against a numeric column is a caller bug: raise,
+    # never silently prune wrong
+    with pytest.raises(ValueError, match="incompatible"):
+        mt.bucket_of(spark, "x", "123")
+
+    # integer column: an integral float probe promotes; a fractional
+    # one can match no row and raises
+    mi = ManifestTable(str(tmp_path / "mbi"), bucket_cols=(("id", 8),))
+    mi.overwrite(spark.range(0, 50).selectExpr("id", "id * 2 v"))
+    assert mi.read_where_eq(spark, "id", 7.0).count() == 1
+    with pytest.raises(ValueError, match="matches no row"):
+        mi.bucket_of(spark, "id", 7.5)
+
+
+def test_compact_conflicts_with_concurrent_append(spark, table):
+    """compact() is CAS-committed like merge: a commit landing between
+    its snapshot read and its publish must fail the compaction (the
+    rewritten file list would silently drop the concurrent commit's
+    files and its last_batch_id high-water mark), and maybe_compact
+    must retry on the new base without losing either."""
+    from yc_yq_airflow_etl_spark.sources.manifest import ConcurrentWriteError
+
+    table.overwrite(_df(spark, 0, 50))
+    for i in range(3):
+        table.append(_df(spark, 50 + i * 10, 60 + i * 10), batch_id=i)
+    v = table.current_version(spark)
+    assert table.last_batch_id(spark) == 2
+
+    # force the race: advance the snapshot after compact has read v by
+    # intercepting the version check order — simplest deterministic
+    # interleaving is to run compact against a base we then move. The
+    # rebase closure re-reads current_version at publish time, so an
+    # append issued before publish is equivalent; emulate by wrapping
+    # _write_files to append mid-compact.
+    orig_write = type(table)._write_files
+    state = {"raced": False}
+
+    def racing_write(self_mt, df):
+        out = orig_write(self_mt, df)
+        if not state["raced"]:
+            state["raced"] = True
+            # concurrent writer lands an append AFTER compact's rewrite
+            # but BEFORE its publish
+            table.append(_df(spark, 900, 910), batch_id=7)
+        return out
+
+    import unittest.mock as mock
+
+    with mock.patch.object(type(table), "_write_files", racing_write):
+        with pytest.raises(ConcurrentWriteError, match="compact"):
+            table.compact(spark, target_files=2)
+
+    # nothing lost: the concurrent append's rows and HWM are intact
+    assert table.read(spark).count() == 90
+    assert table.last_batch_id(spark) == 7
+
+    # maybe_compact retries on the new base and succeeds (no further
+    # interleaving), preserving rows and the high-water mark
+    got = table.maybe_compact(spark, max_files=1, target_files=2)
+    assert got is not None
+    assert table.read(spark).count() == 90
+    assert table.last_batch_id(spark) == 7
+    m = table._manifest(spark, table.current_version(spark))
+    assert m["op"] == "compact" and len(m["files"]) <= 2
+
+
 def test_null_count_stats_and_is_null_pruning(spark, tmp_path):
     """The stats triad's third leg: per-file null counts power IS NULL
     skipping — files recorded null-free are pruned, a mixed file is

@@ -12,6 +12,21 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _hashable_type(dt: T.DataType) -> bool:
+    """Whether Spark's hash/xxhash64 accepts a column of this type.
+
+    MapType is rejected outright (undefined entry order), including
+    when nested inside a struct or array — recurse the whole dtype."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.StructType):
+        return all(_hashable_type(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _hashable_type(dt.elementType)
+    return True
 
 
 def exclusion_join(
@@ -452,9 +467,18 @@ def salted_join(
             return left.join(right, on=keys, how=how)  # no skew: no salting
 
     def _salted(lf: DataFrame, rt: DataFrame) -> DataFrame:
+        # Spark refuses to hash MapType (AnalysisException without the
+        # legacy flag), so the deterministic salt hashes only the
+        # hashable columns. Join keys are always hashable (maps are not
+        # equi-joinable), so the salt input is never empty; dropping a
+        # map column from the hash only coarsens salt spread for rows
+        # identical everywhere else, it cannot break correctness.
+        hashable = [
+            f.name for f in lf.schema.fields if _hashable_type(f.dataType)
+        ]
         lf = lf.withColumn(
             "_salt",
-            F.pmod(F.xxhash64(*[F.col(c) for c in lf.columns]), F.lit(salt)),
+            F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(salt)),
         )
         salts = F.broadcast(
             lf.sparkSession.range(salt).select(F.col("id").alias("_salt"))
@@ -466,7 +490,15 @@ def salted_join(
     if hot_keys is None:
         return _salted(left, right)
 
-    hot = [k for k in hot_keys]
+    # NULL is never a hot key here: a None in the list would make the
+    # isin() filters below evaluate to NULL for every non-matching row,
+    # silently dropping the whole cold slice. Null-keyed left rows are
+    # already routed to the cold path by the isNull() disjunct (where
+    # the plain join handles them per `how`), so stripping None loses
+    # nothing.
+    hot = [k for k in hot_keys if k is not None]
+    if not hot:
+        return left.join(right, on=keys, how=how)
     l_hot = left.filter(F.col(first_key).isin(hot))
     l_cold = left.filter(
         ~F.col(first_key).isin(hot) | F.col(first_key).isNull()
@@ -498,7 +530,16 @@ def detect_hot_keys(
     ``max_keys`` (the ``isin`` filter broadcasts it into the plan)."""
     spark = probe.sparkSession
     parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    s = probe.select(key).sample(fraction=sample_fraction, seed=42)
+    # Nulls are excluded up front: groupBy keeps the null group, and a
+    # None hot key would poison salted_join's isin() filters (NULL
+    # three-valued logic drops every cold row). Null-keyed rows never
+    # benefit from salting anyway — they join to nothing in an
+    # equi-join.
+    s = (
+        probe.select(key)
+        .filter(F.col(key).isNotNull())
+        .sample(fraction=sample_fraction, seed=42)
+    )
     counts = s.groupBy(key).agg(F.count(F.lit(1)).alias("_c"))
     n = counts.agg(F.sum("_c")).first()[0] or 0
     if not n:

@@ -455,25 +455,39 @@ def topk_join(
     left_id: str = "vec_id",
     right_id: str = "vec_id",
     broadcast_limit: int = 2_000_000,
-    oversize: str = "blocked",
+    oversize: str = "error",
 ) -> DataFrame:
     """All-pairs top-k join (each left row → its k nearest right
     rows): broadcast the smaller right side, window-rank per left id.
 
-    GUARDED WITH AUTO-FALLBACK: broadcast+crossJoin is correct only
-    while the right side is dim-sized. The guard counts the right side
-    (one column-pruned job — trivial next to the crossJoin it gates);
-    past ``broadcast_limit`` the call ROUTES ITSELF to
-    :func:`topk_join_blocked` (sketch-band shuffle join, no broadcast)
-    instead of OOMing an executor mid-broadcast at scale — same output
-    schema, recall governed by that operator's default (planes, bands)
-    rather than exact. Pass ``oversize='error'`` to fail loudly on the
-    driver when an approximate answer is unacceptable."""
+    GUARDED: broadcast+crossJoin is correct only while the right side
+    is dim-sized. The guard counts the right side (one column-pruned
+    job — trivial next to the crossJoin it gates); past
+    ``broadcast_limit`` the DEFAULT is to fail loudly on the driver
+    (``oversize='error'``) — this operator's contract is an EXACT
+    top-k, and silently degrading to an approximate answer would hand
+    callers recall-bounded results with no signal. Opt in with
+    ``oversize='blocked'`` to ROUTE to :func:`topk_join_blocked`
+    (sketch-band shuffle join, no broadcast) instead of OOMing an
+    executor mid-broadcast at scale — same output schema, recall
+    governed by that operator's defaults (planes, bands) rather than
+    exact; the routing is logged as a warning so the switch is never
+    silent."""
     from pyspark.sql import Window
 
     n_right = right.count()
     if n_right > broadcast_limit:
         if oversize == "blocked":
+            import warnings
+
+            warnings.warn(
+                f"topk_join right side has {n_right} rows (> "
+                f"broadcast_limit={broadcast_limit}); routing to the "
+                "APPROXIMATE sketch-blocked path (topk_join_blocked) — "
+                "results are recall-bounded, not exact",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             return topk_join_blocked(
                 left,
                 right,

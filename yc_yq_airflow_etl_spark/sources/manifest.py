@@ -357,15 +357,48 @@ class ManifestTable:
             out[r["_f"]] = entry
         return out
 
-    def bucket_of(self, spark: SparkSession, col: str, value) -> int:
+    def bucket_of(
+        self,
+        spark: SparkSession,
+        col: str,
+        value,
+        version: int | None = None,
+    ) -> int:
         """The bucket a probe value hashes to — computed with the SAME
         Spark expression the commit side records (xxhash64 over the
         canonical type), so probe and metadata can never disagree on
-        hashing. One 1-row local job."""
+        hashing. One 1-row local job.
+
+        The canonical type comes from the COLUMN's dtype in the
+        snapshot schema, not from the probe's Python type: an int
+        probe against a double column must hash the double bytes the
+        commit side recorded (Iceberg promotes the literal to the
+        column type before hashing for the same reason). An
+        incompatible probe (string vs numeric, or a fractional float
+        against an integer column — a predicate that can match no row)
+        raises rather than silently pruning wrong."""
         from pyspark.sql import functions as F
 
         n = dict(self.bucket_cols)[col]
-        canon = _bucket_canon_type_of_value(value)
+        v = self.current_version(spark) if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.path}")
+        dtype = dict(self.read(spark, version=v).dtypes).get(col)
+        canon = _bucket_canon_type(dtype, col)
+        probe_canon = _bucket_canon_type_of_value(value)
+        if (canon == "string") != (probe_canon == "string"):
+            raise ValueError(
+                f"bucket probe type {probe_canon} is incompatible with "
+                f"column {col!r} of type {dtype} — cast the probe to the "
+                "column's type"
+            )
+        if canon == "bigint" and probe_canon == "double":
+            if not float(value).is_integer():
+                raise ValueError(
+                    f"probe {value!r} can never equal a value of integer "
+                    f"column {col!r} — the predicate matches no row"
+                )
+            value = int(value)
         row = (
             spark.range(1)
             .select(
@@ -390,8 +423,10 @@ class ManifestTable:
         v = self.current_version(spark) if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed snapshot at {self.path}")
-        b = self.bucket_of(spark, col, value)
         m = self._manifest(spark, v)
+        if not m["files"]:
+            return []
+        b = self.bucket_of(spark, col, value, version=v)
         stats = m.get("stats", {})
         out = []
         for f in m["files"]:
@@ -566,7 +601,15 @@ class ManifestTable:
         commit. The OLD files stay on disk (still referenced by the
         previous manifest — readers mid-flight keep a complete table)
         until vacuum() retires them. This is the S3-safe version of
-        LakeTable.compact_partitions' directory swap."""
+        LakeTable.compact_partitions' directory swap.
+
+        Concurrency is compare-and-swap, same rule as :meth:`merge`:
+        the rewritten file list was computed against version ``v``, so
+        if any commit lands in between, publishing it would silently
+        drop that commit's files AND its ``last_batch_id`` high-water
+        mark (losing the HWM re-opens the streaming replay hole).
+        Raises :class:`ConcurrentWriteError` instead;
+        :meth:`maybe_compact` retries on the new base."""
         v = self.current_version(spark)
         df = self.read(spark, version=v).coalesce(target_files)
         files, _ = self._write_files(df)
@@ -581,9 +624,18 @@ class ManifestTable:
         stats = self._file_stats(spark, files)
         if stats:
             extra["stats"] = stats
-        return self._publish(
-            spark, files, self._count(spark, files), "compact", extra
-        )
+        rows = self._count(spark, files)
+
+        def rebase() -> tuple[list[str], int, dict]:
+            cur = self.current_version(spark)
+            if cur != v:
+                raise ConcurrentWriteError(
+                    f"compact computed against v{v} but the snapshot is "
+                    f"now v{cur} — re-run compaction on the new base"
+                )
+            return files, rows, extra
+
+        return self._publish(spark, [], 0, "compact", rebase=rebase)
 
     # -- read path -------------------------------------------------------
 
@@ -835,13 +887,25 @@ class ManifestTable:
         minutes). The threshold check is one manifest read — metadata
         only — so this is safe to call after every commit; returns the
         new version, or None when below threshold. Old files remain
-        until :meth:`vacuum` retires them."""
-        v = self.current_version(spark)
-        if v is None:
-            return None
-        if len(self._manifest(spark, v)["files"]) <= max_files:
-            return None
-        return self.compact(spark, target_files=target_files)
+        until :meth:`vacuum` retires them.
+
+        compact() raises :class:`ConcurrentWriteError` when another
+        commit lands mid-rewrite (concurrent appends are the NORM in
+        the streaming sink this serves); this wrapper re-evaluates the
+        threshold on the new base and retries a bounded number of
+        times, then yields — a skipped compaction is pure policy, the
+        next commit's call picks it up."""
+        for _ in range(3):
+            v = self.current_version(spark)
+            if v is None:
+                return None
+            if len(self._manifest(spark, v)["files"]) <= max_files:
+                return None
+            try:
+                return self.compact(spark, target_files=target_files)
+            except ConcurrentWriteError:
+                continue  # base moved: re-check threshold, rebase, retry
+        return None
 
     def vacuum(self, spark: SparkSession, keep_versions: int = 1) -> list[str]:
         """Delete data files referenced ONLY by manifests older than
