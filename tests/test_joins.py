@@ -271,6 +271,27 @@ def test_salted_join_matches_plain_join_under_skew(spark):
         assert hot_split == plain, how
 
 
+def test_exclusion_auto_probe_resolution(spark):
+    """strategy='auto' must resolve to 'anti' on bulk-duplicate keys
+    (the hot-window shape 'union' serializes on) and to 'union' on
+    PK-like keys — recorded in LAST_EXCLUSION_STRATEGY; results are
+    strategy-independent either way."""
+    from yc_yq_airflow_etl_spark.operators import joins
+
+    hot_l = spark.range(5000).selectExpr("id % 5 k", "id v")
+    hot_r = spark.range(4000).selectExpr("id % 4 k", "id + 10000 v")
+    out = joins.exclusion_join(hot_l, hot_r, ["k"], strategy="auto")
+    assert joins.LAST_EXCLUSION_STRATEGY == "anti"
+    # key 4 exists only on the left: all its rows surface
+    assert out.count() == 1000
+
+    pk_l = spark.range(5000).selectExpr("id k", "id v")
+    pk_r = spark.range(4000).selectExpr("id k", "id v")
+    out = joins.exclusion_join(pk_l, pk_r, ["k"], strategy="auto")
+    assert joins.LAST_EXCLUSION_STRATEGY == "union"
+    assert out.count() == 1000  # keys 4000..4999
+
+
 def test_salted_join_null_heavy_keys_survive_auto(spark):
     """Null join keys must never become 'hot keys': a None in the hot
     list makes isin() NULL for every cold row, and NULL is not true,

@@ -378,6 +378,18 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return _spread(df, id_col).select(id_col, text_col).mapInPandas(gen, schema)
 
 
+# Scale-attribution instrumentation (bench-only): when the flag is on,
+# simhash_dup_pairs counts its candidate set (the post-bucket-cap,
+# pre-verify pair volume) into LAST_SIMHASH_CANDIDATES so a
+# super-linear wall-time ratio can be attributed — candidates growing
+# with the data is a FIXTURE property (denser buckets), candidates
+# growing faster than output against flat data would be a plan
+# regression. Off by default: the count is an extra action on the
+# heavy join and has no business in production runs.
+RECORD_SIMHASH_CANDIDATES: bool = False
+LAST_SIMHASH_CANDIDATES: int | None = None
+
+
 def simhash_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -434,13 +446,24 @@ def simhash_dup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    global LAST_SIMHASH_CANDIDATES
+    cand_cached = False
+    if RECORD_SIMHASH_CANDIDATES:
+        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+        LAST_SIMHASH_CANDIDATES = cand.count()
+        cand_cached = True
+    else:
+        LAST_SIMHASH_CANDIDATES = None
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return _finish_pairs(
+    out = _finish_pairs(
         cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
             F.col("hamming") <= max_hamming
         ),
         fp,
     )
+    if cand_cached:
+        cand.unpersist(blocking=False)
+    return out
 
 
 def ngram_jaccard_pairs(

@@ -29,6 +29,12 @@ def _hashable_type(dt: T.DataType) -> bool:
     return True
 
 
+# Plan-audit breadcrumb: the strategy the last exclusion_join call
+# RESOLVED to ('union' or 'anti' — 'auto' resolves before recording).
+# Diagnostic only; results are strategy-independent (property-pinned).
+LAST_EXCLUSION_STRATEGY: str | None = None
+
+
 def exclusion_join(
     left: DataFrame,
     right: DataFrame,
@@ -77,6 +83,7 @@ def exclusion_join(
     'left'/'right' provenance.
     """
     keys = list(on)
+    global LAST_EXCLUSION_STRATEGY
     if strategy == "auto":
         u_keys = left.select(*keys).unionByName(right.select(*keys))
         s = u_keys.sample(fraction=0.02, seed=42).groupBy(*keys).agg(
@@ -90,6 +97,7 @@ def exclusion_join(
             mx["m"] and mx["n"] and mx["m"] > max(2.0 * mx["n"] / parts, 8.0)
         )
         strategy = "anti" if hot else "union"
+    LAST_EXCLUSION_STRATEGY = strategy
     if strategy == "anti":
         l_only = left.join(right, on=keys, how="left_anti")
         r_only = right.join(left, on=keys, how="left_anti")

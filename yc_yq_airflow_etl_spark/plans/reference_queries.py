@@ -68,20 +68,28 @@ RECON_KEYS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
 
 def exclusion_join_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCLUSION JOIN (yq_dag.py:93-94) surfacing the corrupted rows
-    from both sides, tagged with provenance."""
+    from both sides, tagged with provenance.
+
+    strategy='auto' so the driver's hard signal exercises the skew
+    probe on the reference's own reconcile shape: the keys here are
+    PK-like, so the probe should find no hot key and pick the
+    single-shuffle 'union' plan — the probe running (and degrading to
+    the same plan) is exactly what this row pins."""
     t = load_testdata(spark, sf_dir)
     s, d = _recon_sides(t)
-    return exclusion_join(s, d, RECON_KEYS, tag_column="side").orderBy(
-        "o_orderkey", "side"
-    )
+    return exclusion_join(
+        s, d, RECON_KEYS, tag_column="side", strategy="auto"
+    ).orderBy("o_orderkey", "side")
 
 
 def exclusion_join_clean_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The actual reconciliation check: identical sides → count 0
-    (yq_dag.py:93; consumed as a branch signal, yq_dag.py:23-26)."""
+    (yq_dag.py:93; consumed as a branch signal, yq_dag.py:23-26).
+    strategy='auto': same probe-on-the-hard-signal rationale as
+    exclusion_join_diff."""
     t = load_testdata(spark, sf_dir)
     s, _ = _recon_sides(t)
-    diff = exclusion_join(s, s, RECON_KEYS)
+    diff = exclusion_join(s, s, RECON_KEYS, strategy="auto")
     return diff.agg(F.count(F.lit(1)).alias("cnt"))
 
 
