@@ -127,6 +127,7 @@ def main() -> None:
     _an.ensure_manifest_bucket_demo(spark, sf_dir)
     _an.ensure_bucketed_demo(spark, sf_dir)
     _an.ensure_formats_demo(spark, sf_dir)
+    _an.ensure_merge_base_demo(spark, sf_dir)
 
     meter = _StageMeter(spark)
     timings: dict[str, float] = {}
@@ -357,33 +358,72 @@ def main() -> None:
                 f"# scale10x {name} steady: {scale[name]['t_10x_steady']}s",
                 file=sys.stderr,
             )
+
+        # Attribute the simhash scale ratio (r5 watch item: 4.22× wall
+        # at 10× data): candidate-pair volume (post-bucket-cap,
+        # pre-verify) and output-pair volume at 1× and 10×, untimed.
+        # Candidates tracking output ≈ data-driven growth (denser
+        # near-dup buckets in the blown-up fixture — fine); candidates
+        # outgrowing output would mean the band/bucket caps stopped
+        # holding (plan problem).
+        _dedup.RECORD_SIMHASH_CANDIDATES = True
+        try:
+            pairs_1x = qs["dedup_simhash_pairs"](spark, sf_dir).count()
+            cand_1x = _dedup.LAST_SIMHASH_CANDIDATES
+            pairs_10x = qs["dedup_simhash_pairs"](spark, scale_dir).count()
+            cand_10x = _dedup.LAST_SIMHASH_CANDIDATES
+        finally:
+            _dedup.RECORD_SIMHASH_CANDIDATES = False
+        scale["dedup_simhash_pairs"]["attribution"] = {
+            "candidates_1x": cand_1x,
+            "candidates_10x": cand_10x,
+            "pairs_1x": pairs_1x,
+            "pairs_10x": pairs_10x,
+            "candidate_ratio": round(cand_10x / max(cand_1x, 1), 2),
+            "pair_ratio": round(pairs_10x / max(pairs_1x, 1), 2),
+        }
+        print(
+            f"# scale10x simhash attribution: candidates {cand_1x}->"
+            f"{cand_10x}, pairs {pairs_1x}->{pairs_10x}",
+            file=sys.stderr,
+        )
         out["scale_check"] = {
             "factor": factor,
             "base_dir": sf_dir,
             "queries": scale,
         }
 
-    # The driver's stdout capture keeps only the tail few KB, and the
-    # full record (per-query plan structure + scale detail) outgrew
-    # that window in round 4 — so the complete object goes to a sidecar
-    # file next to this script and the ONE printed line carries the
-    # contract fields ({metric, value, unit, queries, sf}) plus a
-    # compacted scale_check, staying safely inside the window.
+    # The driver's stdout capture keeps only the tail few KB; rounds 4
+    # and 5 proved that ANY line carrying all ~111 per-query walls
+    # overflows it (BENCH_r{4,5}.json recorded "parsed": null). So the
+    # complete record (every wall, plan structure, scale detail) goes
+    # to the committed sidecar, and the ONE printed line stays ~1 KB:
+    # the contract fields ({metric, value, unit, queries, sf}) with
+    # `queries` restricted to the HEADLINE set plus the two
+    # reference-scale replays — the numbers BASELINE.md grades —
+    # a query count, a compacted scale_check, and the sidecar pointer.
     sidecar = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_structure.json"
     )
     with open(sidecar, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
+    summary_names = HEADLINE + [
+        "reference_scale_federation_2675520_rows",
+        "reference_scale_reconcile_527040_rows",
+    ]
     compact = {
         "metric": out["metric"],
         "value": out["value"],
         "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "queries": {
+            k: round(timings[k], 2) for k in summary_names if k in timings
+        },
+        "n_queries_total": len(timings),
         "sf": out["sf"],
         "detail_file": "bench_structure.json",
     }
     if "scale_check" in out:
-        keep = ("t_10x", "ratio_vs_1x", "t_10x_steady", "cc_rounds")
+        keep = ("ratio_vs_1x", "t_10x_steady", "cc_rounds")
         compact["scale_check"] = {
             "factor": out["scale_check"]["factor"],
             "queries": {
@@ -391,7 +431,22 @@ def main() -> None:
                 for n, d in out["scale_check"]["queries"].items()
             },
         }
-    print(json.dumps(compact, separators=(",", ":")))
+        attr = (
+            out["scale_check"]["queries"]
+            .get("dedup_simhash_pairs", {})
+            .get("attribution")
+        )
+        if attr:
+            compact["scale_check"]["queries"]["dedup_simhash_pairs"].update(
+                cand_ratio=attr["candidate_ratio"],
+                pair_ratio=attr["pair_ratio"],
+            )
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 2000, (
+        f"bench stdout line is {len(line)} bytes — must stay well "
+        "inside the driver's capture window; move detail to the sidecar"
+    )
+    print(line)
     spark.stop()
 
 

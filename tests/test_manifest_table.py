@@ -629,6 +629,69 @@ def test_compact_conflicts_with_concurrent_append(spark, table):
     assert m["op"] == "compact" and len(m["files"]) <= 2
 
 
+@pytest.fixture(scope="module")
+def bucket_probe_tables(spark, tmp_path_factory):
+    """One int-column and one double-column bucketed table, committed
+    once for the probe property test: values 0..29 (int) and 0.0,
+    0.5, ..., 29.5 (double), three bucket-unaligned files each."""
+    root = tmp_path_factory.mktemp("bucket_probe")
+    ti = ManifestTable(str(root / "ti"), bucket_cols=(("x", 4),))
+    ints = spark.range(30).selectExpr("id x", "id v")
+    ti.overwrite(ints.filter("x < 10").coalesce(1))
+    ti.append(ints.filter("x >= 10 and x < 20").coalesce(1))
+    ti.append(ints.filter("x >= 20").coalesce(1))
+    td = ManifestTable(str(root / "td"), bucket_cols=(("x", 4),))
+    dbls = spark.range(60).selectExpr("cast(id as double) / 2 x", "id v")
+    td.overwrite(dbls.filter("x < 10").coalesce(1))
+    td.append(dbls.filter("x >= 10 and x < 20").coalesce(1))
+    td.append(dbls.filter("x >= 20").coalesce(1))
+    return ti, td
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(
+    probe=st.one_of(
+        st.integers(min_value=-3, max_value=33),
+        st.integers(min_value=-6, max_value=66).map(lambda i: i / 2.0),
+        st.integers(min_value=0, max_value=120).map(lambda i: i / 4.0),
+    )
+)
+def test_bucket_probe_superset_property(spark, bucket_probe_tables, probe):
+    """Property (the documented contract the r5 type-mismatch bug
+    broke): for ANY numeric probe — int or float, in-domain or not,
+    integral or fractional — read_where_eq returns EXACTLY the rows
+    equal to the probe under numeric promotion, i.e. bucket pruning
+    never drops a file holding a matching row. Fractional probes on
+    the integer column must raise (never silently mis-prune)."""
+    ti, td = bucket_probe_tables
+
+    # double column: every numeric probe is valid
+    got = sorted(r.x for r in td.read_where_eq(spark, "x", probe).collect())
+    expect = [float(probe)] if float(probe) * 2 == int(float(probe) * 2) and 0 <= probe < 30 else []
+    assert got == expect, (probe, got)
+
+    # int column: integral probes promote, fractional probes raise
+    if float(probe).is_integer():
+        got_i = sorted(
+            r.x for r in ti.read_where_eq(spark, "x", probe).collect()
+        )
+        assert got_i == ([int(probe)] if 0 <= probe < 30 else []), probe
+    else:
+        with pytest.raises(ValueError, match="matches no row"):
+            ti.bucket_of(spark, "x", probe)
+
+
 def test_null_count_stats_and_is_null_pruning(spark, tmp_path):
     """The stats triad's third leg: per-file null counts power IS NULL
     skipping — files recorded null-free are pruned, a mixed file is
