@@ -353,3 +353,45 @@ def test_salted_join_auto_detects_hot_key_and_matches_plain(spark):
 
     flat = spark.range(5000).selectExpr("id as k", "id as payload")
     assert detect_hot_keys(flat, "k") == []
+
+
+def test_bloom_no_false_negatives_and_mergeable(spark):
+    """The two Bloom contracts: (1) NO false negatives — every built
+    key passes the membership test; (2) mergeability — bit_or of two
+    filters' word rows equals the filter built over the union (the
+    same union-by-parts property the HLL/CMS stores rely on)."""
+    from pyspark.sql import functions as F
+
+    from yc_yq_airflow_etl_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    m, k = 1 << 12, 3
+    keys = spark.range(500).selectExpr("id * 7 as k")
+    words = bloom_build(keys, "k", num_bits=m, k=k)
+    probe = spark.range(5000).selectExpr("id as k")
+    passed = {
+        r.k
+        for r in probe.filter(
+            bloom_might_contain(spark, words, "k", num_bits=m, k=k)
+        ).collect()
+    }
+    truth = {i * 7 for i in range(500)}
+    assert truth <= passed  # no false negatives, ever
+    # with m/n ≈ 8 bits/key the FP rate is a few percent — the filter
+    # must actually filter (not degenerate to all-ones)
+    assert len(passed) < 2500
+
+    a = spark.range(0, 100).selectExpr("id as k")
+    b = spark.range(100, 200).selectExpr("id as k")
+    merged = (
+        bloom_build(a, "k", num_bits=m, k=k)
+        .unionByName(bloom_build(b, "k", num_bits=m, k=k))
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    direct = bloom_build(a.unionByName(b), "k", num_bits=m, k=k)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )

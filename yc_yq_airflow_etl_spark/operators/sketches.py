@@ -235,3 +235,96 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
     )
+
+
+# -- Bloom filter: broadcastable membership pre-filter ------------------
+
+
+def _bloom_pos(col, seed: int, num_bits: int):
+    """Bit position ``seed`` for a key: first 15 hex chars of
+    md5(value ':' seed) as a 60-bit integer, mod ``num_bits``.
+    15 hex chars (not 16) so the value fits a signed BIGINT in both
+    Spark and DuckDB — the same engine-portability rule as the CMS
+    bucket hash above."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(col).cast("string"),
+                        F.lit(":"),
+                        F.lit(str(seed)),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % num_bits
+    )
+
+
+def bloom_build(
+    df: DataFrame, col: str, num_bits: int = 1 << 16, k: int = 3
+) -> DataFrame:
+    """Build a Bloom filter over ``col`` as (word_idx, bits) rows —
+    the packed-bitmap words, one row per NON-ZERO 64-bit word.
+
+    Why rows and not a single binary blob: rows are MERGEABLE with a
+    plain ``bit_or`` groupBy (union of filters = union of word rows),
+    survive parquet round-trips like the other sketch stores, and the
+    build is one partial-aggregated shuffle of at most
+    ``num_bits/64`` groups — metadata-scale regardless of input size.
+    """
+    positions = df.select(
+        F.explode(
+            F.array(*[_bloom_pos(col, i, num_bits) for i in range(k)])
+        ).alias("_p")
+    )
+    return (
+        positions.select(
+            F.expr("_p DIV 64").cast("int").alias("word_idx"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("_p") % 64).cast("int")
+            ).alias("_b"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_b").alias("bits"))
+    )
+
+
+def bloom_might_contain(
+    spark: SparkSession,
+    words: DataFrame,
+    col: str,
+    num_bits: int = 1 << 16,
+    k: int = 3,
+):
+    """Membership predicate Column for a built filter: true iff every
+    one of the key's ``k`` bit positions is set. No false negatives
+    ever; false-positive rate ≈ (1 - e^(-k·n/m))^k.
+
+    The words collect is bounded by ``num_bits/64`` rows (16 KB of
+    longs for 2^20 bits) — the filter is embedded in the plan as an
+    array literal, so the probe is a pure per-row JVM expression: no
+    join, no shuffle, no Python. This is the 100 TB shuffle-reduction
+    shape — evaluate the cheap bitmap test BEFORE the exchange and
+    only shuffle the survivors into the exact join."""
+    arr = [0] * (num_bits // 64)
+    for r in words.collect():  # bounded by num_bits/64 — metadata-scale
+        arr[int(r["word_idx"])] = int(r["bits"])
+    lit_arr = F.array(*[F.lit(w) for w in arr])
+    cond = None
+    for i in range(k):
+        p = _bloom_pos(col, i, num_bits)
+        word = F.element_at(lit_arr, (p / 64).cast("int") + F.lit(1))
+        bit_set = (
+            F.call_function(
+                "shiftright", word, (p % 64).cast("int")
+            ).bitwiseAND(F.lit(1))
+            == 1
+        )
+        cond = bit_set if cond is None else (cond & bit_set)
+    return cond

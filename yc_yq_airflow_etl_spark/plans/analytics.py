@@ -1599,6 +1599,90 @@ SELECT 5 AS n_files_before, 1 AS n_files_after,
 """
 
 
+def bloom_prefilter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pre-filtering (operators/sketches.
+    bloom_build / bloom_might_contain) — the classic 100 TB shuffle
+    reducer: build a 2^16-bit filter over the BUILDING-segment
+    customer keys, evaluate the membership test on orders BEFORE any
+    exchange (pure per-row JVM expression — the filter rides the plan
+    as an array literal), and only the survivors reach the exact
+    broadcast semi-join. Three promises pinned as data:
+
+    - no false negatives: ``n_exact`` (orders whose customer really is
+      BUILDING) computed THROUGH the bloom path equals the oracle's
+      direct count — one dropped true key would break the row;
+    - the false-positive volume is deterministic (md5-derived
+      positions, replayed bit-for-bit in DuckDB): ``n_false_pos`` =
+      bloom-passed minus exact, value-matched;
+    - the filter actually filters: n_pass_bloom ≪ n_orders (the
+      shuffle the filter would save at scale)."""
+    from ..operators.sketches import bloom_build, bloom_might_contain
+
+    t = load_testdata(spark, sf_dir)
+    keys = (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    words = bloom_build(keys, "c_custkey", num_bits=1 << 16, k=3)
+    passed = t["orders"].filter(
+        bloom_might_contain(spark, words, "o_custkey", num_bits=1 << 16, k=3)
+    )
+    exact = passed.join(
+        F.broadcast(keys),
+        passed["o_custkey"] == keys["c_custkey"],
+        "left_semi",
+    )
+    return (
+        t["orders"]
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .crossJoin(
+            passed.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_pass_bloom")
+            )
+        )
+        .crossJoin(
+            exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+        )
+        .select(
+            "n_orders",
+            "n_pass_bloom",
+            "n_exact",
+            (F.col("n_pass_bloom") - F.col("n_exact")).alias("n_false_pos"),
+        )
+    )
+
+
+BLOOM_PREFILTER_ORACLE = """
+WITH seeds AS (SELECT unnest([0, 1, 2]) AS i),
+keys AS (SELECT c_custkey AS v FROM customer WHERE c_mktsegment = 'BUILDING'),
+positions AS (
+    SELECT DISTINCT
+        (('0x' || substr(md5(v::VARCHAR || ':' || i::VARCHAR), 1, 15))::UBIGINT
+         % 65536) AS p
+    FROM keys, seeds
+),
+ck AS (SELECT DISTINCT o_custkey FROM orders),
+ckp AS (
+    SELECT o_custkey,
+           bool_and(
+               (('0x' || substr(md5(o_custkey::VARCHAR || ':' || i::VARCHAR),
+                               1, 15))::UBIGINT % 65536)
+               IN (SELECT p FROM positions)
+           ) AS pass
+    FROM ck, seeds
+    GROUP BY o_custkey
+)
+SELECT count(*) AS n_orders,
+       count(*) FILTER (WHERE p.pass) AS n_pass_bloom,
+       count(*) FILTER (WHERE o.o_custkey IN (SELECT v FROM keys)) AS n_exact,
+       count(*) FILTER (WHERE p.pass)
+         - count(*) FILTER (WHERE o.o_custkey IN (SELECT v FROM keys))
+         AS n_false_pos
+FROM orders o JOIN ckp p USING (o_custkey)
+"""
+
+
 def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization (the batch twin of streaming
     session windows): a session breaks after 30 min of inactivity.
@@ -3578,6 +3662,9 @@ def register_all() -> None:
         "exclusion_join_hotkey_diff",
         exclusion_join_hotkey_diff,
         EXCLUSION_HOTKEY_ORACLE,
+    )
+    register(
+        "bloom_prefilter_scan", bloom_prefilter_scan, BLOOM_PREFILTER_ORACLE
     )
     register(
         "manifest_bucket_pruned_scan",

@@ -1342,6 +1342,72 @@ ORDER BY doc_id
 )
 
 
+def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step a training pipeline actually runs AFTER clustering:
+    keep ONE canonical document per near-dup cluster (the keeper =
+    min doc_id — deterministic, engine-portable) plus every
+    unclustered document, and report the per-language corpus shrink.
+
+    Scale shape: the removal set is bounded by the duplicate rate
+    (orders of magnitude under corpus size), so the filter is a
+    left join of the corpus against a SMALL doc_id set — AQE
+    broadcasts it — followed by a partial-aggregated per-lang rollup.
+    No full-corpus shuffle beyond the one the pair generator already
+    pays. The DuckDB oracle replays simhash → recursive transitive
+    closure → keeper selection, so the whole decision chain is
+    value-verified, not just the counts."""
+    from ..operators.dedup import dedup_cluster_assignments
+
+    t = load_testdata(spark, sf_dir)
+    docs = t["documents"]
+    pairs = simhash_dup_pairs(docs, max_hamming=8).select("id_a", "id_b")
+    assign = dedup_cluster_assignments(docs, pairs)
+    removed = assign.filter(F.col("doc_id") != F.col("keeper_id")).select(
+        "doc_id", F.lit(1).alias("_rm")
+    )
+    return (
+        docs.join(removed, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("_rm").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("_rm").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+        .orderBy("lang")
+    )
+
+
+DEDUP_CANONICAL_ORACLE = (
+    "WITH RECURSIVE "
+    + _SIMHASH_CTES
+    + """, edges AS (
+    SELECT id_a AS src, id_b AS dst FROM ham_pairs WHERE hamming <= 8
+    UNION
+    SELECT id_b, id_a FROM ham_pairs WHERE hamming <= 8
+), reach(id, r) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
+), lab AS (
+    SELECT id AS doc_id, min(r) AS keeper_id FROM reach GROUP BY 1
+), removed AS (
+    SELECT doc_id FROM lab WHERE doc_id <> keeper_id
+)
+SELECT d.lang,
+       count(*) AS n_docs,
+       count(*) FILTER (WHERE r.doc_id IS NULL) AS n_kept,
+       count(r.doc_id) AS n_removed
+FROM documents d LEFT JOIN removed r USING (doc_id)
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+)
+
+
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_PHONE = r"\+\d-\d{3}-\d{4}"
 _PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
@@ -1798,6 +1864,11 @@ def register_all() -> None:
         "multimodal_video_frames", multimodal_video_frames, MULTIMODAL_VIDEO_ORACLE
     )
     register("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE)
+    register(
+        "dedup_canonical_corpus",
+        dedup_canonical_corpus,
+        DEDUP_CANONICAL_ORACLE,
+    )
     register(
         "embedding_quantization_stats",
         embedding_quantization_stats,
