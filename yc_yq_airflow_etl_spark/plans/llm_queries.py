@@ -641,6 +641,116 @@ WHERE rnk <= 3 ORDER BY doc_id, rnk
 """
 
 
+def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment — the split step every
+    training pipeline needs to be STABLE under corpus growth: a doc's
+    split is a pure function of its id (md5-derived bucket in [0,100):
+    <80 train, <90 val, else test), so adding data never moves an
+    existing document across splits (no leakage from re-shuffling),
+    and re-runs are reproducible with no persisted split table.
+
+    Scale shape: map-only hash + a partial-aggregated rollup — no
+    join, no window, nothing driver-side. The md5 bucket is replayed
+    bit-for-bit in DuckDB (same 15-hex-char rule as the CMS/Bloom
+    hashes), so the per-(split, lang) populations are value-checked,
+    which pins disjointness and completeness too (counts per split
+    sum to the corpus)."""
+    t = load_testdata(spark, sf_dir)
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(h < 80, F.lit("train"))
+        .when(h < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        t["documents"]
+        .select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+DATASET_SPLITS_ORACLE = """
+WITH h AS (
+    SELECT lang,
+           (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT % 100) AS b
+    FROM documents
+)
+SELECT CASE WHEN b < 80 THEN 'train'
+            WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n_docs
+FROM h GROUP BY 1, 2 ORDER BY split, lang
+"""
+
+
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-weight computation for rebalancing a multilingual
+    corpus to a UNIFORM per-language token mix (the data-mixing step
+    ahead of training): weight(lang) = target share (1/n_langs) over
+    actual token share. One partial-aggregated rollup for per-lang
+    token totals; corpus totals join back as a broadcast single row —
+    never collected, never a window over the corpus."""
+    t = load_testdata(spark, sf_dir)
+    per_lang = (
+        t["documents"]
+        .groupBy("lang")
+        .agg(
+            F.sum(token_count("text")).cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+    )
+    totals = per_lang.agg(
+        F.sum("n_tokens").cast("double").alias("_tot"),
+        F.count(F.lit(1)).cast("double").alias("_nl"),
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("_tot"), 6).alias(
+                "token_share"
+            ),
+            F.round(
+                (F.lit(1.0) / F.col("_nl"))
+                / (F.col("n_tokens") / F.col("_tot")),
+                6,
+            ).alias("mix_weight"),
+        )
+        .orderBy("lang")
+    )
+
+
+CORPUS_MIXTURE_ORACLE = r"""
+WITH d AS (
+    SELECT lang,
+           len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                            ' ')) AS n_tok
+    FROM documents
+), per_lang AS (
+    SELECT lang, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           count(*) AS n_docs
+    FROM d GROUP BY lang
+), tot AS (
+    SELECT CAST(sum(n_tokens) AS DOUBLE) AS t,
+           CAST(count(*) AS DOUBLE) AS nl
+    FROM per_lang
+)
+SELECT lang, n_docs, n_tokens,
+       round(n_tokens / t, 6) AS token_share,
+       round((1.0 / nl) / (n_tokens / t), 6) AS mix_weight
+FROM per_lang, tot ORDER BY lang
+"""
+
+
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality/statistics panel: token count, char count,
     punctuation count, mean word length, rolling fingerprint."""
@@ -1868,6 +1978,12 @@ def register_all() -> None:
         "dedup_canonical_corpus",
         dedup_canonical_corpus,
         DEDUP_CANONICAL_ORACLE,
+    )
+    register("dataset_splits", dataset_splits, DATASET_SPLITS_ORACLE)
+    register(
+        "corpus_mixture_weights",
+        corpus_mixture_weights,
+        CORPUS_MIXTURE_ORACLE,
     )
     register(
         "embedding_quantization_stats",
