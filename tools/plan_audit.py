@@ -408,6 +408,35 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("merged-table read pruned to the single referenced column",
          "!ReadSchema: [^\n]*o_orderkey"),
     ],
+    "bloom_prefilter_scan": [
+        # the whole point: the membership test is a per-row expression
+        # BEFORE any join — the filter literally carries the md5 hash
+        ("bloom test is a plan-embedded filter expression", r"md5"),
+        ("exact residual join is a broadcast semi-join",
+         r"BroadcastHashJoin [^\n]*LeftSemi"),
+        ("counts partially aggregated", r"partial_count"),
+        ("orders scan pruned to the probe column",
+         r"ReadSchema: struct<o_custkey:bigint>"),
+    ],
+    "dataset_splits": [
+        ("map-only hash + rollup: one hash exchange, nothing else",
+         r"partial_count"),
+        ("no join, no window", "!Join"),
+        ("no Python stage (md5/conv are JVM expressions)",
+         "!ArrowEvalPython"),
+        ("documents scan pruned to id + lang",
+         "!ReadSchema: [^\n]*text"),
+    ],
+    "corpus_mixture_weights": [
+        ("per-lang token totals partially aggregated", r"partial_sum"),
+        ("corpus totals ride a broadcast, never a collect",
+         r"BroadcastNestedLoopJoin|BroadcastExchange"),
+    ],
+    "dedup_canonical_corpus": [
+        ("per-lang rollup partially aggregated", r"partial_count"),
+        ("removal set joins the corpus (AQE picks broadcast at real "
+         "scale); never a cartesian", "!CartesianProduct"),
+    ],
 }
 
 
