@@ -432,6 +432,13 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("corpus totals ride a broadcast, never a collect",
          r"BroadcastNestedLoopJoin|BroadcastExchange"),
     ],
+    "source_capped_sample": [
+        ("per-source cap compiles to WindowGroupLimit (no full "
+         "per-source buffering)", r"WindowGroupLimit"),
+        ("documents scan pruned to id + source",
+         "!ReadSchema: [^\n]*text"),
+        ("survivor rollup partially aggregated", r"partial_count"),
+    ],
     "dedup_canonical_corpus": [
         ("per-lang rollup partially aggregated", r"partial_count"),
         ("removal set joins the corpus (AQE picks broadcast at real "

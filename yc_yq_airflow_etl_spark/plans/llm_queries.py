@@ -690,6 +690,57 @@ FROM h GROUP BY 1, 2 ORDER BY split, lang
 """
 
 
+def source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document capping — the over-represented-domain
+    rebalance every pretraining mix applies (cap each source at N
+    docs): rank docs WITHIN each source by a hash of their id (so the
+    kept subset is a stable uniform sample, not a head-of-file bias)
+    and keep rank ≤ 120. The ranked filter compiles to
+    WindowGroupLimit (plan-audited): Spark pushes the per-group top-k
+    below the final sort, so no source's full document list is ever
+    buffered — the 100 TB shape for group-wise capping. Ties inside
+    one 60-bit hash bucket are broken by doc_id, making the selection
+    total and engine-portable; the per-source survivor counts and the
+    kept-id checksum are value-matched against DuckDB."""
+    from pyspark.sql import Window
+
+    t = load_testdata(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    kept = (
+        t["documents"]
+        .select("doc_id", "source")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 120)
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_CAPPED_ORACLE = """
+WITH ranked AS (
+    SELECT doc_id, source,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT,
+                        doc_id
+           ) AS rnk
+    FROM documents
+)
+SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+FROM ranked WHERE rnk <= 120
+GROUP BY source ORDER BY source
+"""
+
+
 def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampling-weight computation for rebalancing a multilingual
     corpus to a UNIFORM per-language token mix (the data-mixing step
@@ -1980,6 +2031,9 @@ def register_all() -> None:
         DEDUP_CANONICAL_ORACLE,
     )
     register("dataset_splits", dataset_splits, DATASET_SPLITS_ORACLE)
+    register(
+        "source_capped_sample", source_capped_sample, SOURCE_CAPPED_ORACLE
+    )
     register(
         "corpus_mixture_weights",
         corpus_mixture_weights,

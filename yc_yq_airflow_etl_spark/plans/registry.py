@@ -40,9 +40,9 @@ _REGISTRY: list[QuerySpec] = []
 # time, truncating the last-registered module). Emission order is
 # therefore a verification-priority order, ROTATED each round,
 # prioritized STRICTLY by last-driver-verified round (oldest first,
-# new queries alongside). With 117 registered queries and a 50-row
+# new queries alongside). With 118 registered queries and a 50-row
 # window the achievable freshness bound is ≤3 rounds between driver
-# rows per query (⌈117/50⌉ = 3 — a ≤2-round bound would need ≥57
+# rows per query (⌈118/50⌉ = 3 — a ≤2-round bound would need ≥57
 # slots/round and is arithmetically impossible); the bound holds only
 # because _BACK (the PREVIOUS round's verified set — freshest hard
 # signal) is always the truncated tail and never re-checked early.
@@ -73,6 +73,7 @@ _FRONT: tuple[str, ...] = (
     "bloom_prefilter_scan",
     "dataset_splits",
     "corpus_mixture_weights",
+    "source_capped_sample",
     # last driver row: r4 (CORRECTNESS_r04.json order)
     "stream_click_purchase_left",
     "multimodal_wav_features",
