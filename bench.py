@@ -336,6 +336,7 @@ def main() -> None:
             "retention_cohorts",  # hot-user skew: one key holds ~30%
             "similarity_lsh_topk",
             "similarity_ivf_topk",
+            "source_capped_sample",  # WindowGroupLimit under 10x groups
         ):
             t0 = time.time()
             n = qs[name](spark, scale_dir).count()
