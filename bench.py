@@ -13,6 +13,16 @@ count and shuffle read/write bytes from the Spark status store — so
 rounds can be diffed on plan shape, not this sandbox's 2-5x CPU
 jitter: a new Exchange or a shuffle-bytes jump is a real regression
 even when wall time happens to look flat (and vice versa).
+
+Structure-diff caveat: queries that persist a shared intermediate
+(the simhash pair set feeds dedup_simhash_pairs, dedup_ngram_jaccard,
+dedup_clusters, dedup_canonical_corpus) are subject to CROSS-QUERY
+cache plan-matching — whichever runs first pays the full stage count,
+later identical sub-plans resolve to InMemoryRelation. A registry
+rotation that reorders them moves stages/shuffle bytes BETWEEN those
+rows without any plan change (observed r5→r6: simhash 8→15 stages,
+clusters 85→78, total flat). Compare the family's aggregate, not a
+member in isolation.
 """
 
 from __future__ import annotations

@@ -408,6 +408,13 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("merged-table read pruned to the single referenced column",
          "!ReadSchema: [^\n]*o_orderkey"),
     ],
+    "exclusion_join_hotkey_diff": [
+        ("the skew probe routed this bulk-duplicate-key input to the "
+         "anti plan (AQE-splittable joins, no per-key window)",
+         r"LeftAnti"),
+        ("no hot-window formulation", "!Window"),
+        ("diff rollup partially aggregated", r"partial_count"),
+    ],
     "bloom_prefilter_scan": [
         # the whole point: the membership test is a per-row expression
         # BEFORE any join — the filter literally carries the md5 hash

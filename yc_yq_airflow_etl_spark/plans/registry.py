@@ -48,10 +48,11 @@ _REGISTRY: list[QuerySpec] = []
 # signal) is always the truncated tail and never re-checked early.
 #
 # Round-6 state: _FRONT = the 10 queries whose last driver row is r3
-# (cut from both the r4 and r5 windows), then r6's new queries, then
-# the 49 r4-verified (CORRECTNESS_r04 order). The r6 window covers
-# the first 50, leaving the r4-set's tail 11 for the r7 front —
-# within the ≤3-round bound (r4 → r7).
+# (cut from both the r4 and r5 windows), then the 9 queries new in r6,
+# then the 49 r4-verified (CORRECTNESS_r04 order). The r6 window
+# covers the first 50 (10 + 9 + the r4 set's head 31), leaving the
+# r4 set's tail 18 for the r7 front — within the ≤3-round bound
+# (r4 → r7).
 _FRONT: tuple[str, ...] = (
     # last driver row: r3 (value-level replay green in the r5 session)
     "udtf_top_ngrams",
