@@ -533,3 +533,41 @@ def test_topk_join_blocked_matches_broadcast_on_clustered_fixture(spark):
     e = sorted(map(tuple, exact.select("id_a", "id_b", "cosine").collect()))
     b = sorted(map(tuple, blocked.select("id_a", "id_b", "cosine").collect()))
     assert e == b
+
+
+def test_dataset_splits_stable_under_corpus_growth(spark, testdata):
+    """The split promise: assignment is a pure function of doc_id, so
+    computing splits over a PREFIX of the corpus and over the full
+    corpus must agree on every shared document — growth never moves a
+    doc across train/val/test (the leakage mode naive random splits
+    have)."""
+    from pyspark.sql import functions as F
+
+    docs = testdata["documents"]
+
+    def assign(df):
+        h = (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        )
+        split = (
+            F.when(h < 80, F.lit("train"))
+            .when(h < 90, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+        return df.select("doc_id", split.alias("split"))
+
+    full = {r.doc_id: r.split for r in assign(docs).collect()}
+    subset = {
+        r.doc_id: r.split
+        for r in assign(docs.filter(F.col("doc_id") % 3 == 0)).collect()
+    }
+    assert subset  # non-trivial
+    assert all(full[k] == v for k, v in subset.items())
+    # and the corpus is fully partitioned: every doc in exactly one split
+    assert len(full) == docs.count()
+    assert set(full.values()) == {"train", "val", "test"}
