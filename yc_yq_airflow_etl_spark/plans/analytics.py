@@ -769,6 +769,57 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def json_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record ingest audit — the quarantine-count every
+    real JSON ingest runs before trusting a feed: a deterministic
+    subset of the events props payloads is corrupted in-flight
+    (event_id % 7 == 0 → the closing brace is truncated, the same
+    transformation the oracle applies), then one pass counts parsed
+    vs malformed per event type and aggregates the salvageable field
+    from the PARSED remainder only. from_json's null-on-malformed is
+    the PERMISSIVE-mode contract — a bad record must never kill the
+    scan, only land in the reject counts. Map-only + partial-agg
+    rollup; no Python, no shuffle before the group-by."""
+    t = load_testdata(spark, sf_dir)
+    corrupted = F.when(
+        F.col("event_id") % 7 == 0,
+        F.substring(F.col("props"), 1, F.length("props") - 1),
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(corrupted, EVENT_PROPS)
+    return (
+        t["events"]
+        .select("event_type", parsed.getField("k").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_records"),
+            F.sum(F.col("k").isNull().cast("int"))
+            .cast("bigint")
+            .alias("n_malformed"),
+            F.sum("k").cast("bigint").alias("sum_k_parsed"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_MALFORMED_ORACLE = """
+WITH c AS (
+    SELECT event_type,
+           CASE WHEN event_id % 7 = 0
+                THEN substr(props, 1, length(props) - 1)
+                ELSE props END AS props
+    FROM events
+)
+SELECT event_type,
+       count(*) AS n_records,
+       CAST(sum(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_malformed,
+       CAST(sum(CASE WHEN json_valid(props)
+                     THEN CAST(json_extract(props, '$.k') AS BIGINT)
+                     END) AS BIGINT) AS sum_k_parsed
+FROM c GROUP BY event_type ORDER BY event_type
+"""
+
+
 def array_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-typed column handling: per-vector dimension, L2 norm and
     mean via higher-order functions (JVM-side aggregate/transform — no
@@ -3665,6 +3716,9 @@ def register_all() -> None:
     )
     register(
         "bloom_prefilter_scan", bloom_prefilter_scan, BLOOM_PREFILTER_ORACLE
+    )
+    register(
+        "json_malformed_audit", json_malformed_audit, JSON_MALFORMED_ORACLE
     )
     register(
         "manifest_bucket_pruned_scan",
