@@ -425,6 +425,19 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("orders scan pruned to the probe column",
          r"ReadSchema: struct<o_custkey:bigint>"),
     ],
+    "table_profile": [
+        # the wide agg runs eagerly inside the builder (its 1-row
+        # result unpivots driver-side); the returned frame is the
+        # metadata-scale local relation — no table scan may remain
+        ("returned profile is metadata-scale (local rows only)",
+         r"ExistingRDD|LocalTableScan"),
+        ("no residual file scan in the returned plan", "!FileScan"),
+    ],
+    "fk_integrity_audit": [
+        ("orphan probes are broadcast anti-joins",
+         r"BroadcastHashJoin [^\n]*LeftAnti"),
+        ("counts partially aggregated", r"partial_count"),
+    ],
     "dataset_splits": [
         ("map-only hash + rollup: one hash exchange, nothing else",
          r"partial_count"),

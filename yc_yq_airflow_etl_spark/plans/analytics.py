@@ -820,6 +820,158 @@ FROM c GROUP BY event_type ORDER BY event_type
 """
 
 
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the lakehouse QA pass that feeds catalogs
+    and anomaly alerts: per column of orders, row count, null count,
+    exact distinct count, and min/max (as strings, so one schema fits
+    numeric and text columns). All four columns profile in ONE job
+    over one scan: the per-column aggregates are independent
+    expressions in a single groupBy-less agg, so Spark computes them
+    in a single partial+final pass — at 100 TB this is one read, not
+    four. Exact distincts (not approx) so DuckDB matches bit-for-bit;
+    the approx path is pinned separately by approx_distinct_customers."""
+    t = load_testdata(spark, sf_dir)
+    o = t["orders"]
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).cast("bigint").alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("int"))
+            .cast("bigint")
+            .alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"{c}__ndv"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    # unpivot driver-side from the single 1-row result: metadata-scale
+    row = wide.first()
+    out = [
+        (
+            c,
+            int(row[f"{c}__n"]),
+            int(row[f"{c}__nulls"]),
+            int(row[f"{c}__ndv"]),
+            str(row[f"{c}__min"]),
+            str(row[f"{c}__max"]),
+        )
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        out,
+        "col string, n_rows bigint, n_nulls bigint, n_distinct bigint, "
+        "min_s string, max_s string",
+    ).orderBy("col")
+
+
+TABLE_PROFILE_ORACLE = """
+SELECT 'o_orderkey' AS col, count(*) AS n_rows,
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+       count(DISTINCT o_orderkey) AS n_distinct,
+       CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+       CAST(max(o_orderkey) AS VARCHAR) AS max_s
+FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*),
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT o_custkey),
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*),
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT o_orderstatus),
+       CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*),
+       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT o_totalprice),
+       CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+FROM orders
+ORDER BY col
+"""
+
+
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the cross-table QA gate a
+    pipeline runs before publishing: for each FK relationship, the
+    child row count, the orphan count (child keys with no parent —
+    LEFT ANTI join, AQE broadcasts the distinct-parent side when
+    small, skew-splits when not), and distinct orphan keys. The
+    testdata is integral by construction, so a third relationship is
+    audited against a parent SUBSET (customers outside segment
+    'BUILDING') to prove the probe actually counts orphans when they
+    exist — all three rows pinned by the oracle."""
+    t = load_testdata(spark, sf_dir)
+
+    def audit(name, child, ck, parent, pk):
+        orphans = child.join(
+            parent.select(F.col(pk).alias(ck)).distinct(), [ck], "left_anti"
+        )
+        return (
+            child.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
+            .crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_orphans"),
+                    F.count_distinct(F.col(ck))
+                    .cast("bigint")
+                    .alias("n_orphan_keys"),
+                )
+            )
+            .select(F.lit(name).alias("relationship"), "n_child", "n_orphans",
+                    "n_orphan_keys")
+        )
+
+    r1 = audit(
+        "orders->customer", t["orders"], "o_custkey", t["customer"],
+        "c_custkey",
+    )
+    r2 = audit(
+        "lineitem->orders", t["lineitem"], "l_orderkey", t["orders"],
+        "o_orderkey",
+    )
+    r3 = audit(
+        "orders->customer_nonbuilding",
+        t["orders"],
+        "o_custkey",
+        t["customer"].filter(F.col("c_mktsegment") != "BUILDING"),
+        "c_custkey",
+    )
+    return r1.unionByName(r2).unionByName(r3).orderBy("relationship")
+
+
+FK_INTEGRITY_ORACLE = """
+SELECT 'orders->customer' AS relationship,
+       (SELECT count(*) FROM orders) AS n_child,
+       (SELECT count(*) FROM orders
+         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+           AS n_orphans,
+       (SELECT count(DISTINCT o_custkey) FROM orders
+         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+           AS n_orphan_keys
+UNION ALL
+SELECT 'lineitem->orders',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem
+         WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+       (SELECT count(DISTINCT l_orderkey) FROM lineitem
+         WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+UNION ALL
+SELECT 'orders->customer_nonbuilding',
+       (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders
+         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                                  WHERE c_mktsegment <> 'BUILDING')),
+       (SELECT count(DISTINCT o_custkey) FROM orders
+         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                                  WHERE c_mktsegment <> 'BUILDING'))
+ORDER BY relationship
+"""
+
+
 def array_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-typed column handling: per-vector dimension, L2 norm and
     mean via higher-order functions (JVM-side aggregate/transform — no
@@ -3720,6 +3872,8 @@ def register_all() -> None:
     register(
         "json_malformed_audit", json_malformed_audit, JSON_MALFORMED_ORACLE
     )
+    register("table_profile", table_profile, TABLE_PROFILE_ORACLE)
+    register("fk_integrity_audit", fk_integrity_audit, FK_INTEGRITY_ORACLE)
     register(
         "manifest_bucket_pruned_scan",
         manifest_bucket_pruned_scan,
