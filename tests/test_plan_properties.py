@@ -11,13 +11,19 @@ import pytest
 
 sys.path.insert(0, "/root/repo/tools")
 
-from plan_audit import EXPECTATIONS, SF_DIR  # noqa: E402
+from plan_audit import EXPECTATIONS, MIN_SF, SF_DIR  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 
 
 @pytest.mark.parametrize("name", sorted(EXPECTATIONS))
 def test_plan_properties(spark, name):
+    if MIN_SF.get(name, 0.0) > 0.001:
+        pytest.skip(
+            f"{name}'s plan expectation is scale-dependent (needs "
+            f"sf ≥ {MIN_SF[name]}); enforced by tools/plan_audit.py "
+            "at sf0.01"
+        )
     qs = entrymod.queries()
     df = qs[name](spark, "/root/testdata/sf0.001")
     plan = spark._jvm.PythonSQLUtils.explainString(

@@ -20,6 +20,15 @@ sys.path.insert(0, "/root/repo")
 
 SF_DIR = "/root/testdata/sf0.01"
 
+# Minimum dataset scale for SCALE-DEPENDENT plan expectations: the
+# exclusion 'auto' probe intentionally degrades to the 'union' plan
+# when no sampled key clears the min_sampled_rows floor — true at
+# sf0.001 (≈20 sampled key rows), false from sf0.01 up. Runners at a
+# smaller sf skip these names; the audit at SF_DIR still enforces them.
+MIN_SF: dict[str, float] = {
+    "exclusion_join_hotkey_diff": 0.01,
+}
+
 # name -> list of (description, regex that must match the plan)
 EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
     "cooling_window_filter": [
