@@ -820,6 +820,83 @@ FROM c GROUP BY event_type ORDER BY event_type
 """
 
 
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view → click after first view →
+    purchase after that click): per-user stage timestamps computed as
+    CASCADED tiny aggregates — stage N's per-user min-time joins back
+    to the events ONCE to qualify stage N+1 — never by buffering a
+    user's whole event history in one task (the collect_list
+    formulation a hot user breaks at 100 TB). Each stage is a
+    partial-aggregated groupBy on user_id plus an AQE-broadcastable
+    join of a shrinking user set; timestamps compare at SECOND
+    granularity on both engines (the testdata's ts physical type is
+    ns in DuckDB, µs in Spark — sub-second comparisons would tie-break
+    differently)."""
+    t = load_testdata(spark, sf_dir)
+    ev = t["events"].select(
+        "user_id", F.unix_timestamp("ts").alias("ep"), "event_type"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ep") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ep") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ep").alias("t_purchase"))
+    )
+    return (
+        ev.agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+        .crossJoin(v.agg(F.count(F.lit(1)).cast("bigint").alias("n_viewed")))
+        .crossJoin(
+            c.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_clicked_after_view")
+            )
+        )
+        .crossJoin(
+            p.agg(
+                F.count(F.lit(1))
+                .cast("bigint")
+                .alias("n_purchased_after_click")
+            )
+        )
+    )
+
+
+EVENT_FUNNEL_ORACLE = """
+WITH e AS (
+    SELECT user_id, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ep,
+           event_type
+    FROM events
+), v AS (
+    SELECT user_id, min(ep) AS t_view FROM e
+     WHERE event_type = 'view' GROUP BY 1
+), c AS (
+    SELECT e.user_id, min(e.ep) AS t_click
+      FROM e JOIN v USING (user_id)
+     WHERE e.event_type = 'click' AND e.ep > v.t_view GROUP BY 1
+), p AS (
+    SELECT e.user_id, min(e.ep) AS t_purchase
+      FROM e JOIN c USING (user_id)
+     WHERE e.event_type = 'purchase' AND e.ep > c.t_click GROUP BY 1
+)
+SELECT (SELECT count(DISTINCT user_id) FROM e) AS n_users,
+       (SELECT count(*) FROM v) AS n_viewed,
+       (SELECT count(*) FROM c) AS n_clicked_after_view,
+       (SELECT count(*) FROM p) AS n_purchased_after_click
+"""
+
+
 def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling — the lakehouse QA pass that feeds catalogs
     and anomaly alerts: per column of orders, row count, null count,
@@ -3872,6 +3949,7 @@ def register_all() -> None:
     register(
         "json_malformed_audit", json_malformed_audit, JSON_MALFORMED_ORACLE
     )
+    register("event_funnel", event_funnel, EVENT_FUNNEL_ORACLE)
     register("table_profile", table_profile, TABLE_PROFILE_ORACLE)
     register("fk_integrity_audit", fk_integrity_audit, FK_INTEGRITY_ORACLE)
     register(
