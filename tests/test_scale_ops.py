@@ -374,7 +374,7 @@ def test_bloom_no_false_negatives_and_mergeable(spark):
     passed = {
         r.k
         for r in probe.filter(
-            bloom_might_contain(spark, words, "k", num_bits=m, k=k)
+            bloom_might_contain(words, "k", num_bits=m, k=k)
         ).collect()
     }
     truth = {i * 7 for i in range(500)}

@@ -296,7 +296,6 @@ def bloom_build(
 
 
 def bloom_might_contain(
-    spark: SparkSession,
     words: DataFrame,
     col: str,
     num_bits: int = 1 << 16,
@@ -312,6 +311,12 @@ def bloom_might_contain(
     join, no shuffle, no Python. This is the 100 TB shuffle-reduction
     shape — evaluate the cheap bitmap test BEFORE the exchange and
     only shuffle the survivors into the exact join."""
+    if num_bits > 1 << 24:
+        raise ValueError(
+            f"num_bits={num_bits} would embed a {num_bits // 8 >> 20} MB+ "
+            "literal in the plan; for filters past 2^24 bits, join on "
+            "word_idx against the words table instead of embedding it"
+        )
     arr = [0] * (num_bits // 64)
     for r in words.collect():  # bounded by num_bits/64 — metadata-scale
         arr[int(r["word_idx"])] = int(r["bits"])

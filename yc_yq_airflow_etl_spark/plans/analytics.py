@@ -1906,7 +1906,7 @@ def bloom_prefilter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     words = bloom_build(keys, "c_custkey", num_bits=1 << 16, k=3)
     passed = t["orders"].filter(
-        bloom_might_contain(spark, words, "o_custkey", num_bits=1 << 16, k=3)
+        bloom_might_contain(words, "o_custkey", num_bits=1 << 16, k=3)
     )
     exact = passed.join(
         F.broadcast(keys),
