@@ -1,0 +1,138 @@
+"""Tests for the write-path expectations operator and bounded-iteration
+PageRank (``operators/expectations.py``, ``operators/graph.py``)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from yc_yq_airflow_etl_spark.operators.expectations import Rule, validate
+from yc_yq_airflow_etl_spark.operators.graph import pagerank
+
+
+def _rules():
+    return [
+        Rule("v_pos", F.col("v") > 0),
+        Rule("name_set", F.col("name").isin("a", "b")),
+    ]
+
+
+def test_validate_splits_exactly(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", -1), (3, "c", 5), (4, "a", None)],
+        "id bigint, name string, v int",
+    )
+    clean, quarantine, stats = validate(df, _rules())
+    assert sorted(r.id for r in clean.collect()) == [1]
+    q = {r.id: r for r in quarantine.collect()}
+    assert sorted(q) == [2, 3, 4]
+    # per-row diagnosis labels, in rule-list order
+    assert q[2]._failed_rules == ["v_pos"]
+    assert q[3]._failed_rules == ["name_set"]
+    # NULL in a checked column fails the rule (three-valued logic is
+    # collapsed to fail-closed)
+    assert q[4]._failed_rules == ["v_pos"]
+    # original schema preserved on clean
+    assert clean.columns == ["id", "name", "v"]
+
+
+def test_validate_null_fails_closed(spark):
+    df = spark.createDataFrame([(1, None)], "id bigint, v int")
+    clean, quarantine, _ = validate(df, [Rule("v_pos", F.col("v") > 0)])
+    assert clean.count() == 0
+    assert quarantine.count() == 1
+
+
+def test_validate_stats_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", -1), (3, "c", 5)],
+        "id bigint, name string, v int",
+    )
+    _, _, stats = validate(df, _rules())
+    s = {r.rule: (r.n_checked, r.n_violations) for r in stats.collect()}
+    assert s["v_pos"] == (3, 1)
+    assert s["name_set"] == (3, 1)
+    assert s["_total"] == (3, 2)  # id=2 and id=3 each fail one rule
+
+
+def test_audit_matches_validate_stats_plus_combos(spark):
+    from yc_yq_airflow_etl_spark.operators.expectations import audit
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", -1), (3, "c", 5), (4, "c", -2)],
+        "id bigint, name string, v int",
+    )
+    _, _, stats = validate(df, _rules())
+    a = {r.rule: (r.n_checked, r.n_violations) for r in audit(df, _rules()).collect()}
+    for r in stats.collect():
+        assert a[r.rule] == (r.n_checked, r.n_violations)
+    # combos: id=2 fails v_pos only; id=3 fails name_set only;
+    # id=4 fails both, labels in rule-list order
+    assert a["combo:v_pos"] == (1, 1)
+    assert a["combo:name_set"] == (1, 1)
+    assert a["combo:v_pos+name_set"] == (1, 1)
+    # one-scan plan: exactly one scan of the source relation
+    plan = audit(df, _rules())._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") <= 1
+
+
+def test_validate_rejects_bad_rulesets(spark):
+    df = spark.createDataFrame([(1,)], "id bigint")
+    with pytest.raises(ValueError):
+        validate(df, [])
+    with pytest.raises(ValueError):
+        validate(df, [Rule("x", F.lit(True)), Rule("x", F.lit(False))])
+
+
+def _ranks(spark, pairs, **kw):
+    df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    return {r.id: r.rank for r in pagerank(df, **kw).collect()}
+
+
+def test_pagerank_symmetric_pair(spark):
+    # two vertices, one edge: perfectly symmetric → 0.5 each at every
+    # iteration count
+    r = _ranks(spark, [(1, 2)], iterations=4)
+    assert r[1] == pytest.approx(0.5)
+    assert r[2] == pytest.approx(0.5)
+
+
+def test_pagerank_mass_conserved_and_hub_ranks_highest(spark):
+    # star: 0 connected to 1..4 — the hub must dominate, total mass ~1
+    pairs = [(0, i) for i in range(1, 5)]
+    r = _ranks(spark, pairs, iterations=5)
+    assert math.isclose(sum(r.values()), 1.0, rel_tol=1e-9)
+    assert r[0] > max(r[i] for i in range(1, 5))
+    # leaves are symmetric
+    leaf = {round(r[i], 12) for i in range(1, 5)}
+    assert len(leaf) == 1
+
+
+def test_pagerank_matches_closed_form_on_star(spark):
+    # closed form for the 5-vertex star at the fixed point — with
+    # symmetrized edges the hub receives all 4 leaves' full rank, each
+    # leaf receives hub/4: solving h = t + d*4*l, l = t + d*h/4 with
+    # t=(1-d)/5 gives h = t(1+4d)/(1-d^2). 5 iterations converge to
+    # ~1e-4 of the fixed point; assert against the iterate instead by
+    # replaying the recurrence in plain Python.
+    d, n = 0.85, 5
+    t = (1.0 - d) / n
+    h = l = 1.0 / n
+    for _ in range(3):
+        h, l = t + d * 4 * (l / 1), t + d * (h / 4)
+    r = _ranks(spark, [(0, i) for i in range(1, 5)], iterations=3)
+    assert r[0] == pytest.approx(h, rel=1e-12)
+    assert r[1] == pytest.approx(l, rel=1e-12)
+
+
+def test_pagerank_empty_graph(spark):
+    df = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert pagerank(df).count() == 0
+
+
+def test_pagerank_requires_positive_iterations(spark):
+    df = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    with pytest.raises(ValueError):
+        pagerank(df, iterations=0)

@@ -473,6 +473,36 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("removal set joins the corpus (AQE picks broadcast at real "
          "scale); never a cartesian", "!CartesianProduct"),
     ],
+    "timeseries_gap_fill": [
+        ("purchase filter pushed to the events scan",
+         r"PushedFilters: \[[^\]]*event_type"),
+        ("spine exploded from per-key bounds, not a calendar table",
+         r"explode\(sequence\("),
+        ("spine joins actuals by equi-join, never nested-loop",
+         "!BroadcastNestedLoopJoin"),
+        ("whole-stage codegen", "CODEGEN"),
+    ],
+    "revenue_anomaly_zscore": [
+        ("group moments broadcast back onto the fact rows",
+         r"BroadcastHashJoin"),
+        ("moments partially aggregated", r"partial_(sum|count)"),
+        ("no window over the 25-value group key (would serialize "
+         "100 TB into 25 tasks)", "!Window"),
+    ],
+    "order_constraint_audit": [
+        ("single-scan combo rollup, no per-rule union of aggregates",
+         "!Union"),
+        ("combo counts partially aggregated", r"partial_count"),
+        ("no join anywhere in the report", "!Join"),
+    ],
+    "weighted_doc_sample": [
+        ("map-only keep decision: no join, no window", "!Join"),
+        ("no Python stage (md5/conv are JVM expressions)",
+         "!ArrowEvalPython"),
+        ("documents scan pruned (text never read)",
+         "!ReadSchema: [^\n]*text"),
+        ("per-lang rollup partially aggregated", r"partial_(sum|count)"),
+    ],
 }
 
 

@@ -3831,6 +3831,253 @@ ORDER BY fmt
 """
 
 
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + forward-fill (the ASOF/LOCF pattern):
+    each user's per-day purchase revenue series is densified to a
+    complete daily spine between their first and last active day, and
+    missing days carry the last observed value forward.
+
+    Scale shape: the spine is EXPLODED FROM PER-KEY BOUNDS (one row
+    per key → sequence() → explode), i.e. generated map-side next to
+    the key's own rows — never a global calendar cross-join. The
+    spine ⋈ actuals join is an equi-join on (key, day) that AQE
+    co-partitions, and the forward-fill is one window per key riding
+    that same partitioning. Revenue sums are DECIMAL(18,2)-exact
+    (order-independent across engines); the fill itself copies values,
+    so ``carried_revenue`` stays exact too. ~60% of spine days are
+    gaps in this fixture, so the fill path is genuinely exercised."""
+    t = load_testdata(spark, sf_dir)
+    daily = (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("rev"))
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = spine.join(daily, ["user_id", "day"], "left").withColumn(
+        "filled_rev", F.last("rev", ignorenulls=True).over(w)
+    )
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.count("rev").cast("bigint").alias("n_active"),
+            (F.count(F.lit(1)) - F.count("rev"))
+            .cast("bigint")
+            .alias("n_filled"),
+            F.sum("rev").cast("double").alias("actual_revenue"),
+            F.sum("filled_rev").cast("double").alias("carried_revenue"),
+        )
+        .orderBy("user_id")
+    )
+
+
+GAP_FILL_ORACLE = """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           SUM(CAST(value AS DECIMAL(18,2))) AS rev
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), bounds AS (
+    SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+), spine AS (
+    SELECT user_id,
+           unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+    FROM bounds
+), filled AS (
+    SELECT s.user_id, s.day, d.rev,
+           last_value(d.rev IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_rev
+    FROM spine s LEFT JOIN daily d USING (user_id, day)
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(count(rev) AS BIGINT) AS n_active,
+       CAST(count(*) - count(rev) AS BIGINT) AS n_filled,
+       CAST(sum(rev) AS DOUBLE) AS actual_revenue,
+       CAST(sum(filled_rev) AS DOUBLE) AS carried_revenue
+FROM filled GROUP BY user_id ORDER BY user_id
+"""
+
+
+def revenue_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection (order value vs the
+    customer nation's distribution): the standard data-QA /
+    fraud-screening aggregate.
+
+    Scale shape: group moments (count, Σx, Σx²) are computed with one
+    partial-aggregated shuffle into a GROUP-CARDINALITY-sized frame
+    (25 nations), which is then BROADCAST back onto the fact rows —
+    deliberately NOT a window over the group key, because a window
+    partitioned by a 25-value key serializes 100 TB into 25 tasks.
+    Exactness: moments are integer cents (Σx² in DECIMAL(38,0) —
+    BIGINT would overflow past ~10⁴ rows/group at ~5·10⁷ cents);
+    mean/variance derive from those exact sums with an identical
+    IEEE expression tree on both engines, so the z threshold compares
+    bit-identical doubles."""
+    t = load_testdata(spark, sf_dir)
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    o = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("n_name").alias("nation"), cents.alias("cents"))
+    )
+    stats = o.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("s1"),
+        F.sum((F.col("cents").cast("decimal(38,0)") * F.col("cents"))).alias(
+            "s2"
+        ),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_orders")
+    var = (
+        F.col("s2").cast("double") - F.col("n_orders") * mean * mean
+    ) / (F.col("n_orders") - 1)
+    z = (F.col("cents").cast("double") - mean) / F.sqrt(var)
+    return (
+        o.join(F.broadcast(stats), "nation")
+        .groupBy("nation")
+        .agg(
+            F.max("n_orders").cast("bigint").alias("n_orders"),
+            F.sum(F.when(z > 2.0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_high_outliers"),
+            F.sum(F.when(z < -2.0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_low_outliers"),
+            F.round(
+                (F.max("s1").cast("double") / F.lit(100.0))
+                / F.max("n_orders"),
+                2,
+            ).alias("avg_price"),
+        )
+        .orderBy("nation")
+    )
+
+
+ANOMALY_ZSCORE_ORACLE = """
+WITH o AS (
+    SELECT n.n_name AS nation,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM orders od
+    JOIN customer c ON od.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+), s AS (
+    SELECT nation, count(*) AS n_orders, sum(cents) AS s1,
+           sum(CAST(cents AS HUGEINT) * cents) AS s2
+    FROM o GROUP BY 1
+), z AS (
+    SELECT o.nation, o.cents, s.n_orders, s.s1,
+           CAST(s.s1 AS DOUBLE) / s.n_orders AS mean,
+           (CAST(s.s2 AS DOUBLE)
+              - s.n_orders * (CAST(s.s1 AS DOUBLE) / s.n_orders)
+                           * (CAST(s.s1 AS DOUBLE) / s.n_orders))
+             / (s.n_orders - 1) AS var
+    FROM o JOIN s USING (nation)
+)
+SELECT nation,
+       CAST(max(n_orders) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN (CAST(cents AS DOUBLE) - mean) / sqrt(var) > 2.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers,
+       CAST(sum(CASE WHEN (CAST(cents AS DOUBLE) - mean) / sqrt(var) < -2.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+       round((CAST(max(s1) AS DOUBLE) / 100.0) / max(n_orders), 2)
+           AS avg_price
+FROM z GROUP BY nation ORDER BY nation
+"""
+
+
+def order_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-path data-quality expectations over the orders batch:
+    per-rule violation counts, the overall quarantine count, and the
+    distinct failed-rule COMBINATIONS observed in the quarantine
+    (pinning the dead-letter diagnosis labels as data, not just the
+    tallies). See ``operators/expectations.py`` for the one-scan /
+    zero-shuffle split contract.
+
+    Rules chosen so the fixture exercises every path: ``price_cap``
+    genuinely fails (~20% of uniform prices exceed it), ``status_enum``
+    fails on 'P' rows, ``priority_format`` and ``custkey_present``
+    pass everywhere (a zero-violation rule must report 0, not vanish).
+    The whole report is ONE scan of orders (see ``audit``'s
+    combo-rollup derivation)."""
+    from ..operators.expectations import Rule, audit
+
+    t = load_testdata(spark, sf_dir)
+    rules = [
+        Rule(
+            "price_cap",
+            (F.col("o_totalprice") > 0)
+            & (F.col("o_totalprice") <= 400000.0),
+        ),
+        Rule("status_enum", F.col("o_orderstatus").isin("O", "F")),
+        Rule("priority_format", F.col("o_orderpriority").rlike("^[1-5]-")),
+        Rule("custkey_present", F.col("o_custkey").isNotNull()),
+    ]
+    return audit(t["orders"], rules).orderBy("rule")
+
+
+CONSTRAINT_AUDIT_ORACLE = """
+WITH flags AS (
+    SELECT COALESCE(o_totalprice > 0 AND o_totalprice <= 400000.0, FALSE)
+               AS ok_price,
+           COALESCE(o_orderstatus IN ('O', 'F'), FALSE) AS ok_status,
+           COALESCE(regexp_matches(o_orderpriority, '^[1-5]-'), FALSE)
+               AS ok_prio,
+           o_custkey IS NOT NULL AS ok_cust
+    FROM orders
+), per_rule AS (
+    SELECT 'price_cap' AS rule, count(*) AS n_checked,
+           sum(CASE WHEN ok_price THEN 0 ELSE 1 END) AS n_violations
+    FROM flags
+    UNION ALL
+    SELECT 'status_enum', count(*),
+           sum(CASE WHEN ok_status THEN 0 ELSE 1 END) FROM flags
+    UNION ALL
+    SELECT 'priority_format', count(*),
+           sum(CASE WHEN ok_prio THEN 0 ELSE 1 END) FROM flags
+    UNION ALL
+    SELECT 'custkey_present', count(*),
+           sum(CASE WHEN ok_cust THEN 0 ELSE 1 END) FROM flags
+    UNION ALL
+    SELECT '_total', count(*),
+           sum(CASE WHEN ok_price AND ok_status AND ok_prio AND ok_cust
+                    THEN 0 ELSE 1 END) FROM flags
+), combos AS (
+    SELECT 'combo:' || concat_ws('+',
+               CASE WHEN NOT ok_price THEN 'price_cap' END,
+               CASE WHEN NOT ok_status THEN 'status_enum' END,
+               CASE WHEN NOT ok_prio THEN 'priority_format' END,
+               CASE WHEN NOT ok_cust THEN 'custkey_present' END) AS rule,
+           count(*) AS n_checked, count(*) AS n_violations
+    FROM flags
+    WHERE NOT (ok_price AND ok_status AND ok_prio AND ok_cust)
+    GROUP BY 1
+)
+SELECT rule, CAST(n_checked AS BIGINT) AS n_checked,
+       CAST(n_violations AS BIGINT) AS n_violations
+FROM (SELECT * FROM per_rule UNION ALL SELECT * FROM combos)
+ORDER BY rule
+"""
+
+
 def register_all() -> None:
     from .registry import register
 
@@ -3950,6 +4197,13 @@ def register_all() -> None:
         "json_malformed_audit", json_malformed_audit, JSON_MALFORMED_ORACLE
     )
     register("event_funnel", event_funnel, EVENT_FUNNEL_ORACLE)
+    register("timeseries_gap_fill", timeseries_gap_fill, GAP_FILL_ORACLE)
+    register(
+        "revenue_anomaly_zscore", revenue_anomaly_zscore, ANOMALY_ZSCORE_ORACLE
+    )
+    register(
+        "order_constraint_audit", order_constraint_audit, CONSTRAINT_AUDIT_ORACLE
+    )
     register("table_profile", table_profile, TABLE_PROFILE_ORACLE)
     register("fk_integrity_audit", fk_integrity_audit, FK_INTEGRITY_ORACLE)
     register(

@@ -1974,6 +1974,130 @@ ORDER BY method, param, query_id
 )
 
 
+def pagerank_doc_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the simhash near-dup pair graph — the
+    'keep the most corroborated document per cluster' alternative to
+    min-id canonical selection, and the registry's representative
+    BOUNDED-ITERATION GRAPH ALGORITHM beyond connected components
+    (see ``operators/graph.py`` for the per-round shuffle/checkpoint
+    discipline that survives a 100 TB edge list).
+
+    Correctness: 3 fixed rounds, damping 0.85, replayed by the DuckDB
+    oracle as three CHAINED aggregation CTEs over the identical edge
+    set (standard SQL forbids aggregates in a recursive term, so the
+    unrolled form IS the portable formulation). All constants enter
+    both engines as IEEE doubles via explicit casts; per-vertex sums
+    accumulate ~tens of terms, so cross-engine summation-order drift
+    is bounded well under the 1e-6 rounding grain."""
+    from ..operators.graph import pagerank
+
+    t = load_testdata(spark, sf_dir)
+    pairs = simhash_dup_pairs(t["documents"], max_hamming=8).select(
+        "id_a", "id_b"
+    )
+    ranks = pagerank(pairs, iterations=3, damping=0.85)
+    return ranks.select(
+        F.col("id").alias("doc_id"), F.round("rank", 6).alias("pr_rank")
+    ).orderBy("doc_id")
+
+
+PAGERANK_ORACLE = (
+    "WITH "
+    + _SIMHASH_CTES
+    + """, edges AS (
+    SELECT id_a AS src, id_b AS dst FROM ham_pairs WHERE hamming <= 8
+    UNION
+    SELECT id_b, id_a FROM ham_pairs WHERE hamming <= 8
+), deg AS (
+    SELECT src, count(*) AS out_deg FROM edges GROUP BY 1
+), nv AS (
+    SELECT CAST(count(*) AS BIGINT) AS n FROM deg
+), r0 AS (
+    SELECT src AS id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nv) AS rank
+    FROM deg
+), r1 AS (
+    SELECT e.dst AS id,
+           (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nv)
+             + CAST(0.85 AS DOUBLE) * sum(r.rank / d.out_deg) AS rank
+    FROM edges e JOIN r0 r ON r.id = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+), r2 AS (
+    SELECT e.dst AS id,
+           (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nv)
+             + CAST(0.85 AS DOUBLE) * sum(r.rank / d.out_deg) AS rank
+    FROM edges e JOIN r1 r ON r.id = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+), r3 AS (
+    SELECT e.dst AS id,
+           (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nv)
+             + CAST(0.85 AS DOUBLE) * sum(r.rank / d.out_deg) AS rank
+    FROM edges e JOIN r2 r ON r.id = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+)
+SELECT id AS doc_id, round(rank, 6) AS pr_rank FROM r3 ORDER BY doc_id
+"""
+)
+
+
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED Bernoulli sampling: keep each document
+    with probability proportional to a quality weight (here
+    ``least(n_chars, 500)/500`` — longer docs are likelier kept), the
+    quality-aware downsampling step between filtering and training.
+
+    Scale shape: a MAP-ONLY pass — the keep decision is a pure
+    function of (doc_id, n_chars), so the operator repartitions
+    nothing, broadcasts nothing, and composes with any upstream
+    filter pushdown. Determinism across engines AND across reruns:
+    the uniform draw is the first 8 hex digits of md5(doc_id) and the
+    keep test is cross-multiplied to INTEGER arithmetic
+    (``u * 500 < least(n_chars,500) * 2^32``) — no float compare
+    anywhere near the decision boundary. The expected keep count is
+    an exact integer sum divided once at the end."""
+    t = load_testdata(spark, sf_dir)
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    wcap = F.least(F.col("n_chars"), F.lit(500))
+    kept = (u * 500) < (wcap * F.lit(4294967296))
+    return (
+        t["documents"]
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_sampled"),
+            F.round(
+                F.sum(wcap).cast("double") / F.lit(500.0), 2
+            ).alias("expected_sampled"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("sampled_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+WEIGHTED_SAMPLE_ORACLE = """
+WITH scored AS (
+    SELECT lang, n_chars,
+           LEAST(n_chars, 500) AS wcap,
+           CAST(('0x' || md5(CAST(doc_id AS VARCHAR))[1:8]) AS BIGINT)
+               AS u
+    FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN u * 500 < wcap * 4294967296 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sampled,
+       round(CAST(sum(wcap) AS DOUBLE) / 500.0, 2) AS expected_sampled,
+       CAST(sum(CASE WHEN u * 500 < wcap * 4294967296 THEN n_chars
+                     ELSE 0 END) AS BIGINT) AS sampled_chars
+FROM scored GROUP BY lang ORDER BY lang
+"""
+
+
 def register_all() -> None:
     from .registry import register
 
@@ -2051,3 +2175,5 @@ def register_all() -> None:
     register("udf_text_density", udf_text_density, UDF_DENSITY_ORACLE)
     register("udaf_lang_stats", udaf_lang_stats, UDAF_LANG_STATS_ORACLE)
     register("udtf_top_ngrams", udtf_top_ngrams, UDTF_NGRAMS_ORACLE)
+    register("pagerank_doc_ranks", pagerank_doc_ranks, PAGERANK_ORACLE)
+    register("weighted_doc_sample", weighted_doc_sample, WEIGHTED_SAMPLE_ORACLE)
