@@ -395,3 +395,60 @@ def test_bloom_no_false_negatives_and_mergeable(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_kmv_sketch_exact_when_small_and_mergeable(spark):
+    from yc_yq_airflow_etl_spark.operators.sketches import (
+        KMV_HASH_SPACE,
+        kmv_estimate_col,
+        kmv_sketch,
+    )
+
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    sk = kmv_sketch(df, "k", k=256)
+    rows = sk.collect()
+    # fewer distinct values than k → the sketch IS the exact hash set
+    assert len(rows) == 100
+    assert all(0 <= r.h < KMV_HASH_SPACE for r in rows)
+    est = (
+        sk.agg(F.count("h").alias("n"), F.max("h").alias("hk"))
+        .select(kmv_estimate_col(F.col("n"), F.col("hk"), 256).alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert est == 100.0
+
+    # mergeability: bottom-k of (bottom-k(A) ∪ bottom-k(B)) equals
+    # bottom-k of A ∪ B
+    a = spark.range(0, 5000).withColumnRenamed("id", "k")
+    b = spark.range(2500, 7500).withColumnRenamed("id", "k")
+    merged_sketches = (
+        kmv_sketch(a, "k", k=64)
+        .unionAll(kmv_sketch(b, "k", k=64))
+        .distinct()
+        .orderBy("h")
+        .limit(64)
+    )
+    direct = kmv_sketch(a.unionAll(b), "k", k=64)
+    assert [r.h for r in merged_sketches.collect()] == [
+        r.h for r in direct.collect()
+    ]
+
+
+def test_kmv_estimate_within_error_bound(spark):
+    from yc_yq_airflow_etl_spark.operators.sketches import (
+        kmv_estimate_col,
+        kmv_sketch,
+    )
+
+    n, k = 20000, 256
+    df = spark.range(0, n).withColumnRenamed("id", "k")
+    est = (
+        kmv_sketch(df, "k", k=k)
+        .agg(F.count("h").alias("n"), F.max("h").alias("hk"))
+        .select(kmv_estimate_col(F.col("n"), F.col("hk"), k).alias("e"))
+        .collect()[0]
+        .e
+    )
+    # standard error ≈ 1/sqrt(k-2); allow 5 sigmas
+    assert abs(est - n) / n < 5.0 / (k - 2) ** 0.5

@@ -333,3 +333,58 @@ def bloom_might_contain(
         )
         cond = bit_set if cond is None else (cond & bit_set)
     return cond
+
+
+# --- KMV (k-minimum-values) distinct sketches -----------------------
+
+
+KMV_HASH_SPACE = 1 << 60  # 15 hex chars of md5 — same rule as CMS/Bloom
+
+
+def kmv_hash(col) -> "F.Column":
+    """The deterministic 60-bit uniform hash every KMV sketch uses:
+    first 15 hex chars of md5(value-as-string) — identical to the
+    CMS/Bloom/split hashing convention, so DuckDB replays it
+    bit-for-bit (``('0x' || substr(md5(v::VARCHAR),1,15))::UBIGINT``).
+    """
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """The k smallest distinct hash values of ``df[col]`` — a
+    mergeable bottom-k distinct sketch (Bar-Yossef et al.; the
+    estimator Presto/Trino ship as ``approx_set``-style planning
+    input). Returns a ≤k-row frame of ``h`` values.
+
+    Scale shape: one partial-aggregated distinct shuffle, then
+    ``orderBy(h).limit(k)`` compiles to TakeOrderedAndProject — every
+    task keeps its local bottom-k and the driver-side merge touches
+    ≤ k·tasks hashes, never the key population. Merging two sketches
+    is union → bottom-k, which is how the join-cardinality probe
+    below estimates the UNION's distinct count without re-scanning
+    either side.
+
+    Estimator (applied identically in the DuckDB oracles): if the
+    sketch holds fewer than k values it IS the exact distinct set;
+    otherwise D ≈ (k-1) · 2^60 / h_k with h_k the largest retained
+    hash (standard error ≈ 1/√(k−2))."""
+    return (
+        df.select(F.col(col))
+        .distinct()
+        .select(kmv_hash(F.col(col)).alias("h"))
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_estimate_col(n_col, hk_col, k: int):
+    """Column expression for the KMV distinct estimate given the
+    sketch size and its max hash — written as the exact same IEEE
+    expression the oracle uses: ``(k-1) * 2^60 / h_k`` (the numerator
+    is exactly representable: (k-1) fits the double mantissa next to
+    the power of two)."""
+    return F.when(n_col < k, n_col.cast("double")).otherwise(
+        F.lit(float(k - 1) * KMV_HASH_SPACE) / hk_col.cast("double")
+    )

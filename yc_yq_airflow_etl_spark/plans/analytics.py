@@ -4078,6 +4078,125 @@ ORDER BY rule
 """
 
 
+def kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven join-size planning input: KMV bottom-k distinct
+    sketches of the two join-key populations (orders.o_custkey vs the
+    customer keys of a 12-nation regional shard — a PARTIAL overlap,
+    so the Jaccard/intersection estimators are exercised away from
+    the trivial 1.0), their union sketch, and the derived
+    distinct / overlap / Jaccard ESTIMATES — emitted side-by-side
+    with the exact values, so the estimator's error is itself data
+    the oracle pins (the md5-derived sketch is deterministic, so
+    DuckDB reproduces the estimates bit-for-bit, not just the exacts).
+
+    Why it matters at 100 TB: deciding broadcast-vs-shuffle or
+    semi-join-vs-full-join needs key-population sizes and overlap
+    BEFORE paying the join; a KMV sketch answers from one
+    TakeOrdered-style pass per side (every task keeps its local
+    bottom-k; the merge touches ≤ k·tasks hashes). Each ≤k-row sketch
+    is eagerly localCheckpoint'd, so the downstream union/membership/
+    estimate algebra — which references each sketch three times — is
+    metadata-scale and never re-scans a base table."""
+    from ..operators.sketches import kmv_estimate_col, kmv_sketch
+
+    k = 256
+    t = load_testdata(spark, sf_dir)
+    regional = t["customer"].filter(F.col("c_nationkey") < 12)
+    os_ = kmv_sketch(t["orders"], "o_custkey", k).localCheckpoint()
+    cs = kmv_sketch(regional, "c_custkey", k).localCheckpoint()
+    us = os_.unionAll(cs).distinct().orderBy("h").limit(k).localCheckpoint()
+    oa = os_.agg(F.count("h").alias("n_o"), F.max("h").alias("hk_o"))
+    ca = cs.agg(F.count("h").alias("n_c"), F.max("h").alias("hk_c"))
+    ua = us.agg(F.count("h").alias("n_u"), F.max("h").alias("hk_u"))
+    m = (
+        us.join(os_, "h", "left_semi")
+        .join(cs, "h", "left_semi")
+        .agg(F.count("h").alias("m"))
+    )
+    d_o = t["orders"].agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("d_orders_exact")
+    )
+    d_c = regional.agg(
+        F.count_distinct("c_custkey").cast("bigint").alias("d_customer_exact")
+    )
+    inter = (
+        t["orders"]
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+        .join(
+            regional.select(F.col("c_custkey").alias("key")).distinct(),
+            "key",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter_exact"))
+    )
+    row = (
+        oa.crossJoin(ca)
+        .crossJoin(ua)
+        .crossJoin(m)
+        .crossJoin(d_o)
+        .crossJoin(d_c)
+        .crossJoin(inter)
+    )
+    j = F.col("m").cast("double") / F.col("n_u")
+    union_est = kmv_estimate_col(F.col("n_u"), F.col("hk_u"), k)
+    return row.select(
+        "d_orders_exact",
+        F.round(kmv_estimate_col(F.col("n_o"), F.col("hk_o"), k), 2).alias(
+            "d_orders_est"
+        ),
+        "d_customer_exact",
+        F.round(kmv_estimate_col(F.col("n_c"), F.col("hk_c"), k), 2).alias(
+            "d_customer_est"
+        ),
+        "inter_exact",
+        F.round(j * union_est, 2).alias("inter_est"),
+        F.round(j, 6).alias("jaccard_est"),
+    )
+
+
+KMV_JOIN_CARDINALITY_ORACLE = """
+WITH ok AS (SELECT DISTINCT o_custkey AS key FROM orders),
+ck AS (SELECT DISTINCT c_custkey AS key FROM customer
+      WHERE c_nationkey < 12),
+os AS (
+    SELECT ('0x' || substr(md5(key::VARCHAR), 1, 15))::UBIGINT AS h
+    FROM ok ORDER BY h LIMIT 256
+), cs AS (
+    SELECT ('0x' || substr(md5(key::VARCHAR), 1, 15))::UBIGINT AS h
+    FROM ck ORDER BY h LIMIT 256
+), us AS (
+    SELECT DISTINCT h FROM (
+        SELECT h FROM os UNION ALL SELECT h FROM cs
+    ) ORDER BY h LIMIT 256
+), oa AS (SELECT count(*) AS n_o, max(h) AS hk_o FROM os),
+ca AS (SELECT count(*) AS n_c, max(h) AS hk_c FROM cs),
+ua AS (SELECT count(*) AS n_u, max(h) AS hk_u FROM us),
+mm AS (
+    SELECT count(*) AS m FROM us
+    WHERE h IN (SELECT h FROM os) AND h IN (SELECT h FROM cs)
+), ex AS (
+    SELECT (SELECT count(*) FROM ok) AS d_o,
+           (SELECT count(*) FROM ck) AS d_c,
+           (SELECT count(*) FROM ok JOIN ck USING (key)) AS inter
+)
+SELECT CAST(d_o AS BIGINT) AS d_orders_exact,
+       round(CASE WHEN n_o < 256 THEN CAST(n_o AS DOUBLE)
+                  ELSE CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                       / CAST(hk_o AS DOUBLE) END, 2) AS d_orders_est,
+       CAST(d_c AS BIGINT) AS d_customer_exact,
+       round(CASE WHEN n_c < 256 THEN CAST(n_c AS DOUBLE)
+                  ELSE CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                       / CAST(hk_c AS DOUBLE) END, 2) AS d_customer_est,
+       CAST(inter AS BIGINT) AS inter_exact,
+       round((CAST(m AS DOUBLE) / n_u)
+             * CASE WHEN n_u < 256 THEN CAST(n_u AS DOUBLE)
+                    ELSE CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                         / CAST(hk_u AS DOUBLE) END, 2) AS inter_est,
+       round(CAST(m AS DOUBLE) / n_u, 6) AS jaccard_est
+FROM oa, ca, ua, mm, ex
+"""
+
+
 def register_all() -> None:
     from .registry import register
 
@@ -4203,6 +4322,9 @@ def register_all() -> None:
     )
     register(
         "order_constraint_audit", order_constraint_audit, CONSTRAINT_AUDIT_ORACLE
+    )
+    register(
+        "kmv_join_cardinality", kmv_join_cardinality, KMV_JOIN_CARDINALITY_ORACLE
     )
     register("table_profile", table_profile, TABLE_PROFILE_ORACLE)
     register("fk_integrity_audit", fk_integrity_audit, FK_INTEGRITY_ORACLE)

@@ -1542,10 +1542,11 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_CANONICAL_ORACLE = (
-    "WITH RECURSIVE "
-    + _SIMHASH_CTES
-    + """, edges AS (
+# Transitive-closure labeling over the simhash dup-pair graph:
+# edges → reach → lab(doc_id, keeper_id = min reachable vertex) —
+# the DuckDB twin of operators/dedup.connected_components. Shared by
+# every oracle that replays the clustering decision chain.
+_CLOSURE_CTES = """edges AS (
     SELECT id_a AS src, id_b AS dst FROM ham_pairs WHERE hamming <= 8
     UNION
     SELECT id_b, id_a FROM ham_pairs WHERE hamming <= 8
@@ -1555,7 +1556,14 @@ DEDUP_CANONICAL_ORACLE = (
     SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
 ), lab AS (
     SELECT id AS doc_id, min(r) AS keeper_id FROM reach GROUP BY 1
-), removed AS (
+)"""
+
+DEDUP_CANONICAL_ORACLE = (
+    "WITH RECURSIVE "
+    + _SIMHASH_CTES
+    + ", "
+    + _CLOSURE_CTES
+    + """, removed AS (
     SELECT doc_id FROM lab WHERE doc_id <> keeper_id
 )
 SELECT d.lang,
@@ -1974,6 +1982,161 @@ ORDER BY method, param, query_id
 )
 
 
+def cluster_aware_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test assignment: near-duplicate
+    documents must NEVER straddle a split boundary (a test doc with a
+    near-copy in train is benchmark contamination), so the split hash
+    is applied to the document's near-dup CLUSTER representative —
+    ``coalesce(keeper_id, doc_id)`` — rather than the doc itself.
+    Singleton docs keep the plain ``dataset_splits`` behavior; whole
+    clusters move between splits atomically, and the assignment stays
+    growth-stable for exactly the same reason ``dataset_splits`` is.
+
+    The output pins the guarantee AS DATA: per split, the doc and
+    unit populations, the near-dup pairs fully inside the split, and
+    the pairs CROSSING out of it — structurally zero, and the oracle
+    replays the full chain (simhash → transitive closure → keeper →
+    hash split → pair audit), so a clustering or unit-hashing bug
+    shows up as a crossing-count or population mismatch.
+
+    Scale shape: clustering cost is the same bounded-iteration CC the
+    dedup queries pay; everything after it is a left join of the
+    corpus against the duplicate-rate-bounded assignment (AQE
+    broadcasts it), a map-only hash, and partial-aggregated rollups.
+    The pair audit joins the pair list (bounded by the dup rate)
+    against the per-doc split map twice — both AQE-sized."""
+    from ..operators.dedup import dedup_cluster_assignments
+
+    t = load_testdata(spark, sf_dir)
+    docs = t["documents"]
+    # The pair list feeds BOTH the clustering and the final pair
+    # audit; materialize it once (eager localCheckpoint) instead of
+    # paying the simhash banding twice.
+    pairs = (
+        simhash_dup_pairs(docs, max_hamming=8)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    assign = dedup_cluster_assignments(docs, pairs).select(
+        "doc_id", "keeper_id"
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("unit").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(h < 80, F.lit("train"))
+        .when(h < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    us = (
+        docs.select("doc_id")
+        .join(assign, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("keeper_id", "doc_id").alias("unit")
+        )
+        .select("doc_id", "unit", split.alias("split"))
+    )
+    per_split = us.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_distinct("unit").cast("bigint").alias("n_units"),
+    )
+    ps = pairs.join(
+        us.select(
+            F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+        ),
+        "id_a",
+    ).join(
+        us.select(
+            F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+        ),
+        "id_b",
+    )
+    inside = (
+        ps.filter(F.col("split_a") == F.col("split_b"))
+        .groupBy(F.col("split_a").alias("split"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inside_pairs"))
+    )
+    crossing = (
+        ps.filter(F.col("split_a") != F.col("split_b"))
+        .select(F.col("split_a").alias("split"))
+        .unionAll(
+            ps.filter(F.col("split_a") != F.col("split_b")).select(
+                F.col("split_b").alias("split")
+            )
+        )
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_crossing_pairs"))
+    )
+    return (
+        per_split.join(inside, "split", "left")
+        .join(crossing, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_units",
+            F.coalesce("n_inside_pairs", F.lit(0))
+            .cast("bigint")
+            .alias("n_inside_pairs"),
+            F.coalesce("n_crossing_pairs", F.lit(0))
+            .cast("bigint")
+            .alias("n_crossing_pairs"),
+        )
+        .orderBy("split")
+    )
+
+
+CLUSTER_SPLITS_ORACLE = (
+    "WITH RECURSIVE "
+    + _SIMHASH_CTES
+    + ", "
+    + _CLOSURE_CTES
+    + """, units AS (
+    SELECT d.doc_id, COALESCE(l.keeper_id, d.doc_id) AS unit
+    FROM documents d LEFT JOIN lab l USING (doc_id)
+), us AS (
+    SELECT doc_id, unit,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, unit,
+                 (('0x' || substr(md5(unit::VARCHAR), 1, 15))::UBIGINT
+                    % 100) AS b
+          FROM units)
+), per_split AS (
+    SELECT split, count(*) AS n_docs, count(DISTINCT unit) AS n_units
+    FROM us GROUP BY 1
+), hp AS (
+    SELECT id_a, id_b FROM ham_pairs WHERE hamming <= 8
+), ps AS (
+    SELECT a.split AS sa, b.split AS sb
+    FROM hp JOIN us a ON a.doc_id = hp.id_a
+            JOIN us b ON b.doc_id = hp.id_b
+), inside AS (
+    SELECT sa AS split, count(*) AS n_inside FROM ps
+    WHERE sa = sb GROUP BY 1
+), crossing AS (
+    SELECT split, count(*) AS n_crossing FROM (
+        SELECT sa AS split FROM ps WHERE sa <> sb
+        UNION ALL
+        SELECT sb FROM ps WHERE sa <> sb
+    ) GROUP BY 1
+)
+SELECT p.split,
+       CAST(p.n_docs AS BIGINT) AS n_docs,
+       CAST(p.n_units AS BIGINT) AS n_units,
+       CAST(COALESCE(i.n_inside, 0) AS BIGINT) AS n_inside_pairs,
+       CAST(COALESCE(c.n_crossing, 0) AS BIGINT) AS n_crossing_pairs
+FROM per_split p
+LEFT JOIN inside i USING (split)
+LEFT JOIN crossing c USING (split)
+ORDER BY p.split
+"""
+)
+
+
 def pagerank_doc_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the simhash near-dup pair graph — the
     'keep the most corroborated document per cluster' alternative to
@@ -2177,3 +2340,4 @@ def register_all() -> None:
     register("udtf_top_ngrams", udtf_top_ngrams, UDTF_NGRAMS_ORACLE)
     register("pagerank_doc_ranks", pagerank_doc_ranks, PAGERANK_ORACLE)
     register("weighted_doc_sample", weighted_doc_sample, WEIGHTED_SAMPLE_ORACLE)
+    register("cluster_aware_splits", cluster_aware_splits, CLUSTER_SPLITS_ORACLE)

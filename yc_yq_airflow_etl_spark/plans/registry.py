@@ -84,6 +84,8 @@ _FRONT: tuple[str, ...] = (
     "order_constraint_audit",
     "pagerank_doc_ranks",
     "weighted_doc_sample",
+    "cluster_aware_splits",
+    "kmv_join_cardinality",
     # last driver row: r4 (CORRECTNESS_r04.json order)
     "stream_click_purchase_left",
     "multimodal_wav_features",
