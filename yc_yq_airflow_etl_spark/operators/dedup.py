@@ -619,7 +619,14 @@ def connected_components(
         if jm.containsKey(rdd_id):
             jm.get(rdd_id).unpersist(False)
 
-    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # Persist the DIRECTED pair list before symmetrizing: the union's
+    # two branches would otherwise each evaluate the caller's pair
+    # pipeline (for LSH-derived graphs, the whole banding/verify
+    # chain) — the column-swapped branch is a different plan, so
+    # exchange reuse never kicks in.
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     edges = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
@@ -631,6 +638,9 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    # the eager checkpoint above materialized edges; the directed
+    # scratch copy has served both branches and can go now
+    e.unpersist(blocking=False)
     label_id = _ckpt_id(labels)
     global LAST_CC_ROUNDS
     LAST_CC_ROUNDS = 0

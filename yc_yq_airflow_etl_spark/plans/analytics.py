@@ -4078,6 +4078,87 @@ ORDER BY rule
 """
 
 
+def scd2_point_in_time_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) fact enrichment against an SCD2
+    dimension: every event joins the dimension VERSION that was valid
+    at its timestamp — the query pattern SCD2 history exists to serve
+    (joining the current version would silently re-segment history).
+
+    The dimension is built live with two ``scd2_apply`` batches over
+    the event users (re-tier ``user_id % 5`` at 2024-01-10, re-tier
+    ``user_id % 10`` again at 2024-01-20 — inside the fixture's
+    one-month event window at EVERY scale factor, so all three
+    version generations receive events),
+    so each user carries 1–3 versions. The oracle is INDEPENDENT of
+    the implementation: the segment valid at ``ts`` is closed-form in
+    (user_id, ts) alone, so both the SCD2 maintenance AND the
+    temporal join are pinned without replaying either.
+
+    Scale shape: hash equi-join on the key with the validity window
+    as a residual condition — each fact row meets only its key's ≤3
+    versions, so the residual filter touches O(versions-per-key), and
+    AQE broadcasts the dimension when it is small. No window over
+    fact rows, no range-join explosion."""
+    from ..operators.scd import scd2_apply
+
+    t = load_testdata(spark, sf_dir)
+    users = t["events"].select("user_id").distinct()
+    base_seg = F.concat(F.lit("tier"), (F.col("user_id") % 3).cast("string"))
+    dim = users.select(
+        F.col("user_id").alias("u_key"),
+        base_seg.alias("segment"),
+        F.lit("2024-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    u1 = users.filter(F.col("user_id") % 5 == 0).select(
+        F.col("user_id").alias("u_key"),
+        F.concat(base_seg, F.lit("*")).alias("segment"),
+        F.lit("2024-01-10").cast("timestamp").alias("eff_ts"),
+    )
+    u2 = users.filter(F.col("user_id") % 10 == 0).select(
+        F.col("user_id").alias("u_key"),
+        F.concat(base_seg, F.lit("**")).alias("segment"),
+        F.lit("2024-01-20").cast("timestamp").alias("eff_ts"),
+    )
+    dim = scd2_apply(dim, u1, "u_key", ["segment"])
+    dim = scd2_apply(dim, u2, "u_key", ["segment"])
+    ev = t["events"].select("user_id", "ts", "value")
+    enriched = ev.join(
+        dim,
+        (ev["user_id"] == dim["u_key"])
+        & (ev["ts"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (ev["ts"] < dim["valid_to"])),
+    )
+    return (
+        enriched.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("segment")
+    )
+
+
+SCD2_PIT_ORACLE = """
+WITH seg AS (
+    SELECT value,
+           CASE WHEN user_id % 10 = 0 AND ts >= TIMESTAMP '2024-01-20'
+                THEN 'tier' || CAST(user_id % 3 AS VARCHAR) || '**'
+                WHEN user_id % 5 = 0 AND ts >= TIMESTAMP '2024-01-10'
+                THEN 'tier' || CAST(user_id % 3 AS VARCHAR) || '*'
+                ELSE 'tier' || CAST(user_id % 3 AS VARCHAR)
+           END AS segment
+    FROM events
+)
+SELECT segment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM seg GROUP BY segment ORDER BY segment
+"""
+
+
 def kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-driven join-size planning input: KMV bottom-k distinct
     sketches of the two join-key populations (orders.o_custkey vs the
@@ -4325,6 +4406,9 @@ def register_all() -> None:
     )
     register(
         "kmv_join_cardinality", kmv_join_cardinality, KMV_JOIN_CARDINALITY_ORACLE
+    )
+    register(
+        "scd2_point_in_time_revenue", scd2_point_in_time_revenue, SCD2_PIT_ORACLE
     )
     register("table_profile", table_profile, TABLE_PROFILE_ORACLE)
     register("fk_integrity_audit", fk_integrity_audit, FK_INTEGRITY_ORACLE)
