@@ -136,3 +136,21 @@ def test_pagerank_requires_positive_iterations(spark):
     df = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
     with pytest.raises(ValueError):
         pagerank(df, iterations=0)
+
+
+def test_gap_fill_invariants(spark):
+    """Structural invariants of timeseries_gap_fill on the fixture:
+    spine covers [first, last] active day per key, the first spine day
+    is active (so forward-fill is total), and carried revenue can
+    never fall below actual."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["timeseries_gap_fill"](
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = df.collect()
+    assert rows, "fixture produced no purchase series"
+    for r in rows:
+        assert r.n_days == r.n_active + r.n_filled
+        assert r.n_active >= 1
+        assert r.carried_revenue >= r.actual_revenue - 1e-9

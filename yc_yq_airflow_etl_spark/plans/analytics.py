@@ -2456,6 +2456,109 @@ WHERE o_custkey = greatest(m // 3, 1)
 """
 
 
+_MANIFEST_SPECEVO_DEMO_CACHE: dict[str, str] = {}
+
+
+def ensure_manifest_specevo_demo(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per dataset generation) a ManifestTable whose
+    PARTITION/BUCKET SPEC EVOLVED mid-history: the even-orderkey half
+    of orders committed as 2 files with NO bucket metadata (the
+    'legacy spec'), then the odd half appended as 8 bucket-clustered
+    files by an instance configured with ``bucket_cols`` — Iceberg's
+    spec-evolution situation: one snapshot, files written under two
+    different specs."""
+    import os
+    import tempfile
+
+    from ..sources.manifest import ManifestTable
+
+    key = os.path.abspath(sf_dir)
+    cached = _MANIFEST_SPECEVO_DEMO_CACHE.get(key)
+    if cached is not None:
+        return cached
+    tag = data_tag(sf_dir, "orders")
+    path = os.path.join(tempfile.gettempdir(), f"manifest_specevo_demo_{tag}")
+    legacy = ManifestTable(path)
+    evolved = ManifestTable(path, bucket_cols=(("o_custkey", 8),))
+
+    def _complete() -> bool:
+        v = evolved.current_version(spark)
+        if v is None:
+            return False
+        try:
+            m = evolved._manifest(spark, v)
+        except Exception:
+            return False
+        files = m.get("files", [])
+        stats = m.get("stats", {})
+        tracked = [
+            f for f in files if stats.get(f, {}).get("bucket:o_custkey") is not None
+        ]
+        return len(files) == 10 and len(tracked) == 8
+
+    if not _complete():
+        o = load_testdata(spark, sf_dir)["orders"].select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        legacy.overwrite(o.filter(F.col("o_orderkey") % 2 == 0).repartition(2))
+        odd = o.filter(F.col("o_orderkey") % 2 == 1)
+        bexpr = F.pmod(F.xxhash64(F.col("o_custkey").cast("bigint")), F.lit(8))
+        for i in range(8):
+            evolved.append(odd.filter(bexpr == i).coalesce(1))
+    _MANIFEST_SPECEVO_DEMO_CACHE[key] = path
+    return path
+
+
+def manifest_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition/bucket SPEC EVOLUTION as data: on a snapshot whose
+    files were written under two specs (2 legacy files without bucket
+    metadata + 8 bucket-clustered files recorded by the evolved
+    writer), an equality probe must keep EXACTLY the 2 legacy files
+    (conservative — no metadata means no claim) plus the 1 matching
+    bucket file — pinned by the oracle literal (a regression that
+    drops legacy files loses rows; one that stops pruning flips 3 to
+    10) — and the probe's rows/sum must equal the raw-orders filter,
+    proving old-spec files stay fully readable after evolution. This
+    is Iceberg's core spec-evolution contract: pruning is a per-FILE
+    decision using whatever metadata THAT file's writer recorded,
+    never a table-wide assumption."""
+    from ..sources.manifest import ManifestTable
+
+    mt = ManifestTable(
+        ensure_manifest_specevo_demo(spark, sf_dir),
+        bucket_cols=(("o_custkey", 8),),
+    )
+    o = load_testdata(spark, sf_dir)["orders"]
+    m = int(o.agg(F.max("o_custkey")).first()[0])
+    probe = max(1, m // 3)
+    manifest = mt._manifest(spark, mt.current_version(spark))
+    kept = mt.pruned_files_eq(spark, "o_custkey", probe)
+    return (
+        mt.read_where_eq(spark, "o_custkey", probe)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
+        .select(
+            F.lit(len(manifest["files"])).alias("n_files_total"),
+            F.lit(len(kept)).alias("n_files_kept"),
+            "n_rows",
+            "sum_price",
+        )
+    )
+
+
+MANIFEST_SPECEVO_ORACLE = """
+WITH b AS (SELECT max(o_custkey) AS m FROM orders)
+SELECT 10 AS n_files_total,
+       3 AS n_files_kept,
+       count(*) AS n_rows,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders, b
+WHERE o_custkey = greatest(m // 3, 1)
+"""
+
+
 def manifest_history_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The commit-log surface (``ManifestTable.history`` — DESCRIBE
     HISTORY) made driver-checkable over the deterministic three-commit
@@ -4409,6 +4512,11 @@ def register_all() -> None:
     )
     register(
         "scd2_point_in_time_revenue", scd2_point_in_time_revenue, SCD2_PIT_ORACLE
+    )
+    register(
+        "manifest_partition_evolution",
+        manifest_partition_evolution,
+        MANIFEST_SPECEVO_ORACLE,
     )
     register("table_profile", table_profile, TABLE_PROFILE_ORACLE)
     register("fk_integrity_audit", fk_integrity_audit, FK_INTEGRITY_ORACLE)
