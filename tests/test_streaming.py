@@ -476,3 +476,53 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
 
     ids = sorted(r.event_id for r in spark.sql("SELECT * FROM dedup_wm").collect())
     assert ids == [1, 1, 2]  # suppressed within delay, re-emitted after expiry
+
+
+def test_inactivity_alert_fires_on_event_time_timeout(spark, tmp_path):
+    """EventTimeTimeout: a user silent for longer than the gap gets
+    exactly one closure row once the WATERMARK (not wall clock) passes
+    their deadline; active users emit nothing and keep their state."""
+    from datetime import datetime
+
+    from yc_yq_airflow_etl_spark.streaming.stateful import user_inactivity_alerts
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write_rows(rows):
+        spark.createDataFrame(rows, EVENTS).coalesce(1).write.mode("append").parquet(src)
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    # batch 1: users 7 and 8 both active at 10:00
+    write_rows([(1, t0, 7, "click", 1.0, None), (2, t0, 8, "view", 2.0, None)])
+
+    stream = read_file_stream(spark, src, EVENTS, max_files_per_trigger=1)
+    q = (
+        user_inactivity_alerts(stream, gap_seconds=1800, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("inactivity")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    assert spark.sql("SELECT * FROM inactivity").count() == 0
+
+    # batch 2: only user 8 continues, two hours later. The watermark
+    # used while PROCESSING this batch still derives from batch 1
+    # (10:00 - 10min), so no timeout fires yet.
+    write_rows([(3, datetime(2024, 1, 1, 12, 0, 0), 8, "click", 3.0, None)])
+    q.processAllAvailable()
+
+    # batch 3: another user-8 event; now the watermark has advanced to
+    # 12:00 - 10min = 11:50, past user 7's deadline of 10:30 → the
+    # timer fires with no user-7 data in the batch.
+    write_rows([(4, datetime(2024, 1, 1, 12, 5, 0), 8, "click", 4.0, None)])
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    rows = spark.sql("SELECT * FROM inactivity").collect()
+    assert [
+        (r.user_id, r.n_events, r.last_ts_epoch) for r in rows
+    ] == [(7, 1, int(t0.timestamp()))]

@@ -158,3 +158,85 @@ def user_spend_alerts(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- inactivity detection via EventTimeTimeout --------------------------
+#
+# The third stateful shape, and the one neither windows nor the two
+# operators above can express: emit when a key STOPS producing events
+# (session-end / user-churn / sensor-silence detection). Timers are the
+# distinguishing state-store feature: each key arms an event-time
+# timeout at (last event + gap); when the WATERMARK passes that mark,
+# Spark invokes the function with ``hasTimedOut`` and no data, the
+# closure row is emitted, and the state is removed — so state size is
+# bounded by the number of concurrently-active keys, and silence is
+# detected without any polling scan of the state store.
+#
+# EventTimeTimeout (not ProcessingTimeTimeout) on purpose: firing is a
+# pure function of the DATA's timestamps and the watermark, so replays
+# and catch-up runs produce the same alerts — wall-clock timers do not.
+
+INACTIVITY_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("last_ts_epoch", T.LongType(), False),
+    ]
+)
+
+INACTIVITY_STATE = T.StructType(
+    [
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("last_ts_epoch", T.LongType(), False),
+    ]
+)
+
+
+def _make_inactivity_fn(gap_seconds: int):
+    def _monitor(
+        key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "last_ts_epoch": [last],
+                }
+            )
+            return
+        n, last = state.get if state.exists else (0, 0)
+        for pdf in batches:
+            if len(pdf):
+                n += len(pdf)
+                last = max(
+                    last,
+                    int(pdf["ts"].astype("int64").max() // 1_000_000_000),
+                )
+        state.update((n, last))
+        # arm (or re-arm) the silence timer at last-seen + gap; epoch ms
+        state.setTimeoutTimestamp((last + gap_seconds) * 1000)
+
+    return _monitor
+
+
+def user_inactivity_alerts(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Emit ONE row per user when they fall silent for ``gap_seconds``
+    of event time: (user_id, n_events, last_ts_epoch) at the moment
+    the watermark passes their silence deadline. The state (two longs
+    per key) is removed on emission — churned keys cost nothing."""
+    w = events.withWatermark("ts", watermark).select("user_id", "ts")
+    return w.groupBy("user_id").applyInPandasWithState(
+        _make_inactivity_fn(gap_seconds),
+        outputStructType=INACTIVITY_OUTPUT,
+        stateStructType=INACTIVITY_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
