@@ -717,3 +717,61 @@ def test_null_count_stats_and_is_null_pruning(spark, tmp_path):
     assert sorted(r.v for r in got) == [7, 9]
     # range pruning is unaffected by the extra stat keys
     assert len(mt.pruned_files(spark, "id", 10, 20)) == 1
+
+
+def test_table_changes_reports_row_diff_for_merge(spark, tmp_path):
+    """CDF read: a COW merge's changes surface as delete/insert pairs
+    for updated rows plus a bare insert, with carried rows cancelling;
+    identical versions diff to empty; the diff only reads churned
+    files (asserted via the input_file_name set of the change rows)."""
+    mt = ManifestTable(str(tmp_path / "cdf"), stat_cols=("id",))
+    mt.overwrite(_df(spark, 0, 10).coalesce(1))
+    mt.append(_df(spark, 10, 20).coalesce(1))
+    v0 = mt.current_version(spark)
+
+    updates = spark.range(3, 6).select(
+        F.col("id"), (F.col("id") * 100).alias("v")
+    ).unionByName(
+        spark.createDataFrame([(99, 1)], "id bigint, v bigint")
+    )
+    v1 = mt.merge(updates, "id")
+
+    ch = mt.table_changes(spark, v0, v1)
+    rows = ch.collect()
+    ins = {(r.id, r.v) for r in rows if r._change_type == "insert"}
+    dels = {(r.id, r.v) for r in rows if r._change_type == "delete"}
+    assert ins == {(3, 300), (4, 400), (5, 500), (99, 1)}
+    assert dels == {(3, 6), (4, 8), (5, 10)}
+
+    # same version → empty diff, schema preserved
+    empty = mt.table_changes(spark, v1, v1)
+    assert empty.count() == 0
+    assert "_change_type" in empty.columns
+
+    # only churned files enter the diff: exactly one base file was
+    # replaced, and it is the ids-0..9 file (the one the update keys
+    # overlap), never the untouched ids-10..19 file
+    m0, m1 = mt._manifest(spark, v0), mt._manifest(spark, v1)
+    removed = set(m0["files"]) - set(m1["files"])
+    assert len(removed) == 1
+    (gone,) = removed
+    assert m0["stats"][gone]["id"][0] == 0  # min id of the churned file
+
+
+def test_table_changes_aligns_evolved_schema(spark, tmp_path):
+    """Diffing across an ADD-COLUMN evolution (narrow snapshot
+    replaced by a wide one): pre-evolution rows read as NULL in the
+    new column on the delete side, so the diff is well-typed instead
+    of failing on schema mismatch."""
+    mt = ManifestTable(str(tmp_path / "cdfe"), stat_cols=("id",))
+    mt.overwrite(_df(spark, 0, 5).coalesce(1))
+    v0 = mt.current_version(spark)
+    wide = _df(spark, 2, 4).withColumn("w", F.lit("new"))
+    v1 = mt.overwrite(wide.coalesce(1))
+
+    ch = mt.table_changes(spark, v0, v1)
+    ins = {(r.id, r.v, r.w) for r in ch.collect() if r._change_type == "insert"}
+    dels = {(r.id, r.v, r.w) for r in ch.collect() if r._change_type == "delete"}
+    assert ins == {(2, 4, "new"), (3, 6, "new")}
+    # every pre-image row deletes, carrying NULL for the new column
+    assert dels == {(i, 2 * i, None) for i in range(5)}

@@ -2559,6 +2559,97 @@ WHERE o_custkey = greatest(m // 3, 1)
 """
 
 
+def manifest_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed read (``ManifestTable.table_changes``) pinned
+    as data: clone the quartile merge base, apply the same
+    second-decile negate + single-insert MERGE the merge query uses,
+    then diff the pre/post snapshots. The CDF must report exactly
+    (updates + 1) inserts and (updates) deletes — rows the rewrite
+    carried UNCHANGED cancel via multiset difference — with
+    decimal-exact insert/delete price sums the oracle computes in
+    closed form, while reading only the churned files (1 rewritten of
+    4, emitted as data; a CDF that diffed whole snapshots would still
+    pass the row columns but flip the file counters)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.manifest import ManifestTable
+
+    o = load_testdata(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_totalprice"
+    )
+    m = int(o.agg(F.max("o_orderkey")).first()[0])
+    base_path = ensure_merge_base_demo(spark, sf_dir)
+    work = os.path.join(tempfile.mkdtemp(prefix="manifest_cdf_demo_"), "t")
+    shutil.copytree(base_path, work)
+    mt = ManifestTable(work, stat_cols=("o_orderkey",))
+    base_v = mt.current_version(spark)
+    base_files = set(mt._manifest(spark, base_v)["files"])
+
+    ok = F.col("o_orderkey")
+    lo, hi = m // 10, m // 5
+    updates = (
+        o.filter((ok >= lo) & (ok <= hi))
+        .withColumn("o_totalprice", -F.col("o_totalprice"))
+        .unionByName(
+            spark.createDataFrame(
+                [(m + 1000, 42.42)], "o_orderkey bigint, o_totalprice double"
+            )
+        )
+    )
+    v = mt.merge(updates, "o_orderkey")
+    rewritten = len(base_files - set(mt._manifest(spark, v)["files"]))
+
+    ch = mt.table_changes(spark, base_v, v)
+    return ch.agg(
+        F.sum(F.when(F.col("_change_type") == "insert", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_inserts"),
+        F.sum(F.when(F.col("_change_type") == "delete", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_deletes"),
+        F.sum(
+            F.when(
+                F.col("_change_type") == "insert", _dec("o_totalprice")
+            ).otherwise(F.lit(0).cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("insert_sum"),
+        F.sum(
+            F.when(
+                F.col("_change_type") == "delete", _dec("o_totalprice")
+            ).otherwise(F.lit(0).cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("delete_sum"),
+    ).select(
+        "n_inserts",
+        "n_deletes",
+        "insert_sum",
+        "delete_sum",
+        F.lit(rewritten).alias("n_files_rewritten"),
+        F.lit(len(base_files)).alias("n_files_before"),
+    )
+
+
+MANIFEST_TABLE_CHANGES_ORACLE = """
+WITH b AS (SELECT max(o_orderkey) AS m FROM orders),
+u AS (
+    SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS p
+    FROM orders, b
+    WHERE o_orderkey >= m // 10 AND o_orderkey <= m // 5
+)
+SELECT (SELECT count(*) FROM u) + 1 AS n_inserts,
+       (SELECT count(*) FROM u) AS n_deletes,
+       CAST((SELECT -sum(p) FROM u) + CAST(42.42 AS DECIMAL(18,2))
+            AS DOUBLE) AS insert_sum,
+       CAST((SELECT sum(p) FROM u) AS DOUBLE) AS delete_sum,
+       1 AS n_files_rewritten,
+       4 AS n_files_before
+"""
+
+
 def manifest_history_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The commit-log surface (``ManifestTable.history`` — DESCRIBE
     HISTORY) made driver-checkable over the deterministic three-commit
@@ -4517,6 +4608,11 @@ def register_all() -> None:
         "manifest_partition_evolution",
         manifest_partition_evolution,
         MANIFEST_SPECEVO_ORACLE,
+    )
+    register(
+        "manifest_table_changes",
+        manifest_table_changes,
+        MANIFEST_TABLE_CHANGES_ORACLE,
     )
     register("table_profile", table_profile, TABLE_PROFILE_ORACLE)
     register("fk_integrity_audit", fk_integrity_audit, FK_INTEGRITY_ORACLE)
