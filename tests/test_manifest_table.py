@@ -775,3 +775,57 @@ def test_table_changes_aligns_evolved_schema(spark, tmp_path):
     assert ins == {(2, 4, "new"), (3, 6, "new")}
     # every pre-image row deletes, carrying NULL for the new column
     assert dels == {(i, 2 * i, None) for i in range(5)}
+
+
+def test_table_changes_drives_incremental_aggregate(spark, tmp_path):
+    """The CDF's consumer contract: folding (inserts − deletes) into a
+    stored aggregate reproduces a full recompute of the new snapshot —
+    without rescanning the unchanged files. This is the maintenance
+    loop incremental_agg_maintenance runs, driven here by
+    table_changes instead of an explicit delta feed."""
+    mt = ManifestTable(str(tmp_path / "cdfagg"), stat_cols=("id",))
+    mt.overwrite(_df(spark, 0, 10).coalesce(1))
+    mt.append(_df(spark, 10, 20).coalesce(1))
+    v0 = mt.current_version(spark)
+
+    def rollup(df):
+        return (
+            df.groupBy((F.col("id") % 3).alias("g"))
+            .agg(
+                F.sum("v").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    base = {(r.g, r.s, r.n) for r in rollup(mt.read(spark, version=v0)).collect()}
+
+    updates = spark.range(3, 6).select(
+        F.col("id"), (F.col("id") * 100).alias("v")
+    )
+    v1 = mt.merge(updates, "id")
+
+    ch = mt.table_changes(spark, v0, v1)
+    sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+    delta = (
+        ch.groupBy((F.col("id") % 3).alias("g"))
+        .agg(
+            F.sum(F.col("v") * sign).alias("ds"),
+            F.sum(sign).alias("dn"),
+        )
+    )
+    base_df = rollup(mt.read(spark, version=v0))
+    folded = {
+        (r.g, r.s, r.n)
+        for r in base_df.join(delta, "g", "left")
+        .select(
+            "g",
+            (F.col("s") + F.coalesce("ds", F.lit(0))).alias("s"),
+            (F.col("n") + F.coalesce("dn", F.lit(0))).alias("n"),
+        )
+        .collect()
+    }
+    recomputed = {
+        (r.g, r.s, r.n) for r in rollup(mt.read(spark, version=v1)).collect()
+    }
+    assert folded == recomputed
+    assert folded != base  # the delta actually changed something
