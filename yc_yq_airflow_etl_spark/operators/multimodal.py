@@ -435,3 +435,46 @@ def synthesize_video_corpus(ids: DataFrame, n_frames: int = 4) -> DataFrame:
             )
 
     return ids.mapInPandas(gen, schema="media_id long, payload binary")
+
+
+# -- perceptual hashing (image near-dup detection) -----------------------
+
+
+def ahash_ppm(payload: bytes, grid: int = 8) -> str:
+    """Average-hash of a P6 image: nearest-neighbor downsample to
+    ``grid``×``grid``, luminance = r+g+b (integer, no division), bit =
+    luminance strictly above the image mean — compared CROSS-MULTIPLIED
+    (``lum * grid² > total``) so the threshold is integer-exact and an
+    oracle can restate it. Returned as a row-major '0'/'1' string
+    (64 chars at grid=8): no 64-bit sign pitfalls, trivially portable.
+
+    This is the canonical image near-dup fingerprint (same family as
+    pHash/dHash): re-encodes, minor crops, and resizes of an image map
+    to equal or near-equal hashes, so exact-grouping (or hamming
+    banding, via the simhash machinery) finds duplicate images the
+    byte-level md5 never could."""
+    img = ppm_to_array(payload).astype(np.int64)
+    h, w, _ = img.shape
+    ys = (np.arange(grid, dtype=np.int64) * h) // grid
+    xs = (np.arange(grid, dtype=np.int64) * w) // grid
+    lum = img[ys[:, None], xs[None, :]].sum(axis=2)
+    total = int(lum.sum())
+    bits = (lum * (grid * grid)) > total
+    return "".join("1" if b else "0" for b in bits.flatten())
+
+
+def ppm_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Arrow-batched decode → average-hash, one mapInPandas stage —
+    the image bytes never cross a shuffle; only the 64-char hash
+    (and the id) continues into the grouping exchange."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "ahash": [ahash_ppm(p, grid) for p in pdf["payload"]],
+                }
+            )
+
+    return media.mapInPandas(run, schema="media_id long, ahash string")

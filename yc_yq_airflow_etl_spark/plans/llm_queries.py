@@ -2137,6 +2137,67 @@ ORDER BY p.split
 )
 
 
+def multimodal_phash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate detection via perceptual average-hash
+    (operators/multimodal.ahash_ppm) — the multimodal twin of the text
+    dedup stack: every document's P6 image is decoded and hashed in
+    one Arrow mapInPandas pass (bytes never cross a shuffle; only the
+    64-char hash does), then exact-grouped into duplicate classes and
+    summarized as a class-size histogram.
+
+    The synthetic corpus makes the check sharp: pixel channels are
+    periodic in doc_id mod 256, so ids 256 apart render IDENTICAL
+    images — real duplicate structure (classes of ~20 at sf0.01) that
+    byte-level md5 of the documents' TEXT cannot see. The oracle
+    replays the whole chain (pixel formula → nearest downsample →
+    integer cross-multiplied mean threshold → row-major bit string →
+    class histogram), so the hash itself is value-checked, not just
+    the counts."""
+    from ..operators.multimodal import ppm_ahash, synthesize_ppm_corpus
+
+    t = load_testdata(spark, sf_dir)
+    ids = t["documents"].select(F.col("doc_id").alias("media_id"))
+    hashes = ppm_ahash(synthesize_ppm_corpus(ids))
+    classes = hashes.groupBy("ahash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_size")
+    )
+    return (
+        classes.groupBy("class_size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum("class_size").cast("bigint").alias("n_images"),
+        )
+        .orderBy("class_size")
+    )
+
+
+MULTIMODAL_PHASH_ORACLE = """
+WITH g AS (
+    SELECT x.x, y.y, 2 * x.x AS sx, (3 * y.y) // 2 AS sy
+    FROM generate_series(0, 7) x(x) CROSS JOIN generate_series(0, 7) y(y)
+), lum AS (
+    SELECT d.doc_id, g.y, g.x,
+           ((d.doc_id + g.sx + g.sy) % 256)
+             + ((d.doc_id * 3 + g.sx) % 256)
+             + ((d.doc_id * 7 + g.sy) % 256) AS l
+    FROM documents d CROSS JOIN g
+), tot AS (
+    SELECT doc_id, sum(l) AS t FROM lum GROUP BY 1
+), bits AS (
+    SELECT lum.doc_id,
+           string_agg(CASE WHEN lum.l * 64 > tot.t THEN '1' ELSE '0' END,
+                      '' ORDER BY lum.y, lum.x) AS ahash
+    FROM lum JOIN tot USING (doc_id) GROUP BY lum.doc_id
+), cls AS (
+    SELECT ahash, count(*) AS class_size FROM bits GROUP BY 1
+)
+SELECT CAST(class_size AS BIGINT) AS class_size,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_images
+FROM cls GROUP BY class_size ORDER BY class_size
+"""
+
+
 def pagerank_doc_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the simhash near-dup pair graph — the
     'keep the most corroborated document per cluster' alternative to
@@ -2341,3 +2402,6 @@ def register_all() -> None:
     register("pagerank_doc_ranks", pagerank_doc_ranks, PAGERANK_ORACLE)
     register("weighted_doc_sample", weighted_doc_sample, WEIGHTED_SAMPLE_ORACLE)
     register("cluster_aware_splits", cluster_aware_splits, CLUSTER_SPLITS_ORACLE)
+    register(
+        "multimodal_phash_dupes", multimodal_phash_dupes, MULTIMODAL_PHASH_ORACLE
+    )
