@@ -61,6 +61,12 @@ def _stamp(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """Stamp one boolean per rule plus the per-row ``_failed_rules``
     diagnosis array (empty = clean) in a single projection."""
     names = [r.name for r in rules]
+    reserved = {f"_ok_{n}" for n in names} | {"_failed_rules"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns collide with expectation scratch names: {sorted(clash)}"
+        )
     return df.select(
         "*", *[_flag(r).alias(f"_ok_{r.name}") for r in rules]
     ).withColumn(
