@@ -503,6 +503,18 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
          "!ReadSchema: [^\n]*text"),
         ("per-lang rollup partially aggregated", r"partial_(sum|count)"),
     ],
+    "scd2_point_in_time_revenue": [
+        ("temporal join is a hash equi-join on the key with the "
+         "validity window as residual — never a nested-loop range join",
+         "!BroadcastNestedLoopJoin"),
+        ("revenue rollup partially aggregated", r"partial_(sum|count)"),
+    ],
+    "multimodal_phash_dupes": [
+        ("hashing is one Arrow python stage; bytes never reach the "
+         "exchange", r"MapInPandas"),
+        ("class rollup partially aggregated", r"partial_count"),
+        ("no join anywhere", "!Join"),
+    ],
 }
 
 

@@ -390,6 +390,57 @@ GROUP BY 1 ORDER BY tier
 """
 
 
+def user_inactivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming/stateful.user_inactivity_alerts``
+    (EventTimeTimeout silence detection): a user's closure fires when
+    the watermark — the corpus max event time minus the watermark
+    delay — passes ``last_seen + gap``. Replaying that rule over the
+    bounded events table yields exactly the closure rows the streaming
+    operator would have emitted by end-of-stream (the live timer
+    mechanics — firing with NO data for the key, state removal — are
+    pinned by the three-micro-batch test in test_streaming.py, which
+    a batch oracle cannot see).
+
+    Scale shape: one per-user partial-aggregated rollup plus the
+    corpus max riding a 1-row broadcast cross join — no window, no
+    collect. gap=4h / 10-min delay sit inside the fixture's one-month
+    span, so both silent and still-active users exist at every sf."""
+    gap_s, delay_s = 4 * 3600, 600
+    ev = load_testdata(spark, sf_dir)["events"].select(
+        "user_id", F.unix_timestamp("ts").alias("ep")
+    )
+    wm = ev.agg((F.max("ep") - delay_s).alias("wm_ep"))
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("ep").alias("last_ep"),
+    )
+    return (
+        per_user.crossJoin(wm)
+        .filter(F.col("last_ep") + gap_s <= F.col("wm_ep"))
+        .select("user_id", "n_events", F.col("last_ep").alias("last_ts_epoch"))
+        .orderBy("user_id")
+    )
+
+
+INACTIVITY_ORACLE = """
+WITH e AS (
+    SELECT user_id,
+           CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ep
+    FROM events
+), wm AS (
+    SELECT max(ep) - 600 AS wm_ep FROM e
+), per_user AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           max(ep) AS last_ep
+    FROM e GROUP BY 1
+)
+SELECT user_id, n_events, last_ep AS last_ts_epoch
+FROM per_user, wm
+WHERE last_ep + 14400 <= wm_ep
+ORDER BY user_id
+"""
+
+
 def register_all() -> None:
     from .registry import register
 
@@ -412,3 +463,4 @@ def register_all() -> None:
     register(
         "stream_static_enrichment", stream_static_enrichment, STREAM_STATIC_ORACLE
     )
+    register("user_inactivity_report", user_inactivity_report, INACTIVITY_ORACLE)
