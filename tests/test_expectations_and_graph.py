@@ -84,6 +84,15 @@ def test_validate_rejects_bad_rulesets(spark):
         validate(df, [])
     with pytest.raises(ValueError):
         validate(df, [Rule("x", F.lit(True)), Rule("x", F.lit(False))])
+    # the report label namespace is reserved: '_total', 'combo:*',
+    # and '+' inside a name would collide with summary/combo rows
+    for bad in ("_total", "combo:x", "a+b"):
+        with pytest.raises(ValueError):
+            validate(df, [Rule(bad, F.lit(True))])
+    # scratch-column collisions with the input schema
+    df2 = spark.createDataFrame([(1, True)], "id bigint, _ok_x boolean")
+    with pytest.raises(ValueError):
+        validate(df2, [Rule("x", F.lit(True))])
 
 
 def _ranks(spark, pairs, **kw):

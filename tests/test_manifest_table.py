@@ -829,3 +829,22 @@ def test_table_changes_drives_incremental_aggregate(spark, tmp_path):
     }
     assert folded == recomputed
     assert folded != base  # the delta actually changed something
+
+
+def test_table_changes_merges_mixed_schema_file_sets(spark, tmp_path):
+    """The added set itself mixes schemas (wide append then narrow
+    append): without mergeSchema Spark would adopt one file's schema
+    by listing order and nondeterministically drop the evolved column
+    from the CDF rows. Run the diff several times — the evolved
+    column must survive every time."""
+    mt = ManifestTable(str(tmp_path / "cdfm"), stat_cols=("id",))
+    mt.overwrite(_df(spark, 0, 5).coalesce(1))
+    v0 = mt.current_version(spark)
+    mt.append(_df(spark, 10, 12).withColumn("w", F.lit("wide")).coalesce(1))
+    v2 = mt.append(_df(spark, 20, 22).coalesce(1))
+
+    for _ in range(4):
+        ch = mt.table_changes(spark, v0, v2)
+        assert "w" in ch.columns
+        ins = {(r.id, r.w) for r in ch.collect() if r._change_type == "insert"}
+        assert ins == {(10, "wide"), (11, "wide"), (20, None), (21, None)}

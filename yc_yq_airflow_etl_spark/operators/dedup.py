@@ -600,24 +600,13 @@ def connected_components(
     """
     from pyspark import StorageLevel
 
+    from .checkpoints import checkpointed_rdd_id as _ckpt_id
+    from .checkpoints import free_checkpoint
+
     spark = pairs.sparkSession
 
-    def _ckpt_id(df: DataFrame) -> int | None:
-        """The persisted RDD backing a localCheckpoint'd frame: its
-        analyzed plan is a LogicalRDD wrapping exactly the RDD that
-        localCheckpoint persisted."""
-        try:
-            return int(df._jdf.queryExecution().analyzed().rdd().id())
-        except Exception:
-            return None  # plan shape changed across Spark versions: leak
-            # one generation rather than risk freeing someone else's RDD
-
     def _free(rdd_id: int | None) -> None:
-        if rdd_id is None:
-            return
-        jm = spark.sparkContext._jsc.getPersistentRDDs()
-        if jm.containsKey(rdd_id):
-            jm.get(rdd_id).unpersist(False)
+        free_checkpoint(spark, rdd_id)
 
     # Persist the DIRECTED pair list before symmetrizing: the union's
     # two branches would otherwise each evaluate the caller's pair

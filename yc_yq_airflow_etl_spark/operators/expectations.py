@@ -11,10 +11,13 @@ dead-letter-queue pattern expressed Spark-first:
 
 - Each :class:`Rule` is a named boolean ``Column`` expression — pure
   JVM whole-stage-codegen predicates, never a Python row path.
-- :func:`validate` stamps one boolean per rule in a single projection,
-  derives ``_clean = all rules`` and splits via two filters on the
-  SAME stamped frame — Spark computes the predicate vector once per
-  row; no shuffle, no second scan of the source, no join.
+- :func:`validate` stamps one boolean per rule in a single projection
+  and splits via filters on the SAME stamped plan — no shuffle, no
+  join. Its three outputs are independent LAZY frames: each one the
+  caller consumes costs one scan of the source (a write-clean +
+  write-quarantine + collect-stats caller scans three times; persist
+  the input, or use :func:`audit` when only the report is needed —
+  its whole output derives from ONE scan).
 - Violation stats aggregate the stamped booleans with
   partial-aggregated sums (map-side combine), so the audit costs one
   extra reduce of R counters per partition — independent of row count.
@@ -54,6 +57,20 @@ def _check_rules(rules: list[Rule]) -> list[str]:
     names = [r.name for r in rules]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate rule names: {names}")
+    # the report's label namespace is part of the contract: '_total'
+    # is the quarantine-summary row, 'combo:<a+b>' rows join labels
+    # with '+' — a rule named into that namespace would collide and
+    # audit()'s final groupBy would silently MERGE the counts
+    bad = [
+        n
+        for n in names
+        if n == "_total" or n.startswith("combo:") or "+" in n
+    ]
+    if bad:
+        raise ValueError(
+            f"rule names {bad} collide with report labels "
+            "('_total', 'combo:*', or contain '+')"
+        )
     return names
 
 
@@ -97,8 +114,11 @@ def validate(
     - ``stats``: one row per rule: (rule, n_checked, n_violations)
       plus a ``_total`` row with (total rows, quarantined rows).
 
-    One scan, zero shuffles for the split; the stats reduce is a
-    global aggregate over per-partition partial counters.
+    The split itself is shuffle-free and join-free; each returned
+    frame re-scans ``df`` when consumed (they are independent lazy
+    plans — see the module docstring; ``audit`` is the single-scan
+    report variant). The stats reduce is a global aggregate over
+    per-partition partial counters.
     """
     names = _check_rules(rules)
     stamped = _stamp(df, rules)

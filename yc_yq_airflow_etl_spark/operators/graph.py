@@ -42,6 +42,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from .checkpoints import checkpointed_rdd_id, free_checkpoint
+
 
 def pagerank(
     pairs: DataFrame,
@@ -84,10 +86,12 @@ def pagerank(
         )
 
     teleport = (1.0 - damping) / n_vertices
+    spark = pairs.sparkSession
     ranks = deg.select(
         F.col("src").alias("id"),
         F.lit(1.0 / n_vertices).alias("rank"),
     ).localCheckpoint()
+    rank_id = checkpointed_rdd_id(ranks)
 
     for _ in range(iterations):
         contribs = (
@@ -107,7 +111,11 @@ def pagerank(
                 "rank"
             ),
         ).localCheckpoint()  # eager: truncates plan AND materializes
-        ranks = new_ranks
+        # the new generation is materialized; free the superseded one
+        # (checkpoint blocks outlive DataFrame dereference — see
+        # operators/checkpoints.py)
+        free_checkpoint(spark, rank_id)
+        ranks, rank_id = new_ranks, checkpointed_rdd_id(new_ranks)
 
     edges.unpersist(blocking=False)
     edges_deg.unpersist(blocking=False)

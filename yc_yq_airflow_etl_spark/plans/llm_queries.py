@@ -641,6 +641,26 @@ WHERE rnk <= 3 ORDER BY doc_id, rnk
 """
 
 
+def _split_expr(key) -> "F.Column":
+    """THE split function — md5-derived bucket in [0,100): <80 train,
+    <90 val, else test (15-hex-char hash rule shared with the
+    CMS/Bloom/KMV sketches). One definition on purpose: the thresholds
+    and hash rule are load-bearing for BOTH `dataset_splits` and the
+    leakage-free `cluster_aware_splits` (and their two DuckDB
+    oracles); a tweak applied to one copy must reach the other."""
+    h = (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        )
+        % 100
+    )
+    return (
+        F.when(h < 80, F.lit("train"))
+        .when(h < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment — the split step every
     training pipeline needs to be STABLE under corpus growth: a doc's
@@ -656,20 +676,9 @@ def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     which pins disjointness and completeness too (counts per split
     sum to the corpus)."""
     t = load_testdata(spark, sf_dir)
-    h = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
-        ).cast("long")
-        % 100
-    )
-    split = (
-        F.when(h < 80, F.lit("train"))
-        .when(h < 90, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     return (
         t["documents"]
-        .select(split.alias("split"), "lang")
+        .select(_split_expr(F.col("doc_id")).alias("split"), "lang")
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("split", "lang")
@@ -2020,24 +2029,13 @@ def cluster_aware_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = dedup_cluster_assignments(docs, pairs).select(
         "doc_id", "keeper_id"
     )
-    h = (
-        F.conv(
-            F.substring(F.md5(F.col("unit").cast("string")), 1, 15), 16, 10
-        ).cast("long")
-        % 100
-    )
-    split = (
-        F.when(h < 80, F.lit("train"))
-        .when(h < 90, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     us = (
         docs.select("doc_id")
         .join(assign, "doc_id", "left")
         .select(
             "doc_id", F.coalesce("keeper_id", "doc_id").alias("unit")
         )
-        .select("doc_id", "unit", split.alias("split"))
+        .select("doc_id", "unit", _split_expr(F.col("unit")).alias("split"))
     )
     per_split = us.groupBy("split").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),

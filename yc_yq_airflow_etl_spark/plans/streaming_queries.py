@@ -392,33 +392,72 @@ GROUP BY 1 ORDER BY tier
 
 def user_inactivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of ``streaming/stateful.user_inactivity_alerts``
-    (EventTimeTimeout silence detection): a user's closure fires when
-    the watermark — the corpus max event time minus the watermark
-    delay — passes ``last_seen + gap``. Replaying that rule over the
-    bounded events table yields exactly the closure rows the streaming
-    operator would have emitted by end-of-stream (the live timer
-    mechanics — firing with NO data for the key, state removal — are
-    pinned by the three-micro-batch test in test_streaming.py, which
-    a batch oracle cannot see).
+    (EventTimeTimeout silence detection), replayed FAITHFULLY under
+    the fine-grained-watermark idealization (micro-batches small
+    enough that the watermark tracks max-seen − delay continuously —
+    the limit the live query approaches as trigger intervals shrink):
 
-    Scale shape: one per-user partial-aggregated rollup plus the
-    corpus max riding a 1-row broadcast cross join — no window, no
-    collect. gap=4h / 10-min delay sit inside the fixture's one-month
-    span, so both silent and still-active users exist at every sf."""
+    - the timer deadline is ``last_seen + gap``; it fires when the
+      watermark STRICTLY passes it, and the watermark reaches
+      ``ep − delay`` just before the event at ``ep`` processes — so a
+      closure fires INSIDE a user's history at every consecutive-event
+      silence ``> gap + delay``, resetting the per-key state
+      (n_events restarts), not only at end-of-stream;
+    - the user's final run of events closes iff the end-of-stream
+      watermark (corpus max − delay) strictly passes its deadline.
+
+    So the replay is gaps-and-islands sessionization with a
+    ``gap + delay`` break, emitting every non-final session plus
+    final sessions the last watermark outruns — per-closure
+    ``n_events`` is the SINCE-LAST-RESET count, exactly the state the
+    streaming operator carries. (The live timer mechanics — firing
+    with no data for the key, state removal — are pinned by the
+    three-micro-batch test in test_streaming.py; batch-boundary
+    watermark coarseness is the one thing this replay idealizes
+    away.)
+
+    Scale shape: one window per user key (the natural partition key)
+    stacked on a single sort/exchange, then a partial-aggregated
+    session rollup; the corpus max rides a 1-row broadcast cross
+    join. gap=4h / 10-min delay sit inside the fixture's one-month
+    span, so internal closures, final closures, and still-active
+    tails all occur at every sf."""
+    from pyspark.sql import Window
+
     gap_s, delay_s = 4 * 3600, 600
     ev = load_testdata(spark, sf_dir)["events"].select(
         "user_id", F.unix_timestamp("ts").alias("ep")
     )
     wm = ev.agg((F.max("ep") - delay_s).alias("wm_ep"))
-    per_user = ev.groupBy("user_id").agg(
+    w = Window.partitionBy("user_id").orderBy("ep")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ep").over(w).isNull()
+            | ((F.col("ep") - F.lag("ep").over(w)) > gap_s + delay_s),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    agg = sess.groupBy("user_id", "sid").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.max("ep").alias("last_ep"),
     )
+    last_sid = agg.groupBy("user_id").agg(F.max("sid").alias("msid"))
     return (
-        per_user.crossJoin(wm)
-        .filter(F.col("last_ep") + gap_s <= F.col("wm_ep"))
-        .select("user_id", "n_events", F.col("last_ep").alias("last_ts_epoch"))
-        .orderBy("user_id")
+        agg.join(last_sid, "user_id")
+        .crossJoin(wm)
+        .filter(
+            (F.col("sid") < F.col("msid"))
+            | (F.col("last_ep") + gap_s < F.col("wm_ep"))
+        )
+        .select(
+            "user_id", "n_events", F.col("last_ep").alias("last_ts_epoch")
+        )
+        .orderBy("user_id", "last_ts_epoch")
     )
 
 
@@ -429,15 +468,29 @@ WITH e AS (
     FROM events
 ), wm AS (
     SELECT max(ep) - 600 AS wm_ep FROM e
-), per_user AS (
-    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+), flagged AS (
+    SELECT user_id, ep,
+           CASE WHEN lag(ep) OVER w IS NULL
+                  OR ep - lag(ep) OVER w > 15000
+                THEN 1 ELSE 0 END AS new_sess
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ep)
+), sess AS (
+    SELECT user_id, ep,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ep
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM flagged
+), agg AS (
+    SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
            max(ep) AS last_ep
-    FROM e GROUP BY 1
+    FROM sess GROUP BY 1, 2
+), lastsid AS (
+    SELECT user_id, max(sid) AS msid FROM agg GROUP BY 1
 )
-SELECT user_id, n_events, last_ep AS last_ts_epoch
-FROM per_user, wm
-WHERE last_ep + 14400 <= wm_ep
-ORDER BY user_id
+SELECT a.user_id, a.n_events, a.last_ep AS last_ts_epoch
+FROM agg a JOIN lastsid l USING (user_id), wm
+WHERE a.sid < l.msid OR a.last_ep + 14400 < wm.wm_ep
+ORDER BY a.user_id, last_ts_epoch
 """
 
 

@@ -743,7 +743,12 @@ class ManifestTable:
         def _read(names: list[str]) -> DataFrame | None:
             if not names:
                 return None
-            return spark.read.parquet(
+            # mergeSchema ALWAYS: the added (or removed) set can itself
+            # mix schemas when evolution happened between the versions,
+            # and without it Spark adopts one file's schema by listing
+            # order — the evolved column nondeterministically vanishes
+            # and an update that only changed it cancels in exceptAll.
+            return spark.read.option("mergeSchema", True).parquet(
                 *[f"{self.path}/data/{f}" for f in names]
             )
 
