@@ -349,6 +349,8 @@ def main() -> None:
             "similarity_lsh_topk",
             "similarity_ivf_topk",
             "source_capped_sample",  # WindowGroupLimit under 10x groups
+            "pagerank_doc_ranks",  # fixed 3 rounds over the 10x graph
+            "cluster_aware_splits",  # CC + pair audit at 10x dup density
         ):
             t0 = time.time()
             n = qs[name](spark, scale_dir).count()
