@@ -515,6 +515,12 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("class rollup partially aggregated", r"partial_count"),
         ("no join anywhere", "!Join"),
     ],
+    "entity_resolution_links": [
+        ("linkage is an equi-join on the blocking key, never a "
+         "nested-loop all-pairs comparison", "!BroadcastNestedLoopJoin"),
+        ("no cartesian product", "!CartesianProduct"),
+        ("per-variant rollup partially aggregated", r"partial_(sum|count)"),
+    ],
 }
 
 

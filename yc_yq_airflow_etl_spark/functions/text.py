@@ -210,3 +210,15 @@ def chunk_documents(
         F.size(chunk).cast("int").alias("n_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     )
+
+
+def normalize_entity_key(col: Column | str) -> Column:
+    """Record-linkage blocking key: lowercase, strip every
+    non-alphanumeric, drop a leading article ('the') and a trailing
+    legal suffix ('llc'/'inc') — the canonical first pass of entity
+    resolution, so case/punctuation/suffix variants of one real-world
+    entity collide into one equi-join key. Pure JVM regexes; the
+    DuckDB oracles restate the identical three-step normalization."""
+    x = F.regexp_replace(F.lower(_c(col)), "[^a-z0-9]", "")
+    x = F.regexp_replace(x, "^the", "")
+    return F.regexp_replace(x, "(llc|inc)$", "")

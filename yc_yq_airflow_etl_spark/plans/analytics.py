@@ -4272,6 +4272,128 @@ ORDER BY rule
 """
 
 
+def entity_resolution_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / record linkage: deterministic 'dirty'
+    variants of every customer name (case mangling, punctuation
+    spacing, legal-suffix append, article prefix — one of four by
+    ``custkey % 4``) are linked back to the clean dimension by a
+    NORMALIZED BLOCKING KEY (``functions/text.normalize_entity_key``)
+    and verified with edit distance. Every ``custkey % 7 == 0`` name
+    additionally has its final digit corrupted to '0' BEFORE the
+    variant — those rows block onto a DIFFERENT customer whose name is
+    textually perfect, so the report quantifies the confident-but-
+    WRONG links a key-corruption produces (``n_wrong``) next to the
+    correct ones, per variant class, with the blocked pairs' mean
+    Levenshtein distance (both engines implement classic Levenshtein).
+
+    Scale shape: linkage is an equi-join on the blocking key — never
+    an all-pairs comparison; the quadratic-looking edit distance runs
+    ONLY on blocked candidates (≤1 per dirty row here since clean
+    keys are unique). This is the blocking-then-verify shape every
+    production linkage pipeline uses, same discipline as the LSH
+    dedup family."""
+    from ..functions.text import normalize_entity_key
+
+    c = load_testdata(spark, sf_dir)["customer"]
+    k = F.col("c_custkey")
+    cor = F.when(
+        k % 7 == 0,
+        F.concat(
+            F.expr("substring(c_name, 1, length(c_name) - 1)"), F.lit("0")
+        ),
+    ).otherwise(F.col("c_name"))
+    d0 = c.select(
+        k.alias("src_key"),
+        (k % 4).cast("int").alias("variant"),
+        cor.alias("cor"),
+    )
+    dirty_name = (
+        F.when(F.col("variant") == 0, F.upper("cor"))
+        .when(F.col("variant") == 1, F.regexp_replace("cor", "#", " # "))
+        .when(F.col("variant") == 2, F.concat(F.col("cor"), F.lit(" LLC")))
+        .otherwise(F.concat(F.lit("The "), F.col("cor")))
+    )
+    dirty = d0.select(
+        "src_key", "variant", dirty_name.alias("dirty_name")
+    ).withColumn("nkey", normalize_entity_key(F.col("dirty_name")))
+    clean = c.select(
+        F.col("c_custkey").alias("tgt_key"),
+        F.col("c_name").alias("clean_name"),
+    ).withColumn("nkey", normalize_entity_key(F.col("clean_name")))
+    lev = F.levenshtein("dirty_name", "clean_name")
+    return (
+        dirty.join(clean, "nkey", "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dirty"),
+            F.count("tgt_key").cast("bigint").alias("n_linked"),
+            F.sum(F.when(F.col("tgt_key") == F.col("src_key"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_correct"),
+            F.sum(
+                F.when(
+                    F.col("tgt_key").isNotNull()
+                    & (F.col("tgt_key") != F.col("src_key")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_wrong"),
+            F.round(
+                F.sum(
+                    F.when(F.col("tgt_key").isNotNull(), lev)
+                ).cast("double")
+                / F.count("tgt_key"),
+                2,
+            ).alias("avg_lev"),
+        )
+        .orderBy("variant")
+    )
+
+
+ENTITY_RESOLUTION_ORACLE = """
+WITH d0 AS (
+    SELECT c_custkey AS src_key,
+           CAST(c_custkey % 4 AS INT) AS variant,
+           CASE WHEN c_custkey % 7 = 0
+                THEN substr(c_name, 1, length(c_name) - 1) || '0'
+                ELSE c_name END AS cor
+    FROM customer
+), dirty AS (
+    SELECT src_key, variant,
+           CASE variant WHEN 0 THEN upper(cor)
+                        WHEN 1 THEN replace(cor, '#', ' # ')
+                        WHEN 2 THEN cor || ' LLC'
+                        ELSE 'The ' || cor END AS dirty_name
+    FROM d0
+), dn AS (
+    SELECT src_key, variant, dirty_name,
+           regexp_replace(regexp_replace(regexp_replace(
+               lower(dirty_name), '[^a-z0-9]', '', 'g'),
+               '^the', ''), '(llc|inc)$', '') AS nkey
+    FROM dirty
+), cn AS (
+    SELECT c_custkey AS tgt_key, c_name AS clean_name,
+           regexp_replace(regexp_replace(regexp_replace(
+               lower(c_name), '[^a-z0-9]', '', 'g'),
+               '^the', ''), '(llc|inc)$', '') AS nkey
+    FROM customer
+)
+SELECT variant,
+       CAST(count(*) AS BIGINT) AS n_dirty,
+       CAST(count(tgt_key) AS BIGINT) AS n_linked,
+       CAST(sum(CASE WHEN tgt_key = src_key THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct,
+       CAST(sum(CASE WHEN tgt_key IS NOT NULL AND tgt_key <> src_key
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong,
+       round(CAST(sum(CASE WHEN tgt_key IS NOT NULL
+                           THEN levenshtein(dirty_name, clean_name)
+                      END) AS DOUBLE) / count(tgt_key), 2) AS avg_lev
+FROM dn LEFT JOIN cn USING (nkey)
+GROUP BY variant ORDER BY variant
+"""
+
+
 def scd2_point_in_time_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time (temporal) fact enrichment against an SCD2
     dimension: every event joins the dimension VERSION that was valid
@@ -4603,6 +4725,9 @@ def register_all() -> None:
     )
     register(
         "scd2_point_in_time_revenue", scd2_point_in_time_revenue, SCD2_PIT_ORACLE
+    )
+    register(
+        "entity_resolution_links", entity_resolution_links, ENTITY_RESOLUTION_ORACLE
     )
     register(
         "manifest_partition_evolution",
