@@ -4272,6 +4272,90 @@ ORDER BY rule
 """
 
 
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase's revenue is
+    split EQUALLY across all of the user's clicks within the
+    preceding 30 minutes (the same interval-join predicate
+    ``stream_click_purchase_join`` runs — this stacks the fan-out
+    count and credit split on top). The single-touch as-of join
+    credits only the nearest click; marketing attribution needs the
+    whole touch set.
+
+    Exactness: revenue enters as integer cents; the per-touch credit
+    ``cents / n_touch`` is IEEE double computed identically in both
+    engines, and the per-user sum's summation-order drift (~1e-12
+    relative) is far below the 2-decimal rounding grain.
+
+    Scale shape: user-keyed equi-join with the time window as a
+    residual (hash/SMJ — plan-audited elsewhere for the same
+    predicate), then a window partitioned by purchase id (high
+    cardinality — no skew hazard) and a partial-aggregated per-user
+    rollup."""
+    from pyspark.sql import Window
+
+    ev = load_testdata(spark, sf_dir)["events"]
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    j = p.join(
+        c,
+        (p["user_id"] == c["cu"])
+        & (p["pts"] >= c["cts"])
+        & (p["pts"] < c["cts"] + F.expr("INTERVAL 30 MINUTES")),
+    )
+    w = Window.partitionBy("pid")
+    credited = j.withColumn("n_touch", F.count(F.lit(1)).over(w))
+    return (
+        credited.groupBy("user_id")
+        .agg(
+            F.count_distinct("pid").cast("bigint").alias("n_purchases"),
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.round(
+                F.sum(
+                    F.col("cents").cast("double") / F.col("n_touch")
+                )
+                / 100.0,
+                2,
+            ).alias("attributed_revenue"),
+        )
+        .orderBy("user_id")
+    )
+
+
+MULTI_TOUCH_ORACLE = """
+WITH c AS (
+    SELECT user_id AS cu, ts AS cts FROM events WHERE event_type = 'click'
+), p AS (
+    SELECT user_id, event_id AS pid, ts AS pts,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+), j AS (
+    SELECT p.user_id, p.pid, p.cents
+    FROM p JOIN c
+      ON p.user_id = c.cu
+     AND p.pts >= c.cts AND p.pts < c.cts + INTERVAL 30 MINUTE
+), n AS (
+    SELECT user_id, pid, cents,
+           count(*) OVER (PARTITION BY pid) AS n_touch
+    FROM j
+)
+SELECT user_id,
+       CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       round(sum(CAST(cents AS DOUBLE) / n_touch) / 100.0, 2)
+           AS attributed_revenue
+FROM n GROUP BY user_id ORDER BY user_id
+"""
+
+
 def entity_resolution_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution / record linkage: deterministic 'dirty'
     variants of every customer name (case mangling, punctuation
@@ -4728,6 +4812,9 @@ def register_all() -> None:
     )
     register(
         "entity_resolution_links", entity_resolution_links, ENTITY_RESOLUTION_ORACLE
+    )
+    register(
+        "multi_touch_attribution", multi_touch_attribution, MULTI_TOUCH_ORACLE
     )
     register(
         "manifest_partition_evolution",
