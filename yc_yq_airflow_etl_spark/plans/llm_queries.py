@@ -2196,6 +2196,78 @@ FROM cls GROUP BY class_size ORDER BY class_size
 """
 
 
+def quality_percentile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-rank calibration of a quality score — the
+    scale-first formulation. The naive ``percent_rank() OVER (ORDER BY
+    score)`` is a GLOBAL sort: one task owns the whole corpus at
+    100 TB. Instead: (1) one partial-aggregated shuffle builds an
+    integer-binned histogram (bin = score DIV 8 — metadata-scale,
+    ~64 bins for this score range); (2) the CDF is a window over the
+    BIN table (64 rows — the single-task sort happens on metadata,
+    not data); (3) the bin→decile map broadcasts back onto the corpus
+    as a map-only assignment, ``decile = cum_before·10 DIV total`` in
+    exact integer arithmetic. Granularity is the bin width — the
+    documented trade for never sorting the corpus — and the oracle
+    replays the identical binning, so the output is value-exact."""
+    from pyspark.sql import Window
+
+    t = load_testdata(spark, sf_dir)
+    d = t["documents"].select(
+        "doc_id",
+        F.col("n_chars").alias("score"),
+        F.expr("n_chars DIV 8").alias("bin"),
+    )
+    hist = d.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    wt = Window.partitionBy(F.lit(1))
+    decile_map = (
+        hist.withColumn(
+            "cum_before", F.coalesce(F.sum("cnt").over(wb), F.lit(0))
+        )
+        .withColumn("total", F.sum("cnt").over(wt))
+        .select(
+            "bin",
+            F.expr("CAST(cum_before * 10 DIV total AS INT)").alias(
+                "decile"
+            ),
+        )
+    )
+    return (
+        d.join(F.broadcast(decile_map), "bin")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("score").cast("bigint").alias("min_score"),
+            F.max("score").cast("bigint").alias("max_score"),
+        )
+        .orderBy("decile")
+    )
+
+
+PERCENTILE_CALIBRATION_ORACLE = """
+WITH d AS (
+    SELECT doc_id, n_chars AS score, n_chars // 8 AS bin FROM documents
+), h AS (
+    SELECT bin, count(*) AS cnt FROM d GROUP BY 1
+), c AS (
+    SELECT bin, cnt,
+           COALESCE(sum(cnt) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before,
+           sum(cnt) OVER () AS total
+    FROM h
+), m AS (
+    SELECT bin, CAST((cum_before * 10) // total AS INT) AS decile FROM c
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(score) AS BIGINT) AS min_score,
+       CAST(max(score) AS BIGINT) AS max_score
+FROM d JOIN m USING (bin)
+GROUP BY decile ORDER BY decile
+"""
+
+
 def pagerank_doc_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the simhash near-dup pair graph — the
     'keep the most corroborated document per cluster' alternative to
@@ -2402,4 +2474,9 @@ def register_all() -> None:
     register("cluster_aware_splits", cluster_aware_splits, CLUSTER_SPLITS_ORACLE)
     register(
         "multimodal_phash_dupes", multimodal_phash_dupes, MULTIMODAL_PHASH_ORACLE
+    )
+    register(
+        "quality_percentile_calibration",
+        quality_percentile_calibration,
+        PERCENTILE_CALIBRATION_ORACLE,
     )
