@@ -2212,10 +2212,17 @@ def quality_percentile_calibration(spark: SparkSession, sf_dir: str) -> DataFram
     from pyspark.sql import Window
 
     t = load_testdata(spark, sf_dir)
-    d = t["documents"].select(
-        "doc_id",
-        F.col("n_chars").alias("score"),
-        F.expr("n_chars DIV 8").alias("bin"),
+    # NULL scores are excluded EXPLICITLY: an unfiltered NULL bin
+    # would sort NULLS FIRST in Spark's window but NULLS LAST in the
+    # oracle's, shifting every decile on one side only
+    d = (
+        t["documents"]
+        .filter(F.col("n_chars").isNotNull())
+        .select(
+            "doc_id",
+            F.col("n_chars").alias("score"),
+            F.expr("n_chars DIV 8").alias("bin"),
+        )
     )
     hist = d.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
     wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
@@ -2246,7 +2253,8 @@ def quality_percentile_calibration(spark: SparkSession, sf_dir: str) -> DataFram
 
 PERCENTILE_CALIBRATION_ORACLE = """
 WITH d AS (
-    SELECT doc_id, n_chars AS score, n_chars // 8 AS bin FROM documents
+    SELECT doc_id, n_chars AS score, n_chars // 8 AS bin
+    FROM documents WHERE n_chars IS NOT NULL
 ), h AS (
     SELECT bin, count(*) AS cnt FROM d GROUP BY 1
 ), c AS (
