@@ -848,3 +848,27 @@ def test_table_changes_merges_mixed_schema_file_sets(spark, tmp_path):
         assert "w" in ch.columns
         ins = {(r.id, r.w) for r in ch.collect() if r._change_type == "insert"}
         assert ins == {(10, "wide"), (11, "wide"), (20, None), (21, None)}
+
+
+def test_files_table_reports_recorded_stats(spark, tmp_path):
+    """The metadata table mirrors exactly what the manifest recorded:
+    per-file min/max/nulls for stat columns and distinct-bucket counts
+    for bucket columns — built without touching a data file."""
+    mt = ManifestTable(
+        str(tmp_path / "meta"),
+        stat_cols=("id",),
+        bucket_cols=(("id", 4),),
+    )
+    mt.overwrite(_df(spark, 0, 10).coalesce(1))
+    mt.append(_df(spark, 10, 30).coalesce(1))
+
+    ft = {r.id_min: r for r in mt.files_table(spark).collect()}
+    assert set(ft) == {"0", "10"}
+    assert ft["0"].id_max == "9" and ft["0"].id_nulls == 0
+    assert ft["10"].id_max == "29" and ft["10"].id_nulls == 0
+    # 10 consecutive ids cover all 4 xxhash buckets w.h.p.; both files
+    # must report a count between 1 and 4
+    assert 1 <= ft["0"].id_n_buckets <= 4
+    assert 1 <= ft["10"].id_n_buckets <= 4
+    # time travel: the v0 metadata table has only the first file
+    assert mt.files_table(spark, version=0).count() == 1

@@ -2650,6 +2650,55 @@ SELECT (SELECT count(*) FROM u) + 1 AS n_inserts,
 """
 
 
+def manifest_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse METADATA-TABLE surface
+    (``ManifestTable.files_table`` — Iceberg's ``table.files`` /
+    Delta's DESCRIBE DETAIL) pinned as data: the quartile merge base's
+    four files must expose exactly the per-file o_orderkey [min, max]
+    ranges and zero null counts the writer recorded, matching the
+    oracle's closed-form recomputation of the same quartile slices
+    from raw orders. The frame is built from the manifest alone —
+    inspecting layout and skipping potential NEVER touches a data
+    file (file names are layout-random uuids, so the comparison keys
+    on the recorded stats, ordered by range)."""
+    from ..sources.manifest import ManifestTable
+
+    mt = ManifestTable(
+        ensure_merge_base_demo(spark, sf_dir), stat_cols=("o_orderkey",)
+    )
+    return (
+        mt.files_table(spark)
+        .select(
+            F.col("o_orderkey_min").cast("bigint").alias("key_min"),
+            F.col("o_orderkey_max").cast("bigint").alias("key_max"),
+            F.col("o_orderkey_nulls").alias("n_nulls"),
+        )
+        .orderBy("key_min")
+    )
+
+
+MANIFEST_FILES_METADATA_ORACLE = """
+WITH b AS (SELECT max(o_orderkey) AS m FROM orders)
+SELECT CAST(min(o_orderkey) AS BIGINT) AS key_min,
+       CAST(max(o_orderkey) AS BIGINT) AS key_max,
+       CAST(0 AS INT) AS n_nulls
+FROM orders, b WHERE o_orderkey <= m // 4
+UNION ALL
+SELECT CAST(min(o_orderkey) AS BIGINT), CAST(max(o_orderkey) AS BIGINT),
+       CAST(0 AS INT)
+FROM orders, b WHERE o_orderkey > m // 4 AND o_orderkey <= m // 2
+UNION ALL
+SELECT CAST(min(o_orderkey) AS BIGINT), CAST(max(o_orderkey) AS BIGINT),
+       CAST(0 AS INT)
+FROM orders, b WHERE o_orderkey > m // 2 AND o_orderkey <= (3 * m) // 4
+UNION ALL
+SELECT CAST(min(o_orderkey) AS BIGINT), CAST(max(o_orderkey) AS BIGINT),
+       CAST(0 AS INT)
+FROM orders, b WHERE o_orderkey > (3 * m) // 4
+ORDER BY key_min
+"""
+
+
 def manifest_history_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The commit-log surface (``ManifestTable.history`` — DESCRIBE
     HISTORY) made driver-checkable over the deterministic three-commit
@@ -4815,6 +4864,11 @@ def register_all() -> None:
     )
     register(
         "multi_touch_attribution", multi_touch_attribution, MULTI_TOUCH_ORACLE
+    )
+    register(
+        "manifest_files_metadata",
+        manifest_files_metadata,
+        MANIFEST_FILES_METADATA_ORACLE,
     )
     register(
         "manifest_partition_evolution",

@@ -12,6 +12,11 @@ driver's order-insensitive value-hash comparison stable:
   ulps between engines;
 - timestamps leave the result as formatted strings, dates, or epoch
   BIGINTs — never raw timestamps (testdata mixes ms/ns physical types);
+  raw-timestamp COMPARISONS inside a query (as-of / interval joins)
+  carry a shared latent asymmetry: Spark truncates ns→µs while DuckDB
+  compares at ns, so a pair landing within 1 µs of a boundary could
+  split the engines — fixture pairs sit ≥12 s from every boundary, and
+  any new fixture must preserve that margin;
 - floating-point *derived* values (cosines, ratios) are rounded to 6
   decimals on both sides.
 """
@@ -40,18 +45,18 @@ _REGISTRY: list[QuerySpec] = []
 # time, truncating the last-registered module). Emission order is
 # therefore a verification-priority order, ROTATED each round,
 # prioritized STRICTLY by last-driver-verified round (oldest first,
-# new queries alongside). With 137 registered queries and a 50-row
+# new queries alongside). With 138 registered queries and a 50-row
 # window the achievable freshness bound is ≤3 rounds between driver
-# rows per query (⌈137/50⌉ = 3 — a ≤2-round bound would need ≥69
+# rows per query (⌈138/50⌉ = 3 — a ≤2-round bound would need ≥69
 # slots/round and is arithmetically impossible); the bound holds only
 # because _BACK (the PREVIOUS round's verified set — freshest hard
 # signal) is always the truncated tail and never re-checked early.
 #
 # Round-6 state: _FRONT = the 10 queries whose last driver row is r3
-# (cut from both the r4 and r5 windows), then the 28 queries new in r6,
+# (cut from both the r4 and r5 windows), then the 29 queries new in r6,
 # then the 49 r4-verified (CORRECTNESS_r04 order). The r6 window
-# covers the first 50 (10 + 28 + the r4 set's head 12), leaving the
-# r4 set's tail 37 for the r7 front — within the ≤3-round bound
+# covers the first 50 (10 + 29 + the r4 set's head 11), leaving the
+# r4 set's tail 38 for the r7 front — within the ≤3-round bound
 # (r4 → r7).
 _FRONT: tuple[str, ...] = (
     # last driver row: r3 (value-level replay green in the r5 session)
@@ -94,6 +99,7 @@ _FRONT: tuple[str, ...] = (
     "entity_resolution_links",
     "multi_touch_attribution",
     "quality_percentile_calibration",
+    "manifest_files_metadata",
     # last driver row: r4 (CORRECTNESS_r04.json order)
     "stream_click_purchase_left",
     "multimodal_wav_features",

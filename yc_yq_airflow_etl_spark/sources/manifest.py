@@ -791,6 +791,52 @@ class ManifestTable:
             return new.withColumn("_change_type", F.lit("insert"))
         return old.withColumn("_change_type", F.lit("delete"))
 
+    def files_table(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        """Iceberg/Delta-style METADATA TABLE: the snapshot's file
+        list as a queryable DataFrame — one row per data file with its
+        recorded statistics (per-stat-column min/max and null count,
+        per-bucket-column distinct bucket count). The lakehouse
+        inspection surface (`table.files` / DESCRIBE DETAIL): answers
+        'how is my table laid out, which files would this predicate
+        keep' WITHOUT touching a data file — the frame is built from
+        the manifest alone, so it is version-count × file-count
+        metadata, never a data scan."""
+        v = self.current_version(spark) if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.path}")
+        m = self._manifest(spark, v)
+        stats = m.get("stats", {})
+        stat_cols = list(self.stat_cols)
+        bucket_cols = [c for c, _ in self.bucket_cols]
+        rows = []
+        for f in m["files"]:
+            st = stats.get(f, {})
+            row: list = [f]
+            for c in stat_cols:
+                rng = st.get(c) or [None, None]
+                nulls = st.get(f"nulls:{c}")
+                row += [
+                    None if rng[0] is None else str(rng[0]),
+                    None if rng[1] is None else str(rng[1]),
+                    None if nulls is None else int(nulls),
+                ]
+            for c in bucket_cols:
+                bset = st.get(f"bucket:{c}")
+                row.append(None if bset is None else len(bset))
+            rows.append(tuple(row))
+        schema_parts = ["file string"]
+        for c in stat_cols:
+            schema_parts += [
+                f"{c}_min string",
+                f"{c}_max string",
+                f"{c}_nulls int",
+            ]
+        for c in bucket_cols:
+            schema_parts.append(f"{c}_n_buckets int")
+        return spark.createDataFrame(rows, ", ".join(schema_parts))
+
     def _count(self, spark: SparkSession, files: list[str]) -> int:
         if not files:
             return 0
