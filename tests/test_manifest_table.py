@@ -7,6 +7,7 @@ same code for hdfs:// / s3a://)."""
 from __future__ import annotations
 
 import os
+from collections import Counter
 
 import pytest
 from pyspark.sql import functions as F
@@ -872,3 +873,65 @@ def test_files_table_reports_recorded_stats(spark, tmp_path):
     assert 1 <= ft["10"].id_n_buckets <= 4
     # time travel: the v0 metadata table has only the first file
     assert mt.files_table(spark, version=0).count() == 1
+
+
+# op encoding for the CDF fold property: each element of the list is
+# (is_merge, key_lo, n_keys) over a tiny integer key space, so random
+# sequences interleave appends (new files) and COW merges (rewrites).
+_cdf_ops = st.lists(
+    st.tuples(
+        st.booleans(),
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=1, max_value=6),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(ops=_cdf_ops)
+def test_table_changes_fold_property(spark, tmp_path_factory, ops):
+    """Model-based CDF invariant: for EVERY consecutive version pair
+    produced by a random append/merge sequence, applying the change
+    feed to the older snapshot reproduces the newer one exactly —
+    (v_i ∖ deletes) ⊎ inserts ≡ v_{i+1} as multisets. This is the
+    contract an incremental consumer relies on, checked across
+    arbitrary interleavings rather than the one merge the query pins."""
+    tmp_path = tmp_path_factory.mktemp("cdfprop")
+    mt = ManifestTable(str(tmp_path / "t"), stat_cols=("id",))
+    mt.overwrite(_df(spark, 0, 10).coalesce(1))
+
+    versions = [mt.current_version(spark)]
+    for seq, (is_merge, lo, n) in enumerate(ops):
+        batch = spark.range(lo, lo + n).select(
+            F.col("id"), (F.col("id") * 100 + seq).alias("v")
+        )
+        if is_merge:
+            mt.merge(batch, "id")
+        else:
+            mt.append(batch.coalesce(1))
+        versions.append(mt.current_version(spark))
+
+    def snap(v):
+        return Counter(
+            (r.id, r.v) for r in mt.read(spark, version=v).collect()
+        )
+
+    for v0, v1 in zip(versions, versions[1:]):
+        ch = mt.table_changes(spark, v0, v1).collect()
+        folded = snap(v0)
+        for r in ch:
+            if r._change_type == "delete":
+                folded[(r.id, r.v)] -= 1
+            else:
+                folded[(r.id, r.v)] += 1
+        folded = Counter({k: c for k, c in folded.items() if c})
+        assert folded == snap(v1), (v0, v1, ops)
