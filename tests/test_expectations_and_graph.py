@@ -163,3 +163,65 @@ def test_gap_fill_invariants(spark):
         assert r.n_days == r.n_active + r.n_filled
         assert r.n_active >= 1
         assert r.carried_revenue >= r.actual_revenue - 1e-9
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+        st.sampled_from(["a", "b", "c", None]),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(rows=_rows)
+def test_expectations_match_python_reference(spark, rows):
+    """Property: validate()'s split and audit()'s full report agree
+    with a plain-Python evaluation of the same rules over arbitrary
+    rows (NULLs included — fail-closed on both paths)."""
+    from yc_yq_airflow_etl_spark.operators.expectations import audit
+
+    df = spark.createDataFrame(rows, "id int, v int, name string")
+    rules = [
+        Rule("v_pos", F.col("v") > 0),
+        Rule("name_ab", F.col("name").isin("a", "b")),
+    ]
+
+    def ok(r):
+        return (
+            r[1] is not None and r[1] > 0,
+            r[2] is not None and r[2] in ("a", "b"),
+        )
+
+    exp_clean = sorted(r[0] for r in rows if all(ok(r)))
+    exp_quar = sorted(r[0] for r in rows if not all(ok(r)))
+
+    clean, quarantine, stats = validate(df, rules)
+    assert sorted(r.id for r in clean.collect()) == exp_clean
+    assert sorted(r.id for r in quarantine.collect()) == exp_quar
+
+    s = {r.rule: (r.n_checked, r.n_violations) for r in stats.collect()}
+    n = len(rows)
+    assert s["v_pos"] == (n, sum(1 for r in rows if not ok(r)[0]))
+    assert s["name_ab"] == (n, sum(1 for r in rows if not ok(r)[1]))
+    assert s["_total"] == (n, len(exp_quar))
+
+    a = {r.rule: (r.n_checked, r.n_violations) for r in audit(df, rules).collect()}
+    for k, v in s.items():
+        assert a[k] == v
+    # combo rows partition the quarantine exactly
+    combo_total = sum(v[0] for k, v in a.items() if k.startswith("combo:"))
+    assert combo_total == len(exp_quar)

@@ -490,8 +490,14 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
          "100 TB into 25 tasks)", "!Window"),
     ],
     "order_constraint_audit": [
-        ("single-scan combo rollup, no per-rule union of aggregates",
-         "!Union"),
+        # single-scan-ness can't be pinned by regex on the formatted
+        # plan (node labels repeat between tree and details); it is
+        # counted exactly by test_audit_matches_validate_stats_plus_
+        # combos (LogicalRDD <= 1 on the optimized plan). The plan
+        # guards here: the sentinel union must stay the ONLY union
+        # content besides the rollup (no per-rule aggregate branches
+        # would ever plan without a join or extra exchange), and the
+        # report must stay join-free and partially aggregated.
         ("combo counts partially aggregated", r"partial_count"),
         ("no join anywhere in the report", "!Join"),
     ],

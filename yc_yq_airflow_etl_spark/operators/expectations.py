@@ -133,15 +133,22 @@ def validate(
     # single result row is UNPIVOTED driver-free via explode-of-structs
     # — never a UNION of per-rule aggregates, which would plan one
     # full scan of ``df`` per rule.
+    # coalesce every SUM: over an EMPTY batch sum() is NULL, and the
+    # report contract is integer zeros, not NULLs
     agg = stamped.agg(
         F.count(F.lit(1)).cast("bigint").alias("_n"),
         *[
-            F.sum(F.when(F.col(f"_ok_{n}"), 0).otherwise(1))
+            F.coalesce(
+                F.sum(F.when(F.col(f"_ok_{n}"), 0).otherwise(1)), F.lit(0)
+            )
             .cast("bigint")
             .alias(f"_viol_{n}")
             for n in names
         ],
-        F.sum(F.when(F.size("_failed_rules") > 0, 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(F.size("_failed_rules") > 0, 1).otherwise(0)),
+            F.lit(0),
+        )
         .cast("bigint")
         .alias("_quarantined"),
     )
@@ -193,6 +200,16 @@ def audit(df: DataFrame, rules: list[Rule]) -> DataFrame:
         .groupBy("_failed_rules")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
+    # sentinel: one all-clean zero-count combo, ALWAYS present. It
+    # contributes 0 to every tag and emits no combo row, but it
+    # guarantees the per-rule and _total report rows exist even for an
+    # EMPTY batch (whose rollup would otherwise produce no rows at
+    # all — the report contract is zeros, not absence).
+    sentinel = df.sparkSession.range(1).select(
+        F.array().cast("array<string>").alias("_failed_rules"),
+        F.lit(0).cast("bigint").alias("cnt"),
+    )
+    combos = combos.unionAll(sentinel)
     nonempty = F.size("_failed_rules") > 0
     rule_structs = [
         F.struct(
