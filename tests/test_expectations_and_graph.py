@@ -225,3 +225,174 @@ def test_expectations_match_python_reference(spark, rows):
     # combo rows partition the quarantine exactly
     combo_total = sum(v[0] for k, v in a.items() if k.startswith("combo:"))
     assert combo_total == len(exp_quar)
+
+
+_series = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),   # user
+        st.integers(min_value=0, max_value=40),  # day offset
+        st.integers(min_value=1, max_value=9999),  # cents
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(series=_series)
+def test_gap_fill_matches_python_reference(spark, series):
+    """Property: the gap-fill core agrees with a plain-Python LOCF
+    replay over arbitrary sparse multi-event daily series."""
+    from datetime import datetime, timedelta
+
+    from yc_yq_airflow_etl_spark.plans.analytics import gap_fill_daily_report
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (u, base + timedelta(days=d), cents / 100.0)
+        for u, d, cents in series
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        r.user_id: (
+            r.n_days,
+            r.n_active,
+            r.n_filled,
+            round(r.actual_revenue, 2),
+            round(r.carried_revenue, 2),
+        )
+        for r in gap_fill_daily_report(df).collect()
+    }
+
+    # python reference
+    from collections import defaultdict
+
+    daily = defaultdict(lambda: defaultdict(int))
+    for u, d, cents in series:
+        daily[u][d] += cents
+    exp = {}
+    for u, dd in daily.items():
+        d0, d1 = min(dd), max(dd)
+        carried = 0
+        last = None
+        for d in range(d0, d1 + 1):
+            if d in dd:
+                last = dd[d]
+            carried += last
+        actual = sum(dd.values())
+        exp[u] = (
+            d1 - d0 + 1,
+            len(dd),
+            (d1 - d0 + 1) - len(dd),
+            round(actual / 100.0, 2),
+            round(carried / 100.0, 2),
+        )
+    assert got == exp, (series, got, exp)
+
+
+_graphs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=0, max_value=7),
+    ).filter(lambda p: p[0] != p[1]),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(pairs=_graphs)
+def test_pagerank_matches_python_reference(spark, pairs):
+    """Property: 3-iteration PageRank over random small undirected
+    graphs agrees with a plain-Python replay of the identical
+    recurrence to float tolerance."""
+    r = _ranks(spark, pairs, iterations=3)
+
+    edges = set()
+    for a, b in pairs:
+        edges.add((a, b))
+        edges.add((b, a))
+    out = {}
+    for s_, d_ in edges:
+        out.setdefault(s_, set()).add(d_)
+    n = len(out)
+    t = (1.0 - 0.85) / n
+    ranks = {v: 1.0 / n for v in out}
+    for _ in range(3):
+        incoming = {v: 0.0 for v in out}
+        for s_, ds in out.items():
+            share = ranks[s_] / len(ds)
+            for d_ in ds:
+                incoming[d_] += share
+        ranks = {v: t + 0.85 * m for v, m in incoming.items()}
+    assert set(r) == set(ranks)
+    for v in ranks:
+        assert r[v] == pytest.approx(ranks[v], rel=1e-9), (pairs, v)
+
+
+_inact = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),      # user
+        st.integers(min_value=0, max_value=2000),   # epoch offset (s)
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(events=_inact, gap=st.integers(min_value=50, max_value=400),
+       delay=st.integers(min_value=10, max_value=100))
+def test_inactivity_closures_match_python_reference(spark, events, gap, delay):
+    """Property: the batch closure replay agrees with a plain-Python
+    sessionized replay of the fine-grained-watermark timer semantics
+    for arbitrary event sets, gaps and delays (strict boundaries
+    included)."""
+    from yc_yq_airflow_etl_spark.plans.streaming_queries import (
+        inactivity_closures,
+    )
+
+    df = spark.createDataFrame(events, "user_id long, ep long")
+    got = sorted(
+        (r.user_id, r.n_events, r.last_ts_epoch)
+        for r in inactivity_closures(df, gap_s=gap, delay_s=delay).collect()
+    )
+
+    wm = max(e for _, e in events) - delay
+    per_user = {}
+    for u, e in sorted(events, key=lambda x: (x[0], x[1])):
+        per_user.setdefault(u, []).append(e)
+    exp = []
+    for u, eps in per_user.items():
+        sessions = [[eps[0]]]
+        for prev, cur in zip(eps, eps[1:]):
+            if cur - prev > gap + delay:
+                sessions.append([cur])
+            else:
+                sessions[-1].append(cur)
+        for i, sess in enumerate(sessions):
+            is_last = i == len(sessions) - 1
+            if not is_last or sess[-1] + gap < wm:
+                exp.append((u, len(sess), sess[-1]))
+    assert got == sorted(exp), (events, gap, delay, got, exp)

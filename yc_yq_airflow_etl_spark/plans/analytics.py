@@ -4090,11 +4090,17 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     so ``carried_revenue`` stays exact too. ~60% of spine days are
     gaps in this fixture, so the fill path is genuinely exercised."""
     t = load_testdata(spark, sf_dir)
-    daily = (
-        t["events"]
-        .filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", F.to_date("ts").alias("day"))
-        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("rev"))
+    purchases = t["events"].filter(F.col("event_type") == "purchase")
+    return gap_fill_daily_report(purchases).orderBy("user_id")
+
+
+def gap_fill_daily_report(events: DataFrame) -> DataFrame:
+    """The gap-fill core over any (user_id, ts, value) frame — kept
+    separate from the registered query so property tests can drive it
+    with arbitrary synthetic series (see test_expectations_and_graph
+    ``test_gap_fill_matches_python_reference``)."""
+    daily = events.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("rev")
     )
     bounds = daily.groupBy("user_id").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
@@ -4110,18 +4116,14 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     filled = spine.join(daily, ["user_id", "day"], "left").withColumn(
         "filled_rev", F.last("rev", ignorenulls=True).over(w)
     )
-    return (
-        filled.groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_days"),
-            F.count("rev").cast("bigint").alias("n_active"),
-            (F.count(F.lit(1)) - F.count("rev"))
-            .cast("bigint")
-            .alias("n_filled"),
-            F.sum("rev").cast("double").alias("actual_revenue"),
-            F.sum("filled_rev").cast("double").alias("carried_revenue"),
-        )
-        .orderBy("user_id")
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.count("rev").cast("bigint").alias("n_active"),
+        (F.count(F.lit(1)) - F.count("rev"))
+        .cast("bigint")
+        .alias("n_filled"),
+        F.sum("rev").cast("double").alias("actual_revenue"),
+        F.sum("filled_rev").cast("double").alias("carried_revenue"),
     )
 
 

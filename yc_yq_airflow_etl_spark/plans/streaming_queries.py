@@ -424,10 +424,22 @@ def user_inactivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tails all occur at every sf."""
     from pyspark.sql import Window
 
-    gap_s, delay_s = 4 * 3600, 600
     ev = load_testdata(spark, sf_dir)["events"].select(
         "user_id", F.unix_timestamp("ts").alias("ep")
     )
+    return inactivity_closures(ev, gap_s=4 * 3600, delay_s=600).orderBy(
+        "user_id", "last_ts_epoch"
+    )
+
+
+def inactivity_closures(
+    ev: DataFrame, gap_s: int, delay_s: int
+) -> DataFrame:
+    """The closure-replay core over any (user_id, ep) frame — factored
+    out so property tests can drive it with arbitrary event sets
+    against a plain-Python replay of the timer semantics."""
+    from pyspark.sql import Window
+
     wm = ev.agg((F.max("ep") - delay_s).alias("wm_ep"))
     w = Window.partitionBy("user_id").orderBy("ep")
     flagged = ev.withColumn(
@@ -457,7 +469,6 @@ def user_inactivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id", "n_events", F.col("last_ep").alias("last_ts_epoch")
         )
-        .orderBy("user_id", "last_ts_epoch")
     )
 
 
