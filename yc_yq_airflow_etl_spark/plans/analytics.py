@@ -4323,6 +4323,70 @@ ORDER BY rule
 """
 
 
+def dau_wau_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily/weekly active users and stickiness (DAU/WAU) — the
+    engagement dashboard query. The naive WAU is COUNT(DISTINCT user)
+    OVER a 7-day RANGE frame, which Spark cannot express (distinct in
+    a window) and a self-join over days makes quadratic-ish. The
+    scale shape here: dedupe to (day, user) once, EXPLODE each active
+    day into the ≤7 window days it contributes to (map-side ×7
+    fan-out of an already-deduped frame), and count distinct per
+    window day — one distinct shuffle, no self-join, no window. Days
+    clamp to the observed range so every reported day has a complete
+    trailing week of data coverage semantics (partial leading weeks
+    report over the days that exist — standard dashboard behavior)."""
+    ev = load_testdata(spark, sf_dir)["events"]
+    du = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    contrib = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("wday"),
+        "user_id",
+    )
+    wau = contrib.groupBy("wday").agg(
+        F.count_distinct("user_id").cast("bigint").alias("wau")
+    )
+    return (
+        dau.join(wau, dau["day"] == wau["wday"])
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 4).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+DAU_WAU_ORACLE = """
+WITH du AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), dau AS (
+    SELECT day, count(*) AS dau FROM du GROUP BY 1
+), contrib AS (
+    SELECT unnest(generate_series(day, day + 6, INTERVAL 1 DAY))::DATE
+               AS wday,
+           user_id
+    FROM du
+), wau AS (
+    SELECT wday, count(DISTINCT user_id) AS wau FROM contrib GROUP BY 1
+)
+SELECT d.day,
+       CAST(d.dau AS BIGINT) AS dau,
+       CAST(w.wau AS BIGINT) AS wau,
+       round(CAST(d.dau AS DOUBLE) / w.wau, 4) AS stickiness
+FROM dau d JOIN wau w ON w.wday = d.day
+ORDER BY d.day
+"""
+
+
 def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear multi-touch attribution: every purchase's revenue is
     split EQUALLY across all of the user's clicks within the
@@ -4872,6 +4936,7 @@ def register_all() -> None:
         manifest_files_metadata,
         MANIFEST_FILES_METADATA_ORACLE,
     )
+    register("dau_wau_metrics", dau_wau_metrics, DAU_WAU_ORACLE)
     register(
         "manifest_partition_evolution",
         manifest_partition_evolution,
