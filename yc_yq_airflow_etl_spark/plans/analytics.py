@@ -4357,7 +4357,7 @@ def dau_wau_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             "dau",
             "wau",
-            F.round(F.col("dau").cast("double") / F.col("wau"), 4).alias(
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
                 "stickiness"
             ),
         )
@@ -4381,7 +4381,7 @@ WITH du AS (
 SELECT d.day,
        CAST(d.dau AS BIGINT) AS dau,
        CAST(w.wau AS BIGINT) AS wau,
-       round(CAST(d.dau AS DOUBLE) / w.wau, 4) AS stickiness
+       round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
 FROM dau d JOIN wau w ON w.wday = d.day
 ORDER BY d.day
 """

@@ -422,8 +422,6 @@ def user_inactivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     join. gap=4h / 10-min delay sit inside the fixture's one-month
     span, so internal closures, final closures, and still-active
     tails all occur at every sf."""
-    from pyspark.sql import Window
-
     ev = load_testdata(spark, sf_dir)["events"].select(
         "user_id", F.unix_timestamp("ts").alias("ep")
     )
