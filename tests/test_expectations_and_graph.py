@@ -396,3 +396,71 @@ def test_inactivity_closures_match_python_reference(spark, events, gap, delay):
             if not is_last or sess[-1] + gap < wm:
                 exp.append((u, len(sess), sess[-1]))
     assert got == sorted(exp), (events, gap, delay, got, exp)
+
+
+_clicks_purchases = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),       # user
+        st.integers(min_value=0, max_value=7200),    # seconds offset
+        st.booleans(),                               # is_purchase
+        st.integers(min_value=1, max_value=9999),    # cents
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(rows=_clicks_purchases)
+def test_attribution_matches_python_reference(spark, rows):
+    """Property: linear multi-touch attribution agrees with a
+    plain-Python credit-splitting replay over arbitrary click/purchase
+    interleavings (including purchases with no touches, shared-window
+    clicks, and inclusive/exclusive boundary events)."""
+    from datetime import datetime, timedelta
+
+    from yc_yq_airflow_etl_spark.plans.analytics import (
+        linear_attribution_report,
+    )
+
+    base = datetime(2024, 3, 1, 0, 0, 0)
+    ev = [
+        (
+            i,
+            base + timedelta(seconds=off),
+            u,
+            "purchase" if isp else "click",
+            cents / 100.0,
+        )
+        for i, (u, off, isp, cents) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        ev, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {
+        r.user_id: (r.n_purchases, r.n_touches, r.attributed_revenue)
+        for r in linear_attribution_report(df).collect()
+    }
+
+    clicks = [(u, off) for (u, off, isp, _) in rows if not isp]
+    exp: dict[int, list] = {}
+    for pid, (u, off, isp, cents) in enumerate(rows):
+        if not isp:
+            continue
+        touches = [1 for (cu, coff) in clicks if cu == u and off >= coff and off < coff + 1800]
+        if not touches:
+            continue
+        n = len(touches)
+        pr, to, rev = exp.get(u, (0, 0, 0.0))
+        exp[u] = (pr + 1, to + n, rev + sum(cents / n for _ in range(n)))
+    expected = {
+        u: (pr, to, round(rev / 100.0, 2)) for u, (pr, to, rev) in exp.items()
+    }
+    assert got == expected, (rows, got, expected)

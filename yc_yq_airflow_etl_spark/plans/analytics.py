@@ -4409,6 +4409,13 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_testdata(spark, sf_dir)["events"]
+    return linear_attribution_report(ev).orderBy("user_id")
+
+
+def linear_attribution_report(ev: DataFrame) -> DataFrame:
+    """The attribution core over any events frame — factored out so
+    property tests can drive it with arbitrary synthetic click/
+    purchase sets against a plain-Python credit-splitting replay."""
     c = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("cu"), F.col("ts").alias("cts")
     )
@@ -4428,20 +4435,14 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("pid")
     credited = j.withColumn("n_touch", F.count(F.lit(1)).over(w))
-    return (
-        credited.groupBy("user_id")
-        .agg(
-            F.count_distinct("pid").cast("bigint").alias("n_purchases"),
-            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
-            F.round(
-                F.sum(
-                    F.col("cents").cast("double") / F.col("n_touch")
-                )
-                / 100.0,
-                2,
-            ).alias("attributed_revenue"),
-        )
-        .orderBy("user_id")
+    return credited.groupBy("user_id").agg(
+        F.count_distinct("pid").cast("bigint").alias("n_purchases"),
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.round(
+            F.sum(F.col("cents").cast("double") / F.col("n_touch"))
+            / 100.0,
+            2,
+        ).alias("attributed_revenue"),
     )
 
 
