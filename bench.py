@@ -351,6 +351,10 @@ def main() -> None:
             "source_capped_sample",  # WindowGroupLimit under 10x groups
             "pagerank_doc_ranks",  # fixed 3 rounds over the 10x graph
             "cluster_aware_splits",  # CC + pair audit at 10x dup density
+            "multi_touch_attribution",  # hot-user interval join: the
+            # (user, bucket) split holds 2-3s here vs 22s for the
+            # naive user-keyed join (measured before the rewrite)
+            "dau_wau_metrics",  # distinct-dedup collapses the hot user
         ):
             t0 = time.time()
             n = qs[name](spark, scale_dir).count()

@@ -4415,23 +4415,46 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def linear_attribution_report(ev: DataFrame) -> DataFrame:
     """The attribution core over any events frame — factored out so
     property tests can drive it with arbitrary synthetic click/
-    purchase sets against a plain-Python credit-splitting replay."""
+    purchase sets against a plain-Python credit-splitting replay.
+
+    HOT-KEY-SAFE formulation: a plain user-keyed equi-join with the
+    window as a residual serializes a hot user (a bot with 30% of all
+    events) into ONE join task, and the click×purchase fan-out within
+    that key is data-driven quadratic — measured 22.7 s at the skewed
+    10× fixture. Instead the point-in-window condition runs through
+    ``interval_overlap_join``'s bucket-equi conversion: purchases are
+    degenerate 1-µs intervals, clicks are 30-minute windows, and the
+    join key becomes (user, TIME BUCKET) — the hot user splits across
+    the month's buckets and every task stays bounded. Time enters as
+    INTEGER MICROSECONDS (Spark's native timestamp precision) on both
+    engines, which also removes the ns-vs-µs comparison asymmetry the
+    registry header documents for raw-timestamp predicates."""
+    from ..operators.joins import interval_overlap_join
+
+    win_us = 1800 * 1_000_000
     c = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+        "user_id",
+        F.unix_micros("ts").alias("c_lo"),
+        (F.unix_micros("ts") + win_us).alias("c_hi"),
     )
     p = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("user_id"),
+        "user_id",
         F.col("event_id").alias("pid"),
-        F.col("ts").alias("pts"),
         (F.col("value").cast("decimal(18,2)") * 100)
         .cast("bigint")
         .alias("cents"),
+        F.unix_micros("ts").alias("p_lo"),
+        (F.unix_micros("ts") + 1).alias("p_hi"),
     )
-    j = p.join(
+    j = interval_overlap_join(
+        p,
         c,
-        (p["user_id"] == c["cu"])
-        & (p["pts"] >= c["cts"])
-        & (p["pts"] < c["cts"] + F.expr("INTERVAL 30 MINUTES")),
+        "p_lo",
+        "p_hi",
+        "c_lo",
+        "c_hi",
+        on=("user_id",),
+        bucket_width=600 * 1_000_000,
     )
     w = Window.partitionBy("pid")
     credited = j.withColumn("n_touch", F.count(F.lit(1)).over(w))
@@ -4448,16 +4471,19 @@ def linear_attribution_report(ev: DataFrame) -> DataFrame:
 
 MULTI_TOUCH_ORACLE = """
 WITH c AS (
-    SELECT user_id AS cu, ts AS cts FROM events WHERE event_type = 'click'
+    SELECT user_id AS cu,
+           CAST(epoch_ns(ts) // 1000 AS BIGINT) AS cus
+    FROM events WHERE event_type = 'click'
 ), p AS (
-    SELECT user_id, event_id AS pid, ts AS pts,
+    SELECT user_id, event_id AS pid,
+           CAST(epoch_ns(ts) // 1000 AS BIGINT) AS pus,
            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
     FROM events WHERE event_type = 'purchase'
 ), j AS (
     SELECT p.user_id, p.pid, p.cents
     FROM p JOIN c
       ON p.user_id = c.cu
-     AND p.pts >= c.cts AND p.pts < c.cts + INTERVAL 30 MINUTE
+     AND p.pus >= c.cus AND p.pus < c.cus + 1800000000
 ), n AS (
     SELECT user_id, pid, cents,
            count(*) OVER (PARTITION BY pid) AS n_touch
