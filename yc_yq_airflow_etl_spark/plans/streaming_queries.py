@@ -419,7 +419,12 @@ def user_inactivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one window per user key (the natural partition key)
     stacked on a single sort/exchange, then a partial-aggregated
     session rollup; the corpus max rides a 1-row broadcast cross
-    join. gap=4h / 10-min delay sit inside the fixture's one-month
+    join. Known hot-key bound: a single bot-grade key's whole history
+    sorts in one task here — the per-key-ordered replay is inherent
+    to batch sessionization; for that regime run the STREAMING
+    operator (O(1) state per key, no per-key sort) or the
+    time-bucketed two-phase split ``asof_join(bucket_width=...)``
+    demonstrates. gap=4h / 10-min delay sit inside the fixture's one-month
     span, so internal closures, final closures, and still-active
     tails all occur at every sf."""
     ev = load_testdata(spark, sf_dir)["events"].select(
