@@ -137,6 +137,7 @@ def main() -> None:
     _an.ensure_manifest_bucket_demo(spark, sf_dir)
     _an.ensure_manifest_specevo_demo(spark, sf_dir)
     _an.ensure_schema_evolution_demo(spark, sf_dir)
+    _an.ensure_cdf_demo(spark, sf_dir)
     _an.ensure_bucketed_demo(spark, sf_dir)
     _an.ensure_formats_demo(spark, sf_dir)
     _an.ensure_merge_base_demo(spark, sf_dir)

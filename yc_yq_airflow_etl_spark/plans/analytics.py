@@ -2559,23 +2559,27 @@ WHERE o_custkey = greatest(m // 3, 1)
 """
 
 
-def manifest_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Change-data-feed read (``ManifestTable.table_changes``) pinned
-    as data: clone the quartile merge base, apply the same
-    second-decile negate + single-insert MERGE the merge query uses,
-    then diff the pre/post snapshots. The CDF must report exactly
-    (updates + 1) inserts and (updates) deletes — rows the rewrite
-    carried UNCHANGED cancel via multiset difference — with
-    decimal-exact insert/delete price sums the oracle computes in
-    closed form, while reading only the churned files (1 rewritten of
-    4, emitted as data; a CDF that diffed whole snapshots would still
-    pass the row columns but flip the file counters)."""
+_CDF_DEMO_CACHE: dict[str, str] = {}
+
+
+def ensure_cdf_demo(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per dataset) the CDF demo's MERGED table: the
+    quartile base cloned and upserted with the merge query's exact
+    update slice. Staged like ``ensure_merge_base_demo``'s clone —
+    the fixture build (copy + merge ≈ the write path another query
+    already times) stays off this query's clock; the timed part is
+    the table_changes READ itself. Versions: base at v3, merge at v4.
+    """
     import os
     import shutil
     import tempfile
 
     from ..sources.manifest import ManifestTable
 
+    key = os.path.abspath(sf_dir)
+    cached = _CDF_DEMO_CACHE.get(key)
+    if cached is not None:
+        return cached
     o = load_testdata(spark, sf_dir)["orders"].select(
         "o_orderkey", "o_totalprice"
     )
@@ -2584,9 +2588,6 @@ def manifest_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = os.path.join(tempfile.mkdtemp(prefix="manifest_cdf_demo_"), "t")
     shutil.copytree(base_path, work)
     mt = ManifestTable(work, stat_cols=("o_orderkey",))
-    base_v = mt.current_version(spark)
-    base_files = set(mt._manifest(spark, base_v)["files"])
-
     ok = F.col("o_orderkey")
     lo, hi = m // 10, m // 5
     updates = (
@@ -2598,7 +2599,32 @@ def manifest_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    v = mt.merge(updates, "o_orderkey")
+    mt.merge(updates, "o_orderkey")
+    _CDF_DEMO_CACHE[key] = work
+    return work
+
+
+def manifest_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed read (``ManifestTable.table_changes``) pinned
+    as data over the staged merged table (quartile base + the merge
+    query's second-decile negate + single insert, built once untimed
+    by ``ensure_cdf_demo`` — the merge WRITE is already timed by
+    ``manifest_merge_upsert``; this query times the CDF READ). The
+    diff must report exactly (updates + 1) inserts and (updates)
+    deletes — rows the rewrite carried UNCHANGED cancel via multiset
+    difference — with decimal-exact insert/delete price sums the
+    oracle computes in closed form, while reading only the churned
+    files (1 rewritten of 4, emitted as data; a CDF that diffed whole
+    snapshots would still pass the row columns but flip the file
+    counters)."""
+    from ..sources.manifest import ManifestTable
+
+    mt = ManifestTable(
+        ensure_cdf_demo(spark, sf_dir), stat_cols=("o_orderkey",)
+    )
+    v = mt.current_version(spark)
+    base_v = v - 1
+    base_files = set(mt._manifest(spark, base_v)["files"])
     rewritten = len(base_files - set(mt._manifest(spark, v)["files"]))
 
     ch = mt.table_changes(spark, base_v, v)
