@@ -935,3 +935,45 @@ def test_table_changes_fold_property(spark, tmp_path_factory, ops):
                 folded[(r.id, r.v)] += 1
         folded = Counter({k: c for k, c in folded.items() if c})
         assert folded == snap(v1), (v0, v1, ops)
+
+
+def test_write_audit_publish_gates_commits(spark, tmp_path):
+    """WAP contract: a clean batch publishes atomically (first commit
+    included); a dirty batch is rejected WITHOUT any table change and
+    its staged files are physically removed (no orphan leak, nothing
+    for vacuum to find); a subsequent clean batch publishes on top."""
+    from pyspark.sql import functions as SF
+
+    from yc_yq_airflow_etl_spark.operators.expectations import Rule
+
+    mt = ManifestTable(str(tmp_path / "wap"), stat_cols=("id",))
+    rules = [Rule("v_pos", SF.col("v") > 0)]
+
+    # clean first commit (no prior snapshot)
+    v1, rep1 = mt.write_audit_publish(_df(spark, 1, 6).coalesce(1), rules)
+    assert v1 is not None and mt.read(spark).count() == 5
+    assert {r.rule: r.n_violations for r in rep1}["_total"] == 0
+    assert mt.history(spark)[-1]["op"] == "wap"
+
+    # dirty batch: rejected, table untouched, no files leaked
+    bad = _df(spark, 10, 15).withColumn("v", -SF.col("v"))
+    before_files = set(mt._manifest(spark, v1)["files"])
+    v2, rep2 = mt.write_audit_publish(bad.coalesce(1), rules)
+    assert v2 is None
+    assert mt.read(spark).count() == 5
+    assert mt.current_version(spark) == v1
+    rep2d = {r.rule: r.n_violations for r in rep2}
+    assert rep2d["_total"] == 5 and rep2d["v_pos"] == 5
+    # staged files removed: data/ holds exactly the published files
+    import os
+
+    on_disk = {
+        f for f in os.listdir(os.path.join(mt.path, "data"))
+        if f.endswith(".parquet")
+    }
+    assert on_disk == before_files
+
+    # clean follow-up publishes on top
+    v3, _ = mt.write_audit_publish(_df(spark, 20, 23).coalesce(1), rules)
+    assert v3 == v1 + 1
+    assert mt.read(spark).count() == 8

@@ -2559,6 +2559,78 @@ WHERE o_custkey = greatest(m // 3, 1)
 """
 
 
+def manifest_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH as data (``ManifestTable.write_audit_publish``
+    + ``operators/expectations`` rules — the Iceberg WAP governance
+    pattern): attempt 1 lands a clean slice (publishes, zero
+    violations), attempt 2 lands the same slice with negated prices
+    (every row violates the price rule → REJECTED: staged files
+    deleted, table byte-identical). The oracle pins the outcome
+    matrix — published flags, violation counts, and the table row
+    count after EACH attempt — in closed form from raw orders, so a
+    WAP that leaked a dirty batch (or dropped a clean one) breaks a
+    cell. The audit runs on the STAGED files, not the input plan.
+
+    The table build is deliberately on the clock: WAP *is* a write
+    path; its cost (two small staged writes + one commit + one audit
+    of staged bytes) is what a user pays per gated batch."""
+    import os
+    import tempfile
+
+    from ..operators.expectations import Rule
+    from ..sources.manifest import ManifestTable
+
+    o = (
+        load_testdata(spark, sf_dir)["orders"]
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(F.col("o_orderkey") % 100 == 0)
+    )
+    rules = [
+        Rule(
+            "price_cap",
+            (F.col("o_totalprice") > 0)
+            & (F.col("o_totalprice") <= 400000.0),
+        ),
+        Rule("custkey_present", F.col("o_custkey").isNotNull()),
+    ]
+    mt = ManifestTable(
+        os.path.join(tempfile.mkdtemp(prefix="wap_demo_"), "t"),
+        stat_cols=("o_orderkey",),
+    )
+    clean = o.filter(F.col("o_totalprice") <= 400000.0)
+    v1, rep1 = mt.write_audit_publish(clean.coalesce(1), rules)
+    after1 = mt.read(spark).count()
+    dirty = o.withColumn("o_totalprice", -F.col("o_totalprice"))
+    v2, rep2 = mt.write_audit_publish(dirty.coalesce(1), rules)
+    after2 = mt.read(spark).count()
+    viol1 = next(r.n_violations for r in rep1 if r.rule == "_total")
+    viol2 = next(r.n_violations for r in rep2 if r.rule == "_total")
+    return spark.createDataFrame(
+        [
+            (1, int(v1 is not None), int(viol1), int(after1)),
+            (2, int(v2 is not None), int(viol2), int(after2)),
+        ],
+        "attempt int, published int, n_violations bigint, table_rows bigint",
+    ).orderBy("attempt")
+
+
+MANIFEST_WAP_ORACLE = """
+WITH s AS (
+    SELECT o_totalprice FROM orders WHERE o_orderkey % 100 = 0
+), c AS (
+    SELECT count(*) FILTER (WHERE o_totalprice <= 400000.0) AS n_ok,
+           count(*) AS n_all
+    FROM s
+)
+SELECT CAST(1 AS INT) AS attempt, CAST(1 AS INT) AS published,
+       CAST(0 AS BIGINT) AS n_violations, CAST(n_ok AS BIGINT) AS table_rows
+FROM c
+UNION ALL
+SELECT 2, 0, CAST(n_all AS BIGINT), CAST(n_ok AS BIGINT) FROM c
+ORDER BY attempt
+"""
+
+
 _CDF_DEMO_CACHE: dict[str, str] = {}
 
 
@@ -4990,6 +5062,7 @@ def register_all() -> None:
         MANIFEST_FILES_METADATA_ORACLE,
     )
     register("dau_wau_metrics", dau_wau_metrics, DAU_WAU_ORACLE)
+    register("manifest_wap_publish", manifest_wap_publish, MANIFEST_WAP_ORACLE)
     register(
         "manifest_partition_evolution",
         manifest_partition_evolution,

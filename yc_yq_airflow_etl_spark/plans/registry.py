@@ -45,18 +45,18 @@ _REGISTRY: list[QuerySpec] = []
 # time, truncating the last-registered module). Emission order is
 # therefore a verification-priority order, ROTATED each round,
 # prioritized STRICTLY by last-driver-verified round (oldest first,
-# new queries alongside). With 139 registered queries and a 50-row
+# new queries alongside). With 140 registered queries and a 50-row
 # window the achievable freshness bound is ≤3 rounds between driver
-# rows per query (⌈139/50⌉ = 3 — a ≤2-round bound would need ≥70
+# rows per query (⌈140/50⌉ = 3 — a ≤2-round bound would need ≥70
 # slots/round and is arithmetically impossible); the bound holds only
 # because _BACK (the PREVIOUS round's verified set — freshest hard
 # signal) is always the truncated tail and never re-checked early.
 #
 # Round-6 state: _FRONT = the 10 queries whose last driver row is r3
-# (cut from both the r4 and r5 windows), then the 30 queries new in r6,
+# (cut from both the r4 and r5 windows), then the 31 queries new in r6,
 # then the 49 r4-verified (CORRECTNESS_r04 order). The r6 window
-# covers the first 50 (10 + 30 + the r4 set's head 10), leaving the
-# r4 set's tail 39 for the r7 front — within the ≤3-round bound
+# covers the first 50 (10 + 31 + the r4 set's head 9), leaving the
+# r4 set's tail 40 for the r7 front — within the ≤3-round bound
 # (r4 → r7).
 _FRONT: tuple[str, ...] = (
     # last driver row: r3 (value-level replay green in the r5 session)
@@ -101,6 +101,7 @@ _FRONT: tuple[str, ...] = (
     "quality_percentile_calibration",
     "manifest_files_metadata",
     "dau_wau_metrics",
+    "manifest_wap_publish",
     # last driver row: r4 (CORRECTNESS_r04.json order)
     "stream_click_purchase_left",
     "multimodal_wav_features",

@@ -545,23 +545,22 @@ class ManifestTable:
             spark, files, self._count(spark, files), "overwrite", extra
         )
 
-    def append(self, df: DataFrame, batch_id: int | None = None) -> int:
-        """Commit df's rows on top of the current snapshot: new files
-        plus the previous snapshot's files — no rewrite of old data.
-
-        ``batch_id`` (for streaming sinks): recorded in the manifest
-        as a carried-forward high-water mark, so an at-least-once
-        replay of an already-committed micro-batch is detectable from
-        the LATEST manifest alone (surviving vacuum of old ones)."""
-        new_files, spark = self._write_files(df)
-        new_cols = sorted(df.columns)
-        new_stats = self._file_stats(spark, new_files)
+    def _append_rebase(
+        self,
+        spark: SparkSession,
+        new_files: list[str],
+        new_cols: list[str],
+        new_stats: dict,
+        batch_id: int | None,
+    ):
+        """The append-family rebase closure: stack pre-written files
+        on whatever snapshot is current AT COMMIT TIME (re-resolved on
+        every attempt — a concurrent commit winning the race moves the
+        base, and this commit's file list must sit on top of THAT, not
+        the one read before the race). Shared by ``append`` and
+        ``write_audit_publish``."""
 
         def rebase() -> tuple[list[str], int, dict]:
-            # re-resolved on every commit attempt: a concurrent commit
-            # winning the race moves the base snapshot, and this
-            # append's file list must sit on top of THAT, not the one
-            # read before the race (lost-update guard)
             prev = self.current_version(spark)
             old_manifest = self._manifest(spark, prev) if prev is not None else {}
             allf = old_manifest.get("files", []) + new_files
@@ -584,7 +583,65 @@ class ManifestTable:
                 }
             return allf, self._count(spark, allf), extra
 
+        return rebase
+
+    def append(self, df: DataFrame, batch_id: int | None = None) -> int:
+        """Commit df's rows on top of the current snapshot: new files
+        plus the previous snapshot's files — no rewrite of old data.
+
+        ``batch_id`` (for streaming sinks): recorded in the manifest
+        as a carried-forward high-water mark, so an at-least-once
+        replay of an already-committed micro-batch is detectable from
+        the LATEST manifest alone (surviving vacuum of old ones)."""
+        new_files, spark = self._write_files(df)
+        new_cols = sorted(df.columns)
+        new_stats = self._file_stats(spark, new_files)
+        rebase = self._append_rebase(
+            spark, new_files, new_cols, new_stats, batch_id
+        )
         return self._publish(spark, [], 0, "append", rebase=rebase)
+
+    def write_audit_publish(
+        self, df: DataFrame, rules, batch_id: int | None = None
+    ) -> tuple[int | None, list]:
+        """Iceberg-style WRITE-AUDIT-PUBLISH: land ``df`` as staged
+        data files (unreferenced by any manifest — invisible to every
+        reader), AUDIT exactly the bytes that landed (read back from
+        the staged files, not the input plan — a nondeterministic
+        upstream cannot sneak different rows past the audit), and only
+        then PUBLISH them as an atomic append commit. Any rule
+        violation abandons the attempt: the staged files are deleted
+        and the table is untouched — readers can never observe a batch
+        that failed its checks, which is the whole point of WAP over
+        validate-then-write (no window where bad rows are live) and
+        over write-then-delete (no window where they ever existed).
+
+        ``rules``: :class:`operators.expectations.Rule` list, NULL
+        fails closed. Returns ``(version, report_rows)`` on publish,
+        ``(None, report_rows)`` on rejection — the report is the
+        metadata-scale per-rule/total/combo audit either way."""
+        from ..operators.expectations import audit
+
+        new_files, spark = self._write_files(df)
+        if new_files:
+            staged = spark.read.option("mergeSchema", True).parquet(
+                *[f"{self.path}/data/{f}" for f in new_files]
+            )
+        else:
+            staged = df.limit(0)
+        report = audit(staged, rules).collect()
+        total = next(r for r in report if r.rule == "_total")
+        if total.n_violations > 0:
+            jvm, fs = self._fs(spark)
+            for f in new_files:
+                fs.delete(self._jp(jvm, "data", f), False)
+            return None, report
+        new_cols = sorted(staged.columns)
+        new_stats = self._file_stats(spark, new_files)
+        rebase = self._append_rebase(
+            spark, new_files, new_cols, new_stats, batch_id
+        )
+        return self._publish(spark, [], 0, "wap", rebase=rebase), report
 
     def last_batch_id(self, spark: SparkSession) -> int:
         """High-water mark of committed streaming batch ids (-1 if
