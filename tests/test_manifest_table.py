@@ -953,7 +953,7 @@ def test_write_audit_publish_gates_commits(spark, tmp_path):
     v1, rep1 = mt.write_audit_publish(_df(spark, 1, 6).coalesce(1), rules)
     assert v1 is not None and mt.read(spark).count() == 5
     assert {r.rule: r.n_violations for r in rep1}["_total"] == 0
-    assert mt.history(spark)[-1]["op"] == "wap"
+    assert mt.history(spark)[0]["op"] == "wap"  # history is newest-first
 
     # dirty batch: rejected, table untouched, no files leaked
     bad = _df(spark, 10, 15).withColumn("v", -SF.col("v"))
@@ -977,3 +977,38 @@ def test_write_audit_publish_gates_commits(spark, tmp_path):
     v3, _ = mt.write_audit_publish(_df(spark, 20, 23).coalesce(1), rules)
     assert v3 == v1 + 1
     assert mt.read(spark).count() == 8
+
+
+def test_write_audit_publish_no_orphans_on_audit_error(spark, tmp_path):
+    """The no-orphan contract must hold even when the AUDIT itself
+    raises (rule referencing a missing column): staged files are
+    cleaned up and the error propagates; a bad ruleset fails before
+    anything lands."""
+    import os
+
+    from pyspark.sql import functions as SF
+
+    from yc_yq_airflow_etl_spark.operators.expectations import Rule
+
+    mt = ManifestTable(str(tmp_path / "waperr"))
+    mt.overwrite(_df(spark, 0, 3).coalesce(1))
+    files_before = {
+        f for f in os.listdir(os.path.join(mt.path, "data"))
+        if f.endswith(".parquet")
+    }
+
+    # bad ruleset: rejected before staging (data/ unchanged)
+    with pytest.raises(ValueError):
+        mt.write_audit_publish(_df(spark, 10, 12), [])
+    # audit blow-up mid-flight: staged files removed, error propagates
+    with pytest.raises(Exception):
+        mt.write_audit_publish(
+            _df(spark, 10, 12).coalesce(1),
+            [Rule("ghost", SF.col("no_such_column") > 0)],
+        )
+    files_after = {
+        f for f in os.listdir(os.path.join(mt.path, "data"))
+        if f.endswith(".parquet")
+    }
+    assert files_after == files_before
+    assert mt.read(spark).count() == 3

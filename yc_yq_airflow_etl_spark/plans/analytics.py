@@ -2652,26 +2652,36 @@ def ensure_cdf_demo(spark: SparkSession, sf_dir: str) -> str:
     cached = _CDF_DEMO_CACHE.get(key)
     if cached is not None:
         return cached
-    o = load_testdata(spark, sf_dir)["orders"].select(
-        "o_orderkey", "o_totalprice"
-    )
-    m = int(o.agg(F.max("o_orderkey")).first()[0])
-    base_path = ensure_merge_base_demo(spark, sf_dir)
-    work = os.path.join(tempfile.mkdtemp(prefix="manifest_cdf_demo_"), "t")
-    shutil.copytree(base_path, work)
+    # deterministic tagged path + validity check (same pattern as
+    # ensure_merge_base_demo): a FRESH process — the external driver's
+    # correctness/timing session included — finds the built fixture on
+    # disk instead of paying the clone+merge on the query's clock or
+    # leaking a new tempdir per process
+    tag = data_tag(sf_dir, "orders")
+    work = os.path.join(tempfile.gettempdir(), f"manifest_cdf_demo_{tag}", "t")
     mt = ManifestTable(work, stat_cols=("o_orderkey",))
-    ok = F.col("o_orderkey")
-    lo, hi = m // 10, m // 5
-    updates = (
-        o.filter((ok >= lo) & (ok <= hi))
-        .withColumn("o_totalprice", -F.col("o_totalprice"))
-        .unionByName(
-            spark.createDataFrame(
-                [(m + 1000, 42.42)], "o_orderkey bigint, o_totalprice double"
+    if mt.current_version(spark) != 4:  # base v0-3 + exactly one merge
+        shutil.rmtree(os.path.dirname(work), ignore_errors=True)
+        o = load_testdata(spark, sf_dir)["orders"].select(
+            "o_orderkey", "o_totalprice"
+        )
+        m = int(o.agg(F.max("o_orderkey")).first()[0])
+        base_path = ensure_merge_base_demo(spark, sf_dir)
+        os.makedirs(os.path.dirname(work), exist_ok=True)
+        shutil.copytree(base_path, work)
+        ok = F.col("o_orderkey")
+        lo, hi = m // 10, m // 5
+        updates = (
+            o.filter((ok >= lo) & (ok <= hi))
+            .withColumn("o_totalprice", -F.col("o_totalprice"))
+            .unionByName(
+                spark.createDataFrame(
+                    [(m + 1000, 42.42)],
+                    "o_orderkey bigint, o_totalprice double",
+                )
             )
         )
-    )
-    mt.merge(updates, "o_orderkey")
+        mt.merge(updates, "o_orderkey")
     _CDF_DEMO_CACHE[key] = work
     return work
 

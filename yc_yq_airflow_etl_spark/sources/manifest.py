@@ -620,21 +620,35 @@ class ManifestTable:
         fails closed. Returns ``(version, report_rows)`` on publish,
         ``(None, report_rows)`` on rejection — the report is the
         metadata-scale per-rule/total/combo audit either way."""
-        from ..operators.expectations import audit
+        from ..operators.expectations import _check_rules, audit
 
+        # validate the ruleset BEFORE staging anything: a bad ruleset
+        # must fail without landing files
+        _check_rules(rules)
         new_files, spark = self._write_files(df)
-        if new_files:
-            staged = spark.read.option("mergeSchema", True).parquet(
-                *[f"{self.path}/data/{f}" for f in new_files]
-            )
-        else:
-            staged = df.limit(0)
-        report = audit(staged, rules).collect()
-        total = next(r for r in report if r.rule == "_total")
-        if total.n_violations > 0:
+
+        def _abandon() -> None:
             jvm, fs = self._fs(spark)
             for f in new_files:
                 fs.delete(self._jp(jvm, "data", f), False)
+
+        try:
+            if new_files:
+                staged = spark.read.option("mergeSchema", True).parquet(
+                    *[f"{self.path}/data/{f}" for f in new_files]
+                )
+            else:
+                staged = df.limit(0)
+            report = audit(staged, rules).collect()
+        except Exception:
+            # the no-orphan contract holds even when the audit itself
+            # blows up (e.g. a rule referencing a missing column):
+            # staged files must never outlive a failed attempt
+            _abandon()
+            raise
+        total = next(r for r in report if r.rule == "_total")
+        if total.n_violations > 0:
+            _abandon()
             return None, report
         new_cols = sorted(staged.columns)
         new_stats = self._file_stats(spark, new_files)
