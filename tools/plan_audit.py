@@ -80,6 +80,12 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
          r"BroadcastNestedLoopJoin"),
         ("partial aggregation", r"partial_(sum|count)"),
     ],
+    "range_join_price_bands_bucketed": [
+        ("equi-key rewrite runs on the HASH join path",
+         r"BroadcastHashJoin"),
+        ("no nested-loop join anywhere", "!BroadcastNestedLoopJoin"),
+        ("partial aggregation", r"partial_(sum|count)"),
+    ],
     "stream_click_purchase_join": [
         ("event_type filters pushed to scan", r"PushedFilters: \[.*event_type.*\]"),
         ("user_id equi-join (hash/SMJ, not NLJ)",

@@ -213,12 +213,18 @@ def chunk_documents(
 
 
 def normalize_entity_key(col: Column | str) -> Column:
-    """Record-linkage blocking key: lowercase, strip every
-    non-alphanumeric, drop a leading article ('the') and a trailing
-    legal suffix ('llc'/'inc') — the canonical first pass of entity
-    resolution, so case/punctuation/suffix variants of one real-world
-    entity collide into one equi-join key. Pure JVM regexes; the
-    DuckDB oracles restate the identical three-step normalization."""
-    x = F.regexp_replace(F.lower(_c(col)), "[^a-z0-9]", "")
-    x = F.regexp_replace(x, "^the", "")
-    return F.regexp_replace(x, "(llc|inc)$", "")
+    """Record-linkage blocking key: lowercase, drop a leading article
+    ('the') and a trailing legal suffix ('llc'/'inc') as WHOLE
+    whitespace-delimited tokens, then strip every non-alphanumeric —
+    the canonical first pass of entity resolution, so case/
+    punctuation/suffix variants of one real-world entity collide into
+    one equi-join key. Token-delimited stripping (not prefix/suffix
+    matching on the squashed string) so names that merely start or end
+    with those letters are untouched: 'Theodore' stays 'theodore' and
+    'Zinc' stays 'zinc' — the squashed-string form would mangle them
+    to 'odore'/'z' and inflate blocking-key collisions into false
+    merges. Pure JVM regexes; the DuckDB oracles restate the identical
+    three-step normalization."""
+    x = F.regexp_replace(F.lower(_c(col)), "^the\\s+", "")
+    x = F.regexp_replace(x, "[\\s,.]+(llc|inc)\\.?$", "")
+    return F.regexp_replace(x, "[^a-z0-9]", "")

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
 from .checkpoints import checkpointed_rdd_id, free_checkpoint
@@ -77,46 +78,58 @@ def pagerank(
         edges.join(deg, "src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n_vertices = deg.count()  # also materializes edges
-    if n_vertices == 0:
+    try:
+        n_vertices = deg.count()  # also materializes edges
+        if n_vertices == 0:
+            # empty-graph schema must match the non-empty one: the id
+            # column keeps the INPUT pair columns' type (string ids in
+            # ≠ bigint ids out would break a caller's union/join)
+            id_type = pairs.schema[id_a].dataType
+            return pairs.sparkSession.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("id", id_type, True),
+                        T.StructField("rank", T.DoubleType(), True),
+                    ]
+                ),
+            )
+
+        teleport = (1.0 - damping) / n_vertices
+        spark = pairs.sparkSession
+        ranks = deg.select(
+            F.col("src").alias("id"),
+            F.lit(1.0 / n_vertices).alias("rank"),
+        ).localCheckpoint()
+        rank_id = checkpointed_rdd_id(ranks)
+
+        for _ in range(iterations):
+            contribs = (
+                edges_deg.join(ranks, edges_deg["src"] == ranks["id"])
+                .select(
+                    F.col("dst").alias("id"),
+                    (F.col("rank") / F.col("out_deg")).alias("c"),
+                )
+                .groupBy("id")
+                .agg(F.sum("c").alias("in_mass"))
+            )
+            # Symmetrized graph ⇒ every vertex has in-edges, so the
+            # inner aggregate covers the whole vertex set — no
+            # outer-join top-up.
+            new_ranks = contribs.select(
+                "id",
+                (F.lit(teleport) + F.lit(damping) * F.col("in_mass")).alias(
+                    "rank"
+                ),
+            ).localCheckpoint()  # eager: truncates plan AND materializes
+            # the new generation is materialized; free the superseded
+            # one (checkpoint blocks outlive DataFrame dereference —
+            # see operators/checkpoints.py)
+            free_checkpoint(spark, rank_id)
+            ranks, rank_id = new_ranks, checkpointed_rdd_id(new_ranks)
+        return ranks
+    finally:
+        # executor memory is a shared resource: a mid-iteration failure
+        # must not leak the persisted loop invariants
         edges.unpersist(blocking=False)
         edges_deg.unpersist(blocking=False)
-        return pairs.sparkSession.createDataFrame(
-            [], "id bigint, rank double"
-        )
-
-    teleport = (1.0 - damping) / n_vertices
-    spark = pairs.sparkSession
-    ranks = deg.select(
-        F.col("src").alias("id"),
-        F.lit(1.0 / n_vertices).alias("rank"),
-    ).localCheckpoint()
-    rank_id = checkpointed_rdd_id(ranks)
-
-    for _ in range(iterations):
-        contribs = (
-            edges_deg.join(ranks, edges_deg["src"] == ranks["id"])
-            .select(
-                F.col("dst").alias("id"),
-                (F.col("rank") / F.col("out_deg")).alias("c"),
-            )
-            .groupBy("id")
-            .agg(F.sum("c").alias("in_mass"))
-        )
-        # Symmetrized graph ⇒ every vertex has in-edges, so the inner
-        # aggregate covers the whole vertex set — no outer-join top-up.
-        new_ranks = contribs.select(
-            "id",
-            (F.lit(teleport) + F.lit(damping) * F.col("in_mass")).alias(
-                "rank"
-            ),
-        ).localCheckpoint()  # eager: truncates plan AND materializes
-        # the new generation is materialized; free the superseded one
-        # (checkpoint blocks outlive DataFrame dereference — see
-        # operators/checkpoints.py)
-        free_checkpoint(spark, rank_id)
-        ranks, rank_id = new_ranks, checkpointed_rdd_id(new_ranks)
-
-    edges.unpersist(blocking=False)
-    edges_deg.unpersist(blocking=False)
-    return ranks

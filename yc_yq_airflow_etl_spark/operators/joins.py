@@ -203,6 +203,64 @@ def range_join(
     return left.join(right, on=cond, how=how)
 
 
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point: str,
+    lower: str,
+    upper: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """The equi-key rewrite of :func:`range_join` — the 100×-scale
+    form named in its docstring, made real.
+
+    ``range_join``'s raw non-equi condition compiles to a (broadcast)
+    nested-loop: fine for a 10-row band table, O(|left|·|right|) the
+    moment the interval side grows. This rewrite coarsens the point
+    domain into fixed-width buckets: each interval is EXPLODED into
+    the bucket ids it overlaps (``sequence(floor(lo/w),
+    floor((hi-ε)/w))`` — intervals cost ceil(len/w) copies, so pick
+    ``bucket_width`` near the typical interval length to keep the
+    blow-up ~1-2×), each point computes ``floor(p/w)`` (one map-side
+    expression), and the join becomes a plain hash equi-join on the
+    bucket id with the exact range predicate left as a residual
+    filter. Catalyst then has the full strategy menu — broadcast-HASH
+    when one side is small, shuffled hash/sort-merge (plus AQE skew
+    split) when neither is: no nested-loop anywhere, verified by the
+    plan audit on ``range_join_price_bands_bucketed``.
+
+    Correctness does not depend on ``bucket_width``: a (point,
+    interval) pair matches in exactly the one bucket the point falls
+    in, which the interval's explosion always covers when the point is
+    inside it — so no duplicates and no misses, any width. Intervals
+    must satisfy ``lower < upper`` (empty intervals match nothing in
+    either formulation).
+    """
+    w = float(bucket_width)
+    lo, hi = F.col(lower), F.col(upper)
+    bands = right.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(lo / F.lit(w)).cast("long"),
+                # upper is EXCLUSIVE: an interval ending exactly on a
+                # bucket boundary does not reach into that bucket
+                F.floor((hi - F.lit(1e-9)) / F.lit(w)).cast("long"),
+            )
+        ),
+    )
+    pts = left.withColumn(
+        "_bucket", F.floor(F.col(point) / F.lit(w)).cast("long")
+    )
+    cond = (
+        (pts["_bucket"] == bands["_bucket"])
+        & (pts[point] >= bands[lower])
+        & (pts[point] < bands[upper])
+    )
+    return pts.join(bands, on=cond, how=how).drop("_bucket")
+
+
 def _asof_finalize(
     out: DataFrame,
     on_time: str,

@@ -374,6 +374,12 @@ def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
         df.select(F.col(col))
         .distinct()
         .select(kmv_hash(F.col(col)).alias("h"))
+        # KMV is defined over DISTINCT hashes: a (60-bit md5) collision
+        # between two distinct raw values must retain ONE h, not two —
+        # duplicate h values would shrink the effective k and bias the
+        # estimator. Negligible probability, but the sketch should hold
+        # the definition, not a close approximation of it.
+        .distinct()
         .orderBy("h")
         .limit(k)
     )

@@ -972,6 +972,96 @@ ORDER BY col
 """
 
 
+def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``table_profile``'s 100×-default twin: the same one-scan
+    profiling pass with the NDV column computed by HyperLogLog++
+    (``approx_count_distinct``, rsd=0.01) instead of exact
+    ``count_distinct``. At 100 TB the exact variant pays one extra
+    shuffle PER PROFILED COLUMN (each count_distinct is its own
+    distinct aggregation path — Spark expands multi-distinct into a
+    grouping-id union); the HLL sketch is a fixed-size accumulator
+    folded in the same partial+final pass as count/nulls/min/max, so
+    the whole profile stays one map-side-combined scan regardless of
+    column count or cardinality. Sketch values are engine-specific,
+    so (same contract pattern as ``approx_distinct_customers``) the
+    output pins the exact NDV next to a boolean asserting the HLL
+    estimate honors its ±2% published bound — the DuckDB twin
+    recomputes the exact side and expects TRUE. The exact column here
+    is gate-only cost; the production operator ships the sketch
+    alone."""
+    t = load_testdata(spark, sf_dir)
+    o = t["orders"]
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).cast("bigint").alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("int"))
+            .cast("bigint")
+            .alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"{c}__ndv"),
+            F.approx_count_distinct(F.col(c), 0.01)
+            .cast("bigint")
+            .alias(f"{c}__andv"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    # unpivot driver-side from the single 1-row result: metadata-scale
+    row = wide.first()
+    out = [
+        (
+            c,
+            int(row[f"{c}__n"]),
+            int(row[f"{c}__nulls"]),
+            int(row[f"{c}__ndv"]),
+            bool(
+                abs(row[f"{c}__andv"] - row[f"{c}__ndv"])
+                <= row[f"{c}__ndv"] * 0.02
+            ),
+            str(row[f"{c}__min"]),
+            str(row[f"{c}__max"]),
+        )
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        out,
+        "col string, n_rows bigint, n_nulls bigint, n_distinct bigint, "
+        "ndv_within_2pct boolean, min_s string, max_s string",
+    ).orderBy("col")
+
+
+TABLE_PROFILE_APPROX_ORACLE = """
+SELECT 'o_orderkey' AS col, count(*) AS n_rows,
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+       count(DISTINCT o_orderkey) AS n_distinct,
+       TRUE AS ndv_within_2pct,
+       CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+       CAST(max(o_orderkey) AS VARCHAR) AS max_s
+FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*),
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT o_custkey), TRUE,
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*),
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT o_orderstatus), TRUE,
+       CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*),
+       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT o_totalprice), TRUE,
+       CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+FROM orders
+ORDER BY col
+"""
+
+
 def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit — the cross-table QA gate a
     pipeline runs before publishing: for each FK relationship, the
@@ -1333,6 +1423,45 @@ JOIN (SELECT i AS band, i * 50000.0 AS lo, (i + 1) * 50000.0 AS hi
   ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
 GROUP BY 1 ORDER BY band
 """
+
+
+def range_join_price_bands_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same range join through the equi-key rewrite
+    (operators/joins.bucketed_range_join): bands exploded into the
+    25k-wide buckets they cover, orders keyed by
+    ``floor(price/25000)``, hash equi-join on the bucket + residual
+    range filter. Identical result to ``range_join_price_bands``
+    (same oracle — the two plans must agree), but the physical plan is
+    a broadcast HASH join, never a nested-loop: this is the form that
+    survives an interval side too large to broadcast, where the
+    non-equi original would go quadratic. Plan-audited
+    ``!BroadcastNestedLoopJoin`` in test_plan_properties. The
+    deliberately off-width bucket (25k against 50k bands — each band
+    explodes into 2 buckets) exercises the multi-bucket explosion
+    path, not just the width-aligned 1:1 case."""
+    t = load_testdata(spark, sf_dir)
+    from ..operators.joins import bucketed_range_join
+
+    bands = spark.createDataFrame(
+        [(i, i * 50_000.0, (i + 1) * 50_000.0) for i in range(10)],
+        "band bigint, lo double, hi double",
+    )
+    joined = bucketed_range_join(
+        t["orders"].select("o_totalprice"),
+        F.broadcast(bands),
+        "o_totalprice",
+        "lo",
+        "hi",
+        bucket_width=25_000.0,
+    )
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
+        .orderBy("band")
+    )
 
 
 def interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4703,14 +4832,14 @@ WITH d0 AS (
 ), dn AS (
     SELECT src_key, variant, dirty_name,
            regexp_replace(regexp_replace(regexp_replace(
-               lower(dirty_name), '[^a-z0-9]', '', 'g'),
-               '^the', ''), '(llc|inc)$', '') AS nkey
+               lower(dirty_name), '^the\\s+', ''),
+               '[\\s,.]+(llc|inc)\\.?$', ''), '[^a-z0-9]', '', 'g') AS nkey
     FROM dirty
 ), cn AS (
     SELECT c_custkey AS tgt_key, c_name AS clean_name,
            regexp_replace(regexp_replace(regexp_replace(
-               lower(c_name), '[^a-z0-9]', '', 'g'),
-               '^the', ''), '(llc|inc)$', '') AS nkey
+               lower(c_name), '^the\\s+', ''),
+               '[\\s,.]+(llc|inc)\\.?$', ''), '[^a-z0-9]', '', 'g') AS nkey
     FROM customer
 )
 SELECT variant,
@@ -4890,10 +5019,10 @@ WITH ok AS (SELECT DISTINCT o_custkey AS key FROM orders),
 ck AS (SELECT DISTINCT c_custkey AS key FROM customer
       WHERE c_nationkey < 12),
 os AS (
-    SELECT ('0x' || substr(md5(key::VARCHAR), 1, 15))::UBIGINT AS h
+    SELECT DISTINCT ('0x' || substr(md5(key::VARCHAR), 1, 15))::UBIGINT AS h
     FROM ok ORDER BY h LIMIT 256
 ), cs AS (
-    SELECT ('0x' || substr(md5(key::VARCHAR), 1, 15))::UBIGINT AS h
+    SELECT DISTINCT ('0x' || substr(md5(key::VARCHAR), 1, 15))::UBIGINT AS h
     FROM ck ORDER BY h LIMIT 256
 ), us AS (
     SELECT DISTINCT h FROM (
@@ -4986,6 +5115,14 @@ def register_all() -> None:
         "asof_click_purchase_bucketed", asof_click_purchase_bucketed, ASOF_ORACLE
     )
     register("range_join_price_bands", range_join_price_bands, RANGE_JOIN_ORACLE)
+    register(
+        "range_join_price_bands_bucketed",
+        range_join_price_bands_bucketed,
+        RANGE_JOIN_ORACLE,
+    )
+    register(
+        "table_profile_approx", table_profile_approx, TABLE_PROFILE_APPROX_ORACLE
+    )
     register(
         "interval_overlap_sessions",
         interval_overlap_sessions,

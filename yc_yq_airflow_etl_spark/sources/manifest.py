@@ -651,11 +651,22 @@ class ManifestTable:
             _abandon()
             return None, report
         new_cols = sorted(staged.columns)
-        new_stats = self._file_stats(spark, new_files)
-        rebase = self._append_rebase(
-            spark, new_files, new_cols, new_stats, batch_id
-        )
-        return self._publish(spark, [], 0, "wap", rebase=rebase), report
+        try:
+            new_stats = self._file_stats(spark, new_files)
+            rebase = self._append_rebase(
+                spark, new_files, new_cols, new_stats, batch_id
+            )
+            version = self._publish(spark, [], 0, "wap", rebase=rebase)
+        except Exception:
+            # the no-orphan contract covers PUBLISH failure too: if the
+            # commit loop exhausts retries (pathological contention) or
+            # the store errors before any manifest claimed these files,
+            # nothing references them — delete, don't orphan. A torn
+            # put burns its version number and is never read back, so
+            # abandoning its files cannot dangle a live snapshot.
+            _abandon()
+            raise
+        return version, report
 
     def last_batch_id(self, spark: SparkSession) -> int:
         """High-water mark of committed streaming batch ids (-1 if
