@@ -1464,6 +1464,258 @@ def range_join_price_bands_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-neighbor-in-time join — the two-sided sibling of the
+    backward as-of: each purchase links to the click closest in time
+    (either direction) within ±1 hour, ties to the earlier click.
+    Attribution and sensor-alignment pipelines need this exact shape,
+    and a backward-only as-of silently mislinks a purchase that
+    happened seconds BEFORE its triggering click lands in the log.
+
+    One pass, no join operator: clicks and purchases union into one
+    frame per user ordered by time, a backward window carries the
+    latest click at-or-before each row and a forward window the
+    earliest click at-or-after, then a scalar CASE picks the nearer
+    candidate. Cost = one shuffle on user_id + one sort — same as a
+    single as-of; the window ordering includes the click id so the
+    plan is total-order deterministic even with duplicate timestamps
+    (the fixtures have none — the oracle breaks the same ties by
+    (|Δ|, click time, click id))."""
+    t = load_testdata(spark, sf_dir)
+    ev = t["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("epoch"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("epoch"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    merged = clicks.withColumn("_side", F.lit(0)).unionByName(
+        purchases.withColumn("_side", F.lit(1)), allowMissingColumns=True
+    )
+    cand = F.when(
+        F.col("click_id").isNotNull(),
+        F.struct(F.col("epoch").alias("c_epoch"), F.col("click_id").alias("cid")),
+    )
+    order = [F.col("epoch").asc(), F.col("_side").asc(), F.col("click_id").asc()]
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = merged.select(
+        "user_id",
+        "epoch",
+        "purchase_id",
+        F.last(cand, ignorenulls=True).over(w_back).alias("_prev"),
+        F.first(cand, ignorenulls=True).over(w_fwd).alias("_next"),
+    ).filter(F.col("purchase_id").isNotNull())
+    d_prev = F.col("epoch") - F.col("_prev.c_epoch")
+    d_next = F.col("_next.c_epoch") - F.col("epoch")
+    prev_ok = F.col("_prev").isNotNull() & (d_prev <= 3600)
+    next_ok = F.col("_next").isNotNull() & (d_next <= 3600)
+    # tie (d_prev == d_next) → the earlier click, i.e. the prev side
+    pick_prev = prev_ok & (~next_ok | (d_prev <= d_next))
+    chosen = F.when(pick_prev, F.col("_prev")).when(next_ok, F.col("_next"))
+    return (
+        carried.select(
+            "purchase_id",
+            "user_id",
+            chosen["cid"].alias("click_id"),
+            (chosen["c_epoch"] - F.col("epoch")).alias("delta_s"),
+        )
+        .filter(F.col("click_id").isNotNull())
+        .orderBy("purchase_id")
+    )
+
+
+ASOF_NEAREST_ORACLE = """
+WITH c AS (
+    SELECT user_id, event_id AS click_id,
+           epoch_ns(ts) // 1000000000 AS c_epoch
+    FROM events WHERE event_type = 'click'
+), p AS (
+    SELECT user_id, event_id AS purchase_id,
+           epoch_ns(ts) // 1000000000 AS p_epoch
+    FROM events WHERE event_type = 'purchase'
+), j AS (
+    SELECT p.purchase_id, p.user_id, c.click_id,
+           c.c_epoch - p.p_epoch AS delta_s,
+           row_number() OVER (
+               PARTITION BY p.purchase_id
+               ORDER BY abs(c.c_epoch - p.p_epoch), c.c_epoch, c.click_id
+           ) AS rn
+    FROM p JOIN c ON p.user_id = c.user_id
+     AND abs(c.c_epoch - p.p_epoch) <= 3600
+)
+SELECT purchase_id, user_id, click_id, delta_s
+FROM j WHERE rn = 1 ORDER BY purchase_id
+"""
+
+
+def skew_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler — the diagnostic that decides BEFORE a
+    100 TB join whether a key needs salting, AQE skew-split, or a
+    broadcast rethink: per audited key, the key count, hottest-key
+    frequency and its share of all rows, the median per-key frequency
+    (exact interpolated percentile over the per-key count table —
+    integer inputs, deterministic), and the hot/median ratio. One
+    partial-aggregated count per key column (the same shuffle the
+    real join would pay, so the profile is an honest rehearsal) over
+    a metadata-scale rollup; `operators/joins.detect_hot_keys` is the
+    point lookup this report generalizes."""
+    t = load_testdata(spark, sf_dir)
+
+    def profile(df: DataFrame, table: str, key: str) -> DataFrame:
+        counts = df.groupBy(F.col(key).alias("_k")).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        return counts.agg(
+            F.lit(f"{table}.{key}").alias("join_key"),
+            F.sum("_n").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.max("_n").cast("bigint").alias("max_freq"),
+            F.round(
+                F.max("_n") / F.sum("_n").cast("double"), 6
+            ).alias("top1_share"),
+            F.round(F.expr("percentile(_n, 0.5)"), 2).alias("median_freq"),
+            F.round(
+                F.max("_n") / F.expr("percentile(_n, 0.5)"), 2
+            ).alias("skew_ratio"),
+        )
+    return (
+        profile(t["events"], "events", "user_id")
+        .unionByName(profile(t["orders"], "orders", "o_custkey"))
+        .unionByName(profile(t["lineitem"], "lineitem", "l_orderkey"))
+        .orderBy("join_key")
+    )
+
+
+SKEW_PROFILE_ORACLE = """
+WITH ev AS (
+    SELECT count(*) AS n FROM events GROUP BY user_id
+), oc AS (
+    SELECT count(*) AS n FROM orders GROUP BY o_custkey
+), lo AS (
+    SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey
+)
+SELECT 'events.user_id' AS join_key,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(n) AS BIGINT) AS max_freq,
+       round(max(n) / CAST(sum(n) AS DOUBLE), 6) AS top1_share,
+       round(quantile_cont(n, 0.5), 2) AS median_freq,
+       round(max(n) / quantile_cont(n, 0.5), 2) AS skew_ratio
+FROM ev
+UNION ALL
+SELECT 'orders.o_custkey', CAST(sum(n) AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(max(n) AS BIGINT), round(max(n) / CAST(sum(n) AS DOUBLE), 6),
+       round(quantile_cont(n, 0.5), 2), round(max(n) / quantile_cont(n, 0.5), 2)
+FROM oc
+UNION ALL
+SELECT 'lineitem.l_orderkey', CAST(sum(n) AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(max(n) AS BIGINT), round(max(n) / CAST(sum(n) AS DOUBLE), 6),
+       round(quantile_cont(n, 0.5), 2), round(max(n) / quantile_cont(n, 0.5), 2)
+FROM lo
+ORDER BY join_key
+"""
+
+
+def partition_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout advisor — turns the table-profile/skew
+    numbers into the decision a lakehouse actually needs: for each
+    candidate partition column of ``events``, its cardinality, the
+    largest partition's row share, and a rule verdict. The rules are
+    the standard lakehouse sizing guidance made executable: a
+    partition column wants enough values to prune effectively (≥10),
+    few enough that files stay large and listings cheap (≤10,000 —
+    user_id fails this at every scale), and no partition holding so
+    much of the table that one task drags the stage (>20% share).
+    One scan per candidate (count-distinct + max-group share), all
+    metadata-scale outputs; the verdict thresholds are IN the result
+    so the oracle pins the advice, not just the stats."""
+    t = load_testdata(spark, sf_dir)
+    ev = t["events"]
+    candidates = {
+        "event_type": F.col("event_type").cast("string"),
+        "event_date": F.date_format("ts", "yyyy-MM-dd"),
+        "user_id": F.col("user_id").cast("string"),
+    }
+
+    def advise(name: str, expr: F.Column) -> DataFrame:
+        counts = ev.groupBy(expr.alias("_p")).agg(F.count(F.lit(1)).alias("_n"))
+        stats = counts.agg(
+            F.lit(name).alias("candidate"),
+            F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+            F.sum("_n").cast("bigint").alias("n_rows"),
+            F.round(
+                F.max("_n") / F.sum("_n").cast("double"), 6
+            ).alias("max_share"),
+        )
+        verdict = (
+            F.when(F.col("n_partitions") < 10, F.lit("too_coarse"))
+            .when(F.col("n_partitions") > 10000, F.lit("too_granular"))
+            .when(F.col("max_share") > 0.2, F.lit("skewed"))
+            .otherwise(F.lit("ok"))
+        )
+        return stats.select(
+            "candidate",
+            "n_partitions",
+            "n_rows",
+            "max_share",
+            verdict.alias("verdict"),
+            (verdict == "ok").alias("recommended"),
+        )
+
+    out = None
+    for name, expr in candidates.items():
+        part = advise(name, expr)
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("candidate")
+
+
+PARTITION_LAYOUT_ORACLE = """
+WITH et AS (
+    SELECT count(*) AS n FROM events GROUP BY event_type
+), ed AS (
+    SELECT count(*) AS n FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+), eu AS (
+    SELECT count(*) AS n FROM events GROUP BY user_id
+), stats AS (
+    SELECT 'event_type' AS candidate, CAST(count(*) AS BIGINT) AS n_partitions,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           round(max(n) / CAST(sum(n) AS DOUBLE), 6) AS max_share
+    FROM et
+    UNION ALL
+    SELECT 'event_date', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT),
+           round(max(n) / CAST(sum(n) AS DOUBLE), 6)
+    FROM ed
+    UNION ALL
+    SELECT 'user_id', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT),
+           round(max(n) / CAST(sum(n) AS DOUBLE), 6)
+    FROM eu
+)
+SELECT candidate, n_partitions, n_rows, max_share,
+       CASE WHEN n_partitions < 10 THEN 'too_coarse'
+            WHEN n_partitions > 10000 THEN 'too_granular'
+            WHEN max_share > 0.2 THEN 'skewed'
+            ELSE 'ok' END AS verdict,
+       (CASE WHEN n_partitions < 10 THEN 'too_coarse'
+             WHEN n_partitions > 10000 THEN 'too_granular'
+             WHEN max_share > 0.2 THEN 'skewed'
+             ELSE 'ok' END) = 'ok' AS recommended
+FROM stats ORDER BY candidate
+"""
+
+
 def interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join via bucket-equi conversion
     (operators/joins.interval_overlap_join): 10-minute click windows
@@ -5122,6 +5374,13 @@ def register_all() -> None:
     )
     register(
         "table_profile_approx", table_profile_approx, TABLE_PROFILE_APPROX_ORACLE
+    )
+    register("asof_nearest_click", asof_nearest_click, ASOF_NEAREST_ORACLE)
+    register("skew_profile_report", skew_profile_report, SKEW_PROFILE_ORACLE)
+    register(
+        "partition_layout_advisor",
+        partition_layout_advisor,
+        PARTITION_LAYOUT_ORACLE,
     )
     register(
         "interval_overlap_sessions",

@@ -2400,10 +2400,364 @@ FROM scored GROUP BY lang ORDER BY lang
 """
 
 
+def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (operators/dedup.
+    incremental_minhash_dedup): documents with ``doc_id % 10 == 0``
+    play the incoming batch, the rest the live corpus index; each new
+    doc's minhash band buckets are probed against the index's — an
+    equi-join on (band, bucket), O(batch) fingerprinting — and bucket
+    collisions are verified with exact shingle Jaccard. The oracle
+    replays the full two-sided pipeline, which pins the central
+    invariant: probing an index built by the SAME banding finds
+    exactly the cross-pairs the full self-join dedup would."""
+    from ..operators.dedup import incremental_minhash_dedup
+
+    t = load_testdata(spark, sf_dir)
+    d = t["documents"]
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    index = d.filter(F.col("doc_id") % 10 != 0)
+    return incremental_minhash_dedup(index, batch).orderBy("new_id", "index_id")
+
+
+INCREMENTAL_DEDUP_ORACLE = r"""
+WITH base AS (
+    SELECT doc_id AS id,
+           list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> array_to_string(w[i:i+2], ' '))) AS sh
+    FROM (SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+          FROM documents)
+    WHERE len(w) >= 3
+), sig AS (
+    SELECT id, sh, """ + minhash_signature_sql("sh") + r""" AS sig
+    FROM base
+), banded AS (
+    SELECT id, sh, sig, b.band AS band,
+           md5(array_to_string(sig[b.band*3+1 : b.band*3+3], '|')) AS bucket
+    FROM sig, (SELECT unnest(generate_series(0, 7)) AS band) b
+), banded_b AS (
+    SELECT * FROM banded WHERE id % 10 = 0
+), banded_i AS (
+    SELECT * FROM banded WHERE id % 10 <> 0
+), capped_i AS (
+    SELECT * FROM banded_i
+    WHERE (band, bucket) IN (
+        SELECT (band, bucket) FROM banded_i GROUP BY band, bucket
+        HAVING count(*) <= 50)
+), cand AS (
+    SELECT DISTINCT a.id AS new_id, b.id AS index_id,
+           a.sh AS sh_a, b.sh AS sh_b, a.sig AS sig_a, b.sig AS sig_b
+    FROM banded_b a JOIN capped_i b
+      ON a.band = b.band AND a.bucket = b.bucket
+)
+SELECT new_id, index_id,
+       round(len(list_filter(list_zip(sig_a, sig_b), x -> x[1] = x[2])) / 24.0, 6)
+           AS est_jaccard,
+       round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+             / len(list_distinct(sh_a || sh_b)), 6) AS jaccard
+FROM cand
+WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+      / len(list_distinct(sh_a || sh_b)) >= 0.5
+ORDER BY new_id, index_id
+"""
+
+
+def doc_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram per language in power-of-two buckets —
+    the length-distribution profile every pretraining mix decision
+    starts from (context-window fit, truncation rate, packing
+    efficiency). Bucketing is pure integer logic (``length(bin(n))-1``
+    = floor(log2) with no float log that could straddle a power-of-two
+    boundary differently per engine), so the whole query is one
+    map-side expression + a partial-aggregated rollup: no join, no
+    window, nothing that grows with corpus size except the scan."""
+    t = load_testdata(spark, sf_dir)
+    toks = token_count("text")
+    bucket = (F.length(F.bin(toks.cast("bigint"))) - 1).cast("int")
+    return (
+        t["documents"]
+        .select(F.col("lang"), bucket.alias("log2_bucket"), toks.alias("_n"))
+        .groupBy("lang", "log2_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("_n").cast("bigint").alias("min_tokens"),
+            F.max("_n").cast("bigint").alias("max_tokens"),
+        )
+        .withColumn(
+            "bucket_lo", F.pow(F.lit(2.0), F.col("log2_bucket")).cast("bigint")
+        )
+        .orderBy("lang", "log2_bucket")
+    )
+
+
+DOC_TOKEN_HISTOGRAM_ORACLE = r"""
+WITH d AS (
+    SELECT lang,
+           len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+               AS n_tokens
+    FROM documents
+), b AS (
+    SELECT lang, n_tokens,
+           CAST(length(bin(n_tokens)) - 1 AS INTEGER) AS log2_bucket
+    FROM d
+)
+SELECT lang, log2_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(power(2.0, log2_bucket) AS BIGINT) AS bucket_lo
+FROM b GROUP BY lang, log2_bucket ORDER BY lang, log2_bucket
+"""
+
+
+def zipf_fit_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus term-frequency distribution: OLS
+    slope/intercept of ln(freq) against ln(rank) for the top-100
+    terms — the one-number summary of vocabulary naturalness
+    (natural-language corpora sit near slope ≈ −1; machine-generated
+    or template text drifts flat). Frequencies and ranks are exact
+    integers; only the final regression runs in floats, over ≤100
+    rows coalesced into one ordered partition so the accumulation
+    order is deterministic, then rounded to 4 decimals (measured
+    cross-engine agreement margin ~1e-12)."""
+    from pyspark.sql import Window
+
+    t = load_testdata(spark, sf_dir)
+    freq = (
+        t["documents"]
+        .select(F.explode(tokenize("text")).alias("term"))
+        .filter(F.col("term").rlike("^[a-z]{2,}$"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("term"))
+    ranked = (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 100)
+        .coalesce(1)
+        .sortWithinPartitions("rank")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.round(
+            F.expr("regr_slope(ln(freq), ln(rank))"), 4
+        ).alias("zipf_slope"),
+        F.round(
+            F.expr("regr_intercept(ln(freq), ln(rank))"), 4
+        ).alias("zipf_intercept"),
+        # rank is unique, so rank-1's term is the deterministic head
+        F.expr("min_by(term, rank)").alias("top_term"),
+        F.max("freq").alias("top_freq"),
+    )
+
+
+ZIPF_FIT_ORACLE = r"""
+WITH terms AS (
+    SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+               AS term
+    FROM documents
+), freq AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS freq FROM terms
+    WHERE regexp_matches(term, '^[a-z]{2,}$') GROUP BY term
+), ranked AS (
+    SELECT term, freq,
+           row_number() OVER (ORDER BY freq DESC, term) AS rank
+    FROM freq QUALIFY rank <= 100
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       round(regr_slope(ln(freq), ln(rank)), 4) AS zipf_slope,
+       round(regr_intercept(ln(freq), ln(rank)), 4) AS zipf_intercept,
+       arg_min(term, rank) AS top_term,
+       max(freq) AS top_freq
+FROM ranked
+"""
+
+
+def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over term co-occurrence — the
+    classic collocation/association score (phrase mining, topic
+    seeds): for the top-40 vocabulary terms by document frequency,
+    PMI = ln(P(a,b) / (P(a)·P(b))) with probabilities over documents,
+    for pairs co-occurring in ≥5 docs, top-20 by PMI.
+
+    Scale shape: the quadratic step is generated PER DOCUMENT from
+    its vocab-restricted DISTINCT term set — fan-out is bounded by
+    |vocab|²/2 per doc (≤780 here), never corpus². The vocabulary and
+    its doc-frequency table are tiny and broadcast; the pair rollup
+    is partial-aggregated; the final top-20 is a TakeOrdered, not a
+    global sort. PMI is a single log of an exact-integer ratio —
+    deterministic in both engines."""
+    t = load_testdata(spark, sf_dir)
+    d = t["documents"]
+    n_docs = d.count()  # one scalar job; embedded as a literal
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(tokenize("text"))).alias("term"),
+        )
+        .filter(F.col("term").rlike("^[a-z]{4,}$"))
+    )
+    dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    vocab = dfreq.orderBy(F.col("df").desc(), "term").limit(40)
+    vt = toks.join(F.broadcast(vocab.select("term")), "term")
+    co = (
+        vt.select("doc_id", F.col("term").alias("term_a"))
+        .join(
+            vt.select("doc_id", F.col("term").alias("term_b")), "doc_id"
+        )
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    joined = co.join(
+        F.broadcast(
+            vocab.select(F.col("term").alias("term_a"), F.col("df").alias("c_a"))
+        ),
+        "term_a",
+    ).join(
+        F.broadcast(
+            vocab.select(F.col("term").alias("term_b"), F.col("df").alias("c_b"))
+        ),
+        "term_b",
+    )
+    pmi = F.round(
+        F.log(
+            F.col("c_ab").cast("double")
+            * F.lit(float(n_docs))
+            / (F.col("c_a") * F.col("c_b"))
+        ),
+        6,
+    )
+    return (
+        joined.select(
+            "term_a",
+            "term_b",
+            "c_ab",
+            F.col("c_a").cast("bigint").alias("c_a"),
+            F.col("c_b").cast("bigint").alias("c_b"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "term_a", "term_b")
+        .limit(20)
+    )
+
+
+COOCCURRENCE_PMI_ORACLE = r"""
+WITH toks AS (
+    SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id,
+               unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+                   AS term
+        FROM documents)
+    WHERE regexp_matches(term, '^[a-z]{4,}$')
+), dfreq AS (
+    SELECT term, count(*) AS df FROM toks GROUP BY term
+), vocab AS (
+    SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT 40
+), vt AS (
+    SELECT doc_id, term FROM toks WHERE term IN (SELECT term FROM vocab)
+), co AS (
+    SELECT a.term AS term_a, b.term AS term_b,
+           CAST(count(*) AS BIGINT) AS c_ab
+    FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY 1, 2 HAVING count(*) >= 5
+), n AS (SELECT count(*) AS nd FROM documents)
+SELECT term_a, term_b, c_ab,
+       CAST(va.df AS BIGINT) AS c_a, CAST(vb.df AS BIGINT) AS c_b,
+       round(ln(CAST(c_ab AS DOUBLE) * nd / (va.df * vb.df)), 6) AS pmi
+FROM co
+JOIN vocab va ON va.term = co.term_a
+JOIN vocab vb ON vb.term = co.term_b, n
+ORDER BY pmi DESC, term_a, term_b LIMIT 20
+"""
+
+
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table QA gate — the checks an ANN/retrieval pipeline
+    runs before (re)building an index, since every downstream cosine
+    assumes them: per label, vector count, dimensionality violations,
+    non-unit norms (‖v‖ off 1.0 by >1e-3 — cosine degrades to dot
+    product silently if normalization drifted), non-finite components,
+    and the exact component value range. One scan, all aggregates
+    JVM higher-order expressions folded in a single partial+final
+    pass; every output is an exact count or an exact float min/max —
+    no cross-row float summation to diverge between engines."""
+    t = load_testdata(spark, sf_dir)
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+    nonfinite = F.exists(
+        vec, lambda x: F.isnan(x) | (F.abs(x) > F.lit(1e308))
+    )
+    return (
+        t["embeddings"]
+        .select(
+            "label",
+            F.size("embedding").alias("_dim"),
+            norm.alias("_norm"),
+            nonfinite.cast("int").alias("_bad"),
+            F.array_min("embedding").cast("double").alias("_lo"),
+            F.array_max("embedding").cast("double").alias("_hi"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum((F.col("_dim") != 64).cast("int"))
+            .cast("bigint")
+            .alias("n_wrong_dim"),
+            F.sum((F.abs(F.col("_norm") - 1.0) > 1e-3).cast("int"))
+            .cast("bigint")
+            .alias("n_nonunit"),
+            F.sum("_bad").cast("bigint").alias("n_nonfinite"),
+            F.round(F.min("_lo"), 6).alias("min_val"),
+            F.round(F.max("_hi"), 6).alias("max_val"),
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_NORM_AUDIT_ORACLE = """
+WITH v AS (
+    SELECT label,
+           len(embedding) AS dim,
+           sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+           CASE WHEN len(list_filter(embedding,
+                x -> isnan(x) OR abs(CAST(x AS DOUBLE)) > 1e308)) > 0
+                THEN 1 ELSE 0 END AS bad,
+           CAST(list_min(embedding) AS DOUBLE) AS lo,
+           CAST(list_max(embedding) AS DOUBLE) AS hi
+    FROM embeddings
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_wrong_dim,
+       CAST(sum(CASE WHEN abs(nrm - 1.0) > 0.001 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nonunit,
+       CAST(sum(bad) AS BIGINT) AS n_nonfinite,
+       round(min(lo), 6) AS min_val,
+       round(max(hi), 6) AS max_val
+FROM v GROUP BY label ORDER BY label
+"""
+
+
 def register_all() -> None:
     from .registry import register
 
     register("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE)
+    register(
+        "incremental_dedup_new_batch",
+        incremental_dedup_new_batch,
+        INCREMENTAL_DEDUP_ORACLE,
+    )
+    register("doc_token_histogram", doc_token_histogram, DOC_TOKEN_HISTOGRAM_ORACLE)
+    register("zipf_fit_terms", zipf_fit_terms, ZIPF_FIT_ORACLE)
+    register("cooccurrence_pmi", cooccurrence_pmi, COOCCURRENCE_PMI_ORACLE)
+    register(
+        "embedding_norm_audit", embedding_norm_audit, EMBEDDING_NORM_AUDIT_ORACLE
+    )
     register("dedup_minhash_pairs", dedup_minhash_pairs, DEDUP_MINHASH_ORACLE)
     register("dedup_simhash_pairs", dedup_simhash_pairs, DEDUP_SIMHASH_ORACLE)
     register("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE)
