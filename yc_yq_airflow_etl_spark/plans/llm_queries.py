@@ -103,7 +103,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash is replayed bit-for-bit in DuckDB (DEDUP_SIMHASH_ORACLE);
     locality additionally property-tested in tests/test_llm_ops.py."""
     t = load_testdata(spark, sf_dir)
-    return simhash_dup_pairs(t["documents"], max_hamming=8).orderBy("id_a", "id_b")
+    return simhash_dup_pairs(t["documents"], max_hamming=SIMHASH_MAX_HAMMING).orderBy("id_a", "id_b")
 
 
 # DuckDB replay of the identical simhash→banding→popcount pipeline.
@@ -114,6 +114,16 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The CTE chain ends in ham_pairs(id_a, id_b, hamming) and is shared
 # with the n-gram Jaccard verification oracle.
 from ..functions.text import simhash_u64_sql  # noqa: E402
+
+# THE simhash duplicate threshold — single source of truth for both
+# engines: every Spark `simhash_dup_pairs(..., max_hamming=...)` call
+# and every oracle CTE's hamming predicate reads this constant, so the
+# threshold can never drift between the Spark plan and its DuckDB
+# replay (a one-sided tweak would silently split the engines on every
+# query downstream of the pair set: pairs, jaccard verify, clusters,
+# canonical corpus, splits, pagerank).
+SIMHASH_MAX_HAMMING = 8
+_HAM_PRED = f"hamming <= {SIMHASH_MAX_HAMMING}"
 
 _SIMHASH_CTES = (
     r"""w AS (
@@ -164,7 +174,7 @@ DEDUP_SIMHASH_ORACLE = (
     + _SIMHASH_CTES
     + """
 SELECT id_a, id_b, hamming FROM ham_pairs
-WHERE hamming <= 8 ORDER BY id_a, id_b
+WHERE """ + _HAM_PRED + r""" ORDER BY id_a, id_b
 """
 )
 
@@ -177,7 +187,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import ngram_jaccard_pairs
 
     t = load_testdata(spark, sf_dir)
-    cand = simhash_dup_pairs(t["documents"], max_hamming=8).select("id_a", "id_b")
+    cand = simhash_dup_pairs(t["documents"], max_hamming=SIMHASH_MAX_HAMMING).select("id_a", "id_b")
     return ngram_jaccard_pairs(t["documents"], cand, n=3).orderBy("id_a", "id_b")
 
 
@@ -185,7 +195,7 @@ DEDUP_NGRAM_ORACLE = (
     "WITH "
     + _SIMHASH_CTES
     + r""", keep AS (
-    SELECT id_a, id_b FROM ham_pairs WHERE hamming <= 8
+    SELECT id_a, id_b FROM ham_pairs WHERE """ + _HAM_PRED + r"""
 ), sh AS (
     SELECT doc_id,
            list_distinct(list_transform(
@@ -1485,7 +1495,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import dedup_cluster_assignments
 
     t = load_testdata(spark, sf_dir)
-    pairs = simhash_dup_pairs(t["documents"], max_hamming=8).select("id_a", "id_b")
+    pairs = simhash_dup_pairs(t["documents"], max_hamming=SIMHASH_MAX_HAMMING).select("id_a", "id_b")
     return dedup_cluster_assignments(t["documents"], pairs).orderBy("doc_id")
 
 
@@ -1493,9 +1503,9 @@ DEDUP_CLUSTERS_ORACLE = (
     "WITH RECURSIVE "
     + _SIMHASH_CTES
     + """, edges AS (
-    SELECT id_a AS src, id_b AS dst FROM ham_pairs WHERE hamming <= 8
+    SELECT id_a AS src, id_b AS dst FROM ham_pairs WHERE """ + _HAM_PRED + r"""
     UNION
-    SELECT id_b, id_a FROM ham_pairs WHERE hamming <= 8
+    SELECT id_b, id_a FROM ham_pairs WHERE """ + _HAM_PRED + r"""
 ), reach(id, r) AS (
     SELECT src, src FROM edges
     UNION
@@ -1530,7 +1540,7 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_testdata(spark, sf_dir)
     docs = t["documents"]
-    pairs = simhash_dup_pairs(docs, max_hamming=8).select("id_a", "id_b")
+    pairs = simhash_dup_pairs(docs, max_hamming=SIMHASH_MAX_HAMMING).select("id_a", "id_b")
     assign = dedup_cluster_assignments(docs, pairs)
     removed = assign.filter(F.col("doc_id") != F.col("keeper_id")).select(
         "doc_id", F.lit(1).alias("_rm")
@@ -1556,9 +1566,9 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the DuckDB twin of operators/dedup.connected_components. Shared by
 # every oracle that replays the clustering decision chain.
 _CLOSURE_CTES = """edges AS (
-    SELECT id_a AS src, id_b AS dst FROM ham_pairs WHERE hamming <= 8
+    SELECT id_a AS src, id_b AS dst FROM ham_pairs WHERE """ + _HAM_PRED + r"""
     UNION
-    SELECT id_b, id_a FROM ham_pairs WHERE hamming <= 8
+    SELECT id_b, id_a FROM ham_pairs WHERE """ + _HAM_PRED + r"""
 ), reach(id, r) AS (
     SELECT src, src FROM edges
     UNION
@@ -2022,7 +2032,7 @@ def cluster_aware_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # audit; materialize it once (eager localCheckpoint) instead of
     # paying the simhash banding twice.
     pairs = (
-        simhash_dup_pairs(docs, max_hamming=8)
+        simhash_dup_pairs(docs, max_hamming=SIMHASH_MAX_HAMMING)
         .select("id_a", "id_b")
         .localCheckpoint()
     )
@@ -2107,7 +2117,7 @@ CLUSTER_SPLITS_ORACLE = (
     SELECT split, count(*) AS n_docs, count(DISTINCT unit) AS n_units
     FROM us GROUP BY 1
 ), hp AS (
-    SELECT id_a, id_b FROM ham_pairs WHERE hamming <= 8
+    SELECT id_a, id_b FROM ham_pairs WHERE """ + _HAM_PRED + r"""
 ), ps AS (
     SELECT a.split AS sa, b.split AS sb
     FROM hp JOIN us a ON a.doc_id = hp.id_a
@@ -2294,7 +2304,7 @@ def pagerank_doc_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank
 
     t = load_testdata(spark, sf_dir)
-    pairs = simhash_dup_pairs(t["documents"], max_hamming=8).select(
+    pairs = simhash_dup_pairs(t["documents"], max_hamming=SIMHASH_MAX_HAMMING).select(
         "id_a", "id_b"
     )
     ranks = pagerank(pairs, iterations=3, damping=0.85)
@@ -2307,9 +2317,9 @@ PAGERANK_ORACLE = (
     "WITH "
     + _SIMHASH_CTES
     + """, edges AS (
-    SELECT id_a AS src, id_b AS dst FROM ham_pairs WHERE hamming <= 8
+    SELECT id_a AS src, id_b AS dst FROM ham_pairs WHERE """ + _HAM_PRED + r"""
     UNION
-    SELECT id_b, id_a FROM ham_pairs WHERE hamming <= 8
+    SELECT id_b, id_a FROM ham_pairs WHERE """ + _HAM_PRED + r"""
 ), deg AS (
     SELECT src, count(*) AS out_deg FROM edges GROUP BY 1
 ), nv AS (
