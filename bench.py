@@ -14,15 +14,17 @@ rounds can be diffed on plan shape, not this sandbox's 2-5x CPU
 jitter: a new Exchange or a shuffle-bytes jump is a real regression
 even when wall time happens to look flat (and vice versa).
 
-Structure-diff caveat: queries that persist a shared intermediate
-(the simhash pair set feeds dedup_simhash_pairs, dedup_ngram_jaccard,
-dedup_clusters, dedup_canonical_corpus) are subject to CROSS-QUERY
-cache plan-matching — whichever runs first pays the full stage count,
-later identical sub-plans resolve to InMemoryRelation. A registry
-rotation that reorders them moves stages/shuffle bytes BETWEEN those
-rows without any plan change (observed r5→r6: simhash 8→15 stages,
-clusters 85→78, total flat). Compare the family's aggregate, not a
-member in isolation.
+Structure-diff caveat: the simhash near-dup family shares ONE
+explicit fixture (ensure_simhash_artifacts — pair set + cluster
+assignment, built untimed in the setup block since r7), so
+dedup_ngram_jaccard / dedup_clusters / dedup_canonical_corpus /
+cluster_aware_splits / pagerank_doc_ranks time their own decision
+logic and their stage counts shrank accordingly vs r6 (the r5/r6
+numbers instead relied on implicit cross-query cache plan-matching,
+which moved stages between family members on every registry
+rotation). dedup_simhash_pairs still times the full fingerprint
+pipeline. Compare the family as: pipeline cost (dedup_simhash_pairs)
++ per-member decision logic.
 """
 
 from __future__ import annotations
@@ -131,6 +133,13 @@ def main() -> None:
     from yc_yq_airflow_etl_spark.plans import llm_queries as _lq
 
     _lq._ensure_ann_index(spark, sf_dir)
+    # simhash pair set + cluster assignment: six registry queries sit
+    # downstream of this one fixture pipeline; building it untimed
+    # here means dedup_ngram_jaccard/dedup_clusters/
+    # dedup_canonical_corpus/cluster_aware_splits/pagerank_doc_ranks
+    # time their own decision logic, not a rebuild of the same pairs
+    # (dedup_simhash_pairs stays un-memoized and times the pipeline)
+    _lq.ensure_simhash_artifacts(spark, sf_dir)
     _an.ensure_zorder_demo(spark, sf_dir)
     _an.ensure_manifest_demo(spark, sf_dir)
     _an.ensure_manifest_stats_demo(spark, sf_dir)
@@ -158,6 +167,28 @@ def main() -> None:
             f"shuf_w={structure[name]['shuffle_write_bytes']})",
             file=sys.stderr,
         )
+
+    # Steady-state second timings for the entries whose r5→r6 walls
+    # moved >1.5x with no code change (r6 watch item): a second run in
+    # the same session isolates first-touch costs (file-listing,
+    # codegen compilation, page cache) and cross-query contention from
+    # plan regressions. If t_steady lands back near the r5 wall, the
+    # first-run delta is session noise, not a plan change — the
+    # structure fields (stages/shuffle bytes) are the ground truth
+    # either way.
+    steady: dict[str, float] = {}
+    for name in (
+        "range_join_price_bands",
+        "dedup_exact",
+        "q2_min_cost_supplier",
+        "q3_shipping_priority",
+    ):
+        if name not in qs:
+            continue
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        steady[name] = round(time.time() - t0, 3)
+        print(f"# steady {name}: {steady[name]}s", file=sys.stderr)
 
     # Reference-scale datapoint: the federation verification query at
     # the reference's own dataset size (2,675,520 payment rows,
@@ -225,6 +256,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "structure": structure,
+        "steady_state": steady,
         "sf": float(sf) if sf else None,
     }
 
@@ -341,10 +373,15 @@ def main() -> None:
         # (user, bucket) split that keeps stragglers bounded.
         from yc_yq_airflow_etl_spark.operators import dedup as _dedup
 
+        # same untimed prebuild as at 1x: the scale entries below time
+        # their own logic against the 10x pair graph, not its rebuild
+        _lq.ensure_simhash_artifacts(spark, scale_dir)
+
         for name in (
             "dedup_minhash_pairs",
             "dedup_simhash_pairs",
             "dedup_clusters",
+            "dedup_canonical_corpus",  # anti-filter + rollup at 10x
             "asof_click_purchase_bucketed",
             "retention_cohorts",  # hot-user skew: one key holds ~30%
             "similarity_lsh_topk",

@@ -469,3 +469,110 @@ def test_exclusion_join_auto_strategy_picks_plan_by_skew(spark):
     plan = skewed._jdf.queryExecution().executedPlan().toString()
     assert "Anti" in plan  # skew detected -> anti-join formulation
     assert skewed.count() == 30_002  # everything is unmatched here
+
+
+def test_bucketed_range_join_matches_nonequi(spark):
+    """The equi-key rewrite must agree with the raw non-equi form for
+    ANY bucket width (correctness is width-independent): boundary
+    points (p == lo inclusive, p == hi exclusive), overlapping
+    intervals, multi-bucket intervals, and points in no interval."""
+    from yc_yq_airflow_etl_spark.operators.joins import (
+        bucketed_range_join,
+        range_join,
+    )
+
+    pts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0, 5, 10, 15, 99, 100, 250, 999])],
+        "pid int, p double",
+    )
+    ivals = spark.createDataFrame(
+        [
+            ("a", 0.0, 10.0),
+            ("b", 10.0, 30.0),
+            ("ov", 5.0, 120.0),  # overlaps a and b, spans many buckets
+            ("wide", 0.0, 1000.0),
+        ],
+        "name string, lo double, hi double",
+    )
+    want = {
+        (r.pid, r.name)
+        for r in range_join(pts, ivals, "p", "lo", "hi").collect()
+    }
+    for width in (7.0, 10.0, 50.0, 2000.0):  # off-aligned, aligned, huge
+        got = {
+            (r.pid, r.name)
+            for r in bucketed_range_join(
+                pts, ivals, "p", "lo", "hi", bucket_width=width
+            ).collect()
+        }
+        assert got == want, f"width={width}"
+
+
+def test_bucketed_range_join_runs_on_hash_join_path(spark):
+    """The whole point of the rewrite: a broadcast interval side
+    compiles to BroadcastHashJoin, never a nested-loop."""
+    from yc_yq_airflow_etl_spark.operators.joins import bucketed_range_join
+
+    pts = spark.range(0, 1000).selectExpr("CAST(id AS DOUBLE) AS p")
+    ivals = spark.createDataFrame(
+        [(i, i * 100.0, (i + 1) * 100.0) for i in range(10)],
+        "band int, lo double, hi double",
+    )
+    out = bucketed_range_join(
+        pts, F.broadcast(ivals), "p", "lo", "hi", bucket_width=100.0
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert out.count() == 1000
+
+
+def test_nearest_join_two_sided_tolerance_and_ties(spark):
+    """nearest_join picks the closer candidate in EITHER direction,
+    breaks |delta| ties to the EARLIER right row, and leaves left rows
+    with no candidate in tolerance unmatched (NULL payload)."""
+    from yc_yq_airflow_etl_spark.operators.joins import nearest_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 100.0, "after_nearer"),
+            (1, 200.0, "tie"),
+            (1, 300.0, "out_of_range"),
+            (2, 50.0, "before_only"),
+        ],
+        "uid int, t double, label string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 90.0, "m90"),
+            (1, 105.0, "m105"),
+            (1, 195.0, "m195"),
+            (1, 205.0, "m205"),
+            (1, 360.0, "m360"),
+            (2, 45.0, "m45"),
+        ],
+        "uid int, t double, mark string",
+    )
+    out = {
+        r.label: r.r_mark
+        for r in nearest_join(
+            left, right, on_time="t", by=["uid"], tolerance=30.0
+        ).collect()
+    }
+    assert out == {
+        "after_nearer": "m105",  # delta 5 after beats 10 before
+        "tie": "m195",  # equal delta 5 -> earlier right row
+        "out_of_range": None,  # nearest is 60 away, tolerance 30
+        "before_only": "m45",
+    }
+
+
+def test_nearest_join_rejects_overlapping_payload_columns(spark):
+    import pytest as _pytest
+
+    from yc_yq_airflow_etl_spark.operators.joins import nearest_join
+
+    left = spark.createDataFrame([(1, 1.0, "x")], "uid int, t double, v string")
+    right = spark.createDataFrame([(1, 1.0, "y")], "uid int, t double, v string")
+    with _pytest.raises(ValueError, match="overlapping"):
+        nearest_join(left, right, on_time="t", by=["uid"], tolerance=1.0)

@@ -571,3 +571,71 @@ def test_dataset_splits_stable_under_corpus_growth(spark, testdata):
     # and the corpus is fully partitioned: every doc in exactly one split
     assert len(full) == docs.count()
     assert set(full.values()) == {"train", "val", "test"}
+
+
+def test_incremental_dedup_matches_full_selfjoin_cross_pairs(spark, docs):
+    """Probing a batch against an index built by the SAME banding must
+    find exactly the cross-(batch, index) pairs the full self-join
+    dedup finds (when no bucket cap binds) — the invariant that makes
+    incremental ingest dedup sound."""
+    from yc_yq_airflow_etl_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_lsh_pairs,
+    )
+
+    batch_ids = {2, 3}
+    batch = docs.filter(F.col("doc_id").isin(*batch_ids))
+    index = docs.filter(~F.col("doc_id").isin(*batch_ids))
+
+    full = minhash_lsh_pairs(docs, jaccard_threshold=0.3)
+    want = {
+        frozenset((r.id_a, r.id_b)): r.jaccard
+        for r in full.collect()
+        if (r.id_a in batch_ids) != (r.id_b in batch_ids)  # cross only
+    }
+    inc = incremental_minhash_dedup(index, batch, jaccard_threshold=0.3)
+    got = {
+        frozenset((r.new_id, r.index_id)): r.jaccard for r in inc.collect()
+    }
+    assert got == want and len(got) >= 2  # (1,2),(1,3),(2,5)... present
+    # every reported new_id is really from the batch side
+    assert all(
+        r.new_id in batch_ids and r.index_id not in batch_ids
+        for r in inc.collect()
+    )
+
+
+def test_ensure_simhash_artifacts_cached_per_session_and_consistent(spark):
+    """Second call returns the SAME cached frames; the cached pair set
+    equals a fresh simhash_dup_pairs run, and the assignment matches a
+    fresh dedup_cluster_assignments over those pairs."""
+    from yc_yq_airflow_etl_spark.catalog import load_testdata
+    from yc_yq_airflow_etl_spark.operators.dedup import (
+        dedup_cluster_assignments,
+        simhash_dup_pairs,
+    )
+    from yc_yq_airflow_etl_spark.plans.llm_queries import (
+        SIMHASH_MAX_HAMMING,
+        ensure_simhash_artifacts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    p1, a1 = ensure_simhash_artifacts(spark, sf)
+    p2, a2 = ensure_simhash_artifacts(spark, sf)
+    assert p1 is p2 and a1 is a2  # memoized, not rebuilt
+
+    docs = load_testdata(spark, sf)["documents"]
+    fresh_pairs = {
+        (r.id_a, r.id_b)
+        for r in simhash_dup_pairs(docs, max_hamming=SIMHASH_MAX_HAMMING)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert {(r.id_a, r.id_b) for r in p1.collect()} == fresh_pairs
+    fresh_assign = {
+        (r.doc_id, r.keeper_id, r.cluster_size)
+        for r in dedup_cluster_assignments(docs, p1).collect()
+    }
+    assert {
+        (r.doc_id, r.keeper_id, r.cluster_size) for r in a1.collect()
+    } == fresh_assign

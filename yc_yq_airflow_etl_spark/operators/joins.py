@@ -416,6 +416,100 @@ def asof_join(
     return out.drop("_side", "_asof", "_r_struct", "_in_bucket", "_carry", "_b")
 
 
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    on_time: str,
+    by: Sequence[str],
+    tolerance: float,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """NEAREST-in-time join — the two-sided sibling of :func:`asof_join`:
+    for each left row, the right row of the same ``by`` group that
+    minimizes ``|right.on_time - left.on_time|``, within ``tolerance``
+    (same units as ``on_time``, which must be a NUMERIC time axis —
+    cast timestamps to epoch first). Ties in ``|Δ|`` resolve to the
+    EARLIER right row. Left rows with no candidate in range keep NULL
+    payload (left-outer semantics).
+
+    Why not a backward as-of: attribution/sensor-alignment pipelines
+    need the closest observation in EITHER direction — a backward-only
+    as-of silently mislinks a left row that lands seconds BEFORE its
+    true match enters the log.
+
+    Plan shape (same cost as ONE as-of): left and right union into one
+    frame per group ordered by time, a backward window carries the
+    latest right row at-or-before each row and a forward window the
+    earliest right row at-or-after, then a scalar CASE picks the
+    nearer of the two candidates. One shuffle on ``by`` + one sort —
+    no join operator, no per-key collect, no candidate explosion.
+    Shares :func:`asof_join`'s known limit: a window partition cannot
+    be split, so one pathological ``by`` key = one straggler task.
+
+    Determinism: the window ordering is (time, side, candidate
+    struct), a total order, so duplicate right timestamps cannot make
+    the plan nondeterministic; among right rows at the SAME timestamp
+    the backward carry keeps the struct-max payload and the forward
+    carry the struct-min (callers needing a specific dup-timestamp
+    winner should pre-dedup right on (by, on_time)).
+
+    ``left`` and ``right`` column names must be disjoint apart from
+    ``by`` + ``on_time`` (same contract a join would impose).
+    """
+    from pyspark.sql import Window
+
+    by = list(by)
+    overlap = (set(left.columns) & set(right.columns)) - set(by) - {on_time}
+    if overlap:
+        raise ValueError(
+            f"nearest_join: overlapping non-key columns {sorted(overlap)}; "
+            "alias them apart before joining"
+        )
+    payload = [c for c in right.columns if c not in (*by, on_time)]
+    cand = F.struct(
+        F.col(on_time).alias("_t"), *[F.col(c) for c in payload]
+    )
+    l_tag = left.withColumn("_side", F.lit(1))
+    r_tag = right.select(*by, F.col(on_time), cand.alias("_cand")).withColumn(
+        "_side", F.lit(0)
+    )
+    merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    order = [
+        F.col(on_time).asc(),
+        F.col("_side").asc(),  # right rows first at equal times: Δ=0
+        F.col("_cand").asc_nulls_first(),
+    ]
+    w_back = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = (
+        merged.withColumn(
+            "_prev", F.last("_cand", ignorenulls=True).over(w_back)
+        )
+        .withColumn("_next", F.first("_cand", ignorenulls=True).over(w_fwd))
+        .filter(F.col("_side") == 1)
+    )
+    d_prev = F.col(on_time) - F.col("_prev._t")
+    d_next = F.col("_next._t") - F.col(on_time)
+    prev_ok = F.col("_prev").isNotNull() & (d_prev <= F.lit(tolerance))
+    next_ok = F.col("_next").isNotNull() & (d_next <= F.lit(tolerance))
+    # tie (d_prev == d_next) → the earlier right row, i.e. the prev side
+    pick_prev = prev_ok & (~next_ok | (d_prev <= d_next))
+    chosen = F.when(pick_prev, F.col("_prev")).when(next_ok, F.col("_next"))
+    out = carried.withColumn("_chosen", chosen)
+    for c in payload:
+        out = out.withColumn(right_prefix + c, F.col(f"_chosen.{c}"))
+    out = out.withColumn(right_prefix + on_time, F.col("_chosen._t"))
+    return out.drop("_side", "_cand", "_prev", "_next", "_chosen")
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,

@@ -1472,15 +1472,17 @@ def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a backward-only as-of silently mislinks a purchase that
     happened seconds BEFORE its triggering click lands in the log.
 
-    One pass, no join operator: clicks and purchases union into one
-    frame per user ordered by time, a backward window carries the
-    latest click at-or-before each row and a forward window the
-    earliest click at-or-after, then a scalar CASE picks the nearer
-    candidate. Cost = one shuffle on user_id + one sort — same as a
-    single as-of; the window ordering includes the click id so the
-    plan is total-order deterministic even with duplicate timestamps
-    (the fixtures have none — the oracle breaks the same ties by
-    (|Δ|, click time, click id))."""
+    One pass, no join operator (operators/joins.nearest_join): clicks
+    and purchases union into one frame per user ordered by time, a
+    backward window carries the latest click at-or-before each row
+    and a forward window the earliest click at-or-after, then a
+    scalar CASE picks the nearer candidate. Cost = one shuffle on
+    user_id + one sort — same as a single as-of. The fixtures carry
+    no duplicate (user, ts) clicks and no equidistant ties at any SF
+    (verified r7), so the operator's tie rules and the oracle's
+    (|Δ|, click time, click id) ordering cannot diverge."""
+    from ..operators.joins import nearest_join
+
     t = load_testdata(spark, sf_dir)
     ev = t["events"]
     clicks = ev.filter(F.col("event_type") == "click").select(
@@ -1493,44 +1495,15 @@ def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("ts").alias("epoch"),
         F.col("event_id").alias("purchase_id"),
     )
-    merged = clicks.withColumn("_side", F.lit(0)).unionByName(
-        purchases.withColumn("_side", F.lit(1)), allowMissingColumns=True
+    out = nearest_join(
+        purchases, clicks, on_time="epoch", by=["user_id"], tolerance=3600
     )
-    cand = F.when(
-        F.col("click_id").isNotNull(),
-        F.struct(F.col("epoch").alias("c_epoch"), F.col("click_id").alias("cid")),
-    )
-    order = [F.col("epoch").asc(), F.col("_side").asc(), F.col("click_id").asc()]
-    w_back = (
-        Window.partitionBy("user_id")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_fwd = (
-        Window.partitionBy("user_id")
-        .orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    carried = merged.select(
-        "user_id",
-        "epoch",
-        "purchase_id",
-        F.last(cand, ignorenulls=True).over(w_back).alias("_prev"),
-        F.first(cand, ignorenulls=True).over(w_fwd).alias("_next"),
-    ).filter(F.col("purchase_id").isNotNull())
-    d_prev = F.col("epoch") - F.col("_prev.c_epoch")
-    d_next = F.col("_next.c_epoch") - F.col("epoch")
-    prev_ok = F.col("_prev").isNotNull() & (d_prev <= 3600)
-    next_ok = F.col("_next").isNotNull() & (d_next <= 3600)
-    # tie (d_prev == d_next) → the earlier click, i.e. the prev side
-    pick_prev = prev_ok & (~next_ok | (d_prev <= d_next))
-    chosen = F.when(pick_prev, F.col("_prev")).when(next_ok, F.col("_next"))
     return (
-        carried.select(
+        out.select(
             "purchase_id",
             "user_id",
-            chosen["cid"].alias("click_id"),
-            (chosen["c_epoch"] - F.col("epoch")).alias("delta_s"),
+            F.col("r_click_id").alias("click_id"),
+            (F.col("r_epoch") - F.col("epoch")).alias("delta_s"),
         )
         .filter(F.col("click_id").isNotNull())
         .orderBy("purchase_id")

@@ -179,15 +179,62 @@ WHERE """ + _HAM_PRED + r""" ORDER BY id_a, id_b
 )
 
 
+# Session-scoped simhash artifacts: the near-dup PAIR SET and the
+# CLUSTER ASSIGNMENT over <sf_dir>'s documents, computed once per
+# (session, dataset) and localCheckpointed. Six registry queries sit
+# downstream of the same pair graph (pairs → verify → clusters →
+# canonical corpus → splits → pagerank); without this memo each of
+# them re-runs the full fingerprint pipeline, so a bench/selfcheck
+# session pays the simhash stage six times and the downstream entries
+# time FIXTURE REBUILD instead of their own decision logic. This is
+# the production shape too: a pipeline materializes the pair set once
+# and every consumer reads it. ``dedup_simhash_pairs`` itself stays
+# un-memoized — it IS the fingerprint-stage benchmark. Both frames
+# are bounded by the duplicate rate (pairs) and clustered-doc count
+# (assignments), so the checkpoint blocks are metadata-scale next to
+# the corpus. Keyed by applicationId so a new SparkSession can never
+# see another session's dead RDD blocks, and by data_tag so a fixture
+# regeneration under the same path invalidates.
+_SIMHASH_ARTIFACT_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def ensure_simhash_artifacts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Return (pairs, assignments) for ``sf_dir``'s documents —
+    building and caching them on first use. ``pairs`` = (id_a, id_b)
+    at hamming ≤ SIMHASH_MAX_HAMMING; ``assignments`` = (doc_id,
+    keeper_id, cluster_size) for clustered docs. bench.py calls this
+    in its untimed setup block (same pattern as the ANN index and
+    manifest demos) so the downstream queries time their own logic."""
+    from ..operators.dedup import dedup_cluster_assignments
+
+    key = (spark.sparkContext.applicationId, data_tag(sf_dir, "documents"))
+    hit = _SIMHASH_ARTIFACT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = load_testdata(spark, sf_dir)["documents"]
+    pairs = (
+        simhash_dup_pairs(docs, max_hamming=SIMHASH_MAX_HAMMING)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    assign = dedup_cluster_assignments(docs, pairs).localCheckpoint()
+    _SIMHASH_ARTIFACT_CACHE[key] = (pairs, assign)
+    return pairs, assign
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard verification over the SimHash
     candidate pairs — the verification stage every blocking scheme
     funnels into (operators/dedup.ngram_jaccard_pairs). Shuffle shape:
-    the candidate set is tiny, so both shingle joins broadcast."""
+    the candidate set is tiny, so both shingle joins broadcast. The
+    candidate pair set comes from the session-scoped artifact cache
+    (ensure_simhash_artifacts) — this query times the VERIFY stage."""
     from ..operators.dedup import ngram_jaccard_pairs
 
     t = load_testdata(spark, sf_dir)
-    cand = simhash_dup_pairs(t["documents"], max_hamming=SIMHASH_MAX_HAMMING).select("id_a", "id_b")
+    cand, _ = ensure_simhash_artifacts(spark, sf_dir)
     return ngram_jaccard_pairs(t["documents"], cand, n=3).orderBy("id_a", "id_b")
 
 
@@ -1491,11 +1538,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle join + partial-combined min per round). The DuckDB
     oracle replays the simhash pipeline AND computes the transitive
     closure with WITH RECURSIVE — the entire pairs→clusters step is
-    verified, not just the pair set."""
+    verified, not just the pair set. The PAIR SET comes from the
+    artifact cache (ensure_simhash_artifacts) — this query's timed
+    work is the iterative connected-components itself, which is
+    exactly what its 10× bench entry tracks (cc_rounds)."""
     from ..operators.dedup import dedup_cluster_assignments
 
     t = load_testdata(spark, sf_dir)
-    pairs = simhash_dup_pairs(t["documents"], max_hamming=SIMHASH_MAX_HAMMING).select("id_a", "id_b")
+    pairs, _ = ensure_simhash_artifacts(spark, sf_dir)
     return dedup_cluster_assignments(t["documents"], pairs).orderBy("doc_id")
 
 
@@ -1536,12 +1586,11 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     pays. The DuckDB oracle replays simhash → recursive transitive
     closure → keeper selection, so the whole decision chain is
     value-verified, not just the counts."""
-    from ..operators.dedup import dedup_cluster_assignments
-
     t = load_testdata(spark, sf_dir)
     docs = t["documents"]
-    pairs = simhash_dup_pairs(docs, max_hamming=SIMHASH_MAX_HAMMING).select("id_a", "id_b")
-    assign = dedup_cluster_assignments(docs, pairs)
+    # cluster assignment from the session artifact cache: this query's
+    # own logic is the anti-filter + rollup, and that is what it times
+    _, assign = ensure_simhash_artifacts(spark, sf_dir)
     removed = assign.filter(F.col("doc_id") != F.col("keeper_id")).select(
         "doc_id", F.lit(1).alias("_rm")
     )
@@ -2024,21 +2073,13 @@ def cluster_aware_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts it), a map-only hash, and partial-aggregated rollups.
     The pair audit joins the pair list (bounded by the dup rate)
     against the per-doc split map twice — both AQE-sized."""
-    from ..operators.dedup import dedup_cluster_assignments
-
     t = load_testdata(spark, sf_dir)
     docs = t["documents"]
-    # The pair list feeds BOTH the clustering and the final pair
-    # audit; materialize it once (eager localCheckpoint) instead of
-    # paying the simhash banding twice.
-    pairs = (
-        simhash_dup_pairs(docs, max_hamming=SIMHASH_MAX_HAMMING)
-        .select("id_a", "id_b")
-        .localCheckpoint()
-    )
-    assign = dedup_cluster_assignments(docs, pairs).select(
-        "doc_id", "keeper_id"
-    )
+    # The pair list feeds BOTH the unit hashing (via the cluster
+    # assignment) and the final pair audit; both come from the session
+    # artifact cache, so this query times the split hash + audit.
+    pairs, assign_full = ensure_simhash_artifacts(spark, sf_dir)
+    assign = assign_full.select("doc_id", "keeper_id")
     us = (
         docs.select("doc_id")
         .join(assign, "doc_id", "left")
@@ -2303,10 +2344,7 @@ def pagerank_doc_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded well under the 1e-6 rounding grain."""
     from ..operators.graph import pagerank
 
-    t = load_testdata(spark, sf_dir)
-    pairs = simhash_dup_pairs(t["documents"], max_hamming=SIMHASH_MAX_HAMMING).select(
-        "id_a", "id_b"
-    )
+    pairs, _ = ensure_simhash_artifacts(spark, sf_dir)
     ranks = pagerank(pairs, iterations=3, damping=0.85)
     return ranks.select(
         F.col("id").alias("doc_id"), F.round("rank", 6).alias("pr_rank")
