@@ -86,6 +86,31 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("no nested-loop join anywhere", "!BroadcastNestedLoopJoin"),
         ("partial aggregation", r"partial_(sum|count)"),
     ],
+    "asof_nearest_click": [
+        ("no join operator at all (union + dual-window carry)", "!Join"),
+    ],
+    "cooccurrence_pmi": [
+        ("vocabulary joins broadcast", r"BroadcastHashJoin"),
+        ("top-20 is TakeOrdered, not a global sort",
+         r"TakeOrderedAndProject"),
+        ("pair rollup partially aggregated", r"partial_count"),
+    ],
+    "doc_token_histogram": [
+        ("map-side combine before the exchange", r"partial_(count|min)"),
+        ("no join, no window", "!Join"),
+    ],
+    "skew_profile_report": [
+        ("per-key counts partially aggregated", r"partial_count"),
+    ],
+    "embedding_norm_audit": [
+        ("single-pass partial aggregation", r"partial_(count|sum|min)"),
+        ("no join, no shuffle beyond the rollup", "!Join"),
+    ],
+    "incremental_dedup_new_batch": [
+        ("band-bucket probe is an equi-join, never a nested loop",
+         "!BroadcastNestedLoopJoin"),
+        ("no cartesian product", "!CartesianProduct"),
+    ],
     "stream_click_purchase_join": [
         ("event_type filters pushed to scan", r"PushedFilters: \[.*event_type.*\]"),
         ("user_id equi-join (hash/SMJ, not NLJ)",
