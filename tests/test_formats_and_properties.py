@@ -225,3 +225,52 @@ def test_scd2_apply_matches_model(spark, dims, updates):
     got = Counter(tuple(r) for r in scd2_apply(dim, upd, "k", ["seg"]).collect())
     want = Counter(model)
     assert got == want
+
+
+_nearest_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # key
+        st.integers(min_value=0, max_value=50),  # time (ints: exact compares)
+    ),
+    min_size=0,
+    max_size=14,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(lrows=_nearest_rows, rrows=_nearest_rows, tol=st.integers(0, 12))
+def test_nearest_join_matches_python_reference(spark, lrows, rrows, tol):
+    """Property: nearest_join == the obvious per-row scan — the right
+    row of the same key minimizing |Δt| within tolerance, |Δ|-ties to
+    the EARLIER right row. Right timestamps are deduplicated per key
+    (the operator's documented precondition for a specific winner)."""
+    from yc_yq_airflow_etl_spark.operators.joins import nearest_join
+
+    rrows = list({(k, t) for k, t in rrows})  # unique (key, time)
+    left = spark.createDataFrame(
+        [(i, k, float(t)) for i, (k, t) in enumerate(lrows)],
+        "lid int, k int, t double",
+    )
+    right = spark.createDataFrame(
+        [(f"m{k}_{t}", k, float(t)) for k, t in rrows],
+        "mark string, k int, t double",
+    )
+    got = {
+        r.lid: r.r_mark
+        for r in nearest_join(
+            left, right, on_time="t", by=["k"], tolerance=float(tol)
+        ).collect()
+    }
+    want = {}
+    for i, (k, t) in enumerate(lrows):
+        cands = [
+            (abs(rt - t), rt, f"m{rk}_{rt}")
+            for rk, rt in rrows
+            if rk == k and abs(rt - t) <= tol
+        ]
+        want[i] = min(cands)[2] if cands else None
+    assert got == want
