@@ -464,3 +464,47 @@ def test_attribution_matches_python_reference(spark, rows):
         u: (pr, to, round(rev / 100.0, 2)) for u, (pr, to, rev) in exp.items()
     }
     assert got == expected, (rows, got, expected)
+
+
+def test_pagerank_empty_graph_keeps_input_id_type(spark):
+    """An empty input must return an empty frame whose id column has
+    the INPUT pair columns' type (string ids in -> string ids out), so
+    a caller's union/join against non-empty results cannot break."""
+    for typ in ("string", "bigint"):
+        empty = spark.createDataFrame([], f"id_a {typ}, id_b {typ}")
+        out = pagerank(empty)
+        assert out.count() == 0
+        assert out.schema["id"].dataType.simpleString() == typ
+        assert out.schema["rank"].dataType.simpleString() == "double"
+
+
+def test_normalize_entity_key_strips_tokens_not_prefixes(spark):
+    """Article/suffix stripping is token-delimited: names merely
+    starting with 'the' or ending in 'inc'/'llc' letters keep them
+    ('Theodore' != 'odore', 'Zinc' != 'z'); real article/suffix
+    tokens and separators still collapse variants onto one key."""
+    from pyspark.sql import functions as SF
+
+    from yc_yq_airflow_etl_spark.functions.text import normalize_entity_key
+
+    rows = spark.createDataFrame(
+        [
+            ("Theodore",),
+            ("Zinc",),
+            ("The Acme Co",),
+            ("ACME-CO LLC",),
+            ("acme co, inc.",),
+            ("Blinc",),  # ends in 'inc' letters but not as a token
+        ],
+        "name string",
+    )
+    got = {
+        r.name: r.k
+        for r in rows.select(
+            "name", normalize_entity_key(SF.col("name")).alias("k")
+        ).collect()
+    }
+    assert got["Theodore"] == "theodore"
+    assert got["Zinc"] == "zinc"
+    assert got["Blinc"] == "blinc"
+    assert got["The Acme Co"] == got["ACME-CO LLC"] == got["acme co, inc."] == "acmeco"

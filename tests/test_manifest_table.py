@@ -1012,3 +1012,44 @@ def test_write_audit_publish_no_orphans_on_audit_error(spark, tmp_path):
     }
     assert files_after == files_before
     assert mt.read(spark).count() == 3
+
+
+def test_write_audit_publish_no_orphans_on_publish_failure(
+    spark, tmp_path, monkeypatch
+):
+    """The no-orphan contract covers the PUBLISH leg too: if the
+    commit loop itself fails (here: a conditional-create store that
+    loses every race), the already-staged-and-audited files are
+    abandoned, not left as vacuum debt, and the table is untouched."""
+    import os
+
+    from pyspark.sql import functions as SF
+
+    from yc_yq_airflow_etl_spark.operators.expectations import Rule
+
+    mt = ManifestTable(
+        str(tmp_path / "wappub"), publish_mode="conditional-create"
+    )
+    mt.overwrite(_df(spark, 0, 3).coalesce(1))
+    files_before = {
+        f for f in os.listdir(os.path.join(mt.path, "data"))
+        if f.endswith(".parquet")
+    }
+
+    # every commit race lost from here on (class-level: the dataclass
+    # is frozen; monkeypatch restores the real method afterwards)
+    monkeypatch.setattr(
+        ManifestTable, "_put_if_absent", lambda self, *a, **k: False
+    )
+    with pytest.raises(RuntimeError, match="commit races"):
+        mt.write_audit_publish(
+            _df(spark, 10, 12).coalesce(1), [Rule("v_pos", SF.col("v") > 0)]
+        )
+    monkeypatch.undo()
+
+    files_after = {
+        f for f in os.listdir(os.path.join(mt.path, "data"))
+        if f.endswith(".parquet")
+    }
+    assert files_after == files_before  # staged batch physically gone
+    assert mt.read(spark).count() == 3  # table untouched

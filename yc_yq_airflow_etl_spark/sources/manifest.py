@@ -558,12 +558,27 @@ class ManifestTable:
         every attempt — a concurrent commit winning the race moves the
         base, and this commit's file list must sit on top of THAT, not
         the one read before the race). Shared by ``append`` and
-        ``write_audit_publish``."""
+        ``write_audit_publish``.
+
+        The per-attempt work is METADATA-ONLY: the new files' row
+        count is a one-time scan paid here, and the base snapshot's
+        count comes from its manifest's recorded ``rows`` — so losing
+        a commit race costs one listing + one manifest read, never a
+        Spark job. (Recounting everything per attempt would make the
+        commit loop O(table) under contention — exactly when it
+        retries most.) Fallback recount only for a legacy manifest
+        with no recorded ``rows``."""
+        new_rows = self._count(spark, new_files)
 
         def rebase() -> tuple[list[str], int, dict]:
             prev = self.current_version(spark)
             old_manifest = self._manifest(spark, prev) if prev is not None else {}
-            allf = old_manifest.get("files", []) + new_files
+            old_files = old_manifest.get("files", [])
+            allf = old_files + new_files
+            prev_rows = old_manifest.get("rows")
+            if prev_rows is None and old_files:
+                prev_rows = self._count(spark, old_files)
+            rows = int(prev_rows or 0) + new_rows
             extra: dict = {}
             if batch_id is not None:
                 extra["last_batch_id"] = max(
@@ -581,7 +596,7 @@ class ManifestTable:
                     **old_manifest.get("stats", {}),
                     **new_stats,
                 }
-            return allf, self._count(spark, allf), extra
+            return allf, rows, extra
 
         return rebase
 
