@@ -57,6 +57,16 @@ _REGISTRY: list[QuerySpec] = []
 # them, restoring the bound (r4 → r7) and giving every new query a
 # driver row immediately. The middle is the r5-verified 50 (next
 # round's front); _BACK is the r6-verified 50.
+#
+# SATURATION: 150 queries = 3 full 50-slot windows — the rotation now
+# has ZERO slack. Every registry addition beyond 150 pushes some
+# existing query past the 3-round freshness bound. Adding a query in
+# a future round therefore requires either (a) the driver window
+# growing past 50, or (b) accepting that round's additions trade
+# 1-for-1 against bound slack (a query added mid-cycle waits ≤1 round
+# for its first row — fine — but the DISPLACED tail query goes 4
+# rounds between rows). Prefer deepening existing queries (more
+# pinned columns) over net-new registrations from here.
 _FRONT: tuple[str, ...] = (
     # last driver row: r4 (CORRECTNESS_r04.json order)
     "similarity_recall_report",
