@@ -393,6 +393,10 @@ def main() -> None:
             # (user, bucket) split holds 2-3s here vs 22s for the
             # naive user-keyed join (measured before the rewrite)
             "dau_wau_metrics",  # distinct-dedup collapses the hot user
+            "incremental_dedup_new_batch",  # O(batch)+O(index) hashing,
+            # equi-join probe — the ratio tests the no-self-join claim
+            "cooccurrence_pmi",  # vocab-capped pair fan-out: per-doc
+            # bounded, so 10x docs should be ~linear
         ):
             t0 = time.time()
             n = qs[name](spark, scale_dir).count()
