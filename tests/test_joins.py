@@ -576,3 +576,76 @@ def test_nearest_join_rejects_overlapping_payload_columns(spark):
     right = spark.createDataFrame([(1, 1.0, "y")], "uid int, t double, v string")
     with _pytest.raises(ValueError, match="overlapping"):
         nearest_join(left, right, on_time="t", by=["uid"], tolerance=1.0)
+
+
+def test_nearest_join_bucketed_matches_plain_on_skew(spark):
+    """Property: the bounded-radius 3-bucket equi-join formulation
+    produces exactly the window formulation's matches on a skewed
+    fixture (one key holding ~90% of rows), across bucket widths from
+    tolerance-tight to whole-axis."""
+    import random
+
+    from yc_yq_airflow_etl_spark.operators.joins import (
+        nearest_join,
+        nearest_join_bucketed,
+    )
+
+    rng = random.Random(7)
+    lrows, rrows, seen = [], set(), set()
+    for i in range(300):
+        k = 1 if i % 10 else i  # hot key 1 holds ~90%
+        lrows.append((i, k, float(rng.randrange(0, 5_000))))
+    while len(rrows) < 200:
+        k = 1 if rng.random() < 0.9 else rng.randrange(2, 30)
+        t = float(rng.randrange(0, 5_000))
+        if (k, t) not in seen:  # unique right (key, time): defined winner
+            seen.add((k, t))
+            rrows.add((f"m{k}_{int(t)}", k, t))
+    left = spark.createDataFrame(lrows, "lid int, k int, t double")
+    right = spark.createDataFrame(list(rrows), "mark string, k int, t double")
+
+    expected = {
+        r.lid: (r.r_mark, r.r_t)
+        for r in nearest_join(
+            left, right, on_time="t", by=["k"], tolerance=40.0
+        ).collect()
+    }
+    assert any(v[0] is not None for v in expected.values())  # sanity
+    for width in (40.0, 173.0, 1_000_000.0):
+        got = {
+            r.lid: (r.r_mark, r.r_t)
+            for r in nearest_join_bucketed(
+                left, right, on_time="t", by=["k"],
+                tolerance=40.0, bucket_width=width,
+            ).collect()
+        }
+        assert got == expected, f"bucket_width={width}"
+
+
+def test_nearest_join_bucketed_rejects_undersized_bucket(spark):
+    import pytest as _pytest
+
+    from yc_yq_airflow_etl_spark.operators.joins import nearest_join_bucketed
+
+    left = spark.createDataFrame([(1, 1.0)], "k int, t double")
+    right = spark.createDataFrame([(1, 2.0, "m")], "k int, t double, mark string")
+    with _pytest.raises(ValueError, match="bucket_width"):
+        nearest_join_bucketed(
+            left, right, on_time="t", by=["k"], tolerance=10.0, bucket_width=5.0
+        )
+
+
+def test_nearest_join_bucketed_no_window_hash_join_path(spark):
+    """The formulation's point: no Window operator over the hot key —
+    the plan is an equi-join + partial-aggregated argmin."""
+    from yc_yq_airflow_etl_spark.operators.joins import nearest_join_bucketed
+
+    left = spark.range(0, 500).selectExpr("id AS lid", "CAST(id % 3 AS INT) AS k", "CAST(id AS DOUBLE) AS t")
+    right = spark.range(0, 200).selectExpr("CAST(id % 3 AS INT) AS k", "CAST(id * 2.5 AS DOUBLE) AS t", "CAST(id AS STRING) AS mark")
+    out = nearest_join_bucketed(
+        left, right, on_time="t", by=["k"], tolerance=10.0
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_min" in plan or "partial_first" in plan
+    assert out.count() == 500  # left-outer: every left row present

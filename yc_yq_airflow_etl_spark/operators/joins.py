@@ -510,6 +510,94 @@ def nearest_join(
     return out.drop("_side", "_cand", "_prev", "_next", "_chosen")
 
 
+def nearest_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on_time: str,
+    by: Sequence[str],
+    tolerance: float,
+    bucket_width: float | None = None,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """The hot-key-safe formulation of :func:`nearest_join` — same
+    semantics (nearest right row within ±``tolerance``, |Δ|-ties to
+    the earlier right row, left-outer), different plan: because the
+    search radius is BOUNDED, the candidate set is a 3-bucket
+    neighborhood equi-join instead of a per-key window.
+
+    Each side keys on ``floor(time / bucket_width)``; a left row
+    probes buckets {b−1, b, b+1}, which covers every candidate since
+    ``bucket_width ≥ tolerance`` (enforced). The join is a plain hash
+    equi-join on (by…, bucket) — a pathological key spreads over its
+    time buckets AND gets AQE's skew-split, neither of which a window
+    partition can have (:func:`nearest_join`'s documented straggler
+    limit). The per-left argmin is one partial-aggregated
+    ``min(struct(|Δ|, t, payload))`` whose lexicographic order IS the
+    tie rule, so no second window either. Cost: 3× left fan-out +
+    one shuffle — the standard bounded-range-join trade.
+
+    Left rows are identified by ``monotonically_increasing_id`` taken
+    once before the fan-out (single lineage — never joined back to a
+    recomputed branch); the id is internal and dropped from the
+    output. Output contract matches :func:`nearest_join`: left
+    columns + ``right_prefix``-named payload/time columns.
+    """
+    if bucket_width is None:
+        bucket_width = float(tolerance)
+    if bucket_width < tolerance:
+        raise ValueError(
+            "bucket_width must be >= tolerance: the 3-bucket probe "
+            f"neighborhood only covers ±bucket_width ({bucket_width} < "
+            f"{tolerance})"
+        )
+    by = list(by)
+    overlap = (set(left.columns) & set(right.columns)) - set(by) - {on_time}
+    if overlap:
+        raise ValueError(
+            f"nearest_join_bucketed: overlapping non-key columns "
+            f"{sorted(overlap)}; alias them apart before joining"
+        )
+    payload = [c for c in right.columns if c not in (*by, on_time)]
+    w = float(bucket_width)
+    left_cols = left.columns
+    lid = left.withColumn("_lid", F.monotonically_increasing_id())
+    probes = lid.withColumn(
+        "_b",
+        F.explode(
+            F.array(
+                F.floor(F.col(on_time) / F.lit(w)).cast("long") - 1,
+                F.floor(F.col(on_time) / F.lit(w)).cast("long"),
+                F.floor(F.col(on_time) / F.lit(w)).cast("long") + 1,
+            )
+        ),
+    )
+    rb = right.select(
+        *by,
+        F.floor(F.col(on_time) / F.lit(w)).cast("long").alias("_b"),
+        F.struct(
+            F.col(on_time).alias("_t"), *[F.col(c) for c in payload]
+        ).alias("_r"),
+    )
+    j = probes.join(rb, on=[*by, "_b"], how="left")
+    delta = F.abs(F.col("_r._t") - F.col(on_time))
+    cand = F.when(
+        F.col("_r").isNotNull() & (delta <= F.lit(tolerance)),
+        F.struct(delta.alias("_d"), F.col("_r").alias("_c")),
+    )
+    # min(struct) ignores NULLs and orders by (|Δ|, right time,
+    # payload) — exactly nearest_join's pick + tie rules; left rows
+    # with no candidate keep NULL (left-outer), and a right row seen
+    # via two probe buckets collapses to one winner by the same min.
+    g = j.groupBy("_lid").agg(
+        *[F.first(c).alias(c) for c in left_cols],
+        F.min(cand).alias("_best"),
+    )
+    for c in payload:
+        g = g.withColumn(right_prefix + c, F.col(f"_best._c.{c}"))
+    g = g.withColumn(right_prefix + on_time, F.col("_best._c._t"))
+    return g.drop("_lid", "_best")
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,
