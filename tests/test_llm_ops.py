@@ -639,3 +639,46 @@ def test_ensure_simhash_artifacts_cached_per_session_and_consistent(spark):
     assert {
         (r.doc_id, r.keeper_id, r.cluster_size) for r in a1.collect()
     } == fresh_assign
+
+
+def test_minhash_index_probe_matches_inline(spark, docs, tmp_path):
+    """The persisted fingerprint index is semantics-neutral: probing
+    it finds exactly what the inline (re-derive the index) form finds,
+    and appending an admitted doc makes later near-copies of it
+    findable without rebuilding."""
+    from pyspark.sql import functions as SF
+
+    from yc_yq_airflow_etl_spark.operators.dedup import (
+        append_to_minhash_index,
+        incremental_minhash_dedup,
+        probe_minhash_index,
+        write_minhash_index,
+    )
+
+    idx_path = str(tmp_path / "mh_index")
+    batch_ids = {2, 3}
+    batch = docs.filter(SF.col("doc_id").isin(*batch_ids))
+    corpus = docs.filter(~SF.col("doc_id").isin(*batch_ids))
+
+    write_minhash_index(corpus, idx_path)
+    via_index = probe_minhash_index(
+        spark, idx_path, batch, jaccard_threshold=0.3
+    )
+    inline = incremental_minhash_dedup(corpus, batch, jaccard_threshold=0.3)
+    key = lambda r: (r.new_id, r.index_id, r.est_jaccard, r.jaccard)  # noqa: E731
+    assert sorted(map(key, via_index.collect())) == sorted(
+        map(key, inline.collect())
+    )
+    assert via_index.count() >= 2  # fixture sanity: dups exist
+
+    # admit doc 3 (the near-dup variant) into the index, then probe a
+    # fresh copy of it: found via the APPENDED fingerprints only
+    append_to_minhash_index(docs.filter(SF.col("doc_id") == 3), idx_path)
+    copy_of_3 = docs.filter(SF.col("doc_id") == 3).select(
+        SF.lit(99).cast("long").alias("doc_id"), "text"
+    )
+    hits = probe_minhash_index(
+        spark, idx_path, copy_of_3, jaccard_threshold=0.3
+    )
+    got = {(r.new_id, r.index_id): r.jaccard for r in hits.collect()}
+    assert got[(99, 3)] == 1.0  # exact copy of the admitted doc

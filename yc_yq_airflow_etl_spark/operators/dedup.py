@@ -337,6 +337,150 @@ def _finish_pairs(out: DataFrame, scratch: DataFrame) -> DataFrame:
     return out
 
 
+def _probe_sig_pairs(
+    sig_i: DataFrame,
+    sig_b: DataFrame,
+    num_hashes: int,
+    bands: int,
+    jaccard_threshold: float,
+    max_bucket: int,
+) -> DataFrame:
+    """Shared probe core of the incremental dedup family: band both
+    signature frames (identical ``_band_explode`` construction), cap
+    INDEX-side bucket size, equi-join batch bands against index bands,
+    dedup candidates across bands, verify with exact shingle Jaccard.
+    Inputs are (_id, _sh, _sig) frames — already persisted by the
+    caller. Returns (new_id, index_id, est_jaccard, jaccard)."""
+    r = num_hashes // bands
+    banded_i = _band_explode(sig_i, bands, r)
+    banded_b = _band_explode(sig_b, bands, r)
+    bucket_sizes = banded_i.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    capped_i = banded_i.join(
+        bucket_sizes.filter(F.col("_n") <= max_bucket), ["band", "bucket"]
+    )
+    cand = (
+        banded_b.select("band", "bucket", F.col("_id").alias("new_id"))
+        .join(
+            capped_i.select("band", "bucket", F.col("_id").alias("index_id")),
+            ["band", "bucket"],
+        )
+        .select("new_id", "index_id")
+        .dropDuplicates(["new_id", "index_id"])
+    )
+    pairs = cand.join(
+        sig_b.select(
+            F.col("_id").alias("new_id"),
+            F.col("_sh").alias("sh_a"),
+            F.col("_sig").alias("sig_a"),
+        ),
+        "new_id",
+    ).join(
+        sig_i.select(
+            F.col("_id").alias("index_id"),
+            F.col("_sh").alias("sh_b"),
+            F.col("_sig").alias("sig_b"),
+        ),
+        "index_id",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+            lambda x: x,
+        )
+    ) / F.lit(num_hashes)
+    return (
+        pairs.select(
+            "new_id",
+            "index_id",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 24,
+) -> None:
+    """Materialize the corpus fingerprint index the incremental dedup
+    loop probes: one parquet table of (_id, _sh, _sig) — shingle set +
+    minhash signature per document. This is the artifact that makes
+    per-ingest cost O(batch): once written, NO index-side hashing ever
+    re-runs; probes read fingerprints, not text (and never the corpus
+    text column at all). Banding is derived from ``_sig`` at probe
+    time (cheap integer slicing), so band-count/threshold tuning needs
+    no index rebuild — only (shingle_k, num_hashes) are baked in, and
+    every probe must pass the same values (same contract as the ANN
+    index's centroids/planes parameters)."""
+    sig = _signatures_pandas(
+        _spread(df, id_col), id_col, text_col, shingle_k, num_hashes
+    )
+    sig.write.mode("overwrite").parquet(path)
+
+
+def append_to_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 24,
+) -> None:
+    """Incremental index maintenance: fingerprint the ADMITTED batch
+    docs (the ingest loop's novel survivors) and append their files —
+    no rewrite of landed fingerprints. Parameters must match the
+    original :func:`write_minhash_index` call."""
+    sig = _signatures_pandas(
+        _spread(df, id_col), id_col, text_col, shingle_k, num_hashes
+    )
+    sig.write.mode("append").parquet(path)
+
+
+def probe_minhash_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 24,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Probe a persisted fingerprint index with a new batch: the
+    per-ingest production path. Only the BATCH is hashed (one Arrow
+    pass over the ingest, however large the corpus); the index side is
+    a parquet scan of stored fingerprints feeding the band equi-join.
+    Same output and semantics as :func:`incremental_minhash_dedup`
+    (which derives the index inline) — equivalence is pinned by
+    ``test_minhash_index_probe_matches_inline``."""
+    from pyspark import StorageLevel
+
+    sig_i = spark.read.parquet(path).persist(StorageLevel.MEMORY_AND_DISK)
+    sig_b = _signatures_pandas(
+        _spread(batch, id_col), id_col, text_col, shingle_k, num_hashes
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig_i.count()
+    sig_b.count()
+    out = _probe_sig_pairs(
+        sig_i, sig_b, num_hashes, bands, jaccard_threshold, max_bucket
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    sig_i.unpersist(blocking=False)
+    sig_b.unpersist(blocking=False)
+    return out
+
+
 def incremental_minhash_dedup(
     index: DataFrame,
     batch: DataFrame,
@@ -382,7 +526,6 @@ def incremental_minhash_dedup(
     """
     from pyspark import StorageLevel
 
-    r = num_hashes // bands
     sig_i = _signatures_pandas(
         _spread(index, id_col), id_col, text_col, shingle_k, num_hashes
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -391,57 +534,9 @@ def incremental_minhash_dedup(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sig_i.count()
     sig_b.count()
-
-    banded_i = _band_explode(sig_i, bands, r)
-    banded_b = _band_explode(sig_b, bands, r)
-    bucket_sizes = banded_i.groupBy("band", "bucket").agg(
-        F.count(F.lit(1)).alias("_n")
-    )
-    capped_i = banded_i.join(
-        bucket_sizes.filter(F.col("_n") <= max_bucket), ["band", "bucket"]
-    )
-    cand = (
-        banded_b.select("band", "bucket", F.col("_id").alias("new_id"))
-        .join(
-            capped_i.select("band", "bucket", F.col("_id").alias("index_id")),
-            ["band", "bucket"],
-        )
-        .select("new_id", "index_id")
-        .dropDuplicates(["new_id", "index_id"])
-    )
-    pairs = cand.join(
-        sig_b.select(
-            F.col("_id").alias("new_id"),
-            F.col("_sh").alias("sh_a"),
-            F.col("_sig").alias("sig_a"),
-        ),
-        "new_id",
-    ).join(
-        sig_i.select(
-            F.col("_id").alias("index_id"),
-            F.col("_sh").alias("sh_b"),
-            F.col("_sig").alias("sig_b"),
-        ),
-        "index_id",
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    est = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
-            lambda x: x,
-        )
-    ) / F.lit(num_hashes)
-    out = (
-        pairs.select(
-            "new_id",
-            "index_id",
-            F.round(est, 6).alias("est_jaccard"),
-            F.round(inter.cast("double") / union, 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    out = _probe_sig_pairs(
+        sig_i, sig_b, num_hashes, bands, jaccard_threshold, max_bucket
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
     sig_i.unpersist(blocking=False)
     sig_b.unpersist(blocking=False)
