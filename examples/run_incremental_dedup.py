@@ -1,20 +1,26 @@
 """Demo: incremental ingest dedup — the production loop where a live
 corpus admits daily batches without re-deduplicating itself.
 
-Day 0 bootstraps the corpus with a full self-join near-dup pass
-(minhash_lsh_pairs); each following "day" fingerprints ONLY its batch
-(operators/dedup.incremental_minhash_dedup) and probes the corpus
-index with one equi-join, admitting novel docs and reporting the
-near-dups it blocked. Per-ingest cost is O(batch) hashing, never
-O(corpus) — the property that keeps a 100 TB corpus's ingest path
-flat as the corpus grows.
+Day 0 bootstraps: a full self-join near-dup pass over the corpus
+(minhash_lsh_pairs) plus ONE fingerprinting pass materialized as the
+persisted index (write_minhash_index). Each following "day":
 
-    python examples/run_incremental_dedup.py [sf_dir]
+1. probe_minhash_index — hashes ONLY the batch, equi-joins its band
+   buckets against the STORED fingerprints (corpus text never re-read);
+2. admitted (non-duplicate) docs are folded in with
+   append_to_minhash_index — no rebuild, no rewrite of landed files.
+
+Per-ingest cost is O(batch) hashing + one equi-join however large the
+corpus grows — the property that keeps a 100 TB corpus's ingest path
+flat.
+
+    python examples/run_incremental_dedup.py [sf_dir] [workdir]
 """
 
 from __future__ import annotations
 
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, "/root/repo")
@@ -23,14 +29,19 @@ from pyspark.sql import functions as F
 
 from yc_yq_airflow_etl_spark.catalog import load_testdata
 from yc_yq_airflow_etl_spark.operators.dedup import (
-    incremental_minhash_dedup,
+    append_to_minhash_index,
     minhash_lsh_pairs,
+    probe_minhash_index,
+    write_minhash_index,
 )
 from yc_yq_airflow_etl_spark.session import build_session
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    workdir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="mhidx_")
+    idx = f"{workdir}/minhash_index"
+
     spark = build_session(app_name="incremental-dedup")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -40,34 +51,36 @@ def main() -> None:
     t0 = time.time()
     boot_pairs = minhash_lsh_pairs(corpus)
     n_boot = boot_pairs.count()
-    print(
-        f"day 0 bootstrap: {corpus.count()} docs, {n_boot} near-dup pairs "
-        f"(full self-join pass, {time.time() - t0:.2f}s)"
-    )
     boot_pairs.unpersist()
+    write_minhash_index(corpus, idx)
+    print(
+        f"day 0 bootstrap: {corpus.count()} docs, {n_boot} near-dup pairs; "
+        f"fingerprint index written ({time.time() - t0:.2f}s, paid once)"
+    )
 
     for day, bucket in enumerate((7, 8, 9), start=1):
         batch = docs.filter(F.col("doc_id") % 10 == bucket)
         t0 = time.time()
-        links = incremental_minhash_dedup(corpus, batch)
+        links = probe_minhash_index(spark, idx, batch)
         dup_ids = {r.new_id for r in links.select("new_id").collect()}
-        n_batch = batch.count()
-        print(
-            f"day {day}: batch={n_batch} docs -> "
-            f"{n_batch - len(dup_ids)} admitted, "
-            f"{len(dup_ids)} blocked as near-dups of the corpus "
-            f"({links.count()} links, {time.time() - t0:.2f}s, "
-            f"O(batch) fingerprinting only)"
-        )
-        links.unpersist()
         admitted = batch.join(
             links.select(F.col("new_id").alias("doc_id")).distinct(),
             "doc_id",
             "left_anti",
         )
-        corpus = corpus.unionByName(admitted).localCheckpoint()
+        append_to_minhash_index(admitted, idx)
+        n_batch = batch.count()
+        print(
+            f"day {day}: batch={n_batch} docs -> "
+            f"{n_batch - len(dup_ids)} admitted (appended to index), "
+            f"{len(dup_ids)} blocked as near-dups "
+            f"({links.count()} links, {time.time() - t0:.2f}s — "
+            f"batch-only hashing, corpus text untouched)"
+        )
+        links.unpersist()
 
-    print(f"final corpus: {corpus.count()} docs")
+    n_index = spark.read.parquet(idx).count()
+    print(f"final index: {n_index} fingerprinted docs at {idx}")
     spark.stop()
 
 

@@ -682,3 +682,27 @@ def test_minhash_index_probe_matches_inline(spark, docs, tmp_path):
     )
     got = {(r.new_id, r.index_id): r.jaccard for r in hits.collect()}
     assert got[(99, 3)] == 1.0  # exact copy of the admitted doc
+
+
+def test_minhash_index_probe_result_stable_under_append(spark, docs, tmp_path):
+    """The ingest-loop hazard: appending to the index must NOT change
+    an already-returned probe result (a lazily-cached result would be
+    invalidated by the write and recompute against the appended files,
+    matching every appended doc to its own fingerprint)."""
+    from pyspark.sql import functions as SF
+
+    from yc_yq_airflow_etl_spark.operators.dedup import (
+        append_to_minhash_index,
+        probe_minhash_index,
+        write_minhash_index,
+    )
+
+    idx = str(tmp_path / "mh_stable")
+    write_minhash_index(docs.filter(SF.col("doc_id") <= 3), idx)
+    batch = docs.filter(SF.col("doc_id") > 3)
+    links = probe_minhash_index(spark, idx, batch, jaccard_threshold=0.3)
+    before = sorted((r.new_id, r.index_id) for r in links.collect())
+    append_to_minhash_index(batch, idx)  # worst case: append EVERYTHING
+    after = sorted((r.new_id, r.index_id) for r in links.collect())
+    assert after == before  # snapshot: no self-matches appear
+    assert all(a != b for a, b in after)

@@ -463,7 +463,16 @@ def probe_minhash_index(
     a parquet scan of stored fingerprints feeding the band equi-join.
     Same output and semantics as :func:`incremental_minhash_dedup`
     (which derives the index inline) — equivalence is pinned by
-    ``test_minhash_index_probe_matches_inline``."""
+    ``test_minhash_index_probe_matches_inline``.
+
+    The result is an EAGER ``localCheckpoint`` — a materialized
+    snapshot with no lineage back to ``path`` — deliberately: the
+    ingest loop's very next step is ``append_to_minhash_index``, and
+    a write into the probed path invalidates any cached plan that
+    reads it, so a lazily-cached result would silently recompute
+    against the post-append files (every appended batch doc matching
+    its own fingerprint). Checkpointing makes the probe's answer
+    immutable no matter what the caller does to the index next."""
     from pyspark import StorageLevel
 
     sig_i = spark.read.parquet(path).persist(StorageLevel.MEMORY_AND_DISK)
@@ -474,8 +483,7 @@ def probe_minhash_index(
     sig_b.count()
     out = _probe_sig_pairs(
         sig_i, sig_b, num_hashes, bands, jaccard_threshold, max_bucket
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
+    ).localCheckpoint()  # eager: snapshot, lineage to `path` severed
     sig_i.unpersist(blocking=False)
     sig_b.unpersist(blocking=False)
     return out
