@@ -87,3 +87,28 @@ def test_strict_datetime_second_truncation(spark):
     loose = df.select(to_datetime("ts", strict=False).alias("t")).first().t
     assert strict.microsecond == 0 and strict.second == 56
     assert loose.microsecond == 789123
+
+
+def test_registry_rotation_contract():
+    """The driver verifies the FIRST 50 emitted queries per round, so
+    the emission order is load-bearing. Pin the invariants a careless
+    registry edit would break: unique names, every query oracled, the
+    window exactly covering _FRONT, _FRONT/_BACK sized to the 50-slot
+    window and disjoint, and every listed name actually registered."""
+    from yc_yq_airflow_etl_spark.plans import registry
+
+    specs = registry.specs()
+    names = [s.name for s in specs]
+    assert len(names) == len(set(names)), "duplicate registry names"
+    oracles = registry.oracle_sql()
+    assert set(oracles) == set(names), "every query needs an oracle twin"
+    assert len(registry._FRONT) == 50 and len(registry._BACK) == 50
+    assert not set(registry._FRONT) & set(registry._BACK)
+    missing = (set(registry._FRONT) | set(registry._BACK)) - set(names)
+    assert not missing, f"rotation lists name unregistered queries: {missing}"
+    assert names[:50] == list(registry._FRONT), (
+        "driver window (first 50 emitted) must be exactly _FRONT"
+    )
+    assert names[-50:] == list(registry._BACK), (
+        "truncation absorbers (last 50 emitted) must be exactly _BACK"
+    )
