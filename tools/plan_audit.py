@@ -102,6 +102,11 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
     "skew_profile_report": [
         ("per-key counts partially aggregated", r"partial_count"),
     ],
+    "zipf_fit_terms": [
+        ("top-100 is TakeOrdered, never a full-vocabulary rank window",
+         r"TakeOrderedAndProject"),
+        ("term counts partially aggregated", r"partial_count"),
+    ],
     "embedding_norm_audit": [
         ("single-pass partial aggregation", r"partial_(count|sum|min)"),
         ("no join, no shuffle beyond the rollup", "!Join"),

@@ -2568,7 +2568,13 @@ def zipf_fit_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers; only the final regression runs in floats, over ≤100
     rows coalesced into one ordered partition so the accumulation
     order is deterministic, then rounded to 4 decimals (measured
-    cross-engine agreement margin ~1e-12)."""
+    cross-engine agreement margin ~1e-12).
+
+    Scale shape: the top-100 selection is ``orderBy().limit(100)`` —
+    TakeOrderedAndProject (per-partition heaps + driver merge), NOT a
+    rank window over the full vocabulary, which would sort every
+    term of a 100 TB corpus in one task. The rank window runs AFTER
+    the limit, over exactly 100 rows."""
     from pyspark.sql import Window
 
     t = load_testdata(spark, sf_dir)
@@ -2579,11 +2585,11 @@ def zipf_fit_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
+    top = freq.orderBy(F.col("freq").desc(), F.col("term")).limit(100)
     w = Window.orderBy(F.col("freq").desc(), F.col("term"))
     ranked = (
-        freq.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 100)
-        .coalesce(1)
+        top.coalesce(1)
+        .withColumn("rank", F.row_number().over(w))
         .sortWithinPartitions("rank")
     )
     return ranked.agg(
