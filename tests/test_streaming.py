@@ -526,3 +526,91 @@ def test_inactivity_alert_fires_on_event_time_timeout(spark, tmp_path):
     assert [
         (r.user_id, r.n_events, r.last_ts_epoch) for r in rows
     ] == [(7, 1, int(t0.timestamp()))]
+
+
+def test_streaming_ingest_dedup_admits_novel_blocks_dups(spark, tmp_path):
+    """Live run of the streaming corpus-admission loop: micro-batches
+    probe the persisted fingerprint index, novel docs commit
+    exactly-once into the ManifestTable, near-dups of already-admitted
+    docs are blocked, replays are no-ops, and the recovery backfill
+    reports zero gap after a clean run."""
+    from pyspark.sql import functions as F
+
+    from yc_yq_airflow_etl_spark.catalog import load_testdata
+    from yc_yq_airflow_etl_spark.sources.manifest import ManifestTable
+    from yc_yq_airflow_etl_spark.streaming.ingest_dedup import (
+        dedup_ingest_batch,
+        dedup_ingest_stream,
+        sync_minhash_index,
+    )
+
+    docs = (
+        load_testdata(spark, "/root/testdata/sf0.001")["documents"]
+        .select("doc_id", "text")
+        .limit(30)
+    )
+    # two source files in one dir (the file stream lists FILES, not
+    # nested dirs): file 1 = the originals; file 2 = 10 EXACT COPIES
+    # under new ids + 5 novel docs. A sleep forces distinct mtimes so
+    # FileStreamSource's (timestamp, path) ordering processes the
+    # originals first.
+    import time as _time
+
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+    _time.sleep(1.2)
+    copies = docs.limit(10).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    novel = docs.limit(5).select(
+        (F.col("doc_id") + 2000).alias("doc_id"),
+        F.concat(
+            F.lit("entirely different subject matter "),
+            F.reverse(F.col("text")),
+        ).alias("text"),
+    )
+    copies.unionByName(novel).coalesce(1).write.mode("append").parquet(src)
+
+    table = ManifestTable(str(tmp_path / "corpus"))
+    idx = str(tmp_path / "mh_index")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = dedup_ingest_stream(stream, table, idx, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    admitted_ids = {r.doc_id for r in table.read(spark).select("doc_id").collect()}
+    # all 30 originals + the 5 novels; the 10 exact copies blocked
+    assert not {d for d in admitted_ids if 1000 <= d < 2000}, (
+        f"exact copies slipped in: {sorted(admitted_ids)}"
+    )
+    assert {d for d in admitted_ids if d >= 2000} == {
+        r.doc_id for r in novel.select("doc_id").collect()
+    }
+    assert len(admitted_ids) == 35  # 30 originals + 5 novels exactly
+
+    # replay of the committed high-water batch id is a no-op
+    hwm = table.last_batch_id(spark)
+    n_before = table.read(spark).count()
+    assert dedup_ingest_batch(table, idx, copies, hwm) is False
+    assert table.read(spark).count() == n_before
+
+    # clean run → index covers the corpus exactly; backfill is a no-op
+    assert sync_minhash_index(spark, table, idx) == 0
+
+    # crash-gap recovery: commit docs to the table OUT of band (as if
+    # the index append died), then backfill finds exactly them
+    extra = novel.select((F.col("doc_id") + 3000).alias("doc_id"), "text")
+    table.append(extra, batch_id=hwm + 1)
+    assert sync_minhash_index(spark, table, idx) == 5
+    # and a fresh probe now blocks copies of the backfilled docs
+    probe_copy = extra.select((F.col("doc_id") + 4000).alias("doc_id"), "text")
+    assert dedup_ingest_batch(table, idx, probe_copy, hwm + 2) is True
+    assert not {
+        r.doc_id
+        for r in table.read(spark).select("doc_id").collect()
+    } & {r.doc_id for r in probe_copy.select("doc_id").collect()}

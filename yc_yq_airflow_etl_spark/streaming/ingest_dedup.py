@@ -1,0 +1,152 @@
+"""Streaming ingest dedup: the production corpus-admission loop as a
+Structured Streaming sink.
+
+Composes three engine primitives into the shape a 100 TB training
+corpus actually runs: per micro-batch, PROBE the persisted minhash
+fingerprint index (``operators/dedup.probe_minhash_index`` — O(batch)
+hashing, one equi-join, corpus text never re-read), ADMIT the novel
+documents into a :class:`~..sources.manifest.ManifestTable` as one
+atomic snapshot commit with the batch id as replay high-water mark
+(exactly-once, same contract as ``streaming/manifest_sink``), then
+APPEND the admitted docs' fingerprints to the index so the next batch
+probes against them.
+
+Consistency model — the TABLE is the source of truth, the INDEX a
+derived accelerator:
+
+- replayed batch ids are skipped before any work (exactly-once rows);
+- the table commit happens BEFORE the index append, so a crash
+  between the two leaves the index LAGGING (some committed docs not
+  yet fingerprinted) but never POISONED (fingerprints of docs that
+  were never committed would make a replayed batch match itself and
+  be wrongly dropped — the failure mode the ordering exists to
+  exclude);
+- :func:`sync_minhash_index` closes the lag on recovery: it
+  fingerprints exactly the committed docs missing from the index
+  (an anti-join on ids — metadata-scale, no corpus re-hash).
+
+Dedup here is batch-vs-CORPUS; near-dups WITHIN one micro-batch are
+both admitted (same as every near-dup that co-arrives before either
+is indexed — the caller's periodic full `minhash_lsh_pairs` sweep, or
+a smaller trigger interval, bounds that window).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..sources.manifest import ManifestTable
+
+
+def dedup_ingest_batch(
+    table: ManifestTable,
+    index_path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 24,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 50,
+) -> bool:
+    """Idempotently admit one micro-batch: skip replays by the
+    table's high-water mark, probe the index, commit the novel docs,
+    extend the index. Returns True iff the batch committed. Exposed
+    separately from the query wiring so replay semantics are directly
+    testable (same pattern as ``manifest_sink.commit_batch``)."""
+    from ..operators.dedup import (
+        append_to_minhash_index,
+        probe_minhash_index,
+        write_minhash_index,
+    )
+
+    spark = batch_df.sparkSession
+    if batch_id <= table.last_batch_id(spark):
+        return False
+    if not os.path.exists(os.path.join(index_path, "_SUCCESS")):
+        # bootstrap: first batch seeds both the table and the index
+        table.append(batch_df, batch_id=batch_id)
+        write_minhash_index(
+            batch_df, index_path, id_col=id_col,
+            shingle_k=shingle_k, num_hashes=num_hashes,
+        )
+        return True
+    links = probe_minhash_index(
+        spark, index_path, batch_df, id_col=id_col,
+        shingle_k=shingle_k, num_hashes=num_hashes, bands=bands,
+        jaccard_threshold=jaccard_threshold, max_bucket=max_bucket,
+    ).filter(F.col("new_id") != F.col("index_id"))
+    admitted = batch_df.join(
+        links.select(F.col("new_id").alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
+    )
+    # order is load-bearing: commit first (source of truth, atomic,
+    # HWM-guarded), index second (derived; see module docstring)
+    table.append(admitted, batch_id=batch_id)
+    append_to_minhash_index(
+        admitted, index_path, id_col=id_col,
+        shingle_k=shingle_k, num_hashes=num_hashes,
+    )
+    return True
+
+
+def dedup_ingest_stream(
+    stream: DataFrame,
+    table: ManifestTable,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    **dedup_params,
+) -> StreamingQuery:
+    """Start the streaming admission query: every micro-batch runs
+    :func:`dedup_ingest_batch` (probe → admit-commit → index)."""
+    return (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: dedup_ingest_batch(
+                table, index_path, df, bid, id_col=id_col, **dedup_params
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def sync_minhash_index(
+    spark: SparkSession,
+    table: ManifestTable,
+    index_path: str,
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 24,
+) -> int:
+    """Recovery backfill: fingerprint the committed docs the index is
+    missing (a crash between table commit and index append leaves the
+    index lagging). The gap is found by an id anti-join — only the
+    missing docs are hashed, so recovery cost is O(gap), not
+    O(corpus). Returns the number of docs backfilled."""
+    from ..operators.dedup import append_to_minhash_index
+
+    corpus = table.read(spark)
+    have = (
+        spark.read.parquet(index_path)
+        .select(F.col("_id").alias(id_col))
+        .distinct()
+        if os.path.exists(os.path.join(index_path, "_SUCCESS"))
+        else None
+    )
+    missing = (
+        corpus if have is None else corpus.join(have, id_col, "left_anti")
+    )
+    n = missing.count()
+    if n:
+        append_to_minhash_index(
+            missing, index_path, id_col=id_col,
+            shingle_k=shingle_k, num_hashes=num_hashes,
+        )
+    return n
