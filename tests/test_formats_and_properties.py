@@ -274,3 +274,55 @@ def test_nearest_join_matches_python_reference(spark, lrows, rrows, tol):
         ]
         want[i] = min(cands)[2] if cands else None
     assert got == want
+
+
+_interval_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-40, max_value=40),  # lo
+        st.integers(min_value=1, max_value=60),    # length
+    ),
+    min_size=0,
+    max_size=8,
+)
+_point_rows = st.lists(
+    st.integers(min_value=-50, max_value=110), min_size=0, max_size=12
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    ivals=_interval_rows,
+    pts=_point_rows,
+    width=st.sampled_from([1.0, 3.0, 17.0, 64.0, 500.0]),
+)
+def test_bucketed_range_join_property_matches_nonequi(spark, ivals, pts, width):
+    """Property: for ANY intervals (overlapping, negative, spanning
+    many buckets), points (boundary-inclusive lo, exclusive hi), and
+    bucket width, the equi-key rewrite equals the raw non-equi join."""
+    from yc_yq_airflow_etl_spark.operators.joins import (
+        bucketed_range_join,
+        range_join,
+    )
+
+    left = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(pts)], "pid int, p double"
+    )
+    right = spark.createDataFrame(
+        [(j, float(lo), float(lo + ln)) for j, (lo, ln) in enumerate(ivals)],
+        "iid int, lo double, hi double",
+    )
+    want = {
+        (r.pid, r.iid)
+        for r in range_join(left, right, "p", "lo", "hi").collect()
+    }
+    got = {
+        (r.pid, r.iid)
+        for r in bucketed_range_join(
+            left, right, "p", "lo", "hi", bucket_width=width
+        ).collect()
+    }
+    assert got == want
