@@ -1053,3 +1053,46 @@ def test_write_audit_publish_no_orphans_on_publish_failure(
     }
     assert files_after == files_before  # staged batch physically gone
     assert mt.read(spark).count() == 3  # table untouched
+
+
+def test_restore_rolls_back_content_forward_in_history(spark, tmp_path):
+    """RESTORE commits the old snapshot as a NEW version: content
+    equals the target, intermediate versions stay in history (still
+    time-travelable), the streaming high-water mark carries the
+    CURRENT value (never rolls back — a replayed batch id must stay
+    skipped after a restore), and appends continue on top."""
+    t = ManifestTable(str(tmp_path / "mt"))
+    t.overwrite(_df(spark, 0, 5).coalesce(1))          # v0: rows 0-4
+    t.append(_df(spark, 10, 13).coalesce(1), batch_id=7)  # v1: +10-12
+
+    v2 = t.restore(spark, 0)
+    assert v2 == 2
+    assert {r.id for r in t.read(spark).collect()} == set(range(0, 5))
+    # the bad version is history, not erased
+    assert {r.id for r in t.read(spark, version=1).collect()} == (
+        set(range(0, 5)) | {10, 11, 12}
+    )
+    hist = t.history(spark)
+    assert hist[0]["op"] == "restore" and hist[0]["restored_from"] == 0
+    # HWM survives the rollback: the replayed batch id is still a no-op
+    assert t.last_batch_id(spark) == 7
+    from yc_yq_airflow_etl_spark.streaming.manifest_sink import commit_batch
+
+    assert commit_batch(t, _df(spark, 20, 22), 7) is False
+    assert commit_batch(t, _df(spark, 20, 22).coalesce(1), 8) is True
+    assert {r.id for r in t.read(spark).collect()} == (
+        set(range(0, 5)) | {20, 21}
+    )
+
+
+def test_restore_refuses_vacuumed_target(spark, tmp_path):
+    """A restore target whose files were vacuumed must fail loudly
+    instead of committing an unreadable snapshot."""
+    t = ManifestTable(str(tmp_path / "mtv"))
+    t.overwrite(_df(spark, 0, 5).coalesce(1))   # v0
+    t.overwrite(_df(spark, 10, 15).coalesce(1))  # v1: v0's files now stale
+    t.vacuum(spark, keep_versions=1)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        t.restore(spark, 0)
+    # current snapshot untouched by the refused restore
+    assert {r.id for r in t.read(spark).collect()} == set(range(10, 15))

@@ -734,6 +734,64 @@ class ManifestTable:
 
         return self._publish(spark, [], 0, "compact", rebase=rebase)
 
+    def restore(self, spark: SparkSession, version: int) -> int:
+        """RESTORE: commit a NEW version whose content is snapshot
+        ``version``'s — rollback as a forward commit (Delta RESTORE /
+        Iceberg rollback semantics). Nothing is rewritten or deleted:
+        the old file list, column set, stats and evolved flag are
+        re-published under the next version number, so the botched
+        intermediate versions remain in the history (auditable, still
+        time-travelable) and readers mid-flight are untouched.
+
+        Two invariants a naive re-publish would break:
+
+        - the streaming ``last_batch_id`` high-water mark is NOT
+          content — it must carry the CURRENT snapshot's value, never
+          the restored one's (rolling the HWM back would let a
+          replayed micro-batch commit twice — data the restore just
+          removed coming back as duplicates);
+        - a restore target older than the last :meth:`vacuum` may
+          reference deleted files; the file list is existence-checked
+          and the restore refused LOUDLY rather than committing a
+          snapshot that cannot be read.
+
+        Concurrency: the HWM is re-resolved per commit attempt via the
+        rebase hook, so losing a publish race can never resurrect a
+        stale high-water mark."""
+        target = self._manifest(spark, version)  # raises if missing
+        jvm, fs = self._fs(spark)
+        missing = [
+            f
+            for f in target.get("files", [])
+            if not fs.exists(self._jp(jvm, "data", f))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore v{version}: {len(missing)} of its data "
+                f"files were vacuumed (e.g. {missing[0]}) — the snapshot "
+                "is no longer materializable"
+            )
+        extra_base = {
+            k: target[k]
+            for k in ("columns", "stats", "evolved")
+            if k in target
+        }
+
+        def rebase() -> tuple[list[str], int, dict]:
+            extra = dict(extra_base)
+            cur = self.current_version(spark)
+            hwm = (
+                int(self._manifest(spark, cur).get("last_batch_id", -1))
+                if cur is not None
+                else -1
+            )
+            if hwm >= 0:
+                extra["last_batch_id"] = hwm
+            extra["restored_from"] = version
+            return target.get("files", []), int(target.get("rows", 0)), extra
+
+        return self._publish(spark, [], 0, "restore", rebase=rebase)
+
     # -- read path -------------------------------------------------------
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
@@ -769,15 +827,16 @@ class ManifestTable:
         for v in range(latest, -1, -1):
             m = self._try_manifest(spark, v)
             if m is not None:
-                out.append(
-                    {
-                        "version": v,
-                        "op": m.get("op"),
-                        "rows": m.get("rows"),
-                        "n_files": len(m.get("files", [])),
-                        "committed_at": m.get("committed_at"),
-                    }
-                )
+                row = {
+                    "version": v,
+                    "op": m.get("op"),
+                    "rows": m.get("rows"),
+                    "n_files": len(m.get("files", [])),
+                    "committed_at": m.get("committed_at"),
+                }
+                if "restored_from" in m:
+                    row["restored_from"] = m["restored_from"]
+                out.append(row)
         return out
 
     def version_as_of(self, spark: SparkSession, ts) -> int:
