@@ -1096,3 +1096,38 @@ def test_restore_refuses_vacuumed_target(spark, tmp_path):
         t.restore(spark, 0)
     # current snapshot untouched by the refused restore
     assert {r.id for r in t.read(spark).collect()} == set(range(10, 15))
+
+
+def test_delete_where_cow_touched_file_minimality(spark, tmp_path):
+    """Row-level DELETE: only files CONTAINING matching rows rewrite
+    (others carry by name), NULL predicates keep their rows, a
+    no-match delete is a version-preserving no-op, the HWM survives,
+    and time travel still shows the pre-delete snapshot."""
+    t = ManifestTable(str(tmp_path / "mt"), stat_cols=("id",))
+    t.overwrite(_df(spark, 0, 10).coalesce(1))                 # file A: 0-9
+    t.append(_df(spark, 100, 110).coalesce(1), batch_id=3)     # file B: 100-109
+    t.append(_df(spark, 200, 210).coalesce(1), batch_id=4)     # file C: 200-209
+    v_before = t.current_version(spark)
+    files_before = set(t._manifest(spark, v_before)["files"])
+
+    v = t.delete_where(spark, "id >= 100 AND id < 105")
+    assert v == v_before + 1
+    got = {r.id for r in t.read(spark).collect()}
+    assert got == set(range(0, 10)) | set(range(105, 110)) | set(range(200, 210))
+    m = t._manifest(spark, v)
+    # files A and C carried BY NAME; only B rewrote
+    carried = files_before & set(m["files"])
+    assert len(carried) == 2
+    assert m["rows"] == 25 and m["deleted_rows"] == 5
+    assert t.last_batch_id(spark) == 4  # HWM survived the delete
+    # pre-delete snapshot intact via time travel
+    assert t.read(spark, version=v_before).count() == 30
+
+    # no-op: nothing matches -> same version, no commit burned
+    assert t.delete_where(spark, "id > 100000") == v
+    assert t.current_version(spark) == v
+
+    # NULL predicate keeps rows: v IS NULL never true for these rows,
+    # and a predicate over a NULL expression deletes nothing
+    assert t.delete_where(spark, "CAST(NULL AS BOOLEAN)") == v
+    assert t.read(spark).count() == 25

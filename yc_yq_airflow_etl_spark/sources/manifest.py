@@ -1157,6 +1157,92 @@ class ManifestTable:
 
         return self._publish(spark, [], 0, "merge", rebase=rebase)
 
+    def delete_where(
+        self,
+        spark: SparkSession,
+        predicate,
+        expected_version: int | None = None,
+    ) -> int:
+        """Copy-on-write row-level DELETE: rows where ``predicate``
+        (a Column or SQL string) is TRUE are removed; rows where it is
+        FALSE **or NULL** are kept (SQL DELETE semantics — NULL never
+        deletes). Untouched files are carried forward BY NAME.
+
+        Touched-file selection is Delta's two-phase shape: one scan
+        over the snapshot tagged with ``input_file_name()`` finds the
+        files that actually CONTAIN matching rows (the collect is
+        bounded by file count — metadata-scale), then only those files
+        are rewritten without their matching rows. Parquet row-group
+        stats prune the find-phase scan for range predicates for free;
+        files with no matches pay no rewrite. A predicate matching
+        nothing is a NO-OP: the current version is returned and no
+        commit is made (nothing changed, so publishing an identical
+        snapshot would only burn a version and invalidate caches).
+
+        Row accounting stays O(touched): the new row count is the
+        recorded count minus touched files' rows plus the rewritten
+        rows — never a full-table recount. Concurrency is
+        compare-and-swap like :meth:`merge`; the streaming high-water
+        mark survives the commit."""
+        from pyspark.sql import functions as F
+
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        base = (
+            self.current_version(spark)
+            if expected_version is None
+            else expected_version
+        )
+        if base is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.path}")
+        m = self._manifest(spark, base)
+        stats = m.get("stats", {})
+
+        snap = self.read(spark, version=base)
+        hit_files = (
+            snap.filter(pred)
+            .select(F.input_file_name().alias("_f"))
+            .distinct()
+            .collect()  # bounded by file count — metadata-scale
+        )
+        touched = {r._f.rstrip("/").split("/")[-1] for r in hit_files}
+        if not touched:
+            return base
+        untouched = [f for f in m["files"] if f not in touched]
+
+        old_rows = spark.read.parquet(
+            *[f"{self.path}/data/{f}" for f in sorted(touched)]
+        )
+        kept = old_rows.filter(~F.coalesce(pred, F.lit(False)))
+        touched_before = old_rows.count()
+        new_files, _ = self._write_files(kept)
+        new_stats = self._file_stats(spark, new_files)
+        kept_rows = self._count(spark, new_files)
+        final = untouched + new_files
+        rows = int(m.get("rows", 0)) - touched_before + kept_rows
+
+        def rebase() -> tuple[list[str], int, dict]:
+            cur = self.current_version(spark)
+            if cur != base:
+                raise ConcurrentWriteError(
+                    f"delete computed against v{base} but the snapshot is "
+                    f"now v{cur} — re-run the delete on the new base"
+                )
+            extra: dict = {
+                "columns": m.get("columns", sorted(snap.columns)),
+                "deleted_rows": touched_before - kept_rows,
+            }
+            if m.get("evolved"):
+                extra["evolved"] = True
+            hwm = int(m.get("last_batch_id", -1))
+            if hwm >= 0:
+                extra["last_batch_id"] = hwm
+            carried = {f: s for f, s in stats.items() if f in set(untouched)}
+            if carried or new_stats:
+                extra["stats"] = {**carried, **new_stats}
+            return final, rows, extra
+
+        return self._publish(spark, [], 0, "delete", rebase=rebase)
+
     # -- maintenance -----------------------------------------------------
 
     def maybe_compact(
