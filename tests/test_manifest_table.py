@@ -1131,3 +1131,34 @@ def test_delete_where_cow_touched_file_minimality(spark, tmp_path):
     # and a predicate over a NULL expression deletes nothing
     assert t.delete_where(spark, "CAST(NULL AS BOOLEAN)") == v
     assert t.read(spark).count() == 25
+
+
+def test_update_where_cow_pre_update_semantics(spark, tmp_path):
+    """Row-level UPDATE: assignments evaluate against the PRE-update
+    row (a swap of two columns works), non-matching rows and files
+    pass through untouched (carried by name), row count is preserved,
+    updated_rows counts exactly the matches, and unknown assignment
+    columns are rejected."""
+    t = ManifestTable(str(tmp_path / "mt"), stat_cols=("id",))
+    t.overwrite(_df(spark, 0, 10).coalesce(1))              # file A
+    t.append(_df(spark, 100, 110).coalesce(1), batch_id=9)  # file B
+    v_before = t.current_version(spark)
+    files_before = set(t._manifest(spark, v_before)["files"])
+
+    # swap semantics: id <-> v for ids 100-104 (v was id*2)
+    v = t.update_where(
+        spark, "id >= 100 AND id < 105", {"id": "v", "v": "id"}
+    )
+    m = t._manifest(spark, v)
+    assert m["rows"] == 20 and m["updated_rows"] == 5
+    assert len(files_before & set(m["files"])) == 1  # file A carried
+    got = {(r.id, r.v) for r in t.read(spark).collect()}
+    assert {(200 + 2 * i, 100 + i) for i in range(5)} <= got  # swapped
+    assert {(i, 2 * i) for i in range(10)} <= got  # file A untouched
+    assert {(100 + i, 200 + 2 * i) for i in range(5, 10)} <= got
+    assert t.last_batch_id(spark) == 9
+
+    # no-match update: version-preserving no-op
+    assert t.update_where(spark, "id < 0", {"v": F.lit(0)}) == v
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.update_where(spark, "id = 0", {"nope": F.lit(1)})

@@ -1187,6 +1187,74 @@ class ManifestTable:
         from pyspark.sql import functions as F
 
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        return self._cow_rewrite(
+            spark,
+            pred,
+            op="delete",
+            transform=lambda rows: rows.filter(~F.coalesce(pred, F.lit(False))),
+            expected_version=expected_version,
+        )
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        predicate,
+        assignments: dict,
+        expected_version: int | None = None,
+    ) -> int:
+        """Copy-on-write row-level UPDATE: rows where ``predicate`` is
+        TRUE get ``assignments`` (column name → Column/SQL-string
+        expression, evaluated against the PRE-update row — standard
+        UPDATE semantics, so two assignments can safely swap columns);
+        FALSE/NULL rows pass through byte-identical. Same two-phase
+        touched-file shape, no-op contract, row accounting, HWM and
+        CAS rules as :meth:`delete_where` — the only difference is the
+        rewrite keeps the row count (``updated_rows`` is recorded in
+        the manifest instead of ``deleted_rows``)."""
+        from pyspark.sql import functions as F
+
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        exprs = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in assignments.items()
+        }
+
+        def transform(rows: DataFrame) -> DataFrame:
+            cond = F.coalesce(pred, F.lit(False))
+            # single select: every assignment sees the ORIGINAL row
+            return rows.select(
+                *[
+                    (F.when(cond, exprs[c]).otherwise(F.col(c)).alias(c)
+                     if c in exprs else F.col(c))
+                    for c in rows.columns
+                ]
+            )
+
+        unknown = set(exprs) - set(self.read(spark).columns)
+        if unknown:
+            raise ValueError(
+                f"update_where assigns unknown columns {sorted(unknown)} "
+                "(schema evolution goes through append, not UPDATE)"
+            )
+        return self._cow_rewrite(
+            spark, pred, op="update", transform=transform,
+            expected_version=expected_version,
+        )
+
+    def _cow_rewrite(
+        self,
+        spark: SparkSession,
+        pred,
+        op: str,
+        transform,
+        expected_version: int | None,
+    ) -> int:
+        """Shared engine of the row-rewriting ops (DELETE/UPDATE):
+        find the files containing predicate matches (one tagged scan,
+        metadata-scale collect), rewrite ONLY those through
+        ``transform``, carry the rest by name, commit CAS-guarded."""
+        from pyspark.sql import functions as F
+
         base = (
             self.current_version(spark)
             if expected_version is None
@@ -1209,28 +1277,32 @@ class ManifestTable:
             return base
         untouched = [f for f in m["files"] if f not in touched]
 
-        old_rows = spark.read.parquet(
+        reader = spark.read
+        if m.get("evolved"):
+            reader = reader.option("mergeSchema", "true")
+        old_rows = reader.parquet(
             *[f"{self.path}/data/{f}" for f in sorted(touched)]
         )
-        kept = old_rows.filter(~F.coalesce(pred, F.lit(False)))
         touched_before = old_rows.count()
-        new_files, _ = self._write_files(kept)
+        matched = old_rows.filter(F.coalesce(pred, F.lit(False))).count()
+        new_files, _ = self._write_files(transform(old_rows))
         new_stats = self._file_stats(spark, new_files)
-        kept_rows = self._count(spark, new_files)
+        new_rows = self._count(spark, new_files)
         final = untouched + new_files
-        rows = int(m.get("rows", 0)) - touched_before + kept_rows
+        rows = int(m.get("rows", 0)) - touched_before + new_rows
 
         def rebase() -> tuple[list[str], int, dict]:
             cur = self.current_version(spark)
             if cur != base:
                 raise ConcurrentWriteError(
-                    f"delete computed against v{base} but the snapshot is "
-                    f"now v{cur} — re-run the delete on the new base"
+                    f"{op} computed against v{base} but the snapshot is "
+                    f"now v{cur} — re-run the {op} on the new base"
                 )
-            extra: dict = {
-                "columns": m.get("columns", sorted(snap.columns)),
-                "deleted_rows": touched_before - kept_rows,
-            }
+            extra: dict = {"columns": m.get("columns", sorted(snap.columns))}
+            if op == "delete":
+                extra["deleted_rows"] = matched
+            else:
+                extra["updated_rows"] = matched
             if m.get("evolved"):
                 extra["evolved"] = True
             hwm = int(m.get("last_batch_id", -1))
@@ -1241,7 +1313,7 @@ class ManifestTable:
                 extra["stats"] = {**carried, **new_stats}
             return final, rows, extra
 
-        return self._publish(spark, [], 0, "delete", rebase=rebase)
+        return self._publish(spark, [], 0, op, rebase=rebase)
 
     # -- maintenance -----------------------------------------------------
 
