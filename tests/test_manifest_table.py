@@ -419,6 +419,67 @@ def test_streaming_cdc_upsert_exactly_once(spark, tmp_path):
         upsert_batch(table, tied, hwm + 1, "id", "seq")
 
 
+def test_streaming_full_cdc_apply_with_deletes(spark, tmp_path):
+    """Live end-to-end run of ``cdc_stream_to_manifest_table``: two
+    changelog files -> two micro-batches, each landing as ONE atomic
+    merge commit applying its inserts, updates AND deletes; a key
+    deleted then re-inserted across batches survives with the later
+    value; op/seq transport columns never reach the table."""
+    from yc_yq_airflow_etl_spark.streaming.manifest_sink import (
+        cdc_stream_to_manifest_table,
+    )
+
+    table = ManifestTable(str(tmp_path / "cdc"), stat_cols=("id",))
+    table.overwrite(
+        spark.createDataFrame(
+            [(i, 0) for i in range(10)], "id long, v long"
+        ).coalesce(1)
+    )
+    v0 = table.current_version(spark)
+
+    src = str(tmp_path / "log")
+    # batch 1: update id=1, delete id=2, insert-then-delete id=50
+    # (nets to absent), delete id=3
+    spark.createDataFrame(
+        [
+            (1, 10, 1, "U"),
+            (2, 0, 1, "D"),
+            (50, 5, 1, "I"),
+            (50, 0, 2, "D"),
+            (3, 0, 1, "D"),
+        ],
+        "id long, v long, seq long, op string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    import time as _t
+
+    _t.sleep(0.05)  # distinct mod-times -> stable file replay order
+    # batch 2: re-insert the deleted id=2, update id=1 again
+    spark.createDataFrame(
+        [(2, 22, 3, "I"), (1, 11, 3, "U")],
+        "id long, v long, seq long, op string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("id long, v long, seq long, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = cdc_stream_to_manifest_table(
+        stream, table, "id", "seq", str(tmp_path / "ck")
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    got = {r.id: r.v for r in table.read(spark).collect()}
+    assert got[1] == 11  # updated twice, last wins
+    assert got[2] == 22  # deleted in batch 1, re-inserted in batch 2
+    assert 3 not in got and 50 not in got  # deletes held
+    assert len(got) == 9  # 10 seeded - 2 net deletes (3, none for 2) + 0
+    assert set(table.read(spark).columns) == {"id", "v"}
+    assert table.current_version(spark) == v0 + 2  # one commit per batch
+
+
 def test_concurrent_merges_one_wins_one_conflicts(spark, stats_table):
     """Two writers merging from the same base snapshot: exactly one
     commit wins; the loser gets ConcurrentWriteError (its rewrite was
@@ -538,6 +599,56 @@ def test_bucket_transform_pruning(spark, tmp_path):
     assert len(mt.pruned_files(spark, "id", 0, 10)) == 8
     with pytest.raises(ValueError, match="bucket probe"):
         mt.bucket_of(spark, "id", [1])
+
+
+def test_merge_bucket_pruning_skips_range_overlapped_files(spark, tmp_path):
+    """CDC-at-scale shape: files whose [min, max] key ranges ALL
+    overlap the update keys (uniformly distributed ids — range
+    pruning degenerates to touch-everything) but whose bucket sets
+    are disjoint per file. A merge touching a few keys must rewrite
+    ONLY the files whose bucket set can hold them; every other file
+    is carried forward by name. Results identical to an unpruned
+    merge, with and without delete_keys."""
+    mt = ManifestTable(
+        str(tmp_path / "mbp"), stat_cols=("id",), bucket_cols=(("id", 8),)
+    )
+    base = spark.range(0, 400).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    bexpr = F.pmod(F.xxhash64(F.col("id").cast("bigint")), F.lit(8))
+    # one file per bucket: ids interleave, so every file's id range
+    # spans nearly [0, 400) — min/max pruning alone touches all 8
+    for i in range(8):
+        part = base.filter(bexpr == i).coalesce(1)
+        (mt.overwrite if i == 0 else mt.append)(part)
+    before = mt._manifest(spark, mt.current_version(spark))
+    assert len(before["files"]) == 8
+    lo = min(before["stats"][f]["id"][0] for f in before["files"])
+    hi = max(before["stats"][f]["id"][1] for f in before["files"])
+    assert lo < 10 and hi > 390  # precondition: ranges interleave
+
+    b_upd = mt.bucket_of(spark, "id", 123)
+    b_del = mt.bucket_of(spark, "id", 77)
+    ups = spark.createDataFrame([(123, -1), (9999, -2)], ["id", "v"])
+    dels = spark.createDataFrame([(77,)], ["id"])
+    v = mt.merge(ups, "id", delete_keys=dels)
+    after = mt._manifest(spark, v)
+
+    survivors = set(before["files"]) & set(after["files"])
+    expected_untouched = {
+        f
+        for f in before["files"]
+        if not {b_upd, b_del, mt.bucket_of(spark, "id", 9999)}
+        & set(before["stats"][f]["bucket:id"])
+    }
+    assert survivors == expected_untouched
+    assert len(survivors) >= 5  # ≥8 - 3 probe buckets stayed untouched
+
+    got = {r.id: r.v for r in mt.read(spark).collect()}
+    assert got[123] == -1 and got[9999] == -2
+    assert 77 not in got
+    assert len(got) == 400  # 400 - 1 delete + 1 insert
+    # untouched files kept their recorded stats (carried, not rebuilt)
+    for f in survivors:
+        assert after["stats"][f] == before["stats"][f]
 
 
 def test_bucket_probe_promotes_to_column_type(spark, tmp_path):
@@ -1162,3 +1273,55 @@ def test_update_where_cow_pre_update_semantics(spark, tmp_path):
     assert t.update_where(spark, "id < 0", {"v": F.lit(0)}) == v
     with pytest.raises(ValueError, match="unknown columns"):
         t.update_where(spark, "id = 0", {"nope": F.lit(1)})
+
+
+def test_merge_with_delete_keys_single_atomic_commit(spark, tmp_path):
+    """MERGE's WHEN-MATCHED-DELETE: updates, inserts and deletes land
+    in ONE version; delete keys absent from the table are no-ops;
+    a key in both updates and delete_keys raises."""
+    t = ManifestTable(str(tmp_path / "mt"), stat_cols=("id",))
+    t.overwrite(_df(spark, 0, 10).coalesce(1))
+    v0 = t.current_version(spark)
+
+    ups = spark.createDataFrame([(3, 999), (50, 100)], "id long, v long")
+    dels = spark.createDataFrame([(7,), (8,), (12345,)], "id long")
+    v1 = t.merge(ups, "id", delete_keys=dels)
+    assert v1 == v0 + 1  # exactly one commit
+    got = {r.id: r.v for r in t.read(spark).collect()}
+    assert got[3] == 999 and got[50] == 100  # update + insert
+    assert 7 not in got and 8 not in got  # deletes applied
+    assert len(got) == 9  # 10 - 2 deleted + 1 inserted (update is in place)
+    with pytest.raises(ValueError, match="BOTH updates and delete_keys"):
+        t.merge(ups, "id", delete_keys=spark.createDataFrame([(3,)], "id long"))
+
+
+def test_apply_cdc_batch_inserts_updates_deletes_atomically(spark, tmp_path):
+    """Changelog apply: per-key LAST change wins (an insert followed
+    by a delete in one batch nets to absent), one atomic version per
+    batch, replays are no-ops, op column never lands in the table."""
+    from yc_yq_airflow_etl_spark.streaming.manifest_sink import apply_cdc_batch
+
+    t = ManifestTable(str(tmp_path / "mt"))
+    t.overwrite(_df(spark, 0, 5).coalesce(1), )  # ids 0-4
+    v0 = t.current_version(spark)
+
+    batch = spark.createDataFrame(
+        [
+            (1, 111, 1, "U"),   # update id 1
+            (2, 0, 1, "U"),     # updated...
+            (2, 0, 2, "D"),     # ...then deleted: net absent
+            (9, 900, 1, "I"),   # new id inserted
+            (8, 800, 1, "I"),   # inserted...
+            (8, 801, 2, "U"),   # ...then updated: net v=801
+        ],
+        "id long, v long, seq int, op string",
+    )
+    assert apply_cdc_batch(t, batch, 1, key="id", order_col="seq") is True
+    assert t.current_version(spark) == v0 + 1  # ONE commit for the batch
+    got = {r.id: r.v for r in t.read(spark).collect()}
+    assert got[1] == 111 and got[9] == 900 and got[8] == 801
+    assert 2 not in got
+    assert set(t.read(spark).columns) == {"id", "v"}  # no op/seq columns
+    # replay of the same batch id: no-op
+    assert apply_cdc_batch(t, batch, 1, key="id", order_col="seq") is False
+    assert t.current_version(spark) == v0 + 1

@@ -1055,18 +1055,36 @@ class ManifestTable:
         key: str,
         expected_version: int | None = None,
         batch_id: int | None = None,
+        delete_keys: DataFrame | None = None,
     ) -> int:
         """Copy-on-write MERGE (whole-row upsert by ``key``): rows of
         the current snapshot whose key appears in ``updates`` are
         replaced, unmatched update rows are inserted, everything else
         is carried forward — BY FILE NAME, not by rewrite.
 
+        ``delete_keys`` (optional single-column frame of key values)
+        is MERGE's WHEN-MATCHED-DELETE clause: those keys' rows are
+        removed in the SAME atomic commit — the piece a CDC changelog
+        needs to apply inserts/updates/deletes as one snapshot (two
+        commits would expose a half-applied batch and double-advance
+        the replay high-water mark). A key appearing in BOTH updates
+        and delete_keys is ambiguous and raises; deleting a key that
+        is absent from the table is a no-op (DELETE semantics).
+
         Touched-file selection is the point at 100 TB: a file is
         rewritten only if its recorded [min, max] for ``key`` overlaps
         an actual update key (small broadcast join of update keys
         against the manifest's range list — a metadata decision).
-        Without stat_cols every file is conservatively touched and the
-        merge degrades to a full rewrite, still correct.
+        When ``key`` is also a bucket column, the recorded per-file
+        bucket SET prunes further: a file whose bucket set misses
+        every probe key's bucket provably holds none of them and is
+        carried forward untouched even when its [min, max] range
+        overlaps — the case that matters for CDC at scale, where
+        update keys are uniformly distributed and every file's range
+        covers every key (range pruning degenerates to "touch all").
+        Without stat_cols or bucket_cols every file is conservatively
+        touched and the merge degrades to a full rewrite, still
+        correct.
 
         Concurrency is compare-and-swap: the commit validates the
         snapshot is still ``expected_version`` (default: the version
@@ -1090,6 +1108,16 @@ class ManifestTable:
 
         if updates.groupBy(key).count().filter("count > 1").limit(1).count():
             raise ValueError(f"updates carry duplicate {key!r} values")
+        dk = None
+        if delete_keys is not None:
+            dk = delete_keys.select(
+                F.col(delete_keys.columns[0]).alias(key)
+            ).distinct()
+            if updates.select(key).join(dk, key).limit(1).count():
+                raise ValueError(
+                    "a key appears in BOTH updates and delete_keys — "
+                    "the merge outcome would be ambiguous"
+                )
 
         def _bounds(f: str):
             rng = stats.get(f, {}).get(key)
@@ -1097,18 +1125,52 @@ class ManifestTable:
                 return None  # no/null stats → conservatively touched
             return rng
 
+        probe = updates.select(F.col(key).alias("_k"))
+        if dk is not None:
+            probe = probe.unionByName(dk.select(F.col(key).alias("_k")))
+
+        candidates = list(m["files"])
+        bucket_n = dict(self.bucket_cols).get(key)
+        if bucket_n is not None and candidates:
+            # bucket-set pruning: hash every probe key with the SAME
+            # expression the commit side recorded (xxhash64 over the
+            # column's canonical type — see bucket_of), collect the
+            # distinct bucket ids (≤ bucket modulus — metadata-scale),
+            # and drop files whose recorded set misses all of them.
+            # NULL keys hash to NULL and prune nothing, matching the
+            # range join (a NULL probe never touches a file).
+            dtype = dict(self.read(spark, version=base).dtypes).get(key)
+            canon = _bucket_canon_type(dtype, key)
+            probe_buckets = {
+                int(r["_b"])
+                for r in probe.select(
+                    F.pmod(
+                        F.xxhash64(F.col("_k").cast(canon)),
+                        F.lit(bucket_n),
+                    ).alias("_b")
+                )
+                .distinct()
+                .collect()
+                if r["_b"] is not None
+            }
+            candidates = [
+                f
+                for f in candidates
+                if (bset := stats.get(f, {}).get(f"bucket:{key}")) is None
+                or probe_buckets.intersection(bset)
+            ]
+
         ranged = [
             (f, _bounds(f)[0], _bounds(f)[1])
-            for f in m["files"]
+            for f in candidates
             if _bounds(f) is not None
         ]
-        unranged = [f for f in m["files"] if _bounds(f) is None]
+        unranged = [f for f in candidates if _bounds(f) is None]
         touched = set(unranged)
         if ranged:
             ranges = spark.createDataFrame(ranged, ["_f", "_mn", "_mx"])
             hits = (
-                updates.select(F.col(key).alias("_k"))
-                .join(
+                probe.join(
                     F.broadcast(ranges),
                     (F.col("_k") >= F.col("_mn"))
                     & (F.col("_k") <= F.col("_mx")),
@@ -1120,13 +1182,16 @@ class ManifestTable:
             touched.update(r._f for r in hits)
         untouched = [f for f in m["files"] if f not in touched]
 
+        drop_keys = updates.select(key)
+        if dk is not None:
+            drop_keys = drop_keys.unionByName(dk)
         if touched:
             old_rows = spark.read.parquet(
                 *[f"{self.path}/data/{f}" for f in sorted(touched)]
             )
-            new_data = old_rows.join(updates, on=key, how="left_anti").unionByName(
-                updates
-            )
+            new_data = old_rows.join(
+                drop_keys, on=key, how="left_anti"
+            ).unionByName(updates)
         else:
             new_data = updates
         new_files, _ = self._write_files(new_data)

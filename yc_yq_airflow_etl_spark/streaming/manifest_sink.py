@@ -102,6 +102,85 @@ def upsert_batch(
     return True
 
 
+def apply_cdc_batch(
+    table: ManifestTable,
+    batch_df: DataFrame,
+    batch_id: int,
+    key: str,
+    order_col: str,
+    op_col: str = "op",
+    delete_value: str = "D",
+) -> bool:
+    """Full CDC changelog apply — :func:`upsert_batch` plus DELETE
+    rows: the micro-batch carries an ``op_col`` marking each change,
+    rows whose per-key LAST change (by ``order_col``) is
+    ``delete_value`` remove that key, every other key upserts its last
+    row. Both land in ONE atomic merge commit
+    (``ManifestTable.merge(delete_keys=...)``) — two commits would
+    expose a half-applied batch to readers and advance the replay
+    high-water mark twice. ``op_col`` and ``order_col`` are TRANSPORT
+    metadata, not table content: both are dropped from the upserted
+    rows (a changelog's sequence number has no meaning at rest — the
+    table's content already reflects the order it encoded; a pipeline
+    that wants it as data should carry a separate column). Same tie
+    rejection, replay skip and crash-safety contract as
+    :func:`upsert_batch` (which, unlike this, keeps ``order_col`` —
+    its fixture treats the sequence as table data)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = batch_df.sparkSession
+    if batch_id <= table.last_batch_id(spark):
+        return False
+    dup = (
+        batch_df.groupBy(key, order_col)
+        .count()
+        .filter("count > 1")
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            f"micro-batch {batch_id} has tied ({key}, {order_col}) rows — "
+            "last-change collapse would be nondeterministic"
+        )
+    w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+    last = (
+        batch_df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    deletes = last.filter(F.col(op_col) == delete_value).select(key)
+    upserts = (
+        last.filter(F.col(op_col) != delete_value).drop(op_col, order_col)
+    )
+    table.merge(upserts, key, batch_id=batch_id, delete_keys=deletes)
+    return True
+
+
+def cdc_stream_to_manifest_table(
+    stream: DataFrame,
+    table: ManifestTable,
+    key: str,
+    order_col: str,
+    checkpoint: str,
+    op_col: str = "op",
+    delete_value: str = "D",
+) -> StreamingQuery:
+    """Start the exactly-once full-CDC-apply query: every micro-batch
+    is one atomic merge commit applying its inserts, updates AND
+    deletes; replays are skipped by batch id."""
+    return (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: apply_cdc_batch(
+                table, df, bid, key, order_col, op_col, delete_value
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def upsert_stream_to_manifest_table(
     stream: DataFrame,
     table: ManifestTable,
