@@ -601,6 +601,44 @@ def test_bucket_transform_pruning(spark, tmp_path):
         mt.bucket_of(spark, "id", [1])
 
 
+def test_cluster_rewrites_interleaved_layout_for_pruning(spark, tmp_path):
+    """Ingest-ordered layout (ids striped mod-4 across files) makes
+    every file's [min, max] span the whole domain — range pruning
+    keeps all files. cluster() rewrites sorted-by-key into disjoint
+    contiguous ranges, after which the same probe keeps ≤2 files.
+    Content is unchanged and the streaming high-water mark survives."""
+    mt = ManifestTable(str(tmp_path / "mc"), stat_cols=("id",))
+    base = spark.range(0, 400).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    for i in range(4):
+        part = base.filter(F.col("id") % 4 == i).coalesce(1)
+        (mt.overwrite if i == 0 else mt.append)(part)
+    mt.append(
+        spark.range(400, 410)
+        .select(F.col("id"), (F.col("id") * 2).alias("v"))
+        .coalesce(1),
+        batch_id=5,
+    )
+    before = {(r.id, r.v) for r in mt.read(spark).collect()}
+    assert len(mt.pruned_files(spark, "id", 10, 20)) >= 4  # striped: no pruning
+
+    v = mt.cluster(spark)
+    m = mt._manifest(spark, v)
+    assert m["op"] == "cluster"
+    assert int(m["last_batch_id"]) == 5  # replay guard survives rewrite
+    ranges = sorted(m["stats"][f]["id"] for f in m["files"])
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # pairwise-disjoint contiguous key ranges
+    assert len(mt.pruned_files(spark, "id", 10, 20)) <= 2
+    assert {(r.id, r.v) for r in mt.read(spark).collect()} == before
+    # sorted within each file: read back one pruned file, ids ascending
+    f0 = mt.pruned_files(spark, "id", 10, 20)[0]
+    ids = [r.id for r in spark.read.parquet(f"{mt.path}/data/{f0}").collect()]
+    assert ids == sorted(ids)
+
+    with pytest.raises(ValueError, match="sort columns"):
+        ManifestTable(str(tmp_path / "mc2")).cluster(spark)
+
+
 def test_merge_bucket_pruning_skips_range_overlapped_files(spark, tmp_path):
     """CDC-at-scale shape: files whose [min, max] key ranges ALL
     overlap the update keys (uniformly distributed ids — range
@@ -984,6 +1022,66 @@ def test_files_table_reports_recorded_stats(spark, tmp_path):
     assert 1 <= ft["10"].id_n_buckets <= 4
     # time travel: the v0 metadata table has only the first file
     assert mt.files_table(spark, version=0).count() == 1
+
+
+# changelog encoding for the CDC fold property: each element is
+# (key, value, op_code) — op 0/1/2 = I/U/D; per-batch sequence numbers
+# are assigned by list position, so (key, seq) ties are impossible and
+# the last list entry for a key is its net effect.
+_cdc_changes = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=-100, max_value=100),
+        st.integers(min_value=0, max_value=2),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(changes=_cdc_changes)
+def test_apply_cdc_batch_fold_property(spark, tmp_path_factory, changes):
+    """Model-based CDC invariant: for ANY changelog batch over a small
+    key space (arbitrary interleavings of insert/update/delete per
+    key), applying it with apply_cdc_batch equals the pure-Python
+    fold 'last change per key wins; D removes, I/U upserts' over the
+    base state — in exactly one commit."""
+    from yc_yq_airflow_etl_spark.streaming.manifest_sink import apply_cdc_batch
+
+    tmp_path = tmp_path_factory.mktemp("cdcprop")
+    mt = ManifestTable(str(tmp_path / "t"), stat_cols=("id",))
+    base_n = 6
+    mt.overwrite(_df(spark, 0, base_n).coalesce(1))
+    v0 = mt.current_version(spark)
+
+    rows = [
+        (k, v, seq, "IUD"[op]) for seq, (k, v, op) in enumerate(changes)
+    ]
+    batch = spark.createDataFrame(
+        rows, "id long, v long, seq long, op string"
+    )
+    assert apply_cdc_batch(mt, batch, 1, key="id", order_col="seq") is True
+    assert mt.current_version(spark) == v0 + 1
+
+    model = {i: 2 * i for i in range(base_n)}
+    last: dict[int, tuple[int, str]] = {}
+    for k, v, _seq, op in rows:
+        last[k] = (v, op)
+    for k, (v, op) in last.items():
+        if op == "D":
+            model.pop(k, None)
+        else:
+            model[k] = v
+    got = {r.id: r.v for r in mt.read(spark).collect()}
+    assert got == model, (changes, got, model)
 
 
 # op encoding for the CDF fold property: each element of the list is

@@ -734,6 +734,68 @@ class ManifestTable:
 
         return self._publish(spark, [], 0, "compact", rebase=rebase)
 
+    def cluster(
+        self,
+        spark: SparkSession,
+        by: tuple[str, ...] | None = None,
+        target_files: int | None = None,
+    ) -> int:
+        """Sort-based layout rewrite (Delta ``OPTIMIZE ... ZORDER``'s
+        linear-order cousin): rewrite the snapshot range-partitioned
+        and sorted by ``by`` (default: ``stat_cols``), so each new
+        file holds a contiguous, pairwise-disjoint key range and the
+        recorded [min, max] stats become surgical — the fix for the
+        layout where every file's range spans the whole key domain
+        (ingest-ordered data) and range pruning keeps everything.
+
+        ``repartitionByRange`` samples the keys to pick balanced
+        boundaries then shuffles once; the sort is within partitions
+        only (no global sort barrier). Multi-column ``by`` is
+        lexicographic — the leading column dominates pruning power,
+        which is why ``bucket_cols`` metadata (hash-based, order-free)
+        remains the right tool for the secondary point-lookup column.
+
+        Same commit discipline as :meth:`compact`: old files stay for
+        in-flight readers until vacuum, the streaming high-water mark
+        is carried, and a concurrent commit raises
+        :class:`ConcurrentWriteError` rather than being dropped."""
+        cols = tuple(by) if by else tuple(self.stat_cols)
+        if not cols:
+            raise ValueError(
+                "cluster needs sort columns: pass by=... or configure "
+                "stat_cols"
+            )
+        v = self.current_version(spark)
+        if v is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.path}")
+        m = self._manifest(spark, v)
+        n_out = target_files if target_files else max(1, len(m["files"]))
+        df = (
+            self.read(spark, version=v)
+            .repartitionByRange(n_out, *cols)
+            .sortWithinPartitions(*cols)
+        )
+        files, _ = self._write_files(df)
+        extra: dict = {"columns": sorted(df.columns)}
+        hwm = int(m.get("last_batch_id", -1))
+        if hwm >= 0:
+            extra["last_batch_id"] = hwm
+        stats = self._file_stats(spark, files)
+        if stats:
+            extra["stats"] = stats
+        rows = self._count(spark, files)
+
+        def rebase() -> tuple[list[str], int, dict]:
+            cur = self.current_version(spark)
+            if cur != v:
+                raise ConcurrentWriteError(
+                    f"cluster computed against v{v} but the snapshot is "
+                    f"now v{cur} — re-run clustering on the new base"
+                )
+            return files, rows, extra
+
+        return self._publish(spark, [], 0, "cluster", rebase=rebase)
+
     def restore(self, spark: SparkSession, version: int) -> int:
         """RESTORE: commit a NEW version whose content is snapshot
         ``version``'s — rollback as a forward commit (Delta RESTORE /
