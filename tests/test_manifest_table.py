@@ -601,6 +601,130 @@ def test_bucket_transform_pruning(spark, tmp_path):
         mt.bucket_of(spark, "id", [1])
 
 
+def test_delete_merge_on_read_writes_no_data_file(spark, tmp_path):
+    """MOR DELETE: the commit attaches deletion-vector positions and
+    rewrites NOTHING — the data file list is unchanged byte-for-byte.
+    Reads (full, range-pruned, time-travel) all subtract the dead
+    rows; a second overlapping delete never double-subtracts; a
+    predicate matching nothing (or only already-dead rows) is a
+    no-op."""
+    mt = ManifestTable(str(tmp_path / "mor"), stat_cols=("id",))
+    mt.overwrite(_ranged(spark, 0, 100))
+    mt.append(_ranged(spark, 100, 200), batch_id=3)
+    v0 = mt.current_version(spark)
+    files0 = mt._manifest(spark, v0)["files"]
+
+    v1 = mt.delete_where(spark, "id % 10 = 7", mode="merge-on-read")
+    m1 = mt._manifest(spark, v1)
+    assert m1["files"] == files0  # no data file rewritten
+    assert m1["deleted_rows"] == 20 and m1["rows"] == 180
+    assert int(m1["last_batch_id"]) == 3  # hwm survives
+    assert mt.read(spark).count() == 180
+    assert mt.read(spark).filter("id % 10 = 7").count() == 0
+    # time travel still sees the pre-delete snapshot
+    assert mt.read(spark, version=v0).count() == 200
+    # the layout surface exposes the per-file DV debt
+    ft = mt.files_table(spark).collect()
+    assert sum(r.dv_rows for r in ft) == 20
+    assert all(r.dv_rows == 10 for r in ft)  # 10 dead per 100-row file
+    # pruned range read subtracts too
+    got = sorted(r.id for r in mt.read_where(spark, "id", 0, 20).collect())
+    assert got == [i for i in range(21) if i % 10 != 7]
+
+    # overlapping second MOR delete: id%5==2 matches ids ending in 2
+    # or 7 (40 rows), but the ...7 ones are already dead — only the
+    # 20 NEWLY dead rows subtract
+    v2 = mt.delete_where(spark, "id % 5 = 2", mode="merge-on-read")
+    m2 = mt._manifest(spark, v2)
+    assert m2["deleted_rows"] == 20 and m2["rows"] == 160
+    assert mt.read(spark).count() == 160
+
+    # deleting only already-dead rows: no-op, no commit
+    assert mt.delete_where(spark, "id = 7", mode="merge-on-read") == v2
+    with pytest.raises(ValueError, match="unknown delete mode"):
+        mt.delete_where(spark, "id = 1", mode="bogus")
+
+
+def test_mor_deletes_survive_rewrites_and_vacuum(spark, tmp_path):
+    """DV lifecycle across every rewrite op: merge materializes the
+    touched file's deletes and carries the untouched file's DV;
+    append carries DVs untouched; compact materializes all of them
+    (no dvs key, same rows); vacuum retires DV parts with the
+    manifests that referenced them; restore refuses a version whose
+    DV parts were vacuumed; table_changes emits exactly the
+    newly-dead rows for a DV-only commit."""
+    mt = ManifestTable(str(tmp_path / "morlc"), stat_cols=("id",))
+    mt.overwrite(_ranged(spark, 0, 100))
+    mt.append(_ranged(spark, 100, 200))
+    v_pre = mt.current_version(spark)
+    v_dv = mt.delete_where(spark, "id in (5, 150)", mode="merge-on-read")
+
+    # change feed of the DV-only commit: two deletes, zero inserts
+    ch = mt.table_changes(spark, v_pre, v_dv).collect()
+    assert sorted((r.id, r._change_type) for r in ch) == [
+        (5, "delete"),
+        (150, "delete"),
+    ]
+
+    # merge rewrites the file holding id∈[0,100) only: its dead row 5
+    # must stay dead in the rewrite; file B keeps its DV entry
+    v_m = mt.merge(spark.createDataFrame([(6, -1)], ["id", "v"]), "id")
+    m = mt._manifest(spark, v_m)
+    got = {r.id for r in mt.read(spark).collect()}
+    assert 5 not in got and 150 not in got and m["rows"] == 198
+    assert len(m.get("dvs", {})) == 1  # only file B's entry survives
+
+    # append carries the remaining DV
+    mt.append(_ranged(spark, 200, 210))
+    assert mt.read(spark).count() == 208
+    assert len(mt._manifest(spark, mt.current_version(spark))["dvs"]) == 1
+
+    # compact materializes: no dvs key, content identical
+    v_c = mt.compact(spark, target_files=2)
+    mc = mt._manifest(spark, v_c)
+    assert "dvs" not in mc and mc["rows"] == 208
+    assert mt.read(spark).count() == 208
+
+    # vacuum to the compacted snapshot retires the DV parts
+    removed = mt.vacuum(spark, keep_versions=1)
+    assert any(f.startswith("deletes/") for f in removed)
+    assert mt.read(spark).count() == 208
+    # the DV snapshot is gone (manifest retired with its parts) —
+    # restore refuses rather than committing an unreadable snapshot
+    with pytest.raises(FileNotFoundError):
+        mt.restore(spark, v_dv)
+
+
+def test_restore_refuses_when_dv_parts_missing(spark, tmp_path):
+    """The restore existence check covers deletion-vector parts, not
+    just data files: a surviving manifest whose DV part was lost must
+    refuse loudly instead of restoring a snapshot that resurrects
+    deleted rows."""
+    import os
+
+    mt = ManifestTable(str(tmp_path / "morrs"), stat_cols=("id",))
+    mt.overwrite(_ranged(spark, 0, 50))
+    v_dv = mt.delete_where(spark, "id = 3", mode="merge-on-read")
+    mt.append(_ranged(spark, 50, 60))
+    part = next(
+        iter(mt._manifest(spark, v_dv)["dvs"].values())
+    )["parts"][0]
+    os.remove(f"{mt.path}/deletes/{part}")
+    with pytest.raises(FileNotFoundError, match="no longer materializable"):
+        mt.restore(spark, v_dv)
+
+
+def test_plain_append_carries_stream_high_water_mark(spark, tmp_path):
+    """A non-streaming append after a streaming batch must NOT drop
+    the replay high-water mark (pre-fix it did: last_batch_id was only
+    written when the append itself carried a batch_id)."""
+    mt = ManifestTable(str(tmp_path / "hwm"))
+    mt.overwrite(_df(spark, 0, 10).coalesce(1))
+    mt.append(_df(spark, 10, 20).coalesce(1), batch_id=4)
+    mt.append(_df(spark, 20, 30).coalesce(1))  # plain append
+    assert mt.last_batch_id(spark) == 4
+
+
 def test_cluster_rewrites_interleaved_layout_for_pruning(spark, tmp_path):
     """Ingest-ordered layout (ids striped mod-4 across files) makes
     every file's [min, max] span the whole domain — range pruning

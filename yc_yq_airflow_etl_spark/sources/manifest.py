@@ -263,11 +263,14 @@ class ManifestTable:
 
     # -- write path ------------------------------------------------------
 
-    def _write_files(self, df: DataFrame) -> tuple[list[str], SparkSession]:
+    def _write_files(
+        self, df: DataFrame, subdir: str = "data"
+    ) -> tuple[list[str], SparkSession]:
         """Land df as immutable uniquely-named parquet files under
-        data/ and return their names. The Spark job writes to a
+        ``subdir``/ (data files, or deletion-vector parts under
+        deletes/) and return their names. The Spark job writes to a
         staging dir; each part file is renamed to a unique name under
-        data/ — renaming UNPUBLISHED files is safe on any store
+        the target — renaming UNPUBLISHED files is safe on any store
         because no manifest references them yet."""
         spark = df.sparkSession
         jvm, fs = self._fs(spark)
@@ -278,13 +281,13 @@ class ManifestTable:
             if fname.endswith(".parquet"):
                 name = f"{uuid.uuid4().hex}.parquet"
                 if not fs.rename(
-                    self._jp(jvm, staging_name, fname), self._jp(jvm, "data", name)
+                    self._jp(jvm, staging_name, fname), self._jp(jvm, subdir, name)
                 ):
-                    # first data file ever: parent may not exist yet
-                    fs.mkdirs(self._jp(jvm, "data"))
+                    # first file ever in the target: parent may not exist
+                    fs.mkdirs(self._jp(jvm, subdir))
                     if not fs.rename(
                         self._jp(jvm, staging_name, fname),
-                        self._jp(jvm, "data", name),
+                        self._jp(jvm, subdir, name),
                     ):
                         raise RuntimeError(f"staging rename failed for {fname}")
                 names.append(name)
@@ -462,8 +465,10 @@ class ManifestTable:
         files = self.pruned_files_null(spark, col)
         if not files:
             return self.read(spark).filter(F.lit(False))
-        df = spark.read.parquet(
-            *[f"{self.path}/data/{f}" for f in files]
+        m = self._manifest(spark, self.current_version(spark))
+        df = self._strip_dvs(
+            spark.read.parquet(*[f"{self.path}/data/{f}" for f in files]),
+            self._dv_frame(spark, m, files),
         )
         return df.filter(F.col(col).isNull())
 
@@ -476,8 +481,10 @@ class ManifestTable:
         files = self.pruned_files_eq(spark, col, value)
         if not files:
             return self.read(spark).filter(F.lit(False))
-        df = spark.read.parquet(
-            *[f"{self.path}/data/{f}" for f in files]
+        m = self._manifest(spark, self.current_version(spark))
+        df = self._strip_dvs(
+            spark.read.parquet(*[f"{self.path}/data/{f}" for f in files]),
+            self._dv_frame(spark, m, files),
         )
         return df.filter(F.col(col) == value)
 
@@ -580,10 +587,19 @@ class ManifestTable:
                 prev_rows = self._count(spark, old_files)
             rows = int(prev_rows or 0) + new_rows
             extra: dict = {}
-            if batch_id is not None:
-                extra["last_batch_id"] = max(
-                    int(old_manifest.get("last_batch_id", -1)), int(batch_id)
-                )
+            # the high-water mark survives EVERY append, batch-tagged
+            # or not — a plain append dropping it would let a replayed
+            # micro-batch re-land afterwards (same rule as merge/compact)
+            hwm = max(
+                int(old_manifest.get("last_batch_id", -1)),
+                -1 if batch_id is None else int(batch_id),
+            )
+            if hwm >= 0:
+                extra["last_batch_id"] = hwm
+            if old_manifest.get("dvs"):
+                # appended files are new — existing deletion vectors
+                # carry forward untouched
+                extra["dvs"] = old_manifest["dvs"]
             # schema-evolution check at commit time: compare the new
             # data's column set against the snapshot schema recorded
             old_cols = old_manifest.get("columns", new_cols)
@@ -827,15 +843,27 @@ class ManifestTable:
             for f in target.get("files", [])
             if not fs.exists(self._jp(jvm, "data", f))
         ]
+        missing += [
+            f"deletes/{p}"
+            for p in sorted(
+                {
+                    p
+                    for e in target.get("dvs", {}).values()
+                    for p in e["parts"]
+                }
+            )
+            if not fs.exists(self._jp(jvm, "deletes", p))
+        ]
         if missing:
             raise FileNotFoundError(
                 f"cannot restore v{version}: {len(missing)} of its data "
-                f"files were vacuumed (e.g. {missing[0]}) — the snapshot "
-                "is no longer materializable"
+                f"or deletion-vector files were vacuumed (e.g. "
+                f"{missing[0]}) — the snapshot is no longer "
+                "materializable"
             )
         extra_base = {
             k: target[k]
-            for k in ("columns", "stats", "evolved")
+            for k in ("columns", "stats", "evolved", "dvs")
             if k in target
         }
 
@@ -873,9 +901,73 @@ class ManifestTable:
         reader = spark.read
         if manifest.get("evolved"):
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(
+        df = reader.parquet(
             *[f"{self.path}/data/{f}" for f in manifest["files"]]
         )
+        return self._strip_dvs(df, self._dv_frame(spark, manifest))
+
+    # -- deletion vectors (merge-on-read DELETE) -------------------------
+    #
+    # A DV commit records (file_name, row_index) pairs under deletes/
+    # instead of rewriting data files: the manifest maps each affected
+    # data file to the DV parts holding its dead positions plus the
+    # exact dead-row count ({"dvs": {file: {"parts": [...], "rows": n}}}).
+    # Readers subtract the pairs with a broadcast anti-join keyed on the
+    # hidden _metadata (file_name, row_index) columns — positions are
+    # keyed by the IMMUTABLE data-file name, so a stale or over-broad DV
+    # entry can never corrupt a rewritten file (new files get new
+    # names). Any rewrite of a file (merge/COW delete/compact/cluster)
+    # reads it DV-applied and drops its entry: the rewrite materializes
+    # the deletes, exactly Delta/Iceberg DV compaction semantics.
+
+    def _dv_frame(
+        self, spark: SparkSession, manifest: dict, files: list[str] | None = None
+    ) -> DataFrame | None:
+        """(_f, _pos) union of the snapshot's deletion-vector parts
+        relevant to ``files`` (all files when None); None when there
+        are no deletes to apply. Parts may conservatively hold
+        positions of other files — the anti-join key includes the file
+        name, so extra pairs match nothing."""
+        dvs = manifest.get("dvs", {})
+        if files is not None:
+            want = set(files)
+            dvs = {f: e for f, e in dvs.items() if f in want}
+        parts = sorted({p for e in dvs.values() for p in e["parts"]})
+        if not parts:
+            return None
+        from pyspark.sql import functions as F
+
+        return (
+            spark.read.parquet(*[f"{self.path}/deletes/{p}" for p in parts])
+            .select(F.col("_f"), F.col("_pos"))
+            .distinct()
+        )
+
+    def _strip_dvs(self, df: DataFrame, dv: DataFrame | None) -> DataFrame:
+        """Subtract deletion-vector positions from a raw file scan.
+        The DV side is metadata-scale (dead positions, not data) —
+        broadcast, so the scan side never shuffles."""
+        if dv is None:
+            return df
+        from pyspark.sql import functions as F
+
+        return (
+            df.withColumn("_f", F.col("_metadata.file_name"))
+            .withColumn("_pos", F.col("_metadata.row_index"))
+            .join(F.broadcast(dv), ["_f", "_pos"], "left_anti")
+            .drop("_f", "_pos")
+        )
+
+    @staticmethod
+    def _dv_rows(manifest: dict, files: list[str] | None = None) -> int:
+        """Total dead rows the snapshot's DVs hide in ``files`` (all
+        when None) — recorded exactly at delete time, so row accounting
+        stays metadata-only."""
+        dvs = manifest.get("dvs", {})
+        if files is not None:
+            want = set(files)
+            dvs = {f: e for f, e in dvs.items() if f in want}
+        return sum(int(e["rows"]) for e in dvs.values())
 
     def history(self, spark: SparkSession) -> list[dict]:
         """Commit log, newest first — the DESCRIBE HISTORY surface:
@@ -955,10 +1047,22 @@ class ManifestTable:
             raise FileNotFoundError(f"no committed snapshot at {self.path}")
         mf = self._manifest(spark, v_from)
         mt_ = self._manifest(spark, v_to)
-        removed = sorted(set(mf["files"]) - set(mt_["files"]))
-        added = sorted(set(mt_["files"]) - set(mf["files"]))
+        # a file present in both snapshots is identical bytes, but a
+        # merge-on-read DELETE changes its EFFECTIVE rows by attaching
+        # a deletion vector without renaming it — treat a dv-entry
+        # difference as removed+added so both sides are read (with
+        # their own dvs applied) and the surviving rows cancel,
+        # leaving exactly the newly-dead rows as deletes
+        dvf, dvt = mf.get("dvs", {}), mt_.get("dvs", {})
+        dv_changed = {
+            f
+            for f in set(mf["files"]) & set(mt_["files"])
+            if dvf.get(f) != dvt.get(f)
+        }
+        removed = sorted((set(mf["files"]) - set(mt_["files"])) | dv_changed)
+        added = sorted((set(mt_["files"]) - set(mf["files"])) | dv_changed)
 
-        def _read(names: list[str]) -> DataFrame | None:
+        def _read(names: list[str], m: dict) -> DataFrame | None:
             if not names:
                 return None
             # mergeSchema ALWAYS: the added (or removed) set can itself
@@ -966,11 +1070,14 @@ class ManifestTable:
             # and without it Spark adopts one file's schema by listing
             # order — the evolved column nondeterministically vanishes
             # and an update that only changed it cancels in exceptAll.
-            return spark.read.option("mergeSchema", True).parquet(
-                *[f"{self.path}/data/{f}" for f in names]
+            return self._strip_dvs(
+                spark.read.option("mergeSchema", True).parquet(
+                    *[f"{self.path}/data/{f}" for f in names]
+                ),
+                self._dv_frame(spark, m, names),
             )
 
-        old, new = _read(removed), _read(added)
+        old, new = _read(removed, mf), _read(added, mt_)
         if old is None and new is None:
             return (
                 self.read(spark, version=v_to)
@@ -1043,6 +1150,10 @@ class ManifestTable:
             for c in bucket_cols:
                 bset = st.get(f"bucket:{c}")
                 row.append(None if bset is None else len(bset))
+            # dead rows hidden by this file's deletion vector (0 when
+            # none): the layout surface where DV debt shows up — a file
+            # mostly dead is a compaction candidate
+            row.append(int(m.get("dvs", {}).get(f, {}).get("rows", 0)))
             rows.append(tuple(row))
         schema_parts = ["file string"]
         for c in stat_cols:
@@ -1053,6 +1164,7 @@ class ManifestTable:
             ]
         for c in bucket_cols:
             schema_parts.append(f"{c}_n_buckets int")
+        schema_parts.append("dv_rows int")
         return spark.createDataFrame(rows, ", ".join(schema_parts))
 
     def _count(self, spark: SparkSession, files: list[str]) -> int:
@@ -1106,8 +1218,10 @@ class ManifestTable:
         files = self.pruned_files(spark, col, lo, hi)
         if not files:
             return self.read(spark).filter(F.lit(False))
-        df = spark.read.parquet(
-            *[f"{self.path}/data/{f}" for f in files]
+        m = self._manifest(spark, self.current_version(spark))
+        df = self._strip_dvs(
+            spark.read.parquet(*[f"{self.path}/data/{f}" for f in files]),
+            self._dv_frame(spark, m, files),
         )
         return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
 
@@ -1248,8 +1362,11 @@ class ManifestTable:
         if dk is not None:
             drop_keys = drop_keys.unionByName(dk)
         if touched:
-            old_rows = spark.read.parquet(
-                *[f"{self.path}/data/{f}" for f in sorted(touched)]
+            old_rows = self._strip_dvs(
+                spark.read.parquet(
+                    *[f"{self.path}/data/{f}" for f in sorted(touched)]
+                ),
+                self._dv_frame(spark, m, sorted(touched)),
             )
             new_data = old_rows.join(
                 drop_keys, on=key, how="left_anti"
@@ -1280,7 +1397,19 @@ class ManifestTable:
             }
             if carried or new_stats:
                 extra["stats"] = {**carried, **new_stats}
-            return final, self._count(spark, final), extra
+            # untouched files keep their deletion vectors (their dead
+            # rows stay dead); rewritten files materialized theirs
+            carried_dvs = {
+                f: e
+                for f, e in m.get("dvs", {}).items()
+                if f in set(untouched)
+            }
+            if carried_dvs:
+                extra["dvs"] = carried_dvs
+            rows = self._count(spark, final) - self._dv_rows(
+                {"dvs": carried_dvs}
+            )
+            return final, rows, extra
 
         return self._publish(spark, [], 0, "merge", rebase=rebase)
 
@@ -1289,31 +1418,50 @@ class ManifestTable:
         spark: SparkSession,
         predicate,
         expected_version: int | None = None,
+        mode: str = "copy-on-write",
     ) -> int:
-        """Copy-on-write row-level DELETE: rows where ``predicate``
-        (a Column or SQL string) is TRUE are removed; rows where it is
-        FALSE **or NULL** are kept (SQL DELETE semantics — NULL never
-        deletes). Untouched files are carried forward BY NAME.
+        """Row-level DELETE: rows where ``predicate`` (a Column or SQL
+        string) is TRUE are removed; rows where it is FALSE **or
+        NULL** are kept (SQL DELETE semantics — NULL never deletes).
 
-        Touched-file selection is Delta's two-phase shape: one scan
-        over the snapshot tagged with ``input_file_name()`` finds the
-        files that actually CONTAIN matching rows (the collect is
-        bounded by file count — metadata-scale), then only those files
-        are rewritten without their matching rows. Parquet row-group
-        stats prune the find-phase scan for range predicates for free;
-        files with no matches pay no rewrite. A predicate matching
-        nothing is a NO-OP: the current version is returned and no
-        commit is made (nothing changed, so publishing an identical
-        snapshot would only burn a version and invalidate caches).
+        ``mode="copy-on-write"`` (default): untouched files are
+        carried forward BY NAME and only files containing matches are
+        rewritten. Touched-file selection is Delta's two-phase shape:
+        one scan over the snapshot tagged with ``input_file_name()``
+        finds the files that actually CONTAIN matching rows (the
+        collect is bounded by file count — metadata-scale), then only
+        those files are rewritten without their matching rows. Parquet
+        row-group stats prune the find-phase scan for range predicates
+        for free; files with no matches pay no rewrite.
 
-        Row accounting stays O(touched): the new row count is the
-        recorded count minus touched files' rows plus the rewritten
-        rows — never a full-table recount. Concurrency is
-        compare-and-swap like :meth:`merge`; the streaming high-water
-        mark survives the commit."""
+        ``mode="merge-on-read"``: NO data file is rewritten. The
+        matching rows' (file, row_index) positions land as
+        deletion-vector parts under deletes/ and the commit only
+        updates manifest metadata — the write-amplification fix for
+        frequent small deletes at scale (a 3-row delete from a 1 GB
+        file costs a KB of positions, not a 1 GB rewrite). Readers
+        subtract the positions with a broadcast anti-join; the next
+        rewrite of a file (merge / COW delete / compact / cluster)
+        materializes its deletes and drops its DV entry. Per-file
+        stats stay as written — a conservative superset, still valid
+        for pruning.
+
+        Either mode: a predicate matching nothing is a NO-OP (the
+        current version is returned, no commit — nothing changed, so
+        publishing an identical snapshot would only burn a version and
+        invalidate caches); row accounting is metadata-only; the
+        streaming high-water mark survives; concurrency is
+        compare-and-swap like :meth:`merge`."""
         from pyspark.sql import functions as F
 
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        if mode == "merge-on-read":
+            return self._delete_mor(spark, pred, expected_version)
+        if mode != "copy-on-write":
+            raise ValueError(
+                f"unknown delete mode {mode!r} — "
+                "'copy-on-write' or 'merge-on-read'"
+            )
         return self._cow_rewrite(
             spark,
             pred,
@@ -1321,6 +1469,82 @@ class ManifestTable:
             transform=lambda rows: rows.filter(~F.coalesce(pred, F.lit(False))),
             expected_version=expected_version,
         )
+
+    def _delete_mor(
+        self, spark: SparkSession, pred, expected_version: int | None
+    ) -> int:
+        """Merge-on-read DELETE engine: record matching positions as
+        deletion-vector parts, commit metadata only. Rows already dead
+        under an existing DV are excluded before counting, so repeated
+        overlapping deletes never double-subtract."""
+        from pyspark.sql import functions as F
+
+        base = (
+            self.current_version(spark)
+            if expected_version is None
+            else expected_version
+        )
+        if base is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.path}")
+        m = self._manifest(spark, base)
+
+        reader = spark.read
+        if m.get("evolved"):
+            reader = reader.option("mergeSchema", "true")
+        raw = reader.parquet(
+            *[f"{self.path}/data/{f}" for f in m["files"]]
+        )
+        hit = raw.filter(F.coalesce(pred, F.lit(False))).select(
+            F.col("_metadata.file_name").alias("_f"),
+            F.col("_metadata.row_index").alias("_pos"),
+        )
+        existing = self._dv_frame(spark, m)
+        if existing is not None:
+            hit = hit.join(F.broadcast(existing), ["_f", "_pos"], "left_anti")
+        per_file = {
+            r["_f"]: int(r["n"])
+            for r in hit.groupBy("_f").agg(F.count("*").alias("n")).collect()
+            # bounded by file count — metadata-scale
+        }
+        if not per_file:
+            return base
+        parts, _ = self._write_files(hit, subdir="deletes")
+        n_deleted = sum(per_file.values())
+        new_dvs = {f: dict(e) for f, e in m.get("dvs", {}).items()}
+        for f, n in per_file.items():
+            e = new_dvs.setdefault(f, {"parts": [], "rows": 0})
+            # every new part is mapped to every file it may cover —
+            # a conservative superset; the anti-join key includes the
+            # file name, so extra pairs match nothing
+            e["parts"] = list(e["parts"]) + parts
+            e["rows"] = int(e["rows"]) + n
+
+        def rebase() -> tuple[list[str], int, dict]:
+            cur = self.current_version(spark)
+            if cur != base:
+                raise ConcurrentWriteError(
+                    f"delete computed against v{base} but the snapshot "
+                    f"is now v{cur} — re-run the delete on the new base"
+                )
+            extra: dict = {
+                "columns": m.get("columns", sorted(raw.columns)),
+                "deleted_rows": n_deleted,
+                "dvs": new_dvs,
+            }
+            if m.get("evolved"):
+                extra["evolved"] = True
+            if m.get("stats"):
+                extra["stats"] = m["stats"]  # files unchanged
+            hwm = int(m.get("last_batch_id", -1))
+            if hwm >= 0:
+                extra["last_batch_id"] = hwm
+            return (
+                list(m["files"]),
+                int(m.get("rows", 0)) - n_deleted,
+                extra,
+            )
+
+        return self._publish(spark, [], 0, "delete", rebase=rebase)
 
     def update_where(
         self,
@@ -1407,8 +1631,11 @@ class ManifestTable:
         reader = spark.read
         if m.get("evolved"):
             reader = reader.option("mergeSchema", "true")
-        old_rows = reader.parquet(
-            *[f"{self.path}/data/{f}" for f in sorted(touched)]
+        old_rows = self._strip_dvs(
+            reader.parquet(
+                *[f"{self.path}/data/{f}" for f in sorted(touched)]
+            ),
+            self._dv_frame(spark, m, sorted(touched)),
         )
         touched_before = old_rows.count()
         matched = old_rows.filter(F.coalesce(pred, F.lit(False))).count()
@@ -1438,6 +1665,13 @@ class ManifestTable:
             carried = {f: s for f, s in stats.items() if f in set(untouched)}
             if carried or new_stats:
                 extra["stats"] = {**carried, **new_stats}
+            carried_dvs = {
+                f: e
+                for f, e in m.get("dvs", {}).items()
+                if f in set(untouched)
+            }
+            if carried_dvs:
+                extra["dvs"] = carried_dvs
             return final, rows, extra
 
         return self._publish(spark, [], 0, op, rebase=rebase)
@@ -1489,15 +1723,25 @@ class ManifestTable:
         jvm, fs = self._fs(spark)
         keep_from = max(0, latest - keep_versions + 1)
         live: set[str] = set()
+        live_dv: set[str] = set()
         for v in range(keep_from, latest + 1):
             m = self._try_manifest(spark, v)
             if m is not None:  # torn manifests reference nothing
                 live.update(m["files"])
+                live_dv.update(
+                    p for e in m.get("dvs", {}).values() for p in e["parts"]
+                )
         deleted = []
         for f in self._list_names(spark, "data"):
             if f not in live:
                 fs.delete(self._jp(jvm, "data", f), False)
                 deleted.append(f)
+        for f in self._list_names(spark, "deletes"):
+            # deletion-vector parts referenced only by retired
+            # manifests retire with them
+            if f not in live_dv:
+                fs.delete(self._jp(jvm, "deletes", f), False)
+                deleted.append(f"deletes/{f}")
         for mf in self._list_names(spark, "_manifests"):
             m = _MANIFEST_RE.match(mf)
             if m and int(m.group(1)) < keep_from:
