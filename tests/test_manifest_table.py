@@ -714,6 +714,140 @@ def test_restore_refuses_when_dv_parts_missing(spark, tmp_path):
         mt.restore(spark, v_dv)
 
 
+def test_merge_mor_is_append_only(spark, tmp_path):
+    """MOR MERGE: every pre-existing data file survives BY NAME — the
+    matched keys die via deletion vectors and the batch appends as
+    new files. Updates, inserts and deletes land in one commit; a
+    chained second merge on an appended key kills the newer copy;
+    compaction materializes everything; a schema-mismatched batch
+    raises."""
+    mt = ManifestTable(
+        str(tmp_path / "mm"), stat_cols=("id",), bucket_cols=(("id", 8),)
+    )
+    mt.overwrite(_ranged(spark, 0, 100))
+    mt.append(_ranged(spark, 100, 200), batch_id=2)
+    v0 = mt.current_version(spark)
+    files0 = set(mt._manifest(spark, v0)["files"])
+
+    ups = spark.createDataFrame([(50, -1), (500, -2)], ["id", "v"])
+    dels = spark.createDataFrame([(150,)], ["id"])
+    v1 = mt.merge(ups, "id", delete_keys=dels, mode="merge-on-read",
+                  batch_id=4)
+    m1 = mt._manifest(spark, v1)
+    assert files0 <= set(m1["files"])  # nothing rewritten or dropped
+    assert len(m1["files"]) > len(files0)  # batch appended
+    assert int(m1["last_batch_id"]) == 4
+    got = {r.id: r.v for r in mt.read(spark).collect()}
+    assert got[50] == -1 and got[500] == -2 and 150 not in got
+    assert len(got) == 200 and m1["rows"] == 200  # -1 delete +1 insert
+
+    # second MOR merge re-updating id=50: the APPENDED copy must die
+    # (its file's stats/buckets were recorded at append, so the probe
+    # finds it), leaving exactly the newest value
+    v2 = mt.merge(
+        spark.createDataFrame([(50, -9)], ["id", "v"]),
+        "id",
+        mode="merge-on-read",
+    )
+    got = {r.id: r.v for r in mt.read(spark).collect()}
+    assert got[50] == -9 and len(got) == 200
+    assert mt._manifest(spark, v2)["rows"] == 200
+
+    # empty batch: no-op, no version burned
+    assert (
+        mt.merge(ups.limit(0), "id", mode="merge-on-read") == v2
+    )
+    with pytest.raises(ValueError, match="table columns"):
+        mt.merge(
+            spark.createDataFrame([(1, 1, 1)], ["id", "v", "x"]),
+            "id",
+            mode="merge-on-read",
+        )
+
+    # compaction materializes: dead rows gone physically, dvs cleared
+    vc = mt.compact(spark, target_files=2)
+    mc = mt._manifest(spark, vc)
+    assert "dvs" not in mc and mc["rows"] == 200
+    assert {r.id: r.v for r in mt.read(spark).collect()} == got
+
+
+def test_update_mor_delete_plus_insert_one_commit(spark, tmp_path):
+    """MOR UPDATE: matched live rows' positions die and their
+    transformed images append — row count unchanged, one commit,
+    assignments see the pre-update row, rows already dead under a DV
+    can't be updated back to life, and a no-match predicate commits
+    nothing."""
+    mt = ManifestTable(str(tmp_path / "mu"), stat_cols=("id",))
+    mt.overwrite(_ranged(spark, 0, 100))
+    mt.delete_where(spark, "id = 10", mode="merge-on-read")
+    v0 = mt.current_version(spark)
+    files0 = set(mt._manifest(spark, v0)["files"])
+
+    v1 = mt.update_where(
+        spark,
+        "id < 20",
+        {"v": F.col("v") + 1000},
+        mode="merge-on-read",
+    )
+    m1 = mt._manifest(spark, v1)
+    assert files0 <= set(m1["files"]) and len(m1["files"]) > len(files0)
+    assert m1["updated_rows"] == 19  # id=10 is dead, not updatable
+    assert m1["rows"] == 99
+    got = {r.id: r.v for r in mt.read(spark).collect()}
+    assert 10 not in got  # the deleted row stayed dead
+    assert got[5] == 2 * 5 + 1000 and got[50] == 100
+    assert len(got) == 99
+
+    assert (
+        mt.update_where(
+            spark, "id = 10", {"v": F.lit(0)}, mode="merge-on-read"
+        )
+        == v1
+    )  # only-dead match: no-op
+    with pytest.raises(ValueError, match="unknown update mode"):
+        mt.update_where(spark, "id = 1", {"v": F.lit(0)}, mode="bogus")
+
+
+def test_apply_cdc_batch_merge_on_read_mode(spark, tmp_path):
+    """The CDC sink in merge-on-read mode: identical net state to
+    copy-on-write apply, but every pre-existing file survives by name
+    (append-only micro-batches) — the pairing for a maybe_compact
+    maintenance schedule."""
+    from yc_yq_airflow_etl_spark.streaming.manifest_sink import apply_cdc_batch
+
+    t = ManifestTable(str(tmp_path / "mtc"), stat_cols=("id",))
+    t.overwrite(_df(spark, 0, 5).coalesce(1))
+    files0 = set(t._manifest(spark, t.current_version(spark))["files"])
+    batch = spark.createDataFrame(
+        [(1, 111, 1, "U"), (2, 0, 1, "D"), (9, 900, 1, "I")],
+        "id long, v long, seq int, op string",
+    )
+    assert apply_cdc_batch(
+        t, batch, 1, key="id", order_col="seq", mode="merge-on-read"
+    )
+    m = t._manifest(spark, t.current_version(spark))
+    assert files0 <= set(m["files"])
+    got = {r.id: r.v for r in t.read(spark).collect()}
+    assert got[1] == 111 and got[9] == 900 and 2 not in got
+    assert len(got) == 5 and m["rows"] == 5
+
+
+def test_maybe_compact_triggers_on_dv_debt(spark, tmp_path):
+    """The maintenance policy fires on deletion-vector debt, not just
+    file count: a table with few files but >20% dead rows compacts;
+    under both thresholds it does not."""
+    mt = ManifestTable(str(tmp_path / "md"), stat_cols=("id",))
+    mt.overwrite(_ranged(spark, 0, 100))
+    mt.delete_where(spark, "id < 10", mode="merge-on-read")  # 10% dead
+    assert mt.maybe_compact(spark, max_files=64) is None
+    mt.delete_where(spark, "id < 30", mode="merge-on-read")  # 30% dead
+    v = mt.maybe_compact(spark, max_files=64)
+    assert v is not None
+    m = mt._manifest(spark, v)
+    assert "dvs" not in m and m["rows"] == 70
+    assert mt.read(spark).count() == 70
+
+
 def test_plain_append_carries_stream_high_water_mark(spark, tmp_path):
     """A non-streaming append after a streaming batch must NOT drop
     the replay high-water mark (pre-fix it did: last_batch_id was only

@@ -1232,6 +1232,7 @@ class ManifestTable:
         expected_version: int | None = None,
         batch_id: int | None = None,
         delete_keys: DataFrame | None = None,
+        mode: str = "copy-on-write",
     ) -> int:
         """Copy-on-write MERGE (whole-row upsert by ``key``): rows of
         the current snapshot whose key appears in ``updates`` are
@@ -1262,6 +1263,17 @@ class ManifestTable:
         touched and the merge degrades to a full rewrite, still
         correct.
 
+        ``mode="merge-on-read"``: NO file is rewritten at all — the
+        matched keys' current positions become deletion-vector
+        entries and ``updates`` lands as appended files, so a CDC
+        micro-batch costs O(batch) writes regardless of how many
+        files its keys scatter across (copy-on-write costs O(touched
+        files), which for uniformly distributed keys is the whole
+        table). The appended files record stats/bucket sets like any
+        append, so later merges probe them normally; the dead rows
+        are compaction debt surfaced by ``files_table().dv_rows`` and
+        paid down by :meth:`compact` / :meth:`maybe_compact`.
+
         Concurrency is compare-and-swap: the commit validates the
         snapshot is still ``expected_version`` (default: the version
         read at entry) and raises :class:`ConcurrentWriteError`
@@ -1282,6 +1294,11 @@ class ManifestTable:
         m = self._manifest(spark, base)
         stats = m.get("stats", {})
 
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(
+                f"unknown merge mode {mode!r} — "
+                "'copy-on-write' or 'merge-on-read'"
+            )
         if updates.groupBy(key).count().filter("count > 1").limit(1).count():
             raise ValueError(f"updates carry duplicate {key!r} values")
         dk = None
@@ -1361,6 +1378,11 @@ class ManifestTable:
         drop_keys = updates.select(key)
         if dk is not None:
             drop_keys = drop_keys.unionByName(dk)
+        if mode == "merge-on-read":
+            return self._merge_mor(
+                spark, m, base, updates, key, drop_keys,
+                sorted(touched), batch_id,
+            )
         if touched:
             old_rows = self._strip_dvs(
                 spark.read.parquet(
@@ -1410,6 +1432,107 @@ class ManifestTable:
                 {"dvs": carried_dvs}
             )
             return final, rows, extra
+
+        return self._publish(spark, [], 0, "merge", rebase=rebase)
+
+    def _merge_mor(
+        self,
+        spark: SparkSession,
+        m: dict,
+        base: int,
+        updates: DataFrame,
+        key: str,
+        drop_keys: DataFrame,
+        touched: list[str],
+        batch_id: int | None,
+    ) -> int:
+        """Merge-on-read MERGE engine: matched keys' live positions in
+        the (already pruned) candidate files become deletion-vector
+        entries, ``updates`` appends as new files — write cost is
+        O(batch), never O(touched files). The key-to-position lookup
+        is a semi-join of the candidate scan against the batch's keys
+        (left to the planner: the batch side is micro-batch-sized in
+        the CDC loop and broadcasts; AQE picks a shuffle join when it
+        is not)."""
+        from pyspark.sql import functions as F
+
+        expected = m.get("columns")
+        if expected is not None and sorted(updates.columns) != expected:
+            raise ValueError(
+                f"merge updates columns {sorted(updates.columns)} != "
+                f"table columns {expected} — schema evolution goes "
+                "through append, not MERGE"
+            )
+        n_updates = updates.count()
+        per_file: dict[str, int] = {}
+        parts: list[str] = []
+        if touched:
+            reader = spark.read
+            if m.get("evolved"):
+                reader = reader.option("mergeSchema", "true")
+            pos = reader.parquet(
+                *[f"{self.path}/data/{f}" for f in touched]
+            ).select(
+                F.col(key),
+                F.col("_metadata.file_name").alias("_f"),
+                F.col("_metadata.row_index").alias("_pos"),
+            )
+            existing = self._dv_frame(spark, m, touched)
+            if existing is not None:
+                pos = pos.join(
+                    F.broadcast(existing), ["_f", "_pos"], "left_anti"
+                )
+            dead = pos.join(drop_keys, on=key, how="left_semi").select(
+                "_f", "_pos"
+            )
+            per_file = {
+                r["_f"]: int(r["n"])
+                for r in dead.groupBy("_f")
+                .agg(F.count("*").alias("n"))
+                .collect()  # bounded by file count — metadata-scale
+            }
+            if per_file:
+                parts, _ = self._write_files(dead, subdir="deletes")
+        n_dead = sum(per_file.values())
+        if not per_file and n_updates == 0:
+            return base  # empty batch: nothing to commit
+
+        new_files: list[str] = []
+        new_stats: dict = {}
+        if n_updates:
+            new_files, _ = self._write_files(updates)
+            new_stats = self._file_stats(spark, new_files)
+        new_dvs = {f: dict(e) for f, e in m.get("dvs", {}).items()}
+        for f, n in per_file.items():
+            e = new_dvs.setdefault(f, {"parts": [], "rows": 0})
+            e["parts"] = list(e["parts"]) + parts
+            e["rows"] = int(e["rows"]) + n
+
+        def rebase() -> tuple[list[str], int, dict]:
+            cur = self.current_version(spark)
+            if cur != base:
+                raise ConcurrentWriteError(
+                    f"merge computed against v{base} but the snapshot is "
+                    f"now v{cur} — re-run the merge on the new base"
+                )
+            extra: dict = {
+                "columns": m.get("columns", sorted(updates.columns))
+            }
+            if m.get("evolved"):
+                extra["evolved"] = True
+            hwm = max(int(m.get("last_batch_id", -1)),
+                      -1 if batch_id is None else int(batch_id))
+            if hwm >= 0:
+                extra["last_batch_id"] = hwm
+            if m.get("stats") or new_stats:
+                extra["stats"] = {**m.get("stats", {}), **new_stats}
+            if new_dvs:
+                extra["dvs"] = new_dvs
+            return (
+                list(m["files"]) + new_files,
+                int(m.get("rows", 0)) - n_dead + n_updates,
+                extra,
+            )
 
         return self._publish(spark, [], 0, "merge", rebase=rebase)
 
@@ -1552,16 +1675,25 @@ class ManifestTable:
         predicate,
         assignments: dict,
         expected_version: int | None = None,
+        mode: str = "copy-on-write",
     ) -> int:
-        """Copy-on-write row-level UPDATE: rows where ``predicate`` is
-        TRUE get ``assignments`` (column name → Column/SQL-string
-        expression, evaluated against the PRE-update row — standard
-        UPDATE semantics, so two assignments can safely swap columns);
-        FALSE/NULL rows pass through byte-identical. Same two-phase
+        """Row-level UPDATE: rows where ``predicate`` is TRUE get
+        ``assignments`` (column name → Column/SQL-string expression,
+        evaluated against the PRE-update row — standard UPDATE
+        semantics, so two assignments can safely swap columns);
+        FALSE/NULL rows pass through byte-identical.
+
+        ``mode="copy-on-write"`` (default): same two-phase
         touched-file shape, no-op contract, row accounting, HWM and
-        CAS rules as :meth:`delete_where` — the only difference is the
-        rewrite keeps the row count (``updated_rows`` is recorded in
-        the manifest instead of ``deleted_rows``)."""
+        CAS rules as :meth:`delete_where` — the only difference is
+        the rewrite keeps the row count (``updated_rows`` is recorded
+        in the manifest instead of ``deleted_rows``).
+
+        ``mode="merge-on-read"``: the matched rows' positions become
+        deletion-vector entries and their TRANSFORMED images append
+        as new files (Iceberg's MOR update = positional delete +
+        insert, in one commit) — write cost O(matched rows), not
+        O(touched files)."""
         from pyspark.sql import functions as F
 
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
@@ -1587,10 +1719,105 @@ class ManifestTable:
                 f"update_where assigns unknown columns {sorted(unknown)} "
                 "(schema evolution goes through append, not UPDATE)"
             )
+        if mode == "merge-on-read":
+            return self._update_mor(
+                spark, pred, transform, expected_version
+            )
+        if mode != "copy-on-write":
+            raise ValueError(
+                f"unknown update mode {mode!r} — "
+                "'copy-on-write' or 'merge-on-read'"
+            )
         return self._cow_rewrite(
             spark, pred, op="update", transform=transform,
             expected_version=expected_version,
         )
+
+    def _update_mor(
+        self, spark: SparkSession, pred, transform, expected_version
+    ) -> int:
+        """Merge-on-read UPDATE engine: one scan finds the LIVE rows
+        matching the predicate (already-dead positions are excluded,
+        so an update can never resurrect a deleted row); their
+        positions land as deletion-vector parts and their transformed
+        images as appended files, atomically. Row count is unchanged
+        by construction."""
+        from pyspark.sql import functions as F
+
+        base = (
+            self.current_version(spark)
+            if expected_version is None
+            else expected_version
+        )
+        if base is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.path}")
+        m = self._manifest(spark, base)
+
+        reader = spark.read
+        if m.get("evolved"):
+            reader = reader.option("mergeSchema", "true")
+        raw = reader.parquet(
+            *[f"{self.path}/data/{f}" for f in m["files"]]
+        )
+        data_cols = raw.columns
+        matched = raw.filter(F.coalesce(pred, F.lit(False))).select(
+            F.col("_metadata.file_name").alias("_f"),
+            F.col("_metadata.row_index").alias("_pos"),
+            *data_cols,
+        )
+        existing = self._dv_frame(spark, m)
+        if existing is not None:
+            matched = matched.join(
+                F.broadcast(existing), ["_f", "_pos"], "left_anti"
+            )
+        per_file = {
+            r["_f"]: int(r["n"])
+            for r in matched.groupBy("_f")
+            .agg(F.count("*").alias("n"))
+            .collect()  # bounded by file count — metadata-scale
+        }
+        if not per_file:
+            return base  # no live row matches: no-op, no commit
+        n_matched = sum(per_file.values())
+        parts, _ = self._write_files(
+            matched.select("_f", "_pos"), subdir="deletes"
+        )
+        new_files, _ = self._write_files(
+            transform(matched.drop("_f", "_pos"))
+        )
+        new_stats = self._file_stats(spark, new_files)
+        new_dvs = {f: dict(e) for f, e in m.get("dvs", {}).items()}
+        for f, n in per_file.items():
+            e = new_dvs.setdefault(f, {"parts": [], "rows": 0})
+            e["parts"] = list(e["parts"]) + parts
+            e["rows"] = int(e["rows"]) + n
+
+        def rebase() -> tuple[list[str], int, dict]:
+            cur = self.current_version(spark)
+            if cur != base:
+                raise ConcurrentWriteError(
+                    f"update computed against v{base} but the snapshot "
+                    f"is now v{cur} — re-run the update on the new base"
+                )
+            extra: dict = {
+                "columns": m.get("columns", sorted(data_cols)),
+                "updated_rows": n_matched,
+                "dvs": new_dvs,
+            }
+            if m.get("evolved"):
+                extra["evolved"] = True
+            if m.get("stats") or new_stats:
+                extra["stats"] = {**m.get("stats", {}), **new_stats}
+            hwm = int(m.get("last_batch_id", -1))
+            if hwm >= 0:
+                extra["last_batch_id"] = hwm
+            return (
+                list(m["files"]) + new_files,
+                int(m.get("rows", 0)),
+                extra,
+            )
+
+        return self._publish(spark, [], 0, "update", rebase=rebase)
 
     def _cow_rewrite(
         self,
@@ -1683,14 +1910,19 @@ class ManifestTable:
         spark: SparkSession,
         max_files: int = 64,
         target_files: int = 8,
+        max_dv_fraction: float = 0.2,
     ) -> int | None:
-        """Small-file maintenance policy: compact only when the live
+        """Small-file maintenance policy: compact when the live
         snapshot references more than ``max_files`` files (a streaming
         sink committing one file per micro-batch crosses this in
-        minutes). The threshold check is one manifest read — metadata
-        only — so this is safe to call after every commit; returns the
-        new version, or None when below threshold. Old files remain
-        until :meth:`vacuum` retires them.
+        minutes) OR when more than ``max_dv_fraction`` of its physical
+        rows are deletion-vector debt (a merge-on-read CDC loop pays
+        nothing per batch but accretes dead rows every reader must
+        anti-join away — compaction materializes them). Both threshold
+        checks are one manifest read — metadata only — so this is safe
+        to call after every commit; returns the new version, or None
+        when below threshold. Old files remain until :meth:`vacuum`
+        retires them.
 
         compact() raises :class:`ConcurrentWriteError` when another
         commit lands mid-rewrite (concurrent appends are the NORM in
@@ -1702,7 +1934,15 @@ class ManifestTable:
             v = self.current_version(spark)
             if v is None:
                 return None
-            if len(self._manifest(spark, v)["files"]) <= max_files:
+            m = self._manifest(spark, v)
+            dead = self._dv_rows(m)
+            live = int(m.get("rows", 0))
+            dv_debt = (
+                dead > 0 and dead / (dead + live) > max_dv_fraction
+                if dead + live > 0
+                else False
+            )
+            if len(m["files"]) <= max_files and not dv_debt:
                 return None
             try:
                 return self.compact(spark, target_files=target_files)

@@ -110,6 +110,7 @@ def apply_cdc_batch(
     order_col: str,
     op_col: str = "op",
     delete_value: str = "D",
+    mode: str = "copy-on-write",
 ) -> bool:
     """Full CDC changelog apply — :func:`upsert_batch` plus DELETE
     rows: the micro-batch carries an ``op_col`` marking each change,
@@ -125,7 +126,14 @@ def apply_cdc_batch(
     that wants it as data should carry a separate column). Same tie
     rejection, replay skip and crash-safety contract as
     :func:`upsert_batch` (which, unlike this, keeps ``order_col`` —
-    its fixture treats the sequence as table data)."""
+    its fixture treats the sequence as table data).
+
+    ``mode="merge-on-read"`` makes every micro-batch APPEND-ONLY
+    (positional deletes + new files, no rewrite — see
+    :meth:`ManifestTable.merge`), the right setting when batch keys
+    scatter across many files; pair it with
+    ``table.maybe_compact(...)`` to pay down the deletion-vector
+    debt on a schedule instead of per batch."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -154,7 +162,9 @@ def apply_cdc_batch(
     upserts = (
         last.filter(F.col(op_col) != delete_value).drop(op_col, order_col)
     )
-    table.merge(upserts, key, batch_id=batch_id, delete_keys=deletes)
+    table.merge(
+        upserts, key, batch_id=batch_id, delete_keys=deletes, mode=mode
+    )
     return True
 
 
@@ -166,6 +176,7 @@ def cdc_stream_to_manifest_table(
     checkpoint: str,
     op_col: str = "op",
     delete_value: str = "D",
+    mode: str = "copy-on-write",
 ) -> StreamingQuery:
     """Start the exactly-once full-CDC-apply query: every micro-batch
     is one atomic merge commit applying its inserts, updates AND
@@ -173,7 +184,7 @@ def cdc_stream_to_manifest_table(
     return (
         stream.writeStream.foreachBatch(
             lambda df, bid: apply_cdc_batch(
-                table, df, bid, key, order_col, op_col, delete_value
+                table, df, bid, key, order_col, op_col, delete_value, mode
             )
         )
         .option("checkpointLocation", checkpoint)
