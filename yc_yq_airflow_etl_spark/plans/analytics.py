@@ -2611,10 +2611,11 @@ def ensure_manifest_stats_demo(spark: SparkSession, sf_dir: str) -> str:
 
     def _demo_complete() -> bool:
         # completion sentinel: the LIVE snapshot holds the 4 quartile
-        # files with l_orderkey ranges recorded. Checking content (not
-        # a literal version number) means a crashed partial build is
-        # rebuilt exactly once and a healthy table — whatever version
-        # the overwrite+appends landed on — is never rebuilt again.
+        # files with l_orderkey ranges recorded AND the merge-on-read
+        # delete's deletion vectors attached. Checking content (not a
+        # literal version number) means a crashed partial build — or a
+        # table built by an older fixture without the DV step — is
+        # rebuilt exactly once and a healthy table is never rebuilt.
         v = mt.current_version(spark)
         if v is None:
             return False
@@ -2624,8 +2625,10 @@ def ensure_manifest_stats_demo(spark: SparkSession, sf_dir: str) -> str:
             return False
         files = m.get("files", [])
         stats = m.get("stats", {})
-        return len(files) == 4 and all(
-            stats.get(f, {}).get("l_orderkey") for f in files
+        return (
+            len(files) == 4
+            and all(stats.get(f, {}).get("l_orderkey") for f in files)
+            and bool(m.get("dvs"))
         )
 
     if not _demo_complete():
@@ -2639,19 +2642,30 @@ def ensure_manifest_stats_demo(spark: SparkSession, sf_dir: str) -> str:
         mt.append(li.filter((ok > b1) & (ok <= b2)).coalesce(1))
         mt.append(li.filter((ok > b2) & (ok <= b3)).coalesce(1))
         mt.append(li.filter(ok > b3).coalesce(1))
+        # merge-on-read DELETE of ~10% of rows (TPC-H quantity is
+        # 1..50): positions become deletion vectors, the 4 quartile
+        # files stay BY NAME — the pruned-scan query pins both the
+        # unchanged layout and the subtracted rows against the oracle
+        mt.delete_where(spark, "l_quantity > 45", mode="merge-on-read")
     _MANIFEST_STATS_DEMO_CACHE[key] = path
     return path
 
 
 def manifest_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Manifest-level data skipping made driver-checkable: a range
-    probe against the stats-enabled manifest table must (a) keep
-    exactly ONE of the four files — the kept-file count is emitted AS
-    DATA and pinned by the oracle's literal — and (b) aggregate to the
-    same rows/sum the oracle computes from raw lineitem with the same
-    predicate. This is the file-granularity layer of the skipping
-    stack (manifest stats → parquet row-group stats → predicate),
-    complementing zorder_pruned_scan which pins the row-group layer.
+    """Manifest-level data skipping + merge-on-read deletes made
+    driver-checkable: a range probe against the stats-enabled manifest
+    table must (a) keep exactly ONE of the four files — the kept-file
+    count is emitted AS DATA and pinned by the oracle's literal — (b)
+    still reference 4 files after the fixture's merge-on-read DELETE
+    (deletion vectors rewrite NOTHING — the literal 4 pins the
+    append-only property), and (c) aggregate to the rows/sum the
+    oracle computes from raw lineitem with the probe predicate AND the
+    delete predicate's complement — proving the pruned scan subtracts
+    the deletion-vector positions exactly. n_dead pins the recorded
+    DV row accounting against the oracle's recount. This is the
+    file-granularity layer of the skipping stack (manifest stats →
+    parquet row-group stats → predicate), complementing
+    zorder_pruned_scan which pins the row-group layer.
 
     The probe bounds derive from max(l_orderkey) by integer division
     on BOTH sides, so the query is deterministic at any SF."""
@@ -2666,6 +2680,7 @@ def manifest_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = m // 10, m // 5
     manifest = mt._manifest(spark, mt.current_version(spark))
     kept = mt.pruned_files(spark, "l_orderkey", lo, hi)
+    n_dead = sum(int(e["rows"]) for e in manifest.get("dvs", {}).values())
     return (
         mt.read_where(spark, "l_orderkey", lo, hi)
         .agg(
@@ -2677,6 +2692,7 @@ def manifest_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(len(kept)).alias("n_files_kept"),
             "n_rows",
             "sum_qty",
+            F.lit(n_dead).cast("bigint").alias("n_dead"),
         )
     )
 
@@ -2685,8 +2701,10 @@ MANIFEST_STATS_PRUNED_ORACLE = """
 WITH b AS (SELECT max(l_orderkey) AS m FROM lineitem)
 SELECT 4 AS n_files_total,
        1 AS n_files_kept,
-       count(*) AS n_rows,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       count(*) FILTER (WHERE l_quantity <= 45) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+            FILTER (WHERE l_quantity <= 45) AS DOUBLE) AS sum_qty,
+       (SELECT count(*) FROM lineitem WHERE l_quantity > 45) AS n_dead
 FROM lineitem, b
 WHERE l_orderkey >= m // 10 AND l_orderkey <= m // 5
 """
