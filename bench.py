@@ -249,6 +249,56 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Merge-mode comparison: the SAME scattered-key CDC batch applied
+    # copy-on-write vs merge-on-read against identical 32-file tables
+    # whose key ranges interleave (ingest order — every file's
+    # [min,max] spans the domain, so touched-file pruning keeps
+    # everything and COW degenerates to a near-full rewrite; this is
+    # the uniform-key CDC shape the MOR path exists for). Recorded:
+    # wall per mode, files rewritten (COW) vs appended (MOR), and the
+    # MOR read-back wall — the read tax the deletion vectors charge
+    # until maybe_compact pays the debt down.
+    from yc_yq_airflow_etl_spark.plans.analytics import load_testdata
+    from yc_yq_airflow_etl_spark.sources.manifest import ManifestTable
+
+    orders_slim = (
+        load_testdata(spark, sf_dir)["orders"]
+        .select("o_orderkey", "o_totalprice")
+        .repartition(32)  # ingest-ordered: ranges interleave
+    )
+    batch = (
+        load_testdata(spark, sf_dir)["orders"]
+        .filter(F.col("o_orderkey") % 997 == 0)  # ~1/1000 of keys,
+        # uniformly scattered across every file
+        .select("o_orderkey", (F.col("o_totalprice") * 0).alias("o_totalprice"))
+    )
+    n_keys = batch.count()
+    mm: dict = {"n_keys": n_keys, "n_files": 32}
+    for mode, tag in (("copy-on-write", "cow"), ("merge-on-read", "mor")):
+        mt = ManifestTable(
+            f"{workdir}/merge_{tag}", stat_cols=("o_orderkey",)
+        )
+        mt.overwrite(orders_slim)
+        before = set(mt._manifest(spark, mt.current_version(spark))["files"])
+        t0 = time.time()
+        v = mt.merge(batch, "o_orderkey", mode=mode)
+        mm[f"t_{tag}"] = round(time.time() - t0, 3)
+        after = set(mt._manifest(spark, v)["files"])
+        if tag == "cow":
+            mm["files_rewritten_cow"] = len(before - after)
+        else:
+            mm["files_appended_mor"] = len(after - before)
+            t0 = time.time()
+            assert mt.read(spark).count() > 0
+            mm["t_mor_read"] = round(time.time() - t0, 3)
+    print(
+        f"# merge-mode compare ({n_keys} scattered keys over 32 files): "
+        f"cow {mm['t_cow']}s rewriting {mm['files_rewritten_cow']} files, "
+        f"mor {mm['t_mor']}s appending {mm['files_appended_mor']}, "
+        f"mor read-back {mm['t_mor_read']}s",
+        file=sys.stderr,
+    )
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     out = {
         "metric": "headline_queries_total_wall",
@@ -258,6 +308,7 @@ def main() -> None:
         "structure": structure,
         "steady_state": steady,
         "sf": float(sf) if sf else None,
+        "merge_mode_compare": mm,
     }
 
     # 10x scale datapoint for the dedup/ANN family: blow documents/
@@ -490,6 +541,12 @@ def main() -> None:
         "n_queries_total": len(timings),
         "sf": out["sf"],
         "detail_file": "bench_structure.json",
+        "merge_mode": {
+            "t_cow": mm["t_cow"],
+            "t_mor": mm["t_mor"],
+            "files_rewritten_cow": mm["files_rewritten_cow"],
+            "files_appended_mor": mm["files_appended_mor"],
+        },
     }
     if "scale_check" in out:
         keep = ("ratio_vs_1x", "t_10x_steady", "cc_rounds")
