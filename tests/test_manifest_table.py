@@ -848,6 +848,51 @@ def test_maybe_compact_triggers_on_dv_debt(spark, tmp_path):
     assert mt.read(spark).count() == 70
 
 
+def test_mor_ops_cas_conflict_on_stale_base(spark, tmp_path):
+    """Both MOR engines are compare-and-swap guarded like their COW
+    twins: computed against a base the table has moved past, they
+    raise instead of committing deletion vectors whose positions were
+    resolved on a stale snapshot (a concurrent compaction renames
+    every file — stale positions would point at retired names and
+    silently delete nothing)."""
+    from yc_yq_airflow_etl_spark.sources.manifest import ConcurrentWriteError
+
+    mt = ManifestTable(str(tmp_path / "cas"), stat_cols=("id",))
+    mt.overwrite(_df(spark, 0, 50).coalesce(1))
+    v0 = mt.current_version(spark)
+    mt.append(_df(spark, 50, 60).coalesce(1))  # base moves
+
+    with pytest.raises(ConcurrentWriteError):
+        mt.delete_where(
+            spark, "id = 1", mode="merge-on-read", expected_version=v0
+        )
+    with pytest.raises(ConcurrentWriteError):
+        mt.update_where(
+            spark, "id = 1", {"v": F.lit(0)},
+            mode="merge-on-read", expected_version=v0,
+        )
+    with pytest.raises(ConcurrentWriteError):
+        mt.merge(
+            spark.createDataFrame([(1, -1)], ["id", "v"]),
+            "id", mode="merge-on-read", expected_version=v0,
+        )
+    # nothing committed by the failed attempts
+    assert mt.read(spark).count() == 60
+
+
+def test_dv_read_plan_broadcasts_the_anti_join(spark, tmp_path):
+    """Scale shape of the DV read path: the deletion-vector subtract
+    must plan as a BROADCAST anti-join (DV side is metadata-scale) —
+    a SortMergeJoin here would shuffle the entire table scan on every
+    read, turning a metadata feature into a full-table tax."""
+    mt = ManifestTable(str(tmp_path / "plan"), stat_cols=("id",))
+    mt.overwrite(_df(spark, 0, 1000).coalesce(4))
+    mt.delete_where(spark, "id % 100 = 3", mode="merge-on-read")
+    plan = mt.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_plain_append_carries_stream_high_water_mark(spark, tmp_path):
     """A non-streaming append after a streaming batch must NOT drop
     the replay high-water mark (pre-fix it did: last_batch_id was only
@@ -1343,11 +1388,13 @@ def test_apply_cdc_batch_fold_property(spark, tmp_path_factory, changes):
 
 
 # op encoding for the CDF fold property: each element of the list is
-# (is_merge, key_lo, n_keys) over a tiny integer key space, so random
-# sequences interleave appends (new files) and COW merges (rewrites).
+# (op_kind, key_lo, n_keys) over a tiny integer key space, so random
+# sequences interleave appends (new files), COW merges (rewrites),
+# MOR merges (append + deletion vectors) and MOR deletes (DV-only
+# commits — the case where the file list does not change at all).
 _cdf_ops = st.lists(
     st.tuples(
-        st.booleans(),
+        st.integers(min_value=0, max_value=3),
         st.integers(min_value=0, max_value=30),
         st.integers(min_value=1, max_value=6),
     ),
@@ -1367,25 +1414,38 @@ _cdf_ops = st.lists(
 @given(ops=_cdf_ops)
 def test_table_changes_fold_property(spark, tmp_path_factory, ops):
     """Model-based CDF invariant: for EVERY consecutive version pair
-    produced by a random append/merge sequence, applying the change
-    feed to the older snapshot reproduces the newer one exactly —
-    (v_i ∖ deletes) ⊎ inserts ≡ v_{i+1} as multisets. This is the
-    contract an incremental consumer relies on, checked across
-    arbitrary interleavings rather than the one merge the query pins."""
+    produced by a random append/COW-merge/MOR-merge/MOR-delete
+    sequence, applying the change feed to the older snapshot
+    reproduces the newer one exactly — (v_i ∖ deletes) ⊎ inserts ≡
+    v_{i+1} as multisets. This is the contract an incremental
+    consumer relies on, checked across arbitrary interleavings
+    (including DV-only commits, where no file is added or removed and
+    the diff is carried entirely by deletion-vector entries)."""
     tmp_path = tmp_path_factory.mktemp("cdfprop")
     mt = ManifestTable(str(tmp_path / "t"), stat_cols=("id",))
     mt.overwrite(_df(spark, 0, 10).coalesce(1))
 
     versions = [mt.current_version(spark)]
-    for seq, (is_merge, lo, n) in enumerate(ops):
+    for seq, (kind, lo, n) in enumerate(ops):
         batch = spark.range(lo, lo + n).select(
             F.col("id"), (F.col("id") * 100 + seq).alias("v")
         )
-        if is_merge:
-            mt.merge(batch, "id")
-        else:
+        if kind == 0:
             mt.append(batch.coalesce(1))
-        versions.append(mt.current_version(spark))
+        elif kind == 1:
+            mt.merge(batch, "id")
+        elif kind == 2:
+            mt.merge(batch, "id", mode="merge-on-read")
+        else:
+            # MOR delete may be a no-op (no live match): no version
+            mt.delete_where(
+                spark,
+                f"id >= {lo} and id < {lo + n}",
+                mode="merge-on-read",
+            )
+        v = mt.current_version(spark)
+        if v != versions[-1]:
+            versions.append(v)
 
     def snap(v):
         return Counter(
