@@ -274,6 +274,14 @@ def main() -> None:
     )
     n_keys = batch.count()
     mm: dict = {"n_keys": n_keys, "n_files": 32}
+
+    def _dir_bytes(path: str, names) -> int:
+        return sum(
+            os.path.getsize(os.path.join(path, n))
+            for n in names
+            if os.path.exists(os.path.join(path, n))
+        )
+
     for mode, tag in (("copy-on-write", "cow"), ("merge-on-read", "mor")):
         mt = ManifestTable(
             f"{workdir}/merge_{tag}", stat_cols=("o_orderkey",)
@@ -283,18 +291,37 @@ def main() -> None:
         t0 = time.time()
         v = mt.merge(batch, "o_orderkey", mode=mode)
         mm[f"t_{tag}"] = round(time.time() - t0, 3)
-        after = set(mt._manifest(spark, v)["files"])
+        m_after = mt._manifest(spark, v)
+        after = set(m_after["files"])
+        # bytes written is the scale-proportional cost (the walls are
+        # fixed-overhead-bound at bench SF): COW writes the touched
+        # files' full content back, MOR only the batch + positions
+        new_bytes = _dir_bytes(f"{mt.path}/data", after - before)
         if tag == "cow":
             mm["files_rewritten_cow"] = len(before - after)
+            mm["bytes_written_cow"] = new_bytes
         else:
+            dv_parts = {
+                p
+                for e in m_after.get("dvs", {}).values()
+                for p in e["parts"]
+            }
             mm["files_appended_mor"] = len(after - before)
+            mm["bytes_written_mor"] = new_bytes + _dir_bytes(
+                f"{mt.path}/deletes", dv_parts
+            )
             t0 = time.time()
             assert mt.read(spark).count() > 0
             mm["t_mor_read"] = round(time.time() - t0, 3)
+    mm["write_amplification_cow_vs_mor"] = round(
+        mm["bytes_written_cow"] / max(mm["bytes_written_mor"], 1), 1
+    )
     print(
         f"# merge-mode compare ({n_keys} scattered keys over 32 files): "
-        f"cow {mm['t_cow']}s rewriting {mm['files_rewritten_cow']} files, "
-        f"mor {mm['t_mor']}s appending {mm['files_appended_mor']}, "
+        f"cow {mm['t_cow']}s rewriting {mm['files_rewritten_cow']} files "
+        f"({mm['bytes_written_cow']}B), mor {mm['t_mor']}s appending "
+        f"{mm['files_appended_mor']} ({mm['bytes_written_mor']}B, "
+        f"{mm['write_amplification_cow_vs_mor']}x less), "
         f"mor read-back {mm['t_mor_read']}s",
         file=sys.stderr,
     )
@@ -546,6 +573,7 @@ def main() -> None:
             "t_mor": mm["t_mor"],
             "files_rewritten_cow": mm["files_rewritten_cow"],
             "files_appended_mor": mm["files_appended_mor"],
+            "write_amp": mm["write_amplification_cow_vs_mor"],
         },
     }
     if "scale_check" in out:

@@ -469,6 +469,7 @@ class ManifestTable:
         df = self._strip_dvs(
             spark.read.parquet(*[f"{self.path}/data/{f}" for f in files]),
             self._dv_frame(spark, m, files),
+            self._dv_rows(m, files),
         )
         return df.filter(F.col(col).isNull())
 
@@ -485,6 +486,7 @@ class ManifestTable:
         df = self._strip_dvs(
             spark.read.parquet(*[f"{self.path}/data/{f}" for f in files]),
             self._dv_frame(spark, m, files),
+            self._dv_rows(m, files),
         )
         return df.filter(F.col(col) == value)
 
@@ -904,7 +906,9 @@ class ManifestTable:
         df = reader.parquet(
             *[f"{self.path}/data/{f}" for f in manifest["files"]]
         )
-        return self._strip_dvs(df, self._dv_frame(spark, manifest))
+        return self._strip_dvs(
+            df, self._dv_frame(spark, manifest), self._dv_rows(manifest)
+        )
 
     # -- deletion vectors (merge-on-read DELETE) -------------------------
     #
@@ -943,18 +947,37 @@ class ManifestTable:
             .distinct()
         )
 
-    def _strip_dvs(self, df: DataFrame, dv: DataFrame | None) -> DataFrame:
+    # Above this many dead rows the DV frame stops being broadcast:
+    # ~24 bytes/pair puts 20M pairs at ~500 MB on every executor, past
+    # sane broadcast budgets. The exact count is manifest metadata, so
+    # the decision costs nothing; past the bound the anti-join falls
+    # back to the planner (AQE shuffle join) — a table THAT far into
+    # DV debt should have been compacted (maybe_compact's
+    # max_dv_fraction exists precisely so reads never get here).
+    _DV_BROADCAST_MAX_ROWS = 20_000_000
+
+    def _strip_dvs(
+        self, df: DataFrame, dv: DataFrame | None, n_dead: int = 0
+    ) -> DataFrame:
         """Subtract deletion-vector positions from a raw file scan.
-        The DV side is metadata-scale (dead positions, not data) —
-        broadcast, so the scan side never shuffles."""
+        The DV side is normally metadata-scale (dead positions, not
+        data) and broadcasts so the scan side never shuffles;
+        ``n_dead`` (the manifest's recorded dead-row total for the
+        files being read) drops the broadcast hint past the bound
+        above."""
         if dv is None:
             return df
         from pyspark.sql import functions as F
 
+        right = (
+            F.broadcast(dv)
+            if n_dead <= self._DV_BROADCAST_MAX_ROWS
+            else dv
+        )
         return (
             df.withColumn("_f", F.col("_metadata.file_name"))
             .withColumn("_pos", F.col("_metadata.row_index"))
-            .join(F.broadcast(dv), ["_f", "_pos"], "left_anti")
+            .join(right, ["_f", "_pos"], "left_anti")
             .drop("_f", "_pos")
         )
 
@@ -1075,6 +1098,7 @@ class ManifestTable:
                     *[f"{self.path}/data/{f}" for f in names]
                 ),
                 self._dv_frame(spark, m, names),
+                self._dv_rows(m, names),
             )
 
         old, new = _read(removed, mf), _read(added, mt_)
@@ -1222,6 +1246,7 @@ class ManifestTable:
         df = self._strip_dvs(
             spark.read.parquet(*[f"{self.path}/data/{f}" for f in files]),
             self._dv_frame(spark, m, files),
+            self._dv_rows(m, files),
         )
         return df.filter((F.col(col) >= lo) & (F.col(col) <= hi))
 
@@ -1389,6 +1414,7 @@ class ManifestTable:
                     *[f"{self.path}/data/{f}" for f in sorted(touched)]
                 ),
                 self._dv_frame(spark, m, sorted(touched)),
+                self._dv_rows(m, sorted(touched)),
             )
             new_data = old_rows.join(
                 drop_keys, on=key, how="left_anti"
@@ -1480,7 +1506,12 @@ class ManifestTable:
             existing = self._dv_frame(spark, m, touched)
             if existing is not None:
                 pos = pos.join(
-                    F.broadcast(existing), ["_f", "_pos"], "left_anti"
+                    F.broadcast(existing)
+                    if self._dv_rows(m, touched)
+                    <= self._DV_BROADCAST_MAX_ROWS
+                    else existing,
+                    ["_f", "_pos"],
+                    "left_anti",
                 )
             dead = pos.join(drop_keys, on=key, how="left_semi").select(
                 "_f", "_pos"
@@ -1623,7 +1654,13 @@ class ManifestTable:
         )
         existing = self._dv_frame(spark, m)
         if existing is not None:
-            hit = hit.join(F.broadcast(existing), ["_f", "_pos"], "left_anti")
+            hit = hit.join(
+                F.broadcast(existing)
+                if self._dv_rows(m) <= self._DV_BROADCAST_MAX_ROWS
+                else existing,
+                ["_f", "_pos"],
+                "left_anti",
+            )
         per_file = {
             r["_f"]: int(r["n"])
             for r in hit.groupBy("_f").agg(F.count("*").alias("n")).collect()
@@ -1768,7 +1805,11 @@ class ManifestTable:
         existing = self._dv_frame(spark, m)
         if existing is not None:
             matched = matched.join(
-                F.broadcast(existing), ["_f", "_pos"], "left_anti"
+                F.broadcast(existing)
+                if self._dv_rows(m) <= self._DV_BROADCAST_MAX_ROWS
+                else existing,
+                ["_f", "_pos"],
+                "left_anti",
             )
         per_file = {
             r["_f"]: int(r["n"])
@@ -1863,6 +1904,7 @@ class ManifestTable:
                 *[f"{self.path}/data/{f}" for f in sorted(touched)]
             ),
             self._dv_frame(spark, m, sorted(touched)),
+            self._dv_rows(m, sorted(touched)),
         )
         touched_before = old_rows.count()
         matched = old_rows.filter(F.coalesce(pred, F.lit(False))).count()
