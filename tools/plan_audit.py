@@ -377,8 +377,14 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
          r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_orderkey"),
         ("aggregate partial before the single-row exchange",
          r"partial_(sum|count)"),
-        ("read pruned to the two referenced columns",
-         r"ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+        # the deletion-vector subtract adds only the generated
+        # row-index metadata column to the scan — data columns stay
+        # pruned to the two referenced ones
+        ("read pruned to the two referenced columns (+ row index)",
+         r"ReadSchema: struct<l_orderkey:bigint,l_quantity:double"),
+        ("DV positions applied as a broadcast anti-join",
+         r"BroadcastHashJoin.*LeftAnti"),
+        ("DV subtract never shuffles the scan side", "!SortMergeJoin"),
     ],
     "q21_waiting_suppliers": [
         ("status filter pushed to the orders scan",

@@ -42,10 +42,20 @@ merely "a file exists". The reference's ``max_active_runs=1``
 schedule (yq_dag.py:105) makes single-writer the common case; the
 guard makes the concurrent case safe rather than assumed away.
 
+Row-level mutation comes in both industry shapes: COPY-ON-WRITE
+(touched files rewritten without their dead rows — read-optimal) and
+MERGE-ON-READ (the dead rows' (file, row_index) positions land as
+deletion-vector parts under deletes/ and readers subtract them with a
+broadcast anti-join — write-optimal, O(batch) per CDC commit). Any
+rewrite of a file materializes its deletes; ``maybe_compact`` pays
+the accumulated DV debt down on a threshold.
+
 Layout::
 
     <path>/data/<uuid>.parquet      immutable data files
-    <path>/_manifests/v{N}.json     {"files": [...], "rows": R, ...}
+    <path>/deletes/<uuid>.parquet   deletion-vector parts (_f, _pos)
+    <path>/_manifests/v{N}.json     {"files": [...], "rows": R,
+                                     "dvs": {file: {parts, rows}}, ...}
 
 Reference: the reference pipeline's idempotency contract
 (yq_dag.py:16-19 delete-prefix-then-insert) is subsumed — re-running a
