@@ -848,6 +848,39 @@ def test_maybe_compact_triggers_on_dv_debt(spark, tmp_path):
     assert mt.read(spark).count() == 70
 
 
+def test_cow_rewrite_on_dv_table(spark, tmp_path):
+    """Regression: COW DELETE/UPDATE on a table carrying deletion
+    vectors. Touched-file detection must read raw files (pre-fix,
+    input_file_name() over the DV-applied read was a multi-source
+    expression Spark rejects), must NOT count a file whose only
+    predicate matches are already-dead rows, and the rewrite keeps
+    dead rows dead."""
+    mt = ManifestTable(str(tmp_path / "cowdv"), stat_cols=("id",))
+    mt.overwrite(_ranged(spark, 0, 100))
+    mt.append(_ranged(spark, 100, 200))
+    mt.delete_where(spark, "id in (5, 150)", mode="merge-on-read")
+    v_dv = mt.current_version(spark)
+
+    # predicate matching ONLY dead rows: no file touched, no commit
+    assert mt.delete_where(spark, "id = 5") == v_dv
+
+    # COW delete on the DV'd table: id=7 lives in file A (which also
+    # carries dead id=5) — rewrite materializes A's deletes
+    v = mt.delete_where(spark, "id = 7")
+    m = mt._manifest(spark, v)
+    assert m["deleted_rows"] == 1 and m["rows"] == 197
+    got = {r.id for r in mt.read(spark).collect()}
+    assert 5 not in got and 7 not in got and 150 not in got
+    assert len(got) == 197
+    assert len(m.get("dvs", {})) == 1  # file B's entry carried
+
+    # COW update on the same table: dead rows not resurrected
+    v2 = mt.update_where(spark, "id < 10", {"v": F.lit(-1)})
+    got = {r.id: r.v for r in mt.read(spark).collect()}
+    assert got[3] == -1 and 5 not in got
+    assert mt._manifest(spark, v2)["updated_rows"] == 8  # 0-9 minus 5,7
+
+
 def test_mor_ops_cas_conflict_on_stale_base(spark, tmp_path):
     """Both MOR engines are compare-and-swap guarded like their COW
     twins: computed against a base the table has moved past, they

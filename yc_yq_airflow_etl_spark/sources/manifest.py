@@ -1894,14 +1894,39 @@ class ManifestTable:
         m = self._manifest(spark, base)
         stats = m.get("stats", {})
 
-        snap = self.read(spark, version=base)
+        # touched-file detection reads the RAW files with the hidden
+        # _metadata columns and subtracts deletion vectors BEFORE the
+        # predicate: input_file_name() on the DV-applied read() would
+        # be a multi-source expression (scan ⋈ DV parquet — Spark
+        # rejects it), and a file whose only matches are already-dead
+        # rows must not trigger a rewrite
+        find_reader = spark.read
+        if m.get("evolved"):
+            find_reader = find_reader.option("mergeSchema", "true")
+        finder = find_reader.parquet(
+            *[f"{self.path}/data/{f}" for f in m["files"]]
+        )
+        finder = finder.select(
+            F.col("_metadata.file_name").alias("_f"),
+            F.col("_metadata.row_index").alias("_pos"),
+            *finder.columns,
+        )
+        dv_all = self._dv_frame(spark, m)
+        if dv_all is not None:
+            finder = finder.join(
+                F.broadcast(dv_all)
+                if self._dv_rows(m) <= self._DV_BROADCAST_MAX_ROWS
+                else dv_all,
+                ["_f", "_pos"],
+                "left_anti",
+            )
         hit_files = (
-            snap.filter(pred)
-            .select(F.input_file_name().alias("_f"))
+            finder.filter(pred)
+            .select("_f")
             .distinct()
             .collect()  # bounded by file count — metadata-scale
         )
-        touched = {r._f.rstrip("/").split("/")[-1] for r in hit_files}
+        touched = {r._f for r in hit_files}
         if not touched:
             return base
         untouched = [f for f in m["files"] if f not in touched]
@@ -1931,7 +1956,9 @@ class ManifestTable:
                     f"{op} computed against v{base} but the snapshot is "
                     f"now v{cur} — re-run the {op} on the new base"
                 )
-            extra: dict = {"columns": m.get("columns", sorted(snap.columns))}
+            extra: dict = {
+                "columns": m.get("columns", sorted(old_rows.columns))
+            }
             if op == "delete":
                 extra["deleted_rows"] = matched
             else:
