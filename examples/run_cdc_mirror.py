@@ -25,6 +25,10 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F
 
 from yc_yq_airflow_etl_spark.catalog import load_testdata
+from yc_yq_airflow_etl_spark.operators.incremental import (
+    fold_changes_into_view,
+    view_from_snapshot,
+)
 from yc_yq_airflow_etl_spark.session import build_session
 from yc_yq_airflow_etl_spark.sources.manifest import ManifestTable
 from yc_yq_airflow_etl_spark.streaming.manifest_sink import apply_cdc_batch
@@ -48,6 +52,14 @@ def main() -> None:
         f"bootstrap: {mirror.read(spark).count()} rows in 16 files "
         f"(v{mirror.current_version(spark)})"
     )
+
+    # downstream consumer: a per-customer revenue view maintained from
+    # the change feed — bootstrapped once, then refreshed at O(churn)
+    # per day via the signed retraction fold (never a full recompute)
+    view = view_from_snapshot(
+        mirror.read(spark), ["o_custkey"], ["o_totalprice"]
+    ).localCheckpoint()
+    consumed_v = mirror.current_version(spark)
 
     # three synthetic changelog batches over scattered keys: updates
     # (price change), inserts (new keys), deletes — op + seq are
@@ -95,6 +107,24 @@ def main() -> None:
             mirror, batch, day, key="o_orderkey", order_col="seq",
             mode="merge-on-read",
         )
+        # refresh the downstream view from the change feed alone
+        new_v = mirror.current_version(spark)
+        view = fold_changes_into_view(
+            view,
+            mirror.table_changes(spark, consumed_v, new_v),
+            ["o_custkey"],
+            ["o_totalprice"],
+        ).localCheckpoint()  # cut the lineage between refreshes
+        consumed_v = new_v
+        full = view_from_snapshot(
+            mirror.read(spark), ["o_custkey"], ["o_totalprice"]
+        )
+        diff = view.exceptAll(full).count() + full.exceptAll(view).count()
+        print(
+            f"  view refresh: {view.count()} customer rows, "
+            f"diff vs full recompute = {diff}"
+        )
+        assert diff == 0
 
     # maintenance: compact when DV debt or file count crosses policy
     v = mirror.maybe_compact(spark, max_files=20, max_dv_fraction=0.001)
