@@ -848,6 +848,24 @@ def test_maybe_compact_triggers_on_dv_debt(spark, tmp_path):
     assert mt.read(spark).count() == 70
 
 
+def test_vacuum_cleans_orphaned_dv_parts(spark, tmp_path):
+    """A writer crashing between staging DV parts and publishing the
+    manifest leaves orphans under deletes/ that no snapshot
+    references — vacuum must retire them while keeping every live DV
+    part byte-complete."""
+    mt = ManifestTable(str(tmp_path / "orph"), stat_cols=("id",))
+    mt.overwrite(_ranged(spark, 0, 50))
+    mt.delete_where(spark, "id = 3", mode="merge-on-read")  # live DV
+    # simulate the crash: parts staged, no manifest published
+    orphan_parts, _ = mt._write_files(
+        spark.createDataFrame([("zzz.parquet", 0)], "_f string, _pos long"),
+        subdir="deletes",
+    )
+    removed = mt.vacuum(spark, keep_versions=10)  # keep all manifests
+    assert set(removed) == {f"deletes/{p}" for p in orphan_parts}
+    assert mt.read(spark).count() == 49  # live DV still applied
+
+
 def test_cow_rewrite_on_dv_table(spark, tmp_path):
     """Regression: COW DELETE/UPDATE on a table carrying deletion
     vectors. Touched-file detection must read raw files (pre-fix,
