@@ -2444,41 +2444,53 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 
 def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental materialized-aggregate maintenance: the pattern
-    that replaces full recomputes at 100 TB. The stored state is the
-    PARTIAL aggregate of the already-ingested base slice (orders
-    before 1998, one (year, status) row each — count and an exact
-    DECIMAL sum, both algebraic: mergeable by addition without seeing
-    old rows again); a delta batch (1998) folds in by aggregating ONLY
-    its own rows and merging states. The delta pass therefore scans
-    |delta|, not |base| — at a 100 TB history with a daily delta
-    that is the whole point — and the result is pinned equal to the
-    oracle's full recompute over base+delta. The mergeable-sketch
-    stores (operators/sketches.py) are the approximate twin of this
+    """Incremental materialized-aggregate maintenance WITH retraction:
+    the pattern that replaces full recomputes at 100 TB. The stored
+    state is the PARTIAL aggregate of the already-ingested base slice
+    (orders before 1998 — count and an exact DECIMAL sum per (year,
+    status), both algebraic: mergeable by addition without seeing old
+    rows again). The refresh then folds a CHANGE FEED, not just an
+    insert delta: 1998's orders arrive as inserts AND every base
+    order with o_orderkey % 10 == 3 is retracted as a delete (the
+    shape a CDC-mirrored table's ``table_changes`` emits — see
+    ``operators/incremental.fold_changes_into_view``, which this
+    query pins under the oracle: +1/-1 signed deltas, DECIMAL-exact,
+    O(churn) per refresh). The oracle recomputes the same view from
+    scratch over (base ∖ deletes) ⊎ inserts — matching values prove
+    the fold equals the full recompute. The mergeable-sketch stores
+    (operators/sketches.py) are the approximate twin of this
     exact-aggregate pattern."""
+    from ..operators.incremental import (
+        fold_changes_into_view,
+        view_from_snapshot,
+    )
+
     t = load_testdata(spark, sf_dir)
     o = t["orders"].select(
         F.year("o_orderdate").cast("int").alias("order_year"),
         "o_orderstatus",
-        _dec("o_totalprice").alias("_price"),
+        _dec("o_totalprice").alias("revenue"),
+        "o_orderkey",
     )
-
-    def partial(df: DataFrame) -> DataFrame:
-        return df.groupBy("order_year", "o_orderstatus").agg(
-            F.count(F.lit(1)).alias("_n"), F.sum("_price").alias("_rev")
-        )
-
-    base_state = partial(o.filter(F.col("order_year") < 1998))
-    delta_state = partial(o.filter(F.col("order_year") >= 1998))
-    return (
-        base_state.unionByName(delta_state)
-        .groupBy("order_year", "o_orderstatus")
-        .agg(
-            F.sum("_n").alias("n_orders"),
-            F.sum("_rev").cast("double").alias("revenue"),
-        )
-        .orderBy("order_year", "o_orderstatus")
+    keys = ["order_year", "o_orderstatus"]
+    state = view_from_snapshot(
+        o.filter(F.col("order_year") < 1998), keys, ["revenue"]
     )
+    inserts = o.filter(F.col("order_year") >= 1998).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    deletes = o.filter(
+        (F.col("order_year") < 1998) & (F.col("o_orderkey") % 10 == 3)
+    ).withColumn("_change_type", F.lit("delete"))
+    folded = fold_changes_into_view(
+        state, inserts.unionByName(deletes), keys, ["revenue"]
+    )
+    return folded.select(
+        "order_year",
+        "o_orderstatus",
+        F.col("_n").alias("n_orders"),
+        F.col("revenue").cast("double").alias("revenue"),
+    ).orderBy("order_year", "o_orderstatus")
 
 
 INCREMENTAL_AGG_ORACLE = """
@@ -2486,6 +2498,7 @@ SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,
        count(*) AS n_orders,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM orders
+WHERE NOT (year(o_orderdate) < 1998 AND o_orderkey % 10 = 3)
 GROUP BY 1, 2 ORDER BY 1, 2
 """
 
