@@ -57,6 +57,7 @@ def upsert_batch(
     batch_id: int,
     key: str,
     order_col: str,
+    mode: str = "copy-on-write",
 ) -> bool:
     """Idempotent CDC upsert of one micro-batch — the changelog-apply
     twin of :func:`commit_batch`: replays are skipped by the same
@@ -98,7 +99,7 @@ def upsert_batch(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    table.merge(last, key, batch_id=batch_id)
+    table.merge(last, key, batch_id=batch_id, mode=mode)
     return True
 
 
@@ -198,13 +199,16 @@ def upsert_stream_to_manifest_table(
     key: str,
     order_col: str,
     checkpoint: str,
+    mode: str = "copy-on-write",
 ) -> StreamingQuery:
     """Start the exactly-once CDC-apply query: every micro-batch is an
     atomic MERGE commit (upsert by ``key``), replays are skipped by
     batch id."""
     return (
         stream.writeStream.foreachBatch(
-            lambda df, bid: upsert_batch(table, df, bid, key, order_col)
+            lambda df, bid: upsert_batch(
+                table, df, bid, key, order_col, mode
+            )
         )
         .option("checkpointLocation", checkpoint)
         .start()
