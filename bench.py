@@ -534,6 +534,61 @@ def main() -> None:
             f"{cand_10x}, pairs {pairs_1x}->{pairs_10x}",
             file=sys.stderr,
         )
+        # merge-mode compare at 10x data, SAME batch: copy-on-write's
+        # bytes written grow with the table (every interleaved file
+        # still overlaps every key), merge-on-read's stay O(batch) —
+        # the pair of write-amplification numbers (1x vs 10x) is the
+        # empirical form of the O(touched-files) vs O(batch) claim.
+        orders_10x = (
+            load_testdata(spark, sf_dir)["orders"]
+            .select("o_orderkey", "o_totalprice")
+            .crossJoin(copies)
+            .select(
+                (F.col("o_orderkey") + F.col("_i") * F.lit(100_000_000))
+                .alias("o_orderkey"),
+                "o_totalprice",
+            )
+            .repartition(32)
+        )
+        mm10: dict = {"n_keys": n_keys, "n_files": 32}
+        for mode, tag in (("copy-on-write", "cow"), ("merge-on-read", "mor")):
+            mt = ManifestTable(
+                f"{workdir}/merge10x_{tag}", stat_cols=("o_orderkey",)
+            )
+            mt.overwrite(orders_10x)
+            before = set(
+                mt._manifest(spark, mt.current_version(spark))["files"]
+            )
+            t0 = time.time()
+            v = mt.merge(batch, "o_orderkey", mode=mode)
+            mm10[f"t_{tag}"] = round(time.time() - t0, 3)
+            m_after = mt._manifest(spark, v)
+            new_bytes = _dir_bytes(
+                f"{mt.path}/data", set(m_after["files"]) - before
+            )
+            if tag == "cow":
+                mm10["bytes_written_cow"] = new_bytes
+            else:
+                dv_parts = {
+                    p
+                    for e in m_after.get("dvs", {}).values()
+                    for p in e["parts"]
+                }
+                mm10["bytes_written_mor"] = new_bytes + _dir_bytes(
+                    f"{mt.path}/deletes", dv_parts
+                )
+        mm10["write_amplification_cow_vs_mor"] = round(
+            mm10["bytes_written_cow"] / max(mm10["bytes_written_mor"], 1), 1
+        )
+        out["merge_mode_compare_10x"] = mm10
+        print(
+            f"# merge-mode compare 10x: cow {mm10['t_cow']}s "
+            f"({mm10['bytes_written_cow']}B), mor {mm10['t_mor']}s "
+            f"({mm10['bytes_written_mor']}B, "
+            f"{mm10['write_amplification_cow_vs_mor']}x less)",
+            file=sys.stderr,
+        )
+
         out["scale_check"] = {
             "factor": factor,
             "base_dir": sf_dir,
@@ -574,6 +629,15 @@ def main() -> None:
             "files_rewritten_cow": mm["files_rewritten_cow"],
             "files_appended_mor": mm["files_appended_mor"],
             "write_amp": mm["write_amplification_cow_vs_mor"],
+            **(
+                {
+                    "write_amp_10x": out["merge_mode_compare_10x"][
+                        "write_amplification_cow_vs_mor"
+                    ]
+                }
+                if "merge_mode_compare_10x" in out
+                else {}
+            ),
         },
     }
     if "scale_check" in out:

@@ -1434,6 +1434,24 @@ class ManifestTable:
         new_files, _ = self._write_files(new_data)
         new_stats = self._file_stats(spark, new_files)
         final = untouched + new_files
+        # row accounting is O(touched + new), never a full-table
+        # recount (at 100 TB a merge that recounts every carried file
+        # costs a table scan per commit): carried files contribute
+        # their recorded effective total, which equals the snapshot's
+        # rows minus the touched files' effective (DV-subtracted) rows
+        new_rows = self._count(spark, new_files)
+        if m.get("rows") is None:
+            rows = self._count(spark, final) - self._dv_rows(
+                m, untouched
+            )  # legacy manifest without a recorded count
+        else:
+            touched_eff = (
+                self._count(spark, sorted(touched))
+                - self._dv_rows(m, sorted(touched))
+                if touched
+                else 0
+            )
+            rows = int(m["rows"]) - touched_eff + new_rows
 
         def rebase() -> tuple[list[str], int, dict]:
             cur = self.current_version(spark)
@@ -1464,9 +1482,6 @@ class ManifestTable:
             }
             if carried_dvs:
                 extra["dvs"] = carried_dvs
-            rows = self._count(spark, final) - self._dv_rows(
-                {"dvs": carried_dvs}
-            )
             return final, rows, extra
 
         return self._publish(spark, [], 0, "merge", rebase=rebase)
