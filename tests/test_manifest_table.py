@@ -848,6 +848,27 @@ def test_maybe_compact_triggers_on_dv_debt(spark, tmp_path):
     assert mt.read(spark).count() == 70
 
 
+def test_dv_read_preserves_user_column_named_f(spark, tmp_path):
+    """A table whose DATA has columns named _f/_pos must survive the
+    DV subtract intact — the join keys are reserved names, never the
+    user's columns."""
+    mt = ManifestTable(str(tmp_path / "clash"))
+    mt.overwrite(
+        spark.range(0, 20)
+        .select(
+            F.col("id"),
+            F.concat(F.lit("x"), F.col("id")).alias("_f"),
+            (F.col("id") * 7).alias("_pos"),
+        )
+        .coalesce(1)
+    )
+    mt.delete_where(spark, "id = 3", mode="merge-on-read")
+    got = mt.read(spark)
+    assert set(got.columns) == {"id", "_f", "_pos"}
+    rows = {r.id: (r._f, r._pos) for r in got.collect()}
+    assert 3 not in rows and rows[4] == ("x4", 28) and len(rows) == 19
+
+
 def test_vacuum_cleans_orphaned_dv_parts(spark, tmp_path):
     """A writer crashing between staging DV parts and publishing the
     manifest leaves orphans under deletes/ that no snapshot

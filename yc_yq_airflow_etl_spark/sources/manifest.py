@@ -979,16 +979,21 @@ class ManifestTable:
             return df
         from pyspark.sql import functions as F
 
+        # reserved join-key names: a USER column named _f/_pos must
+        # not be clobbered and silently dropped by the subtract
+        dv = dv.select(
+            F.col("_f").alias("__dv_f"), F.col("_pos").alias("__dv_pos")
+        )
         right = (
             F.broadcast(dv)
             if n_dead <= self._DV_BROADCAST_MAX_ROWS
             else dv
         )
         return (
-            df.withColumn("_f", F.col("_metadata.file_name"))
-            .withColumn("_pos", F.col("_metadata.row_index"))
-            .join(right, ["_f", "_pos"], "left_anti")
-            .drop("_f", "_pos")
+            df.withColumn("__dv_f", F.col("_metadata.file_name"))
+            .withColumn("__dv_pos", F.col("_metadata.row_index"))
+            .join(right, ["__dv_f", "__dv_pos"], "left_anti")
+            .drop("__dv_f", "__dv_pos")
         )
 
     @staticmethod
