@@ -1014,6 +1014,45 @@ def test_cluster_rewrites_interleaved_layout_for_pruning(spark, tmp_path):
         ManifestTable(str(tmp_path / "mc2")).cluster(spark)
 
 
+def test_cluster_zorder_prunes_on_both_columns(spark, tmp_path):
+    """Z-order clustering: after cluster(zorder=True) over a 64x64
+    grid, the recorded per-file [min, max] hyper-rectangles prune a
+    range probe on EITHER column — linear sort can only ever serve
+    its leading column (the trailing column's ranges stay full-width
+    in every file). Content unchanged."""
+    mt = ManifestTable(str(tmp_path / "mz"), stat_cols=("x", "y"))
+    grid = (
+        spark.range(0, 64 * 64)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("bigint").alias("y"),
+        )
+    )
+    # striped layout: every file spans the full domain on both axes
+    for i in range(8):
+        part = grid.filter((F.col("x") + F.col("y")) % 8 == i).coalesce(1)
+        (mt.overwrite if i == 0 else mt.append)(part)
+    assert len(mt.pruned_files(spark, "x", 0, 7)) == 8  # no pruning
+    assert len(mt.pruned_files(spark, "y", 0, 7)) == 8
+    before = {(r.x, r.y) for r in mt.read(spark).collect()}
+
+    v = mt.cluster(spark, by=("x", "y"), target_files=16, zorder=True)
+    m = mt._manifest(spark, v)
+    assert len(m["files"]) == 16
+    # BOTH columns now prune: a 1/8-width slab on either axis
+    # intersects only the z-curve cells it overlaps
+    kept_x = mt.pruned_files(spark, "x", 0, 7)
+    kept_y = mt.pruned_files(spark, "y", 0, 7)
+    assert len(kept_x) <= 8 and len(kept_y) <= 8, (
+        len(kept_x), len(kept_y),
+    )
+    assert {(r.x, r.y) for r in mt.read(spark).collect()} == before
+    got = sorted(
+        (r.x, r.y) for r in mt.read_where(spark, "y", 0, 3).collect()
+    )
+    assert got == sorted((x, y) for x in range(64) for y in range(4))
+
+
 def test_merge_bucket_pruning_skips_range_overlapped_files(spark, tmp_path):
     """CDC-at-scale shape: files whose [min, max] key ranges ALL
     overlap the update keys (uniformly distributed ids — range

@@ -767,6 +767,7 @@ class ManifestTable:
         spark: SparkSession,
         by: tuple[str, ...] | None = None,
         target_files: int | None = None,
+        zorder: bool = False,
     ) -> int:
         """Sort-based layout rewrite (Delta ``OPTIMIZE ... ZORDER``'s
         linear-order cousin): rewrite the snapshot range-partitioned
@@ -783,6 +784,15 @@ class ManifestTable:
         which is why ``bucket_cols`` metadata (hash-based, order-free)
         remains the right tool for the secondary point-lookup column.
 
+        ``zorder=True`` (numeric ``by`` columns only) sorts on the
+        Morton-interleaved key from ``sources/zorder.zorder_key``
+        instead: each file then covers a small HYPER-RECTANGLE of the
+        key space, so the recorded [min, max] stats prune on EVERY
+        participating column at once — Delta's OPTIMIZE ZORDER BY,
+        applied to manifest-level skipping rather than row groups.
+        The only driver-side step is one tiny min/max aggregate to
+        fix the bit-scaling domain.
+
         Same commit discipline as :meth:`compact`: old files stay for
         in-flight readers until vacuum, the streaming high-water mark
         is carried, and a concurrent commit raises
@@ -798,11 +808,31 @@ class ManifestTable:
             raise FileNotFoundError(f"no committed snapshot at {self.path}")
         m = self._manifest(spark, v)
         n_out = target_files if target_files else max(1, len(m["files"]))
-        df = (
-            self.read(spark, version=v)
-            .repartitionByRange(n_out, *cols)
-            .sortWithinPartitions(*cols)
-        )
+        snap = self.read(spark, version=v)
+        if zorder:
+            from pyspark.sql import functions as F
+
+            from .zorder import zorder_key
+
+            bounds = snap.agg(
+                *[F.min(c).alias(f"_mn_{c}") for c in cols],
+                *[F.max(c).alias(f"_mx_{c}") for c in cols],
+            ).first()  # one tiny row — fixes the bit-scaling domain
+            key = zorder_key(
+                list(cols),
+                [float(bounds[f"_mn_{c}"]) for c in cols],
+                [float(bounds[f"_mx_{c}"]) for c in cols],
+            )
+            df = (
+                snap.withColumn("__zkey", key)
+                .repartitionByRange(n_out, "__zkey")
+                .sortWithinPartitions("__zkey")
+                .drop("__zkey")
+            )
+        else:
+            df = snap.repartitionByRange(n_out, *cols).sortWithinPartitions(
+                *cols
+            )
         files, _ = self._write_files(df)
         extra: dict = {"columns": sorted(df.columns)}
         hwm = int(m.get("last_batch_id", -1))
