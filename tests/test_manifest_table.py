@@ -832,6 +832,39 @@ def test_apply_cdc_batch_merge_on_read_mode(spark, tmp_path):
     assert len(got) == 5 and m["rows"] == 5
 
 
+def test_cdc_batch_null_op_rejected(spark, tmp_path):
+    """A NULL op would pass neither the delete filter nor its
+    negation — the change would vanish while the batch still advanced
+    the replay high-water mark. Must fail loudly instead."""
+    from yc_yq_airflow_etl_spark.streaming.manifest_sink import apply_cdc_batch
+
+    t = ManifestTable(str(tmp_path / "nullop"))
+    t.overwrite(_df(spark, 0, 5).coalesce(1))
+    batch = spark.createDataFrame(
+        [(1, 10, 1, "U"), (2, 20, 1, None)],
+        "id long, v long, seq int, op string",
+    )
+    with pytest.raises(ValueError, match="NULL 'op'"):
+        apply_cdc_batch(t, batch, 1, key="id", order_col="seq")
+    assert t.last_batch_id(spark) == -1  # nothing advanced
+
+
+def test_cluster_zorder_rejects_unbounded_column(spark, tmp_path):
+    """zorder needs a numeric domain: an all-NULL column (or empty
+    table) must raise a clear error, not a bare float(None)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    mt = ManifestTable(str(tmp_path / "zn"), stat_cols=("x",))
+    schema = StructType(
+        [StructField("x", LongType()), StructField("y", LongType())]
+    )
+    mt.overwrite(
+        spark.createDataFrame([(1, None), (2, None)], schema).coalesce(1)
+    )
+    with pytest.raises(ValueError, match="cannot zorder"):
+        mt.cluster(spark, by=("x", "y"), zorder=True)
+
+
 def test_maybe_compact_triggers_on_dv_debt(spark, tmp_path):
     """The maintenance policy fires on deletion-vector debt, not just
     file count: a table with few files but >20% dead rows compacts;
@@ -867,6 +900,24 @@ def test_dv_read_preserves_user_column_named_f(spark, tmp_path):
     assert set(got.columns) == {"id", "_f", "_pos"}
     rows = {r.id: (r._f, r._pos) for r in got.collect()}
     assert 3 not in rows and rows[4] == ("x4", 28) and len(rows) == 19
+
+    # every rewrite engine must survive the clash too (regression:
+    # the find-phase aliased _metadata AS _f/_pos next to the data
+    # columns — ambiguous reference on any table with those names)
+    mt.delete_where(spark, "id = 5")  # COW
+    mt.update_where(spark, "id = 6", {"_pos": F.lit(-1)})  # COW
+    mt.update_where(
+        spark, "id = 7", {"_f": F.lit("seven")}, mode="merge-on-read"
+    )
+    mt.merge(
+        spark.createDataFrame([(8, "y8", 0)], "id long, _f string, _pos long"),
+        "id",
+        mode="merge-on-read",
+    )
+    rows = {r.id: (r._f, r._pos) for r in mt.read(spark).collect()}
+    assert 5 not in rows and rows[6] == ("x6", -1)
+    assert rows[7] == ("seven", 49) and rows[8] == ("y8", 0)
+    assert len(rows) == 18
 
 
 def test_vacuum_cleans_orphaned_dv_parts(spark, tmp_path):

@@ -472,10 +472,14 @@ class ManifestTable:
         that record (or might hold) nulls, then apply the predicate."""
         from pyspark.sql import functions as F
 
-        files = self.pruned_files_null(spark, col)
+        v = self.current_version(spark)
+        files = self.pruned_files_null(spark, col, version=v)
         if not files:
-            return self.read(spark).filter(F.lit(False))
-        m = self._manifest(spark, self.current_version(spark))
+            return self.read(spark, version=v).filter(F.lit(False))
+        # the SAME snapshot supplies both the file list and the
+        # deletion vectors — re-resolving here would let a concurrent
+        # commit pair v1 files with v2 DVs (resurrecting deleted rows)
+        m = self._manifest(spark, v)
         df = self._strip_dvs(
             spark.read.parquet(*[f"{self.path}/data/{f}" for f in files]),
             self._dv_frame(spark, m, files),
@@ -489,10 +493,12 @@ class ManifestTable:
         bucket set is a superset filter, never the answer)."""
         from pyspark.sql import functions as F
 
-        files = self.pruned_files_eq(spark, col, value)
+        v = self.current_version(spark)
+        files = self.pruned_files_eq(spark, col, value, version=v)
         if not files:
-            return self.read(spark).filter(F.lit(False))
-        m = self._manifest(spark, self.current_version(spark))
+            return self.read(spark, version=v).filter(F.lit(False))
+        # file list and DVs from ONE snapshot (see read_where_null)
+        m = self._manifest(spark, v)
         df = self._strip_dvs(
             spark.read.parquet(*[f"{self.path}/data/{f}" for f in files]),
             self._dv_frame(spark, m, files),
@@ -818,6 +824,13 @@ class ManifestTable:
                 *[F.min(c).alias(f"_mn_{c}") for c in cols],
                 *[F.max(c).alias(f"_mx_{c}") for c in cols],
             ).first()  # one tiny row — fixes the bit-scaling domain
+            unbounded = [c for c in cols if bounds[f"_mn_{c}"] is None]
+            if unbounded:
+                raise ValueError(
+                    f"cannot zorder on {unbounded}: empty table or "
+                    "all-NULL column — no domain to scale the "
+                    "interleave bits to"
+                )
             key = zorder_key(
                 list(cols),
                 [float(bounds[f"_mn_{c}"]) for c in cols],
@@ -1024,6 +1037,41 @@ class ManifestTable:
             .withColumn("__dv_pos", F.col("_metadata.row_index"))
             .join(right, ["__dv_f", "__dv_pos"], "left_anti")
             .drop("__dv_f", "__dv_pos")
+        )
+
+    def _live_positions(
+        self, df: DataFrame, manifest: dict, files: list[str] | None = None
+    ) -> DataFrame:
+        """Drop the rows of a position-tagged frame (reserved
+        ``__dv_f``/``__dv_pos`` columns) that are already dead under
+        the snapshot's deletion vectors — the shared find-phase step
+        of every rewrite engine, so already-deleted rows can neither
+        re-count, be updated back to life, nor trigger a rewrite.
+        Same broadcast bound as :meth:`_strip_dvs`."""
+        dv = self._dv_frame(df.sparkSession, manifest, files)
+        if dv is None:
+            return df
+        from pyspark.sql import functions as F
+
+        dv = dv.select(
+            F.col("_f").alias("__dv_f"), F.col("_pos").alias("__dv_pos")
+        )
+        right = (
+            F.broadcast(dv)
+            if self._dv_rows(manifest, files) <= self._DV_BROADCAST_MAX_ROWS
+            else dv
+        )
+        return df.join(right, ["__dv_f", "__dv_pos"], "left_anti")
+
+    def _effective_rows(self, spark: SparkSession, manifest: dict) -> int:
+        """The snapshot's live row count: recorded when present, else
+        (legacy manifest without a count) one recount minus DV debt —
+        never silently 0, which would drive every downstream
+        subtraction negative."""
+        if manifest.get("rows") is not None:
+            return int(manifest["rows"])
+        return self._count(spark, manifest.get("files", [])) - self._dv_rows(
+            manifest
         )
 
     @staticmethod
@@ -1284,10 +1332,12 @@ class ManifestTable:
         files."""
         from pyspark.sql import functions as F
 
-        files = self.pruned_files(spark, col, lo, hi)
+        v = self.current_version(spark)
+        files = self.pruned_files(spark, col, lo, hi, version=v)
         if not files:
-            return self.read(spark).filter(F.lit(False))
-        m = self._manifest(spark, self.current_version(spark))
+            return self.read(spark, version=v).filter(F.lit(False))
+        # file list and DVs from ONE snapshot (see read_where_null)
+        m = self._manifest(spark, v)
         df = self._strip_dvs(
             spark.read.parquet(*[f"{self.path}/data/{f}" for f in files]),
             self._dv_frame(spark, m, files),
@@ -1454,16 +1504,28 @@ class ManifestTable:
                 sorted(touched), batch_id,
             )
         if touched:
+            touched_reader = spark.read
+            if m.get("evolved"):
+                # same rule as _cow_rewrite/table_changes: without
+                # mergeSchema a mixed-schema touched set adopts one
+                # file's columns by listing order and silently drops
+                # the evolved column from the rewrite
+                touched_reader = touched_reader.option("mergeSchema", "true")
             old_rows = self._strip_dvs(
-                spark.read.parquet(
+                touched_reader.parquet(
                     *[f"{self.path}/data/{f}" for f in sorted(touched)]
                 ),
                 self._dv_frame(spark, m, sorted(touched)),
                 self._dv_rows(m, sorted(touched)),
             )
-            new_data = old_rows.join(
-                drop_keys, on=key, how="left_anti"
-            ).unionByName(updates)
+            carried_rows = old_rows.join(drop_keys, on=key, how="left_anti")
+            # evolved snapshots tolerate updates written against the
+            # pre-evolution schema (absent columns read as NULL, the
+            # same contract read() gives); a non-evolved table keeps
+            # the strict match so a malformed batch fails loudly
+            new_data = carried_rows.unionByName(
+                updates, allowMissingColumns=bool(m.get("evolved"))
+            )
         else:
             new_data = updates
         new_files, _ = self._write_files(new_data)
@@ -1560,30 +1622,31 @@ class ManifestTable:
                 *[f"{self.path}/data/{f}" for f in touched]
             ).select(
                 F.col(key),
-                F.col("_metadata.file_name").alias("_f"),
-                F.col("_metadata.row_index").alias("_pos"),
+                F.col("_metadata.file_name").alias("__dv_f"),
+                F.col("_metadata.row_index").alias("__dv_pos"),
             )
-            existing = self._dv_frame(spark, m, touched)
-            if existing is not None:
-                pos = pos.join(
-                    F.broadcast(existing)
-                    if self._dv_rows(m, touched)
-                    <= self._DV_BROADCAST_MAX_ROWS
-                    else existing,
-                    ["_f", "_pos"],
-                    "left_anti",
-                )
-            dead = pos.join(drop_keys, on=key, how="left_semi").select(
-                "_f", "_pos"
+            pos = self._live_positions(pos, m, touched)
+            # one find scan: checkpoint the (small) dead-position set
+            # so the count and the part write don't re-run the probe
+            dead = (
+                pos.join(drop_keys, on=key, how="left_semi")
+                .select("__dv_f", "__dv_pos")
+                .localCheckpoint()
             )
             per_file = {
-                r["_f"]: int(r["n"])
-                for r in dead.groupBy("_f")
+                r["__dv_f"]: int(r["n"])
+                for r in dead.groupBy("__dv_f")
                 .agg(F.count("*").alias("n"))
                 .collect()  # bounded by file count — metadata-scale
             }
             if per_file:
-                parts, _ = self._write_files(dead, subdir="deletes")
+                parts, _ = self._write_files(
+                    dead.select(
+                        F.col("__dv_f").alias("_f"),
+                        F.col("__dv_pos").alias("_pos"),
+                    ),
+                    subdir="deletes",
+                )
         n_dead = sum(per_file.values())
         if not per_file and n_updates == 0:
             return base  # empty batch: nothing to commit
@@ -1621,7 +1684,7 @@ class ManifestTable:
                 extra["dvs"] = new_dvs
             return (
                 list(m["files"]) + new_files,
-                int(m.get("rows", 0)) - n_dead + n_updates,
+                self._effective_rows(spark, m) - n_dead + n_updates,
                 extra,
             )
 
@@ -1709,26 +1772,27 @@ class ManifestTable:
             *[f"{self.path}/data/{f}" for f in m["files"]]
         )
         hit = raw.filter(F.coalesce(pred, F.lit(False))).select(
-            F.col("_metadata.file_name").alias("_f"),
-            F.col("_metadata.row_index").alias("_pos"),
+            F.col("_metadata.file_name").alias("__dv_f"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
         )
-        existing = self._dv_frame(spark, m)
-        if existing is not None:
-            hit = hit.join(
-                F.broadcast(existing)
-                if self._dv_rows(m) <= self._DV_BROADCAST_MAX_ROWS
-                else existing,
-                ["_f", "_pos"],
-                "left_anti",
-            )
+        # one find scan total: the checkpoint materializes the (small)
+        # position set so the per-file count and the part write below
+        # reuse it instead of re-running the predicate scan
+        hit = self._live_positions(hit, m).localCheckpoint()
         per_file = {
-            r["_f"]: int(r["n"])
-            for r in hit.groupBy("_f").agg(F.count("*").alias("n")).collect()
-            # bounded by file count — metadata-scale
+            r["__dv_f"]: int(r["n"])
+            for r in hit.groupBy("__dv_f")
+            .agg(F.count("*").alias("n"))
+            .collect()  # bounded by file count — metadata-scale
         }
         if not per_file:
             return base
-        parts, _ = self._write_files(hit, subdir="deletes")
+        parts, _ = self._write_files(
+            hit.select(
+                F.col("__dv_f").alias("_f"), F.col("__dv_pos").alias("_pos")
+            ),
+            subdir="deletes",
+        )
         n_deleted = sum(per_file.values())
         new_dvs = {f: dict(e) for f, e in m.get("dvs", {}).items()}
         for f, n in per_file.items():
@@ -1760,7 +1824,7 @@ class ManifestTable:
                 extra["last_batch_id"] = hwm
             return (
                 list(m["files"]),
-                int(m.get("rows", 0)) - n_deleted,
+                self._effective_rows(spark, m) - n_deleted,
                 extra,
             )
 
@@ -1858,22 +1922,19 @@ class ManifestTable:
         )
         data_cols = raw.columns
         matched = raw.filter(F.coalesce(pred, F.lit(False))).select(
-            F.col("_metadata.file_name").alias("_f"),
-            F.col("_metadata.row_index").alias("_pos"),
-            *data_cols,
+            F.col("_metadata.file_name").alias("__dv_f"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+            *data_cols,  # reserved tags — a data column named _f/_pos
+            # must survive the update intact
         )
-        existing = self._dv_frame(spark, m)
-        if existing is not None:
-            matched = matched.join(
-                F.broadcast(existing)
-                if self._dv_rows(m) <= self._DV_BROADCAST_MAX_ROWS
-                else existing,
-                ["_f", "_pos"],
-                "left_anti",
-            )
+        # one find scan: the checkpoint holds the matched rows (the
+        # data being rewritten anyway), reused by the count, the DV
+        # part write AND the transformed-image write — without it the
+        # full-table predicate scan runs three times
+        matched = self._live_positions(matched, m).localCheckpoint()
         per_file = {
-            r["_f"]: int(r["n"])
-            for r in matched.groupBy("_f")
+            r["__dv_f"]: int(r["n"])
+            for r in matched.groupBy("__dv_f")
             .agg(F.count("*").alias("n"))
             .collect()  # bounded by file count — metadata-scale
         }
@@ -1881,10 +1942,13 @@ class ManifestTable:
             return base  # no live row matches: no-op, no commit
         n_matched = sum(per_file.values())
         parts, _ = self._write_files(
-            matched.select("_f", "_pos"), subdir="deletes"
+            matched.select(
+                F.col("__dv_f").alias("_f"), F.col("__dv_pos").alias("_pos")
+            ),
+            subdir="deletes",
         )
         new_files, _ = self._write_files(
-            transform(matched.drop("_f", "_pos"))
+            transform(matched.drop("__dv_f", "__dv_pos"))
         )
         new_stats = self._file_stats(spark, new_files)
         new_dvs = {f: dict(e) for f, e in m.get("dvs", {}).items()}
@@ -1914,7 +1978,7 @@ class ManifestTable:
                 extra["last_batch_id"] = hwm
             return (
                 list(m["files"]) + new_files,
-                int(m.get("rows", 0)),
+                self._effective_rows(spark, m),
                 extra,
             )
 
@@ -1957,26 +2021,19 @@ class ManifestTable:
             *[f"{self.path}/data/{f}" for f in m["files"]]
         )
         finder = finder.select(
-            F.col("_metadata.file_name").alias("_f"),
-            F.col("_metadata.row_index").alias("_pos"),
-            *finder.columns,
+            F.col("_metadata.file_name").alias("__dv_f"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+            *finder.columns,  # reserved tags: a data column named
+            # _f/_pos must not collide with the position columns
         )
-        dv_all = self._dv_frame(spark, m)
-        if dv_all is not None:
-            finder = finder.join(
-                F.broadcast(dv_all)
-                if self._dv_rows(m) <= self._DV_BROADCAST_MAX_ROWS
-                else dv_all,
-                ["_f", "_pos"],
-                "left_anti",
-            )
+        finder = self._live_positions(finder, m)
         hit_files = (
             finder.filter(pred)
-            .select("_f")
+            .select("__dv_f")
             .distinct()
             .collect()  # bounded by file count — metadata-scale
         )
-        touched = {r._f for r in hit_files}
+        touched = {r["__dv_f"] for r in hit_files}
         if not touched:
             return base
         untouched = [f for f in m["files"] if f not in touched]

@@ -153,6 +153,15 @@ def apply_cdc_batch(
             f"micro-batch {batch_id} has tied ({key}, {order_col}) rows — "
             "last-change collapse would be nondeterministic"
         )
+    if batch_df.filter(F.col(op_col).isNull()).limit(1).count():
+        # a NULL op would pass NEITHER the delete filter nor its
+        # negation — the change would vanish silently while the batch
+        # still advanced the replay high-water mark. Fail loudly like
+        # the tie check above.
+        raise ValueError(
+            f"micro-batch {batch_id} has rows with NULL {op_col!r} — "
+            "every change must carry an operation"
+        )
     w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
     last = (
         batch_df.withColumn("_rn", F.row_number().over(w))
