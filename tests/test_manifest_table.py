@@ -1489,6 +1489,71 @@ def test_files_table_reports_recorded_stats(spark, tmp_path):
     assert mt.files_table(spark, version=0).count() == 1
 
 
+# batch encoding for the merge-equivalence property: update rows
+# (key, value) over a small key space plus a delete-key list drawn
+# from a disjoint range probe (may hit absent keys — DELETE no-ops).
+_merge_batches = st.tuples(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=-99, max_value=99),
+        ),
+        min_size=0,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    ),
+    st.lists(
+        st.integers(min_value=16, max_value=25), max_size=4, unique=True
+    ),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(batches=st.lists(_merge_batches, min_size=1, max_size=3))
+def test_merge_modes_observationally_equivalent(
+    spark, tmp_path_factory, batches
+):
+    """Property: for ANY sequence of merge batches (updates + delete
+    keys), a table maintained merge-on-read reads back identical to
+    one maintained copy-on-write — the storage strategies differ
+    (deletion vectors + appends vs rewrites), the table they present
+    must not."""
+    tmp_path = tmp_path_factory.mktemp("modeprop")
+    tables = {}
+    for mode in ("copy-on-write", "merge-on-read"):
+        t = ManifestTable(str(tmp_path / mode), stat_cols=("id",))
+        t.overwrite(_df(spark, 10, 20).coalesce(2))  # keys 10-19
+        tables[mode] = t
+    for ups, dels in batches:
+        if not ups and not dels:
+            continue
+        up_rows = [(k, v) for k, v in ups if k not in set(dels)]
+        up_df = (
+            spark.createDataFrame(up_rows, "id long, v long")
+            if up_rows
+            else spark.createDataFrame([], "id long, v long")
+        )
+        del_df = (
+            spark.createDataFrame([(k,) for k in dels], "id long")
+            if dels
+            else None
+        )
+        for mode, t in tables.items():
+            t.merge(up_df, "id", delete_keys=del_df, mode=mode)
+    got = {
+        mode: sorted((r.id, r.v) for r in t.read(spark).collect())
+        for mode, t in tables.items()
+    }
+    assert got["copy-on-write"] == got["merge-on-read"], batches
+
+
 # changelog encoding for the CDC fold property: each element is
 # (key, value, op_code) — op 0/1/2 = I/U/D; per-batch sequence numbers
 # are assigned by list position, so (key, seq) ties are impossible and
