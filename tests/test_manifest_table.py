@@ -757,7 +757,7 @@ def test_merge_mor_is_append_only(spark, tmp_path):
     assert (
         mt.merge(ups.limit(0), "id", mode="merge-on-read") == v2
     )
-    with pytest.raises(ValueError, match="table columns"):
+    with pytest.raises(ValueError, match="unknown columns"):
         mt.merge(
             spark.createDataFrame([(1, 1, 1)], ["id", "v", "x"]),
             "id",
@@ -1968,3 +1968,166 @@ def test_apply_cdc_batch_inserts_updates_deletes_atomically(spark, tmp_path):
     # replay of the same batch id: no-op
     assert apply_cdc_batch(t, batch, 1, key="id", order_col="seq") is False
     assert t.current_version(spark) == v0 + 1
+
+# --- round-7 review regressions: evolved-merge schema contract, -----
+# --- z-order key safety, read_where empty-table pin -----------------
+
+
+def test_cow_merge_on_evolved_table_carries_evolved_flag(spark, tmp_path):
+    """A copy-on-write merge that leaves a pre-evolution file
+    UNTOUCHED must keep the manifest's ``evolved`` flag: without it
+    read() skips mergeSchema and adopts one file's footer by listing
+    order — the evolved column nondeterministically vanishes."""
+    t = ManifestTable(str(tmp_path / "mt"), stat_cols=("id",))
+    t.overwrite(_ranged(spark, 0, 100))            # f1: (id, v)
+    t.append(_ranged(spark, 100, 200))             # f2: (id, v)
+    t.append(                                      # f3: (id, v, w)
+        _ranged(spark, 200, 300).withColumn("w", F.lit("wide"))
+    )
+    m = t._manifest(spark, t.current_version(spark))
+    assert m.get("evolved") is True
+
+    # touch only f1 (keys 0-9): f2 stays pre-evolution on disk
+    upd = (
+        spark.range(0, 10)
+        .select(
+            F.col("id"),
+            (F.col("id") * 100).alias("v"),
+            F.lit("upd").alias("w"),
+        )
+        .coalesce(1)
+    )
+    v = t.merge(upd, "id")
+    m2 = t._manifest(spark, v)
+    assert m2.get("evolved") is True, "evolved flag must survive COW merge"
+    got = t.read(spark)
+    assert set(got.columns) == {"id", "v", "w"}
+    assert got.count() == 300
+    by_id = {r.id: (r.v, r.w) for r in got.collect()}
+    assert by_id[5] == (500, "upd")          # rewritten
+    assert by_id[150] == (300, None)         # untouched pre-evolution
+    assert by_id[250] == (500, "wide")       # untouched wide
+
+
+def test_merge_rejects_unknown_columns_even_when_nothing_touched(
+    spark, tmp_path
+):
+    """A typo'd batch whose keys overlap no file previously skipped
+    the unionByName schema check entirely and committed the malformed
+    frame verbatim — the validation must run before touched-file
+    pruning, in both modes."""
+    t = ManifestTable(str(tmp_path / "mt"), stat_cols=("id",))
+    t.overwrite(_ranged(spark, 0, 100))
+    bad = (
+        spark.range(1000, 1005)
+        .select(F.col("id"), (F.col("id") * 2).alias("vv"))  # typo'd v
+        .coalesce(1)
+    )
+    for mode in ("copy-on-write", "merge-on-read"):
+        with pytest.raises(ValueError, match="unknown columns.*'vv'"):
+            t.merge(bad, "id", mode=mode)
+
+
+def test_merge_evolved_table_rejects_typod_columns(spark, tmp_path):
+    """The evolved-table tolerance covers MISSING columns only.
+    allowMissingColumns previously accepted any malformed batch here:
+    the typo'd column was recorded as schema and the real column
+    NULL-filled for every update row — silent corruption."""
+    t = ManifestTable(str(tmp_path / "mt"), stat_cols=("id",))
+    t.overwrite(_ranged(spark, 0, 100))
+    t.append(_ranged(spark, 100, 200).withColumn("w", F.lit("x")))
+    bad = (
+        spark.range(0, 5)
+        .select(F.col("id"), (F.col("id") * 2).alias("vv"), F.lit("y").alias("w"))
+        .coalesce(1)
+    )
+    for mode in ("copy-on-write", "merge-on-read"):
+        with pytest.raises(ValueError, match="unknown columns.*'vv'"):
+            t.merge(bad, "id", mode=mode)
+
+
+def test_merge_missing_columns_strict_on_unevolved_table(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "mt"), stat_cols=("id",))
+    t.overwrite(_ranged(spark, 0, 100))
+    narrow = spark.range(0, 5).select("id").coalesce(1)
+    for mode in ("copy-on-write", "merge-on-read"):
+        with pytest.raises(ValueError, match="missing columns.*'v'"):
+            t.merge(narrow, "id", mode=mode)
+
+
+@pytest.mark.parametrize("mode", ["copy-on-write", "merge-on-read"])
+def test_merge_evolved_table_accepts_pre_evolution_updates(
+    spark, tmp_path, mode
+):
+    """Updates written against the pre-evolution schema NULL-fill the
+    evolved column — in BOTH modes (merge-on-read previously rejected
+    what copy-on-write accepted, so the two modes diverged
+    observationally on evolved tables)."""
+    t = ManifestTable(str(tmp_path / ("mt_" + mode)), stat_cols=("id",))
+    t.overwrite(_ranged(spark, 0, 100))
+    t.append(_ranged(spark, 100, 200).withColumn("w", F.lit("x")))
+    upd = (
+        spark.range(0, 5)
+        .select(F.col("id"), (F.col("id") * 100).alias("v"))
+        .coalesce(1)  # no w — pre-evolution writer
+    )
+    v = t.merge(upd, "id", mode=mode)
+    m = t._manifest(spark, v)
+    assert m.get("evolved") is True
+    assert sorted(m["columns"]) == ["id", "v", "w"]  # never narrowed
+    got = t.read(spark)
+    assert set(got.columns) == {"id", "v", "w"}
+    assert got.count() == 200
+    by_id = {r.id: (r.v, r.w) for r in got.collect()}
+    assert by_id[3] == (300, None)
+    assert by_id[150] == (300, "x")
+
+
+def test_zorder_key_caps_bits_below_sign_bit(spark):
+    """4+ columns at the default 16 bits/col used to put the top
+    interleaved bit at position 63 (sign flip — negative keys sort
+    first, curve broken) and 5+ columns wrapped shifts mod 64
+    (unrelated cells collide). The key must stay non-negative and
+    injective on a small grid for any column count."""
+    from itertools import product
+
+    from yc_yq_airflow_etl_spark.sources.zorder import zorder_key
+
+    for n_cols in (4, 5):
+        cols = [f"c{i}" for i in range(n_cols)]
+        rows = [tuple(p) for p in product(range(4), repeat=n_cols)]
+        df = spark.createDataFrame(rows, ", ".join(f"{c} int" for c in cols))
+        key = zorder_key(cols, [0.0] * n_cols, [3.0] * n_cols)
+        keyed = df.select(key.alias("k")).collect()
+        assert min(r.k for r in keyed) >= 0, f"negative key at n={n_cols}"
+        assert len({r.k for r in keyed}) == len(rows), (
+            f"key collision at n={n_cols} — shift wrap"
+        )
+
+    with pytest.raises(ValueError, match="cannot z-order"):
+        zorder_key([f"c{i}" for i in range(64)], [0.0] * 64, [1.0] * 64)
+
+
+def test_cluster_zorder_reserved_key_column_guard(spark, tmp_path):
+    """A data column literally named __zkey would be replaced by the
+    Morton key and then dropped — erased from the committed snapshot.
+    Same reserved-tag rule as the DV join keys: fail loudly."""
+    t = ManifestTable(str(tmp_path / "mt"), stat_cols=("id",))
+    t.overwrite(
+        _ranged(spark, 0, 10).withColumn("__zkey", F.lit(7))
+    )
+    with pytest.raises(ValueError, match="__zkey.*reserved"):
+        t.cluster(spark, by=("id", "v"), zorder=True)
+
+
+def test_read_where_on_empty_table_raises_not_vnone(spark, tmp_path):
+    """The version pin must fail immediately on a never-committed
+    table — passing version=None downstream would let pruned_files_*
+    re-resolve (racing a first commit) and then read 'vNone.json'."""
+    t = ManifestTable(str(tmp_path / "mt"), stat_cols=("id",))
+    with pytest.raises(FileNotFoundError, match="no committed snapshot"):
+        t.read_where(spark, "id", 0, 10)
+    with pytest.raises(FileNotFoundError, match="no committed snapshot"):
+        t.read_where_eq(spark, "id", 1)
+    with pytest.raises(FileNotFoundError, match="no committed snapshot"):
+        t.read_where_null(spark, "id")

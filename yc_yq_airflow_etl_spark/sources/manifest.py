@@ -473,6 +473,11 @@ class ManifestTable:
         from pyspark.sql import functions as F
 
         v = self.current_version(spark)
+        if v is None:
+            # raise HERE, not downstream: passing version=None would
+            # make pruned_files_* re-resolve — a commit landing between
+            # the two lookups pairs v0's files with a vNone manifest
+            raise FileNotFoundError(f"no committed snapshot at {self.path}")
         files = self.pruned_files_null(spark, col, version=v)
         if not files:
             return self.read(spark, version=v).filter(F.lit(False))
@@ -494,6 +499,9 @@ class ManifestTable:
         from pyspark.sql import functions as F
 
         v = self.current_version(spark)
+        if v is None:
+            # see read_where_null: the pin must fail before any lookup
+            raise FileNotFoundError(f"no committed snapshot at {self.path}")
         files = self.pruned_files_eq(spark, col, value, version=v)
         if not files:
             return self.read(spark, version=v).filter(F.lit(False))
@@ -820,6 +828,14 @@ class ManifestTable:
 
             from .zorder import zorder_key
 
+            if "__zkey" in snap.columns:
+                # same reserved-tag rule as the DV join keys: a data
+                # column named __zkey would be REPLACED by withColumn
+                # and then dropped — silently erased from the rewrite
+                raise ValueError(
+                    "'__zkey' is reserved by cluster(zorder=True) — "
+                    "rename the column"
+                )
             bounds = snap.agg(
                 *[F.min(c).alias(f"_mn_{c}") for c in cols],
                 *[F.max(c).alias(f"_mx_{c}") for c in cols],
@@ -1333,6 +1349,9 @@ class ManifestTable:
         from pyspark.sql import functions as F
 
         v = self.current_version(spark)
+        if v is None:
+            # see read_where_null: the pin must fail before any lookup
+            raise FileNotFoundError(f"no committed snapshot at {self.path}")
         files = self.pruned_files(spark, col, lo, hi, version=v)
         if not files:
             return self.read(spark, version=v).filter(F.lit(False))
@@ -1419,6 +1438,28 @@ class ManifestTable:
                 f"unknown merge mode {mode!r} — "
                 "'copy-on-write' or 'merge-on-read'"
             )
+        # one schema contract for BOTH modes (and for the touched==∅
+        # fast path, which otherwise commits `updates` unvalidated):
+        # unknown columns always fail loudly — tolerating them would
+        # silently widen the schema off a typo'd CDC batch; missing
+        # columns are allowed only on an evolved table (absent columns
+        # read as NULL, the same contract read() gives pre-evolution
+        # files). Real schema evolution goes through append.
+        expected_cols = m.get("columns")
+        if expected_cols is not None:
+            unknown = sorted(set(updates.columns) - set(expected_cols))
+            if unknown:
+                raise ValueError(
+                    f"merge updates carry unknown columns {unknown} — "
+                    "schema evolution goes through append, not MERGE"
+                )
+            missing = sorted(set(expected_cols) - set(updates.columns))
+            if missing and not m.get("evolved"):
+                raise ValueError(
+                    f"merge updates are missing columns {missing} and "
+                    f"table {self.path} is not schema-evolved — a "
+                    "malformed batch must fail, not NULL-fill"
+                )
         if updates.groupBy(key).count().filter("count > 1").limit(1).count():
             raise ValueError(f"updates carry duplicate {key!r} values")
         dk = None
@@ -1557,7 +1598,22 @@ class ManifestTable:
                     f"merge computed against v{base} but the snapshot is "
                     f"now v{cur} — re-run the merge on the new base"
                 )
-            extra: dict = {"columns": sorted(new_data.columns)}
+            extra: dict = {
+                # union with the snapshot's recorded columns: on an
+                # evolved table with touched==∅, new_data is just
+                # `updates` and may lack the evolved column — taking
+                # its columns alone would narrow the schema
+                "columns": sorted(
+                    set(new_data.columns) | set(m.get("columns") or [])
+                )
+            }
+            if m.get("evolved"):
+                # carried-forward files may still hold the
+                # pre-evolution schema; dropping the flag would make
+                # read() skip mergeSchema and the evolved column would
+                # vanish nondeterministically (same carry as every
+                # other row-rewriting engine here)
+                extra["evolved"] = True
             # the streaming high-water mark must SURVIVE a merge — a
             # commit that dropped it would let an at-least-once replay
             # of an already-committed batch re-land after any upsert
@@ -1604,13 +1660,10 @@ class ManifestTable:
         is not)."""
         from pyspark.sql import functions as F
 
-        expected = m.get("columns")
-        if expected is not None and sorted(updates.columns) != expected:
-            raise ValueError(
-                f"merge updates columns {sorted(updates.columns)} != "
-                f"table columns {expected} — schema evolution goes "
-                "through append, not MERGE"
-            )
+        # schema already validated by merge() (unknown columns raise;
+        # missing columns only pass on an evolved table) — the same
+        # contract as copy-on-write, so the two modes stay
+        # observationally equivalent on every accepted batch
         n_updates = updates.count()
         per_file: dict[str, int] = {}
         parts: list[str] = []
@@ -1661,6 +1714,11 @@ class ManifestTable:
             e = new_dvs.setdefault(f, {"parts": [], "rows": 0})
             e["parts"] = list(e["parts"]) + parts
             e["rows"] = int(e["rows"]) + n
+        # hoisted OUT of rebase(): on a legacy manifest without a
+        # recorded count this is a full recount, and rebase re-runs on
+        # every commit attempt — per-attempt work must stay
+        # metadata-only (the _append_rebase rule)
+        eff_rows = self._effective_rows(spark, m)
 
         def rebase() -> tuple[list[str], int, dict]:
             cur = self.current_version(spark)
@@ -1684,7 +1742,7 @@ class ManifestTable:
                 extra["dvs"] = new_dvs
             return (
                 list(m["files"]) + new_files,
-                self._effective_rows(spark, m) - n_dead + n_updates,
+                eff_rows - n_dead + n_updates,
                 extra,
             )
 
@@ -1802,6 +1860,9 @@ class ManifestTable:
             # file name, so extra pairs match nothing
             e["parts"] = list(e["parts"]) + parts
             e["rows"] = int(e["rows"]) + n
+        # hoisted out of rebase(): legacy manifests recount here, and
+        # per-attempt rebase work must stay metadata-only
+        eff_rows = self._effective_rows(spark, m)
 
         def rebase() -> tuple[list[str], int, dict]:
             cur = self.current_version(spark)
@@ -1824,7 +1885,7 @@ class ManifestTable:
                 extra["last_batch_id"] = hwm
             return (
                 list(m["files"]),
-                self._effective_rows(spark, m) - n_deleted,
+                eff_rows - n_deleted,
                 extra,
             )
 
@@ -1956,6 +2017,9 @@ class ManifestTable:
             e = new_dvs.setdefault(f, {"parts": [], "rows": 0})
             e["parts"] = list(e["parts"]) + parts
             e["rows"] = int(e["rows"]) + n
+        # hoisted out of rebase(): legacy manifests recount here, and
+        # per-attempt rebase work must stay metadata-only
+        eff_rows = self._effective_rows(spark, m)
 
         def rebase() -> tuple[list[str], int, dict]:
             cur = self.current_version(spark)
@@ -1978,7 +2042,7 @@ class ManifestTable:
                 extra["last_batch_id"] = hwm
             return (
                 list(m["files"]) + new_files,
-                self._effective_rows(spark, m),
+                eff_rows,
                 extra,
             )
 

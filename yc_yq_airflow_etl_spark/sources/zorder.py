@@ -32,8 +32,24 @@ def zorder_key(
     """The Morton key: each column is scaled to ``bits`` fixed-point
     bits over its [min, max] domain (clamped), then the columns' bits
     are interleaved — bit b of column i lands at position
-    ``b * n_cols + i``."""
+    ``b * n_cols + i``.
+
+    ``bits`` is automatically lowered so the TOP interleaved position
+    (``bits * n_cols - 1``) stays below the long's sign bit: position
+    63 would flip the key negative for half the leading column's
+    domain (negative longs sort first — curve order broken), and Java
+    shifts wrap mod 64, so positions ≥64 would OR high bits onto low
+    positions and collide unrelated cells. 16 bits/col up to 3 cols,
+    15 at 4, 12 at 5, …; >63 columns cannot interleave at all."""
     n = len(cols)
+    if n == 0:
+        raise ValueError("zorder_key needs at least one column")
+    bits = min(bits, 63 // n)
+    if bits < 1:
+        raise ValueError(
+            f"cannot z-order {n} columns: even 1 bit per column "
+            "overflows a 64-bit key — z-order on a subset"
+        )
     top = (1 << bits) - 1
     scaled = []
     for c, lo, hi in zip(cols, mins, maxs):
@@ -63,6 +79,12 @@ def write_zordered(
     shuffle versus a plain write — paid once at write time, repaid on
     every multi-column-filtered scan."""
     cols = list(cols)
+    if "_zkey" in df.columns:
+        # withColumn would silently REPLACE the user's column and the
+        # final drop would erase it from the written data
+        raise ValueError(
+            "'_zkey' is reserved by write_zordered — rename the column"
+        )
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"_lo{i}") for i, c in enumerate(cols)],
         *[F.max(F.col(c).cast("double")).alias(f"_hi{i}") for i, c in enumerate(cols)],

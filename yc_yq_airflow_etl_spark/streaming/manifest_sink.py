@@ -141,23 +141,30 @@ def apply_cdc_batch(
     spark = batch_df.sparkSession
     if batch_id <= table.last_batch_id(spark):
         return False
-    dup = (
+    # ONE validation job on the hot streaming path (not one per
+    # check): tie detection and the NULL-op guard share a two-level
+    # aggregation. Ties make the last-change collapse
+    # nondeterministic; a NULL op would pass NEITHER the delete
+    # filter nor its negation — the change would vanish silently
+    # while the batch still advanced the replay high-water mark.
+    chk = (
         batch_df.groupBy(key, order_col)
-        .count()
-        .filter("count > 1")
-        .limit(1)
-        .count()
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col(op_col).isNull().cast("long")).alias("_null_ops"),
+        )
+        .agg(
+            F.max("_n").alias("max_n"),
+            F.sum("_null_ops").alias("null_ops"),
+        )
+        .first()
     )
-    if dup:
+    if chk is not None and int(chk["max_n"] or 0) > 1:
         raise ValueError(
             f"micro-batch {batch_id} has tied ({key}, {order_col}) rows — "
             "last-change collapse would be nondeterministic"
         )
-    if batch_df.filter(F.col(op_col).isNull()).limit(1).count():
-        # a NULL op would pass NEITHER the delete filter nor its
-        # negation — the change would vanish silently while the batch
-        # still advanced the replay high-water mark. Fail loudly like
-        # the tie check above.
+    if chk is not None and int(chk["null_ops"] or 0) > 0:
         raise ValueError(
             f"micro-batch {batch_id} has rows with NULL {op_col!r} — "
             "every change must carry an operation"
