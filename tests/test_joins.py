@@ -649,3 +649,69 @@ def test_nearest_join_bucketed_no_window_hash_join_path(spark):
     assert "Window" not in plan
     assert "partial_min" in plan or "partial_first" in plan
     assert out.count() == 500  # left-outer: every left row present
+
+
+def test_reserved_tag_guard_across_join_operators(spark):
+    """Every join operator that stamps internal columns onto a user
+    frame must reject a clashing data column instead of silently
+    replacing and dropping it (the __zkey/__dv_f rule)."""
+    import pytest as _pytest
+
+    from yc_yq_airflow_etl_spark.operators.joins import (
+        asof_join,
+        exclusion_join,
+        interval_overlap_join,
+        nearest_join,
+        nearest_join_bucketed,
+        salted_join,
+    )
+
+    tl = spark.createDataFrame([(1, 1.0)], "k int, t double")
+    tr = spark.createDataFrame([(1, 2.0, "m")], "k int, t double, mark string")
+
+    with _pytest.raises(ValueError, match="reserved"):
+        exclusion_join(
+            tl.withColumn("_xj_side", F.lit(1)), tl, on=["k"],
+            strategy="union",
+        )
+    with _pytest.raises(ValueError, match="reserved"):
+        asof_join(
+            tl.withColumn("_carry", F.lit(1)), tr, on_time="t", by=["k"]
+        )
+    with _pytest.raises(ValueError, match="reserved"):
+        nearest_join(
+            tl.withColumn("_chosen", F.lit(1)), tr,
+            on_time="t", by=["k"], tolerance=1.0,
+        )
+    with _pytest.raises(ValueError, match="reserved"):
+        nearest_join_bucketed(
+            tl.withColumn("_lid", F.lit(1)), tr,
+            on_time="t", by=["k"], tolerance=1.0,
+        )
+    with _pytest.raises(ValueError, match="reserved"):
+        interval_overlap_join(
+            tl.withColumn("_b_l", F.lit(1)),
+            tr.withColumnRenamed("mark", "hi2"),
+            l_lo="t", l_hi="t", r_lo="t", r_hi="hi2",
+        )
+    with _pytest.raises(ValueError, match="reserved"):
+        salted_join(tl.withColumn("_salt", F.lit(1)), tr, on=["k"])
+
+
+def test_cdc_batch_reserved_rn_guard(spark, tmp_path):
+    from yc_yq_airflow_etl_spark.sources.manifest import ManifestTable
+    from yc_yq_airflow_etl_spark.streaming.manifest_sink import (
+        apply_cdc_batch,
+        upsert_batch,
+    )
+    import pytest as _pytest
+
+    t = ManifestTable(str(tmp_path / "mt"))
+    t.overwrite(spark.createDataFrame([(1, 1)], "id long, v long"))
+    batch = spark.createDataFrame(
+        [(1, 2, 1, "U", 9)], "id long, v long, seq int, op string, _rn int"
+    )
+    with _pytest.raises(ValueError, match="_rn.*reserved"):
+        apply_cdc_batch(t, batch, 1, key="id", order_col="seq")
+    with _pytest.raises(ValueError, match="_rn.*reserved"):
+        upsert_batch(t, batch.drop("op"), 1, key="id", order_col="seq")

@@ -15,6 +15,19 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _reserve(op: str, df: DataFrame, *tags: str) -> None:
+    """Reserved-tag guard (same rule as the table format's __dv_f/
+    __dv_pos/__zkey keys): an operator that stamps internal columns
+    onto a USER frame would silently replace — and later drop — a
+    data column of the same name. Fail loudly instead."""
+    clash = sorted(set(tags) & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"{op}: column(s) {clash} are reserved internal tags — "
+            "rename them before calling"
+        )
+
+
 def _hashable_type(dt: T.DataType) -> bool:
     """Whether Spark's hash/xxhash64 accepts a column of this type.
 
@@ -110,6 +123,8 @@ def exclusion_join(
 
     from pyspark.sql import Window
 
+    _reserve("exclusion_join", left, "_xj_side", "_xj_keep")
+    _reserve("exclusion_join", right, "_xj_side", "_xj_keep")
     side = "_xj_side"
     u = left.withColumn(side, F.lit("left")).unionByName(
         right.withColumn(side, F.lit("right")), allowMissingColumns=True
@@ -152,6 +167,7 @@ def exclusion_diff_count(
     each map task's output to its distinct keys before the exchange.
     """
     keys = list(on)
+    _reserve("exclusion_diff_count", left.select(*keys), "_side", "_nl", "_nr")
     null_key = None
     for k in keys:
         c = F.col(k).isNull()
@@ -237,6 +253,8 @@ def bucketed_range_join(
     must satisfy ``lower < upper`` (empty intervals match nothing in
     either formulation).
     """
+    _reserve("bucketed_range_join", left, "_bucket")
+    _reserve("bucketed_range_join", right, "_bucket")
     w = float(bucket_width)
     lo, hi = F.col(lower), F.col(upper)
     bands = right.withColumn(
@@ -330,6 +348,11 @@ def asof_join(
     from pyspark.sql import Window
 
     by = list(by)
+    _reserve(
+        "asof_join", left,
+        "_side", "_b", "_asof", "_in_bucket", "_carry",
+        "_r_payload", "_r_struct",
+    )
     payload = [c for c in right.columns if c not in (*by, on_time)]
 
     if bucket_width is None:
@@ -465,6 +488,9 @@ def nearest_join(
             f"nearest_join: overlapping non-key columns {sorted(overlap)}; "
             "alias them apart before joining"
         )
+    _reserve(
+        "nearest_join", left, "_side", "_cand", "_prev", "_next", "_chosen"
+    )
     payload = [c for c in right.columns if c not in (*by, on_time)]
     cand = F.struct(
         F.col(on_time).alias("_t"), *[F.col(c) for c in payload]
@@ -557,6 +583,7 @@ def nearest_join_bucketed(
             f"nearest_join_bucketed: overlapping non-key columns "
             f"{sorted(overlap)}; alias them apart before joining"
         )
+    _reserve("nearest_join_bucketed", left, "_lid", "_b", "_r", "_best")
     payload = [c for c in right.columns if c not in (*by, on_time)]
     w = float(bucket_width)
     left_cols = left.columns
@@ -630,6 +657,8 @@ def interval_overlap_join(
     shared ``on`` keys.
     """
     on = list(on)
+    _reserve("interval_overlap_join", left, "_b_l", "_b_r")
+    _reserve("interval_overlap_join", right, "_b_l", "_b_r")
     w = F.lit(bucket_width).cast("long")
 
     def buckets(df: DataFrame, lo: str, hi: str, side: str) -> DataFrame:
@@ -706,6 +735,8 @@ def salted_join(
             "for right/full outer, swap the inputs"
         )
     keys = list(on)
+    _reserve("salted_join", left, "_salt")
+    _reserve("salted_join", right, "_salt")
     first_key = keys[0]
     if isinstance(hot_keys, str):
         if hot_keys != "auto":

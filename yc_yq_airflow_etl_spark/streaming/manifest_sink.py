@@ -81,6 +81,10 @@ def upsert_batch(
     spark = batch_df.sparkSession
     if batch_id <= table.last_batch_id(spark):
         return False
+    if "_rn" in batch_df.columns:
+        # reserved tag: withColumn would replace the user's column and
+        # the collapse would drop it from the upserted rows
+        raise ValueError("'_rn' is reserved by upsert_batch — rename it")
     dup = (
         batch_df.groupBy(key, order_col)
         .count()
@@ -141,6 +145,9 @@ def apply_cdc_batch(
     spark = batch_df.sparkSession
     if batch_id <= table.last_batch_id(spark):
         return False
+    if "_rn" in batch_df.columns:
+        # reserved tag — see upsert_batch
+        raise ValueError("'_rn' is reserved by apply_cdc_batch — rename it")
     # ONE validation job on the hot streaming path (not one per
     # check): tie detection and the NULL-op guard share a two-level
     # aggregation. Ties make the last-change collapse
