@@ -2131,3 +2131,98 @@ def test_read_where_on_empty_table_raises_not_vnone(spark, tmp_path):
         t.read_where_eq(spark, "id", 1)
     with pytest.raises(FileNotFoundError, match="no committed snapshot"):
         t.read_where_null(spark, "id")
+
+
+def test_read_where_schema_complete_on_evolved_snapshot(spark, tmp_path):
+    """Pruned reads must return the SAME schema as read(): the
+    manifest's recorded logical schema resolves it from metadata, so
+    neither a mixed-schema kept set (nondeterministic footer adoption)
+    nor a kept set made entirely of pre-evolution files (mergeSchema
+    can't help — no kept footer has the column) can drop the evolved
+    column."""
+    t = ManifestTable(str(tmp_path / "mt"), stat_cols=("id",))
+    t.overwrite(_ranged(spark, 0, 100))
+    t.append(_ranged(spark, 100, 200))
+    t.append(_ranged(spark, 200, 300).withColumn("w", F.lit("wide")))
+    assert set(t.read(spark).columns) == {"id", "v", "w"}
+
+    # kept set = the middle pre-evolution file ONLY
+    assert len(t.pruned_files(spark, "id", 120, 150)) == 1
+    got = t.read_where(spark, "id", 120, 150)
+    assert set(got.columns) == {"id", "v", "w"}
+    rows = got.collect()
+    assert len(rows) == 31
+    assert all(r.w is None for r in rows)  # NULL-filled, not dropped
+
+    # kept set mixing pre- and post-evolution files
+    got2 = t.read_where(spark, "id", 150, 250).orderBy("id").collect()
+    assert {r.id: r.w for r in got2}[160] is None
+    assert {r.id: r.w for r in got2}[240] == "wide"
+
+
+def test_schema_record_survives_every_commit_type(spark, tmp_path):
+    """The logical schema rides the manifest through append, COW
+    merge, MOR delete/update, restore, cluster and compact — and
+    read()'s resolved schema never flaps."""
+    t = ManifestTable(str(tmp_path / "mt"), stat_cols=("id",))
+    t.overwrite(_ranged(spark, 0, 50))
+    t.append(_ranged(spark, 50, 100).withColumn("w", F.lit("x")))
+
+    def _m():
+        return t._manifest(spark, t.current_version(spark))
+
+    assert "schema" in _m()
+    want = {"id", "v", "w"}
+
+    upd = (
+        spark.range(0, 5)
+        .select(F.col("id"), (F.col("id") * 9).alias("v"),
+                F.lit("u").alias("w"))
+        .coalesce(1)
+    )
+    t.merge(upd, "id")
+    assert "schema" in _m() and set(t.read(spark).columns) == want
+    t.delete_where(spark, "id >= 95", mode="merge-on-read")
+    assert "schema" in _m() and set(t.read(spark).columns) == want
+    t.update_where(spark, "id = 1", {"v": "v + 1"}, mode="merge-on-read")
+    assert "schema" in _m() and set(t.read(spark).columns) == want
+    t.restore(spark, 1)
+    assert "schema" in _m() and set(t.read(spark).columns) == want
+    t.cluster(spark, by=("id",))
+    assert "schema" in _m() and set(t.read(spark).columns) == want
+    t.compact(spark, target_files=1)
+    m = _m()
+    assert "schema" in m and "evolved" not in m  # full rewrite re-baselines
+    assert set(t.read(spark).columns) == want
+
+
+def test_legacy_manifest_without_schema_falls_back_to_mergeschema(
+    spark, tmp_path
+):
+    """A chain whose predecessor lacks a schema record (pre-upgrade
+    manifest) must not record a guessed schema — the union is
+    unknowable from metadata — and reads fall back to the evolved-flag
+    mergeSchema path."""
+    import json as _json
+
+    t = ManifestTable(str(tmp_path / "mt"), stat_cols=("id",))
+    t.overwrite(_ranged(spark, 0, 50))
+    # simulate a legacy manifest: strip the schema record on disk
+    mp = tmp_path / "mt" / "_manifests" / "v0.json"
+    m0 = _json.loads(mp.read_text())
+    del m0["schema"]
+    mp.write_text(_json.dumps(m0))
+    # drop the Hadoop LocalFS checksum sidecar, or the edited file
+    # reads as a torn (checksum-mismatched) manifest
+    crc = tmp_path / "mt" / "_manifests" / ".v0.json.crc"
+    if crc.exists():
+        crc.unlink()
+    assert t.current_version(spark) == 0  # still a valid commit
+
+    t.append(_ranged(spark, 50, 100).withColumn("w", F.lit("x")))
+    m1 = t._manifest(spark, t.current_version(spark))
+    assert "schema" not in m1  # never guessed
+    assert m1.get("evolved") is True
+    got = t.read(spark)  # mergeSchema fallback still resolves the union
+    assert set(got.columns) == {"id", "v", "w"}
+    assert got.count() == 100

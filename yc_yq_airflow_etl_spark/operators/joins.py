@@ -16,16 +16,11 @@ from pyspark.sql import types as T
 
 
 def _reserve(op: str, df: DataFrame, *tags: str) -> None:
-    """Reserved-tag guard (same rule as the table format's __dv_f/
-    __dv_pos/__zkey keys): an operator that stamps internal columns
-    onto a USER frame would silently replace — and later drop — a
-    data column of the same name. Fail loudly instead."""
-    clash = sorted(set(tags) & set(df.columns))
-    if clash:
-        raise ValueError(
-            f"{op}: column(s) {clash} are reserved internal tags — "
-            "rename them before calling"
-        )
+    """Reserved-tag guard — see :mod:`.._reserved` (shared with the
+    table format's __zkey and the CDC collapse's _rn guards)."""
+    from .._reserved import reserve_tags
+
+    reserve_tags(op, df.columns, *tags)
 
 
 def _hashable_type(dt: T.DataType) -> bool:

@@ -75,6 +75,52 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
 
+
+def _schema_json(schema) -> str:
+    """Canonical JSON for a snapshot's logical schema. Nullability is
+    forced TRUE on every field: once snapshots mix schemas, files
+    written before an evolution NULL-fill the columns they lack, so
+    nothing stays provably non-null from a reader's view."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in schema.fields]
+    ).json()
+
+
+def _schema_from_json(s: str):
+    from pyspark.sql import types as T
+
+    return T.StructType.fromJson(json.loads(s))
+
+
+def _merged_schema_json(old_manifest: dict, new_schema) -> str | None:
+    """The appended snapshot's logical schema: the predecessor's
+    recorded schema with the new frame's novel columns appended —
+    the same commit-time resolution Delta/Iceberg record so readers
+    never pay a footer sweep. Returns None ("don't record") when the
+    union cannot be derived exactly from metadata: a legacy
+    predecessor without a recorded schema, or a type conflict on a
+    shared column (read-time mergeSchema stays authoritative for
+    those chains — see _reader_for's fallback)."""
+    from pyspark.sql import types as T
+
+    if not old_manifest:
+        return _schema_json(new_schema)
+    old_json = old_manifest.get("schema")
+    if old_json is None:
+        return None
+    old = _schema_from_json(old_json)
+    have = {f.name: f.dataType for f in old.fields}
+    fields = list(old.fields)
+    for f in new_schema.fields:
+        if f.name in have:
+            if have[f.name] != f.dataType:
+                return None
+        else:
+            fields.append(f)
+    return _schema_json(T.StructType(fields))
+
 # column types whose min/max can round-trip through the JSON manifest
 # and compare correctly on read-back (ints/floats compare numerically,
 # strings lexicographically — both orderings match Spark's)
@@ -486,7 +532,9 @@ class ManifestTable:
         # commit pair v1 files with v2 DVs (resurrecting deleted rows)
         m = self._manifest(spark, v)
         df = self._strip_dvs(
-            spark.read.parquet(*[f"{self.path}/data/{f}" for f in files]),
+            self._reader_for(spark, m).parquet(
+                *[f"{self.path}/data/{f}" for f in files]
+            ),
             self._dv_frame(spark, m, files),
             self._dv_rows(m, files),
         )
@@ -508,7 +556,9 @@ class ManifestTable:
         # file list and DVs from ONE snapshot (see read_where_null)
         m = self._manifest(spark, v)
         df = self._strip_dvs(
-            spark.read.parquet(*[f"{self.path}/data/{f}" for f in files]),
+            self._reader_for(spark, m).parquet(
+                *[f"{self.path}/data/{f}" for f in files]
+            ),
             self._dv_frame(spark, m, files),
             self._dv_rows(m, files),
         )
@@ -570,7 +620,10 @@ class ManifestTable:
     def overwrite(self, df: DataFrame) -> int:
         """Commit df as a full-replacement snapshot."""
         files, spark = self._write_files(df)
-        extra: dict = {"columns": sorted(df.columns)}
+        extra: dict = {
+            "columns": sorted(df.columns),
+            "schema": _schema_json(df.schema),
+        }
         stats = self._file_stats(spark, files)
         if stats:
             extra["stats"] = stats
@@ -585,6 +638,7 @@ class ManifestTable:
         new_cols: list[str],
         new_stats: dict,
         batch_id: int | None,
+        new_schema=None,
     ):
         """The append-family rebase closure: stack pre-written files
         on whatever snapshot is current AT COMMIT TIME (re-resolved on
@@ -632,6 +686,14 @@ class ManifestTable:
             extra["columns"] = sorted(set(new_cols) | set(old_cols))
             if old_manifest.get("evolved") or new_cols != old_cols:
                 extra["evolved"] = True
+            if new_schema is not None:
+                # appends are the ONLY evolution entry point, so the
+                # logical schema resolves here once, from metadata;
+                # None (legacy chain / type conflict) records nothing
+                # and readers fall back to mergeSchema
+                sj = _merged_schema_json(old_manifest, new_schema)
+                if sj is not None:
+                    extra["schema"] = sj
             if new_stats or old_manifest.get("stats"):
                 # carried files keep their recorded stats untouched
                 extra["stats"] = {
@@ -654,7 +716,8 @@ class ManifestTable:
         new_cols = sorted(df.columns)
         new_stats = self._file_stats(spark, new_files)
         rebase = self._append_rebase(
-            spark, new_files, new_cols, new_stats, batch_id
+            spark, new_files, new_cols, new_stats, batch_id,
+            new_schema=df.schema,
         )
         return self._publish(spark, [], 0, "append", rebase=rebase)
 
@@ -711,7 +774,8 @@ class ManifestTable:
         try:
             new_stats = self._file_stats(spark, new_files)
             rebase = self._append_rebase(
-                spark, new_files, new_cols, new_stats, batch_id
+                spark, new_files, new_cols, new_stats, batch_id,
+                new_schema=staged.schema,
             )
             version = self._publish(spark, [], 0, "wap", rebase=rebase)
         except Exception:
@@ -753,8 +817,11 @@ class ManifestTable:
         df = self.read(spark, version=v).coalesce(target_files)
         files, _ = self._write_files(df)
         # compaction rewrites every row through one homogeneous schema,
-        # so the evolved flag resets and columns re-baseline here
-        extra: dict = {"columns": sorted(df.columns)}
+        # so the evolved flag resets and columns/schema re-baseline
+        extra: dict = {
+            "columns": sorted(df.columns),
+            "schema": _schema_json(df.schema),
+        }
         # ...but the streaming high-water mark is NOT content-derived:
         # it must survive the rewrite or replay protection is lost
         hwm = int(self._manifest(spark, v).get("last_batch_id", -1))
@@ -828,14 +895,11 @@ class ManifestTable:
 
             from .zorder import zorder_key
 
-            if "__zkey" in snap.columns:
-                # same reserved-tag rule as the DV join keys: a data
-                # column named __zkey would be REPLACED by withColumn
-                # and then dropped — silently erased from the rewrite
-                raise ValueError(
-                    "'__zkey' is reserved by cluster(zorder=True) — "
-                    "rename the column"
-                )
+            from .._reserved import reserve_tags
+
+            # a data column named __zkey would be REPLACED by
+            # withColumn and then dropped — erased from the rewrite
+            reserve_tags("cluster(zorder=True)", snap.columns, "__zkey")
             bounds = snap.agg(
                 *[F.min(c).alias(f"_mn_{c}") for c in cols],
                 *[F.max(c).alias(f"_mx_{c}") for c in cols],
@@ -863,7 +927,10 @@ class ManifestTable:
                 *cols
             )
         files, _ = self._write_files(df)
-        extra: dict = {"columns": sorted(df.columns)}
+        extra: dict = {
+            "columns": sorted(df.columns),
+            "schema": _schema_json(df.schema),  # full rewrite re-baselines
+        }
         hwm = int(m.get("last_batch_id", -1))
         if hwm >= 0:
             extra["last_batch_id"] = hwm
@@ -934,7 +1001,7 @@ class ManifestTable:
             )
         extra_base = {
             k: target[k]
-            for k in ("columns", "stats", "evolved", "dvs")
+            for k in ("columns", "schema", "stats", "evolved", "dvs")
             if k in target
         }
 
@@ -955,24 +1022,38 @@ class ManifestTable:
 
     # -- read path -------------------------------------------------------
 
+    def _reader_for(self, spark: SparkSession, m: dict):
+        """A reader that resolves the snapshot's schema from METADATA:
+        the manifest's recorded logical schema when present — no
+        footer sweep, files written before an evolution NULL-fill the
+        columns they lack, and (the case mergeSchema over a PRUNED
+        subset cannot fix) a pruned read whose kept files all predate
+        the evolution still returns the full table schema. Falls back
+        to mergeSchema for legacy evolved manifests without a schema
+        record, else plain single-footer inference."""
+        reader = spark.read
+        sch = m.get("schema")
+        if sch is not None:
+            return reader.schema(_schema_from_json(sch))
+        if m.get("evolved"):
+            reader = reader.option("mergeSchema", "true")
+        return reader
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """The snapshot's DataFrame: reads exactly the manifest's file
         list (time travel via ``version``) — never a directory
         listing, so concurrent commits cannot tear it.
 
         Schema evolution: appends may add columns. Rather than paying
-        ``mergeSchema``'s every-footer read on each query, the cheap
-        union of the file schemas is resolved at COMMIT time and the
-        manifest carries an ``evolved`` flag — only snapshots that
-        actually mix schemas read with merging."""
+        ``mergeSchema``'s every-footer read on each query, the union
+        of the file schemas is resolved at COMMIT time: the manifest
+        records the logical schema (``schema``) and an ``evolved``
+        flag, and readers resolve entirely from that metadata."""
         v = self.current_version(spark) if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed snapshot at {self.path}")
         manifest = self._manifest(spark, v)
-        reader = spark.read
-        if manifest.get("evolved"):
-            reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(
+        df = self._reader_for(spark, manifest).parquet(
             *[f"{self.path}/data/{f}" for f in manifest["files"]]
         )
         return self._strip_dvs(
@@ -1358,7 +1439,9 @@ class ManifestTable:
         # file list and DVs from ONE snapshot (see read_where_null)
         m = self._manifest(spark, v)
         df = self._strip_dvs(
-            spark.read.parquet(*[f"{self.path}/data/{f}" for f in files]),
+            self._reader_for(spark, m).parquet(
+                *[f"{self.path}/data/{f}" for f in files]
+            ),
             self._dv_frame(spark, m, files),
             self._dv_rows(m, files),
         )
@@ -1545,13 +1628,11 @@ class ManifestTable:
                 sorted(touched), batch_id,
             )
         if touched:
-            touched_reader = spark.read
-            if m.get("evolved"):
-                # same rule as _cow_rewrite/table_changes: without
-                # mergeSchema a mixed-schema touched set adopts one
-                # file's columns by listing order and silently drops
-                # the evolved column from the rewrite
-                touched_reader = touched_reader.option("mergeSchema", "true")
+            # metadata-resolved schema (or mergeSchema fallback): a
+            # mixed-schema touched set read plain would adopt one
+            # file's columns by listing order and silently drop the
+            # evolved column from the rewrite
+            touched_reader = self._reader_for(spark, m)
             old_rows = self._strip_dvs(
                 touched_reader.parquet(
                     *[f"{self.path}/data/{f}" for f in sorted(touched)]
@@ -1614,6 +1695,9 @@ class ManifestTable:
                 # vanish nondeterministically (same carry as every
                 # other row-rewriting engine here)
                 extra["evolved"] = True
+            if m.get("schema"):
+                # merge never changes the logical schema — carry it
+                extra["schema"] = m["schema"]
             # the streaming high-water mark must SURVIVE a merge — a
             # commit that dropped it would let an at-least-once replay
             # of an already-committed batch re-land after any upsert
@@ -1668,10 +1752,7 @@ class ManifestTable:
         per_file: dict[str, int] = {}
         parts: list[str] = []
         if touched:
-            reader = spark.read
-            if m.get("evolved"):
-                reader = reader.option("mergeSchema", "true")
-            pos = reader.parquet(
+            pos = self._reader_for(spark, m).parquet(
                 *[f"{self.path}/data/{f}" for f in touched]
             ).select(
                 F.col(key),
@@ -1732,6 +1813,8 @@ class ManifestTable:
             }
             if m.get("evolved"):
                 extra["evolved"] = True
+            if m.get("schema"):
+                extra["schema"] = m["schema"]
             hwm = max(int(m.get("last_batch_id", -1)),
                       -1 if batch_id is None else int(batch_id))
             if hwm >= 0:
@@ -1823,10 +1906,7 @@ class ManifestTable:
             raise FileNotFoundError(f"no committed snapshot at {self.path}")
         m = self._manifest(spark, base)
 
-        reader = spark.read
-        if m.get("evolved"):
-            reader = reader.option("mergeSchema", "true")
-        raw = reader.parquet(
+        raw = self._reader_for(spark, m).parquet(
             *[f"{self.path}/data/{f}" for f in m["files"]]
         )
         hit = raw.filter(F.coalesce(pred, F.lit(False))).select(
@@ -1878,6 +1958,8 @@ class ManifestTable:
             }
             if m.get("evolved"):
                 extra["evolved"] = True
+            if m.get("schema"):
+                extra["schema"] = m["schema"]
             if m.get("stats"):
                 extra["stats"] = m["stats"]  # files unchanged
             hwm = int(m.get("last_batch_id", -1))
@@ -1975,10 +2057,7 @@ class ManifestTable:
             raise FileNotFoundError(f"no committed snapshot at {self.path}")
         m = self._manifest(spark, base)
 
-        reader = spark.read
-        if m.get("evolved"):
-            reader = reader.option("mergeSchema", "true")
-        raw = reader.parquet(
+        raw = self._reader_for(spark, m).parquet(
             *[f"{self.path}/data/{f}" for f in m["files"]]
         )
         data_cols = raw.columns
@@ -2035,6 +2114,8 @@ class ManifestTable:
             }
             if m.get("evolved"):
                 extra["evolved"] = True
+            if m.get("schema"):
+                extra["schema"] = m["schema"]
             if m.get("stats") or new_stats:
                 extra["stats"] = {**m.get("stats", {}), **new_stats}
             hwm = int(m.get("last_batch_id", -1))
@@ -2078,10 +2159,7 @@ class ManifestTable:
         # be a multi-source expression (scan ⋈ DV parquet — Spark
         # rejects it), and a file whose only matches are already-dead
         # rows must not trigger a rewrite
-        find_reader = spark.read
-        if m.get("evolved"):
-            find_reader = find_reader.option("mergeSchema", "true")
-        finder = find_reader.parquet(
+        finder = self._reader_for(spark, m).parquet(
             *[f"{self.path}/data/{f}" for f in m["files"]]
         )
         finder = finder.select(
@@ -2102,11 +2180,8 @@ class ManifestTable:
             return base
         untouched = [f for f in m["files"] if f not in touched]
 
-        reader = spark.read
-        if m.get("evolved"):
-            reader = reader.option("mergeSchema", "true")
         old_rows = self._strip_dvs(
-            reader.parquet(
+            self._reader_for(spark, m).parquet(
                 *[f"{self.path}/data/{f}" for f in sorted(touched)]
             ),
             self._dv_frame(spark, m, sorted(touched)),
@@ -2136,6 +2211,8 @@ class ManifestTable:
                 extra["updated_rows"] = matched
             if m.get("evolved"):
                 extra["evolved"] = True
+            if m.get("schema"):
+                extra["schema"] = m["schema"]
             hwm = int(m.get("last_batch_id", -1))
             if hwm >= 0:
                 extra["last_batch_id"] = hwm

@@ -78,13 +78,12 @@ def write_zordered(
     within each partition (tight row-group stats), write. One extra
     shuffle versus a plain write — paid once at write time, repaid on
     every multi-column-filtered scan."""
+    from .._reserved import reserve_tags
+
     cols = list(cols)
-    if "_zkey" in df.columns:
-        # withColumn would silently REPLACE the user's column and the
-        # final drop would erase it from the written data
-        raise ValueError(
-            "'_zkey' is reserved by write_zordered — rename the column"
-        )
+    # withColumn would silently REPLACE the user's column and the
+    # final drop would erase it from the written data
+    reserve_tags("write_zordered", df.columns, "_zkey")
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"_lo{i}") for i, c in enumerate(cols)],
         *[F.max(F.col(c).cast("double")).alias(f"_hi{i}") for i, c in enumerate(cols)],

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
+from .._reserved import reserve_tags
 from ..sources.manifest import ManifestTable
 
 
@@ -81,10 +82,8 @@ def upsert_batch(
     spark = batch_df.sparkSession
     if batch_id <= table.last_batch_id(spark):
         return False
-    if "_rn" in batch_df.columns:
-        # reserved tag: withColumn would replace the user's column and
-        # the collapse would drop it from the upserted rows
-        raise ValueError("'_rn' is reserved by upsert_batch — rename it")
+    # the collapse's row-number tag must not clash a data column
+    reserve_tags("upsert_batch", batch_df.columns, "_rn")
     dup = (
         batch_df.groupBy(key, order_col)
         .count()
@@ -145,9 +144,7 @@ def apply_cdc_batch(
     spark = batch_df.sparkSession
     if batch_id <= table.last_batch_id(spark):
         return False
-    if "_rn" in batch_df.columns:
-        # reserved tag — see upsert_batch
-        raise ValueError("'_rn' is reserved by apply_cdc_batch — rename it")
+    reserve_tags("apply_cdc_batch", batch_df.columns, "_rn")
     # ONE validation job on the hot streaming path (not one per
     # check): tie detection and the NULL-op guard share a two-level
     # aggregation. Ties make the last-change collapse
