@@ -2226,3 +2226,90 @@ def test_legacy_manifest_without_schema_falls_back_to_mergeschema(
     got = t.read(spark)  # mergeSchema fallback still resolves the union
     assert set(got.columns) == {"id", "v", "w"}
     assert got.count() == 100
+
+
+def test_append_type_conflict_sets_evolved_for_loud_reads(spark, tmp_path):
+    """Appending the SAME column names with an incompatible type used
+    to commit a manifest with neither schema nor evolved — plain reads
+    then adopted one file's footer nondeterministically. The conflict
+    now forces the evolved flag: mergeSchema fails LOUDLY on the
+    incompatible types instead."""
+    t = ManifestTable(str(tmp_path / "mt"))
+    t.overwrite(_df(spark, 0, 10))  # v: long
+    t.append(
+        spark.range(10, 20).select(
+            F.col("id"), (F.col("id") * 0.5).alias("v")  # v: double
+        )
+    )
+    m = t._manifest(spark, t.current_version(spark))
+    assert "schema" not in m  # never records a conflicted union
+    assert m.get("evolved") is True
+    with pytest.raises(Exception, match="[Mm]erge|[Ff]ailed|compatible"):
+        t.read(spark).collect()  # loud, not nondeterministic
+
+
+def test_nested_nullability_difference_is_not_a_conflict(spark, tmp_path):
+    """Spark's DataType equality is nullability-sensitive at every
+    nesting level; the schema record must not be — an append whose
+    struct field differs only in inner nullability keeps the record."""
+    t = ManifestTable(str(tmp_path / "mt"))
+    base = spark.range(0, 5).select(
+        "id", F.struct(F.lit(1).alias("a")).alias("s")  # a: non-null
+    )
+    t.overwrite(base)
+    nullable = spark.range(5, 10).select(
+        "id",
+        F.struct(
+            F.when(F.col("id") > 6, F.lit(1)).alias("a")  # a: nullable
+        ).alias("s"),
+    )
+    t.append(nullable)
+    m = t._manifest(spark, t.current_version(spark))
+    assert "schema" in m  # nullability drift never drops the record
+    assert t.read(spark).count() == 10
+
+
+@pytest.mark.parametrize("mode", ["copy-on-write", "merge-on-read"])
+def test_merge_widens_narrow_batch_and_rejects_type_drift(
+    spark, tmp_path, mode
+):
+    """A batch whose literals landed as a NARROWER numeric type casts
+    to the table's recorded type (int -> bigint); an incompatible
+    type raises instead of committing files the recorded schema can
+    no longer read (which would throw on every later scan)."""
+    t = ManifestTable(str(tmp_path / ("mt_" + mode)), stat_cols=("id",))
+    t.overwrite(_ranged(spark, 0, 100))  # id, v: bigint
+
+    narrow = spark.range(0, 3).select(
+        F.col("id"), (F.col("id") * 7).cast("int").alias("v")
+    )
+    t.merge(narrow, "id", mode=mode)
+    got = t.read(spark)
+    assert dict(got.dtypes)["v"] == "bigint"  # widened, not drifted
+    assert {r.id: r.v for r in got.collect()}[2] == 14
+    got.collect()  # every file readable under the recorded schema
+
+    drift = spark.range(0, 3).select(
+        F.col("id"), (F.col("id") * 0.5).alias("v")  # double
+    )
+    with pytest.raises(ValueError, match="incompatible with the table"):
+        t.merge(drift, "id", mode=mode)
+
+
+def test_update_where_type_drift_rejected_both_modes(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "mt"), stat_cols=("id",))
+    t.overwrite(_ranged(spark, 0, 50))
+    for mode in ("copy-on-write", "merge-on-read"):
+        with pytest.raises(ValueError, match="incompatible with the table"):
+            t.update_where(spark, "id < 5", {"v": "v * 0.5"}, mode=mode)
+    # the table stayed readable and unchanged
+    assert t.read(spark).count() == 50
+
+
+def test_dv_position_key_names_rejected_at_write(spark, tmp_path):
+    """__dv_f/__dv_pos can never enter a committed snapshot, so every
+    read/rewrite can stamp them without clobbering user data."""
+    t = ManifestTable(str(tmp_path / "mt"))
+    bad = spark.range(0, 3).select("id", F.lit(1).alias("__dv_f"))
+    with pytest.raises(ValueError, match="__dv_f.*reserved"):
+        t.overwrite(bad)

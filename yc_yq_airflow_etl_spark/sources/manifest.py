@@ -76,15 +76,42 @@ from pyspark.sql import DataFrame, SparkSession
 _MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
 
 
+def _nullable_type(dt):
+    """The type with nullability forced TRUE at EVERY nesting level
+    (struct fields, array elements, map values) and field metadata
+    dropped. Spark's DataType equality is nullability- and
+    metadata-sensitive, but neither carries schema meaning here: files
+    written before an evolution NULL-fill whole columns, so nothing
+    stays provably non-null — and a nested-nullability mismatch must
+    not read as a type conflict."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _nullable_type(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_nullable_type(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _nullable_type(dt.keyType), _nullable_type(dt.valueType), True
+        )
+    return dt
+
+
 def _schema_json(schema) -> str:
-    """Canonical JSON for a snapshot's logical schema. Nullability is
-    forced TRUE on every field: once snapshots mix schemas, files
-    written before an evolution NULL-fill the columns they lack, so
-    nothing stays provably non-null from a reader's view."""
+    """Canonical JSON for a snapshot's logical schema — all-nullable
+    at every level (see _nullable_type)."""
     from pyspark.sql import types as T
 
     return T.StructType(
-        [T.StructField(f.name, f.dataType, True) for f in schema.fields]
+        [
+            T.StructField(f.name, _nullable_type(f.dataType), True)
+            for f in schema.fields
+        ]
     ).json()
 
 
@@ -94,15 +121,23 @@ def _schema_from_json(s: str):
     return T.StructType.fromJson(json.loads(s))
 
 
-def _merged_schema_json(old_manifest: dict, new_schema) -> str | None:
+# sentinel: a shared column changed type between the recorded schema
+# and an appended frame — record nothing AND force the evolved flag so
+# reads go through mergeSchema, which fails LOUDLY on the conflict
+# instead of adopting one file's footer nondeterministically
+_SCHEMA_CONFLICT = object()
+
+
+def _merged_schema_json(old_manifest: dict, new_schema):
     """The appended snapshot's logical schema: the predecessor's
     recorded schema with the new frame's novel columns appended —
     the same commit-time resolution Delta/Iceberg record so readers
-    never pay a footer sweep. Returns None ("don't record") when the
-    union cannot be derived exactly from metadata: a legacy
-    predecessor without a recorded schema, or a type conflict on a
-    shared column (read-time mergeSchema stays authoritative for
-    those chains — see _reader_for's fallback)."""
+    never pay a footer sweep. Returns None ("don't record") for a
+    legacy predecessor without a recorded schema, or _SCHEMA_CONFLICT
+    when a shared column's type differs (nullability-insensitively) —
+    the caller must then set the evolved flag, since with identical
+    column NAMES nothing else would, and a plain read over mixed
+    physical types is nondeterministic."""
     from pyspark.sql import types as T
 
     if not old_manifest:
@@ -115,11 +150,26 @@ def _merged_schema_json(old_manifest: dict, new_schema) -> str | None:
     fields = list(old.fields)
     for f in new_schema.fields:
         if f.name in have:
-            if have[f.name] != f.dataType:
-                return None
+            if _nullable_type(have[f.name]) != _nullable_type(f.dataType):
+                return _SCHEMA_CONFLICT
         else:
             fields.append(f)
     return _schema_json(T.StructType(fields))
+
+
+# lossless write-side widenings: a CDC batch whose literal landed as a
+# narrower numeric type must not brick the table, but it must also not
+# silently change the recorded schema — the batch CASTS to the table
+_INT_WIDTHS = ("tinyint", "smallint", "int", "bigint")
+
+
+def _widens_to(src, dst) -> bool:
+    s, d = src.simpleString(), dst.simpleString()
+    if s == d:
+        return True
+    if s in _INT_WIDTHS and d in _INT_WIDTHS:
+        return _INT_WIDTHS.index(s) <= _INT_WIDTHS.index(d)
+    return s == "float" and d == "double"
 
 # column types whose min/max can round-trip through the JSON manifest
 # and compare correctly on read-back (ints/floats compare numerically,
@@ -328,6 +378,17 @@ class ManifestTable:
         staging dir; each part file is renamed to a unique name under
         the target — renaming UNPUBLISHED files is safe on any store
         because no manifest references them yet."""
+        if subdir == "data":
+            # the ONE choke point every data file passes through: keep
+            # the DV position-key names out of committed snapshots, so
+            # _strip_dvs/_live_positions can stamp them on any read or
+            # rewrite without ever clobbering user data (DV parts
+            # themselves use _f/_pos and are internal frames)
+            from .._reserved import reserve_tags
+
+            reserve_tags(
+                "ManifestTable write", df.columns, "__dv_f", "__dv_pos"
+            )
         spark = df.sparkSession
         jvm, fs = self._fs(spark)
         staging_name = f"_staging_{uuid.uuid4().hex}"
@@ -689,10 +750,18 @@ class ManifestTable:
             if new_schema is not None:
                 # appends are the ONLY evolution entry point, so the
                 # logical schema resolves here once, from metadata;
-                # None (legacy chain / type conflict) records nothing
-                # and readers fall back to mergeSchema
+                # None (legacy chain) records nothing and readers fall
+                # back to mergeSchema
                 sj = _merged_schema_json(old_manifest, new_schema)
-                if sj is not None:
+                if sj is _SCHEMA_CONFLICT:
+                    # same column NAMES, different types: without this
+                    # the manifest would carry neither schema nor
+                    # evolved and a plain read would adopt one file's
+                    # footer nondeterministically; mergeSchema instead
+                    # fails LOUDLY on the incompatible types until a
+                    # compact/overwrite re-baselines
+                    extra["evolved"] = True
+                elif sj is not None:
                     extra["schema"] = sj
             if new_stats or old_manifest.get("stats"):
                 # carried files keep their recorded stats untouched
@@ -1105,6 +1174,43 @@ class ManifestTable:
     # DV debt should have been compacted (maybe_compact's
     # max_dv_fraction exists precisely so reads never get here).
     _DV_BROADCAST_MAX_ROWS = 20_000_000
+
+    def _conform_to_schema(self, df: DataFrame, m: dict, what: str) -> DataFrame:
+        """Align a frame about to land in data files with the
+        snapshot's recorded logical schema — the check that keeps a
+        type-drifted batch from committing files the recorded schema
+        can no longer read (an int32 file under a bigint record throws
+        on every subsequent scan; the table would be bricked until a
+        manifest hand-edit). Identical types pass through, lossless
+        numeric widenings CAST to the table's type (a literal-typed
+        CDC batch must not fail), anything else raises — real type
+        changes go through overwrite/compact re-baselining."""
+        rec = m.get("schema")
+        if rec is None:
+            return df
+        from pyspark.sql import functions as F
+
+        want = {f.name: f.dataType for f in _schema_from_json(rec).fields}
+        out, casts, bad = [], 0, []
+        for f in df.schema.fields:
+            w = want.get(f.name)
+            if w is None or _nullable_type(f.dataType) == _nullable_type(w):
+                out.append(F.col(f.name))
+            elif _widens_to(f.dataType, w):
+                out.append(F.col(f.name).cast(w).alias(f.name))
+                casts += 1
+            else:
+                bad.append(
+                    f"{f.name}: {f.dataType.simpleString()} -> "
+                    f"{w.simpleString()}"
+                )
+        if bad:
+            raise ValueError(
+                f"{what} would write column types incompatible with the "
+                f"table's recorded schema ({', '.join(bad)}) — cast "
+                "explicitly; type changes go through overwrite"
+            )
+        return df.select(out) if casts else df
 
     def _strip_dvs(
         self, df: DataFrame, dv: DataFrame | None, n_dead: int = 0
@@ -1543,6 +1649,10 @@ class ManifestTable:
                     f"table {self.path} is not schema-evolved — a "
                     "malformed batch must fail, not NULL-fill"
                 )
+        # type contract (both modes): the batch's files will be read
+        # under the recorded schema — a drifted type must widen or fail
+        # HERE, not brick every later read
+        updates = self._conform_to_schema(updates, m, "merge updates")
         if updates.groupBy(key).count().filter("count > 1").limit(1).count():
             raise ValueError(f"updates carry duplicate {key!r} values")
         dk = None
@@ -2088,7 +2198,13 @@ class ManifestTable:
             subdir="deletes",
         )
         new_files, _ = self._write_files(
-            transform(matched.drop("__dv_f", "__dv_pos"))
+            # an assignment can change a column's type (v -> v * 0.5):
+            # widen or fail before the file lands under the old record
+            self._conform_to_schema(
+                transform(matched.drop("__dv_f", "__dv_pos")),
+                m,
+                "update assignments",
+            )
         )
         new_stats = self._file_stats(spark, new_files)
         new_dvs = {f: dict(e) for f, e in m.get("dvs", {}).items()}
@@ -2189,7 +2305,11 @@ class ManifestTable:
         )
         touched_before = old_rows.count()
         matched = old_rows.filter(F.coalesce(pred, F.lit(False))).count()
-        new_files, _ = self._write_files(transform(old_rows))
+        new_files, _ = self._write_files(
+            # same type contract as _update_mor: the rewrite carries
+            # the schema record forward, so its files must conform
+            self._conform_to_schema(transform(old_rows), m, f"{op} rewrite")
+        )
         new_stats = self._file_stats(spark, new_files)
         new_rows = self._count(spark, new_files)
         final = untouched + new_files
