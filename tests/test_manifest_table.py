@@ -2228,19 +2228,25 @@ def test_legacy_manifest_without_schema_falls_back_to_mergeschema(
     assert got.count() == 100
 
 
-def test_append_type_conflict_sets_evolved_for_loud_reads(spark, tmp_path):
-    """Appending the SAME column names with an incompatible type used
-    to commit a manifest with neither schema nor evolved — plain reads
-    then adopted one file's footer nondeterministically. The conflict
-    now forces the evolved flag: mergeSchema fails LOUDLY on the
-    incompatible types instead."""
+def test_append_type_conflict_race_fallback_sets_evolved(spark, tmp_path):
+    """append() rejects type drift at entry (see
+    test_append_widens_and_rejects_drift_before_any_file_lands), so a
+    conflicting commit can only arise from a CONCURRENT type change
+    between that check and the rebase. Drive the rebase directly to
+    pin the fallback: the manifest carries the evolved flag and NO
+    schema record — reads fail loudly in mergeSchema instead of
+    adopting one file's footer nondeterministically."""
     t = ManifestTable(str(tmp_path / "mt"))
     t.overwrite(_df(spark, 0, 10))  # v: long
-    t.append(
-        spark.range(10, 20).select(
-            F.col("id"), (F.col("id") * 0.5).alias("v")  # v: double
-        )
+    drifted = spark.range(10, 20).select(
+        F.col("id"), (F.col("id") * 0.5).alias("v")  # v: double
     )
+    files, _ = t._write_files(drifted)
+    rebase = t._append_rebase(
+        spark, files, sorted(drifted.columns), {}, None,
+        new_schema=drifted.schema,
+    )
+    t._publish(spark, [], 0, "append", rebase=rebase)
     m = t._manifest(spark, t.current_version(spark))
     assert "schema" not in m  # never records a conflicted union
     assert m.get("evolved") is True
@@ -2313,3 +2319,83 @@ def test_dv_position_key_names_rejected_at_write(spark, tmp_path):
     bad = spark.range(0, 3).select("id", F.lit(1).alias("__dv_f"))
     with pytest.raises(ValueError, match="__dv_f.*reserved"):
         t.overwrite(bad)
+
+
+def test_append_widens_and_rejects_drift_before_any_file_lands(
+    spark, tmp_path
+):
+    """Append on an EXISTING column must conform to the recorded
+    schema at entry: lossless widenings cast, real drift raises with
+    NOTHING staged or committed — a committed conflict would poison
+    every read (mergeSchema cannot reconcile incompatible types) with
+    compact() unreachable as repair, so one drifted micro-batch
+    through the streaming sink would brick the table."""
+    t = ManifestTable(str(tmp_path / "mt"))
+    t.overwrite(_df(spark, 0, 10))  # v: bigint
+    t.append(
+        spark.range(10, 13).select(
+            "id", (F.col("id") * 2).cast("int").alias("v")
+        )
+    )
+    got = t.read(spark)
+    assert dict(got.dtypes)["v"] == "bigint"
+    assert got.count() == 13
+    m = t._manifest(spark, t.current_version(spark))
+    assert "schema" in m and "evolved" not in m  # widened, not evolved
+
+    v_before = t.current_version(spark)
+    n_data = len(list((tmp_path / "mt" / "data").glob("*.parquet")))
+    with pytest.raises(ValueError, match="incompatible with the table"):
+        t.append(
+            spark.range(0, 3).select("id", (F.col("id") * 0.5).alias("v"))
+        )
+    assert t.current_version(spark) == v_before
+    assert (
+        len(list((tmp_path / "mt" / "data").glob("*.parquet"))) == n_data
+    )  # nothing staged or orphaned
+    t.read(spark).collect()  # table fully readable
+
+    # NEW columns still evolve freely through append
+    t.append(_df(spark, 13, 15).withColumn("w", F.lit("x")))
+    assert set(t.read(spark).columns) == {"id", "v", "w"}
+
+
+def test_merge_null_typed_column_is_lossless(spark, tmp_path):
+    """A batch column built as lit(None) types as void; casting void
+    to anything is lossless and must not be rejected."""
+    t = ManifestTable(str(tmp_path / "mt"), stat_cols=("id",))
+    t.overwrite(_ranged(spark, 0, 10))
+    upd = spark.range(0, 3).select("id", F.lit(None).alias("v"))
+    t.merge(upd, "id")
+    got = {r.id: r.v for r in t.read(spark).collect()}
+    assert got[1] is None and got[5] == 10
+
+
+def test_update_mor_type_drift_rejected_before_any_io(spark, tmp_path):
+    """The MOR update's type validation is schema-only and runs before
+    the find scan: a rejected update lands no deletion-vector parts."""
+    t = ManifestTable(str(tmp_path / "mt"), stat_cols=("id",))
+    t.overwrite(_ranged(spark, 0, 20))
+    with pytest.raises(ValueError, match="incompatible with the table"):
+        t.update_where(spark, "id < 5", {"v": "v * 0.5"}, mode="merge-on-read")
+    deletes = tmp_path / "mt" / "deletes"
+    assert not deletes.exists() or not list(deletes.glob("*.parquet"))
+
+
+def test_conform_handles_dotted_column_names(spark, tmp_path):
+    """A literal dot in a column name must not parse as struct-field
+    access when the conformance select rebuilds columns."""
+    t = ManifestTable(str(tmp_path / "mt"), stat_cols=("id",))
+    t.overwrite(
+        spark.range(0, 10).select(
+            "id", (F.col("id") * 2).alias("v"), F.lit("k").alias("a.b")
+        ).coalesce(1)
+    )
+    narrow = spark.range(0, 3).select(
+        "id", (F.col("id") * 7).cast("int").alias("v"),
+        F.lit("u").alias("a.b"),
+    )
+    t.merge(narrow, "id")  # cast path triggers; dotted column survives
+    got = t.read(spark)
+    assert set(got.columns) == {"id", "v", "a.b"}
+    assert {r["id"]: r["a.b"] for r in got.collect()}[1] == "u"

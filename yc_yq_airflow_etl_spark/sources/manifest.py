@@ -167,6 +167,9 @@ def _widens_to(src, dst) -> bool:
     s, d = src.simpleString(), dst.simpleString()
     if s == d:
         return True
+    if s == "void":
+        # an all-NULL column (lit(None)) casts losslessly to anything
+        return True
     if s in _INT_WIDTHS and d in _INT_WIDTHS:
         return _INT_WIDTHS.index(s) <= _INT_WIDTHS.index(d)
     return s == "float" and d == "double"
@@ -754,12 +757,14 @@ class ManifestTable:
                 # back to mergeSchema
                 sj = _merged_schema_json(old_manifest, new_schema)
                 if sj is _SCHEMA_CONFLICT:
-                    # same column NAMES, different types: without this
-                    # the manifest would carry neither schema nor
-                    # evolved and a plain read would adopt one file's
-                    # footer nondeterministically; mergeSchema instead
-                    # fails LOUDLY on the incompatible types until a
-                    # compact/overwrite re-baselines
+                    # append()'s entry conformance makes this all but
+                    # unreachable (drift raises before files land);
+                    # only a CONCURRENT commit changing a column's
+                    # type between that check and this rebase lands
+                    # here. Last resort: carry neither schema record
+                    # nor a silent adoption — the evolved flag routes
+                    # reads through mergeSchema, which fails LOUDLY on
+                    # the incompatible types (never nondeterministic)
                     extra["evolved"] = True
                 elif sj is not None:
                     extra["schema"] = sj
@@ -780,7 +785,22 @@ class ManifestTable:
         ``batch_id`` (for streaming sinks): recorded in the manifest
         as a carried-forward high-water mark, so an at-least-once
         replay of an already-committed micro-batch is detectable from
-        the LATEST manifest alone (surviving vacuum of old ones)."""
+        the LATEST manifest alone (surviving vacuum of old ones).
+
+        Types: NEW columns evolve freely; a column the table already
+        has must conform to the recorded schema — lossless numeric
+        widenings cast to the table's type, real drift raises HERE,
+        before any file lands. Committing the conflict instead would
+        poison every subsequent read (mergeSchema cannot reconcile
+        incompatible types), with compact() unreachable as a repair
+        because it reads first — one drifted micro-batch through the
+        streaming sink would brick the table."""
+        spark0 = df.sparkSession
+        cur = self.current_version(spark0)
+        if cur is not None:
+            df = self._conform_to_schema(
+                df, self._manifest(spark0, cur), "append"
+            )
         new_files, spark = self._write_files(df)
         new_cols = sorted(df.columns)
         new_stats = self._file_stats(spark, new_files)
@@ -814,6 +834,12 @@ class ManifestTable:
         # validate the ruleset BEFORE staging anything: a bad ruleset
         # must fail without landing files
         _check_rules(rules)
+        # same type contract as append, checked before staging
+        cur = self.current_version(df.sparkSession)
+        if cur is not None:
+            df = self._conform_to_schema(
+                df, self._manifest(df.sparkSession, cur), "write_audit_publish"
+            )
         new_files, spark = self._write_files(df)
 
         def _abandon() -> None:
@@ -1191,13 +1217,19 @@ class ManifestTable:
         from pyspark.sql import functions as F
 
         want = {f.name: f.dataType for f in _schema_from_json(rec).fields}
+
+        def qcol(name: str):
+            # backtick-quoted: a literal dot in a column name must not
+            # parse as struct-field access (df[name] shares that flaw)
+            return F.col("`" + name.replace("`", "``") + "`")
+
         out, casts, bad = [], 0, []
         for f in df.schema.fields:
             w = want.get(f.name)
             if w is None or _nullable_type(f.dataType) == _nullable_type(w):
-                out.append(F.col(f.name))
+                out.append(qcol(f.name))
             elif _widens_to(f.dataType, w):
-                out.append(F.col(f.name).cast(w).alias(f.name))
+                out.append(qcol(f.name).cast(w).alias(f.name))
                 casts += 1
             else:
                 bad.append(
@@ -2171,6 +2203,10 @@ class ManifestTable:
             *[f"{self.path}/data/{f}" for f in m["files"]]
         )
         data_cols = raw.columns
+        # validate the assignments' OUTPUT types up front (schema
+        # analysis only — no job): a rejected update must fail before
+        # the find scan runs or any DV part lands under deletes/
+        self._conform_to_schema(transform(raw), m, "update assignments")
         matched = raw.filter(F.coalesce(pred, F.lit(False))).select(
             F.col("_metadata.file_name").alias("__dv_f"),
             F.col("_metadata.row_index").alias("__dv_pos"),
@@ -2278,6 +2314,10 @@ class ManifestTable:
         finder = self._reader_for(spark, m).parquet(
             *[f"{self.path}/data/{f}" for f in m["files"]]
         )
+        # type-validate the rewrite's output before the find scan (a
+        # delete's identity transform passes trivially; an update
+        # assignment with real drift fails with zero I/O)
+        self._conform_to_schema(transform(finder), m, f"{op} rewrite")
         finder = finder.select(
             F.col("_metadata.file_name").alias("__dv_f"),
             F.col("_metadata.row_index").alias("__dv_pos"),
