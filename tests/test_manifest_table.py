@@ -2382,20 +2382,52 @@ def test_update_mor_type_drift_rejected_before_any_io(spark, tmp_path):
     assert not deletes.exists() or not list(deletes.glob("*.parquet"))
 
 
-def test_conform_handles_dotted_column_names(spark, tmp_path):
-    """A literal dot in a column name must not parse as struct-field
-    access when the conformance select rebuilds columns."""
-    t = ManifestTable(str(tmp_path / "mt"), stat_cols=("id",))
-    t.overwrite(
-        spark.range(0, 10).select(
-            "id", (F.col("id") * 2).alias("v"), F.lit("k").alias("a.b")
-        ).coalesce(1)
-    )
-    narrow = spark.range(0, 3).select(
-        "id", (F.col("id") * 7).cast("int").alias("v"),
-        F.lit("u").alias("a.b"),
-    )
-    t.merge(narrow, "id")  # cast path triggers; dotted column survives
-    got = t.read(spark)
-    assert set(got.columns) == {"id", "v", "a.b"}
-    assert {r["id"]: r["a.b"] for r in got.collect()}[1] == "u"
+def test_dotted_column_names_rejected_at_write(spark, tmp_path):
+    """Delta-style identifier contract: dots/backticks in top-level
+    column names are rejected at the data-write choke point. Spark
+    resolves unquoted dotted names as struct-field access, so every
+    downstream engine (update/delete selects, stat expressions) would
+    need perfect quoting discipline forever — and a struct column
+    alongside its dotted twin resolves ambiguously, writing wrong
+    data. Loud at entry beats either."""
+    t = ManifestTable(str(tmp_path / "mt"))
+    bad = spark.range(0, 3).select("id", F.lit("k").alias("a.b"))
+    with pytest.raises(ValueError, match="unsupported column name"):
+        t.overwrite(bad)
+    t.overwrite(_df(spark, 0, 5))
+    with pytest.raises(ValueError, match="unsupported column name"):
+        t.append(spark.range(5, 8).select(
+            "id", (F.col("id") * 2).alias("v"), F.lit(1).alias("x`y")
+        ))
+    assert set(t.read(spark).columns) == {"id", "v"}  # table untouched
+
+
+def test_legacy_chain_append_is_conservatively_evolved(spark, tmp_path):
+    """On a chain without a schema record, file-type homogeneity is
+    unprovable from metadata: a same-named type drift must not commit
+    with neither schema nor evolved (plain reads would adopt one
+    footer nondeterministically). Every legacy append sets evolved, so
+    reads go through mergeSchema — which unions compatible types and
+    fails LOUDLY on a real conflict."""
+    import json as _json
+
+    t = ManifestTable(str(tmp_path / "mt"))
+    t.overwrite(_df(spark, 0, 10))  # v: bigint
+    mp = tmp_path / "mt" / "_manifests" / "v0.json"
+    m0 = _json.loads(mp.read_text())
+    del m0["schema"]
+    mp.write_text(_json.dumps(m0))
+    crc = tmp_path / "mt" / "_manifests" / ".v0.json.crc"
+    if crc.exists():
+        crc.unlink()
+
+    # drift with IDENTICAL column names: commits (nothing to check
+    # against), but the conservative evolved flag makes reads loud
+    t.append(spark.range(10, 13).select(
+        "id", (F.col("id") * 0.5).alias("v")
+    ))
+    m1 = t._manifest(spark, t.current_version(spark))
+    assert "schema" not in m1
+    assert m1.get("evolved") is True
+    with pytest.raises(Exception, match="[Mm]erge|[Ff]ailed|compatible"):
+        t.read(spark).collect()  # loud, never footer-adoption roulette

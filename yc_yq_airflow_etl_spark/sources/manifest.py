@@ -392,6 +392,21 @@ class ManifestTable:
             reserve_tags(
                 "ManifestTable write", df.columns, "__dv_f", "__dv_pos"
             )
+            # Delta-style identifier contract: dots and backticks in
+            # top-level column names are rejected up front. Spark
+            # resolves unquoted dotted names as struct-field access,
+            # so every engine touching the table (update/delete
+            # selects, stat expressions, oracle SQL) would need
+            # perfect quoting discipline forever — and a struct
+            # column alongside its dotted twin resolves AMBIGUOUSLY,
+            # silently writing wrong data. Fail loudly at entry.
+            bad = sorted(c for c in df.columns if "." in c or "`" in c)
+            if bad:
+                raise ValueError(
+                    f"unsupported column name(s) {bad}: dots/backticks "
+                    "in top-level names break Spark column resolution "
+                    "— rename before writing"
+                )
         spark = df.sparkSession
         jvm, fs = self._fs(spark)
         staging_name = f"_staging_{uuid.uuid4().hex}"
@@ -768,6 +783,17 @@ class ManifestTable:
                     extra["evolved"] = True
                 elif sj is not None:
                     extra["schema"] = sj
+                elif old_manifest:
+                    # legacy chain without a schema record: file
+                    # homogeneity is unprovable from metadata, and
+                    # entry conformance had nothing to check against —
+                    # a same-named type drift would otherwise commit
+                    # with neither schema nor evolved and plain reads
+                    # would adopt one footer nondeterministically.
+                    # Conservative evolved keeps every read on
+                    # mergeSchema (unions, or fails loudly) until a
+                    # compact/overwrite re-baselines the record.
+                    extra["evolved"] = True
             if new_stats or old_manifest.get("stats"):
                 # carried files keep their recorded stats untouched
                 extra["stats"] = {
@@ -795,12 +821,7 @@ class ManifestTable:
         incompatible types), with compact() unreachable as a repair
         because it reads first — one drifted micro-batch through the
         streaming sink would brick the table."""
-        spark0 = df.sparkSession
-        cur = self.current_version(spark0)
-        if cur is not None:
-            df = self._conform_to_schema(
-                df, self._manifest(spark0, cur), "append"
-            )
+        df = self._conform_to_current(df, "append")
         new_files, spark = self._write_files(df)
         new_cols = sorted(df.columns)
         new_stats = self._file_stats(spark, new_files)
@@ -835,11 +856,7 @@ class ManifestTable:
         # must fail without landing files
         _check_rules(rules)
         # same type contract as append, checked before staging
-        cur = self.current_version(df.sparkSession)
-        if cur is not None:
-            df = self._conform_to_schema(
-                df, self._manifest(df.sparkSession, cur), "write_audit_publish"
-            )
+        df = self._conform_to_current(df, "write_audit_publish")
         new_files, spark = self._write_files(df)
 
         def _abandon() -> None:
@@ -1200,6 +1217,17 @@ class ManifestTable:
     # DV debt should have been compacted (maybe_compact's
     # max_dv_fraction exists precisely so reads never get here).
     _DV_BROADCAST_MAX_ROWS = 20_000_000
+
+    def _conform_to_current(self, df: DataFrame, what: str) -> DataFrame:
+        """The append-family entry contract: conform ``df`` to the
+        CURRENT snapshot's recorded schema before anything is staged
+        (shared by append and write_audit_publish so the two can never
+        drift apart). No-op on an empty table."""
+        spark = df.sparkSession
+        cur = self.current_version(spark)
+        if cur is None:
+            return df
+        return self._conform_to_schema(df, self._manifest(spark, cur), what)
 
     def _conform_to_schema(self, df: DataFrame, m: dict, what: str) -> DataFrame:
         """Align a frame about to land in data files with the
