@@ -2402,32 +2402,88 @@ def test_dotted_column_names_rejected_at_write(spark, tmp_path):
     assert set(t.read(spark).columns) == {"id", "v"}  # table untouched
 
 
-def test_legacy_chain_append_is_conservatively_evolved(spark, tmp_path):
-    """On a chain without a schema record, file-type homogeneity is
-    unprovable from metadata: a same-named type drift must not commit
-    with neither schema nor evolved (plain reads would adopt one
-    footer nondeterministically). Every legacy append sets evolved, so
-    reads go through mergeSchema — which unions compatible types and
-    fails LOUDLY on a real conflict."""
+def _strip_schema_record(tmp_path, name="mt", version=0):
+    """Simulate a legacy (pre-schema-record) manifest on disk."""
     import json as _json
 
-    t = ManifestTable(str(tmp_path / "mt"))
-    t.overwrite(_df(spark, 0, 10))  # v: bigint
-    mp = tmp_path / "mt" / "_manifests" / "v0.json"
+    mp = tmp_path / name / "_manifests" / f"v{version}.json"
     m0 = _json.loads(mp.read_text())
     del m0["schema"]
     mp.write_text(_json.dumps(m0))
-    crc = tmp_path / "mt" / "_manifests" / ".v0.json.crc"
+    crc = tmp_path / name / "_manifests" / f".v{version}.json.crc"
     if crc.exists():
         crc.unlink()
 
+
+def test_legacy_chain_append_sets_read_merged_not_evolved(spark, tmp_path):
+    """On a chain without a schema record, file-type homogeneity is
+    unprovable from metadata: a same-named type drift must not commit
+    with no flag at all (plain reads would adopt one footer
+    nondeterministically). Legacy appends set read_merged — reads go
+    through mergeSchema (loud on real conflicts) — but NOT evolved:
+    overloading evolved would silently relax MERGE's missing-column
+    strictness into NULL-fill."""
+    t = ManifestTable(str(tmp_path / "mt"))
+    t.overwrite(_df(spark, 0, 10))  # v: bigint
+    _strip_schema_record(tmp_path)
+
     # drift with IDENTICAL column names: commits (nothing to check
-    # against), but the conservative evolved flag makes reads loud
+    # against), but the conservative read_merged flag makes reads loud
     t.append(spark.range(10, 13).select(
         "id", (F.col("id") * 0.5).alias("v")
     ))
     m1 = t._manifest(spark, t.current_version(spark))
     assert "schema" not in m1
-    assert m1.get("evolved") is True
+    assert m1.get("read_merged") is True
+    assert "evolved" not in m1  # the flags stay semantically distinct
     with pytest.raises(Exception, match="[Mm]erge|[Ff]ailed|compatible"):
         t.read(spark).collect()  # loud, never footer-adoption roulette
+
+
+def test_legacy_chain_merge_keeps_reads_loud_and_stays_strict(
+    spark, tmp_path
+):
+    """Finding pair on legacy chains: (a) a MERGE landing batch files
+    without a schema record to conform against must flag read_merged,
+    so a drifted batch cannot produce footer-adoption roulette; (b)
+    read_merged must NOT relax the missing-column guard the way
+    evolved does — a malformed batch still fails loudly."""
+    t = ManifestTable(str(tmp_path / "mt"), stat_cols=("id",))
+    t.overwrite(_ranged(spark, 0, 50))
+    _strip_schema_record(tmp_path)
+
+    # (b) strictness preserved on the legacy chain
+    with pytest.raises(ValueError, match="missing columns"):
+        t.merge(spark.range(0, 3).select("id").coalesce(1), "id")
+
+    # (a) a drifted same-named batch commits but reads stay loud
+    drift = spark.range(0, 3).select("id", (F.col("id") * 0.5).alias("v"))
+    t.merge(drift, "id", mode="merge-on-read")
+    m = t._manifest(spark, t.current_version(spark))
+    assert m.get("read_merged") is True and "schema" not in m
+    with pytest.raises(Exception, match="[Mm]erge|[Ff]ailed|compatible"):
+        t.read(spark).collect()
+
+
+def test_grandfathered_dotted_table_stays_compactable(spark, tmp_path):
+    """The identifier contract gates names ENTERING the table; a
+    pre-contract table already carrying a dotted column must stay
+    readable and compactable (the repair path), not become
+    permanently unmaintainable."""
+    t = ManifestTable(str(tmp_path / "mt"))
+    dotted = spark.range(0, 10).select(
+        "id", F.lit("k").alias("a.b")
+    ).coalesce(1)
+    # simulate the pre-contract table: land files + manifest directly
+    files, _ = t._write_files(dotted)
+    t._publish(
+        spark, files, 10, "overwrite",
+        {"columns": sorted(dotted.columns)},
+    )
+    assert set(t.read(spark).columns) == {"id", "a.b"}
+    v = t.compact(spark, target_files=1)  # repair path works
+    assert t._manifest(spark, v)["rows"] == 10
+    assert t.read(spark).count() == 10
+    # ...but appending a NEW dotted name is still rejected
+    with pytest.raises(ValueError, match="unsupported column name"):
+        t.append(t.read(spark).withColumn("c.d", F.lit(1)))

@@ -163,6 +163,26 @@ def _merged_schema_json(old_manifest: dict, new_schema):
 _INT_WIDTHS = ("tinyint", "smallint", "int", "bigint")
 
 
+def _check_new_names(names, what: str) -> None:
+    """Delta-style identifier contract for names ENTERING the table:
+    dots and backticks in top-level column names are rejected. Spark
+    resolves unquoted dotted names as struct-field access, so every
+    engine touching the table (update/delete selects, stat
+    expressions, oracle SQL) would need perfect quoting discipline
+    forever — and a struct column alongside its dotted twin resolves
+    AMBIGUOUSLY, silently writing wrong data. Only NEW names are
+    gated: a pre-contract table that already carries such a name
+    stays readable/compactable (grandfathered) rather than becoming
+    permanently unmaintainable."""
+    bad = sorted(c for c in names if "." in c or "`" in c)
+    if bad:
+        raise ValueError(
+            f"{what}: unsupported column name(s) {bad} — dots/backticks "
+            "in top-level names break Spark column resolution; rename "
+            "before writing"
+        )
+
+
 def _widens_to(src, dst) -> bool:
     s, d = src.simpleString(), dst.simpleString()
     if s == d:
@@ -392,21 +412,6 @@ class ManifestTable:
             reserve_tags(
                 "ManifestTable write", df.columns, "__dv_f", "__dv_pos"
             )
-            # Delta-style identifier contract: dots and backticks in
-            # top-level column names are rejected up front. Spark
-            # resolves unquoted dotted names as struct-field access,
-            # so every engine touching the table (update/delete
-            # selects, stat expressions, oracle SQL) would need
-            # perfect quoting discipline forever — and a struct
-            # column alongside its dotted twin resolves AMBIGUOUSLY,
-            # silently writing wrong data. Fail loudly at entry.
-            bad = sorted(c for c in df.columns if "." in c or "`" in c)
-            if bad:
-                raise ValueError(
-                    f"unsupported column name(s) {bad}: dots/backticks "
-                    "in top-level names break Spark column resolution "
-                    "— rename before writing"
-                )
         spark = df.sparkSession
         jvm, fs = self._fs(spark)
         staging_name = f"_staging_{uuid.uuid4().hex}"
@@ -698,6 +703,7 @@ class ManifestTable:
 
     def overwrite(self, df: DataFrame) -> int:
         """Commit df as a full-replacement snapshot."""
+        _check_new_names(df.columns, "overwrite")
         files, spark = self._write_files(df)
         extra: dict = {
             "columns": sorted(df.columns),
@@ -790,10 +796,11 @@ class ManifestTable:
                     # a same-named type drift would otherwise commit
                     # with neither schema nor evolved and plain reads
                     # would adopt one footer nondeterministically.
-                    # Conservative evolved keeps every read on
-                    # mergeSchema (unions, or fails loudly) until a
+                    # read_merged (NOT evolved — that would silently
+                    # relax merge's missing-column strictness) keeps
+                    # every read on mergeSchema until a
                     # compact/overwrite re-baselines the record.
-                    extra["evolved"] = True
+                    extra["read_merged"] = True
             if new_stats or old_manifest.get("stats"):
                 # carried files keep their recorded stats untouched
                 extra["stats"] = {
@@ -1113,7 +1120,7 @@ class ManifestTable:
             )
         extra_base = {
             k: target[k]
-            for k in ("columns", "schema", "stats", "evolved", "dvs")
+            for k in ("columns", "schema", "stats", "evolved", "read_merged", "dvs")
             if k in target
         }
 
@@ -1147,7 +1154,12 @@ class ManifestTable:
         sch = m.get("schema")
         if sch is not None:
             return reader.schema(_schema_from_json(sch))
-        if m.get("evolved"):
+        if m.get("evolved") or m.get("read_merged"):
+            # evolved = the schema actually changed; read_merged = a
+            # legacy chain whose file homogeneity is unprovable from
+            # metadata. Both route through mergeSchema (unions
+            # compatible types, fails loudly on conflicts) — but ONLY
+            # evolved relaxes merge's missing-column strictness
             reader = reader.option("mergeSchema", "true")
         return reader
 
@@ -1219,15 +1231,21 @@ class ManifestTable:
     _DV_BROADCAST_MAX_ROWS = 20_000_000
 
     def _conform_to_current(self, df: DataFrame, what: str) -> DataFrame:
-        """The append-family entry contract: conform ``df`` to the
-        CURRENT snapshot's recorded schema before anything is staged
-        (shared by append and write_audit_publish so the two can never
-        drift apart). No-op on an empty table."""
+        """The append-family entry contract: NEW column names satisfy
+        the identifier rules, and existing columns conform to the
+        CURRENT snapshot's recorded schema — both checked before
+        anything is staged (shared by append and write_audit_publish
+        so the two can never drift apart)."""
         spark = df.sparkSession
         cur = self.current_version(spark)
         if cur is None:
+            _check_new_names(df.columns, what)
             return df
-        return self._conform_to_schema(df, self._manifest(spark, cur), what)
+        m = self._manifest(spark, cur)
+        _check_new_names(
+            set(df.columns) - set(m.get("columns") or []), what
+        )
+        return self._conform_to_schema(df, m, what)
 
     def _conform_to_schema(self, df: DataFrame, m: dict, what: str) -> DataFrame:
         """Align a frame about to land in data files with the
@@ -1868,6 +1886,12 @@ class ManifestTable:
             if m.get("schema"):
                 # merge never changes the logical schema — carry it
                 extra["schema"] = m["schema"]
+            else:
+                # files were added with no schema record to conform
+                # against (legacy chain): a same-named type drift in
+                # the batch is undetectable, so homogeneity stays
+                # unprovable — readers must keep merging footers
+                extra["read_merged"] = True
             # the streaming high-water mark must SURVIVE a merge — a
             # commit that dropped it would let an at-least-once replay
             # of an already-committed batch re-land after any upsert
@@ -1985,6 +2009,10 @@ class ManifestTable:
                 extra["evolved"] = True
             if m.get("schema"):
                 extra["schema"] = m["schema"]
+            else:
+                # see the copy-on-write rebase: appended batch files
+                # on a legacy chain keep homogeneity unprovable
+                extra["read_merged"] = True
             hwm = max(int(m.get("last_batch_id", -1)),
                       -1 if batch_id is None else int(batch_id))
             if hwm >= 0:
@@ -2130,6 +2158,10 @@ class ManifestTable:
                 extra["evolved"] = True
             if m.get("schema"):
                 extra["schema"] = m["schema"]
+            elif m.get("read_merged"):
+                # no data file added or changed here, but the chain's
+                # homogeneity was already unprovable — carry the flag
+                extra["read_merged"] = True
             if m.get("stats"):
                 extra["stats"] = m["stats"]  # files unchanged
             hwm = int(m.get("last_batch_id", -1))
@@ -2296,6 +2328,10 @@ class ManifestTable:
                 extra["evolved"] = True
             if m.get("schema"):
                 extra["schema"] = m["schema"]
+            else:
+                # transformed images appended on a legacy chain —
+                # homogeneity stays unprovable (see the merge rebase)
+                extra["read_merged"] = True
             if m.get("stats") or new_stats:
                 extra["stats"] = {**m.get("stats", {}), **new_stats}
             hwm = int(m.get("last_batch_id", -1))
@@ -2401,6 +2437,10 @@ class ManifestTable:
                 extra["evolved"] = True
             if m.get("schema"):
                 extra["schema"] = m["schema"]
+            else:
+                # rewritten files landed on a legacy chain —
+                # homogeneity stays unprovable (see the merge rebase)
+                extra["read_merged"] = True
             hwm = int(m.get("last_batch_id", -1))
             if hwm >= 0:
                 extra["last_batch_id"] = hwm
