@@ -2487,3 +2487,39 @@ def test_grandfathered_dotted_table_stays_compactable(spark, tmp_path):
     # ...but appending a NEW dotted name is still rejected
     with pytest.raises(ValueError, match="unsupported column name"):
         t.append(t.read(spark).withColumn("c.d", F.lit(1)))
+
+
+def test_overwrite_rebaseline_open_for_grandfathered_dotted_table(
+    spark, tmp_path
+):
+    """overwrite is the type-change escape hatch; it must gate only
+    NEW names, so a grandfathered dotted table can re-baseline."""
+    t = ManifestTable(str(tmp_path / "mt"))
+    dotted = spark.range(0, 5).select("id", F.lit("k").alias("a.b")).coalesce(1)
+    files, _ = t._write_files(dotted)
+    t._publish(spark, files, 5, "overwrite", {"columns": sorted(dotted.columns)})
+    # re-baseline with the SAME grandfathered name: allowed
+    t.overwrite(t.read(spark))
+    assert t.read(spark).count() == 5
+    # a NEW dotted name via overwrite: still rejected
+    with pytest.raises(ValueError, match="unsupported column name"):
+        t.overwrite(t.read(spark).withColumn("c.d", F.lit(1)))
+
+
+def test_pure_delete_merge_does_not_set_read_merged(spark, tmp_path):
+    """A merge-on-read commit landing ONLY deletion-vector parts adds
+    no data file, so a homogeneous legacy chain must not start paying
+    the mergeSchema footer sweep for it."""
+    t = ManifestTable(str(tmp_path / "mt"), stat_cols=("id",))
+    t.overwrite(_ranged(spark, 0, 20))
+    _strip_schema_record(tmp_path)
+    dk = spark.createDataFrame([(3,)], ["id"])
+    t.merge(
+        spark.range(0, 0).select("id", (F.col("id")).alias("v")),
+        "id",
+        delete_keys=dk,
+        mode="merge-on-read",
+    )
+    m = t._manifest(spark, t.current_version(spark))
+    assert "read_merged" not in m and "schema" not in m
+    assert t.read(spark).count() == 19

@@ -703,7 +703,16 @@ class ManifestTable:
 
     def overwrite(self, df: DataFrame) -> int:
         """Commit df as a full-replacement snapshot."""
-        _check_new_names(df.columns, "overwrite")
+        # identifier contract on names ENTERING the table only: a
+        # grandfathered dotted column must keep its overwrite
+        # re-baseline path (the type-change escape hatch) open
+        cur = self.current_version(df.sparkSession)
+        prev_cols = (
+            set(self._manifest(df.sparkSession, cur).get("columns") or [])
+            if cur is not None
+            else set()
+        )
+        _check_new_names(set(df.columns) - prev_cols, "overwrite")
         files, spark = self._write_files(df)
         extra: dict = {
             "columns": sorted(df.columns),
@@ -768,6 +777,11 @@ class ManifestTable:
             # schema-evolution check at commit time: compare the new
             # data's column set against the snapshot schema recorded
             old_cols = old_manifest.get("columns", new_cols)
+            # re-check the identifier contract against the COMMIT-TIME
+            # base (race-free): the entry check ran against the base
+            # read before the publish race, and a concurrent overwrite
+            # may have renamed a grandfathered name away
+            _check_new_names(set(new_cols) - set(old_cols), "append")
             extra["columns"] = sorted(set(new_cols) | set(old_cols))
             if old_manifest.get("evolved") or new_cols != old_cols:
                 extra["evolved"] = True
@@ -1713,6 +1727,11 @@ class ManifestTable:
         # read as NULL, the same contract read() gives pre-evolution
         # files). Real schema evolution goes through append.
         expected_cols = m.get("columns")
+        if expected_cols is None:
+            # hand-made manifest without a columns record: the
+            # unknown-column check cannot run, so at least hold the
+            # identifier line — a dotted name must not enter this way
+            _check_new_names(updates.columns, "merge updates")
         if expected_cols is not None:
             unknown = sorted(set(updates.columns) - set(expected_cols))
             if unknown:
@@ -1886,11 +1905,12 @@ class ManifestTable:
             if m.get("schema"):
                 # merge never changes the logical schema — carry it
                 extra["schema"] = m["schema"]
-            else:
+            elif new_files or m.get("read_merged"):
                 # files were added with no schema record to conform
                 # against (legacy chain): a same-named type drift in
                 # the batch is undetectable, so homogeneity stays
-                # unprovable — readers must keep merging footers
+                # unprovable — readers must keep merging footers. A
+                # commit landing NO data file only carries the flag.
                 extra["read_merged"] = True
             # the streaming high-water mark must SURVIVE a merge — a
             # commit that dropped it would let an at-least-once replay
@@ -2009,9 +2029,11 @@ class ManifestTable:
                 extra["evolved"] = True
             if m.get("schema"):
                 extra["schema"] = m["schema"]
-            else:
+            elif new_files or m.get("read_merged"):
                 # see the copy-on-write rebase: appended batch files
-                # on a legacy chain keep homogeneity unprovable
+                # on a legacy chain keep homogeneity unprovable; a
+                # pure-delete_keys commit (DV parts only, no data
+                # file) just carries a pre-existing flag
                 extra["read_merged"] = True
             hwm = max(int(m.get("last_batch_id", -1)),
                       -1 if batch_id is None else int(batch_id))
