@@ -2523,3 +2523,90 @@ def test_pure_delete_merge_does_not_set_read_merged(spark, tmp_path):
     m = t._manifest(spark, t.current_version(spark))
     assert "read_merged" not in m and "schema" not in m
     assert t.read(spark).count() == 19
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(ops=st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=5))
+def test_schema_record_invariants_under_any_history(
+    spark, tmp_path_factory, ops
+):
+    """Property: for ANY operation history (appends, an evolution,
+    widened appends, merges, MOR updates, COW deletes, compaction) the
+    schema-record machinery holds its invariants after every commit —
+    (1) read() resolves, (2) its column set equals the manifest's
+    recorded columns, (3) the chain never loses the schema record,
+    (4) a pruned read returns the SAME schema and rows as
+    read().filter — the contract the record exists to guarantee,
+    (5) the manifest's row count matches the data."""
+    tmp_path = tmp_path_factory.mktemp("schemaprop")
+    t = ManifestTable(str(tmp_path / "t"), stat_cols=("id",))
+    t.overwrite(_ranged(spark, 0, 20))
+    hi_id = 20
+
+    def batch(lo, hi, cols):
+        df = spark.range(lo, hi).select(
+            F.col("id"), (F.col("id") * 2).alias("v")
+        )
+        if "w" in cols:
+            df = df.withColumn("w", F.lit("b"))
+        return df.coalesce(1)
+
+    for op in ops:
+        m0 = t._manifest(spark, t.current_version(spark))
+        cols0 = m0["columns"]
+        if op == 0:  # plain append, disjoint id range (pruning engages)
+            t.append(batch(hi_id, hi_id + 10, cols0))
+            hi_id += 10
+        elif op == 1:  # evolution: add w if absent, else plain append
+            t.append(
+                batch(hi_id, hi_id + 10, cols0).withColumn(
+                    "w2" if "w" in cols0 else "w", F.lit("e")
+                )
+            )
+            hi_id += 10
+        elif op == 2:  # widened append: v lands as int, casts to bigint
+            t.append(
+                spark.range(hi_id, hi_id + 5).select(
+                    "id", (F.col("id") * 2).cast("int").alias("v")
+                )
+            )
+            hi_id += 5
+        elif op == 3:  # merge touching the first file's range
+            upd = spark.range(0, 5).select(
+                F.col("id"), (F.col("id") * 100).alias("v")
+            )
+            for c in cols0:
+                if c not in ("id", "v"):
+                    upd = upd.withColumn(c, F.lit("u"))
+            t.merge(upd.coalesce(1), "id")
+        elif op == 4:  # MOR update
+            t.update_where(
+                spark, "id % 5 = 1", {"v": "v + 1"}, mode="merge-on-read"
+            )
+        elif op == 5:  # COW delete
+            t.delete_where(spark, "id % 7 = 3")
+        elif op == 6:
+            t.compact(spark, target_files=2)
+
+        m = t._manifest(spark, t.current_version(spark))
+        assert "schema" in m, f"record lost after op {op}"
+        got = t.read(spark)
+        assert sorted(got.columns) == m["columns"], (op, m["columns"])
+        sel = sorted(got.columns)  # fix column order on both sides
+        full = sorted(
+            tuple(r) for r in got.select(sel).filter(
+                (F.col("id") >= 3) & (F.col("id") <= 27)
+            ).collect()
+        )
+        pruned_df = t.read_where(spark, "id", 3, 27)
+        assert sorted(pruned_df.columns) == sel
+        pruned = sorted(tuple(r) for r in pruned_df.select(sel).collect())
+        assert pruned == full, f"pruned read diverged after op {op}"
+        assert m["rows"] == got.count()
