@@ -2610,3 +2610,28 @@ def test_schema_record_invariants_under_any_history(
         pruned = sorted(tuple(r) for r in pruned_df.select(sel).collect())
         assert pruned == full, f"pruned read diverged after op {op}"
         assert m["rows"] == got.count()
+
+
+def test_append_no_orphans_when_rebase_raises(spark, tmp_path, monkeypatch):
+    """The WAP no-orphan rule applies to plain appends too: when the
+    publish loop fails (commit-time re-check, retry exhaustion), the
+    staged files are deleted, never left unreferenced under data/."""
+    t = ManifestTable(str(tmp_path / "mt"))
+    t.overwrite(_df(spark, 0, 5))
+    n_before = len(list((tmp_path / "mt" / "data").glob("*.parquet")))
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic publish failure")
+
+    monkeypatch.setattr(ManifestTable, "_publish", boom)
+    with pytest.raises(RuntimeError, match="synthetic"):
+        t.append(_df(spark, 5, 8))
+    assert (
+        len(list((tmp_path / "mt" / "data").glob("*.parquet"))) == n_before
+    )
+    # overwrite shares the discipline
+    with pytest.raises(RuntimeError, match="synthetic"):
+        t.overwrite(_df(spark, 0, 3))
+    assert (
+        len(list((tmp_path / "mt" / "data").glob("*.parquet"))) == n_before
+    )

@@ -434,6 +434,18 @@ class ManifestTable:
         fs.delete(self._jp(jvm, staging_name), True)
         return names, spark
 
+    def _abandon_files(
+        self, spark: SparkSession, files: list[str], subdir: str = "data"
+    ) -> None:
+        """Delete staged files a failed commit attempt left behind.
+        Safe exactly because _publish raises only BEFORE a manifest
+        referenced them (a lost put, a rebase conflict, or retry
+        exhaustion) — the no-orphan discipline write_audit_publish
+        pioneered, shared by every append-family writer."""
+        jvm, fs = self._fs(spark)
+        for f in files:
+            fs.delete(self._jp(jvm, subdir, f), False)
+
     def _file_stats(
         self, spark: SparkSession, files: list[str]
     ) -> dict[str, dict[str, list]]:
@@ -721,9 +733,27 @@ class ManifestTable:
         stats = self._file_stats(spark, files)
         if stats:
             extra["stats"] = stats
-        return self._publish(
-            spark, files, self._count(spark, files), "overwrite", extra
-        )
+        rows = self._count(spark, files)
+
+        def rebase() -> tuple[list[str], int, dict]:
+            # re-check the identifier contract against the COMMIT-TIME
+            # base (same race as append's rebase re-check: a concurrent
+            # overwrite may have renamed a grandfathered name away, and
+            # this commit must not silently re-introduce it)
+            prev2 = self.current_version(spark)
+            pc = (
+                set(self._manifest(spark, prev2).get("columns") or [])
+                if prev2 is not None
+                else set()
+            )
+            _check_new_names(set(df.columns) - pc, "overwrite")
+            return files, rows, extra
+
+        try:
+            return self._publish(spark, [], 0, "overwrite", rebase=rebase)
+        except Exception:
+            self._abandon_files(spark, files)  # no-orphan on any failure
+            raise
 
     def _append_rebase(
         self,
@@ -780,8 +810,14 @@ class ManifestTable:
             # re-check the identifier contract against the COMMIT-TIME
             # base (race-free): the entry check ran against the base
             # read before the publish race, and a concurrent overwrite
-            # may have renamed a grandfathered name away
-            _check_new_names(set(new_cols) - set(old_cols), "append")
+            # may have renamed a grandfathered name away. Checked
+            # against the RECORDED columns (or nothing) — the old_cols
+            # default of new_cols would make the difference empty and
+            # skip the check on a columns-less base
+            _check_new_names(
+                set(new_cols) - set(old_manifest.get("columns") or []),
+                "append",
+            )
             extra["columns"] = sorted(set(new_cols) | set(old_cols))
             if old_manifest.get("evolved") or new_cols != old_cols:
                 extra["evolved"] = True
@@ -850,7 +886,15 @@ class ManifestTable:
             spark, new_files, new_cols, new_stats, batch_id,
             new_schema=df.schema,
         )
-        return self._publish(spark, [], 0, "append", rebase=rebase)
+        try:
+            return self._publish(spark, [], 0, "append", rebase=rebase)
+        except Exception:
+            # the rebase can now raise (commit-time identifier
+            # re-check) and retry exhaustion always could: staged
+            # files must never outlive a failed attempt (the WAP
+            # no-orphan rule, applied to plain appends)
+            self._abandon_files(spark, new_files)
+            raise
 
     def write_audit_publish(
         self, df: DataFrame, rules, batch_id: int | None = None
@@ -1732,7 +1776,7 @@ class ManifestTable:
             # unknown-column check cannot run, so at least hold the
             # identifier line — a dotted name must not enter this way
             _check_new_names(updates.columns, "merge updates")
-        if expected_cols is not None:
+        else:
             unknown = sorted(set(updates.columns) - set(expected_cols))
             if unknown:
                 raise ValueError(
