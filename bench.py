@@ -326,6 +326,36 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Evolved-read mode compare: the manifest-recorded logical schema
+    # lets an evolved snapshot plan its read from ONE manifest instead
+    # of a mergeSchema sweep over every file footer. At bench SF that
+    # sweep is 64 local footer reads; at 100 TB it is tens of
+    # thousands of object-store GETs serialized in the planner before
+    # the first task launches — the recorded schema makes evolved-read
+    # planning O(1) metadata regardless of file count.
+    ev: dict = {}
+    evt = ManifestTable(f"{workdir}/evolved_read", stat_cols=("o_orderkey",))
+    evt.overwrite(orders_slim)                       # 32 files (id, price)
+    evt.append(orders_slim.withColumn("w", F.lit("x")))  # +32 evolved
+    ev_m = evt._manifest(spark, evt.current_version(spark))
+    ev_paths = [f"{evt.path}/data/{f}" for f in ev_m["files"]]
+    ev["n_files"] = len(ev_paths)
+    t0 = time.time()
+    n_rec = evt.read(spark).count()  # recorded-schema plan
+    ev["t_recorded_schema"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    n_sweep = (
+        spark.read.option("mergeSchema", "true").parquet(*ev_paths).count()
+    )
+    ev["t_mergeschema_sweep"] = round(time.time() - t0, 3)
+    assert n_rec == n_sweep  # same snapshot, same rows either way
+    print(
+        f"# evolved-read compare ({ev['n_files']} mixed-schema files): "
+        f"recorded schema {ev['t_recorded_schema']}s vs mergeSchema "
+        f"sweep {ev['t_mergeschema_sweep']}s",
+        file=sys.stderr,
+    )
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     out = {
         "metric": "headline_queries_total_wall",
@@ -336,6 +366,7 @@ def main() -> None:
         "steady_state": steady,
         "sf": float(sf) if sf else None,
         "merge_mode_compare": mm,
+        "evolved_read_compare": ev,
     }
 
     # 10x scale datapoint for the dedup/ANN family: blow documents/
