@@ -2635,3 +2635,81 @@ def test_append_no_orphans_when_rebase_raises(spark, tmp_path, monkeypatch):
     assert (
         len(list((tmp_path / "mt" / "data").glob("*.parquet"))) == n_before
     )
+
+
+def test_overwrite_commit_time_recheck_catches_renamed_away_name(
+    spark, tmp_path, monkeypatch
+):
+    """The overwrite rebase re-checks the identifier contract against
+    the COMMIT-TIME base: entry-checks against a grandfathered name,
+    then a concurrent clean overwrite lands before publish — the
+    racing writer must NOT re-introduce the dotted name, and its
+    rejected stage must not orphan files."""
+    from yc_yq_airflow_etl_spark.sources import manifest as mmod
+
+    t = ManifestTable(str(tmp_path / "mt"))
+    dotted = spark.range(0, 5).select("id", F.lit("k").alias("a.b")).coalesce(1)
+    files0, _ = t._write_files(dotted)
+    t._publish(spark, files0, 5, "overwrite", {"columns": sorted(dotted.columns)})
+
+    clean = spark.range(0, 5).select("id", F.lit(1).alias("ab")).coalesce(1)
+    orig_write = ManifestTable._write_files
+    fired = {"done": False}
+
+    def hijack(self, df, subdir="data"):
+        out = orig_write(self, df, subdir)
+        if not fired["done"] and subdir == "data":
+            fired["done"] = True
+            # concurrent writer: a CLEAN overwrite lands (metadata
+            # only — empty file list keeps the simulation cheap)
+            self._publish(
+                spark, [], 0, "overwrite",
+                {"columns": ["ab", "id"],
+                 "schema": mmod._schema_json(clean.schema)},
+            )
+        return out
+
+    monkeypatch.setattr(ManifestTable, "_write_files", hijack)
+    with pytest.raises(ValueError, match="unsupported column name"):
+        t.overwrite(t.read(spark, version=0))  # still carries 'a.b'
+    monkeypatch.undo()
+    # the racing writer's stage was cleaned up: only v0's data files
+    # remain on disk
+    on_disk = {p.name for p in (tmp_path / "mt" / "data").glob("*.parquet")}
+    assert on_disk == set(files0)
+    # and the clean concurrent overwrite is the live snapshot
+    m = t._manifest(spark, t.current_version(spark))
+    assert m["columns"] == ["ab", "id"]
+
+
+def test_cas_conflict_cleans_up_staged_rewrite(spark, tmp_path, monkeypatch):
+    """Routine ConcurrentWriteError on the CAS writers (compact under
+    the streaming sink is the norm) must not orphan the staged
+    rewrite as vacuum debt."""
+    t = ManifestTable(str(tmp_path / "mt"))
+    t.overwrite(_df(spark, 0, 20).coalesce(4))
+    files_before = {
+        p.name for p in (tmp_path / "mt" / "data").glob("*.parquet")
+    }
+    orig_write = ManifestTable._write_files
+    fired = {"done": False}
+
+    def hijack(self, df, subdir="data"):
+        out = orig_write(self, df, subdir)
+        if not fired["done"] and subdir == "data":
+            fired["done"] = True
+            self.append(_df(spark, 20, 25))  # concurrent commit
+        return out
+
+    monkeypatch.setattr(ManifestTable, "_write_files", hijack)
+    from yc_yq_airflow_etl_spark.sources.manifest import ConcurrentWriteError
+
+    with pytest.raises(ConcurrentWriteError):
+        t.compact(spark, target_files=1)
+    monkeypatch.undo()
+    on_disk = {p.name for p in (tmp_path / "mt" / "data").glob("*.parquet")}
+    live = set(t._manifest(spark, t.current_version(spark))["files"])
+    assert live <= on_disk
+    # nothing beyond the two commits' files: the rejected rewrite died
+    assert on_disk == files_before | (live - files_before)
+    assert t.read(spark).count() == 25

@@ -437,14 +437,72 @@ class ManifestTable:
     def _abandon_files(
         self, spark: SparkSession, files: list[str], subdir: str = "data"
     ) -> None:
-        """Delete staged files a failed commit attempt left behind.
-        Safe exactly because _publish raises only BEFORE a manifest
-        referenced them (a lost put, a rebase conflict, or retry
-        exhaustion) — the no-orphan discipline write_audit_publish
-        pioneered, shared by every append-family writer."""
+        """Delete staged files whose commit attempt is KNOWN dead —
+        only call directly when no put could have landed (audit
+        rejection before publish); after a publish failure, go through
+        :meth:`_abandon_or_adopt`, which rules out the ambiguous-put
+        case first."""
         jvm, fs = self._fs(spark)
         for f in files:
             fs.delete(self._jp(jvm, subdir, f), False)
+
+    def _abandon_or_adopt(
+        self,
+        spark: SparkSession,
+        data_files: list[str],
+        dv_parts: list[str] | None = None,
+    ) -> int | None:
+        """Publish failed with a possibly-AMBIGUOUS outcome: an object
+        store can complete a put whose close() raised (on S3A, close
+        IS the PUT), so the manifest may exist despite the exception.
+        Deleting staged files unconditionally would then delete files
+        a LIVE committed snapshot references — corruption, strictly
+        worse than the orphan debt it tries to prevent. So: scan the
+        committed manifests (metadata-only; failures are rare) and
+        ADOPT the commit if any references these files (return its
+        version — the operation actually succeeded); otherwise delete
+        the stage and return None so the caller re-raises. Rebase
+        conflicts and retry exhaustion raise before any put, so their
+        scan finds nothing and cleanup proceeds."""
+        want = set(data_files) | set(dv_parts or ())
+        for v in reversed(self._name_versions(spark)):
+            m = self._try_manifest(spark, v)
+            if m is None:
+                continue
+            if want & set(m.get("files", [])):
+                return v
+            for e in m.get("dvs", {}).values():
+                if want & set(e.get("parts", [])):
+                    return v
+        self._abandon_files(spark, list(data_files), "data")
+        if dv_parts:
+            self._abandon_files(spark, list(dv_parts), "deletes")
+        return None
+
+    def _publish_cleanly(
+        self,
+        spark: SparkSession,
+        op: str,
+        rebase,
+        data_files: list[str],
+        dv_parts: list[str] | None = None,
+    ) -> int:
+        """_publish plus the no-orphan discipline every staged-file
+        writer shares: on ANY failure, adopt the commit if it actually
+        landed (ambiguous put — see _abandon_or_adopt), else delete
+        the stage and re-raise. The CAS writers need this most:
+        ConcurrentWriteError is ROUTINE under the streaming sink
+        (concurrent appends are the norm), and without cleanup every
+        conflict orphans a full rewrite's files as vacuum debt —
+        maybe_compact's 3-attempt retry loop would stage up to three
+        orphaned table copies per invocation."""
+        try:
+            return self._publish(spark, [], 0, op, rebase=rebase)
+        except Exception:
+            adopted = self._abandon_or_adopt(spark, data_files, dv_parts)
+            if adopted is not None:
+                return adopted
+            raise
 
     def _file_stats(
         self, spark: SparkSession, files: list[str]
@@ -726,33 +784,38 @@ class ManifestTable:
         )
         _check_new_names(set(df.columns) - prev_cols, "overwrite")
         files, spark = self._write_files(df)
-        extra: dict = {
-            "columns": sorted(df.columns),
-            "schema": _schema_json(df.schema),
-        }
-        stats = self._file_stats(spark, files)
-        if stats:
-            extra["stats"] = stats
-        rows = self._count(spark, files)
-
-        def rebase() -> tuple[list[str], int, dict]:
-            # re-check the identifier contract against the COMMIT-TIME
-            # base (same race as append's rebase re-check: a concurrent
-            # overwrite may have renamed a grandfathered name away, and
-            # this commit must not silently re-introduce it)
-            prev2 = self.current_version(spark)
-            pc = (
-                set(self._manifest(spark, prev2).get("columns") or [])
-                if prev2 is not None
-                else set()
-            )
-            _check_new_names(set(df.columns) - pc, "overwrite")
-            return files, rows, extra
-
+        # everything after the stage is inside the no-orphan window —
+        # a stats/count job failure must clean up like a publish one
         try:
+            extra: dict = {
+                "columns": sorted(df.columns),
+                "schema": _schema_json(df.schema),
+            }
+            stats = self._file_stats(spark, files)
+            if stats:
+                extra["stats"] = stats
+            rows = self._count(spark, files)
+
+            def rebase() -> tuple[list[str], int, dict]:
+                # re-check the identifier contract against the
+                # COMMIT-TIME base (same race as append's rebase
+                # re-check: a concurrent overwrite may have renamed a
+                # grandfathered name away, and this commit must not
+                # silently re-introduce it)
+                prev2 = self.current_version(spark)
+                pc = (
+                    set(self._manifest(spark, prev2).get("columns") or [])
+                    if prev2 is not None
+                    else set()
+                )
+                _check_new_names(set(df.columns) - pc, "overwrite")
+                return files, rows, extra
+
             return self._publish(spark, [], 0, "overwrite", rebase=rebase)
         except Exception:
-            self._abandon_files(spark, files)  # no-orphan on any failure
+            adopted = self._abandon_or_adopt(spark, files)
+            if adopted is not None:
+                return adopted  # the put landed despite the exception
             raise
 
     def _append_rebase(
@@ -880,20 +943,22 @@ class ManifestTable:
         streaming sink would brick the table."""
         df = self._conform_to_current(df, "append")
         new_files, spark = self._write_files(df)
-        new_cols = sorted(df.columns)
-        new_stats = self._file_stats(spark, new_files)
-        rebase = self._append_rebase(
-            spark, new_files, new_cols, new_stats, batch_id,
-            new_schema=df.schema,
-        )
+        # no-orphan window opens at the stage: a stats-job failure, a
+        # rebase rejection (commit-time identifier re-check) or retry
+        # exhaustion must all clean up — via the adopt-or-abandon
+        # check, never a blind delete (the put may have landed)
         try:
+            new_cols = sorted(df.columns)
+            new_stats = self._file_stats(spark, new_files)
+            rebase = self._append_rebase(
+                spark, new_files, new_cols, new_stats, batch_id,
+                new_schema=df.schema,
+            )
             return self._publish(spark, [], 0, "append", rebase=rebase)
         except Exception:
-            # the rebase can now raise (commit-time identifier
-            # re-check) and retry exhaustion always could: staged
-            # files must never outlive a failed attempt (the WAP
-            # no-orphan rule, applied to plain appends)
-            self._abandon_files(spark, new_files)
+            adopted = self._abandon_or_adopt(spark, new_files)
+            if adopted is not None:
+                return adopted  # the put landed despite the exception
             raise
 
     def write_audit_publish(
@@ -925,9 +990,9 @@ class ManifestTable:
         new_files, spark = self._write_files(df)
 
         def _abandon() -> None:
-            jvm, fs = self._fs(spark)
-            for f in new_files:
-                fs.delete(self._jp(jvm, "data", f), False)
+            # pre-publish rejections only: no put ran, a blind delete
+            # is safe (publish failures go through _abandon_or_adopt)
+            self._abandon_files(spark, new_files)
 
         try:
             if new_files:
@@ -956,13 +1021,15 @@ class ManifestTable:
             )
             version = self._publish(spark, [], 0, "wap", rebase=rebase)
         except Exception:
-            # the no-orphan contract covers PUBLISH failure too: if the
-            # commit loop exhausts retries (pathological contention) or
-            # the store errors before any manifest claimed these files,
-            # nothing references them — delete, don't orphan. A torn
-            # put burns its version number and is never read back, so
-            # abandoning its files cannot dangle a live snapshot.
-            _abandon()
+            # the no-orphan contract covers PUBLISH failure too — via
+            # adopt-or-abandon: a put whose close() raised may have
+            # landed server-side, and deleting files a live manifest
+            # references would corrupt the snapshot. A torn put burns
+            # its version number and is never read back, so abandoning
+            # its files cannot dangle a live snapshot.
+            adopted = self._abandon_or_adopt(spark, new_files)
+            if adopted is not None:
+                return adopted, report
             raise
         return version, report
 
@@ -1018,7 +1085,7 @@ class ManifestTable:
                 )
             return files, rows, extra
 
-        return self._publish(spark, [], 0, "compact", rebase=rebase)
+        return self._publish_cleanly(spark, "compact", rebase, files)
 
     def cluster(
         self,
@@ -1125,7 +1192,7 @@ class ManifestTable:
                 )
             return files, rows, extra
 
-        return self._publish(spark, [], 0, "cluster", rebase=rebase)
+        return self._publish_cleanly(spark, "cluster", rebase, files)
 
     def restore(self, spark: SparkSession, version: int) -> int:
         """RESTORE: commit a NEW version whose content is snapshot
@@ -1979,7 +2046,7 @@ class ManifestTable:
                 extra["dvs"] = carried_dvs
             return final, rows, extra
 
-        return self._publish(spark, [], 0, "merge", rebase=rebase)
+        return self._publish_cleanly(spark, "merge", rebase, new_files)
 
     def _merge_mor(
         self,
@@ -2093,7 +2160,7 @@ class ManifestTable:
                 extra,
             )
 
-        return self._publish(spark, [], 0, "merge", rebase=rebase)
+        return self._publish_cleanly(spark, "merge", rebase, new_files, parts)
 
     def delete_where(
         self,
@@ -2239,7 +2306,7 @@ class ManifestTable:
                 extra,
             )
 
-        return self._publish(spark, [], 0, "delete", rebase=rebase)
+        return self._publish_cleanly(spark, "delete", rebase, [], parts)
 
     def update_where(
         self,
@@ -2409,7 +2476,7 @@ class ManifestTable:
                 extra,
             )
 
-        return self._publish(spark, [], 0, "update", rebase=rebase)
+        return self._publish_cleanly(spark, "update", rebase, new_files, parts)
 
     def _cow_rewrite(
         self,
@@ -2522,7 +2589,7 @@ class ManifestTable:
                 extra["dvs"] = carried_dvs
             return final, rows, extra
 
-        return self._publish(spark, [], 0, op, rebase=rebase)
+        return self._publish_cleanly(spark, op, rebase, new_files)
 
     # -- maintenance -----------------------------------------------------
 
