@@ -2612,29 +2612,49 @@ def test_schema_record_invariants_under_any_history(
         assert m["rows"] == got.count()
 
 
-def test_append_no_orphans_when_rebase_raises(spark, tmp_path, monkeypatch):
-    """The WAP no-orphan rule applies to plain appends too: when the
-    publish loop fails (commit-time re-check, retry exhaustion), the
-    staged files are deleted, never left unreferenced under data/."""
+def test_publish_failure_cleanup_classified_by_provability(
+    spark, tmp_path, monkeypatch
+):
+    """The no-orphan rule is CLASSIFIED, not unconditional: a failure
+    type that proves no put landed (retry exhaustion, rebase conflict/
+    validation) deletes the stage; an AMBIGUOUS store exception leaves
+    it — on S3A the close() that raised IS the PUT and may have
+    completed server-side, so deleting could erase files a
+    late-landing manifest references (bricked snapshot > orphan
+    debt)."""
+    from yc_yq_airflow_etl_spark.sources.manifest import (
+        PublishContentionError,
+    )
+
     t = ManifestTable(str(tmp_path / "mt"))
     t.overwrite(_df(spark, 0, 5))
     n_before = len(list((tmp_path / "mt" / "data").glob("*.parquet")))
 
-    def boom(*a, **k):
-        raise RuntimeError("synthetic publish failure")
+    def exhausted(*a, **k):
+        raise PublishContentionError("synthetic: lost every race")
 
-    monkeypatch.setattr(ManifestTable, "_publish", boom)
-    with pytest.raises(RuntimeError, match="synthetic"):
+    monkeypatch.setattr(ManifestTable, "_publish", exhausted)
+    with pytest.raises(PublishContentionError):
         t.append(_df(spark, 5, 8))
     assert (
         len(list((tmp_path / "mt" / "data").glob("*.parquet"))) == n_before
-    )
-    # overwrite shares the discipline
-    with pytest.raises(RuntimeError, match="synthetic"):
+    ), "proven-dead publish must delete the stage"
+    with pytest.raises(PublishContentionError):
         t.overwrite(_df(spark, 0, 3))
     assert (
         len(list((tmp_path / "mt" / "data").glob("*.parquet"))) == n_before
     )
+    monkeypatch.undo()
+
+    def ambiguous(*a, **k):
+        raise IOError("synthetic: connection reset during put")
+
+    monkeypatch.setattr(ManifestTable, "_publish", ambiguous)
+    with pytest.raises(IOError, match="synthetic"):
+        t.append(_df(spark, 5, 8))
+    assert (
+        len(list((tmp_path / "mt" / "data").glob("*.parquet"))) > n_before
+    ), "ambiguous put must LEAVE the stage (vacuum debt, never delete)"
 
 
 def test_overwrite_commit_time_recheck_catches_renamed_away_name(

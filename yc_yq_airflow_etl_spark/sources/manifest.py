@@ -235,6 +235,13 @@ class ConcurrentWriteError(RuntimeError):
     the new base (same contract as Delta/Iceberg commit conflicts)."""
 
 
+class PublishContentionError(RuntimeError):
+    """The publish loop lost every one of its bounded retries — each
+    loss is a put that PROVABLY did not land (putIfAbsent saw the name
+    claimed), so unlike a raw store exception this failure is known to
+    have committed nothing (the cleanup paths rely on that)."""
+
+
 @dataclass(frozen=True)
 class ManifestTable:
     path: str
@@ -446,38 +453,45 @@ class ManifestTable:
         for f in files:
             fs.delete(self._jp(jvm, subdir, f), False)
 
-    def _abandon_or_adopt(
-        self,
-        spark: SparkSession,
-        data_files: list[str],
-        dv_parts: list[str] | None = None,
-    ) -> int | None:
-        """Publish failed with a possibly-AMBIGUOUS outcome: an object
-        store can complete a put whose close() raised (on S3A, close
-        IS the PUT), so the manifest may exist despite the exception.
-        Deleting staged files unconditionally would then delete files
-        a LIVE committed snapshot references — corruption, strictly
-        worse than the orphan debt it tries to prevent. So: scan the
-        committed manifests (metadata-only; failures are rare) and
-        ADOPT the commit if any references these files (return its
-        version — the operation actually succeeded); otherwise delete
-        the stage and return None so the caller re-raises. Rebase
-        conflicts and retry exhaustion raise before any put, so their
-        scan finds nothing and cleanup proceeds."""
-        want = set(data_files) | set(dv_parts or ())
-        for v in reversed(self._name_versions(spark)):
-            m = self._try_manifest(spark, v)
-            if m is None:
-                continue
-            if want & set(m.get("files", [])):
-                return v
-            for e in m.get("dvs", {}).values():
-                if want & set(e.get("parts", [])):
-                    return v
-        self._abandon_files(spark, list(data_files), "data")
-        if dv_parts:
-            self._abandon_files(spark, list(dv_parts), "deletes")
-        return None
+    def _staged_cleanup(self, spark: SparkSession, data_files, dv_parts=None):
+        """Context manager for the PRE-PUBLISH no-orphan window: any
+        exception between staging and the first publish attempt
+        (a stats/count job, a second staging write, a validation)
+        provably precedes every put, so deleting the stage is safe.
+        ``data_files``/``dv_parts`` are captured BY REFERENCE — append
+        names to them as staging proceeds and whatever has landed by
+        failure time is cleaned. The publish call itself must sit
+        OUTSIDE this window (its failures need the classification
+        _publish_cleanly applies — an ambiguous put may have landed)."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _w():
+            try:
+                yield
+            except Exception:
+                self._abandon_files(spark, list(data_files), "data")
+                if dv_parts:
+                    self._abandon_files(spark, list(dv_parts), "deletes")
+                raise
+
+        return _w()
+
+    # publish failures whose exception type PROVES no put landed: the
+    # rebase hooks raise these (conflict, validation, a missing base
+    # manifest) before any put, and retry exhaustion means every put
+    # returned False (the name was claimed by someone else). A store
+    # exception from the put itself is NOT in this set — on S3A the
+    # close() that raised IS the PUT and may have completed server-
+    # side, so the stage must be LEFT for vacuum (orphan debt is safe;
+    # deleting files a late-landing manifest references bricks the
+    # snapshot).
+    _PRE_PUT_ERRORS = (
+        ConcurrentWriteError,
+        PublishContentionError,
+        ValueError,
+        FileNotFoundError,
+    )
 
     def _publish_cleanly(
         self,
@@ -488,20 +502,21 @@ class ManifestTable:
         dv_parts: list[str] | None = None,
     ) -> int:
         """_publish plus the no-orphan discipline every staged-file
-        writer shares: on ANY failure, adopt the commit if it actually
-        landed (ambiguous put — see _abandon_or_adopt), else delete
-        the stage and re-raise. The CAS writers need this most:
-        ConcurrentWriteError is ROUTINE under the streaming sink
-        (concurrent appends are the norm), and without cleanup every
-        conflict orphans a full rewrite's files as vacuum debt —
-        maybe_compact's 3-attempt retry loop would stage up to three
-        orphaned table copies per invocation."""
+        writer shares: when the failure type proves no put landed
+        (see _PRE_PUT_ERRORS), delete the stage and re-raise — the
+        CAS writers need this most, since ConcurrentWriteError is
+        ROUTINE under the streaming sink and every conflict would
+        otherwise orphan a full rewrite (maybe_compact's retry loop:
+        up to three orphaned table copies per invocation). Any other
+        failure is an AMBIGUOUS put: the stage stays on disk as
+        vacuum-able debt, never deleted — the put may have landed and
+        a manifest may reference these files."""
         try:
             return self._publish(spark, [], 0, op, rebase=rebase)
-        except Exception:
-            adopted = self._abandon_or_adopt(spark, data_files, dv_parts)
-            if adopted is not None:
-                return adopted
+        except self._PRE_PUT_ERRORS:
+            self._abandon_files(spark, list(data_files), "data")
+            if dv_parts:
+                self._abandon_files(spark, list(dv_parts), "deletes")
             raise
 
     def _file_stats(
@@ -766,7 +781,7 @@ class ManifestTable:
             if put(spark, json.dumps(manifest), "_manifests", f"v{version}.json"):
                 return version
             # publish race lost: re-resolve, rebase, try the next version
-        raise RuntimeError(
+        raise PublishContentionError(
             "manifest publish lost 1000 consecutive commit races — "
             "pathological contention or a broken conditional-create store"
         )
@@ -784,9 +799,9 @@ class ManifestTable:
         )
         _check_new_names(set(df.columns) - prev_cols, "overwrite")
         files, spark = self._write_files(df)
-        # everything after the stage is inside the no-orphan window —
-        # a stats/count job failure must clean up like a publish one
-        try:
+        # pre-publish no-orphan window: a stats/count job failure here
+        # provably precedes every put, so the stage deletes safely
+        with self._staged_cleanup(spark, files):
             extra: dict = {
                 "columns": sorted(df.columns),
                 "schema": _schema_json(df.schema),
@@ -811,12 +826,7 @@ class ManifestTable:
                 _check_new_names(set(df.columns) - pc, "overwrite")
                 return files, rows, extra
 
-            return self._publish(spark, [], 0, "overwrite", rebase=rebase)
-        except Exception:
-            adopted = self._abandon_or_adopt(spark, files)
-            if adopted is not None:
-                return adopted  # the put landed despite the exception
-            raise
+        return self._publish_cleanly(spark, "overwrite", rebase, files)
 
     def _append_rebase(
         self,
@@ -943,23 +953,16 @@ class ManifestTable:
         streaming sink would brick the table."""
         df = self._conform_to_current(df, "append")
         new_files, spark = self._write_files(df)
-        # no-orphan window opens at the stage: a stats-job failure, a
-        # rebase rejection (commit-time identifier re-check) or retry
-        # exhaustion must all clean up — via the adopt-or-abandon
-        # check, never a blind delete (the put may have landed)
-        try:
+        # pre-publish no-orphan window (stats job + rebase build);
+        # publish failures get _publish_cleanly's classification
+        with self._staged_cleanup(spark, new_files):
             new_cols = sorted(df.columns)
             new_stats = self._file_stats(spark, new_files)
             rebase = self._append_rebase(
                 spark, new_files, new_cols, new_stats, batch_id,
                 new_schema=df.schema,
             )
-            return self._publish(spark, [], 0, "append", rebase=rebase)
-        except Exception:
-            adopted = self._abandon_or_adopt(spark, new_files)
-            if adopted is not None:
-                return adopted  # the put landed despite the exception
-            raise
+        return self._publish_cleanly(spark, "append", rebase, new_files)
 
     def write_audit_publish(
         self, df: DataFrame, rules, batch_id: int | None = None
@@ -1013,24 +1016,16 @@ class ManifestTable:
             _abandon()
             return None, report
         new_cols = sorted(staged.columns)
-        try:
+        with self._staged_cleanup(spark, new_files):
             new_stats = self._file_stats(spark, new_files)
             rebase = self._append_rebase(
                 spark, new_files, new_cols, new_stats, batch_id,
                 new_schema=staged.schema,
             )
-            version = self._publish(spark, [], 0, "wap", rebase=rebase)
-        except Exception:
-            # the no-orphan contract covers PUBLISH failure too — via
-            # adopt-or-abandon: a put whose close() raised may have
-            # landed server-side, and deleting files a live manifest
-            # references would corrupt the snapshot. A torn put burns
-            # its version number and is never read back, so abandoning
-            # its files cannot dangle a live snapshot.
-            adopted = self._abandon_or_adopt(spark, new_files)
-            if adopted is not None:
-                return adopted, report
-            raise
+        # publish failures classified by _publish_cleanly: proven
+        # pre-put → stage deleted; ambiguous put → stage left for
+        # vacuum (a late-landing manifest may reference it)
+        version = self._publish_cleanly(spark, "wap", rebase, new_files)
         return version, report
 
     def last_batch_id(self, spark: SparkSession) -> int:
@@ -1062,28 +1057,30 @@ class ManifestTable:
         files, _ = self._write_files(df)
         # compaction rewrites every row through one homogeneous schema,
         # so the evolved flag resets and columns/schema re-baseline
-        extra: dict = {
-            "columns": sorted(df.columns),
-            "schema": _schema_json(df.schema),
-        }
-        # ...but the streaming high-water mark is NOT content-derived:
-        # it must survive the rewrite or replay protection is lost
-        hwm = int(self._manifest(spark, v).get("last_batch_id", -1))
-        if hwm >= 0:
-            extra["last_batch_id"] = hwm
-        stats = self._file_stats(spark, files)
-        if stats:
-            extra["stats"] = stats
-        rows = self._count(spark, files)
+        with self._staged_cleanup(spark, files):  # pre-publish window
+            extra: dict = {
+                "columns": sorted(df.columns),
+                "schema": _schema_json(df.schema),
+            }
+            # ...but the streaming high-water mark is NOT
+            # content-derived: it must survive the rewrite or replay
+            # protection is lost
+            hwm = int(self._manifest(spark, v).get("last_batch_id", -1))
+            if hwm >= 0:
+                extra["last_batch_id"] = hwm
+            stats = self._file_stats(spark, files)
+            if stats:
+                extra["stats"] = stats
+            rows = self._count(spark, files)
 
-        def rebase() -> tuple[list[str], int, dict]:
-            cur = self.current_version(spark)
-            if cur != v:
-                raise ConcurrentWriteError(
-                    f"compact computed against v{v} but the snapshot is "
-                    f"now v{cur} — re-run compaction on the new base"
-                )
-            return files, rows, extra
+            def rebase() -> tuple[list[str], int, dict]:
+                cur = self.current_version(spark)
+                if cur != v:
+                    raise ConcurrentWriteError(
+                        f"compact computed against v{v} but the snapshot "
+                        f"is now v{cur} — re-run compaction on the new base"
+                    )
+                return files, rows, extra
 
         return self._publish_cleanly(spark, "compact", rebase, files)
 
@@ -1171,26 +1168,27 @@ class ManifestTable:
                 *cols
             )
         files, _ = self._write_files(df)
-        extra: dict = {
-            "columns": sorted(df.columns),
-            "schema": _schema_json(df.schema),  # full rewrite re-baselines
-        }
-        hwm = int(m.get("last_batch_id", -1))
-        if hwm >= 0:
-            extra["last_batch_id"] = hwm
-        stats = self._file_stats(spark, files)
-        if stats:
-            extra["stats"] = stats
-        rows = self._count(spark, files)
+        with self._staged_cleanup(spark, files):  # pre-publish window
+            extra: dict = {
+                "columns": sorted(df.columns),
+                "schema": _schema_json(df.schema),  # rewrite re-baselines
+            }
+            hwm = int(m.get("last_batch_id", -1))
+            if hwm >= 0:
+                extra["last_batch_id"] = hwm
+            stats = self._file_stats(spark, files)
+            if stats:
+                extra["stats"] = stats
+            rows = self._count(spark, files)
 
-        def rebase() -> tuple[list[str], int, dict]:
-            cur = self.current_version(spark)
-            if cur != v:
-                raise ConcurrentWriteError(
-                    f"cluster computed against v{v} but the snapshot is "
-                    f"now v{cur} — re-run clustering on the new base"
-                )
-            return files, rows, extra
+            def rebase() -> tuple[list[str], int, dict]:
+                cur = self.current_version(spark)
+                if cur != v:
+                    raise ConcurrentWriteError(
+                        f"cluster computed against v{v} but the snapshot "
+                        f"is now v{cur} — re-run clustering on the new base"
+                    )
+                return files, rows, extra
 
         return self._publish_cleanly(spark, "cluster", rebase, files)
 
@@ -1969,26 +1967,30 @@ class ManifestTable:
         else:
             new_data = updates
         new_files, _ = self._write_files(new_data)
-        new_stats = self._file_stats(spark, new_files)
-        final = untouched + new_files
-        # row accounting is O(touched + new), never a full-table
-        # recount (at 100 TB a merge that recounts every carried file
-        # costs a table scan per commit): carried files contribute
-        # their recorded effective total, which equals the snapshot's
-        # rows minus the touched files' effective (DV-subtracted) rows
-        new_rows = self._count(spark, new_files)
-        if m.get("rows") is None:
-            rows = self._count(spark, final) - self._dv_rows(
-                m, untouched
-            )  # legacy manifest without a recorded count
-        else:
-            touched_eff = (
-                self._count(spark, sorted(touched))
-                - self._dv_rows(m, sorted(touched))
-                if touched
-                else 0
-            )
-            rows = int(m["rows"]) - touched_eff + new_rows
+        # pre-publish no-orphan window: the stats/count jobs below can
+        # fail (executor loss) with the rewrite already staged
+        with self._staged_cleanup(spark, new_files):
+            new_stats = self._file_stats(spark, new_files)
+            final = untouched + new_files
+            # row accounting is O(touched + new), never a full-table
+            # recount (at 100 TB a merge that recounts every carried
+            # file costs a table scan per commit): carried files
+            # contribute their recorded effective total, which equals
+            # the snapshot's rows minus the touched files' effective
+            # (DV-subtracted) rows
+            new_rows = self._count(spark, new_files)
+            if m.get("rows") is None:
+                rows = self._count(spark, final) - self._dv_rows(
+                    m, untouched
+                )  # legacy manifest without a recorded count
+            else:
+                touched_eff = (
+                    self._count(spark, sorted(touched))
+                    - self._dv_rows(m, sorted(touched))
+                    if touched
+                    else 0
+                )
+                rows = int(m["rows"]) - touched_eff + new_rows
 
         def rebase() -> tuple[list[str], int, dict]:
             cur = self.current_version(spark)
@@ -2112,19 +2114,24 @@ class ManifestTable:
 
         new_files: list[str] = []
         new_stats: dict = {}
-        if n_updates:
-            new_files, _ = self._write_files(updates)
-            new_stats = self._file_stats(spark, new_files)
-        new_dvs = {f: dict(e) for f, e in m.get("dvs", {}).items()}
-        for f, n in per_file.items():
-            e = new_dvs.setdefault(f, {"parts": [], "rows": 0})
-            e["parts"] = list(e["parts"]) + parts
-            e["rows"] = int(e["rows"]) + n
-        # hoisted OUT of rebase(): on a legacy manifest without a
-        # recorded count this is a full recount, and rebase re-runs on
-        # every commit attempt — per-attempt work must stay
-        # metadata-only (the _append_rebase rule)
-        eff_rows = self._effective_rows(spark, m)
+        # pre-publish window: the DV parts are already staged, and the
+        # batch write / stats / legacy recount below can all fail —
+        # whatever landed by then must not outlive the failure
+        with self._staged_cleanup(spark, new_files, parts):
+            if n_updates:
+                staged, _ = self._write_files(updates)
+                new_files.extend(staged)  # extend: cleanup sees them
+                new_stats = self._file_stats(spark, new_files)
+            new_dvs = {f: dict(e) for f, e in m.get("dvs", {}).items()}
+            for f, n in per_file.items():
+                e = new_dvs.setdefault(f, {"parts": [], "rows": 0})
+                e["parts"] = list(e["parts"]) + parts
+                e["rows"] = int(e["rows"]) + n
+            # hoisted OUT of rebase(): on a legacy manifest without a
+            # recorded count this is a full recount, and rebase re-runs
+            # on every commit attempt — per-attempt work must stay
+            # metadata-only (the _append_rebase rule)
+            eff_rows = self._effective_rows(spark, m)
 
         def rebase() -> tuple[list[str], int, dict]:
             cur = self.current_version(spark)
@@ -2263,17 +2270,20 @@ class ManifestTable:
             subdir="deletes",
         )
         n_deleted = sum(per_file.values())
-        new_dvs = {f: dict(e) for f, e in m.get("dvs", {}).items()}
-        for f, n in per_file.items():
-            e = new_dvs.setdefault(f, {"parts": [], "rows": 0})
-            # every new part is mapped to every file it may cover —
-            # a conservative superset; the anti-join key includes the
-            # file name, so extra pairs match nothing
-            e["parts"] = list(e["parts"]) + parts
-            e["rows"] = int(e["rows"]) + n
-        # hoisted out of rebase(): legacy manifests recount here, and
-        # per-attempt rebase work must stay metadata-only
-        eff_rows = self._effective_rows(spark, m)
+        # pre-publish window: a legacy recount can fail with the DV
+        # parts already staged
+        with self._staged_cleanup(spark, [], parts):
+            new_dvs = {f: dict(e) for f, e in m.get("dvs", {}).items()}
+            for f, n in per_file.items():
+                e = new_dvs.setdefault(f, {"parts": [], "rows": 0})
+                # every new part is mapped to every file it may cover —
+                # a conservative superset; the anti-join key includes
+                # the file name, so extra pairs match nothing
+                e["parts"] = list(e["parts"]) + parts
+                e["rows"] = int(e["rows"]) + n
+            # hoisted out of rebase(): legacy manifests recount here,
+            # and per-attempt rebase work must stay metadata-only
+            eff_rows = self._effective_rows(spark, m)
 
         def rebase() -> tuple[list[str], int, dict]:
             cur = self.current_version(spark)
@@ -2426,24 +2436,29 @@ class ManifestTable:
             ),
             subdir="deletes",
         )
-        new_files, _ = self._write_files(
-            # an assignment can change a column's type (v -> v * 0.5):
-            # widen or fail before the file lands under the old record
-            self._conform_to_schema(
-                transform(matched.drop("__dv_f", "__dv_pos")),
-                m,
-                "update assignments",
+        new_files: list[str] = []
+        # pre-publish window: the parts are staged; the image write,
+        # stats job and legacy recount below can all still fail
+        with self._staged_cleanup(spark, new_files, parts):
+            staged, _ = self._write_files(
+                # an assignment can change a column's type (v -> v*0.5):
+                # widen or fail before the file lands under the record
+                self._conform_to_schema(
+                    transform(matched.drop("__dv_f", "__dv_pos")),
+                    m,
+                    "update assignments",
+                )
             )
-        )
-        new_stats = self._file_stats(spark, new_files)
-        new_dvs = {f: dict(e) for f, e in m.get("dvs", {}).items()}
-        for f, n in per_file.items():
-            e = new_dvs.setdefault(f, {"parts": [], "rows": 0})
-            e["parts"] = list(e["parts"]) + parts
-            e["rows"] = int(e["rows"]) + n
-        # hoisted out of rebase(): legacy manifests recount here, and
-        # per-attempt rebase work must stay metadata-only
-        eff_rows = self._effective_rows(spark, m)
+            new_files.extend(staged)  # extend: cleanup sees them
+            new_stats = self._file_stats(spark, new_files)
+            new_dvs = {f: dict(e) for f, e in m.get("dvs", {}).items()}
+            for f, n in per_file.items():
+                e = new_dvs.setdefault(f, {"parts": [], "rows": 0})
+                e["parts"] = list(e["parts"]) + parts
+                e["rows"] = int(e["rows"]) + n
+            # hoisted out of rebase(): legacy manifests recount here,
+            # and per-attempt rebase work must stay metadata-only
+            eff_rows = self._effective_rows(spark, m)
 
         def rebase() -> tuple[list[str], int, dict]:
             cur = self.current_version(spark)
@@ -2547,10 +2562,12 @@ class ManifestTable:
             # the schema record forward, so its files must conform
             self._conform_to_schema(transform(old_rows), m, f"{op} rewrite")
         )
-        new_stats = self._file_stats(spark, new_files)
-        new_rows = self._count(spark, new_files)
-        final = untouched + new_files
-        rows = int(m.get("rows", 0)) - touched_before + new_rows
+        # pre-publish window: stats/count jobs over the staged rewrite
+        with self._staged_cleanup(spark, new_files):
+            new_stats = self._file_stats(spark, new_files)
+            new_rows = self._count(spark, new_files)
+            final = untouched + new_files
+            rows = int(m.get("rows", 0)) - touched_before + new_rows
 
         def rebase() -> tuple[list[str], int, dict]:
             cur = self.current_version(spark)
