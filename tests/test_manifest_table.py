@@ -2650,11 +2650,21 @@ def test_publish_failure_cleanup_classified_by_provability(
         raise IOError("synthetic: connection reset during put")
 
     monkeypatch.setattr(ManifestTable, "_publish", ambiguous)
-    with pytest.raises(IOError, match="synthetic"):
+    from yc_yq_airflow_etl_spark.sources.manifest import CommitAmbiguousError
+
+    with pytest.raises(CommitAmbiguousError, match="outcome UNKNOWN"):
         t.append(_df(spark, 5, 8))
     assert (
         len(list((tmp_path / "mt" / "data").glob("*.parquet"))) > n_before
     ), "ambiguous put must LEAVE the stage (vacuum debt, never delete)"
+    # ...and the debt is reclaimable: nothing references the stage, so
+    # vacuum retires it
+    monkeypatch.undo()
+    t.append(_df(spark, 5, 8))  # advance so vacuum has an old version
+    t.vacuum(spark, keep_versions=1)
+    live = set(t._manifest(spark, t.current_version(spark))["files"])
+    on_disk = {p.name for p in (tmp_path / "mt" / "data").glob("*.parquet")}
+    assert on_disk == live  # orphaned stage reclaimed
 
 
 def test_overwrite_commit_time_recheck_catches_renamed_away_name(

@@ -69,6 +69,7 @@ import json
 import re
 import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -240,6 +241,19 @@ class PublishContentionError(RuntimeError):
     loss is a put that PROVABLY did not land (putIfAbsent saw the name
     claimed), so unlike a raw store exception this failure is known to
     have committed nothing (the cleanup paths rely on that)."""
+
+
+class CommitAmbiguousError(RuntimeError):
+    """The manifest put itself raised, and the commit MAY have landed
+    server-side anyway (on S3A the close() that raised IS the PUT) —
+    Iceberg's CommitStateUnknown semantics. The staged files are left
+    on disk (a late-landing manifest may reference them; vacuum
+    reclaims them if not). Callers must NOT blind-retry a
+    non-idempotent operation on this error: reconcile first by
+    checking current_version()/history() for the attempted commit.
+    The batch_id-keyed streaming paths are safe to retry as-is — a
+    landed commit carries the high-water mark and the replay is
+    skipped."""
 
 
 @dataclass(frozen=True)
@@ -424,20 +438,33 @@ class ManifestTable:
         staging_name = f"_staging_{uuid.uuid4().hex}"
         df.write.mode("overwrite").parquet(f"{self.path}/{staging_name}")
         names: list[str] = []
-        for fname in sorted(self._list_names(spark, staging_name)):
-            if fname.endswith(".parquet"):
-                name = f"{uuid.uuid4().hex}.parquet"
-                if not fs.rename(
-                    self._jp(jvm, staging_name, fname), self._jp(jvm, subdir, name)
-                ):
-                    # first file ever in the target: parent may not exist
-                    fs.mkdirs(self._jp(jvm, subdir))
+        try:
+            for fname in sorted(self._list_names(spark, staging_name)):
+                if fname.endswith(".parquet"):
+                    name = f"{uuid.uuid4().hex}.parquet"
                     if not fs.rename(
                         self._jp(jvm, staging_name, fname),
                         self._jp(jvm, subdir, name),
                     ):
-                        raise RuntimeError(f"staging rename failed for {fname}")
-                names.append(name)
+                        # first file ever in target: parent may not exist
+                        fs.mkdirs(self._jp(jvm, subdir))
+                        if not fs.rename(
+                            self._jp(jvm, staging_name, fname),
+                            self._jp(jvm, subdir, name),
+                        ):
+                            raise RuntimeError(
+                                f"staging rename failed for {fname}"
+                            )
+                    names.append(name)
+        except BaseException:
+            # all-or-nothing stage: a failure mid-loop has already
+            # renamed some files under fresh names the caller will
+            # never learn — delete them (unreferenced by construction)
+            # so a partial stage cannot orphan
+            for n in names:
+                fs.delete(self._jp(jvm, subdir, n), False)
+            fs.delete(self._jp(jvm, staging_name), True)
+            raise
         fs.delete(self._jp(jvm, staging_name), True)
         return names, spark
 
@@ -445,53 +472,32 @@ class ManifestTable:
         self, spark: SparkSession, files: list[str], subdir: str = "data"
     ) -> None:
         """Delete staged files whose commit attempt is KNOWN dead —
-        only call directly when no put could have landed (audit
-        rejection before publish); after a publish failure, go through
-        :meth:`_abandon_or_adopt`, which rules out the ambiguous-put
-        case first."""
+        only call when no put could have landed: a pre-publish
+        rejection, or a publish failure proven pre-put (see
+        :meth:`_publish_cleanly`'s classification). An ambiguous put
+        failure must NEVER reach this (see CommitAmbiguousError)."""
         jvm, fs = self._fs(spark)
         for f in files:
             fs.delete(self._jp(jvm, subdir, f), False)
 
+    @contextmanager
     def _staged_cleanup(self, spark: SparkSession, data_files, dv_parts=None):
-        """Context manager for the PRE-PUBLISH no-orphan window: any
-        exception between staging and the first publish attempt
-        (a stats/count job, a second staging write, a validation)
-        provably precedes every put, so deleting the stage is safe.
-        ``data_files``/``dv_parts`` are captured BY REFERENCE — append
-        names to them as staging proceeds and whatever has landed by
-        failure time is cleaned. The publish call itself must sit
-        OUTSIDE this window (its failures need the classification
-        _publish_cleanly applies — an ambiguous put may have landed)."""
-        from contextlib import contextmanager
-
-        @contextmanager
-        def _w():
-            try:
-                yield
-            except Exception:
-                self._abandon_files(spark, list(data_files), "data")
-                if dv_parts:
-                    self._abandon_files(spark, list(dv_parts), "deletes")
-                raise
-
-        return _w()
-
-    # publish failures whose exception type PROVES no put landed: the
-    # rebase hooks raise these (conflict, validation, a missing base
-    # manifest) before any put, and retry exhaustion means every put
-    # returned False (the name was claimed by someone else). A store
-    # exception from the put itself is NOT in this set — on S3A the
-    # close() that raised IS the PUT and may have completed server-
-    # side, so the stage must be LEFT for vacuum (orphan debt is safe;
-    # deleting files a late-landing manifest references bricks the
-    # snapshot).
-    _PRE_PUT_ERRORS = (
-        ConcurrentWriteError,
-        PublishContentionError,
-        ValueError,
-        FileNotFoundError,
-    )
+        """PRE-PUBLISH no-orphan window: any exception between staging
+        and the first publish attempt (a stats/count job, a second
+        staging write, a validation) provably precedes every put, so
+        deleting the stage is safe. ``data_files``/``dv_parts`` are
+        captured BY REFERENCE — append names to them as staging
+        proceeds and whatever has landed by failure time is cleaned.
+        The publish call itself must sit OUTSIDE this window (its
+        failures need the classification _publish_cleanly applies —
+        an ambiguous put may have landed)."""
+        try:
+            yield
+        except Exception:
+            self._abandon_files(spark, list(data_files), "data")
+            if dv_parts:
+                self._abandon_files(spark, list(dv_parts), "deletes")
+            raise
 
     def _publish_cleanly(
         self,
@@ -502,22 +508,36 @@ class ManifestTable:
         dv_parts: list[str] | None = None,
     ) -> int:
         """_publish plus the no-orphan discipline every staged-file
-        writer shares: when the failure type proves no put landed
-        (see _PRE_PUT_ERRORS), delete the stage and re-raise — the
-        CAS writers need this most, since ConcurrentWriteError is
-        ROUTINE under the streaming sink and every conflict would
-        otherwise orphan a full rewrite (maybe_compact's retry loop:
-        up to three orphaned table copies per invocation). Any other
-        failure is an AMBIGUOUS put: the stage stays on disk as
-        vacuum-able debt, never deleted — the put may have landed and
-        a manifest may reference these files."""
+        writer shares. Classification is POSITIONAL, not type-based:
+        _publish tags every exception raised before the put attempt
+        (listing, rebase, serialization — whatever its type), and
+        retry exhaustion (PublishContentionError) means every put
+        provably returned False. Those delete the stage and re-raise
+        — ConcurrentWriteError is ROUTINE under the streaming sink
+        and must never accrete orphan debt (maybe_compact's retry
+        loop would otherwise stage up to three orphaned table copies
+        per invocation). An exception from the put ITSELF is an
+        AMBIGUOUS commit: the stage stays on disk (a late-landing
+        manifest may reference it; vacuum reclaims it if not) and the
+        error surfaces as CommitAmbiguousError so a caller cannot
+        mistake maybe-landed for failed and blind-retry a
+        non-idempotent operation into a double-apply."""
         try:
             return self._publish(spark, [], 0, op, rebase=rebase)
-        except self._PRE_PUT_ERRORS:
-            self._abandon_files(spark, list(data_files), "data")
-            if dv_parts:
-                self._abandon_files(spark, list(dv_parts), "deletes")
-            raise
+        except Exception as exc:
+            if getattr(exc, "_spark_graft_pre_put", False) or isinstance(
+                exc, PublishContentionError
+            ):
+                self._abandon_files(spark, list(data_files), "data")
+                if dv_parts:
+                    self._abandon_files(spark, list(dv_parts), "deletes")
+                raise
+            raise CommitAmbiguousError(
+                f"{op} commit outcome UNKNOWN at {self.path}: the "
+                "manifest put raised mid-flight and may have landed "
+                "server-side — check current_version()/history() "
+                "before retrying; staged files left for vacuum"
+            ) from exc
 
     def _file_stats(
         self, spark: SparkSession, files: list[str]
@@ -763,22 +783,36 @@ class ManifestTable:
         # so 1000 consecutive losses is contention pathology (or a put
         # implementation bug), not normal operation — fail loudly.
         for _ in range(1000):
-            # next version = above every CLAIMED name (even torn ones:
-            # their number is burned, never reused — else a slow torn
-            # writer finishing late could overwrite a real commit)
-            names = self._name_versions(spark)
-            version = names[-1] + 1 if names else 0
-            if rebase is not None:
-                files, rows, extra = rebase()
-            manifest = {
-                "version": version,
-                "files": files,
-                "rows": rows,
-                "op": op,
-                "committed_at": time.time(),
-                **(extra or {}),
-            }
-            if put(spark, json.dumps(manifest), "_manifests", f"v{version}.json"):
+            try:
+                # next version = above every CLAIMED name (even torn
+                # ones: their number is burned, never reused — else a
+                # slow torn writer finishing late could overwrite a
+                # real commit)
+                names = self._name_versions(spark)
+                version = names[-1] + 1 if names else 0
+                if rebase is not None:
+                    files, rows, extra = rebase()
+                manifest = {
+                    "version": version,
+                    "files": files,
+                    "rows": rows,
+                    "op": op,
+                    "committed_at": time.time(),
+                    **(extra or {}),
+                }
+                body = json.dumps(manifest)
+            except BaseException as e:
+                # POSITIONAL pre-put proof: anything raised before the
+                # put (listing, rebase, serialization) cannot have
+                # committed — tag it so cleanup is exact, whatever the
+                # exception type (a transient store error in rebase is
+                # just as provably pre-put as ConcurrentWriteError)
+                try:
+                    e._spark_graft_pre_put = True
+                except Exception:
+                    pass
+                raise
+            if put(spark, body, "_manifests", f"v{version}.json"):
                 return version
             # publish race lost: re-resolve, rebase, try the next version
         raise PublishContentionError(
@@ -994,7 +1028,8 @@ class ManifestTable:
 
         def _abandon() -> None:
             # pre-publish rejections only: no put ran, a blind delete
-            # is safe (publish failures go through _abandon_or_adopt)
+            # is safe (publish failures go through _publish_cleanly's
+            # positional classification)
             self._abandon_files(spark, new_files)
 
         try:
