@@ -508,6 +508,51 @@ def test_bucketed_range_join_matches_nonequi(spark):
         assert got == want, f"width={width}"
 
 
+def test_bucketed_range_join_boundary_sliver_not_dropped(spark):
+    """Regression: an interval whose upper bound sits within 1e-9
+    ABOVE a bucket boundary must still match a point in that sliver's
+    bucket. The old explosion used floor((hi - 1e-9)/w), which (a)
+    skipped the boundary bucket entirely for hi = boundary + 5e-10
+    (true match DROPPED), and (b) was a rounding no-op for |hi| ≳ 1e7.
+    The fix explodes to floor(hi/w) unconditionally; the residual
+    p < hi predicate keeps exclusivity exact."""
+    from yc_yq_airflow_etl_spark.operators.joins import (
+        bucketed_range_join,
+        range_join,
+    )
+
+    w = 10.0
+    ivals = spark.createDataFrame(
+        [
+            ("sliver", 5.0, 10.0 + 5e-10),  # upper 5e-10 past bucket edge
+            ("exact", 20.0, 30.0),  # upper exactly ON a bucket edge
+            ("big", 2e7 - 5.0, 2e7),  # |hi| large: 1e-9 rounds away
+        ],
+        "name string, lo double, hi double",
+    )
+    pts = spark.createDataFrame(
+        [
+            (0, 10.0),  # inside "sliver" (10.0 < 10.0000000005)
+            (1, 30.0),  # NOT in "exact" (upper exclusive)
+            (2, 2e7 - 1.0),  # inside "big"
+            (3, 2e7),  # NOT in "big" (upper exclusive)
+        ],
+        "pid int, p double",
+    )
+    want = {
+        (r.pid, r.name)
+        for r in range_join(pts, ivals, "p", "lo", "hi").collect()
+    }
+    assert want == {(0, "sliver"), (2, "big")}  # fixture sanity
+    got = {
+        (r.pid, r.name)
+        for r in bucketed_range_join(
+            pts, ivals, "p", "lo", "hi", bucket_width=w
+        ).collect()
+    }
+    assert got == want
+
+
 def test_bucketed_range_join_runs_on_hash_join_path(spark):
     """The whole point of the rewrite: a broadcast interval side
     compiles to BroadcastHashJoin, never a nested-loop."""

@@ -1918,6 +1918,74 @@ def test_update_where_cow_pre_update_semantics(spark, tmp_path):
         t.update_where(spark, "id = 0", {"nope": F.lit(1)})
 
 
+def test_update_where_validates_against_pinned_base(spark, tmp_path):
+    """update_where's unknown-column check judges the PINNED base
+    snapshot's schema, not a fresh read() of the current one (TOCTOU:
+    a concurrent commit between check and engine run must not swap
+    the schema being judged). Pinning a pre-evolution version rejects
+    an assignment to the evolved column even though the CURRENT
+    snapshot has it; and on an empty table the error names
+    update_where instead of read()'s generic message."""
+    t = ManifestTable(str(tmp_path / "mt"))
+    with pytest.raises(FileNotFoundError, match="update_where"):
+        t.update_where(spark, "id = 0", {"v": F.lit(1)})
+    t.overwrite(_df(spark, 0, 10))
+    v0 = t.current_version(spark)
+    t.append(_df(spark, 10, 20).withColumn("w", F.lit("new")))
+    assert "w" in t.read(spark).columns  # current schema HAS w
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.update_where(
+            spark, "id = 0", {"w": F.lit("x")}, expected_version=v0
+        )
+
+
+def test_cow_update_recounts_on_legacy_manifest_without_rows(
+    spark, tmp_path
+):
+    """A hand-made/legacy manifest lacking a recorded ``rows`` count:
+    _cow_rewrite must recount via _effective_rows (mirroring merge and
+    the MOR engines) instead of defaulting the base to 0 and recording
+    a wrong (here 0, possibly negative) count that all later
+    metadata-only accounting inherits."""
+    import json as _json
+
+    t = ManifestTable(str(tmp_path / "mt"))
+    t.overwrite(_df(spark, 0, 10).coalesce(1))
+    mp = tmp_path / "mt" / "_manifests" / "v0.json"
+    m0 = _json.loads(mp.read_text())
+    del m0["rows"]
+    mp.write_text(_json.dumps(m0))
+    crc = tmp_path / "mt" / "_manifests" / ".v0.json.crc"
+    if crc.exists():
+        crc.unlink()
+
+    v = t.update_where(spark, "id < 3", {"v": F.lit(0)})
+    m = t._manifest(spark, v)
+    assert m["rows"] == 10  # recounted: 10 - 10 touched + 10 rewritten
+    assert t.read(spark).count() == 10
+
+
+def test_staged_cleanup_covers_base_exceptions(spark, tmp_path, monkeypatch):
+    """The pre-publish no-orphan window catches BaseException, not just
+    Exception — a KeyboardInterrupt during the stats/count window must
+    delete the staged rewrite files instead of leaking them as orphans
+    (consistent with _write_files' own cleanup)."""
+    t = ManifestTable(str(tmp_path / "mt"), stat_cols=("id",))
+    t.overwrite(_df(spark, 0, 10).coalesce(1))
+    data_dir = tmp_path / "mt" / "data"
+    before = {p.name for p in data_dir.iterdir() if p.suffix == ".parquet"}
+
+    def interrupt(*a, **k):
+        raise KeyboardInterrupt
+
+    # frozen dataclass: patch at the class, not the instance
+    monkeypatch.setattr(ManifestTable, "_count", interrupt)
+    with pytest.raises(KeyboardInterrupt):
+        t.update_where(spark, "id < 3", {"v": F.lit(0)})
+    after = {p.name for p in data_dir.iterdir() if p.suffix == ".parquet"}
+    assert after == before  # staged rewrite abandoned, no orphans
+
+
 def test_merge_with_delete_keys_single_atomic_commit(spark, tmp_path):
     """MERGE's WHEN-MATCHED-DELETE: updates, inserts and deletes land
     in ONE version; delete keys absent from the table are no-ops;

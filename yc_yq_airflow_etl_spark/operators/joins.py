@@ -231,7 +231,7 @@ def bucketed_range_join(
     moment the interval side grows. This rewrite coarsens the point
     domain into fixed-width buckets: each interval is EXPLODED into
     the bucket ids it overlaps (``sequence(floor(lo/w),
-    floor((hi-ε)/w))`` — intervals cost ceil(len/w) copies, so pick
+    floor(hi/w))`` — intervals cost ~ceil(len/w) copies, so pick
     ``bucket_width`` near the typical interval length to keep the
     blow-up ~1-2×), each point computes ``floor(p/w)`` (one map-side
     expression), and the join becomes a plain hash equi-join on the
@@ -257,9 +257,14 @@ def bucketed_range_join(
         F.explode(
             F.sequence(
                 F.floor(lo / F.lit(w)).cast("long"),
-                # upper is EXCLUSIVE: an interval ending exactly on a
-                # bucket boundary does not reach into that bucket
-                F.floor((hi - F.lit(1e-9)) / F.lit(w)).cast("long"),
+                # floor(hi/w) UNCONDITIONALLY: when hi lands exactly on
+                # a bucket boundary this emits one bucket the exclusive
+                # upper can never match, but the residual p < upper
+                # predicate discards it. An epsilon-subtraction here
+                # would be WRONG: for |hi| ≳ 1e7 the 1e-9 rounds away
+                # (no-op), and for hi within ε above a boundary it
+                # would DROP the bucket holding true matches.
+                F.floor(hi / F.lit(w)).cast("long"),
             )
         ),
     )

@@ -490,10 +490,13 @@ class ManifestTable:
         proceeds and whatever has landed by failure time is cleaned.
         The publish call itself must sit OUTSIDE this window (its
         failures need the classification _publish_cleanly applies —
-        an ambiguous put may have landed)."""
+        an ambiguous put may have landed). BaseException, not
+        Exception, for consistency with _write_files' own cleanup —
+        a KeyboardInterrupt during the stats/count window must not
+        leak the stage as orphans."""
         try:
             yield
-        except Exception:
+        except BaseException:
             self._abandon_files(spark, list(data_files), "data")
             if dv_parts:
                 self._abandon_files(spark, list(dv_parts), "deletes")
@@ -2397,12 +2400,35 @@ class ManifestTable:
                 ]
             )
 
-        unknown = set(exprs) - set(self.read(spark).columns)
-        if unknown:
-            raise ValueError(
-                f"update_where assigns unknown columns {sorted(unknown)} "
-                "(schema evolution goes through append, not UPDATE)"
+        # Validate assignment names against the PINNED base, not a
+        # fresh read(): when expected_version targets an older
+        # snapshot, a concurrent commit between this check and the
+        # engine run must not swap the schema being judged (TOCTOU).
+        base = (
+            self.current_version(spark)
+            if expected_version is None
+            else expected_version
+        )
+        if base is None:
+            raise FileNotFoundError(
+                f"update_where on {self.path}: no committed snapshot"
             )
+        base_m = self._manifest(spark, base)
+        base_cols = base_m.get("columns")
+        if base_cols is None and base_m.get("files"):
+            # hand-made manifest without a columns record: footer
+            # schema of the pinned base's own files (analysis only)
+            base_cols = self._reader_for(spark, base_m).parquet(
+                *[f"{self.path}/data/{f}" for f in base_m["files"]]
+            ).columns
+        if base_cols is not None:
+            unknown = set(exprs) - set(base_cols)
+            if unknown:
+                raise ValueError(
+                    f"update_where assigns unknown columns "
+                    f"{sorted(unknown)} (schema evolution goes through "
+                    "append, not UPDATE)"
+                )
         if mode == "merge-on-read":
             return self._update_mor(
                 spark, pred, transform, expected_version
@@ -2602,7 +2628,10 @@ class ManifestTable:
             new_stats = self._file_stats(spark, new_files)
             new_rows = self._count(spark, new_files)
             final = untouched + new_files
-            rows = int(m.get("rows", 0)) - touched_before + new_rows
+            # legacy manifest without a recorded count: recount like
+            # merge()/_merge_mor/_delete_mor do — a 0 default would
+            # drive the subtraction negative
+            rows = self._effective_rows(spark, m) - touched_before + new_rows
 
         def rebase() -> tuple[list[str], int, dict]:
             cur = self.current_version(spark)

@@ -33,13 +33,25 @@ a smaller trigger interval, bounds that window).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..sources.manifest import ManifestTable
+
+
+def _index_exists(spark: SparkSession, index_path: str) -> bool:
+    """True iff the minhash index's ``_SUCCESS`` sentinel exists, via
+    the Hadoop FileSystem API so the check works on ANY store the
+    parquet reader/writer supports (HDFS, s3a, local). A naive
+    ``os.path.exists`` is local-filesystem-only: on an object-store
+    index_path it is always False, so every micro-batch would take the
+    bootstrap branch and silently overwrite the index — disabling
+    dedup. Same resolution path as ``ManifestTable._fs``."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(index_path + "/_SUCCESS")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
 
 
 def dedup_ingest_batch(
@@ -68,7 +80,7 @@ def dedup_ingest_batch(
     spark = batch_df.sparkSession
     if batch_id <= table.last_batch_id(spark):
         return False
-    if not os.path.exists(os.path.join(index_path, "_SUCCESS")):
+    if not _index_exists(spark, index_path):
         # bootstrap: first batch seeds both the table and the index
         table.append(batch_df, batch_id=batch_id)
         write_minhash_index(
@@ -137,7 +149,7 @@ def sync_minhash_index(
         spark.read.parquet(index_path)
         .select(F.col("_id").alias(id_col))
         .distinct()
-        if os.path.exists(os.path.join(index_path, "_SUCCESS"))
+        if _index_exists(spark, index_path)
         else None
     )
     missing = (
