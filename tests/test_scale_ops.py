@@ -452,3 +452,66 @@ def test_kmv_estimate_within_error_bound(spark):
     )
     # standard error ≈ 1/sqrt(k-2); allow 5 sigmas
     assert abs(est - n) / n < 5.0 / (k - 2) ** 0.5
+
+
+def test_grouped_percentiles_guard_and_approx_route(spark):
+    """Exact-twin size guard (mirrors topk_join's oversize contract):
+    past exact_row_limit the DEFAULT is a loud ValueError naming the
+    sketch route — the per-group-materializing exact percentile plan
+    must never be picked silently at scale; oversize='approx' routes
+    to percentile_approx with a RuntimeWarning and a rank-bounded
+    answer. Under the limit the result is the exact interpolated
+    percentile."""
+    from yc_yq_airflow_etl_spark.operators.profiling import (
+        grouped_percentiles,
+    )
+
+    df = spark.range(0, 1001).selectExpr(
+        "CAST(id % 2 AS INT) AS g", "CAST(id AS DOUBLE) AS v"
+    )
+    exact = {
+        (r.g, r.p50)
+        for r in grouped_percentiles(df, "v", ["g"], probs=(0.5,)).collect()
+    }
+    # ids 0..1000: evens 0,2,..,1000 (median 500), odds 1,3,..,999 (500)
+    assert exact == {(0, 500.0), (1, 500.0)}
+
+    with pytest.raises(ValueError, match="percentile_approx"):
+        grouped_percentiles(df, "v", ["g"], exact_row_limit=100)
+    with pytest.warns(RuntimeWarning, match="APPROXIMATE"):
+        approx = grouped_percentiles(
+            df, "v", ["g"], probs=(0.5,), exact_row_limit=100,
+            oversize="approx",
+        ).collect()
+    # GK sketch at accuracy=10000 on 1001 rows is rank-exact here,
+    # but pin only a loose bound so the test never rides the sketch
+    assert all(abs(r.p50 - 500.0) <= 2.0 for r in approx)
+
+
+def test_profile_columns_guard_and_hll_route(spark):
+    """profile_columns: exact NDV under the limit, loud ValueError
+    past it by default, HLL routing (ndv_exact=False, ±5% of exact)
+    with oversize='approx'."""
+    from yc_yq_airflow_etl_spark.operators.profiling import profile_columns
+
+    df = spark.range(0, 2000).selectExpr(
+        "id AS a", "CAST(id % 37 AS STRING) AS b"
+    )
+    prof = {r.col: r for r in profile_columns(df, ["a", "b"]).collect()}
+    assert prof["a"].n_distinct == 2000 and prof["a"].ndv_exact
+    assert prof["b"].n_distinct == 37
+    assert prof["a"].n_rows == 2000 and prof["a"].n_nulls == 0
+    assert prof["b"].min_s == "0" and prof["b"].max_s == "9"  # strings
+
+    with pytest.raises(ValueError, match="HyperLogLog"):
+        profile_columns(df, ["a"], exact_row_limit=10)
+    with pytest.warns(RuntimeWarning, match="APPROXIMATE"):
+        aprof = {
+            r.col: r
+            for r in profile_columns(
+                df, ["a", "b"], exact_row_limit=10, oversize="approx"
+            ).collect()
+        }
+    assert not aprof["a"].ndv_exact
+    assert abs(aprof["a"].n_distinct - 2000) <= 100  # rsd=0.02 → ±5%
+    assert abs(aprof["b"].n_distinct - 37) <= 2

@@ -906,40 +906,18 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions in a single groupBy-less agg, so Spark computes them
     in a single partial+final pass — at 100 TB this is one read, not
     four. Exact distincts (not approx) so DuckDB matches bit-for-bit;
-    the approx path is pinned separately by approx_distinct_customers."""
+    the approx path is pinned separately by approx_distinct_customers.
+    Routed through the GUARDED :func:`~..operators.profiling.
+    profile_columns` (oversize='error' default): a 100×-scale caller
+    cannot silently pick this exact-NDV plan — past the row limit it
+    fails loudly toward the HLL route table_profile_approx pins."""
+    from ..operators.profiling import profile_columns
+
     t = load_testdata(spark, sf_dir)
-    o = t["orders"]
-    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
-    aggs = []
-    for c in cols:
-        aggs += [
-            F.count(F.lit(1)).cast("bigint").alias(f"{c}__n"),
-            F.sum(F.col(c).isNull().cast("int"))
-            .cast("bigint")
-            .alias(f"{c}__nulls"),
-            F.count_distinct(F.col(c)).cast("bigint").alias(f"{c}__ndv"),
-            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
-        ]
-    wide = o.agg(*aggs)
-    # unpivot driver-side from the single 1-row result: metadata-scale
-    row = wide.first()
-    out = [
-        (
-            c,
-            int(row[f"{c}__n"]),
-            int(row[f"{c}__nulls"]),
-            int(row[f"{c}__ndv"]),
-            str(row[f"{c}__min"]),
-            str(row[f"{c}__max"]),
-        )
-        for c in cols
-    ]
-    return spark.createDataFrame(
-        out,
-        "col string, n_rows bigint, n_nulls bigint, n_distinct bigint, "
-        "min_s string, max_s string",
-    ).orderBy("col")
+    return profile_columns(
+        t["orders"],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+    ).drop("ndv_exact")
 
 
 TABLE_PROFILE_ORACLE = """
@@ -1181,21 +1159,32 @@ FROM embeddings ORDER BY vec_id
 
 def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (Spark ``percentile``
-    ≡ DuckDB ``quantile_cont``). The sketch twin for massive inputs is
-    percentile_approx (rows-only, like approx_count_distinct)."""
+    ≡ DuckDB ``quantile_cont``), routed through the GUARDED
+    :func:`~..operators.profiling.grouped_percentiles`
+    (oversize='error' default): a 100×-scale caller cannot silently
+    pick the per-group-materializing exact plan — past the row limit
+    it fails loudly toward the percentile_approx sketch route."""
+    from ..operators.profiling import grouped_percentiles
+
     t = load_testdata(spark, sf_dir)
-    return (
-        t["orders"]
-        .groupBy("o_orderstatus")
-        .agg(
-            F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("p25"),
-            F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
-            F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("p75"),
+    gp = grouped_percentiles(
+        t["orders"],
+        "o_totalprice",
+        ["o_orderstatus"],
+        probs=(0.25, 0.5, 0.75),
+        extra_aggs=[
             F.round(F.min("o_totalprice"), 6).alias("lo"),
             F.round(F.max("o_totalprice"), 6).alias("hi"),
-        )
-        .orderBy("o_orderstatus")
+        ],
     )
+    return gp.select(
+        "o_orderstatus",
+        F.round("p25", 6).alias("p25"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p75", 6).alias("p75"),
+        "lo",
+        "hi",
+    ).orderBy("o_orderstatus")
 
 
 PERCENTILE_ORACLE = """

@@ -418,8 +418,15 @@ def _ensure_ann_index(spark: SparkSession, sf_dir: str):
     Hive partition column, hyperplane sketch as a stored int column.
     Returns (index DataFrame, centroids). The index location is keyed
     by source dir — the testdata is immutable, so every query run
-    after the first reuses the files."""
+    after the first reuses the files. The trained centroids persist
+    NEXT TO the index (tiny JSON — they are exact integer vectors):
+    a fresh session with an existing index loads them instead of
+    re-running the k-means jobs (the training pass measured ~7 s per
+    session at sf0.1, dwarfing every probe it serves). Coherence is
+    by determinism — same immutable source ⇒ bit-identical centroids
+    — so a stale-file race can only rewrite equal bytes."""
     import hashlib
+    import json
     import os
     import tempfile
 
@@ -432,15 +439,25 @@ def _ensure_ann_index(spark: SparkSession, sf_dir: str):
     t = load_testdata(spark, sf_dir)
     emb = t["embeddings"]
     key = os.path.abspath(sf_dir)
+    tag = data_tag(sf_dir, "embeddings")
+    idx = os.path.join(tempfile.gettempdir(), f"ann_index_{tag}")
+    cents_path = idx + "_centroids.json"
     cents = _ANN_CENTROID_CACHE.get(key)
+    if cents is None and os.path.exists(cents_path):
+        with open(cents_path) as fh:
+            cents = [[int(x) for x in c] for c in json.load(fh)]
+        _ANN_CENTROID_CACHE[key] = cents
     if cents is None:
         sample = emb.filter(md5_bucket(F.col("vec_id"), 4) == 0)
         cents = train_ivf_centroids(sample, k_clusters=8, iters=2)
         _ANN_CENTROID_CACHE[key] = cents
-    tag = data_tag(sf_dir, "embeddings")
-    idx = os.path.join(tempfile.gettempdir(), f"ann_index_{tag}")
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):
         write_ann_index(emb, idx, cents)
+    if not os.path.exists(cents_path):
+        tmp = cents_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump([[int(x) for x in c] for c in cents], fh)
+        os.replace(tmp, cents_path)
     return spark.read.parquet(idx), cents
 
 
@@ -1909,9 +1926,16 @@ def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Driver-side set intersection is over k=10-row result sets only
     (same footprint class as the k-means centroid fetch) — in
     production this is a scheduled audit over a small query sample,
-    not a data-path operator. The DuckDB oracle replays the whole
-    chain — integer k-means, probe selection, stored sketches, recall
-    arithmetic — exactly."""
+    not a data-path operator. The whole audit runs as TWO Spark jobs
+    regardless of methods × params × query vectors: one fetch of the
+    fixture query vectors, then ONE union of every per-method
+    TakeOrdered top-10 branch (brute-force included — it is scored
+    once per query vector inside that single job, never recomputed
+    per method). The DuckDB oracle replays the whole chain — integer
+    k-means, probe selection, stored sketches, recall arithmetic —
+    exactly."""
+    from functools import reduce
+
     from ..operators.similarity import (
         brute_force_topk,
         ivf_topk_indexed,
@@ -1921,23 +1945,50 @@ def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_testdata(spark, sf_dir)
     emb = t["embeddings"]
     index_df, cents = _ensure_ann_index(spark, sf_dir)
+    # job 1: both fixture query vectors in one bounded collect
+    qvecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(0, 1))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+
+    def tag(df: DataFrame, method: str, param: int, qid: int) -> DataFrame:
+        return df.select(
+            F.lit(method).alias("method"),
+            F.lit(param).alias("param"),
+            F.lit(qid).alias("query_id"),
+            "vec_id",
+        )
+
+    parts = []
+    for qid in (0, 1):
+        q = qvecs[qid]
+        parts.append(tag(brute_force_topk(emb, q, k=10), "bf", 0, qid))
+        for nprobe in (1, 3):
+            parts.append(
+                tag(
+                    ivf_topk_indexed(index_df, q, cents, k=10, nprobe=nprobe),
+                    "ivf", nprobe, qid,
+                )
+            )
+        parts.append(
+            tag(
+                lsh_topk_indexed(index_df, q, k=10, max_hamming=3),
+                "lsh", 3, qid,
+            )
+        )
+    # job 2: every top-10 branch in one union — ≤ 8 × k rows collected
+    got: dict[tuple[str, int, int], set[int]] = {}
+    for r in reduce(DataFrame.unionAll, parts).collect():
+        got.setdefault((r.method, r.param, r.query_id), set()).add(r.vec_id)
     rows = []
     for qid in (0, 1):
-        qrow = (
-            emb.filter(F.col("vec_id") == qid).select("embedding").first()
-        )
-        q = [float(x) for x in qrow[0]]
-        bf_ids = {
-            r.vec_id for r in brute_force_topk(emb, q, k=10).collect()
-        }
+        bf_ids = got[("bf", 0, qid)]
         for nprobe in (1, 3):
-            got = ivf_topk_indexed(
-                index_df, q, cents, k=10, nprobe=nprobe
-            ).collect()
-            hits = sum(1 for r in got if r.vec_id in bf_ids)
+            hits = len(got.get(("ivf", nprobe, qid), set()) & bf_ids)
             rows.append(("ivf", nprobe, qid, round(hits / 10.0, 6)))
-        got = lsh_topk_indexed(index_df, q, k=10, max_hamming=3).collect()
-        hits = sum(1 for r in got if r.vec_id in bf_ids)
+        hits = len(got.get(("lsh", 3, qid), set()) & bf_ids)
         rows.append(("lsh", 3, qid, round(hits / 10.0, 6)))
     return spark.createDataFrame(
         rows, "method string, param int, query_id int, recall double"
