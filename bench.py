@@ -518,7 +518,17 @@ def main() -> None:
             }
             if name == "dedup_clusters":
                 scale[name]["cc_rounds"] = _dedup.LAST_CC_ROUNDS
-                scale[name]["cc_round_cap"] = 25
+                # O(log diameter) ceiling, NOT max_iter: pointer
+                # jumping must converge the 10x dup graph (near-clique
+                # components, small diameter) well under 12 rounds —
+                # r7 measured 7. Breaching this flags a broken
+                # shortcut step long before max_iter masks it.
+                # tests/test_scale_ops.py pins the log growth law on
+                # controlled path graphs.
+                scale[name]["cc_round_ceiling"] = 12
+                scale[name]["cc_rounds_within_ceiling"] = (
+                    _dedup.LAST_CC_ROUNDS <= 12
+                )
             print(f"# scale10x {name}: {n} rows in {t}s", file=sys.stderr)
         # steady-state second runs: the ANN queries amortize their 10x
         # index build; simhash's first 10x run is file-cache/jitter
@@ -672,7 +682,12 @@ def main() -> None:
         },
     }
     if "scale_check" in out:
-        keep = ("ratio_vs_1x", "t_10x_steady", "cc_rounds")
+        keep = (
+            "ratio_vs_1x",
+            "t_10x_steady",
+            "cc_rounds",
+            "cc_rounds_within_ceiling",
+        )
         compact["scale_check"] = {
             "factor": out["scale_check"]["factor"],
             "queries": {

@@ -2811,3 +2811,22 @@ def test_cas_conflict_cleans_up_staged_rewrite(spark, tmp_path, monkeypatch):
     # nothing beyond the two commits' files: the rejected rewrite died
     assert on_disk == files_before | (live - files_before)
     assert t.read(spark).count() == 25
+
+
+def test_spec_and_tests_in_lockstep():
+    """docs/TABLE_FORMAT.md ⇄ this file: every spec invariant phrase
+    still appears in the spec and every pinning test still exists
+    (tools/spec_check.py holds the mapping). Rewording the spec or
+    renaming a pinned test without updating the mapping fails here —
+    the drift check the round-7 contract changes called for."""
+    import os
+    import sys
+
+    tools = os.path.join(os.path.dirname(__file__), "..", "tools")
+    sys.path.insert(0, tools)
+    try:
+        import spec_check
+
+        assert spec_check.check() == []
+    finally:
+        sys.path.remove(tools)

@@ -515,3 +515,34 @@ def test_profile_columns_guard_and_hll_route(spark):
     assert not aprof["a"].ndv_exact
     assert abs(aprof["a"].n_distinct - 2000) <= 100  # rsd=0.02 → ±5%
     assert abs(aprof["b"].n_distinct - 37) <= 2
+
+
+def test_connected_components_rounds_grow_logarithmically(spark):
+    """Pointer jumping's O(log diameter) convergence, pinned on the
+    worst-case topology (path graphs — maximal diameter per edge):
+    quadrupling the diameter must add only ~log4 = 2 rounds, never
+    scale linearly. This is THE scale variable for dedup_clusters —
+    every round is a full shuffle over the (id, label) state, so a
+    broken shortcut step (rounds ~ diameter) would turn the canonical
+    dedup chain into hundreds of shuffles at 100 TB. The bench's 10x
+    sidecar enforces the same law as a 12-round ceiling on the real
+    dup graph (cc_rounds_within_ceiling)."""
+    import math
+
+    from yc_yq_airflow_etl_spark.operators import dedup as D
+
+    rounds = {}
+    for n in (16, 64, 256):
+        path = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+        )
+        labels = D.connected_components(path, max_iter=25).collect()
+        assert all(r.label == 0 for r in labels)  # one component
+        assert len(labels) == n
+        rounds[n] = D.LAST_CC_ROUNDS
+        # absolute law: rounds ≤ log2(diameter) + slack(3) — a linear
+        # propagation would need ~n rounds and trip max_iter at 64
+        assert rounds[n] <= math.log2(n) + 3, (n, rounds[n])
+    # growth law: 4x the diameter costs at most 3 extra rounds
+    assert rounds[64] - rounds[16] <= 3, rounds
+    assert rounds[256] - rounds[64] <= 3, rounds

@@ -49,6 +49,14 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_SF_DIR
     only = set(sys.argv[2:])
 
+    # pre-step: spec ⇄ test lockstep (cheap, no Spark) — a drifted
+    # TABLE_FORMAT.md fails the gate exactly like a wrong query
+    import spec_check
+
+    drift = spec_check.check()
+    for p in drift:
+        print("FAIL  spec-drift:", p)
+
     import __spark_entry__ as entrymod
     from yc_yq_airflow_etl_spark.session import build_session
 
@@ -64,7 +72,7 @@ def main() -> int:
     spark = build_session(app_name="selfcheck")
     spark.sparkContext.setLogLevel("ERROR")
 
-    failures: list[str] = []
+    failures: list[str] = [f"spec-drift: {p}" for p in drift]
     for name, fn in qs.items():
         if only and name not in only:
             continue

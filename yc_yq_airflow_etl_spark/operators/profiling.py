@@ -108,9 +108,12 @@ def profile_columns(
     accumulator folded in the same partial+final pass — the profile
     stays ONE map-side-combined scan regardless of cardinality).
 
-    Returns a ``len(cols)``-row frame (driver-side unpivot of the
-    single 1-row agg result — metadata-scale): ``col, n_rows,
-    n_nulls, n_distinct, ndv_exact, min_s, max_s``."""
+    Returns a ``len(cols)``-row frame: ``col, n_rows, n_nulls,
+    n_distinct, ndv_exact, min_s, max_s``. The unpivot is a
+    ``stack()`` over the 1-row agg INSIDE the same plan — no
+    driver-side materialization (a local createDataFrame round-trip
+    measured ~1s of fixed overhead per call), so the whole profile is
+    one lazy DataFrame: scan → agg → stack."""
     n = df.count()
     exact = n <= exact_row_limit
     if not exact:
@@ -144,21 +147,13 @@ def profile_columns(
             F.min(F.col(c)).cast("string").alias(f"{c}__min"),
             F.max(F.col(c)).cast("string").alias(f"{c}__max"),
         ]
-    row = df.agg(*aggs).first()
-    out = [
-        (
-            c,
-            int(row[f"{c}__n"]),
-            int(row[f"{c}__nulls"]),
-            int(row[f"{c}__ndv"]),
-            exact,
-            str(row[f"{c}__min"]),
-            str(row[f"{c}__max"]),
-        )
+    exact_lit = "true" if exact else "false"
+    stacked = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__ndv, {exact_lit}, "
+        f"{c}__min, {c}__max"
         for c in cols
-    ]
-    return df.sparkSession.createDataFrame(
-        out,
-        "col string, n_rows bigint, n_nulls bigint, n_distinct bigint, "
-        "ndv_exact boolean, min_s string, max_s string",
+    )
+    return df.agg(*aggs).selectExpr(
+        f"stack({len(cols)}, {stacked}) AS "
+        "(col, n_rows, n_nulls, n_distinct, ndv_exact, min_s, max_s)"
     ).orderBy("col")

@@ -971,21 +971,23 @@ def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_testdata(spark, sf_dir)
     o = t["orders"]
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
-    # TWO separate aggregation jobs, deliberately: mixing exact
+    # TWO separate Aggregate nodes, deliberately: mixing exact
     # count_distinct with approx_count_distinct in ONE agg makes
     # Spark's multi-distinct rewrite drag every HLL through the
     # gid-Expand path — sketches get computed per (all profiled
     # columns, gid) GROUP over 5x-expanded rows (measured 160s at
-    # sf0.1 vs <1s for the two-job split). The approx pass is the
-    # single partial+final scan the sketch promises; the exact pass is
-    # table_profile's known shape, kept only as the gate.
+    # sf0.1 vs <1s for the split). The approx pass is the single
+    # partial+final scan the sketch promises; the exact pass is
+    # table_profile's known shape, kept only as the gate. Both 1-row
+    # aggs fuse into ONE plan via a 1×1 crossJoin (each keeps its own
+    # Aggregate subtree, so the Expand isolation holds) and the
+    # unpivot is an in-plan stack() — no driver-side materialization.
     approx_aggs = [
         F.approx_count_distinct(F.col(c), 0.02)
         .cast("bigint")
         .alias(f"{c}__andv")
         for c in cols
     ]
-    arow = o.agg(*approx_aggs).first()
     aggs = []
     for c in cols:
         aggs += [
@@ -997,28 +999,16 @@ def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.col(c)).cast("string").alias(f"{c}__min"),
             F.max(F.col(c)).cast("string").alias(f"{c}__max"),
         ]
-    wide = o.agg(*aggs)
-    # unpivot driver-side from the single 1-row result: metadata-scale
-    row = wide.first()
-    out = [
-        (
-            c,
-            int(row[f"{c}__n"]),
-            int(row[f"{c}__nulls"]),
-            int(row[f"{c}__ndv"]),
-            bool(
-                abs(arow[f"{c}__andv"] - row[f"{c}__ndv"])
-                <= row[f"{c}__ndv"] * 0.05
-            ),
-            str(row[f"{c}__min"]),
-            str(row[f"{c}__max"]),
-        )
+    wide = o.agg(*aggs).crossJoin(o.agg(*approx_aggs))
+    stacked = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__ndv, "
+        f"abs({c}__andv - {c}__ndv) <= {c}__ndv * 0.05, "
+        f"{c}__min, {c}__max"
         for c in cols
-    ]
-    return spark.createDataFrame(
-        out,
-        "col string, n_rows bigint, n_nulls bigint, n_distinct bigint, "
-        "ndv_within_5pct boolean, min_s string, max_s string",
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stacked}) AS "
+        "(col, n_rows, n_nulls, n_distinct, ndv_within_5pct, min_s, max_s)"
     ).orderBy("col")
 
 
@@ -1375,16 +1365,22 @@ def asof_click_purchase_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ASOF_ORACLE = """
 WITH clicks AS (
-    SELECT user_id, ts, event_id AS click_id FROM events
+    -- explicit ns→µs floor: the ASOF comparison below must run at
+    -- the SAME precision Spark reads (parquet ns truncate to µs) —
+    -- comparing at raw ns could split the engines for a pair within
+    -- 1 µs of equality
+    SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+           event_id AS click_id FROM events
     WHERE event_type = 'click'
 ), purchases AS (
-    SELECT user_id, ts, value AS purchase_value FROM events
+    SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+           value AS purchase_value FROM events
     WHERE event_type = 'purchase'
 )
 SELECT c.click_id, c.user_id,
-       CAST(epoch_ns(c.ts) // 1000000000 AS BIGINT) AS click_epoch,
+       CAST(epoch_us(c.ts) // 1000000 AS BIGINT) AS click_epoch,
        p.purchase_value AS r_purchase_value,
-       CAST(epoch_ns(p.ts) // 1000000000 AS BIGINT) AS purchase_epoch
+       CAST(epoch_us(p.ts) // 1000000 AS BIGINT) AS purchase_epoch
 FROM clicks c ASOF LEFT JOIN purchases p
   ON c.user_id = p.user_id AND p.ts <= c.ts
 ORDER BY c.click_id
@@ -1479,33 +1475,36 @@ def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     backward window carries the latest click at-or-before each row
     and a forward window the earliest click at-or-after, then a
     scalar CASE picks the nearer candidate. Cost = one shuffle on
-    user_id + one sort — same as a single as-of. The fixtures carry
-    no duplicate (user, ts) clicks and no equidistant ties at any SF
-    (verified r7), so the operator's tie rules and the oracle's
-    (|Δ|, click time, click id) ordering cannot diverge."""
+    user_id + one sort — same as a single as-of. Time comparisons
+    run at EXPLICIT µs epochs on both engines (unix_micros here,
+    epoch_ns//1000 in the oracle — the exact ns→µs floor Spark's
+    parquet read applies), so the nearest/tie decisions are
+    structurally engine-equal at full precision — no dependence on
+    fixture margins from boundaries."""
     from ..operators.joins import nearest_join
 
     t = load_testdata(spark, sf_dir)
     ev = t["events"]
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id",
-        F.unix_timestamp("ts").alias("epoch"),
+        F.unix_micros("ts").alias("epoch"),
         F.col("event_id").alias("click_id"),
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
-        F.unix_timestamp("ts").alias("epoch"),
+        F.unix_micros("ts").alias("epoch"),
         F.col("event_id").alias("purchase_id"),
     )
     out = nearest_join(
-        purchases, clicks, on_time="epoch", by=["user_id"], tolerance=3600
+        purchases, clicks, on_time="epoch", by=["user_id"],
+        tolerance=3_600_000_000,
     )
     return (
         out.select(
             "purchase_id",
             "user_id",
             F.col("r_click_id").alias("click_id"),
-            (F.col("r_epoch") - F.col("epoch")).alias("delta_s"),
+            (F.col("r_epoch") - F.col("epoch")).alias("delta_us"),
         )
         .filter(F.col("click_id").isNotNull())
         .orderBy("purchase_id")
@@ -1515,23 +1514,23 @@ def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 ASOF_NEAREST_ORACLE = """
 WITH c AS (
     SELECT user_id, event_id AS click_id,
-           epoch_ns(ts) // 1000000000 AS c_epoch
+           epoch_ns(ts) // 1000 AS c_epoch
     FROM events WHERE event_type = 'click'
 ), p AS (
     SELECT user_id, event_id AS purchase_id,
-           epoch_ns(ts) // 1000000000 AS p_epoch
+           epoch_ns(ts) // 1000 AS p_epoch
     FROM events WHERE event_type = 'purchase'
 ), j AS (
     SELECT p.purchase_id, p.user_id, c.click_id,
-           c.c_epoch - p.p_epoch AS delta_s,
+           c.c_epoch - p.p_epoch AS delta_us,
            row_number() OVER (
                PARTITION BY p.purchase_id
                ORDER BY abs(c.c_epoch - p.p_epoch), c.c_epoch, c.click_id
            ) AS rn
     FROM p JOIN c ON p.user_id = c.user_id
-     AND abs(c.c_epoch - p.p_epoch) <= 3600
+     AND abs(c.c_epoch - p.p_epoch) <= 3600000000
 )
-SELECT purchase_id, user_id, click_id, delta_s
+SELECT purchase_id, user_id, click_id, delta_us
 FROM j WHERE rn = 1 ORDER BY purchase_id
 """
 
@@ -1697,26 +1696,32 @@ def interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     against 5-minute purchase windows of the same user — pairs whose
     activity intervals intersect, rolled up per user. The physical
     plan is a shuffled equi-join on (bucket, user_id), NOT a
-    nested-loop (asserted in plan_audit)."""
+    nested-loop (asserted in plan_audit). Interval endpoints are
+    EXPLICIT µs epochs on both engines (unix_micros here,
+    epoch_ns//1000 in the oracle — the exact ns→µs floor Spark's
+    parquet read applies), so overlap decisions are structurally
+    engine-equal at full precision — no dependence on fixture
+    margins from boundaries."""
     from ..operators.joins import interval_overlap_join
 
     t = load_testdata(spark, sf_dir)
     ev = t["events"]
+    us = 1_000_000
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id"),
         F.col("event_id").alias("click_id"),
-        F.unix_timestamp("ts").alias("c_lo"),
-        (F.unix_timestamp("ts") + 600).alias("c_hi"),
+        F.unix_micros("ts").alias("c_lo"),
+        (F.unix_micros("ts") + 600 * us).alias("c_hi"),
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("user_id"),
         F.col("event_id").alias("purchase_id"),
-        F.unix_timestamp("ts").alias("p_lo"),
-        (F.unix_timestamp("ts") + 300).alias("p_hi"),
+        F.unix_micros("ts").alias("p_lo"),
+        (F.unix_micros("ts") + 300 * us).alias("p_hi"),
     )
     pairs = interval_overlap_join(
         clicks, purchases, "c_lo", "c_hi", "p_lo", "p_hi",
-        on=["user_id"], bucket_width=600,
+        on=["user_id"], bucket_width=600 * us,
     )
     return (
         pairs.groupBy("user_id")
@@ -1731,13 +1736,13 @@ def interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 INTERVAL_OVERLAP_ORACLE = """
 WITH c AS (
     SELECT user_id, event_id AS click_id,
-           CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS c_lo,
-           CAST(epoch_ns(ts) // 1000000000 + 600 AS BIGINT) AS c_hi
+           CAST(epoch_ns(ts) // 1000 AS BIGINT) AS c_lo,
+           CAST(epoch_ns(ts) // 1000 + 600000000 AS BIGINT) AS c_hi
     FROM events WHERE event_type = 'click'
 ), p AS (
     SELECT user_id, event_id AS purchase_id,
-           CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS p_lo,
-           CAST(epoch_ns(ts) // 1000000000 + 300 AS BIGINT) AS p_hi
+           CAST(epoch_ns(ts) // 1000 AS BIGINT) AS p_lo,
+           CAST(epoch_ns(ts) // 1000 + 300000000 AS BIGINT) AS p_hi
     FROM events WHERE event_type = 'purchase'
 )
 SELECT c.user_id AS user_id, count(*) AS n_overlaps,

@@ -12,11 +12,14 @@ driver's order-insensitive value-hash comparison stable:
   ulps between engines;
 - timestamps leave the result as formatted strings, dates, or epoch
   BIGINTs — never raw timestamps (testdata mixes ms/ns physical types);
-  raw-timestamp COMPARISONS inside a query (as-of / interval joins)
-  carry a shared latent asymmetry: Spark truncates ns→µs while DuckDB
-  compares at ns, so a pair landing within 1 µs of a boundary could
-  split the engines — fixture pairs sit ≥12 s from every boundary, and
-  any new fixture must preserve that margin;
+  timestamp COMPARISONS inside a query (as-of / interval joins) are
+  executed at EXPLICIT µs precision on both engines (Spark:
+  unix_micros or the native µs TimestampType; oracle:
+  epoch_ns(ts)//1000 or make_timestamp(epoch_ns//1000) — the exact
+  ns→µs floor Spark's parquet read applies), so cross-engine equality
+  is structural at any fixture; second-granularity comparisons
+  (epoch_ns//1e9 vs unix_timestamp) are safe by the nested-floor
+  identity floor(floor(x/1e3)/1e6) = floor(x/1e9) for post-1970 data;
 - floating-point *derived* values (cosines, ratios) are rounded to 6
   decimals on both sides.
 """

@@ -99,14 +99,23 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CLICK_PURCHASE_ORACLE = """
+WITH c AS (
+    -- explicit ns→µs floor: the interval comparison must run at the
+    -- SAME precision Spark reads (parquet ns truncate to µs) — raw-ns
+    -- comparison could split the engines within 1 µs of a boundary
+    SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts
+    FROM events WHERE event_type = 'click'
+), p AS (
+    SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+           event_id, value
+    FROM events WHERE event_type = 'purchase'
+)
 SELECT c.user_id AS user_id,
        count(*) AS n_pairs,
        count(DISTINCT p.event_id) AS n_purchases,
        CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-FROM events c
-JOIN events p
-  ON c.event_type = 'click' AND p.event_type = 'purchase'
- AND p.user_id = c.user_id
+FROM c JOIN p
+  ON p.user_id = c.user_id
  AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL '30 minutes'
 GROUP BY 1 ORDER BY user_id
 """
@@ -126,9 +135,12 @@ def stream_click_purchase_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CLICK_PURCHASE_LEFT_ORACLE = """
 WITH c AS (
-    SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    -- explicit ns→µs floor, matching Spark's parquet read precision
+    SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_id
+    FROM events WHERE event_type = 'click'
 ), p AS (
-    SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_id
+    FROM events WHERE event_type = 'purchase'
 )
 SELECT c.user_id AS user_id,
        CAST(count(*) AS BIGINT) AS n_rows,
