@@ -2830,3 +2830,26 @@ def test_spec_and_tests_in_lockstep():
         assert spec_check.check() == []
     finally:
         sys.path.remove(tools)
+
+
+def test_update_where_schemaless_snapshot_fails_loudly(spark, tmp_path):
+    """A snapshot with no columns record, no schema record, and no
+    files offers nothing to validate assignments against: update_where
+    must raise (the old read()-based validation also raised here),
+    never skip the unknown-column check and fall through to a silent
+    no-op."""
+    import json as _json
+
+    t = ManifestTable(str(tmp_path / "mt"))
+    t.overwrite(_df(spark, 0, 3))
+    mp = tmp_path / "mt" / "_manifests" / "v0.json"
+    m0 = _json.loads(mp.read_text())
+    m0.pop("schema", None)
+    m0.pop("columns", None)
+    m0["files"] = []
+    mp.write_text(_json.dumps(m0))
+    crc = tmp_path / "mt" / "_manifests" / ".v0.json.crc"
+    if crc.exists():
+        crc.unlink()
+    with pytest.raises(ValueError, match="cannot validate"):
+        t.update_where(spark, "id = 0", {"nope": F.lit(1)})

@@ -546,3 +546,42 @@ def test_connected_components_rounds_grow_logarithmically(spark):
     # growth law: 4x the diameter costs at most 3 extra rounds
     assert rounds[64] - rounds[16] <= 3, rounds
     assert rounds[256] - rounds[64] <= 3, rounds
+
+
+def test_profiling_operators_schema_stable_and_name_safe(spark):
+    """Round-8 review regressions: (a) the approx percentile route
+    must keep the SAME output type as the exact route (double) — the
+    sketch returns the input type and would type-drift a schema-pinned
+    consumer exactly at the scale the guard targets; (b) an empty
+    input profiles with n_nulls=0, not NULL (sum-over-nothing);
+    (c) both operators accept column names the SQL parser would mangle
+    (spaces, quotes) — references are positional/escaped."""
+    import warnings
+
+    from yc_yq_airflow_etl_spark.operators.profiling import (
+        grouped_percentiles,
+        profile_columns,
+    )
+
+    df = spark.range(0, 100).selectExpr(
+        "CAST(id % 2 AS INT) AS g", "id AS v"  # BIGINT value column
+    )
+    exact_t = dict(grouped_percentiles(df, "v", ["g"], probs=(0.5,)).dtypes)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        approx_t = dict(
+            grouped_percentiles(
+                df, "v", ["g"], probs=(0.5,), exact_row_limit=10,
+                oversize="approx",
+            ).dtypes
+        )
+    assert exact_t["p50"] == approx_t["p50"] == "double"
+
+    empty = spark.range(0).selectExpr("id AS a")
+    r = profile_columns(empty, ["a"]).collect()[0]
+    assert (r.n_rows, r.n_nulls, r.n_distinct) == (0, 0, 0)
+
+    w = spark.createDataFrame([(1, "x"), (None, "y")], ["order date", "it's"])
+    prof = {r.col: r for r in profile_columns(w, ["order date", "it's"]).collect()}
+    assert prof["order date"].n_nulls == 1
+    assert prof["it's"].n_distinct == 2

@@ -477,12 +477,17 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
          r"ReadSchema: struct<o_custkey:bigint>"),
     ],
     "table_profile": [
-        # the wide agg runs eagerly inside the builder (its 1-row
-        # result unpivots driver-side); the returned frame is the
-        # metadata-scale local relation — no table scan may remain
-        ("returned profile is metadata-scale (local rows only)",
-         r"ExistingRDD|LocalTableScan"),
-        ("no residual file scan in the returned plan", "!FileScan"),
+        # one lazy plan end-to-end: scan → single groupBy-less agg →
+        # in-plan stack() unpivot (NO driver-side materialization —
+        # a local createDataFrame round-trip costs ~1 s per call)
+        ("unpivot is an in-plan stack(), not a driver round-trip",
+         r"Arguments: stack\(4,"),
+        ("profile aggregates partially aggregated (one scan)",
+         r"partial_count"),
+        ("no join anywhere in the profile", "!Join"),
+        ("orders scan pruned to the four profiled columns",
+         r"ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,"
+         r"o_orderstatus:string,o_totalprice:double>"),
     ],
     "fk_integrity_audit": [
         ("orphan probes are broadcast anti-joins",

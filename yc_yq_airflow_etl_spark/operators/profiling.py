@@ -17,7 +17,9 @@ job, trivial next to what it gates), and past ``exact_row_limit``
 the DEFAULT is a loud driver-side ValueError — the exact contract is
 never silently degraded. Callers opt in to the approx route with
 ``oversize="approx"``; the switch emits a RuntimeWarning so it is
-never silent.
+never silent. Output schemas are IDENTICAL on both routes (the
+percentile column is double either way), so the guard can never
+type-drift a downstream consumer.
 
 Reference parity note: the reference delegates profiling-style
 statements to its managed engines (the PL/pgSQL maintenance path,
@@ -29,9 +31,9 @@ plans must fail loudly rather than OOM" discipline.
 from __future__ import annotations
 
 import warnings
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["grouped_percentiles", "profile_columns"]
@@ -58,9 +60,13 @@ def grouped_percentiles(
     under ``exact_row_limit`` rows; past it, fail loudly (default) or
     route to ``percentile_approx`` (Greenwald-Khanna style sketch,
     bounded memory per group, ``oversize="approx"``). Output columns:
-    the group columns plus one ``p{prob}`` column per prob, plus any
-    ``extra_aggs`` (scale-safe aggregates like min/max, computed in
-    the SAME single agg so the guard never costs a second scan)."""
+    the group columns plus one ``p{prob}`` DOUBLE column per prob
+    (cast on both routes — the sketch returns the input type, the
+    exact form returns double; the guard must not type-drift the
+    schema), plus any ``extra_aggs`` (scale-safe aggregates like
+    min/max, computed in the SAME single agg so the guard never costs
+    a second scan). Column references go through ``df[...]``, so
+    names the parser would mangle (dots, spaces) are safe."""
     n = df.count()
     exact = n <= exact_row_limit
     if not exact:
@@ -80,15 +86,61 @@ def grouped_percentiles(
             RuntimeWarning,
             stacklevel=2,
         )
+    v = df[value_col]
     aggs = [
         (
-            F.expr(f"percentile({value_col}, {p!r})")
+            F.percentile(v, F.lit(p))
             if exact
-            else F.percentile_approx(value_col, p, accuracy)
+            else F.percentile_approx(v, p, accuracy).cast("double")
         ).alias(_prob_alias(p))
         for p in probs
     ]
-    return df.groupBy(*list(group_cols)).agg(*aggs, *list(extra_aggs))
+    return df.groupBy(*[df[g] for g in group_cols]).agg(
+        *aggs, *list(extra_aggs)
+    )
+
+
+def profile_aggs(
+    df: DataFrame,
+    cols: Sequence[str],
+    ndv: Callable[[Column], Column],
+) -> list[Column]:
+    """The shared per-column profile aggregate list (count, null
+    count, NDV via ``ndv``, min/max as strings), aliased POSITIONALLY
+    (``c{i}__*``) so arbitrary column names never leak into
+    identifiers. Null count is ``count(1) - count(col)`` — exact 0 on
+    an empty input, where ``sum(isnull)`` would be NULL."""
+    aggs: list[Column] = []
+    for i, c in enumerate(cols):
+        col = df[c]
+        aggs += [
+            F.count(F.lit(1)).cast("bigint").alias(f"c{i}__n"),
+            (F.count(F.lit(1)) - F.count(col))
+            .cast("bigint")
+            .alias(f"c{i}__nulls"),
+            ndv(col).cast("bigint").alias(f"c{i}__ndv"),
+            F.min(col).cast("string").alias(f"c{i}__min"),
+            F.max(col).cast("string").alias(f"c{i}__max"),
+        ]
+    return aggs
+
+
+def profile_stack_expr(
+    cols: Sequence[str],
+    out_cols: str,
+    flag_expr: Callable[[int], str],
+) -> str:
+    """The shared in-plan unpivot: a ``stack()`` selectExpr over the
+    1-row profile agg — no driver-side materialization (a local
+    createDataFrame round-trip measured ~1 s of fixed overhead per
+    call). Labels are SQL-escaped; value references use the
+    positional aliases from :func:`profile_aggs`."""
+    stacked = ", ".join(
+        f"'{c.replace(chr(39), chr(39) * 2)}', c{i}__n, c{i}__nulls, "
+        f"c{i}__ndv, {flag_expr(i)}, c{i}__min, c{i}__max"
+        for i, c in enumerate(cols)
+    )
+    return f"stack({len(cols)}, {stacked}) AS ({out_cols})"
 
 
 def profile_columns(
@@ -109,11 +161,8 @@ def profile_columns(
     stays ONE map-side-combined scan regardless of cardinality).
 
     Returns a ``len(cols)``-row frame: ``col, n_rows, n_nulls,
-    n_distinct, ndv_exact, min_s, max_s``. The unpivot is a
-    ``stack()`` over the 1-row agg INSIDE the same plan — no
-    driver-side materialization (a local createDataFrame round-trip
-    measured ~1s of fixed overhead per call), so the whole profile is
-    one lazy DataFrame: scan → agg → stack."""
+    n_distinct, ndv_exact, min_s, max_s`` as one lazy plan:
+    scan → agg → stack (see :func:`profile_stack_expr`)."""
     n = df.count()
     exact = n <= exact_row_limit
     if not exact:
@@ -131,29 +180,16 @@ def profile_columns(
             RuntimeWarning,
             stacklevel=2,
         )
-    aggs = []
-    for c in cols:
-        ndv = (
-            F.count_distinct(F.col(c))
-            if exact
-            else F.approx_count_distinct(F.col(c), rsd)
-        )
-        aggs += [
-            F.count(F.lit(1)).cast("bigint").alias(f"{c}__n"),
-            F.sum(F.col(c).isNull().cast("int"))
-            .cast("bigint")
-            .alias(f"{c}__nulls"),
-            ndv.cast("bigint").alias(f"{c}__ndv"),
-            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
-        ]
-    exact_lit = "true" if exact else "false"
-    stacked = ", ".join(
-        f"'{c}', {c}__n, {c}__nulls, {c}__ndv, {exact_lit}, "
-        f"{c}__min, {c}__max"
-        for c in cols
+    ndv = (
+        F.count_distinct
+        if exact
+        else (lambda col: F.approx_count_distinct(col, rsd))
     )
-    return df.agg(*aggs).selectExpr(
-        f"stack({len(cols)}, {stacked}) AS "
-        "(col, n_rows, n_nulls, n_distinct, ndv_exact, min_s, max_s)"
+    exact_lit = "true" if exact else "false"
+    return df.agg(*profile_aggs(df, cols, ndv)).selectExpr(
+        profile_stack_expr(
+            cols,
+            "col, n_rows, n_nulls, n_distinct, ndv_exact, min_s, max_s",
+            lambda i: exact_lit,
+        )
     ).orderBy("col")

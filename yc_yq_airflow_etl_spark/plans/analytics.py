@@ -982,33 +982,24 @@ def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggs fuse into ONE plan via a 1×1 crossJoin (each keeps its own
     # Aggregate subtree, so the Expand isolation holds) and the
     # unpivot is an in-plan stack() — no driver-side materialization.
+    from ..operators.profiling import profile_aggs, profile_stack_expr
+
     approx_aggs = [
-        F.approx_count_distinct(F.col(c), 0.02)
+        F.approx_count_distinct(o[c], 0.02)
         .cast("bigint")
-        .alias(f"{c}__andv")
-        for c in cols
+        .alias(f"c{i}__andv")
+        for i, c in enumerate(cols)
     ]
-    aggs = []
-    for c in cols:
-        aggs += [
-            F.count(F.lit(1)).cast("bigint").alias(f"{c}__n"),
-            F.sum(F.col(c).isNull().cast("int"))
-            .cast("bigint")
-            .alias(f"{c}__nulls"),
-            F.count_distinct(F.col(c)).cast("bigint").alias(f"{c}__ndv"),
-            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
-        ]
-    wide = o.agg(*aggs).crossJoin(o.agg(*approx_aggs))
-    stacked = ", ".join(
-        f"'{c}', {c}__n, {c}__nulls, {c}__ndv, "
-        f"abs({c}__andv - {c}__ndv) <= {c}__ndv * 0.05, "
-        f"{c}__min, {c}__max"
-        for c in cols
+    wide = o.agg(*profile_aggs(o, cols, F.count_distinct)).crossJoin(
+        o.agg(*approx_aggs)
     )
     return wide.selectExpr(
-        f"stack({len(cols)}, {stacked}) AS "
-        "(col, n_rows, n_nulls, n_distinct, ndv_within_5pct, min_s, max_s)"
+        profile_stack_expr(
+            cols,
+            "col, n_rows, n_nulls, n_distinct, ndv_within_5pct, "
+            "min_s, max_s",
+            lambda i: f"abs(c{i}__andv - c{i}__ndv) <= c{i}__ndv * 0.05",
+        )
     ).orderBy("col")
 
 

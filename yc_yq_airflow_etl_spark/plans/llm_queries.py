@@ -454,7 +454,14 @@ def _ensure_ann_index(spark: SparkSession, sf_dir: str):
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):
         write_ann_index(emb, idx, cents)
     if not os.path.exists(cents_path):
-        tmp = cents_path + ".tmp"
+        # per-process tmp name: concurrent sessions (bench + selfcheck
+        # sharing the tempdir) must not write through one tmp path —
+        # a shared name lets writer A rename B's half-written file
+        # into place (torn JSON for a third reader) and makes B's
+        # os.replace raise. Unique tmp + atomic replace is the
+        # standard publish; last writer wins with identical bytes
+        # (training is deterministic over the immutable source).
+        tmp = f"{cents_path}.{os.getpid()}.tmp"
         with open(tmp, "w") as fh:
             json.dump([[int(x) for x in c] for c in cents], fh)
         os.replace(tmp, cents_path)

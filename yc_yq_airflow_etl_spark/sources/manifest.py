@@ -2415,20 +2415,38 @@ class ManifestTable:
             )
         base_m = self._manifest(spark, base)
         base_cols = base_m.get("columns")
+        if base_cols is None and base_m.get("schema"):
+            # no columns record but a schema record: its field names
+            import json as _json
+
+            from pyspark.sql.types import StructType
+
+            base_cols = StructType.fromJson(
+                _json.loads(base_m["schema"])
+            ).names
         if base_cols is None and base_m.get("files"):
             # hand-made manifest without a columns record: footer
             # schema of the pinned base's own files (analysis only)
             base_cols = self._reader_for(spark, base_m).parquet(
                 *[f"{self.path}/data/{f}" for f in base_m["files"]]
             ).columns
-        if base_cols is not None:
-            unknown = set(exprs) - set(base_cols)
-            if unknown:
-                raise ValueError(
-                    f"update_where assigns unknown columns "
-                    f"{sorted(unknown)} (schema evolution goes through "
-                    "append, not UPDATE)"
-                )
+        if base_cols is None:
+            # no columns record, no schema record, no files: the
+            # snapshot has NO observable schema, so no assignment can
+            # be validated — fail loudly (read()-based validation on
+            # such a snapshot also raised) rather than skip the check
+            raise ValueError(
+                f"update_where on {self.path} v{base}: the snapshot "
+                "records no columns, no schema, and no files — cannot "
+                "validate assignment names against it"
+            )
+        unknown = set(exprs) - set(base_cols)
+        if unknown:
+            raise ValueError(
+                f"update_where assigns unknown columns "
+                f"{sorted(unknown)} (schema evolution goes through "
+                "append, not UPDATE)"
+            )
         if mode == "merge-on-read":
             return self._update_mor(
                 spark, pred, transform, expected_version
