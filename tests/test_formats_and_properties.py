@@ -326,3 +326,103 @@ def test_bucketed_range_join_property_matches_nonequi(spark, ivals, pts, width):
         ).collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # group
+            st.one_of(
+                st.none(),
+                st.floats(
+                    min_value=-1e6, max_value=1e6,
+                    allow_nan=False, allow_infinity=False,
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_grouped_percentiles_property_matches_python(spark, vals):
+    """Property: the exact route of grouped_percentiles equals a
+    Python linear-interpolation reference (numpy 'linear' method ≡
+    Spark `percentile` ≡ DuckDB quantile_cont) for ANY groups, NULLs
+    included (ignored per SQL aggregate semantics); groups that are
+    all-NULL yield NULL percentiles."""
+    import math
+
+    from yc_yq_airflow_etl_spark.operators.profiling import (
+        grouped_percentiles,
+    )
+
+    df = spark.createDataFrame(vals, "g int, v double")
+    got = {
+        r.g: r.p50
+        for r in grouped_percentiles(df, "v", ["g"], probs=(0.5,)).collect()
+    }
+
+    def ref(xs: list[float]) -> float | None:
+        xs = sorted(xs)
+        if not xs:
+            return None
+        pos = 0.5 * (len(xs) - 1)
+        lo, frac = int(math.floor(pos)), pos - math.floor(pos)
+        hi = min(lo + 1, len(xs) - 1)
+        return xs[lo] + (xs[hi] - xs[lo]) * frac
+
+    groups: dict[int, list[float]] = {}
+    for g, v in vals:
+        groups.setdefault(g, [])
+        if v is not None:
+            groups[g].append(v)
+    for g, xs in groups.items():
+        expect = ref(xs)
+        if expect is None:
+            assert got[g] is None, (g, got[g])
+        else:
+            assert got[g] is not None and math.isclose(
+                got[g], expect, rel_tol=1e-9, abs_tol=1e-9
+            ), (g, got[g], expect)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+            st.one_of(st.none(), st.text(max_size=4)),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_profile_columns_property_matches_python(spark, rows):
+    """Property: profile_columns' exact route equals a Python
+    reference (counts, null counts, exact NDV, min/max as strings)
+    for ANY mix of NULLs, empty input, negative ints, and arbitrary
+    short strings."""
+    from yc_yq_airflow_etl_spark.operators.profiling import profile_columns
+
+    df = spark.createDataFrame(rows, "a long, b string")
+    prof = {r.col: r for r in profile_columns(df, ["a", "b"]).collect()}
+    for c, idx in (("a", 0), ("b", 1)):
+        xs = [r[idx] for r in rows]
+        nn = [x for x in xs if x is not None]
+        p = prof[c]
+        assert p.n_rows == len(xs)
+        assert p.n_nulls == len(xs) - len(nn)
+        assert p.n_distinct == len(set(nn))
+        if nn:
+            assert p.min_s == str(min(nn)) and p.max_s == str(max(nn))
+        else:
+            assert p.min_s in (None, "None") and p.max_s in (None, "None")
