@@ -492,6 +492,12 @@ def main() -> None:
             "dedup_clusters",
             "dedup_canonical_corpus",  # anti-filter + rollup at 10x
             "asof_click_purchase_bucketed",
+            "interval_overlap_sessions",  # bucket-equi interval join
+            # over the skewed events copy — should be ~linear, never
+            # the quadratic nested-loop shape
+            "table_profile_approx",  # HLL NDV profile: one map-side-
+            # combined scan — fixed-size sketch accumulators, so 10x
+            # rows must stay ~linear with no extra exchanges
             "retention_cohorts",  # hot-user skew: one key holds ~30%
             "similarity_lsh_topk",
             "similarity_ivf_topk",
