@@ -426,3 +426,39 @@ def test_profile_columns_property_matches_python(spark, rows):
             assert p.min_s == str(min(nn)) and p.max_s == str(max(nn))
         else:
             assert p.min_s in (None, "None") and p.max_s in (None, "None")
+
+
+def test_read_events_ns_conversion_floors_like_duckdb(spark, tmp_path):
+    """The ns→µs conversion in catalog.read_events must FLOOR, not
+    truncate toward zero: DuckDB's epoch_ns(ts) // 1000 floors, so a
+    pre-1970 nanosecond timestamp one tick below a µs boundary must
+    land on the same µs on both engines — otherwise the registry's
+    'explicit µs on both engines' contract silently breaks for
+    negative epochs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ns_vals = [-1, -999, -1000, -1001, 0, 999, 1234567891234567891]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(ns_vals)), pa.int64()),
+            "user_id": pa.array([1] * len(ns_vals), pa.int64()),
+            "event_type": pa.array(["click"] * len(ns_vals)),
+            "value": pa.array([0.0] * len(ns_vals)),
+            "props": pa.array(["{}"] * len(ns_vals)),
+            "ts": pa.array(ns_vals, pa.timestamp("ns")),
+        }
+    )
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(tbl, path)
+
+    from yc_yq_airflow_etl_spark.catalog import read_events
+
+    got = {
+        r.event_id: r.us
+        for r in read_events(spark, path)
+        .select("event_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    }
+    for i, ns in enumerate(ns_vals):
+        assert got[i] == ns // 1000, (ns, got[i], ns // 1000)

@@ -195,8 +195,17 @@ def read_events(spark: SparkSession, path: str) -> DataFrame:
         return spark.read.schema(schemas.EVENTS).parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.schema(schemas.EVENTS_RAW).parquet(path)
-    # integer division: a float division would lose ns precision at 2^60
-    to_us = {"ns": "ts div 1000", "us": "ts", "ms": "ts * 1000"}[unit]
+    # integer arithmetic: a float division would lose ns precision at
+    # 2^60. FLOOR division, not `div` (which truncates toward zero):
+    # DuckDB's epoch_ns // 1000 floors, so a pre-1970 ns timestamp
+    # must land on the same µs on both engines — the µs-precision
+    # oracle contract (plans/registry.py) is structural only if the
+    # read-side conversion floors too.
+    to_us = {
+        "ns": "(ts - (((ts % 1000) + 1000) % 1000)) div 1000",
+        "us": "ts",
+        "ms": "ts * 1000",
+    }[unit]
     return raw.withColumn("ts", F.timestamp_micros(F.expr(to_us)))
 
 
