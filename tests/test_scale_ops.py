@@ -585,3 +585,26 @@ def test_profiling_operators_schema_stable_and_name_safe(spark):
     prof = {r.col: r for r in profile_columns(w, ["order date", "it's"]).collect()}
     assert prof["order date"].n_nulls == 1
     assert prof["it's"].n_distinct == 2
+
+
+def test_write_zordered_empty_and_null_domain_guards(spark, tmp_path):
+    """Round-8 review regression: an EMPTY input slice (routine in
+    per-partition backfills) must land an empty-but-schema'd output
+    instead of dying on None min/max arithmetic; an all-NULL z-order
+    column on non-empty data must raise a NAMED error pointing at the
+    column, not an opaque TypeError inside the key builder."""
+    from yc_yq_airflow_etl_spark.sources.zorder import write_zordered
+
+    empty = spark.range(0).selectExpr(
+        "CAST(id AS DOUBLE) AS a", "CAST(id AS DOUBLE) AS b"
+    )
+    out = str(tmp_path / "z_empty")
+    write_zordered(empty, out, ["a", "b"])
+    back = spark.read.parquet(out)
+    assert back.count() == 0 and set(back.columns) == {"a", "b"}
+
+    nulls = spark.range(5).selectExpr(
+        "CAST(id AS DOUBLE) AS a", "CAST(NULL AS DOUBLE) AS b"
+    )
+    with pytest.raises(ValueError, match="entirely NULL.*'b'|\\['b'\\]"):
+        write_zordered(nulls, str(tmp_path / "z_null"), ["a", "b"])

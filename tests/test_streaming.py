@@ -614,3 +614,107 @@ def test_streaming_ingest_dedup_admits_novel_blocks_dups(spark, tmp_path):
         r.doc_id
         for r in table.read(spark).select("doc_id").collect()
     } & {r.doc_id for r in probe_copy.select("doc_id").collect()}
+
+
+def test_ingest_dedup_blocks_redelivered_ids_and_rebuilds_lost_index(
+    spark, tmp_path
+):
+    """Round-8 review regressions for the admission loop:
+
+    (a) an at-least-once source REDELIVERING an already-committed doc
+    id in a LATER micro-batch (new batch id — the replay HWM cannot
+    catch it) must be dropped, both with unchanged text (self near-dup
+    in the index) and with CHANGED text (id already among indexed
+    ids);
+
+    (b) a LOST index (crash between table commit and index append, or
+    a wiped index store) must not send the next batch down the
+    bootstrap branch — that would blind-admit duplicates of every
+    committed doc and reseed the index without the corpus. The loop
+    rebuilds from the table (source of truth) and probes normally."""
+    from pyspark.sql import functions as F
+
+    from yc_yq_airflow_etl_spark.catalog import load_testdata
+    from yc_yq_airflow_etl_spark.sources.manifest import ManifestTable
+    from yc_yq_airflow_etl_spark.streaming.ingest_dedup import (
+        dedup_ingest_batch,
+    )
+
+    docs = (
+        load_testdata(spark, "/root/testdata/sf0.001")["documents"]
+        .select("doc_id", "text")
+        .limit(20)
+    )
+    table = ManifestTable(str(tmp_path / "corpus"))
+    idx = str(tmp_path / "mh_index")
+    assert dedup_ingest_batch(table, idx, docs, 1) is True  # bootstrap
+
+    # (a) redelivery in batch 2: 3 docs unchanged + 2 docs same id but
+    # completely different text + 1 genuinely novel doc
+    unchanged = docs.limit(3)
+    changed = docs.limit(5).subtract(docs.limit(3)).select(
+        "doc_id",
+        F.concat(
+            F.lit("totally new topic entirely rewritten body "),
+            F.reverse("text"),
+        ).alias("text"),
+    )
+    novel = docs.limit(1).select(
+        (F.col("doc_id") + 9000).alias("doc_id"),
+        F.lit("a brand new document about nothing seen before").alias("text"),
+    )
+    assert dedup_ingest_batch(
+        table, idx, unchanged.unionByName(changed).unionByName(novel), 2
+    ) is True
+    got = {r.doc_id for r in table.read(spark).select("doc_id").collect()}
+    base = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert got == base | {min(base) + 9000}, (
+        "redelivered ids must not re-land"
+    )
+    assert table.read(spark).count() == 21  # 20 originals + 1 novel
+
+    # (b) wipe the index: next batch (all duplicates of committed
+    # docs) must rebuild from the table and admit NOTHING
+    import shutil
+
+    shutil.rmtree(idx)
+    assert dedup_ingest_batch(table, idx, docs.limit(10), 3) is True
+    assert table.read(spark).count() == 21, (
+        "lost index must rebuild from the table, not blind-admit"
+    )
+    # rebuilt index covers the whole corpus
+    n_idx = (
+        spark.read.parquet(idx).select("_id").distinct().count()
+    )
+    assert n_idx == 21
+
+
+def test_cooling_batch_null_year_reconciles_instead_of_poison_pill(
+    spark, tmp_path
+):
+    """Round-8 review regression: a NULL payment_date row gets a NULL
+    payment_year — the write lands it in Hive's default partition, but
+    `isin([None, ...])` is never true for NULL rows, so the readback
+    used to miss it and raise a FALSE ReconciliationError that replay
+    reproduces forever (a poison pill with no real data mismatch). The
+    reconcile must read the default partition back and pass: the
+    write DID succeed."""
+    from yc_yq_airflow_etl_spark.sources.lake import LakeTable
+    from yc_yq_airflow_etl_spark.streaming.cooling_stream import (
+        cooling_foreach_batch,
+    )
+
+    payments = generate_payments(spark, minutes=60)
+    poisoned = payments.unionByName(
+        payments.limit(1).withColumn(
+            "payment_date", F.lit(None).cast("timestamp")
+        )
+    )
+    lake = LakeTable(str(tmp_path / "lake"))
+    diffs: list[tuple[int, int]] = []
+    body = cooling_foreach_batch(lake, on_diff=lambda b, d: diffs.append((b, d)))
+    body(poisoned, 0)  # must NOT raise
+    assert diffs == [(0, 0)]
+    cold = spark.read.parquet(lake.path)
+    assert cold.count() == 61
+    assert cold.filter(F.col("payment_year").isNull()).count() == 1

@@ -90,6 +90,21 @@ def write_zordered(
     ).first()
     mins = [stats[f"_lo{i}"] for i in range(len(cols))]
     maxs = [stats[f"_hi{i}"] for i in range(len(cols))]
+    if any(m is None for m in mins):
+        # None min/max = empty input or an all-NULL key column; the
+        # key arithmetic would die on None operands with an opaque
+        # TypeError deep in zorder_key
+        if df.isEmpty():
+            # an empty slice is routine (per-partition backfills):
+            # land the empty-but-schema'd output instead of crashing
+            df.write.mode("overwrite").parquet(path)
+            return
+        bad = [c for c, m in zip(cols, mins) if m is None]
+        raise ValueError(
+            f"write_zordered: column(s) {bad} are entirely NULL — "
+            "a NULL-domain column cannot participate in the Z-order "
+            "key (drop it from cols or filter the input)"
+        )
     key = zorder_key(cols, mins, maxs, bits)
     (
         df.withColumn("_zkey", key)

@@ -87,15 +87,42 @@ def cooling_foreach_batch(
     def body(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        staged = batch.withColumn("payment_year", year_col(batch).cast("int"))
-        lake.overwrite_partitions(staged)
+        from pyspark import StorageLevel
 
-        spark = batch.sparkSession
-        years = [r[0] for r in staged.select("payment_year").distinct().collect()]
-        readback = lake.read(spark).filter(F.col("payment_year").isin(years))
-        diff = exclusion_join(
-            staged.select(*RECONCILE_KEY), readback.select(*RECONCILE_KEY), RECONCILE_KEY
-        ).count()
+        # persist ONCE: the batch plan is otherwise re-evaluated three
+        # times per trigger (partition write, distinct-years collect,
+        # exclusion join) — tripling source-read cost on the hot path
+        staged = batch.withColumn(
+            "payment_year", year_col(batch).cast("int")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            lake.overwrite_partitions(staged)
+
+            spark = batch.sparkSession
+            years = [
+                r[0]
+                for r in staged.select("payment_year").distinct().collect()
+            ]
+            # NULL-aware readback: a NULL year lands in Hive's default
+            # partition; `isin([None, ...])` is never true for NULL
+            # rows, so without the isNull branch those rows would show
+            # up only on the staged side of the symmetric diff — a
+            # FALSE ReconciliationError that poison-pills the stream
+            # (replay reproduces it forever). The reconcile's job is
+            # verifying the write, and the write did succeed.
+            year_filter = F.col("payment_year").isin(
+                [y for y in years if y is not None]
+            )
+            if any(y is None for y in years):
+                year_filter = year_filter | F.col("payment_year").isNull()
+            readback = lake.read(spark).filter(year_filter)
+            diff = exclusion_join(
+                staged.select(*RECONCILE_KEY),
+                readback.select(*RECONCILE_KEY),
+                RECONCILE_KEY,
+            ).count()
+        finally:
+            staged.unpersist(blocking=False)
         if on_diff is not None:
             on_diff(batch_id, diff)
         if diff != 0:

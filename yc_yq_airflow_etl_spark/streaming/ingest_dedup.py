@@ -29,6 +29,12 @@ Dedup here is batch-vs-CORPUS; near-dups WITHIN one micro-batch are
 both admitted (same as every near-dup that co-arrives before either
 is indexed — the caller's periodic full `minhash_lsh_pairs` sweep, or
 a smaller trigger interval, bounds that window).
+
+At-least-once sources: a doc REDELIVERED in a later micro-batch (new
+batch id, so the replay HWM cannot catch it) is dropped whether its
+text is unchanged (its fingerprints near-dup match themselves in the
+index) or changed (its id is already among the indexed ids — ids stay
+unique in the corpus).
 """
 
 from __future__ import annotations
@@ -81,20 +87,49 @@ def dedup_ingest_batch(
     if batch_id <= table.last_batch_id(spark):
         return False
     if not _index_exists(spark, index_path):
-        # bootstrap: first batch seeds both the table and the index
-        table.append(batch_df, batch_id=batch_id)
-        write_minhash_index(
-            batch_df, index_path, id_col=id_col,
-            shingle_k=shingle_k, num_hashes=num_hashes,
+        if table.current_version(spark) is None:
+            # genuine day zero: seed both the table and the index
+            table.append(batch_df, batch_id=batch_id)
+            write_minhash_index(
+                batch_df, index_path, id_col=id_col,
+                shingle_k=shingle_k, num_hashes=num_hashes,
+            )
+            return True
+        # index missing but the table has commits: the index was lost
+        # or is lagging (crash between table commit and index append,
+        # wiped index store). Treating this as day zero would
+        # blind-admit the whole batch — duplicates of every committed
+        # doc — so REBUILD the index from the source of truth first,
+        # then take the normal probe path below.
+        sync_minhash_index(
+            spark, table, index_path,
+            id_col=id_col, shingle_k=shingle_k, num_hashes=num_hashes,
         )
-        return True
+    # No new_id != index_id filter: the probe pairs batch docs against
+    # INDEX docs only, and every index entry is committed (commit
+    # happens before index append), so a same-id pair can only mean an
+    # at-least-once source REDELIVERED an already-admitted doc in a
+    # later batch — exactly what must be dropped, not excused. The
+    # self-match hazard (a batch doc matching its own just-appended
+    # fingerprint) is excluded by probe_minhash_index's eager
+    # localCheckpoint, which snapshots the probe before any append.
     links = probe_minhash_index(
         spark, index_path, batch_df, id_col=id_col,
         shingle_k=shingle_k, num_hashes=num_hashes, bands=bands,
         jaccard_threshold=jaccard_threshold, max_bucket=max_bucket,
-    ).filter(F.col("new_id") != F.col("index_id"))
+    )
+    near_dup_ids = links.select(F.col("new_id").alias(id_col)).distinct()
+    # exact-id redelivery with CHANGED text produces no near-dup link;
+    # the id being in the index still means it is already committed —
+    # one column-pruned scan of fingerprint ids (the probe reads the
+    # same files anyway) keeps ids unique in the corpus
+    indexed_ids = (
+        spark.read.parquet(index_path)
+        .select(F.col("_id").alias(id_col))
+        .distinct()
+    )
     admitted = batch_df.join(
-        links.select(F.col("new_id").alias(id_col)).distinct(),
+        near_dup_ids.unionByName(indexed_ids).distinct(),
         id_col,
         "left_anti",
     )

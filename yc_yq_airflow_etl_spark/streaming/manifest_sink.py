@@ -52,6 +52,63 @@ def stream_to_manifest_table(
     )
 
 
+def _collapse_last_change(
+    batch_df: DataFrame,
+    batch_id: int,
+    key: str,
+    order_col: str,
+    op_col: str | None = None,
+) -> DataFrame:
+    """Shared CDC-batch preparation for :func:`upsert_batch` and
+    :func:`apply_cdc_batch`: validate, then collapse the batch to each
+    key's LAST change by ``order_col``. Validation is ONE aggregation
+    job on the hot streaming path (not one per check): tie detection
+    — tied ``(key, order_col)`` rows make the collapse
+    nondeterministic — and, when ``op_col`` is given, the NULL-op
+    guard (a NULL op would pass neither the delete filter nor its
+    negation: the change would vanish silently while the batch still
+    advanced the replay high-water mark). One implementation so the
+    two sinks can never drift."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # the collapse's row-number tag must not clash a data column
+    reserve_tags("last-change collapse", batch_df.columns, "_rn")
+    null_ops = (
+        F.sum(F.col(op_col).isNull().cast("long"))
+        if op_col is not None
+        else F.lit(0)
+    )
+    chk = (
+        batch_df.groupBy(key, order_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            null_ops.alias("_null_ops"),
+        )
+        .agg(
+            F.max("_n").alias("max_n"),
+            F.sum("_null_ops").alias("null_ops"),
+        )
+        .first()
+    )
+    if chk is not None and int(chk["max_n"] or 0) > 1:
+        raise ValueError(
+            f"micro-batch {batch_id} has tied ({key}, {order_col}) rows — "
+            "last-change collapse would be nondeterministic"
+        )
+    if chk is not None and int(chk["null_ops"] or 0) > 0:
+        raise ValueError(
+            f"micro-batch {batch_id} has rows with NULL {op_col!r} — "
+            "every change must carry an operation"
+        )
+    w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+    return (
+        batch_df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def upsert_batch(
     table: ManifestTable,
     batch_df: DataFrame,
@@ -76,32 +133,10 @@ def upsert_batch(
     ``foreachBatch``, the streaming engine retries the SAME batch id,
     and the not-yet-recorded high-water mark lets the retry through —
     at-least-once delivery collapses to exactly-once."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
     spark = batch_df.sparkSession
     if batch_id <= table.last_batch_id(spark):
         return False
-    # the collapse's row-number tag must not clash a data column
-    reserve_tags("upsert_batch", batch_df.columns, "_rn")
-    dup = (
-        batch_df.groupBy(key, order_col)
-        .count()
-        .filter("count > 1")
-        .limit(1)
-        .count()
-    )
-    if dup:
-        raise ValueError(
-            f"micro-batch {batch_id} has tied ({key}, {order_col}) rows — "
-            "last-change collapse would be nondeterministic"
-        )
-    w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
-    last = (
-        batch_df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    last = _collapse_last_change(batch_df, batch_id, key, order_col)
     table.merge(last, key, batch_id=batch_id, mode=mode)
     return True
 
@@ -138,46 +173,13 @@ def apply_cdc_batch(
     scatter across many files; pair it with
     ``table.maybe_compact(...)`` to pay down the deletion-vector
     debt on a schedule instead of per batch."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     spark = batch_df.sparkSession
     if batch_id <= table.last_batch_id(spark):
         return False
-    reserve_tags("apply_cdc_batch", batch_df.columns, "_rn")
-    # ONE validation job on the hot streaming path (not one per
-    # check): tie detection and the NULL-op guard share a two-level
-    # aggregation. Ties make the last-change collapse
-    # nondeterministic; a NULL op would pass NEITHER the delete
-    # filter nor its negation — the change would vanish silently
-    # while the batch still advanced the replay high-water mark.
-    chk = (
-        batch_df.groupBy(key, order_col)
-        .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.sum(F.col(op_col).isNull().cast("long")).alias("_null_ops"),
-        )
-        .agg(
-            F.max("_n").alias("max_n"),
-            F.sum("_null_ops").alias("null_ops"),
-        )
-        .first()
-    )
-    if chk is not None and int(chk["max_n"] or 0) > 1:
-        raise ValueError(
-            f"micro-batch {batch_id} has tied ({key}, {order_col}) rows — "
-            "last-change collapse would be nondeterministic"
-        )
-    if chk is not None and int(chk["null_ops"] or 0) > 0:
-        raise ValueError(
-            f"micro-batch {batch_id} has rows with NULL {op_col!r} — "
-            "every change must carry an operation"
-        )
-    w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
-    last = (
-        batch_df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    last = _collapse_last_change(
+        batch_df, batch_id, key, order_col, op_col=op_col
     )
     deletes = last.filter(F.col(op_col) == delete_value).select(key)
     upserts = (

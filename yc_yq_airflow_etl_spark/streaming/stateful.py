@@ -46,6 +46,8 @@ def _track(
     (user_id,) = key
     n, total, last = state.get if state.exists else (0, 0.0, 0)
     for pdf in batches:
+        if not len(pdf):  # empty chunks occur; int(nan.max()) raises
+            continue
         n += len(pdf)
         total += float(pdf["value"].sum())
         last = max(last, int(pdf["ts"].astype("int64").max() // 1_000_000_000))
