@@ -706,3 +706,115 @@ def test_minhash_index_probe_result_stable_under_append(spark, docs, tmp_path):
     after = sorted((r.new_id, r.index_id) for r in links.collect())
     assert after == before  # snapshot: no self-matches appear
     assert all(a != b for a, b in after)
+
+
+def test_short_and_null_docs_dont_crash_ngram_paths(spark):
+    """Round-8 review regression: Spark's sequence(1, 0) is the
+    DESCENDING array [1, 0], so an unguarded ngram explosion crashed
+    the whole job on any doc with < k tokens (slice start 0 throws).
+    Short docs and NULL texts must yield EMPTY shingle lists, and
+    exact_dedup must not cluster NULL texts together (md5(NULL) is
+    NULL; grouping on it would declare unrelated docs copies)."""
+    from yc_yq_airflow_etl_spark.functions.text import (
+        ngram_list,
+        word_shingles,
+    )
+    from yc_yq_airflow_etl_spark.operators.dedup import (
+        exact_dedup,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hi"),  # 1 token < k=3
+            (2, None),  # NULL text
+            (3, "alpha beta gamma delta"),
+            (4, "alpha beta gamma delta"),
+        ],
+        "doc_id long, text string",
+    )
+    got = docs.select(
+        "doc_id",
+        F.size(word_shingles("text")).alias("n_sh"),
+        F.size(ngram_list("text")).alias("n_ng"),
+    ).collect()
+    by_id = {r.doc_id: (r.n_sh, r.n_ng) for r in got}
+    assert by_id[1] == (0, 0) and by_id[2] == (0, 0)
+    assert by_id[3] == (2, 2)
+
+    cands = spark.createDataFrame(
+        [(1, 2), (3, 4)], "id_a long, id_b long"  # includes a short/NULL pair
+    )
+    pairs = ngram_jaccard_pairs(docs, cands).collect()
+    scored = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert scored.get((3, 4)) == 1.0  # identical docs
+    # the (short, NULL) pair must SCORE (0 or NULL), never crash
+    assert (1, 2) not in scored or not scored[(1, 2)]
+
+    clusters = exact_dedup(docs).collect()
+    assert all(r.fp is not None for r in clusters)  # no NULL cluster
+    assert {(r.keeper_id, r.copies) for r in clusters} == {(1, 1), (3, 2)}
+
+
+def test_pandas_and_expression_tokenizers_agree_on_unicode_ws(spark):
+    """Round-8 review regression: the Arrow/pandas hashing paths used
+    Python's unicode-aware \\s while the expression layer (and the
+    DuckDB oracles) use ASCII Java/RE2 \\s — a non-breaking space
+    (U+00A0, ubiquitous in scraped web text) silently broke
+    fingerprint parity. _normalize_py must replicate the JVM exactly."""
+    from yc_yq_airflow_etl_spark.functions.text import normalize_text
+    from yc_yq_airflow_etl_spark.operators.dedup import _normalize_py
+
+    texts = [
+        "alpha beta gamma delta",  # NBSP must NOT split
+        "  alpha\tbeta\n gamma  ",  # ASCII ws collapses
+        " lead and trail ",  # NBSP must NOT trim
+        "MiXeD Case thin-space",  # U+2009 must NOT split
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    jvm = [r[0] for r in df.select(normalize_text("text")).collect()]
+    py = [_normalize_py(t) for t in texts]
+    assert jvm == py
+
+
+def test_multimodal_extractors_skip_null_payloads(spark):
+    """Round-8 review regression: MEDIA_SCHEMA declares payload
+    nullable (a failed object-store fetch is the normal source), but
+    the real decoders crash on None. Every extractor must SKIP null
+    payloads — no feature row, no stage crash — and a P6 header with
+    maxval != 255 (2-byte netpbm samples) must fail loudly instead of
+    silently mis-decoding."""
+    import numpy as np
+    import pytest as _pytest
+
+    from yc_yq_airflow_etl_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        encode_wav_pcm16,
+        extract_ppm_features,
+        extract_wav_features,
+        ppm_ahash,
+        sample_video_frames,
+    )
+
+    wav = encode_wav_pcm16([0, 1000, -1000, 500], sample_rate=8000)
+    media_w = spark.createDataFrame(
+        [(1, wav), (2, None)], "media_id long, payload binary"
+    )
+    rows = extract_wav_features(media_w).collect()
+    assert [r.media_id for r in rows] == [1]  # null skipped, no crash
+
+    px = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    ppm = encode_ppm(px)
+    media_p = spark.createDataFrame(
+        [(1, ppm), (2, None)], "media_id long, payload binary"
+    )
+    assert [r.media_id for r in extract_ppm_features(media_p).collect()] == [1]
+    assert [r.media_id for r in ppm_ahash(media_p).collect()] == [1]
+    assert {
+        r.media_id for r in sample_video_frames(media_p, every_k=1).collect()
+    } == {1}
+
+    bad = ppm.replace(b"255", b"65535", 1)
+    with _pytest.raises(ValueError, match="maxval"):
+        decode_ppm(bad)

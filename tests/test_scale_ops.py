@@ -608,3 +608,58 @@ def test_write_zordered_empty_and_null_domain_guards(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="entirely NULL.*'b'|\\['b'\\]"):
         write_zordered(nulls, str(tmp_path / "z_null"), ["a", "b"])
+
+
+def test_sketches_exclude_nulls_and_salted_count_handles_maps(spark):
+    """Round-8 review regressions, NULL/type edges of the sketch and
+    salting family:
+
+    - bloom_build over a nullable key column must not emit the
+      (NULL, NULL) word row that crashed bloom_might_contain's int()
+      loop — and the filter still answers membership for real values;
+    - build_histogram must EXCLUDE NULL/NaN (greatest(0, NULL) is 0,
+      so they silently counted into bin 0, permanently skewing every
+      persisted histogram toward lo);
+    - kmv_sketch must not let md5(NULL) steal a bottom-k slot;
+    - salted_count must tolerate a MapType column in the frame
+      (xxhash64 rejects maps — same _hashable_type guard as
+      salted_join)."""
+    from yc_yq_airflow_etl_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+        build_histogram,
+        kmv_sketch,
+    )
+    from yc_yq_airflow_etl_spark.operators.skew import salted_count
+
+    vals = spark.createDataFrame(
+        [("a",), (None,), ("b",)], "k string"
+    )
+    filt = bloom_build(vals, "k")
+    assert all(
+        r.word_idx is not None and r.bits is not None for r in filt.collect()
+    )
+    probe = spark.createDataFrame([("a",), ("zzz",)], "k string")
+    pred = bloom_might_contain(filt, "k")
+    got = {r.k: r.maybe for r in probe.select(
+        "k", pred.alias("maybe")
+    ).collect()}
+    assert got["a"] is True  # no false negatives
+
+    hist = build_histogram(
+        spark.createDataFrame(
+            [(1.0,), (None,), (None,), (float("nan"),)], "v double"
+        ),
+        "v", lo=0.0, hi=10.0, bins=10,
+    ).collect()
+    assert [(r.bin, r.cnt) for r in hist] == [(1, 1)]  # only the real value
+
+    sk = kmv_sketch(vals, "k", k=8).collect()
+    assert len(sk) == 2 and all(r.h is not None for r in sk)
+
+    mapped = spark.createDataFrame(
+        [(1, {"x": 1}), (1, {"y": 2}), (2, {"z": 3})],
+        "k long, m map<string,int>",
+    )
+    counts = {r.k: r.cnt for r in salted_count(mapped, ["k"]).collect()}
+    assert counts == {1: 2, 2: 1}

@@ -48,10 +48,17 @@ def ngram_list(col: Column | str, k: int = 3) -> Column:
     < k tokens."""
     words = tokenize(col)
     n = F.size(words)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(words, i, k), " "),
-    )
+    # guard, don't clamp: sequence(1, 0) is the DESCENDING array
+    # [1, 0] in Spark, and slice(words, 0, k) then throws — a single
+    # doc with < k tokens would crash the whole job. NULL text also
+    # routes to the empty branch (n is NULL → when() is NULL → false).
+    return F.when(
+        n >= F.lit(k),
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(words, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 # Affine min-hash family over md5-derived integers. One md5 per

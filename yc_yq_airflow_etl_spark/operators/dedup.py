@@ -29,6 +29,20 @@ from pyspark.sql import functions as F
 from ..functions.text import normalize_text, word_shingles
 
 
+def _normalize_py(text: str) -> str:
+    """EXACT Python replica of ``functions.text.normalize_text``'s
+    JVM semantics, shared by every Arrow/pandas hashing path: Spark's
+    ``trim`` strips SPACES only, and Java-regex ``\\s`` is the ASCII
+    class ``[ \\t\\n\\x0b\\f\\r]`` — Python's default unicode-aware
+    ``\\s``/``str.strip()`` would split on U+00A0 etc. and silently
+    break fingerprint parity between the pandas signatures and the
+    expression layer (and the DuckDB oracles, whose RE2 ``\\s`` is
+    ASCII too)."""
+    import re
+
+    return re.sub(r"[ \t\n\x0b\f\r]+", " ", text.strip(" ").lower())
+
+
 def _spread(df: DataFrame, key: str) -> DataFrame:
     """Repartition compute-heavy per-row stages when the input arrives
     under-partitioned (e.g. one small parquet file). At lake scale the
@@ -136,8 +150,7 @@ def _signatures_pandas(
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
-                # normalize_text parity: trim → lower → \s+ collapse
-                words = re.sub(r"\s+", " ", str(text).strip().lower()).split(" ")
+                words = _normalize_py(str(text)).split(" ")
                 shingles = list(
                     dict.fromkeys(
                         " ".join(words[i : i + shingle_k])
@@ -169,9 +182,17 @@ def exact_dedup(
 ) -> DataFrame:
     """Exact dedup by md5 of normalized text: one row per distinct
     content with the canonical (min-id) keeper and the duplicate
-    count. Pure hash aggregation — one shuffle on the fingerprint."""
+    count. Pure hash aggregation — one shuffle on the fingerprint.
+
+    NULL texts are EXCLUDED: md5(NULL) is NULL, and grouping on the
+    NULL fingerprint would declare every unknown-content doc a copy
+    of the min-id one — under the 'keep iff doc_id == keeper_id'
+    downstream contract that silently drops them from the corpus.
+    Absent from the output = in no duplicate cluster = kept,
+    consistent with the pandas signature path, which skips NULLs."""
     return (
-        df.select(F.md5(normalize_text(text_col)).alias("fp"), F.col(id_col))
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.md5(normalize_text(text_col)).alias("fp"), F.col(id_col))
         .groupBy("fp")
         .agg(
             F.min(id_col).alias("keeper_id"),
@@ -311,7 +332,12 @@ def minhash_lsh_pairs(
             "id_a",
             "id_b",
             F.round(est, 6).alias("est_jaccard"),
-            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+            # union=0 is impossible for banded candidates (a signature
+            # implies >=1 shingle) but ANSI divide-by-zero would kill
+            # the job if parity ever broke - degrade to 0.0 instead
+            F.when(union > 0, F.round(inter.cast("double") / union, 6))
+            .otherwise(F.lit(0.0))
+            .alias("jaccard"),
         ).filter(F.col("jaccard") >= jaccard_threshold),
         sig,
     )
@@ -397,7 +423,12 @@ def _probe_sig_pairs(
             "new_id",
             "index_id",
             F.round(est, 6).alias("est_jaccard"),
-            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+            # union=0 is impossible for banded candidates (a signature
+            # implies >=1 shingle) but ANSI divide-by-zero would kill
+            # the job if parity ever broke - degrade to 0.0 instead
+            F.when(union > 0, F.round(inter.cast("double") / union, 6))
+            .otherwise(F.lit(0.0))
+            .alias("jaccard"),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
@@ -582,7 +613,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
-                words = re.sub(r"\s+", " ", str(text).strip().lower()).split(" ")
+                words = _normalize_py(str(text)).split(" ")
                 h = np.array(
                     [
                         int(hashlib.md5(w.encode("utf-8")).hexdigest()[:16], 16)
@@ -709,10 +740,15 @@ def ngram_jaccard_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
+    # two empty shingle sets (both docs shorter than n tokens, or
+    # NULL text) make the union 0: define their Jaccard as 0.0 — no
+    # shared content — instead of DIVIDE_BY_ZERO under ANSI mode
     return out.select(
         "id_a",
         "id_b",
-        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        F.when(union > 0, F.round(inter.cast("double") / union, 6))
+        .otherwise(F.lit(0.0))
+        .alias("jaccard"),
     )
 
 
@@ -857,34 +893,46 @@ def connected_components(
     label_id = _ckpt_id(labels)
     global LAST_CC_ROUNDS
     LAST_CC_ROUNDS = 0
-    for _ in range(max_iter):
-        LAST_CC_ROUNDS += 1
-        incoming = edges.join(
-            labels, edges["src"] == labels["id"]
-        ).select(F.col("dst").alias("id"), F.col("label"))
-        merged = (
-            labels.unionAll(incoming)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-        )
-        # pointer jump: follow my label to ITS label (chain doubling)
-        lookup = merged.select(
-            F.col("id").alias("_lid"), F.col("label").alias("_llabel")
-        )
-        new_labels = (
-            merged.join(lookup, merged["label"] == lookup["_lid"])
-            .select("id", F.least("label", "_llabel").alias("label"))
-            .localCheckpoint()  # eager: truncates plan AND materializes
-        )
-        new_id = _ckpt_id(new_labels)
-        changed = (
-            new_labels.join(labels, ["id", "label"], "left_anti").limit(1).count()
-        )
-        _free(label_id)  # previous generation: convergence check was its last read
-        labels, label_id = new_labels, new_id
-        if changed == 0:
-            break
-    edges.unpersist()
+    # try/finally like pagerank: a mid-iteration failure must not
+    # leak the persisted loop invariants (the symmetrized edge list —
+    # O(edges), the largest persisted object here) for the session
+    # lifetime. The RETURNED labels checkpoint stays (the caller reads
+    # it); only failure paths free it.
+    try:
+        for _ in range(max_iter):
+            LAST_CC_ROUNDS += 1
+            incoming = edges.join(
+                labels, edges["src"] == labels["id"]
+            ).select(F.col("dst").alias("id"), F.col("label"))
+            merged = (
+                labels.unionAll(incoming)
+                .groupBy("id")
+                .agg(F.min("label").alias("label"))
+            )
+            # pointer jump: follow my label to ITS label (chain doubling)
+            lookup = merged.select(
+                F.col("id").alias("_lid"), F.col("label").alias("_llabel")
+            )
+            new_labels = (
+                merged.join(lookup, merged["label"] == lookup["_lid"])
+                .select("id", F.least("label", "_llabel").alias("label"))
+                .localCheckpoint()  # eager: truncates plan AND materializes
+            )
+            new_id = _ckpt_id(new_labels)
+            changed = (
+                new_labels.join(labels, ["id", "label"], "left_anti")
+                .limit(1)
+                .count()
+            )
+            _free(label_id)  # previous generation: check was its last read
+            labels, label_id = new_labels, new_id
+            if changed == 0:
+                break
+    except BaseException:
+        _free(label_id)
+        raise
+    finally:
+        edges.unpersist(blocking=False)
     return labels
 
 

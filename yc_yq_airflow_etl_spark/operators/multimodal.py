@@ -190,11 +190,24 @@ def synthesize_wav_corpus(ids: DataFrame, sample_rate: int = 8000) -> DataFrame:
     return ids.mapInPandas(gen, schema="media_id long, payload binary")
 
 
+def _with_payload(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Drop NULL payloads before decoding: MEDIA_SCHEMA declares
+    payload nullable (a failed object-store fetch is the normal
+    source of NULLs), and the real decoders rightly crash on None.
+    No feature row is emitted for a missing payload — callers find
+    fetch gaps with an anti-join on media_id (the feature schemas
+    are non-nullable, so NULL-feature rows are not an option)."""
+    return pdf[pdf["payload"].notna()]
+
+
 def extract_wav_features(media: DataFrame) -> DataFrame:
     """Arrow-batched REAL decode of WAV payloads → integer features."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pdf = _with_payload(pdf)
+            if not len(pdf):
+                continue
             rows = [decode_wav(p) for p in pdf["payload"]]
             out = pd.DataFrame(rows)
             out.insert(0, "media_id", pdf["media_id"].values)
@@ -245,6 +258,15 @@ def _ppm_header_tokens(payload: bytes, start: int = 0) -> tuple[list[int], int]:
         else:
             tok += ch
         pos += 1
+    if tokens[2] != 255:
+        # netpbm: maxval > 255 means 2-byte samples — silently reading
+        # W*H*3 single bytes would return garbage features (and walk
+        # the video container into mid-frame). The in-tree encoder
+        # always writes 255; anything else must fail loudly.
+        raise ValueError(
+            f"unsupported P6 maxval {tokens[2]} (only 255 / 1-byte "
+            "samples are supported)"
+        )
     return tokens, pos
 
 
@@ -316,6 +338,9 @@ def extract_ppm_features(media: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pdf = _with_payload(pdf)
+            if not len(pdf):
+                continue
             rows = [decode_ppm(p) for p in pdf["payload"]]
             out = pd.DataFrame(rows)
             out.insert(0, "media_id", pdf["media_id"].values)
@@ -356,6 +381,9 @@ def resize_ppm_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pdf = _with_payload(pdf)
+            if not len(pdf):
+                continue
             rows = [
                 decode_ppm(resize_nearest(p, out_w, out_h))
                 for p in pdf["payload"]
@@ -405,6 +433,7 @@ def sample_video_frames(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pdf = _with_payload(pdf)
             out_rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 frames = split_video_frames(payload)
@@ -470,6 +499,7 @@ def ppm_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pdf = _with_payload(pdf)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,

@@ -101,8 +101,13 @@ def build_histogram(
     x = F.col(value_col).cast("double")
     raw = F.floor((x - F.lit(lo)) / F.lit(hi - lo) * bins).cast("int")
     bin_ = F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw))
+    # NULL/NaN are not values of the domain: greatest(0, NULL) is 0
+    # (greatest IGNORES null operands), so without the filter every
+    # NULL/NaN would silently count into bin 0 and permanently skew
+    # the persisted histogram toward lo
     return (
-        df.groupBy(*group_cols, bin_.alias("bin"))
+        df.filter(x.isNotNull() & ~F.isnan(x))
+        .groupBy(*group_cols, bin_.alias("bin"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
@@ -278,7 +283,10 @@ def bloom_build(
     build is one partial-aggregated shuffle of at most
     ``num_bits/64`` groups — metadata-scale regardless of input size.
     """
-    positions = df.select(
+    # md5(NULL) is NULL: a NULL key would emit a (NULL, NULL) word
+    # row that crashes the probe's int() loop — and NULL has no
+    # membership semantics in a Bloom filter anyway
+    positions = df.filter(F.col(col).isNotNull()).select(
         F.explode(
             F.array(*[_bloom_pos(col, i, num_bits) for i in range(k)])
         ).alias("_p")
@@ -371,7 +379,12 @@ def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     otherwise D ≈ (k-1) · 2^60 / h_k with h_k the largest retained
     hash (standard error ≈ 1/√(k−2))."""
     return (
+        # NULL is not a value: md5(NULL) → h=NULL sorts FIRST under
+        # ascending NULLS FIRST, stealing a bottom-k slot (inflating
+        # error) and counting as one extra distinct in the < k exact
+        # regime — and a merge would propagate it
         df.select(F.col(col))
+        .filter(F.col(col).isNotNull())
         .distinct()
         .select(kmv_hash(F.col(col)).alias("h"))
         # KMV is defined over DISTINCT hashes: a (60-bit md5) collision

@@ -35,10 +35,18 @@ def salted_count(
     so partial-stage recompute after a shuffle-fetch failure reassigns
     identical salts (byte-identical duplicate rows share a salt — the
     spread still holds whenever a hot key's rows differ anywhere)."""
+    from .joins import _hashable_type
+
     keys = list(keys)
+    # same guard as joins.salted_join: xxhash64 rejects MAP-typed
+    # inputs (AnalysisException) — hash only the hashable columns;
+    # determinism holds because the subset is schema-derived
+    hashable = [
+        F.col(f.name) for f in df.schema.fields if _hashable_type(f.dataType)
+    ] or [F.lit(0)]
     salted = df.withColumn(
         "_salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)),
+        F.pmod(F.xxhash64(*hashable), F.lit(salt_buckets)),
     )
     partial = salted.groupBy(*keys, "_salt").agg(F.count(F.lit(1)).alias("_c"))
     return partial.groupBy(*keys).agg(F.sum("_c").alias("cnt"))
