@@ -270,3 +270,65 @@ def test_sorted_write_produces_disjoint_row_group_zone_maps(spark, tmp_path):
             prev_max = st.max
             checked_groups += 1
     assert checked_groups >= 4  # really saw multiple row groups
+
+
+def test_generator_default_grid_matches_baseline(spark):
+    """Round-8 review regression: the default minutes constant treated
+    all five years as leap (527040*5), overcounting the pinned
+    2020-01..2025-01 grid by 3 days. The default must be the
+    BASELINE.md closed form: 2,675,520 rows, ending 2025-01-31."""
+    from pyspark.sql import functions as F
+
+    from yc_yq_airflow_etl_spark.sources.generator import generate_payments
+
+    df = generate_payments(spark)
+    assert df.count() == 2_675_520
+    per_year = {
+        r.y: r.c
+        for r in df.groupBy(F.year("payment_date").alias("y"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert per_year == {
+        2020: 527040, 2021: 525600, 2022: 525600,
+        2023: 525600, 2024: 527040, 2025: 44640,
+    }
+
+
+def test_split_hot_cold_partitions_null_timestamps(spark):
+    """Round-8 review regression: NULL timestamps failed BOTH halves'
+    filters (NULL < x and ~(NULL < x) are both NULL) — the split must
+    PARTITION the input; unknown-age rows stay hot, never silently
+    vanish (or retire cold)."""
+    from yc_yq_airflow_etl_spark.plans.federation import split_hot_cold
+
+    df = spark.createDataFrame(
+        [("2019-05-01 00:00:00",), ("2024-05-01 00:00:00",), (None,)],
+        "ts string",
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS ts")
+    hot, cold = split_hot_cold(df, "ts", cold_before_year=2023)
+    assert hot.count() + cold.count() == 3
+    assert hot.filter("ts IS NULL").count() == 1  # unknown age = hot
+
+
+def test_overwrite_partitions_restores_session_conf(spark, tmp_path):
+    """Round-8 review regression: overwrite_partitions set
+    partitionOverwriteMode=dynamic on the SHARED session and never
+    restored it — unrelated static full-table overwrites would
+    silently keep stale partitions. The conf must be restored to its
+    pre-call value."""
+    from pyspark.sql import functions as F
+
+    from yc_yq_airflow_etl_spark.sources.lake import LakeTable
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.set(key, "static")
+    try:
+        lake = LakeTable(str(tmp_path / "lake"))
+        df = spark.range(5).select(
+            "id", F.lit(2020).alias("payment_year")
+        )
+        lake.overwrite_partitions(df)
+        assert spark.conf.get(key) == "static"
+    finally:
+        spark.conf.unset(key)

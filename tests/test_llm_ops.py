@@ -818,3 +818,54 @@ def test_multimodal_extractors_skip_null_payloads(spark):
     bad = ppm.replace(b"255", b"65535", 1)
     with _pytest.raises(ValueError, match="maxval"):
         decode_ppm(bad)
+
+
+def test_ann_paths_tolerate_null_embeddings(spark):
+    """Round-8 review regression: np.vstack over a Series containing
+    None raised inside the vectorized UDFs, so ONE null embedding
+    killed lsh_topk / index builds / blocked joins while
+    brute_force_topk tolerated the same data. NULL vectors must yield
+    NULL sketch/assignment/cosine and drop out of results."""
+    from yc_yq_airflow_etl_spark.operators.similarity import (
+        lsh_topk,
+        topk_join,
+        topk_join_blocked,
+        train_ivf_centroids,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.95, 0.05, 0.0, 0.0]),
+        (3, None),
+        (4, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = lsh_topk(df, [1.0, 0.0, 0.0, 0.0], k=3, max_hamming=1).collect()
+    assert got and all(r.vec_id != 3 for r in got)
+
+    cents = train_ivf_centroids(df, k_clusters=8, iters=1)
+    assert 1 <= len(cents) <= 3  # clamped to non-NULL vector count
+
+    jb = topk_join_blocked(df, df, k=1).collect()
+    assert jb and all(r.id_a != 3 and r.id_b != 3 for r in jb)
+
+
+def test_topk_join_cross_table_keeps_coincident_ids(spark):
+    """Round-8 review regression: the unconditional id_a != id_b
+    filter silently dropped a DIFFERENT table's true nearest neighbor
+    whenever the two tables' id spaces coincidentally overlapped.
+    exclude_self=False keeps it; the default still excludes self-pairs
+    for the self-join use."""
+    from yc_yq_airflow_etl_spark.operators.similarity import topk_join
+
+    queries = spark.createDataFrame(
+        [(7, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    corpus = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (8, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    best = topk_join(queries, corpus, k=1, exclude_self=False).collect()
+    assert [(r.id_a, r.id_b) for r in best] == [(7, 7)]  # true NN kept
+    dflt = topk_join(queries, corpus, k=1).collect()
+    assert [(r.id_a, r.id_b) for r in dflt] == [(7, 8)]  # self excluded

@@ -65,11 +65,18 @@ def cosine_pairs_vectorized(a: Column, b: Column) -> Column:
     def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
         if len(va) == 0:
             return pd.Series([], dtype="float64")
-        x = np.vstack(va.to_numpy()).astype(np.float64)
-        y = np.vstack(vb.to_numpy()).astype(np.float64)
-        num = np.einsum("ij,ij->i", x, y)
-        den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
-        return pd.Series(num / den)
+        # NULL on either side -> NULL cosine (np.vstack over a Series
+        # containing None raises and would kill the task)
+        mask = (va.notna() & vb.notna()).to_numpy()
+        out = np.full(len(va), np.nan)
+        if mask.any():
+            x = np.vstack(va[mask].to_numpy()).astype(np.float64)
+            y = np.vstack(vb[mask].to_numpy()).astype(np.float64)
+            num = np.einsum("ij,ij->i", x, y)
+            den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
+            out[mask] = num / den
+        res = pd.Series(out)
+        return res.where(pd.Series(mask), None)
 
     return cos(a, b)
 
@@ -153,11 +160,19 @@ def sign_sketch(vec: Column, planes: int = 8, seed: int = 42) -> Column:
 
     @pandas_udf(T.IntegerType())
     def sketch(vecs: pd.Series) -> pd.Series:
-        x = np.vstack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
-        xq = _quantize_micro(x)
-        planes_mat = _rademacher(planes, x.shape[1], seed)  # (p, dim)
-        bits = (xq @ planes_mat.T) > 0  # (n, p)
-        return pd.Series((bits @ weights).astype("int32"))
+        # NULL embeddings → NULL sketch (np.vstack over a Series
+        # containing None raises, killing the task): the NULL sketch
+        # then drops out of any hamming comparison naturally, matching
+        # brute_force_topk's NULL-cosine-sorts-last tolerance.
+        mask = vecs.notna().to_numpy()
+        out = pd.array([None] * len(vecs), dtype="Int32")
+        if mask.any():
+            x = np.vstack(vecs[mask].to_numpy()).astype(np.float64)
+            xq = _quantize_micro(x)
+            planes_mat = _rademacher(planes, x.shape[1], seed)  # (p, dim)
+            bits = (xq @ planes_mat.T) > 0  # (n, p)
+            out[mask] = (bits @ weights).astype("int32")
+        return pd.Series(out)
 
     return sketch(vec)
 
@@ -238,13 +253,30 @@ def train_ivf_centroids(
     import pandas as pd
     from pyspark.sql import types as T
 
+    from pyspark import StorageLevel
+
+    # NULL embeddings are excluded from training (a NULL _v would
+    # poison both the init collect and the per-cluster mean); persist
+    # the quantized base ONCE — the loop otherwise re-runs the source
+    # scan + quantize projection twice per iteration (assignment pass
+    # + mean pass), the dominant wasted cost at table scale.
     base = df.select(
         F.col(id_col).alias("_id"), quantize_vec(F.col(vec_col)).alias("_v")
-    )
+    ).filter(F.col("_v").isNotNull()).persist(StorageLevel.MEMORY_AND_DISK)
     centroids = [
         [int(x) for x in r._v]
         for r in base.orderBy("_id").limit(k_clusters).collect()
     ]
+    if not centroids:
+        base.unpersist(blocking=False)
+        raise ValueError(
+            "train_ivf_centroids: no non-NULL vectors to train on"
+        )
+    if len(centroids) < k_clusters:
+        # fewer vectors than requested clusters: train what the data
+        # supports instead of an IndexError at the first empty-cluster
+        # fallback (centroids[c] out of range)
+        k_clusters = len(centroids)
     mean_schema = T.StructType(
         [
             T.StructField("_c", T.IntegerType(), False),
@@ -263,12 +295,21 @@ def train_ivf_centroids(
             {"_c": [int(pdf["_c"].iloc[0])], "_v": [newc.tolist()]}
         )
 
-    for _ in range(iters):
-        assigned = base.withColumn("_c", _nearest_centroid(F.col("_v"), centroids))
-        new = assigned.groupBy("_c").applyInPandas(cluster_mean, mean_schema).collect()
-        got = {r._c: [int(x) for x in r._v] for r in new}
-        # empty clusters keep their previous centroid
-        centroids = [got.get(c, centroids[c]) for c in range(k_clusters)]
+    try:
+        for _ in range(iters):
+            assigned = base.withColumn(
+                "_c", _nearest_centroid(F.col("_v"), centroids)
+            )
+            new = (
+                assigned.groupBy("_c")
+                .applyInPandas(cluster_mean, mean_schema)
+                .collect()
+            )
+            got = {r._c: [int(x) for x in r._v] for r in new}
+            # empty clusters keep their previous centroid
+            centroids = [got.get(c, centroids[c]) for c in range(k_clusters)]
+    finally:
+        base.unpersist(blocking=False)
     return centroids
 
 
@@ -286,10 +327,16 @@ def _nearest_centroid(v: Column, centroids: list[list[int]]) -> Column:
 
     @pandas_udf(T.IntegerType())
     def assign(vecs: pd.Series) -> pd.Series:
-        x = np.vstack(vecs.to_numpy()).astype(np.int64)  # (n, dim)
-        # ‖x-c‖² = ‖x‖² - 2x·c + ‖c‖²; ‖x‖² is constant per row → drop
-        d = -2 * (x @ cmat.T) + (cmat * cmat).sum(axis=1)
-        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+        # NULL embeddings -> NULL assignment (dropped from the index
+        # build rather than crashing the task in np.vstack)
+        mask = vecs.notna().to_numpy()
+        out = pd.array([None] * len(vecs), dtype="Int32")
+        if mask.any():
+            x = np.vstack(vecs[mask].to_numpy()).astype(np.int64)
+            # ‖x-c‖² = ‖x‖² - 2x·c + ‖c‖²; ‖x‖² is constant per row → drop
+            d = -2 * (x @ cmat.T) + (cmat * cmat).sum(axis=1)
+            out[mask] = np.argmin(d, axis=1).astype("int32")
+        return pd.Series(out)
 
     return assign(v)
 
@@ -456,9 +503,16 @@ def topk_join(
     right_id: str = "vec_id",
     broadcast_limit: int = 2_000_000,
     oversize: str = "error",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """All-pairs top-k join (each left row → its k nearest right
     rows): broadcast the smaller right side, window-rank per left id.
+
+    ``exclude_self`` (default True) drops pairs with id_a == id_b —
+    correct for the SELF-join use (a vector is trivially its own
+    nearest neighbor). Pass ``exclude_self=False`` when left and
+    right are DIFFERENT tables whose id spaces merely overlap:
+    otherwise a coincident id silently removes a valid neighbor.
 
     GUARDED: broadcast+crossJoin is correct only while the right side
     is dim-sized. The guard counts the right side (one column-pruned
@@ -496,6 +550,7 @@ def topk_join(
                 right_vec=right_vec,
                 left_id=left_id,
                 right_id=right_id,
+                exclude_self=exclude_self,
             )
         raise ValueError(
             f"topk_join right side has {n_right} rows "
@@ -514,7 +569,9 @@ def topk_join(
         "id_a",
         F.col("_rid").alias("id_b"),
         F.round(cosine_similarity(F.col("_lvec"), F.col("_rvec")), 6).alias("cosine"),
-    ).filter(F.col("id_a") != F.col("id_b"))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("id_a") != F.col("id_b"))
     w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b").asc())
     return scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= k
@@ -532,6 +589,7 @@ def topk_join_blocked(
     right_vec: str = "embedding",
     left_id: str = "vec_id",
     right_id: str = "vec_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Sketch-blocked top-k join — the scale path when the right side
     is NOT broadcastable. Both sides get a ``planes``-bit hyperplane
@@ -572,7 +630,11 @@ def topk_join_blocked(
     r = side(right, right_id, right_vec, "_r")
     cand = (
         l.join(r, ["_band", "_bval"])
-        .filter(F.col("_lid") != F.col("_rid"))
+        .filter(
+            (F.col("_lid") != F.col("_rid"))
+            if exclude_self
+            else F.lit(True)
+        )
         .select(
             F.col("_lid").alias("id_a"),
             F.col("_rid").alias("id_b"),

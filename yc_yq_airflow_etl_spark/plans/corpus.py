@@ -33,9 +33,16 @@ def quality_filter(
     max_awl: float = 5.0,
     lang: str | None = "en",
 ) -> DataFrame:
-    """Rows that survive the pretraining gates (same predicates as the
-    oracle-checked ``pretrain_quality_filter`` funnel, returned as
-    surviving rows instead of counts)."""
+    """Rows that survive the pretraining gates (same dedup/token/
+    word-length predicates as the oracle-checked
+    ``pretrain_quality_filter`` funnel, returned as surviving rows
+    instead of counts). DELIBERATE difference on the language gate:
+    the funnel runs the self-contained ``lang_id`` classifier (its
+    scan never reads the lang column); this corpus builder trusts the
+    STORED ``lang`` label — the right call when ingest metadata is
+    authoritative, and the two counts may differ on mislabeled docs.
+    Pass ``lang=None`` and pre-filter on ``lang_id("text")`` for
+    classifier-gated corpora."""
     norm = normalize_text("text")
     toks = token_count("text")
     awl = (F.length(norm) - (toks - 1)).cast("double") / toks
@@ -95,9 +102,15 @@ def build_training_corpus(
         # partition overwrite only replaces partitions present in this
         # write, so a whole-path count would include stale partitions
         # from earlier runs with a different surviving-language set.
-        n_chunks = chunks.count()
-        corpus_lake.overwrite_partitions(chunks, sort_by=("doc_id", "chunk_id"))
-        chunks.unpersist(blocking=False)
+        try:
+            n_chunks = chunks.count()
+            corpus_lake.overwrite_partitions(
+                chunks, sort_by=("doc_id", "chunk_id")
+            )
+        finally:
+            # on the failure path too — a failed landing write must
+            # not pin the chunk cache for the session lifetime
+            chunks.unpersist(blocking=False)
     finally:
         deduped.unpersist(blocking=False)
     return {

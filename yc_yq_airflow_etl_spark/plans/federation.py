@@ -72,4 +72,8 @@ def split_hot_cold(
     year()-wrapped column defeats row-group and partition pruning."""
     boundary = F.lit(f"{cold_before_year}-01-01").cast("timestamp")
     cond: Column = F.col(ts_col) < boundary
-    return df.filter(~cond), df.filter(cond)
+    # a split must PARTITION the input: for a NULL timestamp both
+    # `cond` and `~cond` evaluate NULL and the row would vanish from
+    # both halves. Unknown-age rows stay HOT (never silently retired
+    # to the cold store).
+    return df.filter(~cond | F.col(ts_col).isNull()), df.filter(cond)

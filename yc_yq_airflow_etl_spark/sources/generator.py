@@ -28,7 +28,11 @@ ACCOUNT_POOL = 1000  # variables.tf:22-26 default
 def generate_payments(
     spark: SparkSession,
     start: str = "2020-01-01",
-    minutes: int = 527040 * 5 + 44640,  # 2020-01 .. 2025-01 grid
+    # 2020-01-01 .. 2025-01-31 grid: leap 2020/2024 (527,040) +
+    # common 2021-23 (525,600 each) + Jan 2025 (44,640) = 2,675,520
+    # (BASELINE.md); NOT 527040*5 — that would treat every year as
+    # leap and spill 3 days into 2025-02
+    minutes: int = 527040 * 2 + 525600 * 3 + 44640,
     account_pool: int = ACCOUNT_POOL,
     seed: int = 42,
     num_partitions: int | None = None,
@@ -65,7 +69,11 @@ def generate_payments(
 def generate_accounts(
     spark: SparkSession, account_pool: int = 10000
 ) -> DataFrame:
-    """db_init.sql:5-14: ids 0..pool inclusive."""
+    """db_init.sql:5-14: ids 0..pool inclusive (10,001 rows — the
+    reference seeds accounts over generate_series(0, 10000), which is
+    DELIBERATELY wider than the payments generator's ACCOUNT_POOL of
+    1000: payments only ever reference accounts 0..999 / 1..1000,
+    exactly as in the reference fixtures)."""
     return spark.range(0, account_pool + 1).select(
         F.col("id"),
         F.lpad(F.col("id").cast("string"), 20, "0").alias("num"),

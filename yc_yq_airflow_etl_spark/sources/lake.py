@@ -59,14 +59,26 @@ class LakeTable:
         difference between scanning a partition and scanning the few
         megabytes the filter touches."""
         spark = df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        if sort_by:
-            df = self._cluster(df, sort_by)
-        (
-            df.write.mode("overwrite")
-            .partitionBy(*self.partition_columns)
-            .parquet(self.path)
-        )
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        # set per-write, RESTORED after: leaking dynamic into the
+        # shared session would silently change unrelated overwrite
+        # writes (static full-table rewrites would keep stale
+        # partitions absent from the new frame)
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "dynamic")
+        try:
+            if sort_by:
+                df = self._cluster(df, sort_by)
+            (
+                df.write.mode("overwrite")
+                .partitionBy(*self.partition_columns)
+                .parquet(self.path)
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
 
     def append(
         self, df: DataFrame, sort_by: tuple[str, ...] | None = None
