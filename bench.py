@@ -5,8 +5,12 @@
     {"metric": ..., "value": total_sec, "unit": "sec",
      "queries": {name: sec, ...}, "sf": ...}
 
-Each query is executed once warm-up-free per name; timing covers plan
-+ execution to a driver-side count/collect of the (small) result.
+Each query is timed from plan to a driver-side count of the (small)
+result. The run-order front, the headline set, and the standing watch
+list are re-run once in-process and that STEADY number is the primary
+wall (the cohort rotation reorders the run each round, so first-run
+walls at the front absorb session warm-up and regress spuriously —
+first-run values are preserved under ``first_run`` in the sidecar).
 
 Alongside wall time, every query records STRUCTURE — executed stage
 count and shuffle read/write bytes from the Spark status store — so
@@ -168,27 +172,47 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # Steady-state second timings for the entries whose r5→r6 walls
-    # moved >1.5x with no code change (r6 watch item): a second run in
-    # the same session isolates first-touch costs (file-listing,
-    # codegen compilation, page cache) and cross-query contention from
-    # plan regressions. If t_steady lands back near the r5 wall, the
-    # first-run delta is session noise, not a plan change — the
-    # structure fields (stages/shuffle bytes) are the ground truth
-    # either way.
+    # Steady-state pass (r8 verdict item 3): the verification-window
+    # rotation reorders the run every round, so whichever cohort leads
+    # absorbs session warm-up (codegen compilation, file-listing,
+    # page cache) and produces false cross-round regressions (r8:
+    # q12 1.58x, token_packing_bins 3.9x, manifest_merge_upsert 1.5x —
+    # all back at their old walls on a second in-process run). So the
+    # run-order FRONT, the headline set, and the standing watch list
+    # get ONE same-session re-run, and that steady number becomes the
+    # PRIMARY wall in `queries` (first-run walls preserved under
+    # `first_run` in the sidecar). Steady numbers are the only ones
+    # comparable across rounds once the front rotates.
     steady: dict[str, float] = {}
-    for name in (
-        "range_join_price_bands",
-        "dedup_exact",
-        "q2_min_cost_supplier",
-        "q3_shipping_priority",
-    ):
-        if name not in qs:
-            continue
+    first_run: dict[str, float] = {}
+    steady_names = list(
+        dict.fromkeys(
+            names[:12]
+            + [n for n in HEADLINE if n in qs]
+            + [
+                n
+                for n in (
+                    "manifest_merge_upsert",
+                    "token_packing_bins",
+                    "q12_priority_by_returnflag",
+                    "similarity_lsh_topk",
+                    "similarity_ivf_topk",
+                )
+                if n in qs
+            ]
+        )
+    )
+    for name in steady_names:
         t0 = time.time()
         qs[name](spark, sf_dir).count()
         steady[name] = round(time.time() - t0, 3)
-        print(f"# steady {name}: {steady[name]}s", file=sys.stderr)
+        first_run[name] = timings[name]
+        timings[name] = steady[name]
+        print(
+            f"# steady {name}: {steady[name]}s "
+            f"(first run {first_run[name]}s)",
+            file=sys.stderr,
+        )
 
     # Reference-scale datapoint: the federation verification query at
     # the reference's own dataset size (2,675,520 payment rows,
@@ -364,6 +388,12 @@ def main() -> None:
         "queries": timings,
         "structure": structure,
         "steady_state": steady,
+        "first_run": first_run,
+        "timing_policy": (
+            "queries[*] is the steady-state (second same-session) wall "
+            "for the run-order front / headline / watch entries listed "
+            "in first_run, first-run wall otherwise"
+        ),
         "sf": float(sf) if sf else None,
         "merge_mode_compare": mm,
         "evolved_read_compare": ev,
@@ -548,6 +578,24 @@ def main() -> None:
             t0 = time.time()
             qs[name](spark, scale_dir).count()
             scale[name]["t_10x_steady"] = round(time.time() - t0, 3)
+            # steady-vs-steady scaling contract for the ANN probes
+            # (r8 verdict item 6): the cold 10x ratio is dominated by
+            # the one-time index/centroid build (8.3x observed), so
+            # the pinned number is steady/steady. The 1x steady wall
+            # is fixed-overhead-bound (~0.3 s — mostly job dispatch),
+            # so a ≤2 pin would flag overhead, not plans; the honest
+            # scale claim for a cluster/bucket-pruned probe is
+            # SUBLINEAR growth, pinned at ≤5 for 10x data (observed
+            # ~4). Breach = the pruning stopped holding (probe scans
+            # the whole index) long before wall time alone says so.
+            if name in steady:
+                scale[name]["t_1x_steady"] = steady[name]
+                ratio = round(
+                    scale[name]["t_10x_steady"] / max(steady[name], 1e-9), 2
+                )
+                scale[name]["steady_ratio_vs_1x"] = ratio
+                scale[name]["steady_ratio_ceiling"] = 5
+                scale[name]["steady_ratio_within_ceiling"] = ratio <= 5
             print(
                 f"# scale10x {name} steady: {scale[name]['t_10x_steady']}s",
                 file=sys.stderr,

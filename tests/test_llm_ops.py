@@ -319,6 +319,43 @@ def test_ann_index_incremental_append(spark, testdata, tmp_path):
     assert got_l == want_l
 
 
+def test_ann_index_fresh_session_reuses_persisted_centroids(
+    spark, monkeypatch, tmp_path
+):
+    """A fresh session facing an already-built ANN index must load the
+    centroids from the JSON persisted beside it — NEVER re-run k-means
+    (the training pass costs ~7 s/session at sf0.1; a silent fallback
+    to retraining is exactly the regression the r8 bench caught cold).
+    Simulated fresh session: build once, clear the in-process cache,
+    then make training and index-writing raise — the second call must
+    succeed entirely from the persisted artifacts and return the same
+    centroids."""
+    from yc_yq_airflow_etl_spark.plans import llm_queries as lq
+
+    sf_dir = "/root/testdata/sf0.001"
+    # build (or reuse a prior test run's) index + centroid JSON
+    idx1, cents1 = lq._ensure_ann_index(spark, sf_dir)
+    assert idx1.count() > 0 and cents1
+
+    monkeypatch.setattr(lq, "_ANN_CENTROID_CACHE", {})
+
+    def _no_train(*a, **kw):
+        raise AssertionError(
+            "k-means re-ran despite a persisted centroid JSON"
+        )
+
+    def _no_write(*a, **kw):
+        raise AssertionError("index rewrite despite the commit sentinel")
+
+    import yc_yq_airflow_etl_spark.operators.similarity as sim
+
+    monkeypatch.setattr(sim, "train_ivf_centroids", _no_train)
+    monkeypatch.setattr(sim, "write_ann_index", _no_write)
+    idx2, cents2 = lq._ensure_ann_index(spark, sf_dir)
+    assert cents2 == cents1  # bit-identical reload, not a retrain
+    assert idx2.count() == idx1.count()
+
+
 def test_connected_components_structures(spark):
     """Min-label propagation on a graph with the shapes that break
     naive implementations: a 6-vertex chain (diameter > 1 round), a

@@ -280,6 +280,67 @@ def test_merge_rewrites_only_touched_files(spark, stats_table):
     assert set(after["stats"]) == set(after["files"])
 
 
+def test_commit_row_accounting_is_metadata_only_with_stats(
+    spark, stats_table, monkeypatch
+):
+    """Stats-backed tables record a physical ``rows:`` count per file
+    at write time, so merge/append/overwrite row accounting must run
+    ZERO recount jobs (at 100 TB a recount is a second object-store
+    scan of data just written). Pinned by forbidding ``_count``
+    outright; legacy manifests without the key keep the fallback
+    (separate test below)."""
+    from yc_yq_airflow_etl_spark.sources.manifest import ManifestTable
+
+    stats_table.overwrite(_ranged(spark, 0, 100))
+    stats_table.append(_ranged(spark, 100, 200))
+    m = stats_table._manifest(spark, stats_table.current_version(spark))
+    assert all(s["rows:"] == 100 for s in m["stats"].values())
+    assert m["rows"] == 200
+
+    def _no_count(self, spark, files):
+        raise AssertionError(
+            f"physical recount of {len(files)} files despite recorded "
+            "per-file rows"
+        )
+
+    monkeypatch.setattr(ManifestTable, "_count", _no_count)
+    updates = spark.createDataFrame([(10, -1), (5000, -3)], ["id", "v"])
+    v = stats_table.merge(updates, "id")
+    after = stats_table._manifest(spark, v)
+    assert after["rows"] == 201  # 200 + 1 insert, from metadata alone
+    stats_table.append(_ranged(spark, 300, 350))
+    final = stats_table._manifest(spark, stats_table.current_version(spark))
+    assert final["rows"] == 251
+
+
+def test_legacy_manifest_without_rowcounts_falls_back_to_recount(
+    spark, stats_table
+):
+    """Pre-r9 manifests carry stats without the ``rows:`` key — the
+    accounting must recount rather than crash or zero out."""
+    stats_table.overwrite(_ranged(spark, 0, 100))
+    v = stats_table.current_version(spark)
+    m = stats_table._manifest(spark, v)
+    for s in m["stats"].values():
+        s.pop("rows:")
+    m.pop("rows")
+    import json as _json
+
+    with open(f"{stats_table.path}/_manifests/v{v}.json", "w") as fh:
+        _json.dump(m, fh)
+    import os as _os
+
+    # drop Hadoop LocalFS's checksum twin — the hand-edit above would
+    # otherwise read as a torn (CRC-mismatched) manifest
+    crc = f"{stats_table.path}/_manifests/.v{v}.json.crc"
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    updates = spark.createDataFrame([(10, -1)], ["id", "v"])
+    v2 = stats_table.merge(updates, "id")
+    after = stats_table._manifest(spark, v2)
+    assert after["rows"] == 100
+
+
 def test_merge_conflict_detection(spark, stats_table):
     stats_table.overwrite(_ranged(spark, 0, 100))
     base = stats_table.current_version(spark)
@@ -1136,14 +1197,23 @@ def test_merge_bucket_pruning_skips_range_overlapped_files(spark, tmp_path):
     after = mt._manifest(spark, v)
 
     survivors = set(before["files"]) & set(after["files"])
+    # pruning is per key: a file is touched only if SOME probe key
+    # falls in its [min, max] AND hashes into its bucket set — so the
+    # out-of-range insert key 9999 touches nothing (its bucket's file
+    # is carried forward; an insert needs no rewrite), stronger than
+    # a global bucket-set intersect which would rewrite that file
+    assert 9999 > hi
     expected_untouched = {
         f
         for f in before["files"]
-        if not {b_upd, b_del, mt.bucket_of(spark, "id", 9999)}
-        & set(before["stats"][f]["bucket:id"])
+        if not any(
+            before["stats"][f]["id"][0] <= k <= before["stats"][f]["id"][1]
+            and b in set(before["stats"][f]["bucket:id"])
+            for k, b in ((123, b_upd), (77, b_del))
+        )
     }
     assert survivors == expected_untouched
-    assert len(survivors) >= 5  # ≥8 - 3 probe buckets stayed untouched
+    assert len(survivors) >= 6  # ≥8 - 2 in-range probe buckets
 
     got = {r.id: r.v for r in mt.read(spark).collect()}
     assert got[123] == -1 and got[9999] == -2
@@ -1978,8 +2048,10 @@ def test_staged_cleanup_covers_base_exceptions(spark, tmp_path, monkeypatch):
     def interrupt(*a, **k):
         raise KeyboardInterrupt
 
-    # frozen dataclass: patch at the class, not the instance
-    monkeypatch.setattr(ManifestTable, "_count", interrupt)
+    # frozen dataclass: patch at the class, not the instance. The
+    # stats job is the window's remaining Spark action now that row
+    # accounting is metadata-only (_count no longer runs there).
+    monkeypatch.setattr(ManifestTable, "_file_stats", interrupt)
     with pytest.raises(KeyboardInterrupt):
         t.update_where(spark, "id < 3", {"v": F.lit(0)})
     after = {p.name for p in data_dir.iterdir() if p.suffix == ".parquet"}

@@ -87,6 +87,11 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("o_custkey").alias("n_customers"),
             F.count(F.lit(1)).alias("n_orders"),
+            # deepened pins (r9): multi-distinct in ONE aggregate
+            # (Catalyst expands via Expand, one pass) + key span
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
         )
         .orderBy("o_orderstatus")
     )
@@ -94,7 +99,10 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DISTINCT_ORACLE = """
 SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
-       count(*) AS n_orders
+       count(*) AS n_orders,
+       count(DISTINCT o_orderpriority) AS n_priorities,
+       min(o_orderkey) AS min_key,
+       max(o_orderkey) AS max_key
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
@@ -123,11 +131,17 @@ def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx("o_totalprice", 0.5, 1000).alias("_p50"),
             F.expr("percentile(o_totalprice, 0.49)").alias("_lo"),
             F.expr("percentile(o_totalprice, 0.51)").alias("_hi"),
+            # deepened pins (r9): group volume and an exact money sum
+            # alongside the sketch contracts
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
         )
     )
     return g.select(
         "o_orderstatus",
         "exact_customers",
+        "n_orders",
+        "sum_price",
         (
             F.abs(F.col("_approx") - F.col("exact_customers"))
             <= F.col("exact_customers") * 0.02
@@ -141,6 +155,8 @@ def approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 APPROX_DISTINCT_ORACLE = """
 SELECT o_orderstatus,
        CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
        TRUE AS hll_within_2pct,
        TRUE AS p50_within_rank_eps
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
@@ -216,6 +232,12 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("revenue_delta"),
             F.count(F.lit(1)).alias("n_rows"),
+            # deepened pins (r9): the matched set itself, not just its
+            # revenue — a predicate drifting off by one row or one day
+            # flips these even when the money happens to round the same
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.min(F.to_date("l_shipdate")).alias("first_ship_day"),
+            F.max(F.to_date("l_shipdate")).alias("last_ship_day"),
         )
     )
 
@@ -223,7 +245,10 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q6_ORACLE = """
 SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue_delta,
-       CAST(count(*) AS BIGINT) AS n_rows
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(min(l_shipdate) AS DATE) AS first_ship_day,
+       CAST(max(l_shipdate) AS DATE) AS last_ship_day
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -756,6 +781,12 @@ def json_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum("k").alias("sum_k"),
             F.max("k").alias("max_k"),
+            # deepened pins (r9): parse-miss count (from_json's
+            # null-on-absent must agree with the oracle's regex miss)
+            # and per-type reach
+            F.min("k").alias("min_k"),
+            F.sum(F.col("k").isNull().cast("bigint")).alias("n_null_k"),
+            F.countDistinct("user_id").alias("n_users"),
         )
         .orderBy("event_type")
     )
@@ -764,7 +795,12 @@ def json_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 JSON_PROPS_ORACLE = """
 SELECT event_type, count(*) AS n,
        CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
-       max(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS max_k
+       max(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS max_k,
+       min(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS min_k,
+       CAST(sum(CASE WHEN TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1)
+                              AS BIGINT) IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -3393,6 +3429,14 @@ def ensure_merge_base_demo(spark: SparkSession, sf_dir: str) -> str:
     path = os.path.join(tempfile.gettempdir(), f"manifest_merge_base_{tag}")
     mt = ManifestTable(path, stat_cols=("o_orderkey",))
     v = mt.current_version(spark)
+    if v == 3:
+        # a cached base built before per-file row counts existed would
+        # silently keep the merge on the legacy recount fallback —
+        # rebuild it so the bench measures the metadata-only path
+        stats = mt._manifest(spark, 3).get("stats", {})
+        if not all("rows:" in s for s in stats.values()):
+            v = None
+            shutil.rmtree(path, ignore_errors=True)
     if v != 3:
         if v is not None:  # partial/stale build: start clean
             shutil.rmtree(path, ignore_errors=True)

@@ -451,8 +451,20 @@ def _ensure_ann_index(spark: SparkSession, sf_dir: str):
         sample = emb.filter(md5_bucket(F.col("vec_id"), 4) == 0)
         cents = train_ivf_centroids(sample, k_clusters=8, iters=2)
         _ANN_CENTROID_CACHE[key] = cents
-    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+    # our own commit sentinel, NOT Spark's _SUCCESS: the session runs
+    # partitionOverwriteMode=dynamic, and a dynamic partitioned
+    # overwrite never writes a root _SUCCESS — the old check was
+    # always false, so every query paid a full index rewrite (caught
+    # by test_ann_index_fresh_session_reuses_persisted_centroids).
+    # Local tempdir fixture, so os-level atomics suffice (production
+    # object-store indexes go through the manifest layer instead).
+    ready = os.path.join(idx, "_INDEX_READY")
+    if not os.path.exists(ready):
         write_ann_index(emb, idx, cents)
+        tmp = f"{ready}.{os.getpid()}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write("ok")
+        os.replace(tmp, ready)
     if not os.path.exists(cents_path):
         # per-process tmp name: concurrent sessions (bench + selfcheck
         # sharing the tempdir) must not write through one tmp path —

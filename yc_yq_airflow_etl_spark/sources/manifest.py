@@ -201,6 +201,28 @@ def _widens_to(src, dst) -> bool:
 _STATS_TYPES = {"tinyint", "smallint", "int", "bigint", "float", "double", "string"}
 
 
+def _stats_sql_type(bounds) -> str:
+    """SQL type for a column of recorded min/max stat values (post-
+    JSON-round-trip: int, float, or str — the only shapes
+    ``_STATS_TYPES`` admits). Inferred from the first non-null value,
+    like ``createDataFrame``'s own inference used to, but tolerant of
+    all-null columns (bucket-only files record no range): any type
+    works there since every comparison against NULL is non-matching."""
+    for v in bounds:
+        if v is None:
+            continue
+        if isinstance(v, bool):  # bool is an int subclass — reject it
+            break
+        if isinstance(v, int):
+            return "bigint"
+        if isinstance(v, float):
+            return "double"
+        if isinstance(v, str):
+            return "string"
+        break
+    return "bigint"
+
+
 def _bucket_canon_type(dtype: str | None, col: str) -> str:
     """Canonical hash-input type for a bucket column: integer widths
     all hash as bigint, floats as double, strings as-is — so the probe
@@ -565,7 +587,16 @@ class ManifestTable:
                     f"{sorted(_STATS_TYPES)} survive the JSON manifest "
                     "round-trip with correct ordering"
                 )
-        aggs = []
+        aggs = [
+            # physical row count per file, rides the same pass for
+            # free: commits then account rows from METADATA (recorded
+            # count of carried/new files ± DV debt) instead of
+            # re-reading freshly written data — at 100 TB that second
+            # object-store scan per commit is the cost that matters.
+            # Keyed "rows:" (empty column part) so it can never
+            # collide with a real column's range entry.
+            F.count(F.lit(1)).alias("_rc"),
+        ]
         for c in self.stat_cols:
             aggs.append(F.min(c).alias(f"_mn_{c}"))
             aggs.append(F.max(c).alias(f"_mx_{c}"))
@@ -589,7 +620,7 @@ class ManifestTable:
         )
         out: dict[str, dict[str, list]] = {}
         for r in rows:
-            entry = {}
+            entry = {"rows:": int(r["_rc"])}
             for c in self.stat_cols:
                 mn, mx = r[f"_mn_{c}"], r[f"_mx_{c}"]
                 # an entirely-null column yields null min/max: record NO
@@ -846,7 +877,7 @@ class ManifestTable:
             stats = self._file_stats(spark, files)
             if stats:
                 extra["stats"] = stats
-            rows = self._count(spark, files)
+            rows = self._rows_of(spark, stats, files)
 
             def rebase() -> tuple[list[str], int, dict]:
                 # re-check the identifier contract against the
@@ -887,9 +918,10 @@ class ManifestTable:
         a commit race costs one listing + one manifest read, never a
         Spark job. (Recounting everything per attempt would make the
         commit loop O(table) under contention — exactly when it
-        retries most.) Fallback recount only for a legacy manifest
-        with no recorded ``rows``."""
-        new_rows = self._count(spark, new_files)
+        retries most.) The new files' count itself comes from the
+        just-computed per-file stats when recorded; fallback recount
+        only for stats-less tables / legacy manifests."""
+        new_rows = self._rows_of(spark, new_stats, new_files)
 
         def rebase() -> tuple[list[str], int, dict]:
             prev = self.current_version(spark)
@@ -898,7 +930,9 @@ class ManifestTable:
             allf = old_files + new_files
             prev_rows = old_manifest.get("rows")
             if prev_rows is None and old_files:
-                prev_rows = self._count(spark, old_files)
+                prev_rows = self._rows_of(
+                    spark, old_manifest.get("stats", {}), old_files
+                )
             rows = int(prev_rows or 0) + new_rows
             extra: dict = {}
             # the high-water mark survives EVERY append, batch-tagged
@@ -1109,7 +1143,7 @@ class ManifestTable:
             stats = self._file_stats(spark, files)
             if stats:
                 extra["stats"] = stats
-            rows = self._count(spark, files)
+            rows = self._rows_of(spark, stats, files)
 
             def rebase() -> tuple[list[str], int, dict]:
                 cur = self.current_version(spark)
@@ -1217,7 +1251,7 @@ class ManifestTable:
             stats = self._file_stats(spark, files)
             if stats:
                 extra["stats"] = stats
-            rows = self._count(spark, files)
+            rows = self._rows_of(spark, stats, files)
 
             def rebase() -> tuple[list[str], int, dict]:
                 cur = self.current_version(spark)
@@ -1512,9 +1546,9 @@ class ManifestTable:
         subtraction negative."""
         if manifest.get("rows") is not None:
             return int(manifest["rows"])
-        return self._count(spark, manifest.get("files", [])) - self._dv_rows(
-            manifest
-        )
+        return self._rows_of(
+            spark, manifest.get("stats", {}), manifest.get("files", [])
+        ) - self._dv_rows(manifest)
 
     @staticmethod
     def _dv_rows(manifest: dict, files: list[str] | None = None) -> int:
@@ -1733,6 +1767,33 @@ class ManifestTable:
             *[f"{self.path}/data/{f}" for f in files]
         ).count()
 
+    @staticmethod
+    def _recorded_rows(stats: dict, files) -> int | None:
+        """Sum of the per-file physical row counts recorded in stats
+        (the ``rows:`` key ``_file_stats`` writes), or None when ANY
+        file lacks one — legacy manifests and stats-less tables fall
+        back to a physical recount. Callers subtract DV debt
+        themselves, exactly as they do around ``_count``."""
+        total = 0
+        for f in files:
+            r = stats.get(f, {}).get("rows:")
+            # anything but a plain int (absent; or a [min,max] range —
+            # a stat column literally NAMED "rows:" overwrites the
+            # count key) falls back to the recount, which is correct
+            # regardless of what the entry holds
+            if not isinstance(r, int) or isinstance(r, bool):
+                return None
+            total += r
+        return total
+
+    def _rows_of(
+        self, spark: SparkSession, stats: dict, files: list[str]
+    ) -> int:
+        """Physical rows in ``files``: metadata when every file has a
+        recorded count, one recount job otherwise."""
+        rec = self._recorded_rows(stats, files)
+        return self._count(spark, files) if rec is None else rec
+
     def pruned_files(
         self,
         spark: SparkSession,
@@ -1897,80 +1958,125 @@ class ManifestTable:
         # under the recorded schema — a drifted type must widen or fail
         # HERE, not brick every later read
         updates = self._conform_to_schema(updates, m, "merge updates")
-        if updates.groupBy(key).count().filter("count > 1").limit(1).count():
-            raise ValueError(f"updates carry duplicate {key!r} values")
         dk = None
         if delete_keys is not None:
             dk = delete_keys.select(
                 F.col(delete_keys.columns[0]).alias(key)
             ).distinct()
-            if updates.select(key).join(dk, key).limit(1).count():
-                raise ValueError(
-                    "a key appears in BOTH updates and delete_keys — "
-                    "the merge outcome would be ambiguous"
+
+        # ONE batch-wide job decides everything the keys can decide:
+        # duplicate-update detection, update∩delete ambiguity, and the
+        # touched-file set. At 100 TB this is one shuffle of the CDC
+        # batch (groupBy key) feeding a broadcast join against the
+        # file metadata, instead of the four separate batch scans the
+        # clause-per-job formulation costs (dup-check aggregation,
+        # ambiguity semi-join, bucket probe, range probe). The range
+        # and bucket proofs are applied PER KEY in the join condition
+        # — strictly stronger pruning than a global bucket-set
+        # intersect, and still exact: key k can live in file f only if
+        # k ∈ [min, max] AND bucket(k) ∈ the file's recorded set.
+        probe = updates.select(
+            F.col(key).alias("_k"),
+            F.lit(1).alias("_u"),
+            F.lit(0).alias("_d"),
+        )
+        if dk is not None:
+            probe = probe.unionByName(
+                dk.select(
+                    F.col(key).alias("_k"),
+                    F.lit(0).alias("_u"),
+                    F.lit(1).alias("_d"),
                 )
+            )
+        keyed = probe.groupBy("_k").agg(
+            F.sum("_u").alias("_cu"), F.max("_d").alias("_cd")
+        )
+        bucket_n = dict(self.bucket_cols).get(key)
+        if bucket_n is not None:
+            # hash every probe key with the SAME expression the commit
+            # side recorded (xxhash64 over the column's canonical type
+            # — see bucket_of). NULL keys hash to NULL and match no
+            # file, like the range clause (a NULL probe never touches
+            # a file).
+            dtype = dict(self.read(spark, version=base).dtypes).get(key)
+            canon = _bucket_canon_type(dtype, key)
+            keyed = keyed.withColumn(
+                "_b",
+                F.pmod(F.xxhash64(F.col("_k").cast(canon)), F.lit(bucket_n)),
+            )
+        else:
+            keyed = keyed.withColumn("_b", F.lit(None).cast("bigint"))
 
         def _bounds(f: str):
             rng = stats.get(f, {}).get(key)
             if rng is None or rng[0] is None or rng[1] is None:
-                return None  # no/null stats → conservatively touched
+                return None  # no/null stats → no range proof
             return rng
 
-        probe = updates.select(F.col(key).alias("_k"))
-        if dk is not None:
-            probe = probe.unionByName(dk.select(F.col(key).alias("_k")))
+        def _bset(f: str):
+            if bucket_n is None:
+                return None
+            s = stats.get(f, {}).get(f"bucket:{key}")
+            # [] is VALID metadata (only-null file: no key can match);
+            # None means no bucket proof recorded
+            return None if s is None else [int(b) for b in s]
 
-        candidates = list(m["files"])
-        bucket_n = dict(self.bucket_cols).get(key)
-        if bucket_n is not None and candidates:
-            # bucket-set pruning: hash every probe key with the SAME
-            # expression the commit side recorded (xxhash64 over the
-            # column's canonical type — see bucket_of), collect the
-            # distinct bucket ids (≤ bucket modulus — metadata-scale),
-            # and drop files whose recorded set misses all of them.
-            # NULL keys hash to NULL and prune nothing, matching the
-            # range join (a NULL probe never touches a file).
-            dtype = dict(self.read(spark, version=base).dtypes).get(key)
-            canon = _bucket_canon_type(dtype, key)
-            probe_buckets = {
-                int(r["_b"])
-                for r in probe.select(
-                    F.pmod(
-                        F.xxhash64(F.col("_k").cast(canon)),
-                        F.lit(bucket_n),
-                    ).alias("_b")
-                )
-                .distinct()
-                .collect()
-                if r["_b"] is not None
-            }
-            candidates = [
-                f
-                for f in candidates
-                if (bset := stats.get(f, {}).get(f"bucket:{key}")) is None
-                or probe_buckets.intersection(bset)
-            ]
+        provable: list[tuple] = []  # at least one proof recorded
+        touched: set[str] = set()  # no usable metadata → conservative
+        for f in m["files"]:
+            rng, bs = _bounds(f), _bset(f)
+            if rng is None and bs is None:
+                touched.add(f)
+            else:
+                mn, mx = rng if rng is not None else (None, None)
+                provable.append((f, mn, mx, bs))
 
-        ranged = [
-            (f, _bounds(f)[0], _bounds(f)[1])
-            for f in candidates
-            if _bounds(f) is not None
+        dup_rows = ambiguous = False
+        flag_aggs = [
+            F.max("_cu").alias("_mcu"),
+            F.max(
+                ((F.col("_cu") > 0) & (F.col("_cd") > 0)).cast("int")
+            ).alias("_amb"),
         ]
-        unranged = [f for f in candidates if _bounds(f) is None]
-        touched = set(unranged)
-        if ranged:
-            ranges = spark.createDataFrame(ranged, ["_f", "_mn", "_mx"])
-            hits = (
-                probe.join(
-                    F.broadcast(ranges),
-                    (F.col("_k") >= F.col("_mn"))
-                    & (F.col("_k") <= F.col("_mx")),
-                )
-                .select("_f")
-                .distinct()
-                .collect()  # bounded by file count — metadata-scale
+        if provable:
+            bound_t = _stats_sql_type(
+                v for _, mn, mx, _ in provable for v in (mn, mx)
             )
-            touched.update(r._f for r in hits)
+            files_df = spark.createDataFrame(
+                provable,
+                f"_f string, _mn {bound_t}, _mx {bound_t}, _bs array<bigint>",
+            )
+            hit = (
+                F.col("_k").isNotNull()
+                & (F.col("_mn").isNull() | (F.col("_k") >= F.col("_mn")))
+                & (F.col("_mx").isNull() | (F.col("_k") <= F.col("_mx")))
+                & (
+                    F.col("_bs").isNull()
+                    | F.array_contains(F.col("_bs"), F.col("_b"))
+                )
+            )
+            per_file = (
+                keyed.join(F.broadcast(files_df), hit, "left")
+                .groupBy("_f")
+                .agg(*flag_aggs)
+                .collect()  # bounded by file count + 1 — metadata-scale
+            )
+            for r in per_file:
+                if r["_f"] is not None:
+                    touched.add(r["_f"])
+                dup_rows = dup_rows or (r["_mcu"] or 0) > 1
+                ambiguous = ambiguous or bool(r["_amb"])
+        else:
+            row = keyed.agg(*flag_aggs).first()
+            dup_rows = (row["_mcu"] or 0) > 1
+            ambiguous = bool(row["_amb"])
+        if dup_rows:
+            raise ValueError(f"updates carry duplicate {key!r} values")
+        if ambiguous:
+            raise ValueError(
+                "a key appears in BOTH updates and delete_keys — "
+                "the merge outcome would be ambiguous"
+            )
         untouched = [f for f in m["files"] if f not in touched]
 
         drop_keys = updates.select(key)
@@ -2016,14 +2122,16 @@ class ManifestTable:
             # contribute their recorded effective total, which equals
             # the snapshot's rows minus the touched files' effective
             # (DV-subtracted) rows
-            new_rows = self._count(spark, new_files)
+            new_rows = self._rows_of(spark, new_stats, new_files)
             if m.get("rows") is None:
-                rows = self._count(spark, final) - self._dv_rows(
+                rows = self._rows_of(
+                    spark, {**stats, **new_stats}, final
+                ) - self._dv_rows(
                     m, untouched
                 )  # legacy manifest without a recorded count
             else:
                 touched_eff = (
-                    self._count(spark, sorted(touched))
+                    self._rows_of(spark, stats, sorted(touched))
                     - self._dv_rows(m, sorted(touched))
                     if touched
                     else 0
@@ -2644,7 +2752,7 @@ class ManifestTable:
         # pre-publish window: stats/count jobs over the staged rewrite
         with self._staged_cleanup(spark, new_files):
             new_stats = self._file_stats(spark, new_files)
-            new_rows = self._count(spark, new_files)
+            new_rows = self._rows_of(spark, new_stats, new_files)
             final = untouched + new_files
             # legacy manifest without a recorded count: recount like
             # merge()/_merge_mor/_delete_mor do — a 0 default would
