@@ -185,6 +185,46 @@ def main() -> None:
     # comparable across rounds once the front rotates.
     steady: dict[str, float] = {}
     first_run: dict[str, float] = {}
+    # data-driven steady set: besides the fixed front/headline/watch
+    # entries, re-run every query whose first-run wall moved >1.4x vs
+    # the PREVIOUS committed sidecar — run-order artifacts are not
+    # confined to the front (r9: dedup_exact 5.7x and
+    # range_join_price_bands 3.7x "regressions" at mid-run positions,
+    # both back at their old walls on a second run). A REAL plan
+    # regression survives its steady re-run; only warm-up noise is
+    # removed. Capped so a globally-slow machine day cannot double
+    # the bench.
+    # baseline = the COMMITTED sidecar (repeat in-session runs
+    # overwrite the disk copy, so git holds the stable reference);
+    # fall back to the disk file outside a git checkout
+    prev_walls: dict[str, float] = {}
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    try:
+        import subprocess
+
+        prev_walls = json.loads(
+            subprocess.check_output(
+                ["git", "show", "HEAD:bench_structure.json"],
+                cwd=repo_dir,
+                stderr=subprocess.DEVNULL,
+            )
+        ).get("queries", {})
+    except Exception:
+        try:
+            with open(os.path.join(repo_dir, "bench_structure.json")) as fh:
+                prev_walls = json.load(fh).get("queries", {})
+        except Exception:
+            pass
+    moved = sorted(
+        (
+            n
+            for n in names
+            if n in timings
+            and prev_walls.get(n, 0) > 0.15
+            and timings[n] / prev_walls[n] > 1.4
+        ),
+        key=lambda n: -(timings[n] / prev_walls[n]),
+    )[:40]
     steady_names = list(
         dict.fromkeys(
             names[:12]
@@ -200,6 +240,7 @@ def main() -> None:
                 )
                 if n in qs
             ]
+            + moved
         )
     )
     for name in steady_names:

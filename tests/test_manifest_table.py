@@ -341,6 +341,44 @@ def test_legacy_manifest_without_rowcounts_falls_back_to_recount(
     assert after["rows"] == 100
 
 
+def test_merge_prunes_on_string_and_double_keys(spark, tmp_path):
+    """Touched-file selection must hold for every _STATS_TYPES key
+    shape the JSON manifest round-trips: string bounds compare
+    lexicographically, double bounds numerically (the typed file-
+    metadata frame the single-pass probe broadcasts)."""
+    from yc_yq_airflow_etl_spark.sources.manifest import ManifestTable
+
+    # string key: two files with disjoint lexicographic ranges
+    st = ManifestTable(str(tmp_path / "skey"), stat_cols=("k",))
+    st.overwrite(
+        spark.createDataFrame([("apple", 1), ("car", 2)], ["k", "v"]).coalesce(1)
+    )
+    st.append(
+        spark.createDataFrame([("melon", 3), ("zebra", 4)], ["k", "v"]).coalesce(1)
+    )
+    before = set(st._manifest(spark, st.current_version(spark))["files"])
+    v = st.merge(spark.createDataFrame([("banana", -1)], ["k", "v"]), "k")
+    after = st._manifest(spark, v)
+    assert len(before & set(after["files"])) == 1  # melon/zebra carried
+    got = {r.k: r.v for r in st.read(spark).collect()}
+    assert got == {"apple": 1, "banana": -1, "car": 2, "melon": 3, "zebra": 4}
+
+    # double key: update hits only the low-range file
+    dt = ManifestTable(str(tmp_path / "dkey"), stat_cols=("k",))
+    dt.overwrite(
+        spark.createDataFrame([(0.5, 1), (0.9, 2)], ["k", "v"]).coalesce(1)
+    )
+    dt.append(
+        spark.createDataFrame([(10.5, 3), (99.9, 4)], ["k", "v"]).coalesce(1)
+    )
+    before = set(dt._manifest(spark, dt.current_version(spark))["files"])
+    v = dt.merge(spark.createDataFrame([(0.9, -2)], ["k", "v"]), "k")
+    after = dt._manifest(spark, v)
+    assert len(before & set(after["files"])) == 1
+    got = {r.k: r.v for r in dt.read(spark).collect()}
+    assert got == {0.5: 1, 0.9: -2, 10.5: 3, 99.9: 4}
+
+
 def test_merge_conflict_detection(spark, stats_table):
     stats_table.overwrite(_ranged(spark, 0, 100))
     base = stats_table.current_version(spark)

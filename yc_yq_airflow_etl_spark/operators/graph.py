@@ -103,31 +103,39 @@ def pagerank(
         ).localCheckpoint()
         rank_id = checkpointed_rdd_id(ranks)
 
-        for _ in range(iterations):
-            contribs = (
-                edges_deg.join(ranks, edges_deg["src"] == ranks["id"])
-                .select(
-                    F.col("dst").alias("id"),
-                    (F.col("rank") / F.col("out_deg")).alias("c"),
+        try:
+            for _ in range(iterations):
+                contribs = (
+                    edges_deg.join(ranks, edges_deg["src"] == ranks["id"])
+                    .select(
+                        F.col("dst").alias("id"),
+                        (F.col("rank") / F.col("out_deg")).alias("c"),
+                    )
+                    .groupBy("id")
+                    .agg(F.sum("c").alias("in_mass"))
                 )
-                .groupBy("id")
-                .agg(F.sum("c").alias("in_mass"))
-            )
-            # Symmetrized graph ⇒ every vertex has in-edges, so the
-            # inner aggregate covers the whole vertex set — no
-            # outer-join top-up.
-            new_ranks = contribs.select(
-                "id",
-                (F.lit(teleport) + F.lit(damping) * F.col("in_mass")).alias(
-                    "rank"
-                ),
-            ).localCheckpoint()  # eager: truncates plan AND materializes
-            # the new generation is materialized; free the superseded
-            # one (checkpoint blocks outlive DataFrame dereference —
-            # see operators/checkpoints.py)
+                # Symmetrized graph ⇒ every vertex has in-edges, so the
+                # inner aggregate covers the whole vertex set — no
+                # outer-join top-up.
+                new_ranks = contribs.select(
+                    "id",
+                    (
+                        F.lit(teleport) + F.lit(damping) * F.col("in_mass")
+                    ).alias("rank"),
+                ).localCheckpoint()  # eager: truncates plan AND materializes
+                # the new generation is materialized; free the superseded
+                # one (checkpoint blocks outlive DataFrame dereference —
+                # see operators/checkpoints.py)
+                free_checkpoint(spark, rank_id)
+                ranks, rank_id = new_ranks, checkpointed_rdd_id(new_ranks)
+            return ranks
+        except BaseException:
+            # a mid-iteration failure must free the last live rank
+            # generation too (the finally below only covers the loop
+            # invariants); on success the returned frame keeps its
+            # checkpoint — the caller owns it
             free_checkpoint(spark, rank_id)
-            ranks, rank_id = new_ranks, checkpointed_rdd_id(new_ranks)
-        return ranks
+            raise
     finally:
         # executor memory is a shared resource: a mid-iteration failure
         # must not leak the persisted loop invariants
