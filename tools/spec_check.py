@@ -47,6 +47,11 @@ INVARIANTS: dict[str, tuple[str, list[str]]] = {
         ["test_merge_and_compact_carry_batch_high_water_mark",
          "test_plain_append_carries_stream_high_water_mark"],
     ),
+    "metadata-only-row-accounting": (
+        "Row accounting is metadata-only on stats-backed tables",
+        ["test_commit_row_accounting_is_metadata_only_with_stats",
+         "test_legacy_manifest_without_rowcounts_falls_back_to_recount"],
+    ),
     "staged-cleanup-provability": (
         "Staged-file cleanup is classified POSITIONALLY by failure\n"
         "  provability",
