@@ -172,7 +172,12 @@ def build_cms(
     rows = F.explode(
         F.array(*[F.lit(r) for r in range(depth)])
     ).alias("r")
-    keyed = df.select(F.col(key_col).cast("string").alias("_k"), rows)
+    # NULL keys have no frequency semantics: md5(NULL) is NULL, so
+    # unfiltered they would land as (r, NULL-bucket) junk cells — never
+    # probed (NULL joins nothing) but carried by every merge forever
+    keyed = df.filter(F.col(key_col).isNotNull()).select(
+        F.col(key_col).cast("string").alias("_k"), rows
+    )
     bucket = (
         F.conv(
             F.substring(

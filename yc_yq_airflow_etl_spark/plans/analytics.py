@@ -413,6 +413,11 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(revenue).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
+            # deepened pins (r9): join reach (distinct customers and
+            # orders surviving the snowflake) — a dropped/duplicated
+            # join row flips these even when revenue rounds the same
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
         )
         .orderBy("r_name", "n_name")
     )
@@ -422,7 +427,9 @@ REGION_REVENUE_ORACLE = """
 SELECT r_name, n_name,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
-       count(*) AS n_lineitems
+       count(*) AS n_lineitems,
+       count(DISTINCT o_orderkey) AS n_orders,
+       count(DISTINCT c_custkey) AS n_customers
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
