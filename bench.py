@@ -583,6 +583,12 @@ def main() -> None:
             # equi-join probe — the ratio tests the no-self-join claim
             "cooccurrence_pmi",  # vocab-capped pair fan-out: per-doc
             # bounded, so 10x docs should be ~linear
+            "token_packing_bins",  # r8 watch query: the packing prefix
+            # sum is a lang-partitioned window — a ratio near 1x at 10x
+            # docs is the direct evidence there's no global sort hiding
+            # in the plan
+            "unigram_logprob_scores",  # 1-row broadcast totals + JVM
+            # tokenizer: map-side cost only, should track data ~linearly
         ):
             t0 = time.time()
             n = qs[name](spark, scale_dir).count()
