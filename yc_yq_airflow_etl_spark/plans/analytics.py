@@ -1266,6 +1266,13 @@ def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("O", F.lit(0)).alias("n_o"),
             F.coalesce("P", F.lit(0)).alias("n_p"),
         )
+        # completeness pin (r9): Spark derives the total from the
+        # pivoted columns, the oracle counts ALL rows — a status value
+        # outside the fixed pivot list diverges the two and fails the
+        # hash, catching silent row loss a static value list can hide
+        .withColumn(
+            "n_total", F.col("n_f") + F.col("n_o") + F.col("n_p")
+        )
         .orderBy("yr")
     )
 
@@ -1274,7 +1281,8 @@ PIVOT_ORACLE = """
 SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
        count(*) FILTER (o_orderstatus = 'F') AS n_f,
        count(*) FILTER (o_orderstatus = 'O') AS n_o,
-       count(*) FILTER (o_orderstatus = 'P') AS n_p
+       count(*) FILTER (o_orderstatus = 'P') AS n_p,
+       count(*) AS n_total
 FROM orders GROUP BY 1 ORDER BY yr
 """
 
