@@ -341,6 +341,51 @@ def test_legacy_manifest_without_rowcounts_falls_back_to_recount(
     assert after["rows"] == 100
 
 
+def test_merge_touched_selection_scales_to_thousand_files(spark, stats_table):
+    """The touched-file decision is METADATA-scale: merge against a
+    1000-file snapshot where 999 files' ranges provably exclude the
+    batch must open only the one real file — the synthetic 999 have no
+    bytes on disk, so any code path that touches them fails loudly.
+    This pins the single-job fold at a file count ~250x the other
+    merge tests (the shape a year of CDC appends produces)."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    stats_table.overwrite(_ranged(spark, 0, 100))
+    v = stats_table.current_version(spark)
+    m = stats_table._manifest(spark, v)
+    real = list(m["files"])
+    for i in range(1, 1000):
+        name = f"synth_{i:04d}.parquet"
+        m["files"].append(name)
+        m["stats"][name] = {
+            "rows:": 10,
+            "id": [i * 1000, i * 1000 + 999],
+            "nulls:id": 0,
+        }
+    m["rows"] = int(m["rows"]) + 999 * 10
+    with open(f"{stats_table.path}/_manifests/v{v}.json", "w") as fh:
+        _json.dump(m, fh)
+    crc = f"{stats_table.path}/_manifests/.v{v}.json.crc"
+    if _os.path.exists(crc):
+        _os.remove(crc)
+
+    ups = spark.createDataFrame([(10, -1)], ["id", "v"])
+    t0 = _time.time()
+    v2 = stats_table.merge(ups, "id")
+    wall = _time.time() - t0
+    after = stats_table._manifest(spark, v2)
+    synth = {f for f in after["files"] if f.startswith("synth_")}
+    assert len(synth) == 999  # every provably-unmatched file carried
+    assert real[0] not in after["files"]  # the one real file rewrote
+    assert after["rows"] == 100 + 999 * 10  # metadata-only accounting
+    # carried stats survive by name
+    assert after["stats"]["synth_0500.parquet"]["rows:"] == 10
+    # generous ceiling: a per-file job regression would blow minutes
+    assert wall < 30, f"1000-file merge took {wall:.1f}s"
+
+
 def test_merge_prunes_on_string_and_double_keys(spark, tmp_path):
     """Touched-file selection must hold for every _STATS_TYPES key
     shape the JSON manifest round-trips: string bounds compare
