@@ -1304,6 +1304,9 @@ def explode_embedding_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("val"), 6).alias("mean_val"),
             F.round(F.min("val"), 6).alias("min_val"),
             F.round(F.max("val"), 6).alias("max_val"),
+            # deepened pin (r9): exact integer sign count — immune to
+            # the float-rounding slack the 6-decimal rounds allow
+            F.sum((F.col("val") >= 0).cast("bigint")).alias("n_nonneg"),
         )
         .orderBy("dim")
     )
@@ -1318,7 +1321,9 @@ WITH flat AS (
 SELECT CAST(p[2] - 1 AS INTEGER) AS dim, count(*) AS n,
        round(avg(CAST(p[1] AS DOUBLE)), 6) AS mean_val,
        round(min(CAST(p[1] AS DOUBLE)), 6) AS min_val,
-       round(max(CAST(p[1] AS DOUBLE)), 6) AS max_val
+       round(max(CAST(p[1] AS DOUBLE)), 6) AS max_val,
+       CAST(sum(CASE WHEN CAST(p[1] AS DOUBLE) >= 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_nonneg
 FROM flat GROUP BY 1 ORDER BY dim
 """
 
