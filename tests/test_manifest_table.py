@@ -2161,6 +2161,102 @@ def test_merge_with_delete_keys_single_atomic_commit(spark, tmp_path):
         t.merge(ups, "id", delete_keys=spark.createDataFrame([(3,)], "id long"))
 
 
+@pytest.mark.parametrize("mode", ["copy-on-write", "merge-on-read"])
+def test_merge_null_key_in_both_clauses_is_deterministic(spark, tmp_path, mode):
+    """NULL keys are exempt from the update∩delete ambiguity check —
+    a NULL never equi-matches any row (carry-forward anti join, MOR
+    position probe), so a NULL-keyed update always INSERTS and a NULL
+    delete key always NO-OPS: the outcome is deterministic, the same
+    contract the pre-r9 per-clause equi-join check gave. The batch
+    must succeed, not raise (r9 ADVICE)."""
+    t = ManifestTable(str(tmp_path / "mt"), stat_cols=("id",))
+    t.overwrite(_df(spark, 0, 10).coalesce(1))
+
+    ups = spark.createDataFrame([(None, 777), (3, 999)], "id long, v long")
+    dels = spark.createDataFrame([(None,), (7,)], "id long")
+    t.merge(ups, "id", delete_keys=dels, mode=mode)
+    got = t.read(spark).collect()
+    by_id = {r.id: r.v for r in got if r.id is not None}
+    assert [r.v for r in got if r.id is None] == [777]  # NULL row inserted
+    assert by_id[3] == 999  # non-NULL update applied
+    assert 7 not in by_id  # non-NULL delete applied
+    assert len(got) == 10  # 10 - 1 deleted + 1 NULL inserted
+    # a NON-NULL key in both clauses still raises
+    with pytest.raises(ValueError, match="BOTH updates and delete_keys"):
+        t.merge(
+            spark.createDataFrame([(5, 1)], "id long, v long"),
+            "id",
+            delete_keys=spark.createDataFrame([(5,)], "id long"),
+            mode=mode,
+        )
+
+
+def test_merge_mixed_int_float_bounds_widens_and_still_prunes(
+    spark, stats_table
+):
+    """A legacy/hand-edited manifest whose recorded bounds for the
+    merge key mix int and float ACROSS files must not abort the merge
+    on createDataFrame's per-row type check (r9 ADVICE): int bounds
+    widen to double and range pruning still holds. An int bound too
+    wide for an exact double (>2^53) falls back to conservatively
+    touched instead of comparing through a rounded range."""
+    import json as _json
+    import os as _os
+
+    stats_table.overwrite(_ranged(spark, 0, 100))
+    stats_table.append(_ranged(spark, 1000, 1100))
+    v = stats_table.current_version(spark)
+    m = stats_table._manifest(spark, v)
+    far = [f for f in m["files"] if m["stats"][f]["id"][0] == 1000]
+    assert len(far) == 1
+    m["stats"][far[0]]["id"] = [1000.0, 1099.0]  # hand-edit: float bounds
+    with open(f"{stats_table.path}/_manifests/v{v}.json", "w") as fh:
+        _json.dump(m, fh)
+    crc = f"{stats_table.path}/_manifests/.v{v}.json.crc"
+    if _os.path.exists(crc):
+        _os.remove(crc)
+
+    ups = spark.createDataFrame([(10, -1)], ["id", "v"])
+    v2 = stats_table.merge(ups, "id")
+    after = stats_table._manifest(spark, v2)
+    # the float-bounded far file provably excludes key 10: pruned,
+    # carried forward by name — widening must not weaken pruning
+    assert far[0] in after["files"]
+    assert after["rows"] == 200
+    got = {r.id: r.v for r in stats_table.read(spark).collect()}
+    assert got[10] == -1 and len(got) == 200
+
+    # huge-int bound mixed with float: exact widening impossible, the
+    # file must be conservatively touched (rewritten) even though its
+    # nominal range excludes the key
+    v3 = stats_table.current_version(spark)
+    m3 = stats_table._manifest(spark, v3)
+    huge = [f for f in m3["files"] if m3["stats"][f]["id"][0] == 1000][0]
+    m3["stats"][huge]["id"] = [2**53 + 1, 2**53 + 3]
+    # keep the int/float mix alive: another file carries float bounds
+    # (same values, widened type) so the widening path must run
+    other = next(f for f in m3["files"] if f != huge)
+    m3["stats"][other]["id"] = [float(x) for x in m3["stats"][other]["id"]]
+    with open(f"{stats_table.path}/_manifests/v{v3}.json", "w") as fh:
+        _json.dump(m3, fh)
+    crc3 = f"{stats_table.path}/_manifests/.v{v3}.json.crc"
+    if _os.path.exists(crc3):
+        _os.remove(crc3)
+    v4 = stats_table.merge(
+        spark.createDataFrame([(11, -2)], ["id", "v"]), "id"
+    )
+    m4 = stats_table._manifest(spark, v4)
+    assert huge not in m4["files"]  # conservatively rewritten
+    got4 = {r.id: r.v for r in stats_table.read(spark).collect()}
+    assert got4[11] == -2 and len(got4) == 200  # in-place update, no loss
+
+    # str/numeric bound mix is inconsistent metadata: fail loudly
+    from yc_yq_airflow_etl_spark.sources.manifest import _stats_sql_type
+
+    with pytest.raises(ValueError, match="mix string and numeric"):
+        _stats_sql_type(iter([1, "a"]))
+
+
 def test_apply_cdc_batch_inserts_updates_deletes_atomically(spark, tmp_path):
     """Changelog apply: per-key LAST change wins (an insert followed
     by a delete in one batch nets to absent), one atomic version per

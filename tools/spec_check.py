@@ -141,6 +141,18 @@ INVARIANTS: dict[str, tuple[str, list[str]]] = {
         "the COW≡MOR observational-equivalence\nproperty",
         ["test_merge_modes_observationally_equivalent"],
     ),
+    "merge-null-key-determinism": (
+        "NULL keys are\nexempt — a NULL never equi-matches any row, so "
+        "a NULL-keyed update\nrow always inserts and a NULL delete key "
+        "is always a no-op, in both\nmodes",
+        ["test_merge_null_key_in_both_clauses_is_deterministic"],
+    ),
+    "mixed-bounds-widening": (
+        "int bounds\nwiden to double for the probe, an int bound too "
+        "wide for an exact\ndouble (>2^53) makes its file conservatively "
+        "touched",
+        ["test_merge_mixed_int_float_bounds_widens_and_still_prunes"],
+    ),
 }
 
 

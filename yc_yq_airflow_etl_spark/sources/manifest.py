@@ -204,22 +204,35 @@ _STATS_TYPES = {"tinyint", "smallint", "int", "bigint", "float", "double", "stri
 def _stats_sql_type(bounds) -> str:
     """SQL type for a column of recorded min/max stat values (post-
     JSON-round-trip: int, float, or str — the only shapes
-    ``_STATS_TYPES`` admits). Inferred from the first non-null value,
-    like ``createDataFrame``'s own inference used to, but tolerant of
-    all-null columns (bucket-only files record no range): any type
-    works there since every comparison against NULL is non-matching."""
+    ``_STATS_TYPES`` admits). Scans ALL values, not just the first
+    non-null one: a manifest whose recorded bounds mix int and float
+    across files (reachable only via hand-edited/legacy manifests,
+    which merge elsewhere explicitly tolerates) widens to double
+    instead of aborting on createDataFrame's per-row type check; a
+    str/numeric mix has no common ordering and raises a clear error.
+    All-null columns (bucket-only files record no range) default to
+    bigint — any type works there since every comparison against NULL
+    is non-matching."""
+    has_int = has_float = has_str = False
     for v in bounds:
-        if v is None:
-            continue
-        if isinstance(v, bool):  # bool is an int subclass — reject it
-            break
+        if v is None or isinstance(v, bool):
+            continue  # bool is an int subclass — not a valid stat value
         if isinstance(v, int):
-            return "bigint"
-        if isinstance(v, float):
-            return "double"
-        if isinstance(v, str):
-            return "string"
-        break
+            has_int = True
+        elif isinstance(v, float):
+            has_float = True
+        elif isinstance(v, str):
+            has_str = True
+    if has_str and (has_int or has_float):
+        raise ValueError(
+            "manifest range stats mix string and numeric bounds for one "
+            "column — the recorded stats are inconsistent; repair the "
+            "manifest or drop the column from stat_cols"
+        )
+    if has_str:
+        return "string"
+    if has_float:
+        return "double"
     return "bigint"
 
 
@@ -1874,7 +1887,11 @@ class ManifestTable:
         commits would expose a half-applied batch and double-advance
         the replay high-water mark). A key appearing in BOTH updates
         and delete_keys is ambiguous and raises; deleting a key that
-        is absent from the table is a no-op (DELETE semantics).
+        is absent from the table is a no-op (DELETE semantics). NULL
+        keys are exempt from the ambiguity check: a NULL never
+        equi-matches any row, so a NULL-keyed update row always
+        inserts and a NULL delete key is always a no-op — the outcome
+        is deterministic even when NULL appears in both clauses.
 
         Touched-file selection is the point at 100 TB: a file is
         rewritten only if its recorded [min, max] for ``key`` overlaps
@@ -2034,14 +2051,48 @@ class ManifestTable:
         dup_rows = ambiguous = False
         flag_aggs = [
             F.max("_cu").alias("_mcu"),
+            # NULL keys are exempt from the ambiguity flag: a NULL never
+            # equi-matches any row downstream (the carry-forward anti
+            # join and the MOR position probe are both equi-joins), so a
+            # NULL update row inserts and a NULL delete key no-ops —
+            # deterministic, the same contract the pre-r9 per-clause
+            # equi-join check gave (it never matched NULLs). Only a
+            # NON-NULL key in both clauses has an ambiguous outcome.
             F.max(
-                ((F.col("_cu") > 0) & (F.col("_cd") > 0)).cast("int")
+                (
+                    (F.col("_cu") > 0)
+                    & (F.col("_cd") > 0)
+                    & F.col("_k").isNotNull()
+                ).cast("int")
             ).alias("_amb"),
         ]
         if provable:
             bound_t = _stats_sql_type(
                 v for _, mn, mx, _ in provable for v in (mn, mx)
             )
+            if bound_t == "double":
+                # mixed int/float bounds (hand-edited/legacy manifests):
+                # int bounds ride along as doubles. An int too wide for
+                # an exact double (|v| > 2^53) would silently shift the
+                # recorded range and could mis-prune, so that file falls
+                # back to conservatively touched instead.
+                widened: list[tuple] = []
+                for f, mn, mx, bs in provable:
+                    vals = []
+                    for v in (mn, mx):
+                        if v is None or isinstance(v, float):
+                            vals.append(v)
+                        elif float(v) == v:
+                            vals.append(float(v))
+                        else:
+                            vals = None
+                            break
+                    if vals is None:
+                        touched.add(f)
+                    else:
+                        widened.append((f, vals[0], vals[1], bs))
+                provable = widened
+        if provable:
             files_df = spark.createDataFrame(
                 provable,
                 f"_f string, _mn {bound_t}, _mx {bound_t}, _bs array<bigint>",
