@@ -1,10 +1,45 @@
 from __future__ import annotations
 
+import json
+import os
+import time
+
 import pytest
 
 from yc_yq_airflow_etl_spark.session import build_session
 
 SF_DIR = "/root/testdata/sf0.001"
+
+
+def pytest_configure(config):
+    config._wall_t0 = time.time()
+
+
+def pytest_sessionfinish(session, exitstatus):
+    """Record this chunk's wall for the suite wall-budget guard: the
+    suite creeps a little each round (104 manifest tests alone are
+    ~7.6 min), and deepening must not silently buy minutes. Appends
+    one JSON line per pytest invocation to .suite_walls.jsonl
+    (gitignored); ``tools/wall_budget.py`` aggregates the real chunks
+    into sec/test and flags >20% growth vs the committed
+    wall_budget.json."""
+    try:
+        if session.config.getoption("--collect-only", default=False):
+            return  # collection walls would poison the sec/test ratio
+        rec = {
+            "ts": round(time.time(), 1),
+            "wall_s": round(time.time() - session.config._wall_t0, 1),
+            "n_tests": int(session.testscollected or 0),
+            "exit": int(exitstatus),
+        }
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".suite_walls.jsonl",
+        )
+        with open(path, "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+    except Exception:
+        pass  # diagnostics only — never fail a test run over it
 
 
 @pytest.fixture(scope="session")

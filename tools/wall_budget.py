@@ -1,0 +1,126 @@
+"""Suite + bench wall-budget guard (r9 verdict item 6).
+
+Both walls creep a little every round (deepened queries, new pinned
+invariants); this makes the creep VISIBLE instead of silent. Two
+budgets live in the committed ``wall_budget.json``:
+
+- ``suite_sec_per_test`` — seconds per collected test, aggregated over
+  the real suite chunks recorded by the conftest hook into
+  ``.suite_walls.jsonl`` (gitignored). Per-test normalization makes
+  the number chunk-layout-agnostic: 3 parallel chunks or one
+  sequential run aggregate to the same ratio, and ADDING tests is
+  free while SLOWING tests is not — exactly the distinction a wall
+  budget should draw.
+- ``bench_wall_sec`` — bench.py's end-to-end wall, which bench.py
+  itself also records and self-flags in bench_structure.json.
+
+``python tools/wall_budget.py`` checks the latest measurements against
+the committed budget and exits 1 past +20% growth (a FLAG to
+investigate — this rig shows ±15% session noise, so re-measure once
+idle before concluding regression). ``--update`` rewrites the budget
+from the latest measurements after an accepted change.
+
+Chunk filter: only records with >= 50 collected tests count (tiny
+``-k`` runs amortize the ~6 s Spark startup over a handful of tests
+and would poison the ratio), and only the most recent records summing
+to >= 250 tests are used (≈ suite coverage at the current 350+ size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(_HERE)
+WALLS = os.path.join(REPO, ".suite_walls.jsonl")
+BUDGET = os.path.join(REPO, "wall_budget.json")
+BENCH_SIDE = os.path.join(REPO, "bench_structure.json")
+
+MIN_CHUNK_TESTS = 50
+MIN_COVERED_TESTS = 250
+MAX_GROWTH_PCT = 20.0
+
+
+def measure_suite_sec_per_test() -> tuple[float, int] | None:
+    """(sec_per_test, n_tests_covered) over the most recent real
+    chunks, or None if not enough has been recorded yet."""
+    if not os.path.exists(WALLS):
+        return None
+    recs = []
+    with open(WALLS) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                r = json.loads(line)
+            except ValueError:
+                continue
+            if r.get("n_tests", 0) >= MIN_CHUNK_TESTS and r.get("exit") == 0:
+                recs.append(r)
+    recs.sort(key=lambda r: r["ts"], reverse=True)
+    wall = tests = 0.0
+    for r in recs:
+        wall += r["wall_s"]
+        tests += r["n_tests"]
+        if tests >= MIN_COVERED_TESTS:
+            break
+    if tests < MIN_COVERED_TESTS:
+        return None
+    return round(wall / tests, 3), int(tests)
+
+
+def measure_bench_wall() -> float | None:
+    try:
+        with open(BENCH_SIDE) as fh:
+            return json.load(fh).get("bench_wall_sec")
+    except Exception:
+        return None
+
+
+def main() -> int:
+    update = "--update" in sys.argv[1:]
+    suite = measure_suite_sec_per_test()
+    bench = measure_bench_wall()
+
+    if update:
+        budget = {
+            "suite_sec_per_test": suite[0] if suite else None,
+            "suite_tests_covered": suite[1] if suite else None,
+            "bench_wall_sec": bench,
+            "max_growth_pct": MAX_GROWTH_PCT,
+        }
+        with open(BUDGET, "w") as fh:
+            json.dump(budget, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        print(f"budget updated: {budget}")
+        return 0
+
+    try:
+        with open(BUDGET) as fh:
+            budget = json.load(fh)
+    except Exception:
+        print("no committed wall_budget.json — run with --update first")
+        return 1
+
+    flags = 0
+    for label, now, ref in (
+        ("suite sec/test", suite[0] if suite else None,
+         budget.get("suite_sec_per_test")),
+        ("bench wall sec", bench, budget.get("bench_wall_sec")),
+    ):
+        if now is None or not ref:
+            print(f"SKIP  {label}: no measurement recorded yet")
+            continue
+        growth = 100.0 * (now / ref - 1.0)
+        status = "FLAG " if growth > MAX_GROWTH_PCT else "OK   "
+        if growth > MAX_GROWTH_PCT:
+            flags += 1
+        print(f"{status} {label}: {now} vs budget {ref} ({growth:+.1f}%)")
+    return 1 if flags else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

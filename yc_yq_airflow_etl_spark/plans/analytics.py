@@ -330,12 +330,21 @@ def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.rollup("yr", "status")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("price").cast("double").alias("total"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("price").cast("double").alias("total"),
+            # deepened pin (r10): grouping-set provenance — a real NULL
+            # coalesced into the 'ALL' sentinel would keep yr/status
+            # identical but flip lvl, and a wrong Expand (missing or
+            # duplicated grouping set) shifts the lvl distribution
+            F.grouping_id().cast("int").alias("lvl"),
+        )
         .select(
             F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("yr"),
             F.coalesce(F.col("status"), F.lit("ALL")).alias("status"),
             "cnt",
             "total",
+            "lvl",
         )
         .orderBy("yr", "status")
     )
@@ -356,12 +365,17 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.sum("price").cast("double").alias("total"),
+            # deepened pin (r10): same grouping-set provenance pin as
+            # rollup_orders — all four CUBE levels must be present with
+            # the exact (priority, status) bit order
+            F.grouping_id().cast("int").alias("lvl"),
         )
         .select(
             F.coalesce(F.col("priority"), F.lit("ALL")).alias("priority"),
             F.coalesce(F.col("status"), F.lit("ALL")).alias("status"),
             "cnt",
             "total",
+            "lvl",
         )
         .orderBy("priority", "status")
     )
@@ -371,7 +385,9 @@ CUBE_ORACLE = """
 SELECT coalesce(o_orderpriority, 'ALL') AS priority,
        coalesce(o_orderstatus, 'ALL') AS status,
        count(*) AS cnt,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS INT)
+           AS lvl
 FROM orders
 GROUP BY CUBE (o_orderpriority, o_orderstatus)
 ORDER BY priority, status
@@ -382,7 +398,9 @@ ROLLUP_ORACLE = """
 SELECT coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
        coalesce(o_orderstatus, 'ALL') AS status,
        count(*) AS cnt,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderstatus) AS INT)
+           AS lvl
 FROM orders
 GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
 ORDER BY yr, status
@@ -487,12 +505,21 @@ def semi_anti_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(F.count(F.lit(1)).alias("without_orders"))
     )
+    # deepened pin (r10): semi and anti must PARTITION each nation's
+    # customers — n_customers is computed independently from the raw
+    # table, so a row leaked into (or dropped from) either side breaks
+    # the with + without = total identity the hash now carries
+    totals = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
     return (
         with_orders.join(without_orders, "c_nationkey", "full_outer")
+        .join(totals, "c_nationkey", "full_outer")
         .select(
             "c_nationkey",
             F.coalesce("with_orders", F.lit(0)).alias("with_orders"),
             F.coalesce("without_orders", F.lit(0)).alias("without_orders"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
         )
         .orderBy("c_nationkey")
     )
@@ -509,11 +536,17 @@ WITH w AS (
     WHERE NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey AND year(o_orderdate) = 1998)
     GROUP BY c_nationkey
+), t AS (
+    SELECT c_nationkey, count(*) AS n_customers FROM customer
+    GROUP BY c_nationkey
 )
-SELECT coalesce(w.c_nationkey, wo.c_nationkey) AS c_nationkey,
+SELECT t.c_nationkey AS c_nationkey,
        coalesce(with_orders, 0) AS with_orders,
-       coalesce(without_orders, 0) AS without_orders
-FROM w FULL OUTER JOIN wo ON w.c_nationkey = wo.c_nationkey
+       coalesce(without_orders, 0) AS without_orders,
+       coalesce(n_customers, 0) AS n_customers
+FROM t
+LEFT JOIN w ON w.c_nationkey = t.c_nationkey
+LEFT JOIN wo ON wo.c_nationkey = t.c_nationkey
 ORDER BY c_nationkey
 """
 
@@ -756,7 +789,19 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     only_building = building.exceptAll(active98.distinct()).distinct().withColumn(
         "tag", F.lit("building_only")
     )
-    return both.unionByName(only_building).orderBy("tag", "c_custkey")
+    # deepened pin (r10): the third partition class — EXCEPT in the
+    # other direction — completes the set algebra: the three tags now
+    # partition distinct(building ∪ active98), so a key leaking across
+    # any set-op boundary lands in the wrong class (or two classes)
+    # and flips the hash
+    only_active = active98.subtract(building).withColumn(
+        "tag", F.lit("active98_only")
+    )
+    return (
+        both.unionByName(only_building)
+        .unionByName(only_active)
+        .orderBy("tag", "c_custkey")
+    )
 
 
 SET_OPS_ORACLE = """
@@ -770,6 +815,9 @@ SELECT c_custkey, 'both' AS tag FROM (
 UNION ALL
 SELECT c_custkey, 'building_only' AS tag FROM (
     SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM active98)
+UNION ALL
+SELECT c_custkey, 'active98_only' AS tag FROM (
+    SELECT c_custkey FROM active98 EXCEPT SELECT c_custkey FROM building)
 ORDER BY tag, c_custkey
 """
 
@@ -1168,6 +1216,11 @@ def array_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").alias("dim"),
         F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
         F.round(el_sum / F.size("embedding"), 6).alias("mean_val"),
+        # deepened pins (r10): elementwise extrema — norm and mean can
+        # collide under sign flips or element permutes-with-replace;
+        # min/max pin the actual value envelope per vector
+        F.round(F.array_min(vec), 6).alias("min_val"),
+        F.round(F.array_max(vec), 6).alias("max_val"),
     ).orderBy("vec_id")
 
 
@@ -1176,7 +1229,11 @@ SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS dim,
        round(sqrt(list_sum(list_transform(embedding,
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
        round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
-             / len(embedding), 6) AS mean_val
+             / len(embedding), 6) AS mean_val,
+       round(list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6)
+           AS min_val,
+       round(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6)
+           AS max_val
 FROM embeddings ORDER BY vec_id
 """
 
@@ -1199,6 +1256,10 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra_aggs=[
             F.round(F.min("o_totalprice"), 6).alias("lo"),
             F.round(F.max("o_totalprice"), 6).alias("hi"),
+            # deepened pin (r10): group size — interpolated quantiles
+            # can coincide under a dropped/duplicated row; the count
+            # cannot
+            F.count(F.lit(1)).alias("n"),
         ],
     )
     return gp.select(
@@ -1208,6 +1269,7 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p75", 6).alias("p75"),
         "lo",
         "hi",
+        "n",
     ).orderBy("o_orderstatus")
 
 
@@ -1217,7 +1279,8 @@ SELECT o_orderstatus,
        round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
        round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
        round(min(o_totalprice), 6) AS lo,
-       round(max(o_totalprice), 6) AS hi
+       round(max(o_totalprice), 6) AS hi,
+       count(*) AS n
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
@@ -1230,7 +1293,11 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT coalesce(CAST(year(o_orderdate) AS STRING), 'ALL') AS yr,
                coalesce(o_orderstatus, 'ALL') AS status,
-               count(*) AS cnt
+               count(*) AS cnt,
+               -- deepened pin (r10): grouping-set provenance, same
+               -- contract as rollup_orders/cube_orders
+               CAST(grouping(year(o_orderdate)) * 2
+                    + grouping(o_orderstatus) AS INT) AS lvl
         FROM orders
         GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderstatus), ())
         ORDER BY yr, status
@@ -1241,7 +1308,9 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 GROUPING_SETS_ORACLE = """
 SELECT coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
        coalesce(o_orderstatus, 'ALL') AS status,
-       count(*) AS cnt
+       count(*) AS cnt,
+       CAST(GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderstatus) AS INT)
+           AS lvl
 FROM orders
 GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderstatus), ())
 ORDER BY yr, status
