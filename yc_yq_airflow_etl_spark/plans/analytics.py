@@ -471,6 +471,12 @@ def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum(_dec("o_totalprice")).cast("double"), F.lit(0.0)).alias(
                 "total_spent"
             ),
+            # deepened pin (r10): per-customer max — count and sum can
+            # both survive a swapped pair of rows across customers;
+            # the envelope cannot
+            F.coalesce(F.round(F.max("o_totalprice"), 6), F.lit(0.0)).alias(
+                "max_order"
+            ),
         )
         .orderBy("c_custkey")
     )
@@ -479,7 +485,8 @@ def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 CUSTOMER_ORDER_STATS_ORACLE = """
 SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
        coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0)
-           AS total_spent
+           AS total_spent,
+       coalesce(round(max(o_totalprice), 6), 0.0) AS max_order
 FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey, c_mktsegment
 ORDER BY c_custkey
@@ -757,19 +764,30 @@ FROM tiled GROUP BY 1, 2 ORDER BY 1, 2
 
 def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-20 by price: ORDER BY + LIMIT → TakeOrderedAndProject
-    (no global sort; unique-key tiebreak keeps it deterministic)."""
+    (no global sort; unique-key tiebreak keeps it deterministic).
+    Deepened pin (r10): the driver's value hash is ORDER-INSENSITIVE,
+    so the top-k's actual ranking was previously unpinned — `rn` makes
+    the order itself data. Computed AFTER the limit (a 20-row window,
+    not a global sort), so the scan plan stays TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
     t = load_testdata(spark, sf_dir)
-    return (
+    top = (
         t["orders"]
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .limit(20)
     )
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return top.withColumn("rn", F.row_number().over(w).cast("int"))
 
 
 TOPK_ORACLE = """
-SELECT o_orderkey, o_custkey, o_totalprice
-FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)
+            AS INT) AS rn
+FROM (SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20)
 """
 
 

@@ -922,6 +922,12 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_chars - (toks - 1)).cast("double") / toks, 6
         ).alias("avg_word_len"),
         rolling_fingerprint("text").alias("fingerprint"),
+        # deepened pin (r10): vocabulary size per doc — token COUNTS
+        # can agree while the token SET differs (a tokenizer merging
+        # two words and splitting another nets to the same count)
+        F.size(F.array_distinct(F.split(norm, " "))).alias(
+            "n_distinct_tokens"
+        ),
     ).orderBy("doc_id")
 
 
@@ -940,7 +946,9 @@ SELECT doc_id,
        list_reduce(list_prepend(CAST(0 AS BIGINT),
            list_transform(string_split_regex(norm, ''),
                           c -> CAST(ascii(c) AS BIGINT))),
-           (a, c) -> (a * 31 + c) % 1000000007) AS fingerprint
+           (a, c) -> (a * 31 + c) % 1000000007) AS fingerprint,
+       CAST(len(list_distinct(string_split(norm, ' '))) AS INTEGER)
+           AS n_distinct_tokens
 FROM d ORDER BY doc_id
 """
 
