@@ -197,6 +197,10 @@ def exact_dedup(
         .agg(
             F.min(id_col).alias("keeper_id"),
             F.count(F.lit(1)).alias("copies"),
+            # id envelope: min (keeper) + max pin the group's id range —
+            # a member swapped between two same-size groups preserves
+            # every count but not both envelopes
+            F.max(id_col).alias("max_id"),
         )
     )
 

@@ -1423,7 +1423,12 @@ def correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_testdata(spark, sf_dir)
     return spark.sql(
         """
-        SELECT o_orderkey, o_custkey, o_totalprice
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               -- deepened pin (r10): the correlated scalar ITSELF —
+               -- the filter only proves price > avg; emitting the avg
+               -- pins the decorrelated aggregate's actual values
+               round((SELECT avg(o_totalprice) FROM orders i
+                      WHERE i.o_custkey = o.o_custkey), 6) AS cust_avg
         FROM orders o
         WHERE o_totalprice > (
             SELECT avg(o_totalprice) FROM orders i
@@ -1435,7 +1440,9 @@ def correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CORRELATED_ORACLE = """
-SELECT o_orderkey, o_custkey, o_totalprice
+SELECT o_orderkey, o_custkey, o_totalprice,
+       round((SELECT avg(o_totalprice) FROM orders i
+              WHERE i.o_custkey = o.o_custkey), 6) AS cust_avg
 FROM orders o
 WHERE o_totalprice > (
     SELECT avg(o_totalprice) FROM orders i
@@ -1862,6 +1869,12 @@ def interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_overlaps"),
             F.sum(F.col("click_id") + F.col("purchase_id")).alias("id_checksum"),
+            # deepened pin (r10): total overlap DURATION — pair
+            # existence alone can't see an off-by-one-bucket endpoint;
+            # the intersection length arithmetic can
+            F.sum(
+                F.least("c_hi", "p_hi") - F.greatest("c_lo", "p_lo")
+            ).alias("overlap_us_sum"),
         )
         .orderBy("user_id")
     )
@@ -1880,7 +1893,9 @@ WITH c AS (
     FROM events WHERE event_type = 'purchase'
 )
 SELECT c.user_id AS user_id, count(*) AS n_overlaps,
-       CAST(sum(c.click_id + p.purchase_id) AS BIGINT) AS id_checksum
+       CAST(sum(c.click_id + p.purchase_id) AS BIGINT) AS id_checksum,
+       CAST(sum(least(c.c_hi, p.p_hi) - greatest(c.c_lo, p.p_lo)) AS BIGINT)
+           AS overlap_us_sum
 FROM c JOIN p
   ON c.user_id = p.user_id AND c.c_lo < p.p_hi AND p.p_lo < c.c_hi
 GROUP BY 1 ORDER BY user_id
@@ -4456,7 +4471,7 @@ def salted_join_user_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(
         purchases, clicks, ["user_id"], how="left", salt=8, hot_keys=hot
     )
-    return (
+    top = (
         joined.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),
@@ -4466,19 +4481,30 @@ def salted_join_user_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("purchase_total"), "user_id")
         .limit(10)
     )
+    # deepened pin (r10): explicit rank over the limited 10 rows — the
+    # driver's hash is order-insensitive, so the top-10 ORDERING was
+    # unpinned (same trick as topk_orders; plan stays TakeOrdered)
+    w = Window.orderBy(F.desc("purchase_total"), "user_id")
+    return top.withColumn("rn", F.row_number().over(w).cast("int"))
 
 
 SALTED_JOIN_ORACLE = """
 WITH clicks AS (
     SELECT user_id, count(*) AS n FROM events
     WHERE event_type = 'click' GROUP BY 1
+), top AS (
+    SELECT e.user_id, count(*) AS n_purchases,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               AS purchase_total,
+           COALESCE(max(n), 0) AS n_clicks
+    FROM events e LEFT JOIN clicks USING (user_id)
+    WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY purchase_total DESC, user_id LIMIT 10
 )
-SELECT e.user_id, count(*) AS n_purchases,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_total,
-       COALESCE(max(n), 0) AS n_clicks
-FROM events e LEFT JOIN clicks USING (user_id)
-WHERE event_type = 'purchase'
-GROUP BY 1 ORDER BY purchase_total DESC, user_id LIMIT 10
+SELECT user_id, n_purchases, purchase_total, n_clicks,
+       CAST(row_number() OVER (ORDER BY purchase_total DESC, user_id)
+            AS INT) AS rn
+FROM top
 """
 
 

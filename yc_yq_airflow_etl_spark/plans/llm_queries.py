@@ -42,7 +42,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_EXACT_ORACLE = r"""
 SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
-       min(doc_id) AS keeper_id, count(*) AS copies
+       min(doc_id) AS keeper_id, count(*) AS copies,
+       max(doc_id) AS max_id
 FROM documents WHERE text IS NOT NULL GROUP BY 1 ORDER BY keeper_id
 """
 
