@@ -2257,6 +2257,55 @@ def test_merge_mixed_int_float_bounds_widens_and_still_prunes(
         _stats_sql_type(iter([1, "a"]))
 
 
+def test_stats_sql_type_widening_property():
+    """Property over every bound-value shape a JSON round-trip can
+    produce (None / bool / int / float / str, any order): the
+    inferred SQL type is ORDER-INSENSITIVE and follows the widening
+    lattice — any str+numeric mix raises, str-only → string, any
+    float present → double (the r9-ADVICE widening), else bigint
+    (ints, bools treated as non-values, all-null, empty)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from yc_yq_airflow_etl_spark.sources.manifest import _stats_sql_type
+
+    vals = st.lists(
+        st.one_of(
+            st.none(),
+            st.booleans(),
+            st.integers(min_value=-(2**60), max_value=2**60),
+            st.floats(allow_nan=False, allow_infinity=False),
+            st.text(max_size=6),
+        ),
+        max_size=8,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(bounds=vals, seed=st.randoms(use_true_random=False))
+    def prop(bounds, seed):
+        real = [v for v in bounds if v is not None and not isinstance(v, bool)]
+        has = {
+            "i": any(isinstance(v, int) for v in real),
+            "f": any(isinstance(v, float) for v in real),
+            "s": any(isinstance(v, str) for v in real),
+        }
+        shuffled = list(bounds)
+        seed.shuffle(shuffled)
+        for order in (bounds, shuffled):
+            if has["s"] and (has["i"] or has["f"]):
+                with pytest.raises(ValueError, match="mix string"):
+                    _stats_sql_type(iter(order))
+            else:
+                want = (
+                    "string" if has["s"]
+                    else "double" if has["f"]
+                    else "bigint"
+                )
+                assert _stats_sql_type(iter(order)) == want
+
+    prop()
+
+
 def test_apply_cdc_batch_inserts_updates_deletes_atomically(spark, tmp_path):
     """Changelog apply: per-key LAST change wins (an insert followed
     by a delete in one batch nets to absent), one atomic version per

@@ -598,6 +598,10 @@ def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFram
             "o_totalprice",
             F.row_number().over(w).alias("rn"),
             F.rank().over(w).alias("rk"),
+            # deepened pin (r10): the third ranking variant — dense_rank
+            # differs from rank exactly on tie runs, so the trio pins
+            # tie semantics; same window spec, WindowGroupLimit intact
+            F.dense_rank().over(w).alias("drk"),
         )
         .filter(F.col("rn") <= 3)
         .orderBy("o_custkey", "rn")
@@ -607,7 +611,8 @@ def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFram
 WINDOW_TOP_ORACLE = """
 SELECT * FROM (
     SELECT o_custkey, o_orderkey, o_totalprice,
-           row_number() OVER w AS rn, rank() OVER w AS rk
+           row_number() OVER w AS rn, rank() OVER w AS rk,
+           CAST(dense_rank() OVER w AS INT) AS drk
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey
                  ORDER BY o_totalprice DESC, o_orderkey ASC)
