@@ -1514,19 +1514,31 @@ GROUP BY d.doc_id, f.f ORDER BY d.doc_id, frame_idx
 
 
 def udf_text_density(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar Pandas UDF over Arrow batches (functions/udfs.py)."""
+    """Scalar Pandas UDF over Arrow batches (functions/udfs.py).
+    Deepened pin (r10): the UDF's internal tokenizer/length are also
+    emitted as JVM-side twin columns — a cross-RUNTIME consistency
+    pin (pandas `.str` ops over Arrow batches vs Catalyst
+    expressions), so an Arrow transfer or vectorized-string-op drift
+    shows up as a density/twin disagreement the oracle catches."""
     from ..functions.udfs import text_density_score
 
     t = load_testdata(spark, sf_dir)
+    trimmed = F.lower(F.trim("text"))
     return t["documents"].select(
-        "doc_id", text_density_score("text").alias("density")
+        "doc_id",
+        text_density_score("text").alias("density"),
+        F.size(F.split(trimmed, r"\s+")).alias("n_toks_jvm"),
+        F.length(trimmed).alias("n_chars_jvm"),
     ).orderBy("doc_id")
 
 
 UDF_DENSITY_ORACLE = r"""
 SELECT doc_id,
        round(len(string_split_regex(trim(lower(text)), '\s+'))
-             / sqrt(1 + length(trim(text))), 6) AS density
+             / sqrt(1 + length(trim(text))), 6) AS density,
+       CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INTEGER)
+           AS n_toks_jvm,
+       CAST(length(trim(lower(text))) AS INTEGER) AS n_chars_jvm
 FROM documents ORDER BY doc_id
 """
 
