@@ -1329,13 +1329,22 @@ def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     t = load_testdata(spark, sf_dir)
+    d = t["documents"]
     w = Window.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
     )
-    return (
-        t["documents"]
-        .select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+    sampled = (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 20)
+    )
+    # deepened pin (r10): stratum POPULATION — a stratum silently
+    # dropped before sampling is invisible in the drawn rows alone;
+    # the independently aggregated count is not. Broadcast join of a
+    # lang-count dim; the WindowGroupLimit plan is untouched.
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_in_stratum"))
+    return (
+        sampled.join(F.broadcast(counts), "lang")
+        .select("doc_id", "lang", "rn", "n_in_stratum")
         .orderBy("lang", "rn")
     )
 
@@ -1347,9 +1356,12 @@ WITH ranked AS (
                               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
                AS rn
     FROM documents
+), counts AS (
+    SELECT lang, count(*) AS n_in_stratum FROM documents GROUP BY lang
 )
-SELECT doc_id, lang, CAST(rn AS INT) AS rn
-FROM ranked WHERE rn <= 20 ORDER BY lang, rn
+SELECT doc_id, ranked.lang AS lang, CAST(rn AS INT) AS rn, n_in_stratum
+FROM ranked JOIN counts ON ranked.lang = counts.lang
+WHERE rn <= 20 ORDER BY lang, rn
 """
 
 
