@@ -760,3 +760,71 @@ def test_cdc_batch_reserved_rn_guard(spark, tmp_path):
         apply_cdc_batch(t, batch, 1, key="id", order_col="seq")
     with _pytest.raises(ValueError, match="_rn.*reserved"):
         upsert_batch(t, batch.drop("op"), 1, key="id", order_col="seq")
+
+
+def test_nearest_join_matches_python_reference_property(spark):
+    """Property: over random (uid, t) point sets and tolerances, both
+    nearest_join formulations agree with a brute-force python
+    reference of the documented contract — nearest |delta| within
+    tolerance, ties to the EARLIER right row, left-outer NULL when no
+    candidate is in range. Right rows are unique per (uid, t) (the
+    documented pre-dedup contract for a specific dup-timestamp
+    winner); left rows may repeat."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from yc_yq_airflow_etl_spark.operators.joins import (
+        nearest_join,
+        nearest_join_bucketed,
+    )
+
+    lefts_s = st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 60)), max_size=10
+    )
+    rights_s = st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 60)),
+        max_size=10,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+        ],
+    )
+    @given(lefts=lefts_s, rights=rights_s, tol=st.integers(0, 25))
+    def prop(lefts, rights, tol):
+        if not lefts:
+            return
+        want = Counter()
+        for uid, lt in lefts:
+            cands = [
+                (abs(rt - lt), rt, ruid * 1000 + rt)
+                for ruid, rt in rights
+                if ruid == uid and abs(rt - lt) <= tol
+            ]
+            rid = min(cands)[2] if cands else None
+            want[(uid, lt, rid)] += 1
+
+        ldf = spark.createDataFrame(lefts, "uid int, t int")
+        rdf = spark.createDataFrame(
+            [(u, t, u * 1000 + t) for u, t in rights] or [(99, 99, 99)],
+            "uid int, t int, rid int",
+        )
+        if not rights:
+            rdf = rdf.filter("uid < 0")
+        for fn in (nearest_join, nearest_join_bucketed):
+            got = Counter(
+                (r.uid, r.t, r.r_rid)
+                for r in fn(
+                    ldf, rdf, on_time="t", by=["uid"], tolerance=tol
+                ).collect()
+            )
+            assert got == want, (fn.__name__, sorted(got), sorted(want))
+
+    prop()

@@ -569,7 +569,13 @@ def nearest_join_bucketed(
     columns + ``right_prefix``-named payload/time columns.
     """
     if bucket_width is None:
-        bucket_width = float(tolerance)
+        # tolerance == 0 (exact-time matching) is valid semantics but
+        # the floor(t/w) keying needs a POSITIVE width — any width
+        # covers it, since the Δ <= tolerance filter does the real
+        # bounding (a zero default would divide by zero in the probe)
+        bucket_width = float(tolerance) if tolerance > 0 else 1.0
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be > 0")
     if bucket_width < tolerance:
         raise ValueError(
             "bucket_width must be >= tolerance: the 3-bucket probe "
