@@ -763,13 +763,15 @@ def test_cdc_batch_reserved_rn_guard(spark, tmp_path):
 
 
 def test_nearest_join_matches_python_reference_property(spark):
-    """Property: over random (uid, t) point sets and tolerances, both
-    nearest_join formulations agree with a brute-force python
-    reference of the documented contract — nearest |delta| within
-    tolerance, ties to the EARLIER right row, left-outer NULL when no
-    candidate is in range. Right rows are unique per (uid, t) (the
-    documented pre-dedup contract for a specific dup-timestamp
-    winner); left rows may repeat."""
+    """Property: over random (uid, t) point sets and tolerances, BOTH
+    nearest_join formulations (window and bucketed — the latter is not
+    covered by test_formats_and_properties' window-form property, and
+    that gap hid a tolerance=0 divide-by-zero until this test) agree
+    with a brute-force python reference of the documented contract —
+    nearest |delta| within tolerance, ties to the EARLIER right row,
+    left-outer NULL when no candidate is in range. Right rows are
+    unique per (uid, t) (the documented pre-dedup contract for a
+    specific dup-timestamp winner); left rows may repeat."""
     from collections import Counter
 
     from hypothesis import HealthCheck, given, settings
