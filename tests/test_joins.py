@@ -830,3 +830,66 @@ def test_nearest_join_matches_python_reference_property(spark):
             assert got == want, (fn.__name__, sorted(got), sorted(want))
 
     prop()
+
+
+def test_asof_join_matches_python_reference_property(spark):
+    """Property: both asof_join formulations — the default union+window
+    and the hot-key-safe two-phase bucketed path, across bucket widths
+    smaller/comparable/larger than the time domain — agree with a
+    brute-force python reference of the contract: latest right row with
+    rt <= lt in the same group, left-outer NULL when none. Right rows
+    are unique per (uid, t) (the documented dup-timestamp caveat)."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from yc_yq_airflow_etl_spark.operators.joins import asof_join
+
+    lefts_s = st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 60)), max_size=10
+    )
+    rights_s = st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 60)),
+        max_size=10,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+        ],
+    )
+    @given(
+        lefts=lefts_s,
+        rights=rights_s,
+        width=st.sampled_from([None, 1.0, 7.0, 100.0]),
+    )
+    def prop(lefts, rights, width):
+        if not lefts:
+            return
+        want = Counter()
+        for uid, lt in lefts:
+            cands = [rt for ruid, rt in rights if ruid == uid and rt <= lt]
+            rid = uid * 1000 + max(cands) if cands else None
+            want[(uid, lt, rid)] += 1
+
+        ldf = spark.createDataFrame(lefts, "uid int, t int")
+        rdf = spark.createDataFrame(
+            [(u, t, u * 1000 + t) for u, t in rights] or [(99, 99, 99)],
+            "uid int, t int, rid int",
+        )
+        if not rights:
+            rdf = rdf.filter("uid < 0")
+        got = Counter(
+            (r.uid, r.t, r.r_rid)
+            for r in asof_join(
+                ldf, rdf, on_time="t", by=["uid"], bucket_width=width
+            ).collect()
+        )
+        assert got == want, (width, sorted(got), sorted(want))
+
+    prop()
