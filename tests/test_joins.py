@@ -893,3 +893,63 @@ def test_asof_join_matches_python_reference_property(spark):
         assert got == want, (width, sorted(got), sorted(want))
 
     prop()
+
+
+def test_interval_overlap_join_matches_python_reference_property(spark):
+    """Property: the bucket-equi interval-overlap join equals a
+    brute-force python reference over RANDOM interval sets — including
+    empty intervals (lo == hi: half-open, must match nothing),
+    negative coordinates (bucket ids below zero), spans covering many
+    buckets, and bucket widths off-scale in both directions. The
+    emit-once guard must neither drop nor duplicate any pair."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from yc_yq_airflow_etl_spark.operators.joins import interval_overlap_join
+
+    ivals = st.lists(
+        st.tuples(
+            st.integers(0, 2),           # key
+            st.integers(-40, 40),        # lo
+            st.integers(0, 50),          # length (0 = empty interval)
+        ),
+        max_size=8,
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+        ],
+    )
+    @given(ls=ivals, rs=ivals, width=st.sampled_from([1, 7, 64, 500]))
+    def prop(ls, rs, width):
+        if not ls or not rs:
+            return
+        want = Counter()
+        for li, (lk, llo, llen) in enumerate(ls):
+            for ri, (rk, rlo, rlen) in enumerate(rs):
+                if lk == rk and llo < rlo + rlen and rlo < llo + llen:
+                    want[(li, ri)] += 1
+        ldf = spark.createDataFrame(
+            [(k, lo, lo + n, i) for i, (k, lo, n) in enumerate(ls)],
+            "k int, a_lo long, a_hi long, lid int",
+        )
+        rdf = spark.createDataFrame(
+            [(k, lo, lo + n, i) for i, (k, lo, n) in enumerate(rs)],
+            "k int, b_lo long, b_hi long, rid int",
+        )
+        got = Counter(
+            (r.lid, r.rid)
+            for r in interval_overlap_join(
+                ldf, rdf, "a_lo", "a_hi", "b_lo", "b_hi",
+                on=["k"], bucket_width=width,
+            ).collect()
+        )
+        assert got == want, (width, sorted(got), sorted(want))
+
+    prop()
