@@ -906,3 +906,59 @@ def test_topk_join_cross_table_keeps_coincident_ids(spark):
     assert [(r.id_a, r.id_b) for r in best] == [(7, 7)]  # true NN kept
     dflt = topk_join(queries, corpus, k=1).collect()
     assert [(r.id_a, r.id_b) for r in dflt] == [(7, 8)]  # self excluded
+
+
+def test_connected_components_matches_union_find_property(spark):
+    """Property: min-label propagation with pointer jumping equals a
+    python union-find over RANDOM graphs — self-loops, duplicate and
+    reversed edges, chains, cliques, isolated pairs, whatever the
+    generator draws. The fixed-shape structure test above pins known
+    hard cases; this pins the algorithm on shapes nobody thought of
+    (pointer jumping's shortcut step is exactly the kind of code a
+    subtle bug survives fixed fixtures in)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from yc_yq_airflow_etl_spark.operators.dedup import connected_components
+
+    edges_s = st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=20,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+        ],
+    )
+    @given(edges=edges_s)
+    def prop(edges):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        verts = {v for e in edges for v in e}
+        want = {v: find(v) for v in verts}
+        # canonical label = component MIN id
+        comp_min: dict[int, int] = {}
+        for v, r in want.items():
+            comp_min[r] = min(comp_min.get(r, v), v)
+        want = {v: comp_min[r] for v, r in want.items()}
+
+        pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        got = {r.id: r.label for r in connected_components(pairs).collect()}
+        assert got == want, (sorted(edges), got, want)
+
+    prop()
