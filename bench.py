@@ -251,6 +251,12 @@ def main() -> None:
                     "exclusion_join_clean_count",
                     # 1x steady twin for the 10x linear-scaling pins
                     "unigram_logprob_scores",
+                    # r10's three drifting 10x ratios, steady-pinned
+                    # (r10 verdict item 2): 1x steady twins here, 10x
+                    # steady + ceiling in the scale-check below
+                    "dedup_minhash_pairs",
+                    "multi_touch_attribution",
+                    "incremental_dedup_new_batch",
                 )
                 if n in qs
             ]
@@ -320,11 +326,23 @@ def main() -> None:
     load_year(payments, lake, lo, hi)  # setup, untimed
     t0 = time.time()
     diff = reconcile_year(spark, payments, lake, lo, hi)
-    timings["reference_scale_reconcile_527040_rows"] = round(time.time() - t0, 3)
+    recon_first = round(time.time() - t0, 3)
     assert diff == 0, diff
+    # Steady-pin (r10 verdict item 3): the first reconcile pays the
+    # lake's first-read costs (footer reads, FileSystem init for the
+    # fresh temp dir) on top of the join; the headline number is the
+    # steady second run so the flagship reconcile is comparable
+    # round-over-round like every other steadied wall.
+    t0 = time.time()
+    diff2 = reconcile_year(spark, payments, lake, lo, hi)
+    recon_steady = round(time.time() - t0, 3)
+    assert diff2 == 0, diff2
+    timings["reference_scale_reconcile_527040_rows"] = recon_steady
+    steady["reference_scale_reconcile_527040_rows"] = recon_steady
+    first_run["reference_scale_reconcile_527040_rows"] = recon_first
     print(
         f"# reference-scale reconcile: diff={diff} in "
-        f"{timings['reference_scale_reconcile_527040_rows']}s",
+        f"{recon_steady}s steady (first run {recon_first}s)",
         file=sys.stderr,
     )
 
@@ -644,12 +662,25 @@ def main() -> None:
         #   1-row broadcast totals), pinned at ≤12 = 10x data with
         #   ~20% jitter slack. Breach = something super-linear crept
         #   into the plan (a global sort, a lost broadcast).
+        # - r10's three ratio drifters (verdict item 2), all LINEAR by
+        #   design and pinned at ≤12 like the other linear ops:
+        #   dedup_minhash_pairs (banding is per-doc, verify volume =
+        #   pair volume which scales exactly 10x in this fixture;
+        #   candidate attribution recorded below like simhash's),
+        #   multi_touch_attribution ((user, bucket)-keyed interval
+        #   join, hot user bounded by the bucket split), and
+        #   incremental_dedup_new_batch (batch and index both 10x —
+        #   fingerprinting O(batch), probe an equi-join). Breach =
+        #   a bucket cap or broadcast stopped holding.
         for name, ceiling in (
             ("similarity_lsh_topk", 5),
             ("similarity_ivf_topk", 5),
             ("dedup_simhash_pairs", 5),
             ("token_packing_bins", 12),
             ("unigram_logprob_scores", 12),
+            ("dedup_minhash_pairs", 12),
+            ("multi_touch_attribution", 12),
+            ("incremental_dedup_new_batch", 12),
         ):
             t0 = time.time()
             qs[name](spark, scale_dir).count()
@@ -693,6 +724,32 @@ def main() -> None:
         print(
             f"# scale10x simhash attribution: candidates {cand_1x}->"
             f"{cand_10x}, pairs {pairs_1x}->{pairs_10x}",
+            file=sys.stderr,
+        )
+        # Same attribution for minhash (r10 verdict: its 10x ratio
+        # drifted 2.78→3.89 round-over-round): candidate volume
+        # tracking pair volume = fixture-driven growth (fine);
+        # candidates outgrowing pairs = the band-bucket cap stopped
+        # holding (plan problem).
+        _dedup.RECORD_MINHASH_CANDIDATES = True
+        try:
+            mh_pairs_1x = qs["dedup_minhash_pairs"](spark, sf_dir).count()
+            mh_cand_1x = _dedup.LAST_MINHASH_CANDIDATES
+            mh_pairs_10x = qs["dedup_minhash_pairs"](spark, scale_dir).count()
+            mh_cand_10x = _dedup.LAST_MINHASH_CANDIDATES
+        finally:
+            _dedup.RECORD_MINHASH_CANDIDATES = False
+        scale["dedup_minhash_pairs"]["attribution"] = {
+            "candidates_1x": mh_cand_1x,
+            "candidates_10x": mh_cand_10x,
+            "pairs_1x": mh_pairs_1x,
+            "pairs_10x": mh_pairs_10x,
+            "candidate_ratio": round(mh_cand_10x / max(mh_cand_1x, 1), 2),
+            "pair_ratio": round(mh_pairs_10x / max(mh_pairs_1x, 1), 2),
+        }
+        print(
+            f"# scale10x minhash attribution: candidates {mh_cand_1x}->"
+            f"{mh_cand_10x}, pairs {mh_pairs_1x}->{mh_pairs_10x}",
             file=sys.stderr,
         )
         # merge-mode compare at 10x data, SAME batch: copy-on-write's

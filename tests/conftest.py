@@ -26,6 +26,13 @@ def pytest_sessionfinish(session, exitstatus):
     try:
         if session.config.getoption("--collect-only", default=False):
             return  # collection walls would poison the sec/test ratio
+        if hasattr(session.config, "workerinput"):
+            # pytest-xdist worker: it COLLECTS the full suite but RUNS
+            # a subset, so wall_s/testscollected would understate
+            # sec/test by ~the worker count and silently loosen the
+            # budget (r10 ADVICE). The controller process (no
+            # workerinput) still records the overall wall correctly.
+            return
         rec = {
             "ts": round(time.time(), 1),
             "wall_s": round(time.time() - session.config._wall_t0, 1),

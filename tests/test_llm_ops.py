@@ -962,3 +962,27 @@ def test_connected_components_matches_union_find_property(spark):
         assert got == want, (sorted(edges), got, want)
 
     prop()
+
+
+def test_stratified_sample_keeps_null_lang_stratum(spark, monkeypatch):
+    """The NULL-lang stratum must survive the n_in_stratum enrichment
+    join (r10 ADVICE): window + groupBy both treat NULL as its own
+    stratum, so an inner equi-join there would silently drop exactly
+    the rows the population pin exists to audit. The join is
+    null-safe (<=>) — NULL-lang docs come back with their count."""
+    from yc_yq_airflow_etl_spark.plans import llm_queries as lq
+
+    d = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, None), (4, None), (5, "de")],
+        "doc_id long, lang string",
+    )
+    monkeypatch.setattr(lq, "load_testdata", lambda s, sf: {"documents": d})
+    out = lq.stratified_doc_sample(spark, "ignored").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert set(by_lang) == {"en", "de", None}
+    assert len(by_lang[None]) == 2
+    assert all(r.n_in_stratum == 2 for r in by_lang[None])
+    assert all(r.n_in_stratum == 2 for r in by_lang["en"])
+    assert all(r.n_in_stratum == 1 for r in by_lang["de"])

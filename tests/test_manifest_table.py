@@ -2257,6 +2257,40 @@ def test_merge_mixed_int_float_bounds_widens_and_still_prunes(
         _stats_sql_type(iter([1, "a"]))
 
 
+def test_merge_overflow_int_bound_touches_conservatively(
+    spark, stats_table
+):
+    """An int bound beyond double range entirely (> ~1.8e308, so
+    float(v) raises OverflowError rather than rounding) must take the
+    same conservative-touch fallback as the 2^53..1.8e308 band — the
+    merge completes and the file is rewritten, not crashed (r10
+    ADVICE)."""
+    import json as _json
+    import os as _os
+
+    stats_table.overwrite(_ranged(spark, 0, 100))
+    stats_table.append(_ranged(spark, 1000, 1100))
+    v = stats_table.current_version(spark)
+    m = stats_table._manifest(spark, v)
+    far = next(f for f in m["files"] if m["stats"][f]["id"][0] == 1000)
+    m["stats"][far]["id"] = [10**400, 10**400 + 2]  # OverflowError int
+    other = next(f for f in m["files"] if f != far)
+    m["stats"][other]["id"] = [float(x) for x in m["stats"][other]["id"]]
+    with open(f"{stats_table.path}/_manifests/v{v}.json", "w") as fh:
+        _json.dump(m, fh)
+    crc = f"{stats_table.path}/_manifests/.v{v}.json.crc"
+    if _os.path.exists(crc):
+        _os.remove(crc)
+
+    v2 = stats_table.merge(
+        spark.createDataFrame([(12, -3)], ["id", "v"]), "id"
+    )
+    m2 = stats_table._manifest(spark, v2)
+    assert far not in m2["files"]  # conservatively rewritten, no crash
+    got = {r.id: r.v for r in stats_table.read(spark).collect()}
+    assert got[12] == -3 and len(got) == 200
+
+
 def test_stats_sql_type_widening_property():
     """Property over every bound-value shape a JSON round-trip can
     produce (None / bool / int / float / str, any order): the

@@ -304,6 +304,12 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    global LAST_MINHASH_CANDIDATES
+    if RECORD_MINHASH_CANDIDATES:
+        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+        LAST_MINHASH_CANDIDATES = cand.count()
+    else:
+        LAST_MINHASH_CANDIDATES = None
 
     # verification join: candidates (small) back to the persisted
     # signature table for exact Jaccard + signature-agreement estimate
@@ -647,6 +653,13 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 # heavy join and has no business in production runs.
 RECORD_SIMHASH_CANDIDATES: bool = False
 LAST_SIMHASH_CANDIDATES: int | None = None
+
+# Same instrumentation for the minhash band-bucket path (r10 verdict:
+# attribute the dedup_minhash_pairs 10x ratio drift exactly like
+# simhash's): candidate volume after the bucket cap, before the exact-
+# Jaccard verify join.
+RECORD_MINHASH_CANDIDATES: bool = False
+LAST_MINHASH_CANDIDATES: int | None = None
 
 
 def simhash_dup_pairs(

@@ -1426,17 +1426,27 @@ def correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (no per-row re-execution) — the §4 'subquery decorrelation'
     row, observable in the plan as a single extra aggregate."""
     load_testdata(spark, sf_dir)
+    # The correlated average is computed DECIMAL-exact (sum of
+    # DECIMAL(18,2), one double division at the end) on both engines:
+    # a plain avg() over doubles sums in engine-specific order and the
+    # 6-decimal round sits on a rounding boundary often enough to be a
+    # latent cross-engine flake (r10 ADVICE) — this matches the
+    # decimal-exact convention every other money aggregate here uses.
     return spark.sql(
         """
         SELECT o_orderkey, o_custkey, o_totalprice,
                -- deepened pin (r10): the correlated scalar ITSELF —
                -- the filter only proves price > avg; emitting the avg
                -- pins the decorrelated aggregate's actual values
-               round((SELECT avg(o_totalprice) FROM orders i
+               round((SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                                  AS DOUBLE) / count(*)
+                      FROM orders i
                       WHERE i.o_custkey = o.o_custkey), 6) AS cust_avg
         FROM orders o
         WHERE o_totalprice > (
-            SELECT avg(o_totalprice) FROM orders i
+            SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) / count(*)
+            FROM orders i
             WHERE i.o_custkey = o.o_custkey
         )
         ORDER BY o_orderkey
@@ -1446,11 +1456,15 @@ def correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CORRELATED_ORACLE = """
 SELECT o_orderkey, o_custkey, o_totalprice,
-       round((SELECT avg(o_totalprice) FROM orders i
+       round((SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE) / count(*)
+              FROM orders i
               WHERE i.o_custkey = o.o_custkey), 6) AS cust_avg
 FROM orders o
 WHERE o_totalprice > (
-    SELECT avg(o_totalprice) FROM orders i
+    SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                AS DOUBLE) / count(*)
+    FROM orders i
     WHERE i.o_custkey = o.o_custkey
 )
 ORDER BY o_orderkey

@@ -1342,8 +1342,17 @@ def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the independently aggregated count is not. Broadcast join of a
     # lang-count dim; the WindowGroupLimit plan is untouched.
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_in_stratum"))
+    # Null-safe join key (r10 ADVICE): window/groupBy both treat NULL
+    # lang as its own stratum, so an inner equi-join here would be the
+    # one step that silently drops it — exactly the failure mode the
+    # n_in_stratum pin exists to catch. <=> keeps the NULL stratum.
+    counts = counts.select(
+        F.col("lang").alias("_clang"), "n_in_stratum"
+    )
     return (
-        sampled.join(F.broadcast(counts), "lang")
+        sampled.join(
+            F.broadcast(counts), F.col("lang").eqNullSafe(F.col("_clang"))
+        )
         .select("doc_id", "lang", "rn", "n_in_stratum")
         .orderBy("lang", "rn")
     )
@@ -1360,7 +1369,7 @@ WITH ranked AS (
     SELECT lang, count(*) AS n_in_stratum FROM documents GROUP BY lang
 )
 SELECT doc_id, ranked.lang AS lang, CAST(rn AS INT) AS rn, n_in_stratum
-FROM ranked JOIN counts ON ranked.lang = counts.lang
+FROM ranked JOIN counts ON ranked.lang IS NOT DISTINCT FROM counts.lang
 WHERE rn <= 20 ORDER BY lang, rn
 """
 

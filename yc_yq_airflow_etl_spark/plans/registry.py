@@ -54,10 +54,10 @@ _REGISTRY: list[QuerySpec] = []
 # (the PREVIOUS round's verified set — freshest hard signal) is
 # always the truncated tail and never re-checked early.
 #
-# Round-10 state: _FRONT = the 50 queries whose last driver row is r7
-# (CORRECTNESS_r07.json order) — the oldest-verified cohort, re-checked
-# this round to hold the r7 → r10 bound. The middle is the r8-verified
-# 50 (round-11's front); _BACK is the r9-verified 50 (freshest).
+# Round-11 state: _FRONT = the 50 queries whose last driver row is r8
+# (CORRECTNESS_r08.json order) — the oldest-verified cohort, re-checked
+# this round to hold the r8 → r11 bound. The middle is the r9-verified
+# 50 (round-12's front); _BACK is the r10-verified 50 (freshest).
 #
 # SATURATION: 150 queries = 3 full 50-slot windows — the rotation now
 # has ZERO slack. Every registry addition beyond 150 pushes some
@@ -69,7 +69,65 @@ _REGISTRY: list[QuerySpec] = []
 # rounds between rows). Prefer deepening existing queries (more
 # pinned columns) over net-new registrations from here.
 _FRONT: tuple[str, ...] = (
-    # last driver row: r7 (CORRECTNESS_r07.json order) — round-10 verification cohort
+    # last driver row: r8 (CORRECTNESS_r08.json order) — round-11 verification cohort
+    "q12_priority_by_returnflag",
+    "federation_counts",
+    "cooling_window_filter",
+    "exclusion_join_diff",
+    "exclusion_join_clean_count",
+    "manifest_merge_upsert",
+    "range_frame_rolling_revenue",
+    "ntile_customer_quartiles",
+    "retention_cohorts",
+    "incremental_agg_maintenance",
+    "doc_repetition_stats",
+    "token_packing_bins",
+    "scd2_customer_history",
+    "unigram_logprob_scores",
+    "manifest_history_ops",
+    "manifest_bucket_pruned_scan",
+    "multimodal_ppm_features",
+    "asof_click_purchase_bucketed",
+    "zorder_pruned_scan",
+    "manifest_time_travel_counts",
+    "dedup_clusters",
+    "embedding_quantization_stats",
+    "pii_redaction_stats",
+    "decontamination_overlap",
+    "q4_late_shipment_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_item_customers",
+    "q13_order_count_distribution",
+    "q18_large_volume_orders",
+    "q22_idle_rich_customers",
+    "event_sessionization",
+    "bucketed_join_revenue",
+    "multi_format_union",
+    "cms_heavy_hitters",
+    "stream_exact_dedup",
+    "multimodal_resize_features",
+    "multimodal_video_frames",
+    "q7_bination_volume",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "stream_static_enrichment",
+    "q15_top_supplier",
+    "events_tumbling_hourly",
+    "events_sliding_counts",
+    "events_session_stats",
+    "stream_click_purchase_join",
+    "stateful_spend_alerts",
+    "events_time_rollup",
+    "udaf_lang_stats",
+)
+
+# Truncation absorbers: the 50 queries driver-verified green in r10
+# (CORRECTNESS_r10.json order). If the 50-row cap cuts anything, it
+# cuts these — the freshest hard signal is the safest to truncate.
+# (The unlisted middle — the r9-verified 50 — sits between _FRONT and
+# _BACK in registration order and becomes the round-12 front.)
+_BACK: tuple[str, ...] = (
     "similarity_recall_report",
     "manifest_stats_pruned_scan",
     "salted_join_user_enrichment",
@@ -120,64 +178,6 @@ _FRONT: tuple[str, ...] = (
     "zipf_fit_terms",
     "cooccurrence_pmi",
     "embedding_norm_audit",
-)
-
-# Truncation absorbers: the 50 queries driver-verified green in r09
-# (CORRECTNESS_r09.json order). If the 50-row cap cuts anything, it
-# cuts these — the freshest hard signal is the safest to truncate.
-# (The unlisted middle — the r8-verified 50 — sits between _FRONT and
-# _BACK in registration order and becomes the round-11 front.)
-_BACK: tuple[str, ...] = (
-    "udtf_top_ngrams",
-    "q1_pricing_summary",
-    "approx_distinct_customers",
-    "q3_shipping_priority",
-    "q6_revenue_delta",
-    "salted_event_counts",
-    "json_event_props",
-    "asof_click_purchase",
-    "range_join_price_bands",
-    "histogram_quantile_store",
-    "manifest_schema_evolution",
-    "manifest_vacuum_safety",
-    "manifest_compaction_maintenance",
-    "exclusion_join_hotkey_diff",
-    "dedup_canonical_corpus",
-    "bloom_prefilter_scan",
-    "dataset_splits",
-    "corpus_mixture_weights",
-    "source_capped_sample",
-    "json_malformed_audit",
-    "table_profile",
-    "fk_integrity_audit",
-    "event_funnel",
-    "timeseries_gap_fill",
-    "revenue_anomaly_zscore",
-    "order_constraint_audit",
-    "pagerank_doc_ranks",
-    "weighted_doc_sample",
-    "cluster_aware_splits",
-    "kmv_join_cardinality",
-    "scd2_point_in_time_revenue",
-    "manifest_partition_evolution",
-    "manifest_table_changes",
-    "multimodal_phash_dupes",
-    "user_inactivity_report",
-    "entity_resolution_links",
-    "multi_touch_attribution",
-    "quality_percentile_calibration",
-    "manifest_files_metadata",
-    "dau_wau_metrics",
-    "manifest_wap_publish",
-    "stream_click_purchase_left",
-    "multimodal_wav_features",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q16_supplier_part_counts",
-    "q20_dominant_part_suppliers",
-    "q21_waiting_suppliers",
 )
 
 

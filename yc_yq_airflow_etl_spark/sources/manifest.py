@@ -2082,8 +2082,16 @@ class ManifestTable:
                     for v in (mn, mx):
                         if v is None or isinstance(v, float):
                             vals.append(v)
-                        elif float(v) == v:
-                            vals.append(float(v))
+                            continue
+                        try:
+                            fv = float(v)
+                        except OverflowError:
+                            # int beyond double range (~1.8e308): same
+                            # conservative-touch fallback as >2^53.
+                            vals = None
+                            break
+                        if fv == v:
+                            vals.append(fv)
                         else:
                             vals = None
                             break
