@@ -177,6 +177,13 @@ def test_ppm_codec_roundtrip_and_comments():
     assert (feats["sum_r"], feats["sum_g"], feats["sum_b"]) == (
         int(px[:, :, 0].sum()), int(px[:, :, 1].sum()), int(px[:, :, 2].sum())
     )
+    lum = px.astype(np.int64).sum(axis=2).flatten()
+    assert feats["wsum_lum"] == int((lum * np.arange(lum.size)).sum())
+    # the weighted checksum is position-sensitive: a transposed decode
+    # passes every channel sum but not this
+    assert feats["wsum_lum"] != decode_ppm(
+        encode_ppm(px.transpose(1, 0, 2).copy())
+    )["wsum_lum"]
     # netpbm headers may carry # comments — the parser must skip them
     with_comment = b"P6\n# a comment\n3 2\n255\n" + px.tobytes()
     assert decode_ppm(with_comment) == feats
@@ -213,6 +220,10 @@ def test_multimodal_real_decode_pipeline(spark):
         assert ppm[mid].sum_r == int(px[:, :, 0].sum())
         assert ppm[mid].sum_g == int(px[:, :, 1].sum())
         assert ppm[mid].sum_b == int(px[:, :, 2].sum())
+        lum = px.sum(axis=2).flatten()
+        assert ppm[mid].wsum_lum == int(
+            (lum * np.arange(lum.size)).sum()
+        )
 
 
 def test_ivf_topk_recall_dial(spark, testdata):

@@ -36,6 +36,9 @@ LANG_STATS_SCHEMA = T.StructType(
         T.StructField("n_docs", T.LongType(), False),
         T.StructField("mean_chars", T.DoubleType(), False),
         T.StructField("std_chars", T.DoubleType(), False),
+        T.StructField("sum_chars", T.LongType(), False),
+        T.StructField("min_chars", T.LongType(), False),
+        T.StructField("max_chars", T.LongType(), False),
     ]
 )
 
@@ -45,18 +48,27 @@ def lang_char_stats(documents: DataFrame) -> DataFrame:
     doc count + mean/sample-std of n_chars computed with numpy over
     the whole group. Each group must fit one executor's memory — the
     operator contract for grouped-map; per-language doc populations do.
+
+    Deepened pins (r11): sum/min/max of n_chars as exact int64 — the
+    float mean/std tolerate a 6-decimal rounding slack and could mask
+    a group that lost or swapped a member near the rounding grain;
+    the integer triple cannot.
     """
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
         x = pdf["n_chars"].to_numpy(dtype="float64")
+        xi = pdf["n_chars"].to_numpy(dtype="int64")
         return pd.DataFrame(
             {
                 "lang": [pdf["lang"].iloc[0]],
                 "n_docs": [len(x)],
                 "mean_chars": [round(float(np.mean(x)), 6)],
                 "std_chars": [round(float(np.std(x, ddof=1)), 6)],
+                "sum_chars": [int(xi.sum())],
+                "min_chars": [int(xi.min())],
+                "max_chars": [int(xi.max())],
             }
         )
 

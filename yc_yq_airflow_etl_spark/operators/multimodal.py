@@ -272,11 +272,20 @@ def _ppm_header_tokens(payload: bytes, start: int = 0) -> tuple[list[int], int]:
 
 def decode_ppm(payload: bytes) -> dict:
     """REAL image decode: from-scratch P6 parser → per-channel
-    integer features (again exact, for closed-form oracle replay)."""
+    integer features (again exact, for closed-form oracle replay).
+
+    ``wsum_lum`` is a POSITION-weighted checksum: per-pixel luminance
+    (r+g+b) times the pixel's row-major offset, summed. The plain
+    channel sums are permutation-invariant — a decoder that transposed
+    the image, flipped a row order, or shuffled pixels inside an Arrow
+    batch would still pass them; the weighted sum pins every pixel to
+    its exact (x, y)."""
     (w, h, maxval), pos = _ppm_header_tokens(payload)
     n = w * h * 3
     body = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
-    sums = body.reshape(-1, 3).astype(np.int64).sum(axis=0)
+    px = body.reshape(-1, 3).astype(np.int64)
+    sums = px.sum(axis=0)
+    wsum = int((px.sum(axis=1) * np.arange(w * h, dtype=np.int64)).sum())
     return {
         "width": w,
         "height": h,
@@ -284,6 +293,7 @@ def decode_ppm(payload: bytes) -> dict:
         "sum_r": int(sums[0]),
         "sum_g": int(sums[1]),
         "sum_b": int(sums[2]),
+        "wsum_lum": wsum,
     }
 
 
@@ -296,6 +306,7 @@ PPM_FEATURE_SCHEMA = T.StructType(
         T.StructField("sum_r", T.LongType(), False),
         T.StructField("sum_g", T.LongType(), False),
         T.StructField("sum_b", T.LongType(), False),
+        T.StructField("wsum_lum", T.LongType(), False),
     ]
 )
 

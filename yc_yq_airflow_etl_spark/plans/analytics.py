@@ -685,6 +685,15 @@ def range_frame_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "day_num",
         F.sum("_price").over(w).cast("double").alias("trailing_90d_revenue"),
+        # deepened pins (r11): the frame's EXTENT, not just its sum.
+        # n_in_frame pins RANGE-includes-peers — two same-day orders
+        # must count each other (a ROWS frame or a broken peer rule
+        # changes the count even where the sum survives rounding);
+        # frame_min_day pins the -89 lower bound exactly (an
+        # off-by-one frame start moves it on every customer with a
+        # >90-day order history).
+        F.count(F.lit(1)).over(w).cast("int").alias("n_in_frame"),
+        F.min("day_num").over(w).cast("int").alias("frame_min_day"),
     ).orderBy("o_custkey", "o_orderkey")
 
 
@@ -700,7 +709,15 @@ SELECT o_custkey, o_orderkey, CAST(day_num AS INT) AS day_num,
        CAST(sum(price) OVER (
             PARTITION BY o_custkey ORDER BY day_num
             RANGE BETWEEN 89 PRECEDING AND CURRENT ROW) AS DOUBLE)
-           AS trailing_90d_revenue
+           AS trailing_90d_revenue,
+       CAST(count(*) OVER (
+            PARTITION BY o_custkey ORDER BY day_num
+            RANGE BETWEEN 89 PRECEDING AND CURRENT ROW) AS INT)
+           AS n_in_frame,
+       CAST(min(day_num) OVER (
+            PARTITION BY o_custkey ORDER BY day_num
+            RANGE BETWEEN 89 PRECEDING AND CURRENT ROW) AS INT)
+           AS frame_min_day
 FROM o
 ORDER BY o_custkey, o_orderkey
 """
@@ -732,7 +749,7 @@ def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_spend").desc(), F.col("o_custkey").asc()
     )
     tiled = spend.select(
-        "c_nationkey", "_spend", F.ntile(4).over(w).alias("quartile")
+        "c_nationkey", "o_custkey", "_spend", F.ntile(4).over(w).alias("quartile")
     )
     return (
         tiled.groupBy("c_nationkey", "quartile")
@@ -740,6 +757,16 @@ def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
             F.sum("_spend").cast("double").alias("total_spend"),
             F.min("_spend").cast("double").alias("min_spend"),
+            # deepened pins (r11): tile MEMBERSHIP, not just tile
+            # aggregates. custkey_sum is an exact integer checksum of
+            # who landed in the tile — a tie at a quartile boundary
+            # resolved by the wrong tiebreak swaps two customers
+            # between tiles, preserving n_customers (and often the
+            # rounded spends) but never both tiles' checksums.
+            # max_spend pins the tile's upper edge against the
+            # neighbor's min_spend.
+            F.sum("o_custkey").alias("custkey_sum"),
+            F.max("_spend").cast("double").alias("max_spend"),
         )
         .orderBy("c_nationkey", "quartile")
     )
@@ -752,14 +779,16 @@ WITH spend AS (
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY 1, 2
 ), tiled AS (
-    SELECT c_nationkey, spend,
+    SELECT c_nationkey, o_custkey, spend,
            ntile(4) OVER (PARTITION BY c_nationkey
                           ORDER BY spend DESC, o_custkey ASC) AS quartile
     FROM spend
 )
 SELECT c_nationkey, quartile, count(*) AS n_customers,
        CAST(sum(spend) AS DOUBLE) AS total_spend,
-       CAST(min(spend) AS DOUBLE) AS min_spend
+       CAST(min(spend) AS DOUBLE) AS min_spend,
+       sum(o_custkey) AS custkey_sum,
+       CAST(max(spend) AS DOUBLE) AS max_spend
 FROM tiled GROUP BY 1, 2 ORDER BY 1, 2
 """
 

@@ -1450,7 +1450,11 @@ SELECT d.doc_id,
        CAST(255 AS INT) AS maxval,
        CAST(SUM((d.doc_id + x.x + y.y) % 256) AS BIGINT) AS sum_r,
        CAST(SUM((d.doc_id * 3 + x.x) % 256) AS BIGINT) AS sum_g,
-       CAST(SUM((d.doc_id * 7 + y.y) % 256) AS BIGINT) AS sum_b
+       CAST(SUM((d.doc_id * 7 + y.y) % 256) AS BIGINT) AS sum_b,
+       CAST(SUM(((d.doc_id + x.x + y.y) % 256
+               + (d.doc_id * 3 + x.x) % 256
+               + (d.doc_id * 7 + y.y) % 256) * (y.y * 16 + x.x))
+            AS BIGINT) AS wsum_lum
 FROM documents d
 CROSS JOIN generate_series(0, 15) x(x)
 CROSS JOIN generate_series(0, 11) y(y)
@@ -1483,7 +1487,11 @@ SELECT d.doc_id,
        CAST(255 AS INT) AS maxval,
        CAST(SUM((d.doc_id + 2 * x.x + 2 * y.y) % 256) AS BIGINT) AS sum_r,
        CAST(SUM((d.doc_id * 3 + 2 * x.x) % 256) AS BIGINT) AS sum_g,
-       CAST(SUM((d.doc_id * 7 + 2 * y.y) % 256) AS BIGINT) AS sum_b
+       CAST(SUM((d.doc_id * 7 + 2 * y.y) % 256) AS BIGINT) AS sum_b,
+       CAST(SUM(((d.doc_id + 2 * x.x + 2 * y.y) % 256
+               + (d.doc_id * 3 + 2 * x.x) % 256
+               + (d.doc_id * 7 + 2 * y.y) % 256) * (y.y * 8 + x.x))
+            AS BIGINT) AS wsum_lum
 FROM documents d
 CROSS JOIN generate_series(0, 7) x(x)
 CROSS JOIN generate_series(0, 5) y(y)
@@ -1522,7 +1530,11 @@ SELECT d.doc_id,
        CAST(255 AS INT) AS maxval,
        CAST(SUM((d.doc_id * 10 + f.f + x.x + y.y) % 256) AS BIGINT) AS sum_r,
        CAST(SUM(((d.doc_id * 10 + f.f) * 3 + x.x) % 256) AS BIGINT) AS sum_g,
-       CAST(SUM(((d.doc_id * 10 + f.f) * 7 + y.y) % 256) AS BIGINT) AS sum_b
+       CAST(SUM(((d.doc_id * 10 + f.f) * 7 + y.y) % 256) AS BIGINT) AS sum_b,
+       CAST(SUM(((d.doc_id * 10 + f.f + x.x + y.y) % 256
+               + ((d.doc_id * 10 + f.f) * 3 + x.x) % 256
+               + ((d.doc_id * 10 + f.f) * 7 + y.y) % 256)
+              * (y.y * 16 + x.x)) AS BIGINT) AS wsum_lum
 FROM documents d
 CROSS JOIN (VALUES (0), (2)) f(f)
 CROSS JOIN generate_series(0, 15) x(x)
@@ -1575,7 +1587,10 @@ def udaf_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 UDAF_LANG_STATS_ORACLE = """
 SELECT lang, count(*) AS n_docs,
        round(avg(n_chars), 6) AS mean_chars,
-       round(stddev_samp(n_chars), 6) AS std_chars
+       round(stddev_samp(n_chars), 6) AS std_chars,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
 FROM documents GROUP BY lang ORDER BY lang
 """
 
