@@ -305,9 +305,11 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     global LAST_MINHASH_CANDIDATES
+    cand_cached = False
     if RECORD_MINHASH_CANDIDATES:
         cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
         LAST_MINHASH_CANDIDATES = cand.count()
+        cand_cached = True
     else:
         LAST_MINHASH_CANDIDATES = None
 
@@ -337,7 +339,7 @@ def minhash_lsh_pairs(
             lambda x: x,
         )
     ) / F.lit(num_hashes)
-    return _finish_pairs(
+    out = _finish_pairs(
         pairs.select(
             "id_a",
             "id_b",
@@ -351,6 +353,9 @@ def minhash_lsh_pairs(
         ).filter(F.col("jaccard") >= jaccard_threshold),
         sig,
     )
+    if cand_cached:
+        cand.unpersist(blocking=False)
+    return out
 
 
 def _finish_pairs(out: DataFrame, scratch: DataFrame) -> DataFrame:

@@ -2559,6 +2559,16 @@ def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").alias("n_events"),
             F.max("duration_s").alias("max_session_s"),
             F.round(F.avg("n_events"), 6).alias("avg_events_per_session"),
+            # deepened pins (r11): BOUNDARY placement, not just session
+            # counts. total_session_s = user's span minus the sum of
+            # gaps actually broken on — breaking at a different gap
+            # (wrong threshold, off-by-one lag) moves it even when
+            # n_sessions survives; singleton sessions are the rows most
+            # sensitive to a boundary shifted by one event.
+            F.sum("duration_s").alias("total_session_s"),
+            F.sum((F.col("n_events") == 1).cast("bigint")).alias(
+                "n_singleton_sessions"
+            ),
         )
         .orderBy("user_id")
     )
@@ -2588,7 +2598,10 @@ WITH e AS (
 SELECT user_id, count(*) AS n_sessions,
        CAST(sum(n_events) AS BIGINT) AS n_events,
        max(duration_s) AS max_session_s,
-       round(avg(n_events), 6) AS avg_events_per_session
+       round(avg(n_events), 6) AS avg_events_per_session,
+       CAST(sum(duration_s) AS BIGINT) AS total_session_s,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_singleton_sessions
 FROM per_session GROUP BY 1 ORDER BY user_id
 """
 
@@ -2614,7 +2627,16 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset")
         )
-        .agg(F.countDistinct("user_id").alias("active_users"))
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            # deepened pin (r11): cell MEMBERSHIP — the distinct-id sum
+            # is an exact integer checksum of which users are in the
+            # cell; a user attributed to the wrong cohort week moves
+            # between cells preserving both cells' counts far more
+            # easily than both cells' id sums. Rides the same Expand
+            # as the count-distinct — no extra exchange.
+            F.sum_distinct(F.col("user_id")).alias("active_user_id_sum"),
+        )
         .orderBy("cohort_wk", "week_offset")
     )
 
@@ -2628,7 +2650,8 @@ WITH e AS (
     SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1
 )
 SELECT cohort_wk, wk - cohort_wk AS week_offset,
-       count(DISTINCT e.user_id) AS active_users
+       count(DISTINCT e.user_id) AS active_users,
+       CAST(sum(DISTINCT e.user_id) AS BIGINT) AS active_user_id_sum
 FROM e JOIN f USING (user_id)
 GROUP BY 1, 2 ORDER BY 1, 2
 """
@@ -2737,6 +2760,17 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(
                 F.when(F.col("valid_to").isNull(), F.col("segment"))
             ).alias("current_segment"),
+            # deepened pins (r11): the validity INTERVALS, closed-form
+            # from the key. last_closed_to_epoch pins that closes stamp
+            # the closing batch's eff_ts (not now(), not the open
+            # row's); open_from_epoch pins that the open row is the
+            # LATEST version's — a reopened/carried mix-up shifts it.
+            F.unix_timestamp(F.max("valid_to")).alias(
+                "last_closed_to_epoch"
+            ),
+            F.unix_timestamp(
+                F.max(F.when(F.col("valid_to").isNull(), F.col("valid_from")))
+            ).alias("open_from_epoch"),
         )
         .orderBy("c_custkey")
     )
@@ -2752,7 +2786,18 @@ SELECT c_custkey,
                  ELSE 0 END AS BIGINT) AS n_closed,
        CASE WHEN c_custkey % 10 = 0 THEN c_mktsegment || '**'
             WHEN c_custkey % 5 = 0 THEN c_mktsegment || '*'
-            ELSE c_mktsegment END AS current_segment
+            ELSE c_mktsegment END AS current_segment,
+       CAST(CASE WHEN c_custkey % 10 = 0
+                 THEN epoch(TIMESTAMP '2022-06-01')
+                 WHEN c_custkey % 5 = 0
+                 THEN epoch(TIMESTAMP '2021-06-01')
+                 ELSE NULL END AS BIGINT) AS last_closed_to_epoch,
+       CAST(CASE WHEN c_custkey % 10 = 0
+                 THEN epoch(TIMESTAMP '2022-06-01')
+                 WHEN c_custkey % 5 = 0
+                 THEN epoch(TIMESTAMP '2021-06-01')
+                 ELSE epoch(TIMESTAMP '2020-01-01') END AS BIGINT)
+           AS open_from_epoch
 FROM customer ORDER BY c_custkey
 """
 

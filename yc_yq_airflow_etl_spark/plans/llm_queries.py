@@ -1044,6 +1044,10 @@ def token_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").cast("bigint").alias("bin_tokens"),
+            # deepened pin (r11): bin MEMBERSHIP — two equal-length
+            # docs swapped across a bin cut preserve both bins'
+            # n_docs and bin_tokens; the id checksum they can't.
+            F.sum("doc_id").alias("doc_id_sum"),
         )
         .orderBy("lang", "bin")
     )
@@ -1056,14 +1060,15 @@ WITH d AS (
                                            'g'), ' ')) AS n_tok
     FROM documents
 ), b AS (
-    SELECT lang, n_tok,
+    SELECT lang, doc_id, n_tok,
            CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
                        ROWS UNBOUNDED PRECEDING) - n_tok) / 2048.0)
                 AS INTEGER) AS bin
     FROM d
 )
 SELECT lang, bin, count(*) AS n_docs,
-       CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+       CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
 FROM b GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -1097,6 +1102,11 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.avg(F.log(F.col("_c") / F.col("_n"))), 6
             ).alias("avg_logprob"),
+            # deepened pin (r11): the doc's rarest token's corpus
+            # frequency as an exact integer — pins the score-back
+            # frequency join row-for-row where the rounded float
+            # average leaves 6-decimal slack.
+            F.min("_c").cast("bigint").alias("rarest_tok_count"),
         )
         .orderBy("doc_id")
     )
@@ -1115,7 +1125,8 @@ WITH t AS (
 )
 SELECT doc_id,
        CAST(count(*) AS INTEGER) AS n_tokens,
-       round(avg(ln(CAST(c AS DOUBLE) / nn)), 6) AS avg_logprob
+       round(avg(ln(CAST(c AS DOUBLE) / nn)), 6) AS avg_logprob,
+       CAST(min(c) AS BIGINT) AS rarest_tok_count
 FROM t JOIN f USING (tok), n
 GROUP BY doc_id ORDER BY doc_id
 """
@@ -1886,6 +1897,15 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.count("n_shared").alias("n_contaminated"),
             F.sum(F.coalesce("n_shared", F.lit(0))).alias("total_shared_ngrams"),
+            # deepened pins (r11): WHICH docs are contaminated (exact
+            # id checksum — two docs swapping contamination status
+            # within a source preserves every count above), and the
+            # heaviest single-doc overlap (pins per-doc attribution,
+            # not just the source total).
+            F.sum(
+                F.when(F.col("n_shared").isNotNull(), F.col("doc_id"))
+            ).alias("contaminated_id_sum"),
+            F.max("n_shared").alias("max_shared"),
         )
         .orderBy("source")
     )
@@ -1910,7 +1930,10 @@ WITH sh AS (
 )
 SELECT d.source AS source, count(*) AS n_docs,
        count(h.n_shared) AS n_contaminated,
-       CAST(COALESCE(sum(h.n_shared), 0) AS BIGINT) AS total_shared_ngrams
+       CAST(COALESCE(sum(h.n_shared), 0) AS BIGINT) AS total_shared_ngrams,
+       CAST(sum(CASE WHEN h.n_shared IS NOT NULL THEN d.doc_id END)
+            AS BIGINT) AS contaminated_id_sum,
+       CAST(max(h.n_shared) AS BIGINT) AS max_shared
 FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 WHERE d.doc_id % 97 <> 0
 GROUP BY 1 ORDER BY source
