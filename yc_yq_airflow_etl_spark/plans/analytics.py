@@ -2071,13 +2071,21 @@ def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_semi",
         )
         .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            # deepened pin (r11): semi-join MEMBERSHIP and no-dup in
+            # one number — an EXISTS rewrite that duplicated a
+            # multi-late-line order, or traded one qualifying order
+            # for another, moves the key sum even where counts agree.
+            F.sum("o_orderkey").alias("orderkey_sum"),
+        )
         .orderBy("o_orderpriority")
     )
 
 
 Q4_ORACLE = """
-SELECT o_orderpriority, count(*) AS n_orders
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT) AS orderkey_sum
 FROM orders o
 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1997-01-01'
@@ -2122,7 +2130,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sup_nk") == F.col("cust_nk"))
         .join(nat, F.col("sup_nk") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            # deepened pin (r11): the contributing LINE count — the
+            # same-nation residual filter verified as an exact integer
+            # rather than only through the revenue total.
+            F.count(F.lit(1)).alias("n_lines"),
+        )
         .orderBy(F.desc("revenue"), F.col("n_name"))
     )
 
@@ -2130,7 +2144,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q5_ORACLE = """
 SELECT n_name,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -2163,7 +2178,13 @@ def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(revenue).cast("double").alias("lost_revenue"))
+        .agg(
+            F.sum(revenue).cast("double").alias("lost_revenue"),
+            # deepened pin (r11): the returned-line count behind each
+            # customer's lost revenue — exact integer, no rounding
+            # slack.
+            F.count(F.lit(1)).alias("n_return_lines"),
+        )
         .orderBy(F.desc("lost_revenue"), F.col("c_custkey"))
         .limit(20)
     )
@@ -2173,7 +2194,8 @@ Q10_ORACLE = """
 SELECT c_custkey, c_name, n_name,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-           AS lost_revenue
+           AS lost_revenue,
+       count(*) AS n_return_lines
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -2204,13 +2226,23 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_cust.groupBy("c_count")
-        .agg(F.count(F.lit(1)).alias("custdist"))
+        .agg(
+            F.count(F.lit(1)).alias("custdist"),
+            # deepened pin (r11): WHICH customers sit at each order
+            # count — a customer shifted ±1 order (a dropped LEFT-join
+            # null, a double-counted line) moves between adjacent
+            # c_count buckets; twin swaps preserve both custdist
+            # values but never both checksums.
+            F.sum("c_custkey").alias("custkey_sum"),
+        )
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
 
 
 Q13_ORACLE = """
-SELECT c_count, count(*) AS custdist FROM (
+SELECT c_count, count(*) AS custdist,
+       CAST(sum(c_custkey) AS BIGINT) AS custkey_sum
+FROM (
     SELECT c.c_custkey, count(o.o_orderkey) AS c_count
     FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY 1)
@@ -2229,7 +2261,13 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = (
         t["lineitem"]
         .groupBy("l_orderkey")
-        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("total_qty"),
+            # deepened pin (r11): the line COUNT behind the HAVING sum
+            # — a double-counted or dropped line that happens to keep
+            # the decimal sum over the threshold still moves this.
+            F.count(F.lit(1)).alias("n_lines"),
+        )
         .filter(F.col("total_qty") > 200.0)
     )
     return (
@@ -2242,6 +2280,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
             F.col("o_totalprice"),
             "total_qty",
+            "n_lines",
         )
         .orderBy(F.desc("total_qty"), F.col("o_orderkey"))
     )
@@ -2250,10 +2289,11 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q18_ORACLE = """
 SELECT c_name, c_custkey, o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-       o_totalprice, total_qty
+       o_totalprice, total_qty, n_lines
 FROM (
     SELECT l_orderkey,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+           count(*) AS n_lines
     FROM lineitem GROUP BY 1 HAVING total_qty > 200.0)
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -2295,6 +2335,11 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_idle"),
             F.sum(_dec("c_acctbal")).cast("double").alias("idle_balance"),
+            # deepened pin (r11): the idle SET itself — an anti-join
+            # that wrongly keeps one lapsed customer and drops another
+            # of similar balance preserves n_idle (and idle_balance
+            # within rounding) but not the id checksum.
+            F.sum("c_custkey").alias("idle_custkey_sum"),
         )
         .orderBy("c_nationkey")
     )
@@ -2307,7 +2352,8 @@ WITH t AS (
     FROM customer WHERE c_acctbal > 0
 )
 SELECT c_nationkey, count(*) AS n_idle,
-       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS idle_balance
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS idle_balance,
+       CAST(sum(c_custkey) AS BIGINT) AS idle_custkey_sum
 FROM customer c, t
 WHERE CAST(round(c_acctbal * 100) AS BIGINT) * t.n_pos > t.sum_cents
   AND NOT EXISTS (SELECT 1 FROM orders o
