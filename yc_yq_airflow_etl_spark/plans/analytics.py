@@ -3844,7 +3844,12 @@ def q7_bination_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("o_orderdate").alias("yr"),
         )
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            # deepened pin (r11): exact line count per direction-year
+            # cell — the direction residual verified as an integer.
+            F.count(F.lit(1)).alias("n_lines"),
+        )
         .orderBy("supp_nation", "cust_nation", "yr")
     )
 
@@ -3853,7 +3858,8 @@ Q7_ORACLE = """
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        CAST(year(o_orderdate) AS INT) AS yr,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -3887,6 +3893,12 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = joined.agg(
         F.count(F.lit(1)).alias("n_lines"),
+        # deepened pin (r11): the promo-line COUNT — pins the
+        # conditional split as an exact integer, not only through the
+        # decimal revenue pair.
+        F.sum((F.col("p_type") == "PROMO").cast("bigint")).alias(
+            "n_promo_lines"
+        ),
         F.sum(F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0).cast(DEC)))
         .cast("double")
         .alias("promo_revenue"),
@@ -3894,6 +3906,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "n_lines",
+        "n_promo_lines",
         "promo_revenue",
         "total_revenue",
         F.round(
@@ -3905,6 +3918,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q14_ORACLE = """
 WITH a AS (
     SELECT count(*) AS n_lines,
+           CAST(sum(CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_promo_lines,
            CAST(sum(CASE WHEN p_type = 'PROMO'
                          THEN CAST(l_extendedprice AS DECIMAL(18,2))
                               * (1 - CAST(l_discount AS DECIMAL(18,2)))
@@ -3916,7 +3931,7 @@ WITH a AS (
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
 )
-SELECT n_lines, promo_revenue, total_revenue,
+SELECT n_lines, n_promo_lines, promo_revenue, total_revenue,
        round(100.0 * promo_revenue / total_revenue, 6) AS promo_pct
 FROM a
 """
@@ -3948,12 +3963,16 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0), 6
         ).alias("avg_yearly"),
+        # deepened pin (r11): WHICH lines qualified — the orderkey
+        # checksum moves if the cross-multiplied threshold admits a
+        # different (same-sized) set of small-quantity lines.
+        F.sum("l_orderkey").alias("small_orderkey_sum"),
     )
 
 
 Q17_ORACLE = """
 WITH li AS (
-    SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
+    SELECT l_partkey, l_orderkey, CAST(round(l_quantity) AS BIGINT) AS qty,
            l_extendedprice
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE p_brand = 'Brand#2'
@@ -3963,7 +3982,8 @@ WITH li AS (
 )
 SELECT count(*) AS n_small,
        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-             / 7.0, 6) AS avg_yearly
+             / 7.0, 6) AS avg_yearly,
+       CAST(sum(l_orderkey) AS BIGINT) AS small_orderkey_sum
 FROM li JOIN pp USING (l_partkey)
 WHERE qty * 5 * pp.n_q < pp.sum_q
 """
@@ -3993,13 +4013,29 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(revenue).cast("double").alias("revenue"),
+        # deepened pin (r11): per-arm line counts — the three brands
+        # are disjoint, so the disjunction's attribution splits
+        # exactly; an arm with a shifted range bound moves its own
+        # count where the OR-total could mask it.
+        F.sum(arm("Brand#2", 15, 1, 11).cast("bigint")).alias("n_arm1"),
+        F.sum(arm("Brand#15", 25, 10, 20).cast("bigint")).alias("n_arm2"),
+        F.sum(arm("Brand#19", 35, 20, 30).cast("bigint")).alias("n_arm3"),
     )
 
 
 Q19_ORACLE = """
 SELECT count(*) AS n_lines,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       CAST(sum(CASE WHEN p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+                      AND l_quantity BETWEEN 1 AND 11
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_arm1,
+       CAST(sum(CASE WHEN p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 25
+                      AND l_quantity BETWEEN 10 AND 20
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_arm2,
+       CAST(sum(CASE WHEN p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 35
+                      AND l_quantity BETWEEN 20 AND 30
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_arm3
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 1 AND 11)
@@ -4027,7 +4063,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
         .groupBy("l_suppkey")
-        .agg(F.sum(revenue).alias("_rev"))
+        .agg(
+            F.sum(revenue).alias("_rev"),
+            # deepened pin (r11): the winner's contributing line count
+            # — an exact integer behind the decimal argmax.
+            F.count(F.lit(1)).alias("n_lines"),
+        )
     )
     mx = F.broadcast(rev.agg(F.max("_rev").alias("_mx")))
     return (
@@ -4041,6 +4082,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey",
             "s_name",
             F.col("_rev").cast("double").alias("total_revenue"),
+            "n_lines",
         )
         .orderBy("s_suppkey")
     )
@@ -4050,13 +4092,15 @@ Q15_ORACLE = """
 WITH r AS (
     SELECT l_suppkey,
            sum(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev,
+           count(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1996-04-01'
     GROUP BY 1
 )
-SELECT s_suppkey, s_name, CAST(r.rev AS DOUBLE) AS total_revenue
+SELECT s_suppkey, s_name, CAST(r.rev AS DOUBLE) AS total_revenue,
+       r.n_lines AS n_lines
 FROM r JOIN supplier ON l_suppkey = s_suppkey
 WHERE r.rev = (SELECT max(rev) FROM r)
 ORDER BY s_suppkey
