@@ -462,3 +462,118 @@ def test_read_events_ns_conversion_floors_like_duckdb(spark, tmp_path):
     }
     for i, ns in enumerate(ns_vals):
         assert got[i] == ns // 1000, (ns, got[i], ns // 1000)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    eps=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # user
+            st.integers(min_value=0, max_value=20000),  # epoch second
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_sessionization_matches_python_reference_property(spark, eps):
+    """Property: the gaps-and-islands sessionization query equals a
+    direct Python reference (sort per user, split on gap > 1800) for
+    ANY event layout — same-second ties (event_id tiebreak), gaps
+    exactly at the 1800 boundary (NOT a break; only > breaks), long
+    idle stretches, single-event users. Pins every output column the
+    registered query emits, including the r11 boundary pins
+    (total_session_s, n_singleton_sessions)."""
+    from datetime import datetime, timezone
+
+    from yc_yq_airflow_etl_spark.plans import analytics as an
+
+    rows = [
+        (u, i, datetime.fromtimestamp(ep, tz=timezone.utc).replace(tzinfo=None))
+        for i, (u, ep) in enumerate(eps)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp"
+    )
+    orig = an.load_testdata
+    an.load_testdata = lambda s, sf: {"events": ev}
+    try:
+        got = {r.user_id: r for r in an.event_sessionization(spark, "x").collect()}
+    finally:
+        an.load_testdata = orig
+
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for i, (u, ep) in enumerate(eps):
+        by_user.setdefault(u, []).append((ep, i))
+    for u, evs in by_user.items():
+        evs.sort()
+        sessions: list[list[int]] = [[evs[0][0]]]
+        for (ep, _), (prev_ep, _) in zip(evs[1:], evs[:-1]):
+            if ep - prev_ep > 1800:
+                sessions.append([ep])
+            else:
+                sessions[-1].append(ep)
+        durations = [s[-1] - s[0] for s in sessions]
+        r = got[u]
+        assert r.n_sessions == len(sessions), (u, evs)
+        assert r.n_events == len(evs)
+        assert r.max_session_s == max(durations)
+        assert r.total_session_s == sum(durations)
+        assert r.n_singleton_sessions == sum(1 for s in sessions if len(s) == 1)
+        assert abs(r.avg_events_per_session - round(len(evs) / len(sessions), 6)) < 1e-9
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    lens=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),     # lang stratum
+            st.integers(min_value=1, max_value=1500),  # token count
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_token_packing_matches_python_reference_property(spark, lens):
+    """Property: the next-fit token packing query equals a direct
+    Python reference (per-lang doc_id-ordered prefix sum, bin =
+    tokens-before // 2048) for ANY doc-length layout — docs exactly
+    filling a bin, docs larger than the whole budget, single-doc
+    strata. Pins all three output columns including the r11
+    doc_id_sum membership checksum."""
+    from yc_yq_airflow_etl_spark.plans import llm_queries as lq
+
+    rows = [
+        (i, f"L{lang}", " ".join(f"w{j}" for j in range(n)))
+        for i, (lang, n) in enumerate(lens)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    orig = lq.load_testdata
+    lq.load_testdata = lambda s, sf: {"documents": docs}
+    try:
+        got = {
+            (r.lang, r.bin): (r.n_docs, r.bin_tokens, r.doc_id_sum)
+            for r in lq.token_packing_bins(spark, "x").collect()
+        }
+    finally:
+        lq.load_testdata = orig
+
+    want: dict[tuple[str, int], list[int]] = {}
+    cum: dict[str, int] = {}
+    for i, (lang, n) in enumerate(lens):  # doc_id order == index order
+        key = f"L{lang}"
+        before = cum.get(key, 0)
+        b = before // 2048
+        cum[key] = before + n
+        cell = want.setdefault((key, b), [0, 0, 0])
+        cell[0] += 1
+        cell[1] += n
+        cell[2] += i
+    assert got == {k: tuple(v) for k, v in want.items()}, (lens, got)
