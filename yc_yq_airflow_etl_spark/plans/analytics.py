@@ -4407,6 +4407,12 @@ def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            # deepened pins (r11): the join's fan-out shape — distinct
+            # orders behind the line counts (a duplicated join row
+            # inflates lines but not orders), and an exact key
+            # checksum of line→order attribution.
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum("l_orderkey").alias("line_orderkey_sum"),
         )
         .orderBy("l_returnflag")
     )
@@ -4417,7 +4423,9 @@ SELECT l_returnflag,
        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
        CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count,
+       count(DISTINCT o_orderkey) AS n_orders,
+       CAST(sum(l_orderkey) AS BIGINT) AS line_orderkey_sum
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'

@@ -1969,11 +1969,20 @@ def embedding_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: F.greatest(acc, x),
     )
+    # deepened pin (r11): the quantized CODES themselves, as an exact
+    # integer checksum — every error stat above is rounded to 6
+    # decimals, but a code off by one anywhere moves this by ≥1.
+    code_sum = F.aggregate(
+        F.transform(vec, lambda x: F.round(x / scale)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     per_vec = t["embeddings"].select(
         "label",
         (sq_err / F.size("embedding")).alias("_mse"),
         max_err.alias("_maxe"),
         scale.alias("_scale"),
+        code_sum.alias("_codes"),
     )
     return (
         per_vec.groupBy("label")
@@ -1982,6 +1991,7 @@ def embedding_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("_mse"), 6).alias("avg_mse"),
             F.round(F.max("_maxe"), 6).alias("max_abs_err"),
             F.round(F.avg("_scale"), 6).alias("avg_scale"),
+            F.sum("_codes").cast("bigint").alias("code_checksum"),
         )
         .orderBy("label")
     )
@@ -1999,7 +2009,9 @@ WITH v AS (
     FROM v
 ), e AS (
     SELECT label, scale,
-           list_transform(vec, x -> x - round(x / scale) * scale) AS err
+           list_transform(vec, x -> x - round(x / scale) * scale) AS err,
+           list_aggregate(list_transform(vec, x -> round(x / scale)), 'sum')
+               AS codes
     FROM s
 )
 SELECT label, count(*) AS n_vecs,
@@ -2007,7 +2019,8 @@ SELECT label, count(*) AS n_vecs,
                  / len(err)), 6) AS avg_mse,
        round(max(list_aggregate(list_transform(err, x -> abs(x)), 'max')), 6)
            AS max_abs_err,
-       round(avg(scale), 6) AS avg_scale
+       round(avg(scale), 6) AS avg_scale,
+       CAST(sum(codes) AS BIGINT) AS code_checksum
 FROM e GROUP BY 1 ORDER BY label
 """
 
