@@ -2030,6 +2030,10 @@ def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+            # deepened pin (r11): exact key checksum of the box's rows
+            # — proves the Morton-clustered rewrite serves precisely
+            # the original rows, not merely matching counts/sums.
+            F.sum("l_orderkey").alias("orderkey_sum"),
         )
         .orderBy("l_returnflag")
     )
@@ -2038,7 +2042,8 @@ def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 ZORDER_PRUNED_ORACLE = """
 SELECT l_returnflag, count(*) AS n,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(sum(l_orderkey) AS BIGINT) AS orderkey_sum
 FROM lineitem
 WHERE l_quantity BETWEEN 5.0 AND 10.0
   AND l_extendedprice BETWEEN 20000.0 AND 40000.0
@@ -3017,8 +3022,14 @@ def manifest_time_travel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     mt = ManifestTable(ensure_manifest_demo(spark, sf_dir))
     per_version = [
         mt.read(spark, version=v)
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .select(F.lit(v).alias("version"), "n_rows")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            # deepened pin (r11): snapshot CONTENT, not just size — a
+            # historical version serving the right row count from the
+            # wrong file set passes n_rows but not the key checksum.
+            F.sum("l_orderkey").alias("orderkey_sum"),
+        )
+        .select(F.lit(v).alias("version"), "n_rows", "orderkey_sum")
         for v in (0, 1, 2)
     ]
     out = per_version[0]
@@ -3029,13 +3040,19 @@ def manifest_time_travel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MANIFEST_TIME_TRAVEL_ORACLE = """
 SELECT 0 AS version,
-       (SELECT count(*) FROM lineitem WHERE year(l_shipdate) < 1997) AS n_rows
+       (SELECT count(*) FROM lineitem WHERE year(l_shipdate) < 1997) AS n_rows,
+       (SELECT CAST(sum(l_orderkey) AS BIGINT) FROM lineitem
+         WHERE year(l_shipdate) < 1997) AS orderkey_sum
 UNION ALL
 SELECT 1,
-       (SELECT count(*) FROM lineitem WHERE year(l_shipdate) <= 1997)
+       (SELECT count(*) FROM lineitem WHERE year(l_shipdate) <= 1997),
+       (SELECT CAST(sum(l_orderkey) AS BIGINT) FROM lineitem
+         WHERE year(l_shipdate) <= 1997)
 UNION ALL
 SELECT 2,
-       (SELECT count(*) FROM lineitem WHERE year(l_shipdate) <= 1998)
+       (SELECT count(*) FROM lineitem WHERE year(l_shipdate) <= 1998),
+       (SELECT CAST(sum(l_orderkey) AS BIGINT) FROM lineitem
+         WHERE year(l_shipdate) <= 1998)
 ORDER BY version
 """
 
@@ -3115,12 +3132,16 @@ def manifest_bucket_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+            # deepened pin (r11): WHICH orders the kept bucket served —
+            # an exact key checksum over the pruned read's rows.
+            F.sum("o_orderkey").alias("orderkey_sum"),
         )
         .select(
             F.lit(len(manifest["files"])).alias("n_files_total"),
             F.lit(len(kept)).alias("n_files_kept"),
             "n_rows",
             "sum_price",
+            "orderkey_sum",
         )
     )
 
@@ -3130,7 +3151,8 @@ WITH b AS (SELECT max(o_custkey) AS m FROM orders)
 SELECT 8 AS n_files_total,
        1 AS n_files_kept,
        count(*) AS n_rows,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(sum(o_orderkey) AS BIGINT) AS orderkey_sum
 FROM orders, b
 WHERE o_custkey = greatest(m // 3, 1)
 """
@@ -4844,6 +4866,11 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
             F.sum(revenue).cast("double").alias("revenue"),
+            # deepened pin (r11): exact key checksum of the joined
+            # lines per status — the bucketed tables' row-for-row
+            # equivalence to the originals verified as an integer,
+            # not only through the decimal revenue.
+            F.sum("l_orderkey").alias("orderkey_sum"),
         )
         .orderBy("o_orderstatus")
     )
@@ -4852,7 +4879,8 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 BUCKETED_JOIN_ORACLE = """
 SELECT o_orderstatus, count(*) AS n_lines,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       CAST(sum(l_orderkey) AS BIGINT) AS orderkey_sum
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1 ORDER BY o_orderstatus
 """
@@ -4915,6 +4943,9 @@ def multi_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             F.sum("n_nationkey").alias("key_checksum"),
             F.sum(F.length("n_name")).alias("name_chars"),
+            # deepened pin (r11): the region FK through every format —
+            # a third column verified through the CSV/JSON round-trip.
+            F.sum("n_regionkey").alias("region_checksum"),
         )
         .orderBy("fmt")
     )
@@ -4924,10 +4955,11 @@ MULTI_FORMAT_ORACLE = """
 WITH base AS (
     SELECT count(*) AS n_rows,
            CAST(sum(n_nationkey) AS BIGINT) AS key_checksum,
-           CAST(sum(length(n_name)) AS BIGINT) AS name_chars
+           CAST(sum(length(n_name)) AS BIGINT) AS name_chars,
+           CAST(sum(n_regionkey) AS BIGINT) AS region_checksum
     FROM nation
 )
-SELECT fmt, n_rows, key_checksum, name_chars
+SELECT fmt, n_rows, key_checksum, name_chars, region_checksum
 FROM base, (VALUES ('csv'), ('json'), ('parquet')) t(fmt)
 ORDER BY fmt
 """
