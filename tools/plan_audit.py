@@ -356,7 +356,19 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("small-part keys broadcast before the fact aggregate",
          r"BroadcastHashJoin"),
         ("pair quantities partially aggregated", r"partial_sum"),
-        ("final probe is a semi-join", r"LeftSemi"),
+        # r11: the semi-join became an inner join against the
+        # PER-SUPPLIER AGGREGATED dominant set (n_dominant_parts /
+        # dominant_partkey_sum pins). The static plan picks SMJ at
+        # SF_DIR (aggregate size unestimated; AQE broadcasts at run
+        # time) — the pin is the equi-join KEYS against the
+        # aggregated set, plus no cartesian anywhere.
+        ("final probe equi-joins the aggregated dominant set on suppkey",
+         r"Join[^\n]*\nLeft keys \[1\]: \[s_suppkey#\d+L?\]\n"
+         r"Right keys \[1\]: \[l_suppkey#\d+L?\]\nJoin type: Inner"),
+        ("no cartesian product", r"!CartesianProduct"),
+        ("dominant set is pre-aggregated per supplier",
+         r"Keys \[1\]: \[l_suppkey#\d+L?\]\n"
+         r"Functions \[2\]: \[sum\(l_partkey"),
         ("shipdate window pushed to the lineitem scan",
          r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate"),
     ],

@@ -182,12 +182,17 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            # deepened pin (r11): line count behind each top order.
+            F.count(F.lit(1)).alias("n_lines"),
+        )
         .select(
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             "o_orderpriority",
             "revenue",
+            "n_lines",
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
@@ -199,7 +204,8 @@ SELECT l_orderkey AS o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
        o_orderpriority,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -4256,12 +4262,21 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("_nat"),
             F.sum(rev).alias("_all"),
+            # deepened pin (r11): the ratio's integer backbone — line
+            # counts per year for the nation and overall, exact where
+            # the 6-decimal share leaves slack.
+            F.sum(
+                (F.col("sup_nation") == "NATION_3").cast("bigint")
+            ).alias("n_nation_lines"),
+            F.count(F.lit(1)).alias("n_lines"),
         )
         .select(
             "o_year",
             F.round(
                 F.col("_nat").cast("double") / F.col("_all").cast("double"), 6
             ).alias("mkt_share"),
+            "n_nation_lines",
+            "n_lines",
         )
         .orderBy("o_year")
     )
@@ -4276,7 +4291,10 @@ SELECT CAST(year(o_orderdate) AS INT) AS o_year,
                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
          / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                     * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
-         6) AS mkt_share
+         6) AS mkt_share,
+       CAST(sum(CASE WHEN sn.n_name = 'NATION_3' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_nation_lines,
+       count(*) AS n_lines
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -4327,7 +4345,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .agg(
+            F.sum(amount).cast("double").alias("sum_profit"),
+            # deepened pin (r11): contributing line count per cell.
+            F.count(F.lit(1)).alias("n_lines"),
+        )
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -4338,7 +4360,8 @@ SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
                 * (1 - CAST(l_discount AS DECIMAL(18,2)))
                 - CAST(p_retailprice AS DECIMAL(18,2))
                   * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-           AS sum_profit
+           AS sum_profit,
+       count(*) AS n_lines
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -4375,7 +4398,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .join(euro_sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("p_partkey"))
-        .agg(F.sum(rev).alias("_v"))
+        .agg(
+            F.sum(rev).alias("_v"),
+            # deepened pin (r11): contributing line count per part.
+            F.count(F.lit(1)).alias("n_lines"),
+        )
     )
     total = F.broadcast(per_part.agg(F.sum("_v").alias("_t")))
     return (
@@ -4383,7 +4410,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             F.col("_v").cast("double") > F.col("_t").cast("double") * 0.001
         )
-        .select("p_partkey", F.col("_v").cast("double").alias("part_value"))
+        .select(
+            "p_partkey",
+            F.col("_v").cast("double").alias("part_value"),
+            "n_lines",
+        )
         .orderBy(F.desc("part_value"), "p_partkey")
     )
 
@@ -4392,7 +4423,8 @@ Q11_ORACLE = """
 WITH pv AS (
     SELECT l_partkey AS p_partkey,
            sum(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS v
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS v,
+           count(*) AS n_lines
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation ON s_nationkey = n_nationkey
@@ -4400,7 +4432,7 @@ WITH pv AS (
     WHERE r_name = 'EUROPE'
     GROUP BY 1
 )
-SELECT p_partkey, CAST(v AS DOUBLE) AS part_value
+SELECT p_partkey, CAST(v AS DOUBLE) AS part_value, n_lines
 FROM pv
 WHERE CAST(v AS DOUBLE) > (SELECT CAST(sum(v) AS DOUBLE) FROM pv) * 0.001
 ORDER BY part_value DESC, p_partkey
@@ -4528,13 +4560,21 @@ def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_dec("l_quantity")).alias("_q"))
     )
     totals = pairs.groupBy("l_partkey").agg(F.sum("_q").alias("_tq"))
+    # deepened pin (r11): count HOW MANY parts each supplier dominates
+    # (and their key checksum) instead of only the bare semi-join
+    # membership — a threshold off by an ulp admits/drops a
+    # (part, supplier) pair, which moves these even when the supplier
+    # set happens to survive.
     dominant = (
         pairs.join(totals, "l_partkey")
         .filter(
             F.col("_q").cast("double") > F.col("_tq").cast("double") * 0.3
         )
-        .select("l_suppkey")
-        .distinct()
+        .groupBy("l_suppkey")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_dominant_parts"),
+            F.sum("l_partkey").alias("dominant_partkey_sum"),
+        )
     )
     asia_sup = (
         t["supplier"]
@@ -4546,10 +4586,8 @@ def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     return (
-        asia_sup.join(
-            dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
-        )
-        .select("s_name")
+        asia_sup.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_name", "n_dominant_parts", "dominant_partkey_sum")
         .orderBy("s_name")
     )
 
@@ -4566,16 +4604,20 @@ WITH ps AS (
     GROUP BY 1, 2
 ), pt AS (
     SELECT l_partkey, sum(q) AS tq FROM ps GROUP BY 1
+), dom AS (
+    SELECT ps.l_suppkey,
+           count(DISTINCT ps.l_partkey) AS n_dominant_parts,
+           CAST(sum(ps.l_partkey) AS BIGINT) AS dominant_partkey_sum
+    FROM ps JOIN pt ON ps.l_partkey = pt.l_partkey
+    WHERE CAST(ps.q AS DOUBLE) > CAST(pt.tq AS DOUBLE) * 0.3
+    GROUP BY 1
 )
-SELECT s_name
+SELECT s_name, n_dominant_parts, dominant_partkey_sum
 FROM supplier
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
+JOIN dom ON s_suppkey = dom.l_suppkey
 WHERE r_name = 'ASIA'
-  AND s_suppkey IN (
-      SELECT DISTINCT ps.l_suppkey FROM ps
-      JOIN pt ON ps.l_partkey = pt.l_partkey
-      WHERE CAST(ps.q AS DOUBLE) > CAST(pt.tq AS DOUBLE) * 0.3)
 ORDER BY s_name
 """
 
@@ -4623,14 +4665,21 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(
+            F.count(F.lit(1)).alias("numwait"),
+            # deepened pin (r11): WHICH orders the supplier held up —
+            # exact key checksum of the waiting set behind numwait.
+            F.sum("l_orderkey").alias("waiting_orderkey_sum"),
+        )
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
 
 
 Q21_ORACLE = """
-SELECT s_name, count(*) AS numwait FROM (
+SELECT s_name, count(*) AS numwait,
+       CAST(sum(l_orderkey) AS BIGINT) AS waiting_orderkey_sum
+FROM (
     SELECT DISTINCT l1.l_suppkey, l1.l_orderkey
     FROM lineitem l1
     JOIN orders o1 ON l1.l_orderkey = o1.o_orderkey
@@ -5231,7 +5280,11 @@ def dau_wau_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("day"), "user_id"
     ).distinct()
     dau = du.groupBy("day").agg(
-        F.count(F.lit(1)).cast("bigint").alias("dau")
+        F.count(F.lit(1)).cast("bigint").alias("dau"),
+        # deepened pin (r11): the active SET per day — swapped user
+        # attribution between adjacent days preserves both days' DAU
+        # counts but not their id checksums.
+        F.sum("user_id").alias("dau_user_id_sum"),
     )
     contrib = du.select(
         F.explode(
@@ -5251,6 +5304,7 @@ def dau_wau_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
                 "stickiness"
             ),
+            "dau_user_id_sum",
         )
         .orderBy("day")
     )
@@ -5260,7 +5314,9 @@ DAU_WAU_ORACLE = """
 WITH du AS (
     SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
 ), dau AS (
-    SELECT day, count(*) AS dau FROM du GROUP BY 1
+    SELECT day, count(*) AS dau,
+           CAST(sum(user_id) AS BIGINT) AS dau_user_id_sum
+    FROM du GROUP BY 1
 ), contrib AS (
     SELECT unnest(generate_series(day, day + 6, INTERVAL 1 DAY))::DATE
                AS wday,
@@ -5272,7 +5328,8 @@ WITH du AS (
 SELECT d.day,
        CAST(d.dau AS BIGINT) AS dau,
        CAST(w.wau AS BIGINT) AS wau,
-       round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+       round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness,
+       d.dau_user_id_sum
 FROM dau d JOIN wau w ON w.wday = d.day
 ORDER BY d.day
 """

@@ -772,23 +772,31 @@ def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_testdata(spark, sf_dir)
     return (
         t["documents"]
-        .select(_split_expr(F.col("doc_id")).alias("split"), "lang")
+        .select(_split_expr(F.col("doc_id")).alias("split"), "lang", "doc_id")
         .groupBy("split", "lang")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            # deepened pin (r11): split MEMBERSHIP — two docs of the
+            # same lang swapped between splits preserve every count;
+            # the id checksum pins exactly who landed where (the
+            # no-leakage property the split exists for).
+            F.sum("doc_id").alias("doc_id_sum"),
+        )
         .orderBy("split", "lang")
     )
 
 
 DATASET_SPLITS_ORACLE = """
 WITH h AS (
-    SELECT lang,
+    SELECT lang, doc_id,
            (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT % 100) AS b
     FROM documents
 )
 SELECT CASE WHEN b < 80 THEN 'train'
             WHEN b < 90 THEN 'val'
             ELSE 'test' END AS split,
-       lang, count(*) AS n_docs
+       lang, count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
 FROM h GROUP BY 1, 2 ORDER BY split, lang
 """
 
@@ -1709,6 +1717,12 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("_rm").isNotNull(), 1).otherwise(0))
             .cast("bigint")
             .alias("n_removed"),
+            # deepened pin (r11): WHICH docs survived — a keeper
+            # selection that kept the wrong cluster member preserves
+            # every count above but not the kept-id checksum.
+            F.sum(
+                F.when(F.col("_rm").isNull(), F.col("doc_id"))
+            ).alias("kept_id_sum"),
         )
         .orderBy("lang")
     )
@@ -1741,7 +1755,9 @@ DEDUP_CANONICAL_ORACLE = (
 SELECT d.lang,
        count(*) AS n_docs,
        count(*) FILTER (WHERE r.doc_id IS NULL) AS n_kept,
-       count(r.doc_id) AS n_removed
+       count(r.doc_id) AS n_removed,
+       CAST(sum(d.doc_id) FILTER (WHERE r.doc_id IS NULL) AS BIGINT)
+           AS kept_id_sum
 FROM documents d LEFT JOIN removed r USING (doc_id)
 GROUP BY d.lang
 ORDER BY d.lang
