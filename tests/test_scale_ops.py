@@ -663,3 +663,34 @@ def test_sketches_exclude_nulls_and_salted_count_handles_maps(spark):
     )
     counts = {r.k: r.cnt for r in salted_count(mapped, ["k"]).collect()}
     assert counts == {1: 2, 2: 1}
+
+
+def test_salted_agg_sums_equal_plain_groupby_under_skew(spark):
+    """salted_agg's two-phase DECIMAL sums must be bit-identical to the
+    single-pass groupBy for any salt assignment — on a skewed frame
+    (one key holds ~90% of rows, spread over all 16 shards), with a
+    NULL-value row (sum ignores it, count doesn't) and negative and
+    fractional cents exercising the decimal path."""
+    from pyspark.sql import functions as F
+
+    from yc_yq_airflow_etl_spark.operators.skew import salted_agg
+
+    rows = [("hot", float(i % 7) - 2.5) for i in range(900)]
+    rows += [("cold", 10.25), ("cold", -0.75), ("warm", None)]
+    df = spark.createDataFrame(rows, "k string, value double")
+
+    got = {
+        r.k: (r.cnt, r.sum_value)
+        for r in salted_agg(df, ["k"], sum_cols=("value",)).collect()
+    }
+    want = {
+        r.k: (r.cnt, r.sum_value)
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert got["hot"][0] == 900 and got["warm"] == (1, None)

@@ -25,19 +25,27 @@ from pyspark.sql import functions as F
 from .joins import salted_join as _salted_join_impl
 
 
-def salted_count(
-    df: DataFrame, keys: Sequence[str], salt_buckets: int = 16
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    salt_buckets: int = 16,
 ) -> DataFrame:
-    """Two-phase count per key: phase 1 aggregates (key, salt) —
-    spreading any hot key over ``salt_buckets`` reducers — phase 2
-    merges the partial counts per key. Result ≡ groupBy(keys).count()
-    for ANY salt assignment; the salt is a deterministic full-row hash
-    so partial-stage recompute after a shuffle-fetch failure reassigns
-    identical salts (byte-identical duplicate rows share a salt — the
-    spread still holds whenever a hot key's rows differ anywhere)."""
+    """Two-phase salted aggregation per key: phase 1 aggregates
+    (key, salt) — spreading any hot key over ``salt_buckets`` reducers
+    — phase 2 merges the partials per key. Emits ``cnt`` plus one
+    ``sum_<col>`` per entry in ``sum_cols``; sums run as DECIMAL(18,2)
+    (algebraic and exact, so partial-then-merge ≡ single-pass for ANY
+    salt assignment — a double would drift with summation order).
+    Result ≡ ``groupBy(keys).agg(count, sum…)``; the salt is a
+    deterministic full-row hash so partial-stage recompute after a
+    shuffle-fetch failure reassigns identical salts (byte-identical
+    duplicate rows share a salt — the spread still holds whenever a
+    hot key's rows differ anywhere)."""
     from .joins import _hashable_type
 
     keys = list(keys)
+    sum_cols = list(sum_cols)
     # same guard as joins.salted_join: xxhash64 rejects MAP-typed
     # inputs (AnalysisException) — hash only the hashable columns;
     # determinism holds because the subset is schema-derived
@@ -48,8 +56,25 @@ def salted_count(
         "_salt",
         F.pmod(F.xxhash64(*hashable), F.lit(salt_buckets)),
     )
-    partial = salted.groupBy(*keys, "_salt").agg(F.count(F.lit(1)).alias("_c"))
-    return partial.groupBy(*keys).agg(F.sum("_c").alias("cnt"))
+    partial = salted.groupBy(*keys, "_salt").agg(
+        F.count(F.lit(1)).alias("_c"),
+        *[
+            F.sum(F.col(c).cast("decimal(18,2)")).alias(f"_s_{c}")
+            for c in sum_cols
+        ],
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("_c").alias("cnt"),
+        *[F.sum(f"_s_{c}").alias(f"sum_{c}") for c in sum_cols],
+    )
+
+
+def salted_count(
+    df: DataFrame, keys: Sequence[str], salt_buckets: int = 16
+) -> DataFrame:
+    """Two-phase count per key — :func:`salted_agg` without sums,
+    kept under its original name/contract."""
+    return salted_agg(df, keys, sum_cols=(), salt_buckets=salt_buckets)
 
 
 def salted_join(

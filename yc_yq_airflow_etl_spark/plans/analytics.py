@@ -264,21 +264,30 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
 
 
 def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hot-key-safe two-phase aggregation (operators/skew.salted_count):
-    per-type event counts where phase 1 spreads each key over 16 salt
-    shards before any exchange — the explicit-salting shape for keys
-    too hot even for AQE. The contract is exact equivalence with the
-    plain groupBy count, which IS the DuckDB oracle."""
-    from ..operators.skew import salted_count
+    """Hot-key-safe two-phase aggregation (operators/skew.salted_agg):
+    per-type event counts AND a decimal-exact value sum, where phase 1
+    spreads each key over 16 salt shards before any exchange — the
+    explicit-salting shape for keys too hot even for AQE. The
+    contract is exact equivalence with the plain groupBy, which IS
+    the DuckDB oracle (deepened r11: the salted SUM is the harder
+    half of the claim — a double would drift with shard order; the
+    DECIMAL partial-merge must be bit-identical to single-pass)."""
+    from ..operators.skew import salted_agg
 
     t = load_testdata(spark, sf_dir)
-    return salted_count(t["events"], ["event_type"], salt_buckets=16).orderBy(
-        "event_type"
+    out = salted_agg(
+        t["events"], ["event_type"], sum_cols=("value",), salt_buckets=16
     )
+    return out.select(
+        "event_type",
+        "cnt",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    ).orderBy("event_type")
 
 
 SALTED_COUNTS_ORACLE = """
-SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
