@@ -1015,17 +1015,28 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ev.agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
-        .crossJoin(v.agg(F.count(F.lit(1)).cast("bigint").alias("n_viewed")))
+        .crossJoin(
+            v.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_viewed"),
+                # deepened pins (r11): per-stage MEMBERSHIP checksums —
+                # a user qualifying the wrong stage (a > that became
+                # >=, a min over the wrong event set) swaps members
+                # between stages while the counts can survive.
+                F.sum("user_id").alias("viewed_id_sum"),
+            )
+        )
         .crossJoin(
             c.agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_clicked_after_view")
+                F.count(F.lit(1)).cast("bigint").alias("n_clicked_after_view"),
+                F.sum("user_id").alias("clicked_id_sum"),
             )
         )
         .crossJoin(
             p.agg(
                 F.count(F.lit(1))
                 .cast("bigint")
-                .alias("n_purchased_after_click")
+                .alias("n_purchased_after_click"),
+                F.sum("user_id").alias("purchased_id_sum"),
             )
         )
     )
@@ -1050,8 +1061,11 @@ WITH e AS (
 )
 SELECT (SELECT count(DISTINCT user_id) FROM e) AS n_users,
        (SELECT count(*) FROM v) AS n_viewed,
+       (SELECT CAST(sum(user_id) AS BIGINT) FROM v) AS viewed_id_sum,
        (SELECT count(*) FROM c) AS n_clicked_after_view,
-       (SELECT count(*) FROM p) AS n_purchased_after_click
+       (SELECT CAST(sum(user_id) AS BIGINT) FROM c) AS clicked_id_sum,
+       (SELECT count(*) FROM p) AS n_purchased_after_click,
+       (SELECT CAST(sum(user_id) AS BIGINT) FROM p) AS purchased_id_sum
 """
 
 
@@ -1611,6 +1625,10 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+            # deepened pin (r11): exact band-membership checksum — an
+            # order landing in the adjacent band at a boundary (>= vs
+            # > drift) moves it even when counts/sums round the same.
+            F.sum("o_orderkey").alias("orderkey_sum"),
         )
         .orderBy("band")
     )
@@ -1618,7 +1636,8 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RANGE_JOIN_ORACLE = """
 SELECT b.band AS band, count(*) AS n,
-       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(sum(o.o_orderkey) AS BIGINT) AS orderkey_sum
 FROM orders o
 JOIN (SELECT i AS band, i * 50000.0 AS lo, (i + 1) * 50000.0 AS hi
       FROM range(10) t(i)) b
@@ -1649,7 +1668,7 @@ def range_join_price_bands_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
         "band bigint, lo double, hi double",
     )
     joined = bucketed_range_join(
-        t["orders"].select("o_totalprice"),
+        t["orders"].select("o_orderkey", "o_totalprice"),
         F.broadcast(bands),
         "o_totalprice",
         "lo",
@@ -1661,6 +1680,9 @@ def range_join_price_bands_bucketed(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+            # same r11 membership pin as the nested-loop twin — the
+            # two formulations must serve identical band contents.
+            F.sum("o_orderkey").alias("orderkey_sum"),
         )
         .orderBy("band")
     )
@@ -5131,7 +5153,11 @@ def revenue_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(t["nation"]),
             F.col("c_nationkey") == F.col("n_nationkey"),
         )
-        .select(F.col("n_name").alias("nation"), cents.alias("cents"))
+        .select(
+            F.col("n_name").alias("nation"),
+            cents.alias("cents"),
+            "o_orderkey",
+        )
     )
     stats = o.groupBy("nation").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -5161,6 +5187,12 @@ def revenue_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.max("n_orders"),
                 2,
             ).alias("avg_price"),
+            # deepened pin (r11): WHICH orders are flagged — the
+            # outlier-set key checksum moves when the z boundary
+            # admits a different same-sized set.
+            F.sum(F.when(z > 2.0, F.col("o_orderkey"))).alias(
+                "high_outlier_key_sum"
+            ),
         )
         .orderBy("nation")
     )
@@ -5169,7 +5201,8 @@ def revenue_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANOMALY_ZSCORE_ORACLE = """
 WITH o AS (
     SELECT n.n_name AS nation,
-           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           od.o_orderkey AS o_orderkey
     FROM orders od
     JOIN customer c ON od.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -5178,7 +5211,7 @@ WITH o AS (
            sum(CAST(cents AS HUGEINT) * cents) AS s2
     FROM o GROUP BY 1
 ), z AS (
-    SELECT o.nation, o.cents, s.n_orders, s.s1,
+    SELECT o.nation, o.cents, o.o_orderkey, s.n_orders, s.s1,
            CAST(s.s1 AS DOUBLE) / s.n_orders AS mean,
            (CAST(s.s2 AS DOUBLE)
               - s.n_orders * (CAST(s.s1 AS DOUBLE) / s.n_orders)
@@ -5193,7 +5226,9 @@ SELECT nation,
        CAST(sum(CASE WHEN (CAST(cents AS DOUBLE) - mean) / sqrt(var) < -2.0
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
        round((CAST(max(s1) AS DOUBLE) / 100.0) / max(n_orders), 2)
-           AS avg_price
+           AS avg_price,
+       CAST(sum(CASE WHEN (CAST(cents AS DOUBLE) - mean) / sqrt(var) > 2.0
+                     THEN o_orderkey END) AS BIGINT) AS high_outlier_key_sum
 FROM z GROUP BY nation ORDER BY nation
 """
 
