@@ -5670,6 +5670,11 @@ def scd2_point_in_time_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)"))
             .cast("double")
             .alias("revenue"),
+            # deepened pin (r11): segment MEMBERSHIP — an event joined
+            # to the wrong dimension version (an off-by-one validity
+            # bound) moves between segments; the user-id checksum
+            # catches swaps the per-segment counts survive.
+            F.sum("user_id").alias("user_id_sum"),
         )
         .orderBy("segment")
     )
@@ -5677,7 +5682,7 @@ def scd2_point_in_time_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SCD2_PIT_ORACLE = """
 WITH seg AS (
-    SELECT value,
+    SELECT value, user_id,
            CASE WHEN user_id % 10 = 0 AND ts >= TIMESTAMP '2024-01-20'
                 THEN 'tier' || CAST(user_id % 3 AS VARCHAR) || '**'
                 WHEN user_id % 5 = 0 AND ts >= TIMESTAMP '2024-01-10'
@@ -5688,7 +5693,8 @@ WITH seg AS (
 )
 SELECT segment,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(sum(user_id) AS BIGINT) AS user_id_sum
 FROM seg GROUP BY segment ORDER BY segment
 """
 

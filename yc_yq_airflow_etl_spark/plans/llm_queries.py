@@ -2389,14 +2389,20 @@ def multimodal_phash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     classes = hashes.groupBy("ahash").agg(
         F.count(F.lit(1)).cast("bigint").alias("class_size")
     )
-    return (
-        classes.groupBy("class_size")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
-            F.sum("class_size").cast("bigint").alias("n_images"),
-        )
-        .orderBy("class_size")
+    hist = classes.groupBy("class_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("class_size").cast("bigint").alias("n_images"),
     )
+    # deepened pin (r11): WHICH images sit in classes of each size —
+    # an id checksum over the class members. Two images swapped
+    # between same-size classes (a hash bit flipped symmetrically)
+    # keep the histogram intact but not the checksum.
+    members = (
+        hashes.join(classes, "ahash")
+        .groupBy("class_size")
+        .agg(F.sum("media_id").alias("member_id_sum"))
+    )
+    return hist.join(members, "class_size").orderBy("class_size")
 
 
 MULTIMODAL_PHASH_ORACLE = """
@@ -2418,11 +2424,20 @@ WITH g AS (
     FROM lum JOIN tot USING (doc_id) GROUP BY lum.doc_id
 ), cls AS (
     SELECT ahash, count(*) AS class_size FROM bits GROUP BY 1
+), hist AS (
+    SELECT CAST(class_size AS BIGINT) AS class_size,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(class_size) AS BIGINT) AS n_images
+    FROM cls GROUP BY class_size
+), members AS (
+    SELECT CAST(c.class_size AS BIGINT) AS class_size,
+           CAST(sum(b.doc_id) AS BIGINT) AS member_id_sum
+    FROM bits b JOIN cls c USING (ahash)
+    GROUP BY 1
 )
-SELECT CAST(class_size AS BIGINT) AS class_size,
-       CAST(count(*) AS BIGINT) AS n_classes,
-       CAST(sum(class_size) AS BIGINT) AS n_images
-FROM cls GROUP BY class_size ORDER BY class_size
+SELECT h.class_size, h.n_classes, h.n_images, m.member_id_sum
+FROM hist h JOIN members m USING (class_size)
+ORDER BY class_size
 """
 
 
@@ -2476,6 +2491,10 @@ def quality_percentile_calibration(spark: SparkSession, sf_dir: str) -> DataFram
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.min("score").cast("bigint").alias("min_score"),
             F.max("score").cast("bigint").alias("max_score"),
+            # deepened pin (r11): decile MEMBERSHIP — equal-score docs
+            # swapped across a decile edge keep counts and min/max;
+            # the id checksum pins the exact assignment.
+            F.sum("doc_id").alias("doc_id_sum"),
         )
         .orderBy("decile")
     )
@@ -2500,7 +2519,8 @@ WITH d AS (
 SELECT decile,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(min(score) AS BIGINT) AS min_score,
-       CAST(max(score) AS BIGINT) AS max_score
+       CAST(max(score) AS BIGINT) AS max_score,
+       CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
 FROM d JOIN m USING (bin)
 GROUP BY decile ORDER BY decile
 """
