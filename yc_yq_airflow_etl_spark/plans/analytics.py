@@ -4544,14 +4544,22 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(bad_sup, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .join(sel_parts, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            # deepened pin (r11): WHICH suppliers — distinct-key
+            # checksum riding the same two-phase distinct Expand; a
+            # denylisted supplier leaking into one group moves it
+            # even when the count coincides.
+            F.sum_distinct(F.col("l_suppkey")).alias("supplier_key_sum"),
+        )
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
 
 
 Q16_ORACLE = """
 SELECT p_brand, p_type, p_size,
-       count(DISTINCT l_suppkey) AS supplier_cnt
+       count(DISTINCT l_suppkey) AS supplier_cnt,
+       CAST(sum(DISTINCT l_suppkey) AS BIGINT) AS supplier_key_sum
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE p_brand <> 'Brand#1'

@@ -2623,6 +2623,10 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
             .cast("bigint")
             .alias("sampled_chars"),
+            # deepened pin (r11): WHO was kept — two equal-length docs
+            # swapped across the keep boundary preserve n_sampled and
+            # sampled_chars; the id checksum they can't.
+            F.sum(F.when(kept, F.col("doc_id"))).alias("sampled_id_sum"),
         )
         .orderBy("lang")
     )
@@ -2630,7 +2634,7 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WEIGHTED_SAMPLE_ORACLE = """
 WITH scored AS (
-    SELECT lang, n_chars,
+    SELECT lang, n_chars, doc_id,
            LEAST(n_chars, 500) AS wcap,
            CAST(('0x' || md5(CAST(doc_id AS VARCHAR))[1:8]) AS BIGINT)
                AS u
@@ -2642,7 +2646,9 @@ SELECT lang,
             AS BIGINT) AS n_sampled,
        round(CAST(sum(wcap) AS DOUBLE) / 500.0, 2) AS expected_sampled,
        CAST(sum(CASE WHEN u * 500 < wcap * 4294967296 THEN n_chars
-                     ELSE 0 END) AS BIGINT) AS sampled_chars
+                     ELSE 0 END) AS BIGINT) AS sampled_chars,
+       CAST(sum(CASE WHEN u * 500 < wcap * 4294967296 THEN doc_id END)
+            AS BIGINT) AS sampled_id_sum
 FROM scored GROUP BY lang ORDER BY lang
 """
 
