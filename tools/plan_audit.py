@@ -578,7 +578,15 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("hashing is one Arrow python stage; bytes never reach the "
          "exchange", r"MapInPandas"),
         ("class rollup partially aggregated", r"partial_count"),
-        ("no join anywhere", "!Join"),
+        # r11: the member_id_sum pin added joins — but only on the
+        # 64-char hash and the metadata-scale class_size; the image
+        # BYTES still never cross an exchange (no binary column in
+        # any join or exchange schema), and nothing nested-loops.
+        ("joins are hash-equi only, never nested-loop",
+         "!BroadcastNestedLoopJoin"),
+        ("no cartesian product", "!CartesianProduct"),
+        ("payload bytes never enter an exchange",
+         r"!Exchange[^\n]*payload"),
     ],
     "entity_resolution_links": [
         ("linkage is an equi-join on the blocking key, never a "
