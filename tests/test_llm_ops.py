@@ -158,7 +158,14 @@ def test_wav_codec_roundtrip():
         "n_samples": 5,
         "peak_abs": 32768,  # abs(-32768) must not overflow int16
         "sum_abs": 0 + 100 + 100 + 32767 + 32768,
+        # signed, position-weighted: 0*0 + 100*1 - 100*2 + 32767*3
+        # - 32768*4 — sign- and order-sensitive where sum_abs is not
+        "wsum_amp": 0 + 100 - 200 + 3 * 32767 - 4 * 32768,
     }
+    # order sensitivity: the reversed signal shares every other stat
+    rev = decode_wav(encode_wav_pcm16(samples[::-1].copy(), sample_rate=44100))
+    assert rev["sum_abs"] == feats["sum_abs"]
+    assert rev["wsum_amp"] != feats["wsum_amp"]
     with pytest.raises(Exception):  # truncated container must not decode
         decode_wav(encode_wav_pcm16(samples)[:20])
 

@@ -140,13 +140,19 @@ def decode_wav(payload: bytes) -> dict:
         raw = w.readframes(n)
         meta = (w.getframerate(), w.getnchannels())
     # abs(-32768) overflows int16 — widen before the abs
-    s = np.abs(np.frombuffer(raw, dtype="<i2").astype(np.int64))
+    signed = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    s = np.abs(signed)
     return {
         "sample_rate": meta[0],
         "n_channels": meta[1],
         "n_samples": n,
         "peak_abs": int(s.max()) if len(s) else 0,
         "sum_abs": int(s.sum()),
+        # position-weighted SIGNED checksum (r11, the audio twin of
+        # decode_ppm's wsum_lum): peak/abs-sum are permutation- and
+        # sign-invariant — a decoder that reversed frame order or
+        # flipped sample sign would pass them; Σ s[i]·i cannot.
+        "wsum_amp": int((signed * np.arange(len(signed))).sum()),
     }
 
 
@@ -158,6 +164,7 @@ WAV_FEATURE_SCHEMA = T.StructType(
         T.StructField("n_samples", T.IntegerType(), False),
         T.StructField("peak_abs", T.IntegerType(), False),
         T.StructField("sum_abs", T.LongType(), False),
+        T.StructField("wsum_amp", T.LongType(), False),
     ]
 )
 

@@ -1442,7 +1442,9 @@ SELECT d.doc_id,
        CAST(MAX(ABS(((d.doc_id*31 + t.i*17) % 65536) - 32768)) AS INT)
            AS peak_abs,
        CAST(SUM(ABS(((d.doc_id*31 + t.i*17) % 65536) - 32768)) AS BIGINT)
-           AS sum_abs
+           AS sum_abs,
+       CAST(SUM((((d.doc_id*31 + t.i*17) % 65536) - 32768) * t.i) AS BIGINT)
+           AS wsum_amp
 FROM documents d CROSS JOIN generate_series(0, 298) t(i)
 WHERE t.i < 200 + d.doc_id % 100
 GROUP BY d.doc_id ORDER BY d.doc_id
