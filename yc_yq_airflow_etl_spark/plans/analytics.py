@@ -5572,6 +5572,17 @@ def entity_resolution_links(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count("tgt_key"),
                 2,
             ).alias("avg_lev"),
+            # deepened pin (r11): WHO got mislinked — the exact key
+            # checksum of the confidently-wrong rows; a different
+            # same-sized wrong set (a blocking-key normalization
+            # drift) moves it where n_wrong survives.
+            F.sum(
+                F.when(
+                    F.col("tgt_key").isNotNull()
+                    & (F.col("tgt_key") != F.col("src_key")),
+                    F.col("src_key"),
+                )
+            ).alias("wrong_src_key_sum"),
         )
         .orderBy("variant")
     )
@@ -5614,7 +5625,9 @@ SELECT variant,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong,
        round(CAST(sum(CASE WHEN tgt_key IS NOT NULL
                            THEN levenshtein(dirty_name, clean_name)
-                      END) AS DOUBLE) / count(tgt_key), 2) AS avg_lev
+                      END) AS DOUBLE) / count(tgt_key), 2) AS avg_lev,
+       CAST(sum(CASE WHEN tgt_key IS NOT NULL AND tgt_key <> src_key
+                     THEN src_key END) AS BIGINT) AS wrong_src_key_sum
 FROM dn LEFT JOIN cn USING (nkey)
 GROUP BY variant ORDER BY variant
 """
