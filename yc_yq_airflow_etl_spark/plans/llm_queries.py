@@ -2732,12 +2732,22 @@ def doc_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = (F.length(F.bin(toks.cast("bigint"))) - 1).cast("int")
     return (
         t["documents"]
-        .select(F.col("lang"), bucket.alias("log2_bucket"), toks.alias("_n"))
+        .select(
+            F.col("lang"),
+            bucket.alias("log2_bucket"),
+            toks.alias("_n"),
+            "doc_id",
+        )
         .groupBy("lang", "log2_bucket")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.min("_n").cast("bigint").alias("min_tokens"),
             F.max("_n").cast("bigint").alias("max_tokens"),
+            # deepened pin (r11): bucket MEMBERSHIP — a doc bucketed
+            # off-by-one at a power-of-two edge moves between adjacent
+            # buckets; interior swaps keep counts and min/max intact,
+            # the id checksum never does.
+            F.sum("doc_id").alias("doc_id_sum"),
         )
         .withColumn(
             "bucket_lo", F.pow(F.lit(2.0), F.col("log2_bucket")).cast("bigint")
@@ -2748,12 +2758,12 @@ def doc_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOC_TOKEN_HISTOGRAM_ORACLE = r"""
 WITH d AS (
-    SELECT lang,
+    SELECT lang, doc_id,
            len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
                AS n_tokens
     FROM documents
 ), b AS (
-    SELECT lang, n_tokens,
+    SELECT lang, doc_id, n_tokens,
            CAST(length(bin(n_tokens)) - 1 AS INTEGER) AS log2_bucket
     FROM d
 )
@@ -2761,6 +2771,7 @@ SELECT lang, log2_bucket,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(min(n_tokens) AS BIGINT) AS min_tokens,
        CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS doc_id_sum,
        CAST(power(2.0, log2_bucket) AS BIGINT) AS bucket_lo
 FROM b GROUP BY lang, log2_bucket ORDER BY lang, log2_bucket
 """
