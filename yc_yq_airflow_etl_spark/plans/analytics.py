@@ -520,12 +520,22 @@ def semi_anti_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_orders = (
         cust.join(orders_98, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
         .groupBy("c_nationkey")
-        .agg(F.count(F.lit(1)).alias("with_orders"))
+        .agg(
+            F.count(F.lit(1)).alias("with_orders"),
+            # deepened pin (r11): WHO sits on each side — a customer
+            # traded between semi and anti (both counts preserved)
+            # moves both checksums; with + without checksums must also
+            # sum to the nation's full custkey total.
+            F.sum("c_custkey").alias("with_custkey_sum"),
+        )
     )
     without_orders = (
         cust.join(orders_98, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy("c_nationkey")
-        .agg(F.count(F.lit(1)).alias("without_orders"))
+        .agg(
+            F.count(F.lit(1)).alias("without_orders"),
+            F.sum("c_custkey").alias("without_custkey_sum"),
+        )
     )
     # deepened pin (r10): semi and anti must PARTITION each nation's
     # customers — n_customers is computed independently from the raw
@@ -542,6 +552,10 @@ def semi_anti_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("with_orders", F.lit(0)).alias("with_orders"),
             F.coalesce("without_orders", F.lit(0)).alias("without_orders"),
             F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("with_custkey_sum", F.lit(0)).alias("with_custkey_sum"),
+            F.coalesce("without_custkey_sum", F.lit(0)).alias(
+                "without_custkey_sum"
+            ),
         )
         .orderBy("c_nationkey")
     )
@@ -549,12 +563,16 @@ def semi_anti_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEMI_ANTI_ORACLE = """
 WITH w AS (
-    SELECT c_nationkey, count(*) AS with_orders FROM customer
+    SELECT c_nationkey, count(*) AS with_orders,
+           CAST(sum(c_custkey) AS BIGINT) AS with_custkey_sum
+    FROM customer
     WHERE EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND year(o_orderdate) = 1998)
     GROUP BY c_nationkey
 ), wo AS (
-    SELECT c_nationkey, count(*) AS without_orders FROM customer
+    SELECT c_nationkey, count(*) AS without_orders,
+           CAST(sum(c_custkey) AS BIGINT) AS without_custkey_sum
+    FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey AND year(o_orderdate) = 1998)
     GROUP BY c_nationkey
@@ -565,7 +583,9 @@ WITH w AS (
 SELECT t.c_nationkey AS c_nationkey,
        coalesce(with_orders, 0) AS with_orders,
        coalesce(without_orders, 0) AS without_orders,
-       coalesce(n_customers, 0) AS n_customers
+       coalesce(n_customers, 0) AS n_customers,
+       coalesce(with_custkey_sum, 0) AS with_custkey_sum,
+       coalesce(without_custkey_sum, 0) AS without_custkey_sum
 FROM t
 LEFT JOIN w ON w.c_nationkey = t.c_nationkey
 LEFT JOIN wo ON wo.c_nationkey = t.c_nationkey
