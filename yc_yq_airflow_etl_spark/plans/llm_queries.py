@@ -1259,6 +1259,11 @@ def pretrain_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         one(k_len).alias("kept_length"),
         one(k_awl).alias("kept_wordlen"),
         one(k_lang).alias("kept_lang"),
+        # deepened pin (r11): the surviving SET — the funnel's final
+        # output is those documents, and two gates trading rejections
+        # (one admits a doc another should have cut) can preserve
+        # every cumulative count; the survivor id checksum cannot.
+        F.sum(F.when(k_lang, F.col("doc_id"))).alias("survivor_id_sum"),
     )
 
 
@@ -1288,7 +1293,8 @@ WITH d AS (
 ), f AS (
     SELECT *, doc_id = min(doc_id) OVER (PARTITION BY fp) AS keeper FROM p
 ), g AS (
-    SELECT keeper AS k_dedup,
+    SELECT doc_id,
+           keeper AS k_dedup,
            keeper AND toks BETWEEN 30 AND 90 AS k_len,
            keeper AND toks BETWEEN 30 AND 90
                   AND awl >= 4.0 AND awl <= 5.0 AS k_awl,
@@ -1300,7 +1306,9 @@ SELECT count(*) AS total,
        CAST(sum(CAST(k_dedup AS BIGINT)) AS BIGINT) AS kept_dedup,
        CAST(sum(CAST(k_len AS BIGINT)) AS BIGINT) AS kept_length,
        CAST(sum(CAST(k_awl AS BIGINT)) AS BIGINT) AS kept_wordlen,
-       CAST(sum(CAST(k_lang AS BIGINT)) AS BIGINT) AS kept_lang
+       CAST(sum(CAST(k_lang AS BIGINT)) AS BIGINT) AS kept_lang,
+       CAST(sum(CASE WHEN k_lang THEN doc_id END) AS BIGINT)
+           AS survivor_id_sum
 FROM g
 """
 )
