@@ -1,0 +1,262 @@
+"""In-suite DuckDB oracle cross-check (r11 verdict item 3).
+
+The driver compares every registered Spark query against its DuckDB
+oracle with a TYPE-SENSITIVE value hash — but until this file existed,
+a deepened oracle first met DuckDB in the driver's own run, one round
+too late (r11's only red row was exactly that: a bare ``sum(o_custkey)``
+the oracle typed HUGEINT while Spark emitted BIGINT; values were
+bit-identical, the serialization diverged).
+
+Two tiers close the gap:
+
+1. ``test_oracle_schema_matches_spark`` (ALWAYS on, one param per
+   registered query): DuckDB binds the oracle via ``DESCRIBE (sql)`` —
+   no execution, <1s for all 150 — and the Spark builder is analyzed
+   (``df.schema``, no job for pure plans; side-effecting builders run
+   their setup exactly as they would under the driver). Column names
+   must match case-insensitively and types must match STRICTLY under
+   the normalization below. This catches the whole HUGEINT/BIGINT
+   class (and DuckDB's BIGINT-typed ``ntile``/``row_number`` vs
+   Spark's INT) for pennies, before a round ships.
+
+2. ``test_oracle_values_match_spark`` (opt-in via
+   ``ORACLE_FULL_COMPARE=1``): executes BOTH sides at sf0.001 and
+   compares driver-equivalently — columns sorted by name, rows sorted
+   by their full stringified tuple (order-insensitive), every cell
+   rendered through one canonical type-sensitive formatter. Too slow
+   for the committed suite wall budget (~150 Spark executions), so it
+   runs manually each round before the driver does.
+
+Strictness is deliberate: the registry's own convention
+(``plans/registry.py`` module docstring) demands explicit casts so the
+two engines agree on width, not just value. An unknown type token on
+either side fails loudly rather than being waved through.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+from yc_yq_airflow_etl_spark.plans import registry
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+_SPECS = registry.specs()
+_NAMES = [s.name for s in _SPECS]
+_BY_NAME = {s.name: s for s in _SPECS}
+
+# --- strict type normalization ------------------------------------------
+# Exact-width matching: the repo convention casts BOTH sides, so INTEGER
+# vs BIGINT is a convention violation even when pandas would serialize
+# the values identically. Tokens are the closed set observed across all
+# 150 registered results; anything new fails loudly (raise) so a novel
+# type gets a deliberate mapping, not silence.
+
+_DUCK_SCALARS = {
+    "TINYINT": "tinyint",
+    "SMALLINT": "smallint",
+    "INTEGER": "int",
+    "BIGINT": "bigint",
+    "HUGEINT": "hugeint",  # never matches a Spark type — by design
+    "UTINYINT": "u8",
+    "USMALLINT": "u16",
+    "UINTEGER": "u32",
+    "UBIGINT": "u64",
+    "FLOAT": "float",
+    "DOUBLE": "double",
+    "VARCHAR": "string",
+    "BLOB": "binary",
+    "DATE": "date",
+    "BOOLEAN": "boolean",
+    "TIMESTAMP": "timestamp_us",
+    "TIMESTAMP_NS": "timestamp_ns",  # ns ≠ Spark's µs — must not match
+}
+
+_SPARK_SCALARS = {
+    "tinyint": "tinyint",
+    "smallint": "smallint",
+    "int": "int",
+    "bigint": "bigint",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "binary": "binary",
+    "date": "date",
+    "boolean": "boolean",
+    "timestamp": "timestamp_us",
+    "timestamp_ntz": "timestamp_us",
+}
+
+_DECIMAL_RE = re.compile(r"^DECIMAL\((\d+),(\d+)\)$", re.IGNORECASE)
+
+
+def norm_duck_type(t: str) -> str:
+    t = t.strip()
+    if t.endswith("[]"):
+        return f"array<{norm_duck_type(t[:-2])}>"
+    m = _DECIMAL_RE.match(t)
+    if m:
+        return f"decimal({m.group(1)},{m.group(2)})"
+    u = t.upper()
+    if u in _DUCK_SCALARS:
+        return _DUCK_SCALARS[u]
+    raise AssertionError(f"unmapped DuckDB result type {t!r} — extend the map")
+
+
+def norm_spark_type(t: str) -> str:
+    t = t.strip()
+    if t.startswith("array<") and t.endswith(">"):
+        return f"array<{norm_spark_type(t[6:-1])}>"
+    m = _DECIMAL_RE.match(t)
+    if m:
+        return f"decimal({m.group(1)},{m.group(2)})"
+    if t in _SPARK_SCALARS:
+        return _SPARK_SCALARS[t]
+    raise AssertionError(f"unmapped Spark result type {t!r} — extend the map")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _duck_schema(con, sql: str) -> list[tuple[str, str]]:
+    body = sql.strip().rstrip(";")
+    rows = con.execute(f"DESCRIBE ({body})").fetchall()
+    return [(r[0], r[1]) for r in rows]
+
+
+@pytest.mark.parametrize("name", _NAMES)
+def test_oracle_schema_matches_spark(name, spark, duck):
+    spec = _BY_NAME[name]
+    if spec.oracle is None:
+        pytest.skip("rows-only query: no oracle to cross-check")
+    duck_cols = _duck_schema(duck, spec.oracle)
+    spark_cols = [
+        (f.name, f.dataType.simpleString())
+        for f in spec.builder(spark, SF_DIR).schema.fields
+    ]
+    d = {c.lower(): norm_duck_type(t) for c, t in duck_cols}
+    s = {c.lower(): norm_spark_type(t) for c, t in spark_cols}
+    assert set(d) == set(s), (
+        f"{name}: column sets differ — oracle-only {sorted(set(d) - set(s))}, "
+        f"spark-only {sorted(set(s) - set(d))}"
+    )
+    diffs = {c: (d[c], s[c]) for c in d if d[c] != s[c]}
+    assert not diffs, (
+        f"{name}: oracle/Spark result types diverge (oracle, spark): {diffs} — "
+        "the driver's value hash is type-sensitive; cast the narrower side "
+        "per plans/registry.py conventions"
+    )
+
+
+# --- opt-in full value compare ------------------------------------------
+
+
+def _canon_cell(v) -> str:
+    """One canonical, type-sensitive rendering for a result cell —
+    deliberately strict: float('10759.0') and int 10759 render
+    differently, exactly the class of divergence the driver's hash
+    punishes."""
+    import datetime
+    import decimal
+    import math
+
+    import numpy as np
+
+    if v is None:
+        return "∅"
+    if isinstance(v, (np.integer,)):
+        return f"i:{int(v)}"
+    if isinstance(v, (np.floating,)):
+        v = float(v)
+    if isinstance(v, bool) or isinstance(v, np.bool_):
+        return f"b:{bool(v)}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        return f"f:{v!r}"
+    if isinstance(v, decimal.Decimal):
+        return f"d:{v}"
+    if isinstance(v, datetime.datetime):
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, datetime.date):
+        return f"dt:{v.isoformat()}"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "a:[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return f"x:{bytes(v).hex()}"
+    if isinstance(v, str):
+        return f"s:{v}"
+    if v != v:  # pandas NaT / NaN fallthrough
+        return "∅"
+    return f"?:{v!r}"
+
+
+def _canon_frame(pdf) -> list[tuple[str, ...]]:
+    cols = sorted(pdf.columns.astype(str))
+    rows = [
+        tuple(_canon_cell(pdf[c].iloc[i]) for c in cols) for i in range(len(pdf))
+    ]
+    return sorted(rows)
+
+
+@pytest.mark.skipif(
+    os.environ.get("ORACLE_FULL_COMPARE") != "1",
+    reason="full value compare is a manual pre-driver gate: "
+    "ORACLE_FULL_COMPARE=1 pytest tests/test_oracle_crosscheck.py",
+)
+@pytest.mark.parametrize("name", _NAMES)
+def test_oracle_values_match_spark(name, spark, duck):
+    spec = _BY_NAME[name]
+    if spec.oracle is None:
+        pytest.skip("rows-only query: no oracle to cross-check")
+    oracle_pdf = duck.execute(spec.oracle.strip().rstrip(";")).df()
+    sdf = spec.builder(spark, SF_DIR)
+    spark_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    spark_pdf = sdf.toPandas()
+    # pandas widens nullable ints to float64 — undo where the oracle
+    # schema says integer, so the canonical rendering reflects the
+    # ENGINE's type, not pandas' NaN accommodation (driver reads Arrow).
+    duck_types = dict(_duck_schema(duck, spec.oracle))
+    for c in oracle_pdf.columns:
+        t = duck_types.get(c, "").upper()
+        if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT") and str(
+            oracle_pdf[c].dtype
+        ).startswith("float"):
+            if not oracle_pdf[c].isna().any():
+                oracle_pdf[c] = oracle_pdf[c].astype("int64")
+        # pandas maps DuckDB DATE to datetime64 (midnight); Spark DATE
+        # arrives as datetime.date — same value, different carrier
+        if t == "DATE" and str(oracle_pdf[c].dtype).startswith("datetime"):
+            oracle_pdf[c] = oracle_pdf[c].dt.date
+    for c in spark_pdf.columns:
+        st = spark_types.get(c, "")
+        if st in ("tinyint", "smallint", "int", "bigint") and str(
+            spark_pdf[c].dtype
+        ).startswith("float"):
+            if not spark_pdf[c].isna().any():
+                spark_pdf[c] = spark_pdf[c].astype("int64")
+    a, b = _canon_frame(oracle_pdf), _canon_frame(spark_pdf)
+    assert len(a) == len(b), f"{name}: row counts differ {len(a)} vs {len(b)}"
+    mismatches = [
+        (i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y
+    ][:5]
+    assert not mismatches, f"{name}: value mismatch (first 5): {mismatches}"

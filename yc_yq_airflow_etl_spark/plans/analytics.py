@@ -594,22 +594,37 @@ ORDER BY c_nationkey
 
 
 def cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CROSS JOIN of two tiny relations (region × distinct order
-    status) — the only safe cardinality class for cross joins; both
-    sides broadcastable."""
+    """CROSS JOIN of two tiny relations (region × order-status
+    rollup) — the only safe cardinality class for cross joins; both
+    sides broadcastable. Deepened pins (r12): ``r_key`` fixes WHICH
+    region row pairs with each name (grid membership was previously
+    name-only), and ``status_orders`` carries each status's exact
+    global order count through the grid — a wrong distinct, a
+    dropped status, or a miscounted rollup now all fail the hash."""
     t = load_testdata(spark, sf_dir)
-    statuses = t["orders"].select("o_orderstatus").distinct()
+    statuses = t["orders"].groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("status_orders")
+    )
     return (
         t["region"]
         .crossJoin(statuses)
-        .select("r_name", F.col("o_orderstatus").alias("status"))
+        .select(
+            F.col("r_regionkey").cast("int").alias("r_key"),
+            "r_name",
+            F.col("o_orderstatus").alias("status"),
+            "status_orders",
+        )
         .orderBy("r_name", "status")
     )
 
 
 CROSS_JOIN_ORACLE = """
-SELECT r_name, o_orderstatus AS status
-FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+SELECT CAST(r_regionkey AS INTEGER) AS r_key, r_name,
+       o_orderstatus AS status, status_orders
+FROM region CROSS JOIN (
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS status_orders
+    FROM orders GROUP BY 1
+)
 ORDER BY r_name, status
 """
 
@@ -646,7 +661,8 @@ def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFram
 WINDOW_TOP_ORACLE = """
 SELECT * FROM (
     SELECT o_custkey, o_orderkey, o_totalprice,
-           row_number() OVER w AS rn, rank() OVER w AS rk,
+           CAST(row_number() OVER w AS INT) AS rn,
+           CAST(rank() OVER w AS INT) AS rk,
            CAST(dense_rank() OVER w AS INT) AS drk
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey
@@ -815,14 +831,15 @@ WITH spend AS (
     GROUP BY 1, 2
 ), tiled AS (
     SELECT c_nationkey, o_custkey, spend,
-           ntile(4) OVER (PARTITION BY c_nationkey
-                          ORDER BY spend DESC, o_custkey ASC) AS quartile
+           CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                               ORDER BY spend DESC, o_custkey ASC) AS INT)
+               AS quartile
     FROM spend
 )
 SELECT c_nationkey, quartile, count(*) AS n_customers,
        CAST(sum(spend) AS DOUBLE) AS total_spend,
        CAST(min(spend) AS DOUBLE) AS min_spend,
-       sum(o_custkey) AS custkey_sum,
+       CAST(sum(o_custkey) AS BIGINT) AS custkey_sum,
        CAST(max(spend) AS DOUBLE) AS max_spend
 FROM tiled GROUP BY 1, 2 ORDER BY 1, 2
 """
@@ -1443,6 +1460,18 @@ def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "n_total", F.col("n_f") + F.col("n_o") + F.col("n_p")
         )
+        # membership pin (r12): the per-year orderkey checksum ties the
+        # pivot cells to the EXACT set of orders behind them — counts
+        # alone can balance while rows land in the wrong year. Computed
+        # as a separate ~7-row rollup broadcast back onto the pivot.
+        .join(
+            F.broadcast(
+                t["orders"]
+                .groupBy(F.year("o_orderdate").alias("yr"))
+                .agg(F.sum("o_orderkey").cast("bigint").alias("orderkey_sum"))
+            ),
+            "yr",
+        )
         .orderBy("yr")
     )
 
@@ -1452,7 +1481,8 @@ SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
        count(*) FILTER (o_orderstatus = 'F') AS n_f,
        count(*) FILTER (o_orderstatus = 'O') AS n_o,
        count(*) FILTER (o_orderstatus = 'P') AS n_p,
-       count(*) AS n_total
+       count(*) AS n_total,
+       CAST(sum(o_orderkey) AS BIGINT) AS orderkey_sum
 FROM orders GROUP BY 1 ORDER BY yr
 """
 
@@ -1463,9 +1493,10 @@ def explode_embedding_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     UDTF/array queries don't cover."""
     t = load_testdata(spark, sf_dir)
     flat = t["embeddings"].select(
+        "vec_id",
         F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
             "dim", "val"
-        )
+        ),
     )
     return (
         flat.groupBy("dim")
@@ -1477,6 +1508,12 @@ def explode_embedding_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
             # deepened pin (r9): exact integer sign count — immune to
             # the float-rounding slack the 6-decimal rounds allow
             F.sum((F.col("val") >= 0).cast("bigint")).alias("n_nonneg"),
+            # deepened pin (r12): WHICH vectors are non-negative at
+            # each dim, not just how many — an id-weighted checksum
+            # catches sign flips that happen to cancel in the count
+            F.sum(F.when(F.col("val") >= 0, F.col("vec_id")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("nonneg_id_sum"),
         )
         .orderBy("dim")
     )
@@ -1484,7 +1521,8 @@ def explode_embedding_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXPLODE_DIMS_ORACLE = """
 WITH flat AS (
-    SELECT unnest(list_zip(embedding,
+    SELECT vec_id,
+           unnest(list_zip(embedding,
                            generate_series(1, len(embedding)))) AS p
     FROM embeddings
 )
@@ -1493,7 +1531,9 @@ SELECT CAST(p[2] - 1 AS INTEGER) AS dim, count(*) AS n,
        round(min(CAST(p[1] AS DOUBLE)), 6) AS min_val,
        round(max(CAST(p[1] AS DOUBLE)), 6) AS max_val,
        CAST(sum(CASE WHEN CAST(p[1] AS DOUBLE) >= 0 THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_nonneg
+            AS BIGINT) AS n_nonneg,
+       CAST(sum(CASE WHEN CAST(p[1] AS DOUBLE) >= 0 THEN vec_id ELSE 0 END)
+            AS BIGINT) AS nonneg_id_sum
 FROM flat GROUP BY 1 ORDER BY dim
 """
 
@@ -1810,6 +1850,17 @@ def skew_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.max("_n") / F.expr("percentile(_n, 0.5)"), 2
             ).alias("skew_ratio"),
+            # deepened pins (r12): sum(freq²) is the EXACT output
+            # cardinality of a self-equi-join on this key — the one
+            # integer that predicts shuffle blowup before you pay it —
+            # and the singleton count pins the distribution's long
+            # tail; both are exact BIGINTs, immune to rounding slack
+            F.sum(F.col("_n") * F.col("_n")).cast("bigint").alias(
+                "selfjoin_rows"
+            ),
+            F.sum((F.col("_n") == 1).cast("bigint")).alias(
+                "n_singleton_keys"
+            ),
         )
     return (
         profile(t["events"], "events", "user_id")
@@ -1833,17 +1884,24 @@ SELECT 'events.user_id' AS join_key,
        CAST(max(n) AS BIGINT) AS max_freq,
        round(max(n) / CAST(sum(n) AS DOUBLE), 6) AS top1_share,
        round(quantile_cont(n, 0.5), 2) AS median_freq,
-       round(max(n) / quantile_cont(n, 0.5), 2) AS skew_ratio
+       round(max(n) / quantile_cont(n, 0.5), 2) AS skew_ratio,
+       CAST(sum(n * n) AS BIGINT) AS selfjoin_rows,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_singleton_keys
 FROM ev
 UNION ALL
 SELECT 'orders.o_custkey', CAST(sum(n) AS BIGINT), CAST(count(*) AS BIGINT),
        CAST(max(n) AS BIGINT), round(max(n) / CAST(sum(n) AS DOUBLE), 6),
-       round(quantile_cont(n, 0.5), 2), round(max(n) / quantile_cont(n, 0.5), 2)
+       round(quantile_cont(n, 0.5), 2), round(max(n) / quantile_cont(n, 0.5), 2),
+       CAST(sum(n * n) AS BIGINT),
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
 FROM oc
 UNION ALL
 SELECT 'lineitem.l_orderkey', CAST(sum(n) AS BIGINT), CAST(count(*) AS BIGINT),
        CAST(max(n) AS BIGINT), round(max(n) / CAST(sum(n) AS DOUBLE), 6),
-       round(quantile_cont(n, 0.5), 2), round(max(n) / quantile_cont(n, 0.5), 2)
+       round(quantile_cont(n, 0.5), 2), round(max(n) / quantile_cont(n, 0.5), 2),
+       CAST(sum(n * n) AS BIGINT),
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
 FROM lo
 ORDER BY join_key
 """
@@ -1879,6 +1937,12 @@ def partition_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.max("_n") / F.sum("_n").cast("double"), 6
             ).alias("max_share"),
+            # deepened pins (r12): the smallest partition and the
+            # small-file count (<100 rows) — the OTHER half of layout
+            # advice (tiny partitions tank scan efficiency just as
+            # surely as skew tanks a stage); both exact BIGINTs
+            F.min("_n").cast("bigint").alias("min_rows"),
+            F.sum((F.col("_n") < 100).cast("bigint")).alias("n_small_parts"),
         )
         verdict = (
             F.when(F.col("n_partitions") < 10, F.lit("too_coarse"))
@@ -1891,6 +1955,8 @@ def partition_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_partitions",
             "n_rows",
             "max_share",
+            "min_rows",
+            "n_small_parts",
             verdict.alias("verdict"),
             (verdict == "ok").alias("recommended"),
         )
@@ -1912,18 +1978,25 @@ WITH et AS (
 ), stats AS (
     SELECT 'event_type' AS candidate, CAST(count(*) AS BIGINT) AS n_partitions,
            CAST(sum(n) AS BIGINT) AS n_rows,
-           round(max(n) / CAST(sum(n) AS DOUBLE), 6) AS max_share
+           round(max(n) / CAST(sum(n) AS DOUBLE), 6) AS max_share,
+           CAST(min(n) AS BIGINT) AS min_rows,
+           CAST(sum(CASE WHEN n < 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_small_parts
     FROM et
     UNION ALL
     SELECT 'event_date', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT),
-           round(max(n) / CAST(sum(n) AS DOUBLE), 6)
+           round(max(n) / CAST(sum(n) AS DOUBLE), 6),
+           CAST(min(n) AS BIGINT),
+           CAST(sum(CASE WHEN n < 100 THEN 1 ELSE 0 END) AS BIGINT)
     FROM ed
     UNION ALL
     SELECT 'user_id', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT),
-           round(max(n) / CAST(sum(n) AS DOUBLE), 6)
+           round(max(n) / CAST(sum(n) AS DOUBLE), 6),
+           CAST(min(n) AS BIGINT),
+           CAST(sum(CASE WHEN n < 100 THEN 1 ELSE 0 END) AS BIGINT)
     FROM eu
 )
-SELECT candidate, n_partitions, n_rows, max_share,
+SELECT candidate, n_partitions, n_rows, max_share, min_rows, n_small_parts,
        CASE WHEN n_partitions < 10 THEN 'too_coarse'
             WHEN n_partitions > 10000 THEN 'too_granular'
             WHEN max_share > 0.2 THEN 'skewed'

@@ -588,13 +588,34 @@ def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     among all OTHER vectors by cosine. Physical shape: broadcast of
     the right side + per-probe WindowGroupLimit rank — the cross-dedup
     primitive between a small query set and a large corpus (at corpus
-    × corpus scale, swap the broadcast for the sketch filter)."""
+    × corpus scale, swap the broadcast for the sketch filter).
+    Deepened pin (r12): ``norm_b`` re-derives each winning neighbor's
+    L2 norm independently of the operator — a topk_join that ranked on
+    a mis-normalized cosine could still emit a plausible ordering; the
+    denominator itself is now data. The re-join broadcasts the tiny
+    k×probes result against the corpus scan (never the reverse)."""
     from ..operators.similarity import topk_join
 
     t = load_testdata(spark, sf_dir)
     emb = t["embeddings"]
     probes = emb.filter(F.col("vec_id") < 20)
-    return topk_join(probes, emb, k=3).orderBy("id_a", "rnk")
+    top = topk_join(probes, emb, k=3)
+    norms = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                )
+            ),
+            6,
+        ).alias("norm_b"),
+    )
+    return F.broadcast(top).join(norms, "id_b").select(
+        "id_a", "id_b", "cosine", "rnk", "norm_b"
+    ).orderBy("id_a", "rnk")
 
 
 SIMILARITY_KNN_JOIN_ORACLE = """
@@ -614,7 +635,10 @@ WITH e AS (
         PARTITION BY id_a ORDER BY cosine DESC, id_b) AS INTEGER) AS rnk
     FROM scored
 )
-SELECT id_a, id_b, cosine, rnk FROM ranked WHERE rnk <= 3 ORDER BY id_a, rnk
+SELECT r.id_a, r.id_b, r.cosine, r.rnk,
+       round(sqrt(list_sum(list_transform(e.v, x -> x * x))), 6) AS norm_b
+FROM ranked r JOIN e ON e.vec_id = r.id_b
+WHERE r.rnk <= 3 ORDER BY id_a, rnk
 """
 
 
