@@ -720,6 +720,14 @@ def main() -> None:
             "pairs_10x": pairs_10x,
             "candidate_ratio": round(cand_10x / max(cand_1x, 1), 2),
             "pair_ratio": round(pairs_10x / max(pairs_1x, 1), 2),
+            # the alert that matters (r11 verdict): candidates growing
+            # in step with true pairs is duplicate volume (fine);
+            # candidates outgrowing pairs past 1.2× means banding
+            # selectivity is decaying — a REAL scale regression
+            "banding_efficiency_ok": (
+                cand_10x / max(cand_1x, 1)
+                <= 1.2 * (pairs_10x / max(pairs_1x, 1))
+            ),
         }
         print(
             f"# scale10x simhash attribution: candidates {cand_1x}->"
@@ -746,6 +754,10 @@ def main() -> None:
             "pairs_10x": mh_pairs_10x,
             "candidate_ratio": round(mh_cand_10x / max(mh_cand_1x, 1), 2),
             "pair_ratio": round(mh_pairs_10x / max(mh_pairs_1x, 1), 2),
+            "banding_efficiency_ok": (
+                mh_cand_10x / max(mh_cand_1x, 1)
+                <= 1.2 * (mh_pairs_10x / max(mh_pairs_1x, 1))
+            ),
         }
         print(
             f"# scale10x minhash attribution: candidates {mh_cand_1x}->"
@@ -900,16 +912,14 @@ def main() -> None:
                 for n, d in out["scale_check"]["queries"].items()
             },
         }
-        attr = (
-            out["scale_check"]["queries"]
-            .get("dedup_simhash_pairs", {})
-            .get("attribution")
-        )
-        if attr:
-            compact["scale_check"]["queries"]["dedup_simhash_pairs"].update(
-                cand_ratio=attr["candidate_ratio"],
-                pair_ratio=attr["pair_ratio"],
-            )
+        for _q in ("dedup_simhash_pairs", "dedup_minhash_pairs"):
+            attr = out["scale_check"]["queries"].get(_q, {}).get("attribution")
+            if attr:
+                compact["scale_check"]["queries"][_q].update(
+                    cand_ratio=attr["candidate_ratio"],
+                    pair_ratio=attr["pair_ratio"],
+                    band_ok=attr["banding_efficiency_ok"],
+                )
     line = json.dumps(compact, separators=(",", ":"))
     assert len(line) < 2000, (
         f"bench stdout line is {len(line)} bytes — must stay well "

@@ -177,11 +177,21 @@ def validate(
     return clean, quarantine, stats
 
 
-def audit(df: DataFrame, rules: list[Rule]) -> DataFrame:
+def audit(
+    df: DataFrame, rules: list[Rule], checksum_col: str | None = None
+) -> DataFrame:
     """Audit-only variant: the full quality report — per-rule
     violation counts, the ``_total`` quarantine row, AND one row per
     observed failed-rule COMBINATION (``combo:<r1+r2>``) — from a
     SINGLE scan of ``df``.
+
+    ``checksum_col`` (optional): an integer key column; when set, the
+    report gains ``violation_key_sum`` — per rule row, the key sum of
+    the rows VIOLATING that rule (``_total``: keys of all quarantined
+    rows; combo rows: keys in that combo) — pinning WHICH rows failed,
+    not just how many. Rides the same single-scan rollup: the combo
+    frame carries one extra bigint sum, so the cost is one counter per
+    partition, independent of row count.
 
     The scan rolls up into a combo-cardinality frame (≤2^R groups;
     map-side partial aggregation collapses every task to ≤2^R rows,
@@ -195,10 +205,18 @@ def audit(df: DataFrame, rules: list[Rule]) -> DataFrame:
     scanned once per branch. Use this when only the report is needed;
     ``validate`` when the clean/quarantine rows themselves are."""
     names = _check_rules(rules)
+    ksum_src = (
+        F.coalesce(F.sum(F.col(checksum_col).cast("bigint")), F.lit(0))
+        if checksum_col is not None
+        else F.lit(0)
+    )
     combos = (
         _stamp(df, rules)
         .groupBy("_failed_rules")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            ksum_src.cast("bigint").alias("ksum"),
+        )
     )
     # sentinel: one all-clean zero-count combo, ALWAYS present. It
     # contributes 0 to every tag and emits no combo row, but it
@@ -208,27 +226,31 @@ def audit(df: DataFrame, rules: list[Rule]) -> DataFrame:
     sentinel = df.sparkSession.range(1).select(
         F.array().cast("array<string>").alias("_failed_rules"),
         F.lit(0).cast("bigint").alias("cnt"),
+        F.lit(0).cast("bigint").alias("ksum"),
     )
     combos = combos.unionAll(sentinel)
     nonempty = F.size("_failed_rules") > 0
+    zero = F.lit(0).cast("bigint")
     rule_structs = [
         F.struct(
             F.lit(n).alias("rule"),
             F.col("cnt").alias("chk"),
             F.when(F.array_contains("_failed_rules", n), F.col("cnt"))
-            .otherwise(F.lit(0))
+            .otherwise(zero)
             .cast("bigint")
             .alias("vio"),
+            F.when(F.array_contains("_failed_rules", n), F.col("ksum"))
+            .otherwise(zero)
+            .cast("bigint")
+            .alias("ks"),
         )
         for n in names
     ]
     total_struct = F.struct(
         F.lit("_total").alias("rule"),
         F.col("cnt").alias("chk"),
-        F.when(nonempty, F.col("cnt"))
-        .otherwise(F.lit(0))
-        .cast("bigint")
-        .alias("vio"),
+        F.when(nonempty, F.col("cnt")).otherwise(zero).cast("bigint").alias("vio"),
+        F.when(nonempty, F.col("ksum")).otherwise(zero).cast("bigint").alias("ks"),
     )
     combo_struct = F.when(
         nonempty,
@@ -240,10 +262,15 @@ def audit(df: DataFrame, rules: list[Rule]) -> DataFrame:
                 ).alias("rule"),
                 F.col("cnt").alias("chk"),
                 F.col("cnt").alias("vio"),
+                F.col("ksum").alias("ks"),
             )
         ),
-    ).otherwise(F.array().cast("array<struct<rule:string,chk:bigint,vio:bigint>>"))
-    return (
+    ).otherwise(
+        F.array().cast(
+            "array<struct<rule:string,chk:bigint,vio:bigint,ks:bigint>>"
+        )
+    )
+    report = (
         combos.select(
             F.explode(
                 F.concat(F.array(*rule_structs, total_struct), combo_struct)
@@ -253,5 +280,9 @@ def audit(df: DataFrame, rules: list[Rule]) -> DataFrame:
         .agg(
             F.sum("s.chk").cast("bigint").alias("n_checked"),
             F.sum("s.vio").cast("bigint").alias("n_violations"),
+            F.sum("s.ks").cast("bigint").alias("violation_key_sum"),
         )
     )
+    if checksum_col is None:
+        report = report.drop("violation_key_sum")
+    return report

@@ -1267,10 +1267,16 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.count_distinct(F.col(ck))
                     .cast("bigint")
                     .alias("n_orphan_keys"),
+                    # deepened pin (r12): WHICH keys are orphaned, not
+                    # just how many — a distinct-key checksum (0 when
+                    # the relation is integral)
+                    F.coalesce(F.sum_distinct(F.col(ck)), F.lit(0))
+                    .cast("bigint")
+                    .alias("orphan_key_sum"),
                 )
             )
             .select(F.lit(name).alias("relationship"), "n_child", "n_orphans",
-                    "n_orphan_keys")
+                    "n_orphan_keys", "orphan_key_sum")
         )
 
     r1 = audit(
@@ -1299,13 +1305,20 @@ SELECT 'orders->customer' AS relationship,
            AS n_orphans,
        (SELECT count(DISTINCT o_custkey) FROM orders
          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
-           AS n_orphan_keys
+           AS n_orphan_keys,
+       (SELECT CAST(coalesce(sum(DISTINCT o_custkey), 0) AS BIGINT)
+          FROM orders
+         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+           AS orphan_key_sum
 UNION ALL
 SELECT 'lineitem->orders',
        (SELECT count(*) FROM lineitem),
        (SELECT count(*) FROM lineitem
          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
        (SELECT count(DISTINCT l_orderkey) FROM lineitem
+         WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+       (SELECT CAST(coalesce(sum(DISTINCT l_orderkey), 0) AS BIGINT)
+          FROM lineitem
          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
 UNION ALL
 SELECT 'orders->customer_nonbuilding',
@@ -1314,6 +1327,10 @@ SELECT 'orders->customer_nonbuilding',
          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
                                   WHERE c_mktsegment <> 'BUILDING')),
        (SELECT count(DISTINCT o_custkey) FROM orders
+         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                                  WHERE c_mktsegment <> 'BUILDING')),
+       (SELECT CAST(coalesce(sum(DISTINCT o_custkey), 0) AS BIGINT)
+          FROM orders
          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
                                   WHERE c_mktsegment <> 'BUILDING'))
 ORDER BY relationship
@@ -2526,7 +2543,13 @@ def exclusion_join_hotkey_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         diff.groupBy("side", "event_type")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            # deepened pin (r12): WHICH events the diff emitted — a
+            # strategy that dropped or duplicated rows while keeping
+            # the count balanced now fails the hash
+            F.sum("event_id").cast("bigint").alias("event_id_sum"),
+        )
         .orderBy("side", "event_type")
     )
 
@@ -2535,13 +2558,15 @@ EXCLUSION_HOTKEY_ORACLE = """
 WITH s AS (SELECT event_type, CAST(value > 50 AS INT) AS vb, event_id
              FROM events),
      d AS (SELECT * FROM s WHERE event_type <> 'error')
-SELECT 'left' AS side, event_type, count(*) AS cnt
+SELECT 'left' AS side, event_type, count(*) AS cnt,
+       CAST(sum(event_id) AS BIGINT) AS event_id_sum
   FROM s
  WHERE NOT EXISTS (SELECT 1 FROM d
                     WHERE d.event_type = s.event_type AND d.vb = s.vb)
  GROUP BY event_type
 UNION ALL
-SELECT 'right' AS side, event_type, count(*) AS cnt
+SELECT 'right' AS side, event_type, count(*) AS cnt,
+       CAST(sum(event_id) AS BIGINT) AS event_id_sum
   FROM d
  WHERE NOT EXISTS (SELECT 1 FROM s
                     WHERE s.event_type = d.event_type AND s.vb = d.vb)
@@ -2657,7 +2682,14 @@ def bloom_prefilter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
         .crossJoin(
             passed.agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_pass_bloom")
+                F.count(F.lit(1)).cast("bigint").alias("n_pass_bloom"),
+                # deepened pin (r12): the distinct-key checksum of the
+                # bloom-pass set pins the BIT PATTERN itself — a single
+                # flipped hash position changes which false positives
+                # slip through and fails the hash, not just the counts
+                F.sum_distinct(F.col("o_custkey"))
+                .cast("bigint")
+                .alias("pass_key_sum"),
             )
         )
         .crossJoin(
@@ -2668,6 +2700,7 @@ def bloom_prefilter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pass_bloom",
             "n_exact",
             (F.col("n_pass_bloom") - F.col("n_exact")).alias("n_false_pos"),
+            "pass_key_sum",
         )
     )
 
@@ -2697,7 +2730,9 @@ SELECT count(*) AS n_orders,
        count(*) FILTER (WHERE o.o_custkey IN (SELECT v FROM keys)) AS n_exact,
        count(*) FILTER (WHERE p.pass)
          - count(*) FILTER (WHERE o.o_custkey IN (SELECT v FROM keys))
-         AS n_false_pos
+         AS n_false_pos,
+       (SELECT CAST(sum(o_custkey) AS BIGINT) FROM ckp WHERE pass)
+         AS pass_key_sum
 FROM orders o JOIN ckp p USING (o_custkey)
 """
 
@@ -5340,7 +5375,9 @@ def order_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct failed-rule COMBINATIONS observed in the quarantine
     (pinning the dead-letter diagnosis labels as data, not just the
     tallies). See ``operators/expectations.py`` for the one-scan /
-    zero-shuffle split contract.
+    zero-shuffle split contract. Deepened pin (r12): the orderkey
+    checksum of each rule's violating rows (``checksum_col``) pins
+    WHICH rows were quarantined, not just how many.
 
     Rules chosen so the fixture exercises every path: ``price_cap``
     genuinely fails (~20% of uniform prices exceed it), ``status_enum``
@@ -5361,12 +5398,13 @@ def order_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         Rule("priority_format", F.col("o_orderpriority").rlike("^[1-5]-")),
         Rule("custkey_present", F.col("o_custkey").isNotNull()),
     ]
-    return audit(t["orders"], rules).orderBy("rule")
+    return audit(t["orders"], rules, checksum_col="o_orderkey").orderBy("rule")
 
 
 CONSTRAINT_AUDIT_ORACLE = """
 WITH flags AS (
-    SELECT COALESCE(o_totalprice > 0 AND o_totalprice <= 400000.0, FALSE)
+    SELECT o_orderkey,
+           COALESCE(o_totalprice > 0 AND o_totalprice <= 400000.0, FALSE)
                AS ok_price,
            COALESCE(o_orderstatus IN ('O', 'F'), FALSE) AS ok_status,
            COALESCE(regexp_matches(o_orderpriority, '^[1-5]-'), FALSE)
@@ -5375,34 +5413,42 @@ WITH flags AS (
     FROM orders
 ), per_rule AS (
     SELECT 'price_cap' AS rule, count(*) AS n_checked,
-           sum(CASE WHEN ok_price THEN 0 ELSE 1 END) AS n_violations
+           sum(CASE WHEN ok_price THEN 0 ELSE 1 END) AS n_violations,
+           sum(CASE WHEN ok_price THEN 0 ELSE o_orderkey END) AS vkey
     FROM flags
     UNION ALL
     SELECT 'status_enum', count(*),
-           sum(CASE WHEN ok_status THEN 0 ELSE 1 END) FROM flags
+           sum(CASE WHEN ok_status THEN 0 ELSE 1 END),
+           sum(CASE WHEN ok_status THEN 0 ELSE o_orderkey END) FROM flags
     UNION ALL
     SELECT 'priority_format', count(*),
-           sum(CASE WHEN ok_prio THEN 0 ELSE 1 END) FROM flags
+           sum(CASE WHEN ok_prio THEN 0 ELSE 1 END),
+           sum(CASE WHEN ok_prio THEN 0 ELSE o_orderkey END) FROM flags
     UNION ALL
     SELECT 'custkey_present', count(*),
-           sum(CASE WHEN ok_cust THEN 0 ELSE 1 END) FROM flags
+           sum(CASE WHEN ok_cust THEN 0 ELSE 1 END),
+           sum(CASE WHEN ok_cust THEN 0 ELSE o_orderkey END) FROM flags
     UNION ALL
     SELECT '_total', count(*),
            sum(CASE WHEN ok_price AND ok_status AND ok_prio AND ok_cust
-                    THEN 0 ELSE 1 END) FROM flags
+                    THEN 0 ELSE 1 END),
+           sum(CASE WHEN ok_price AND ok_status AND ok_prio AND ok_cust
+                    THEN 0 ELSE o_orderkey END) FROM flags
 ), combos AS (
     SELECT 'combo:' || concat_ws('+',
                CASE WHEN NOT ok_price THEN 'price_cap' END,
                CASE WHEN NOT ok_status THEN 'status_enum' END,
                CASE WHEN NOT ok_prio THEN 'priority_format' END,
                CASE WHEN NOT ok_cust THEN 'custkey_present' END) AS rule,
-           count(*) AS n_checked, count(*) AS n_violations
+           count(*) AS n_checked, count(*) AS n_violations,
+           sum(o_orderkey) AS vkey
     FROM flags
     WHERE NOT (ok_price AND ok_status AND ok_prio AND ok_cust)
     GROUP BY 1
 )
 SELECT rule, CAST(n_checked AS BIGINT) AS n_checked,
-       CAST(n_violations AS BIGINT) AS n_violations
+       CAST(n_violations AS BIGINT) AS n_violations,
+       CAST(vkey AS BIGINT) AS violation_key_sum
 FROM (SELECT * FROM per_rule UNION ALL SELECT * FROM combos)
 ORDER BY rule
 """

@@ -1650,15 +1650,21 @@ FROM documents GROUP BY lang ORDER BY lang
 
 def udtf_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF in a LATERAL join: explode word trigrams, count the
-    most frequent (deterministic tiebreak on the ngram)."""
+    most frequent (deterministic tiebreak on the ngram). Deepened pins
+    (r12): per top ngram, its document frequency (``n_docs``) and the
+    distinct containing-doc id checksum (``doc_id_sum``) — a UDTF that
+    emitted grams against the wrong doc_id, or double-emitted within a
+    doc, now fails the hash even when the raw counts survive."""
     from ..functions.udfs import register_all as register_udfs
 
     load_testdata(spark, sf_dir)
     register_udfs(spark)
     return spark.sql(
         """
-        SELECT ngram, count(*) AS n
-        FROM documents, LATERAL word_ngrams(doc_id, text, 3) g
+        SELECT ngram, count(*) AS n,
+               count(DISTINCT g.doc_id) AS n_docs,
+               CAST(sum(DISTINCT g.doc_id) AS BIGINT) AS doc_id_sum
+        FROM documents, LATERAL word_ngrams(documents.doc_id, text, 3) g
         GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 10
         """
     )
@@ -1666,13 +1672,16 @@ def udtf_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 UDTF_NGRAMS_ORACLE = r"""
 WITH g AS (
-    SELECT unnest(list_transform(
+    SELECT doc_id, unnest(list_transform(
         generate_series(1, greatest(len(w) - 2, 0)),
         i -> array_to_string(w[i:i+2], ' '))) AS ngram
-    FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS w
+    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
           FROM documents)
 )
-SELECT ngram, count(*) AS n FROM g
+SELECT ngram, count(*) AS n,
+       count(DISTINCT doc_id) AS n_docs,
+       CAST(sum(DISTINCT doc_id) AS BIGINT) AS doc_id_sum
+FROM g
 GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 10
 """
 
