@@ -201,6 +201,10 @@ def exact_dedup(
             # a member swapped between two same-size groups preserves
             # every count but not both envelopes
             F.max(id_col).alias("max_id"),
+            # full-membership checksum (r12): the envelope can still
+            # miss an INTERIOR member swap between same-size groups;
+            # the id sum pins the exact member set
+            F.sum(id_col).cast("bigint").alias("id_sum"),
         )
     )
 

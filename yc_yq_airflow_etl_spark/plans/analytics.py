@@ -342,6 +342,7 @@ def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("yr"),
         F.col("o_orderstatus").alias("status"),
         _dec("o_totalprice").alias("price"),
+        F.col("o_orderkey").alias("okey"),
     )
     return (
         o.rollup("yr", "status")
@@ -353,6 +354,10 @@ def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             # identical but flip lvl, and a wrong Expand (missing or
             # duplicated grouping set) shifts the lvl distribution
             F.grouping_id().cast("int").alias("lvl"),
+            # deepened pin (r12): per-cell membership checksum — rows
+            # landing in the wrong cell can balance every count; the
+            # orderkey sum can't balance across a swap
+            F.sum("okey").cast("bigint").alias("orderkey_sum"),
         )
         .select(
             F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("yr"),
@@ -360,6 +365,7 @@ def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
             "total",
             "lvl",
+            "orderkey_sum",
         )
         .orderBy("yr", "status")
     )
@@ -374,6 +380,7 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority"),
         F.col("o_orderstatus").alias("status"),
         _dec("o_totalprice").alias("price"),
+        F.col("o_orderkey").alias("okey"),
     )
     return (
         o.cube("priority", "status")
@@ -384,6 +391,9 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             # rollup_orders — all four CUBE levels must be present with
             # the exact (priority, status) bit order
             F.grouping_id().cast("int").alias("lvl"),
+            # deepened pin (r12): per-cell membership checksum (see
+            # rollup_orders)
+            F.sum("okey").cast("bigint").alias("orderkey_sum"),
         )
         .select(
             F.coalesce(F.col("priority"), F.lit("ALL")).alias("priority"),
@@ -391,6 +401,7 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
             "total",
             "lvl",
+            "orderkey_sum",
         )
         .orderBy("priority", "status")
     )
@@ -402,7 +413,8 @@ SELECT coalesce(o_orderpriority, 'ALL') AS priority,
        count(*) AS cnt,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
        CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS INT)
-           AS lvl
+           AS lvl,
+       CAST(sum(o_orderkey) AS BIGINT) AS orderkey_sum
 FROM orders
 GROUP BY CUBE (o_orderpriority, o_orderstatus)
 ORDER BY priority, status
@@ -415,7 +427,8 @@ SELECT coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
        count(*) AS cnt,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
        CAST(GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderstatus) AS INT)
-           AS lvl
+           AS lvl,
+       CAST(sum(o_orderkey) AS BIGINT) AS orderkey_sum
 FROM orders
 GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
 ORDER BY yr, status
@@ -1432,7 +1445,10 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                -- deepened pin (r10): grouping-set provenance, same
                -- contract as rollup_orders/cube_orders
                CAST(grouping(year(o_orderdate)) * 2
-                    + grouping(o_orderstatus) AS INT) AS lvl
+                    + grouping(o_orderstatus) AS INT) AS lvl,
+               -- deepened pin (r12): per-cell membership checksum,
+               -- same contract as rollup_orders/cube_orders
+               CAST(sum(o_orderkey) AS BIGINT) AS orderkey_sum
         FROM orders
         GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderstatus), ())
         ORDER BY yr, status
@@ -1445,7 +1461,8 @@ SELECT coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
        coalesce(o_orderstatus, 'ALL') AS status,
        count(*) AS cnt,
        CAST(GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderstatus) AS INT)
-           AS lvl
+           AS lvl,
+       CAST(sum(o_orderkey) AS BIGINT) AS orderkey_sum
 FROM orders
 GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderstatus), ())
 ORDER BY yr, status

@@ -43,7 +43,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_EXACT_ORACLE = r"""
 SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
        min(doc_id) AS keeper_id, count(*) AS copies,
-       max(doc_id) AS max_id
+       max(doc_id) AS max_id,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
 FROM documents WHERE text IS NOT NULL GROUP BY 1 ORDER BY keeper_id
 """
 
@@ -340,10 +341,22 @@ def _query_vec(t: dict[str, DataFrame]) -> list[float]:
     return [float(x) for x in row[0]]
 
 
+def _pin_topk_rank(df: DataFrame) -> DataFrame:
+    """Deepened pin (r12, shared by the three ANN top-k queries): the
+    driver's value hash is order-insensitive, so a top-k's RANKING was
+    previously unpinned — ``rnk`` makes the order itself data. Computed
+    AFTER the operator's limit (a k-row window, never a global sort),
+    same pattern as topk_orders."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return df.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
 def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_testdata(spark, sf_dir)
     q = _query_vec(t)
-    return brute_force_topk(t["embeddings"], q, k=10)
+    return _pin_topk_rank(brute_force_topk(t["embeddings"], q, k=10))
 
 
 SIMILARITY_BRUTEFORCE_ORACLE = """
@@ -361,7 +374,9 @@ WITH q AS (
                 * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cosine
     FROM embeddings, q
 )
-SELECT vec_id, cosine FROM scored
+SELECT vec_id, cosine,
+       CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS INT) AS rnk
+FROM scored
 ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
@@ -379,7 +394,7 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_testdata(spark, sf_dir)
     q = _query_vec(t)
     index_df, _ = _ensure_ann_index(spark, sf_dir)
-    return lsh_topk_indexed(index_df, q, k=10, max_hamming=3)
+    return _pin_topk_rank(lsh_topk_indexed(index_df, q, k=10, max_hamming=3))
 
 
 SIMILARITY_LSH_ORACLE = (
@@ -403,7 +418,9 @@ SIMILARITY_LSH_ORACLE = (
               * sqrt(list_sum(list_transform(qvec, x -> x * x)))), 6) AS cosine
     FROM embeddings e JOIN cand USING (vec_id), qv
 )
-SELECT vec_id, cosine FROM scored
+SELECT vec_id, cosine,
+       CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS INT) AS rnk
+FROM scored
 ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 )
@@ -492,7 +509,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_testdata(spark, sf_dir)
     q = _query_vec(t)
     index_df, cents = _ensure_ann_index(spark, sf_dir)
-    return ivf_topk_indexed(index_df, q, cents, k=10, nprobe=3)
+    return _pin_topk_rank(ivf_topk_indexed(index_df, q, cents, k=10, nprobe=3))
 
 
 def _fdiv(a: str, b: str) -> str:
@@ -576,7 +593,9 @@ WITH xq AS (
               * sqrt(list_sum(list_transform(qvec, x -> x * x)))), 6) AS cosine
     FROM embeddings e JOIN keep USING (vec_id), qv
 )
-SELECT vec_id, cosine FROM scored
+SELECT vec_id, cosine,
+       CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS INT) AS rnk
+FROM scored
 ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 )
@@ -1185,18 +1204,30 @@ MULTILINGUAL_FIXTURE: list[tuple[str, str]] = [
 def lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic vs the labeled ``lang`` column: confusion
     counts per (label, prediction) over documents plus the inline
-    multilingual fixture (the synthetic corpus alone is monolingual)."""
+    multilingual fixture (the synthetic corpus alone is monolingual).
+    Deepened pin (r12): ``doc_id_sum`` per confusion cell pins WHICH
+    documents landed in each (label, prediction) — a classifier drift
+    that reshuffles docs between cells of equal size now fails the
+    hash. Fixture rows carry deterministic negative ids (-1…-8, their
+    enumeration order) so they can never collide with corpus ids."""
     t = load_testdata(spark, sf_dir)
     fixture = spark.createDataFrame(
-        MULTILINGUAL_FIXTURE, "label string, text string"
+        [
+            (-(i + 1), lang, text)
+            for i, (lang, text) in enumerate(MULTILINGUAL_FIXTURE)
+        ],
+        "doc_id bigint, label string, text string",
     )
     src = t["documents"].select(
-        F.col("lang").alias("label"), F.col("text")
+        "doc_id", F.col("lang").alias("label"), F.col("text")
     ).unionByName(fixture)
     return (
-        src.select("label", lang_id("text").alias("predicted"))
+        src.select("doc_id", "label", lang_id("text").alias("predicted"))
         .groupBy("label", "predicted")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").cast("bigint").alias("doc_id_sum"),
+        )
         .orderBy("label", "predicted")
     )
 
@@ -1207,24 +1238,25 @@ def _lang_hits_sql(lang: str) -> str:
 
 
 _FIXTURE_VALUES = ", ".join(
-    "('" + lang + "', '" + text + "')" for lang, text in MULTILINGUAL_FIXTURE
+    f"({-(i + 1)}, '" + lang + "', '" + text + "')"
+    for i, (lang, text) in enumerate(MULTILINGUAL_FIXTURE)
 )
 
 LANG_ID_ORACLE = (
     r"""
 WITH src AS (
-    SELECT lang AS label, text FROM documents
+    SELECT doc_id, lang AS label, text FROM documents
     UNION ALL
     SELECT * FROM (VALUES """
     + _FIXTURE_VALUES
-    + r""") AS f(label, text)
+    + r""") AS f(doc_id, label, text)
 ), d AS (
-    SELECT label,
+    SELECT doc_id, label,
            list_distinct(string_split(
                regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
     FROM src
 ), scored AS (
-    SELECT label, """
+    SELECT doc_id, label, """
     + ", ".join(f"{_lang_hits_sql(lang)} AS h_{lang}" for lang in LANG_ORDER)
     + """,
            greatest("""
@@ -1236,7 +1268,8 @@ SELECT label,
        CASE """
     + " ".join(f"WHEN h_{lang} = best THEN '{lang}'" for lang in LANG_ORDER)
     + """ END AS predicted,
-       count(*) AS n
+       count(*) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
 FROM scored GROUP BY label, predicted ORDER BY label, predicted
 """
 )
@@ -2862,6 +2895,15 @@ def zipf_fit_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         # rank is unique, so rank-1's term is the deterministic head
         F.expr("min_by(term, rank)").alias("top_term"),
         F.max("freq").alias("top_freq"),
+        # deepened pin (r12): the exact mass of the selected top-100 —
+        # a wrong TakeOrdered cut (off-by-one, tie mishandled) moves
+        # this integer even when the regression floats barely budge
+        F.sum("freq").cast("bigint").alias("top100_freq_sum"),
+        # and a rank-weighted checksum pins the ORDER of the whole
+        # ranked list, not just its head
+        F.sum(F.col("rank") * F.col("freq")).cast("bigint").alias(
+            "rank_weighted_sum"
+        ),
     )
 
 
@@ -2882,7 +2924,9 @@ SELECT CAST(count(*) AS BIGINT) AS n_terms,
        round(regr_slope(ln(freq), ln(rank)), 4) AS zipf_slope,
        round(regr_intercept(ln(freq), ln(rank)), 4) AS zipf_intercept,
        arg_min(term, rank) AS top_term,
-       max(freq) AS top_freq
+       max(freq) AS top_freq,
+       CAST(sum(freq) AS BIGINT) AS top100_freq_sum,
+       CAST(sum(rank * freq) AS BIGINT) AS rank_weighted_sum
 FROM ranked
 """
 
