@@ -1408,6 +1408,13 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             # can coincide under a dropped/duplicated row; the count
             # cannot
             F.count(F.lit(1)).alias("n"),
+            # deepened pin (r12): exact integer cents sum — pins the
+            # group's full value multiset, not just its order
+            # statistics (quantiles + envelope leave interior values
+            # free to drift)
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents_sum"),
         ],
     )
     return gp.select(
@@ -1418,6 +1425,7 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lo",
         "hi",
         "n",
+        "cents_sum",
     ).orderBy("o_orderstatus")
 
 
@@ -1428,7 +1436,9 @@ SELECT o_orderstatus,
        round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
        round(min(o_totalprice), 6) AS lo,
        round(max(o_totalprice), 6) AS hi,
-       count(*) AS n
+       count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents_sum
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 

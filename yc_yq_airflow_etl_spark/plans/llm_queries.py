@@ -2189,13 +2189,25 @@ def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for qid in (0, 1):
         bf_ids = got[("bf", 0, qid)]
+        # deepened pins (r12): the exact hit count and the hit-id
+        # checksum — recall@10 only says HOW MANY of the true top-10
+        # the index recovered; the id sum pins WHICH ones, so an index
+        # recovering a different-but-same-size subset fails the hash
         for nprobe in (1, 3):
-            hits = len(got.get(("ivf", nprobe, qid), set()) & bf_ids)
-            rows.append(("ivf", nprobe, qid, round(hits / 10.0, 6)))
-        hits = len(got.get(("lsh", 3, qid), set()) & bf_ids)
-        rows.append(("lsh", 3, qid, round(hits / 10.0, 6)))
+            inter = got.get(("ivf", nprobe, qid), set()) & bf_ids
+            rows.append(
+                ("ivf", nprobe, qid, round(len(inter) / 10.0, 6),
+                 len(inter), sum(inter))
+            )
+        inter = got.get(("lsh", 3, qid), set()) & bf_ids
+        rows.append(
+            ("lsh", 3, qid, round(len(inter) / 10.0, 6),
+             len(inter), sum(inter))
+        )
     return spark.createDataFrame(
-        rows, "method string, param int, query_id int, recall double"
+        rows,
+        "method string, param int, query_id int, recall double, "
+        "n_hits int, hit_id_sum bigint",
     ).orderBy("method", "param", "query_id")
 
 
@@ -2250,11 +2262,15 @@ def _recall_rows_sql(qid: int) -> str:
     for nprobe in (1, 3):
         rows.append(
             f"SELECT 'ivf' AS method, {nprobe} AS param, {qid} AS query_id, "
-            f"(SELECT count(*) FROM ivf{qid}_{nprobe} JOIN bf{qid} USING (vec_id)) AS cnt"
+            f"(SELECT count(*) FROM ivf{qid}_{nprobe} JOIN bf{qid} USING (vec_id)) AS cnt, "
+            f"(SELECT coalesce(sum(vec_id), 0) FROM ivf{qid}_{nprobe} "
+            f"JOIN bf{qid} USING (vec_id)) AS hid"
         )
     rows.append(
         f"SELECT 'lsh' AS method, 3 AS param, {qid} AS query_id, "
-        f"(SELECT count(*) FROM lsh{qid} JOIN bf{qid} USING (vec_id)) AS cnt"
+        f"(SELECT count(*) FROM lsh{qid} JOIN bf{qid} USING (vec_id)) AS cnt, "
+        f"(SELECT coalesce(sum(vec_id), 0) FROM lsh{qid} "
+        f"JOIN bf{qid} USING (vec_id)) AS hid"
     )
     return " UNION ALL ".join(rows)
 
@@ -2297,7 +2313,9 @@ WITH xq AS (
     + ", "
     + _recall_query_ctes(1)
     + f"""
-SELECT method, param, query_id, round(cnt / 10.0, 6) AS recall FROM (
+SELECT method, param, query_id, round(cnt / 10.0, 6) AS recall,
+       CAST(cnt AS INT) AS n_hits, CAST(hid AS BIGINT) AS hit_id_sum
+FROM (
     {_recall_rows_sql(0)} UNION ALL {_recall_rows_sql(1)}
 )
 ORDER BY method, param, query_id
