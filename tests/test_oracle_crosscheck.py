@@ -163,6 +163,14 @@ def test_oracle_schema_matches_spark(name, spark, duck):
         "the driver's value hash is type-sensitive; cast the narrower side "
         "per plans/registry.py conventions"
     )
+    # registry convention: results never carry raw timestamps (the
+    # fixtures mix ms/ns physical types; emit formatted strings, dates,
+    # or epoch BIGINTs instead) — enforce it, don't just document it
+    ts_cols = {c for c, t in s.items() if t.startswith("timestamp")}
+    assert not ts_cols, (
+        f"{name}: raw timestamp result columns {sorted(ts_cols)} violate "
+        "the registry's no-raw-timestamps convention (plans/registry.py)"
+    )
 
 
 # --- opt-in full value compare ------------------------------------------
