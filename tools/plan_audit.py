@@ -102,6 +102,20 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
     "skew_profile_report": [
         ("per-key counts partially aggregated", r"partial_count"),
     ],
+    "pivot_status_by_year": [
+        # the r12 orderkey-checksum rollup is ~7 rows — it must ride a
+        # broadcast back onto the pivot, never a shuffled join
+        ("checksum rollup broadcast onto the pivot", r"BroadcastHashJoin"),
+        ("no sort-merge join anywhere", "!SortMergeJoin"),
+        ("pivot counts partially aggregated", r"partial_count"),
+    ],
+    "cross_join_grid": [
+        # both sides stay broadcast-scale: 5 regions × |statuses|
+        ("grid is a broadcast nested-loop (tiny × tiny)",
+         r"BroadcastNestedLoopJoin"),
+        ("status rollup partially aggregated", r"partial_count"),
+        ("no shuffled join", "!SortMergeJoin"),
+    ],
     "zipf_fit_terms": [
         ("top-100 is TakeOrdered, never a full-vocabulary rank window",
          r"TakeOrderedAndProject"),
@@ -184,6 +198,10 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("per-probe rank truncated via WindowGroupLimit", r"WindowGroupLimit"),
         ("right side broadcast (deliberate small-probe cross join)",
          r"BroadcastExchange"),
+        # the r12 norm_b re-join broadcasts the k×probes RESULT against
+        # the corpus scan — never a corpus-wide shuffle
+        ("no sort-merge join (norm re-join stays broadcast)",
+         "!SortMergeJoin"),
     ],
     "similarity_ivf_topk": [
         ("probe filter is partition pruning over the materialized index",
