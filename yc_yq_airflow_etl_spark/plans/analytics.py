@@ -2315,6 +2315,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             # same-nation residual filter verified as an exact integer
             # rather than only through the revenue total.
             F.count(F.lit(1)).alias("n_lines"),
+            # deepened pin (r12): WHICH lines contributed — the
+            # orderkey checksum catches a residual-filter drift that
+            # swaps equal-revenue lines between nations
+            F.sum("l_orderkey").cast("bigint").alias("line_orderkey_sum"),
         )
         .orderBy(F.desc("revenue"), F.col("n_name"))
     )
@@ -2324,7 +2328,8 @@ Q5_ORACLE = """
 SELECT n_name,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
-       count(*) AS n_lines
+       count(*) AS n_lines,
+       CAST(sum(l_orderkey) AS BIGINT) AS line_orderkey_sum
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -2928,10 +2933,15 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         _dec("o_totalprice").alias("revenue"),
         "o_orderkey",
+        # deepened pin (r12): the orderkey sum rides the SAME signed
+        # fold as revenue — a retraction that subtracts the wrong
+        # row's contribution now breaks an exact integer, not just a
+        # money total that could coincide
+        F.col("o_orderkey").cast("decimal(28,2)").alias("okey"),
     )
     keys = ["order_year", "o_orderstatus"]
     state = view_from_snapshot(
-        o.filter(F.col("order_year") < 1998), keys, ["revenue"]
+        o.filter(F.col("order_year") < 1998), keys, ["revenue", "okey"]
     )
     inserts = o.filter(F.col("order_year") >= 1998).withColumn(
         "_change_type", F.lit("insert")
@@ -2940,20 +2950,22 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("order_year") < 1998) & (F.col("o_orderkey") % 10 == 3)
     ).withColumn("_change_type", F.lit("delete"))
     folded = fold_changes_into_view(
-        state, inserts.unionByName(deletes), keys, ["revenue"]
+        state, inserts.unionByName(deletes), keys, ["revenue", "okey"]
     )
     return folded.select(
         "order_year",
         "o_orderstatus",
         F.col("_n").alias("n_orders"),
         F.col("revenue").cast("double").alias("revenue"),
+        F.col("okey").cast("bigint").alias("orderkey_sum"),
     ).orderBy("order_year", "o_orderstatus")
 
 
 INCREMENTAL_AGG_ORACLE = """
 SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,
        count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(sum(o_orderkey) AS BIGINT) AS orderkey_sum
 FROM orders
 WHERE NOT (year(o_orderdate) < 1998 AND o_orderkey % 10 = 3)
 GROUP BY 1, 2 ORDER BY 1, 2
@@ -4063,6 +4075,9 @@ def q7_bination_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             # deepened pin (r11): exact line count per direction-year
             # cell — the direction residual verified as an integer.
             F.count(F.lit(1)).alias("n_lines"),
+            # deepened pin (r12): per-cell line membership checksum
+            # (same contract as q5's line_orderkey_sum)
+            F.sum("l_orderkey").cast("bigint").alias("line_orderkey_sum"),
         )
         .orderBy("supp_nation", "cust_nation", "yr")
     )
@@ -4073,7 +4088,8 @@ SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        CAST(year(o_orderdate) AS INT) AS yr,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
-       count(*) AS n_lines
+       count(*) AS n_lines,
+       CAST(sum(l_orderkey) AS BIGINT) AS line_orderkey_sum
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey

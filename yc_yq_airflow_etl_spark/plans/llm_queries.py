@@ -1899,6 +1899,7 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["documents"]
         .select(
             "source",
+            "doc_id",
             F.size(F.regexp_extract_all(seeded, F.lit(_PII_EMAIL), F.lit(0))).alias(
                 "_e"
             ),
@@ -1917,6 +1918,17 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_p").alias("n_phones"),
             F.sum("_i").alias("n_ips"),
             F.sum("_d").alias("chars_removed"),
+            # deepened pin (r12): WHICH docs carried PII — the id
+            # checksum of hit-bearing docs catches a regex drift that
+            # trades hits between equal-count documents
+            F.sum(
+                F.when(
+                    F.col("_e") + F.col("_p") + F.col("_i") > 0,
+                    F.col("doc_id"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("pii_doc_id_sum"),
         )
         .orderBy("source")
     )
@@ -1924,7 +1936,7 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PII_REDACTION_ORACLE = r"""
 WITH seeded AS (
-    SELECT source,
+    SELECT source, doc_id,
            text
            || CASE WHEN doc_id % 3 = 0
                    THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
@@ -1938,7 +1950,7 @@ WITH seeded AS (
                    ELSE '' END AS s
     FROM documents
 ), red AS (
-    SELECT source, s,
+    SELECT source, doc_id, s,
            regexp_replace(
                regexp_replace(
                    regexp_replace(s,
@@ -1951,7 +1963,13 @@ SELECT source, count(*) AS n_docs,
        CAST(sum(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_emails,
        CAST(sum(len(regexp_extract_all(s, '\+\d-\d{3}-\d{4}'))) AS BIGINT) AS n_phones,
        CAST(sum(len(regexp_extract_all(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) AS BIGINT) AS n_ips,
-       CAST(sum(length(s) - length(r)) AS BIGINT) AS chars_removed
+       CAST(sum(length(s) - length(r)) AS BIGINT) AS chars_removed,
+       CAST(sum(CASE WHEN len(regexp_extract_all(s,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   + len(regexp_extract_all(s, '\+\d-\d{3}-\d{4}'))
+                   + len(regexp_extract_all(s,
+                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) > 0
+                THEN doc_id ELSE 0 END) AS BIGINT) AS pii_doc_id_sum
 FROM red GROUP BY 1 ORDER BY source
 """
 
