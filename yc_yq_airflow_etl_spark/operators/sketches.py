@@ -148,6 +148,12 @@ def histogram_quantiles(
             .select(
                 F.lit(float(q)).alias("q"),
                 (F.lit(lo) + F.col("bin") * F.lit(width)).alias("estimate"),
+                # exact-integer provenance (r12): the selected bin and
+                # its cumulative count — the estimate is a float edge
+                # two different (bin, cum) states could coincide on;
+                # the integers pin the histogram state that chose it
+                F.col("bin").cast("int").alias("bin"),
+                F.col("cum").cast("bigint").alias("cum_count"),
             )
         )
         out = row if out is None else out.unionByName(row)

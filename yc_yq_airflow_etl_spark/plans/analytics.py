@@ -326,11 +326,17 @@ WITH h AS (
     SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM h
 ), n AS (
     SELECT count(*) AS total FROM orders
+), pick AS (
+    SELECT qs.q AS q, min(c.bin) AS bin
+    FROM (VALUES (0.5), (0.9), (0.99)) qs(q), c, n
+    WHERE c.cum >= ceil(n.total * qs.q)
+    GROUP BY qs.q
 )
-SELECT CAST(qs.q AS DOUBLE) AS q,
-       0.0 + (SELECT min(bin) FROM c, n WHERE cum >= ceil(n.total * qs.q))
-           * (600000.0 / 256) AS estimate
-FROM (VALUES (0.5), (0.9), (0.99)) qs(q) ORDER BY q
+SELECT CAST(p.q AS DOUBLE) AS q,
+       0.0 + p.bin * (600000.0 / 256) AS estimate,
+       CAST(p.bin AS INT) AS bin,
+       CAST((SELECT cum FROM c WHERE c.bin = p.bin) AS BIGINT) AS cum_count
+FROM pick p ORDER BY q
 """
 
 
