@@ -45,13 +45,14 @@ def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SLIDING_ORACLE = """
 WITH starts AS (
-    SELECT event_type,
+    SELECT event_type, event_id,
            unnest([CAST(epoch(time_bucket(INTERVAL '30 minutes', ts)) AS BIGINT),
                    CAST(epoch(time_bucket(INTERVAL '30 minutes', ts)) AS BIGINT)
                    - 1800]) AS window_start
     FROM events
 )
-SELECT window_start, event_type, count(*) AS n
+SELECT window_start, event_type, count(*) AS n,
+       CAST(sum(event_id) AS BIGINT) AS event_id_sum
 FROM starts GROUP BY 1, 2 ORDER BY window_start, event_type
 """
 

@@ -50,14 +50,22 @@ def sliding_window_counts(
     by: str = "event_type",
 ) -> DataFrame:
     """Overlapping windows (width/slide): each event lands in
-    width/slide windows — Spark expands them engine-side."""
+    width/slide windows — Spark expands them engine-side. Emits the
+    per-window event count plus the event-id checksum (r12 pin): an
+    event expanded into the wrong window slot keeps the global count
+    balanced but moves the id sum. Both aggregates are plain sums, so
+    the same plan runs unchanged under Structured Streaming."""
     return (
         events.groupBy(F.window("ts", width, slide).alias("w"), F.col(by))
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").cast("bigint").alias("event_id_sum"),
+        )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
             F.col(by),
             "n",
+            "event_id_sum",
         )
     )
 
