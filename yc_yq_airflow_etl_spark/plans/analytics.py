@@ -276,18 +276,26 @@ def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_testdata(spark, sf_dir)
     out = salted_agg(
-        t["events"], ["event_type"], sum_cols=("value",), salt_buckets=16
+        t["events"],
+        ["event_type"],
+        # deepened pin (r12): event_id rides the same salted partial
+        # merge — a salt shard that drops or double-counts a row moves
+        # this exact integer even when the decimal value sum coincides
+        sum_cols=("value", "event_id"),
+        salt_buckets=16,
     )
     return out.select(
         "event_type",
         "cnt",
         F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("sum_event_id").cast("bigint").alias("event_id_sum"),
     ).orderBy("event_type")
 
 
 SALTED_COUNTS_ORACLE = """
 SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(sum(event_id) AS BIGINT) AS event_id_sum
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -4557,6 +4565,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(amount).cast("double").alias("sum_profit"),
             # deepened pin (r11): contributing line count per cell.
             F.count(F.lit(1)).alias("n_lines"),
+            # deepened pin (r12): per-cell line membership checksum
+            # (same contract as q5/q7's line_orderkey_sum)
+            F.sum("l_orderkey").cast("bigint").alias("line_orderkey_sum"),
         )
         .orderBy("nation", F.desc("o_year"))
     )
@@ -4569,7 +4580,8 @@ SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
                 - CAST(p_retailprice AS DECIMAL(18,2))
                   * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
            AS sum_profit,
-       count(*) AS n_lines
+       count(*) AS n_lines,
+       CAST(sum(l_orderkey) AS BIGINT) AS line_orderkey_sum
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -5533,7 +5545,12 @@ def dau_wau_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
     )
     wau = contrib.groupBy("wday").agg(
-        F.count_distinct("user_id").cast("bigint").alias("wau")
+        F.count_distinct("user_id").cast("bigint").alias("wau"),
+        # deepened pin (r12): the WEEKLY active SET, same contract as
+        # the daily checksum — a user leaking into the wrong trailing
+        # window preserves the distinct count less often than both
+        # the count and the distinct-id sum
+        F.sum_distinct("user_id").cast("bigint").alias("wau_user_id_sum"),
     )
     return (
         dau.join(wau, dau["day"] == wau["wday"])
@@ -5545,6 +5562,7 @@ def dau_wau_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "stickiness"
             ),
             "dau_user_id_sum",
+            "wau_user_id_sum",
         )
         .orderBy("day")
     )
@@ -5563,13 +5581,16 @@ WITH du AS (
            user_id
     FROM du
 ), wau AS (
-    SELECT wday, count(DISTINCT user_id) AS wau FROM contrib GROUP BY 1
+    SELECT wday, count(DISTINCT user_id) AS wau,
+           CAST(sum(DISTINCT user_id) AS BIGINT) AS wau_user_id_sum
+    FROM contrib GROUP BY 1
 )
 SELECT d.day,
        CAST(d.dau AS BIGINT) AS dau,
        CAST(w.wau AS BIGINT) AS wau,
        round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness,
-       d.dau_user_id_sum
+       d.dau_user_id_sum,
+       w.wau_user_id_sum
 FROM dau d JOIN wau w ON w.wday = d.day
 ORDER BY d.day
 """
