@@ -78,6 +78,41 @@ def test_audit_matches_validate_stats_plus_combos(spark):
     assert plan.count("LogicalRDD") <= 1
 
 
+def test_audit_checksum_matches_quarantine(spark):
+    """audit(checksum_col=) must agree with an independent derivation
+    from validate()'s quarantine: per rule, the key sum of rows whose
+    diagnosis contains that rule; '_total' = all quarantined keys;
+    combo rows = their member keys; an all-pass rule reports 0 (not
+    NULL); the legacy no-checksum call keeps its exact 3-col schema."""
+    from yc_yq_airflow_etl_spark.operators.expectations import audit
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", -1), (3, "c", 5), (4, "c", -2), (8, "a", 7)],
+        "id bigint, name string, v int",
+    )
+    rules = _rules() + [Rule("id_small", F.col("id") < 100)]  # never fails
+    out = {
+        r.rule: (r.n_violations, r.violation_key_sum)
+        for r in audit(df, rules, checksum_col="id").collect()
+    }
+    _, quarantine, _ = validate(df, rules)
+    expect: dict[str, int] = {}
+    total = 0
+    for row in quarantine.collect():
+        total += row.id
+        for rule in row._failed_rules:
+            expect[rule] = expect.get(rule, 0) + row.id
+    assert out["_total"][1] == total
+    for rule in ("v_pos", "name_set"):
+        assert out[rule][1] == expect[rule], rule
+    assert out["id_small"] == (0, 0)  # all-pass rule: zero, not NULL
+    assert out["combo:v_pos"][1] == 2
+    assert out["combo:name_set"][1] == 3
+    assert out["combo:v_pos+name_set"][1] == 4
+    # back-compat: without checksum_col the column must not appear
+    assert audit(df, rules).columns == ["rule", "n_checked", "n_violations"]
+
+
 def test_validate_rejects_bad_rulesets(spark):
     df = spark.createDataFrame([(1,)], "id bigint")
     with pytest.raises(ValueError):
