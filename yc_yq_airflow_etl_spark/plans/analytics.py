@@ -5292,6 +5292,17 @@ def gap_fill_daily_report(events: DataFrame) -> DataFrame:
         .alias("n_filled"),
         F.sum("rev").cast("double").alias("actual_revenue"),
         F.sum("filled_rev").cast("double").alias("carried_revenue"),
+        # deepened pin (r12): WHERE the active days sit on the spine —
+        # the epoch-day checksum pins the gap STRUCTURE, which the
+        # count pins above leave free (same counts, shifted gaps)
+        F.sum(
+            F.when(
+                F.col("rev").isNotNull(),
+                F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")),
+            )
+        )
+        .cast("bigint")
+        .alias("active_day_sum"),
     )
 
 
@@ -5319,7 +5330,10 @@ SELECT user_id,
        CAST(count(rev) AS BIGINT) AS n_active,
        CAST(count(*) - count(rev) AS BIGINT) AS n_filled,
        CAST(sum(rev) AS DOUBLE) AS actual_revenue,
-       CAST(sum(filled_rev) AS DOUBLE) AS carried_revenue
+       CAST(sum(filled_rev) AS DOUBLE) AS carried_revenue,
+       CAST(sum(CASE WHEN rev IS NOT NULL
+                     THEN day - DATE '1970-01-01' END) AS BIGINT)
+           AS active_day_sum
 FROM filled GROUP BY user_id ORDER BY user_id
 """
 
@@ -5675,6 +5689,10 @@ def linear_attribution_report(ev: DataFrame) -> DataFrame:
             / 100.0,
             2,
         ).alias("attributed_revenue"),
+        # deepened pin (r12): WHICH purchases attributed to this user —
+        # distinct-pid checksum catches a window-boundary drift that
+        # trades equal-count purchases between users
+        F.sum_distinct(F.col("pid")).cast("bigint").alias("purchase_id_sum"),
     )
 
 
@@ -5702,7 +5720,8 @@ SELECT user_id,
        CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases,
        CAST(count(*) AS BIGINT) AS n_touches,
        round(sum(CAST(cents AS DOUBLE) / n_touch) / 100.0, 2)
-           AS attributed_revenue
+           AS attributed_revenue,
+       CAST(sum(DISTINCT pid) AS BIGINT) AS purchase_id_sum
 FROM n GROUP BY user_id ORDER BY user_id
 """
 
