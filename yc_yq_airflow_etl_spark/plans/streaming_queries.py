@@ -145,7 +145,8 @@ WITH c AS (
 )
 SELECT c.user_id AS user_id,
        CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(count(p.event_id) AS BIGINT) AS n_attributed
+       CAST(count(p.event_id) AS BIGINT) AS n_attributed,
+       CAST(sum(DISTINCT c.event_id) AS BIGINT) AS click_id_sum
 FROM c LEFT JOIN p
   ON p.user_id = c.user_id
  AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL '30 minutes'

@@ -128,10 +128,14 @@ def attributed_and_orphan_clicks(
 ) -> DataFrame:
     """Batch rollup of the left-outer join: per-user total join rows
     and attributed count — the oracle-checkable face (orphan clicks =
-    n_rows with NULL purchase)."""
+    n_rows with NULL purchase). The distinct click-id checksum (r12
+    pin) fixes WHICH clicks each user's rows came from — a left join
+    that dropped an orphan and duplicated an attributed click would
+    keep n_rows balanced but not the id sum."""
     clicks, purchases = split_clicks_purchases(events)
     j = click_purchase_left_join(clicks, purchases, within)
     return j.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("purchase_id").alias("n_attributed"),
+        F.sum_distinct(F.col("click_id")).cast("bigint").alias("click_id_sum"),
     )
