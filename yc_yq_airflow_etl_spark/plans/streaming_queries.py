@@ -31,7 +31,8 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 TUMBLING_ORACLE = """
 SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
        event_type, count(*) AS n,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(sum(event_id) AS BIGINT) AS event_id_sum
 FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
 """
 

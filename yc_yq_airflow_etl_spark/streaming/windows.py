@@ -26,19 +26,24 @@ def tumbling_window_counts(
     events: DataFrame, width: str = "1 hour", by: str = "event_type"
 ) -> DataFrame:
     """Non-overlapping event-time windows: count + exact (decimal)
-    value sum per (window, key). In streaming mode state per window
-    closes once the watermark passes window.end."""
+    value sum + event-id checksum (r12 pin — an event bucketed into
+    the neighboring window keeps global counts balanced but moves the
+    id sum) per (window, key). All three aggregates are plain sums, so
+    the same plan runs unchanged under Structured Streaming; state per
+    window closes once the watermark passes window.end."""
     return (
         events.groupBy(F.window("ts", width).alias("w"), F.col(by))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+            F.sum("event_id").cast("bigint").alias("event_id_sum"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
             F.col(by),
             "n",
             "sum_value",
+            "event_id_sum",
         )
     )
 
