@@ -38,7 +38,13 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
     ],
     "federation_counts": [
         ("partial aggregation", r"partial_count"),
-        ("scan pruned to the single grouping column", r"ReadSchema: struct<o_orderdate:timestamp>"),
+        # r12 id_sum membership pin widened the scan from 1 column to
+        # exactly the reference's own 2-column read (id, payment_date —
+        # the 25.96 MB shape); anything beyond those two is a pruning
+        # regression.
+        ("scan pruned to exactly (id, date)",
+         r"ReadSchema: struct<o_orderkey:[a-z]+,o_orderdate:timestamp"),
+        ("no price/custkey read", "!ReadSchema: [^\\n]*o_totalprice"),
         ("split boundary is a min/max-prunable range filter",
          r"PushedFilters: \[[^\]]*(LessThan|GreaterThanOrEqual)\(o_orderdate"),
         ("whole-stage codegen", "CODEGEN"),

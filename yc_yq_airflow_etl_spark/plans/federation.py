@@ -38,9 +38,19 @@ def federated_counts_by_year(
 ) -> DataFrame:
     """Union hot+cold stores, count rows per (year, source).
 
-    Output columns: ``dyear int, src string, cnt long`` — the reference
-    leaves the aggregate unnamed (YQL shows ``column2``); we alias it
-    ``cnt`` explicitly so oracles can match.
+    Output columns: ``dyear int, src string, cnt long, id_sum long`` —
+    the reference leaves the aggregate unnamed (YQL shows ``column2``);
+    we alias it ``cnt`` explicitly so oracles can match.
+
+    ``id_sum`` is a deepened pin (r12): the exact membership checksum
+    of WHICH ids landed in each (year, source) cell. A row routed to
+    the wrong store (hot↔cold boundary bug) or mis-dated to the
+    neighboring year keeps the global total balanced — counts alone
+    move in offsetting pairs — but can never preserve both cells'
+    id checksums. This also restores the reference's own read width:
+    its federation query scans exactly (id, payment_date) — the
+    25.96 MB two-column read — so summing id costs no extra scan
+    relative to the system being matched.
     """
     h = hot.select(
         F.col(id_col).alias("id"),
@@ -55,7 +65,10 @@ def federated_counts_by_year(
     a = h.unionByName(c)
     return (
         a.groupBy(get_year("pdate").alias("dyear"), F.col("src"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("id").cast("long").alias("id_sum"),
+        )
         .orderBy("dyear", "src")
     )
 

@@ -86,11 +86,23 @@ def exclusion_join_clean_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The actual reconciliation check: identical sides → count 0
     (yq_dag.py:93; consumed as a branch signal, yq_dag.py:23-26).
     strategy='auto': same probe-on-the-hard-signal rationale as
-    exclusion_join_diff."""
+    exclusion_join_diff.
+
+    Deepened pin (r12): ``cnt = 0`` alone is vacuously true on an
+    EMPTY input (a broken year filter would pass the old check), so
+    the result also carries ``n_input`` and ``input_key_sum`` — the
+    clean verdict is "0 diffs out of THESE rows", not "0 diffs out of
+    nothing". 1×1 scalar-aggregate fusion, same pattern as the other
+    branch signals."""
     t = load_testdata(spark, sf_dir)
     s, _ = _recon_sides(t)
     diff = exclusion_join(s, s, RECON_KEYS, strategy="auto")
-    return diff.agg(F.count(F.lit(1)).alias("cnt"))
+    return diff.agg(F.count(F.lit(1)).alias("cnt")).crossJoin(
+        s.agg(
+            F.count(F.lit(1)).alias("n_input"),
+            F.sum("o_orderkey").cast("long").alias("input_key_sum"),
+        )
+    )
 
 
 def register_all() -> None:
@@ -107,7 +119,8 @@ def register_all() -> None:
             SELECT o_orderkey, o_orderdate, 's3'
             FROM orders WHERE year(o_orderdate) < {COLD_BEFORE_YEAR}
         )
-        SELECT CAST(year(pdate) AS INTEGER) AS dyear, src, count(*) AS cnt
+        SELECT CAST(year(pdate) AS INTEGER) AS dyear, src, count(*) AS cnt,
+               CAST(sum(id) AS BIGINT) AS id_sum
         FROM a GROUP BY 1, 2 ORDER BY dyear, src
         """,
     )
@@ -162,13 +175,16 @@ def register_all() -> None:
             SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
             FROM orders WHERE year(o_orderdate) = 1998
         )
-        SELECT count(*) AS cnt FROM (
-            SELECT * FROM s s1 WHERE NOT EXISTS (
-                SELECT 1 FROM s s2 WHERE s2.o_orderkey = s1.o_orderkey
-                  AND s2.o_custkey = s1.o_custkey
-                  AND s2.o_orderstatus = s1.o_orderstatus
-                  AND s2.o_totalprice = s1.o_totalprice)
-        )
+        SELECT
+            (SELECT count(*) FROM (
+                SELECT * FROM s s1 WHERE NOT EXISTS (
+                    SELECT 1 FROM s s2 WHERE s2.o_orderkey = s1.o_orderkey
+                      AND s2.o_custkey = s1.o_custkey
+                      AND s2.o_orderstatus = s1.o_orderstatus
+                      AND s2.o_totalprice = s1.o_totalprice)
+            )) AS cnt,
+            (SELECT count(*) FROM s) AS n_input,
+            (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM s) AS input_key_sum
         """,
     )
     register(
