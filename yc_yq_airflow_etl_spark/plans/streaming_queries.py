@@ -170,8 +170,15 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(unix_timestamp(day) AS BIGINT) AS day_epoch,
                hour,
                count(1) AS n,
-               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        FROM (SELECT date_trunc('day', ts) AS day, hour(ts) AS hour, value
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+               -- deepened pin (r12): bucket-membership checksum, same
+               -- contract as the tumbling/sliding windows — an event
+               -- rolled into the neighboring hour moves two hour cells'
+               -- id sums while the day row stays balanced, so the
+               -- hierarchy itself is pinned cell by cell.
+               CAST(sum(event_id) AS BIGINT) AS event_id_sum
+        FROM (SELECT date_trunc('day', ts) AS day, hour(ts) AS hour, value,
+                     event_id
               FROM events_v)
         GROUP BY GROUPING SETS ((day, hour), (day))
         ORDER BY day_epoch, gran, hour
@@ -181,13 +188,15 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_ROLLUP_ORACLE = """
 WITH b AS (
-    SELECT date_trunc('day', ts) AS day, hour(ts) AS hour, value FROM events
+    SELECT date_trunc('day', ts) AS day, hour(ts) AS hour, value, event_id
+    FROM events
 )
 SELECT CASE WHEN hour IS NULL THEN 'day' ELSE 'hour' END AS gran,
        CAST(epoch(day) AS BIGINT) AS day_epoch,
        CAST(hour AS INT) AS hour,
        count(*) AS n,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(sum(event_id) AS BIGINT) AS event_id_sum
 FROM b
 GROUP BY GROUPING SETS ((day, hour), (day))
 ORDER BY day_epoch, gran, hour
@@ -330,6 +339,10 @@ def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100).cast("long")).alias(
                 "value_cents"
             ),
+            # deepened pin (r12): WHICH events survived dedup — a lost
+            # original or a surviving replay shifts the id checksum
+            # even where counts/cents happen to collide.
+            F.sum("event_id").cast("long").alias("event_id_sum"),
         )
         .orderBy("event_type")
     )
@@ -337,7 +350,8 @@ def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAM_DEDUP_ORACLE = """
 SELECT event_type, count(*) AS n_events,
-       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       CAST(sum(event_id) AS BIGINT) AS event_id_sum
 FROM events
 WHERE event_id % 25 = 0
 GROUP BY 1 ORDER BY event_type
@@ -381,6 +395,10 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = enriched.groupBy("tier").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        # deepened pin (r12): per-tier event membership — a user
+        # enriched with the wrong tier moves whole event groups; twin
+        # swaps that balance counts can't balance both id checksums.
+        F.sum("event_id").cast("long").alias("event_id_sum"),
     )
     name = "senrich_" + uuid.uuid4().hex[:8]
     q = (
@@ -398,7 +416,8 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAM_STATIC_ORACLE = """
 SELECT CAST(user_id % 5 AS INT) AS tier, count(*) AS n_events,
-       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       CAST(sum(event_id) AS BIGINT) AS event_id_sum
 FROM events
 WHERE event_id % 10 = 0
 GROUP BY 1 ORDER BY tier
