@@ -39,6 +39,7 @@ LANG_STATS_SCHEMA = T.StructType(
         T.StructField("sum_chars", T.LongType(), False),
         T.StructField("min_chars", T.LongType(), False),
         T.StructField("max_chars", T.LongType(), False),
+        T.StructField("doc_id_sum", T.LongType(), False),
     ]
 )
 
@@ -52,7 +53,10 @@ def lang_char_stats(documents: DataFrame) -> DataFrame:
     Deepened pins (r11): sum/min/max of n_chars as exact int64 — the
     float mean/std tolerate a 6-decimal rounding slack and could mask
     a group that lost or swapped a member near the rounding grain;
-    the integer triple cannot.
+    the integer triple cannot. (r12): ``doc_id_sum`` — group
+    MEMBERSHIP, not just the value distribution: two docs of equal
+    length traded between languages preserve every char stat but
+    never both groups' id checksums.
     """
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -69,6 +73,7 @@ def lang_char_stats(documents: DataFrame) -> DataFrame:
                 "sum_chars": [int(xi.sum())],
                 "min_chars": [int(xi.min())],
                 "max_chars": [int(xi.max())],
+                "doc_id_sum": [int(pdf["doc_id"].to_numpy(dtype="int64").sum())],
             }
         )
 

@@ -1676,7 +1676,8 @@ SELECT lang, count(*) AS n_docs,
        round(stddev_samp(n_chars), 6) AS std_chars,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        CAST(min(n_chars) AS BIGINT) AS min_chars,
-       CAST(max(n_chars) AS BIGINT) AS max_chars
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
 FROM documents GROUP BY lang ORDER BY lang
 """
 
