@@ -4027,12 +4027,19 @@ def manifest_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_updated"),
         F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        # deepened pin (r12): WHICH keys the merge touched — a merge
+        # that replaced an off-by-one key range can collide on
+        # n_updated but never on the touched-key checksum.
+        F.sum(F.when(F.col("o_totalprice") < 0, F.col("o_orderkey")))
+        .cast("long")
+        .alias("updated_key_sum"),
     )
     return agg_before.crossJoin(agg_after).select(
         "n_rows_before",
         "n_rows_after",
         "n_updated",
         "sum_price",
+        "updated_key_sum",
         F.lit(carried).alias("n_files_carried"),
     )
 
@@ -4049,6 +4056,9 @@ SELECT (SELECT count(*) FROM orders) AS n_rows_before,
                              ELSE CAST(o_totalprice AS DECIMAL(18,2)) END)
                FROM orders, b)
             + CAST(42.42 AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+       (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders, b
+         WHERE o_orderkey >= m // 10 AND o_orderkey <= m // 5)
+           AS updated_key_sum,
        3 AS n_files_carried
 """
 
