@@ -92,6 +92,13 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_orderpriority").alias("n_priorities"),
             F.min("o_orderkey").alias("min_key"),
             F.max("o_orderkey").alias("max_key"),
+            # deepened pin (r12): the distinct SET itself, not just its
+            # cardinality — one customer traded for another inside a
+            # status group preserves every count; the distinct-sum
+            # rides the same Expand pass for free.
+            F.sum_distinct(F.col("o_custkey")).cast("long").alias(
+                "custkey_distinct_sum"
+            ),
         )
         .orderBy("o_orderstatus")
     )
@@ -102,7 +109,8 @@ SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
        count(*) AS n_orders,
        count(DISTINCT o_orderpriority) AS n_priorities,
        min(o_orderkey) AS min_key,
-       max(o_orderkey) AS max_key
+       max(o_orderkey) AS max_key,
+       CAST(sum(DISTINCT o_custkey) AS BIGINT) AS custkey_distinct_sum
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
@@ -478,6 +486,13 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             # join row flips these even when revenue rounds the same
             F.countDistinct("o_orderkey").alias("n_orders"),
             F.countDistinct("c_custkey").alias("n_customers"),
+            # deepened pin (r12): WHICH orders reached the group
+            # through the snowflake — a row swapped between two
+            # (region, nation) cells can balance both distinct counts
+            # but never both cells' key checksums.
+            F.sum_distinct(F.col("o_orderkey")).cast("long").alias(
+                "orderkey_distinct_sum"
+            ),
         )
         .orderBy("r_name", "n_name")
     )
@@ -489,7 +504,8 @@ SELECT r_name, n_name,
                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
        count(*) AS n_lineitems,
        count(DISTINCT o_orderkey) AS n_orders,
-       count(DISTINCT c_custkey) AS n_customers
+       count(DISTINCT c_custkey) AS n_customers,
+       CAST(sum(DISTINCT o_orderkey) AS BIGINT) AS orderkey_distinct_sum
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
