@@ -112,6 +112,29 @@ HEADLINE = [
 ]
 
 
+def machine_canary_sec() -> float:
+    """Deterministic single-thread CPU probe: sha256 over 256 MiB of a
+    reused buffer, best of 2. Boot-to-boot host-speed drift is real on
+    this rig (r12 measured the SAME committed code at 304.9s on one
+    boot and 410.8s on the next — +34.7% with zero code delta), and a
+    wall-only budget guard cannot tell that apart from a plan
+    regression. The canary records host speed IN the sidecar so
+    cross-round wall comparisons can be normalized mechanically —
+    measured attribution instead of judgment calls."""
+    import hashlib
+
+    buf = b"\xa5" * (64 << 20)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        h = hashlib.sha256()
+        for _i in range(4):
+            h.update(buf)
+        h.hexdigest()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     t_main0 = time.time()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -838,16 +861,52 @@ def main() -> None:
         else None
     )
     out["bench_wall_sec"] = bench_wall
+    # Host-speed normalization: when the committed sidecar carries a
+    # canary, the growth that matters is wall growth BEYOND what the
+    # host itself slowed down by (canary ratio). A flag that survives
+    # normalization is a code/plan problem; one that normalization
+    # clears is the machine.
+    canary = machine_canary_sec()
+    prev_canary = prev_side.get("machine_canary_sec")
+    host_ratio = (
+        round(canary / prev_canary, 3) if prev_canary else None
+    )
+    norm_growth = (
+        round(100.0 * (bench_wall / host_ratio / prev_bench_wall - 1.0), 1)
+        if prev_bench_wall and host_ratio
+        else None
+    )
+    out["machine_canary_sec"] = canary
     out["wall_budget"] = {
         "prev_committed_sec": prev_bench_wall,
         "growth_pct": growth,
+        "host_canary_ratio": host_ratio,
+        "host_normalized_growth_pct": norm_growth,
         "max_growth_pct": 20,
-        "within_budget": growth is None or growth <= 20,
+        "within_budget": (
+            growth is None
+            or growth <= 20
+            or (norm_growth is not None and norm_growth <= 20)
+        ),
     }
     if not out["wall_budget"]["within_budget"]:
         print(
             f"# WALL BUDGET FLAG: bench wall {bench_wall}s is {growth}% "
-            f"over the committed {prev_bench_wall}s (>20%)",
+            f"over the committed {prev_bench_wall}s (>20%"
+            + (
+                f"; host-normalized {norm_growth}% at canary ratio "
+                f"{host_ratio}"
+                if norm_growth is not None
+                else ""
+            )
+            + ")",
+            file=sys.stderr,
+        )
+    elif growth is not None and growth > 20:
+        print(
+            f"# wall budget: raw growth {growth}% attributed to host "
+            f"speed (canary ratio {host_ratio}, normalized growth "
+            f"{norm_growth}%)",
             file=sys.stderr,
         )
 

@@ -72,24 +72,30 @@ def measure_suite_sec_per_test() -> tuple[float, int] | None:
     return round(wall / tests, 3), int(tests)
 
 
-def measure_bench_wall() -> float | None:
+def measure_bench_wall() -> tuple[float | None, float | None]:
+    """(bench_wall_sec, machine_canary_sec) from the latest sidecar."""
     try:
         with open(BENCH_SIDE) as fh:
-            return json.load(fh).get("bench_wall_sec")
+            side = json.load(fh)
+        return side.get("bench_wall_sec"), side.get("machine_canary_sec")
     except Exception:
-        return None
+        return None, None
 
 
 def main() -> int:
     update = "--update" in sys.argv[1:]
     suite = measure_suite_sec_per_test()
-    bench = measure_bench_wall()
+    bench, canary = measure_bench_wall()
 
     if update:
         budget = {
             "suite_sec_per_test": suite[0] if suite else None,
             "suite_tests_covered": suite[1] if suite else None,
             "bench_wall_sec": bench,
+            # host speed at budget time — lets future checks separate
+            # "the code got slower" from "the host got slower" (r12
+            # measured +34.7% wall on IDENTICAL code across two boots)
+            "machine_canary_sec": canary,
             "max_growth_pct": MAX_GROWTH_PCT,
         }
         with open(BUDGET, "w") as fh:
@@ -105,6 +111,13 @@ def main() -> int:
         print("no committed wall_budget.json — run with --update first")
         return 1
 
+    # Both walls scale with host speed; when both the budget and the
+    # current sidecar carry a canary, judge growth net of host drift.
+    ref_canary = budget.get("machine_canary_sec")
+    host_ratio = (
+        round(canary / ref_canary, 3) if canary and ref_canary else None
+    )
+
     flags = 0
     for label, now, ref in (
         ("suite sec/test", suite[0] if suite else None,
@@ -115,10 +128,23 @@ def main() -> int:
             print(f"SKIP  {label}: no measurement recorded yet")
             continue
         growth = 100.0 * (now / ref - 1.0)
-        status = "FLAG " if growth > MAX_GROWTH_PCT else "OK   "
-        if growth > MAX_GROWTH_PCT:
+        norm_growth = (
+            100.0 * (now / host_ratio / ref - 1.0) if host_ratio else None
+        )
+        effective = norm_growth if norm_growth is not None else growth
+        status = "FLAG " if effective > MAX_GROWTH_PCT else "OK   "
+        if effective > MAX_GROWTH_PCT:
             flags += 1
-        print(f"{status} {label}: {now} vs budget {ref} ({growth:+.1f}%)")
+        norm_note = (
+            f", host-normalized {norm_growth:+.1f}% at canary ratio "
+            f"{host_ratio}"
+            if norm_growth is not None
+            else ""
+        )
+        print(
+            f"{status} {label}: {now} vs budget {ref} "
+            f"({growth:+.1f}%{norm_note})"
+        )
     return 1 if flags else 0
 
 
