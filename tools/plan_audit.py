@@ -490,10 +490,14 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
     ],
     "manifest_merge_upsert": [
         ("verification rollup partially aggregated", r"partial_count"),
-        # the rollup needs only o_totalprice — the key column must be
-        # pruned out of the merged-table scan entirely
-        ("merged-table read pruned to the single referenced column",
-         "!ReadSchema: [^\n]*o_orderkey"),
+        # r12: the touched-key membership checksum (updated_key_sum)
+        # verifies what the merged table CONTAINS, which requires
+        # reading its key column — the old "prune o_orderkey out
+        # entirely" pin traded away deliberately. What must still
+        # hold: the scan reads exactly the two referenced columns and
+        # drags in no extras.
+        ("merged-table read pruned to the two referenced columns",
+         r"ReadSchema: struct<o_orderkey:[a-z]+,o_totalprice:double>"),
     ],
     "exclusion_join_hotkey_diff": [
         ("the skew probe routed this bulk-duplicate-key input to the "
