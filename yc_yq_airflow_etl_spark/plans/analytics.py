@@ -989,6 +989,11 @@ def json_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("k").alias("min_k"),
             F.sum(F.col("k").isNull().cast("bigint")).alias("n_null_k"),
             F.countDistinct("user_id").alias("n_users"),
+            # deepened pin (r12): per-type event membership — an event
+            # parsed under the wrong type (or dropped by a bad parse)
+            # can balance counts between two types but not both id
+            # checksums.
+            F.sum("event_id").cast("long").alias("event_id_sum"),
         )
         .orderBy("event_type")
     )
@@ -1002,7 +1007,8 @@ SELECT event_type, count(*) AS n,
        CAST(sum(CASE WHEN TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1)
                               AS BIGINT) IS NULL
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k,
-       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(event_id) AS BIGINT) AS event_id_sum
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
