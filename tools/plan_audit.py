@@ -263,8 +263,10 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("part dim broadcast", r"BroadcastHashJoin"),
         ("shipdate window pushed to the lineitem scan",
          r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate"),
-        ("fact read pruned: no orderkey/tax",
-         r"!ReadSchema: [^\n]*(l_orderkey|l_tax)"),
+        # r12: promo_orderkey_sum reads l_orderkey by design (the
+        # membership checksum); l_tax/l_comment stay prunable
+        ("fact read pruned: no tax/comment",
+         r"!ReadSchema: [^\n]*(l_tax|l_comment)"),
         ("single-pass conditional aggregation", r"partial_(sum|count)"),
     ],
     "q17_small_quantity_revenue": [
@@ -273,8 +275,10 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
     ],
     "q19_disjunctive_revenue": [
         ("part dim broadcast", r"BroadcastHashJoin"),
-        ("fact read pruned to the four referenced columns",
-         r"!ReadSchema: [^\n]*(l_shipdate|l_tax|l_orderkey)"),
+        # r12: arm_weighted_key_sum reads l_orderkey by design (the
+        # membership+attribution checksum); shipdate/tax stay prunable
+        ("fact read pruned: no shipdate/tax",
+         r"!ReadSchema: [^\n]*(l_shipdate|l_tax)"),
         ("partial aggregation", r"partial_(sum|count)"),
     ],
     "pii_redaction_stats": [

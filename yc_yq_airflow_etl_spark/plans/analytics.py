@@ -4179,12 +4179,22 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("promo_revenue"),
         F.sum(revenue).cast("double").alias("total_revenue"),
+        # deepened pin (r12): WHICH lines counted as promo — twin
+        # swaps across the PROMO boundary balance the count but not
+        # the key checksum.
+        F.coalesce(
+            F.sum(F.when(F.col("p_type") == "PROMO", F.col("l_orderkey"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("promo_orderkey_sum"),
     )
     return agg.select(
         "n_lines",
         "n_promo_lines",
         "promo_revenue",
         "total_revenue",
+        "promo_orderkey_sum",
         F.round(
             F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 6
         ).alias("promo_pct"),
@@ -4202,12 +4212,16 @@ WITH a AS (
                          ELSE 0 END) AS DOUBLE) AS promo_revenue,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                     * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-               AS total_revenue
+               AS total_revenue,
+           CAST(coalesce(sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_orderkey END), 0) AS BIGINT)
+               AS promo_orderkey_sum
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
 )
 SELECT n_lines, n_promo_lines, promo_revenue, total_revenue,
+       promo_orderkey_sum,
        round(100.0 * promo_revenue / total_revenue, 6) AS promo_pct
 FROM a
 """
@@ -4296,6 +4310,21 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(arm("Brand#2", 15, 1, 11).cast("bigint")).alias("n_arm1"),
         F.sum(arm("Brand#15", 25, 10, 20).cast("bigint")).alias("n_arm2"),
         F.sum(arm("Brand#19", 35, 20, 30).cast("bigint")).alias("n_arm3"),
+        # deepened pin (r12): membership AND arm attribution in one
+        # checksum — the brands are disjoint, so each qualifying line
+        # weights its key by its arm index; a line admitted by the
+        # wrong arm (or a twin swap across arms) moves this even
+        # where all three counts balance.
+        F.sum(
+            F.col("l_orderkey")
+            * (
+                arm("Brand#2", 15, 1, 11).cast("long")
+                + F.lit(2) * arm("Brand#15", 25, 10, 20).cast("long")
+                + F.lit(3) * arm("Brand#19", 35, 20, 30).cast("long")
+            )
+        )
+        .cast("long")
+        .alias("arm_weighted_key_sum"),
     )
 
 
@@ -4311,7 +4340,19 @@ SELECT count(*) AS n_lines,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_arm2,
        CAST(sum(CASE WHEN p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 35
                       AND l_quantity BETWEEN 20 AND 30
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_arm3
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_arm3,
+       CAST(sum(l_orderkey *
+                (CASE WHEN p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+                       AND l_quantity BETWEEN 1 AND 11 THEN 1 ELSE 0 END
+                 + 2 * CASE WHEN p_brand = 'Brand#15'
+                             AND p_size BETWEEN 1 AND 25
+                             AND l_quantity BETWEEN 10 AND 20
+                            THEN 1 ELSE 0 END
+                 + 3 * CASE WHEN p_brand = 'Brand#19'
+                             AND p_size BETWEEN 1 AND 35
+                             AND l_quantity BETWEEN 20 AND 30
+                            THEN 1 ELSE 0 END)) AS BIGINT)
+           AS arm_weighted_key_sum
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 1 AND 11)
@@ -4517,6 +4558,19 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("sup_nation") == "NATION_3").cast("bigint")
             ).alias("n_nation_lines"),
             F.count(F.lit(1)).alias("n_lines"),
+            # deepened pin (r12): WHICH lines feed the numerator — a
+            # line attributed to the wrong supplier nation can balance
+            # both counts in a twin swap but never the key checksum.
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("sup_nation") == "NATION_3", F.col("l_orderkey")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("nation_orderkey_sum"),
         )
         .select(
             "o_year",
@@ -4525,6 +4579,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mkt_share"),
             "n_nation_lines",
             "n_lines",
+            "nation_orderkey_sum",
         )
         .orderBy("o_year")
     )
@@ -4542,7 +4597,10 @@ SELECT CAST(year(o_orderdate) AS INT) AS o_year,
          6) AS mkt_share,
        CAST(sum(CASE WHEN sn.n_name = 'NATION_3' THEN 1 ELSE 0 END)
             AS BIGINT) AS n_nation_lines,
-       count(*) AS n_lines
+       count(*) AS n_lines,
+       CAST(coalesce(sum(CASE WHEN sn.n_name = 'NATION_3'
+                              THEN l_orderkey END), 0) AS BIGINT)
+           AS nation_orderkey_sum
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey

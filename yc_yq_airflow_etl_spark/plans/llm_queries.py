@@ -3088,6 +3088,7 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["embeddings"]
         .select(
             "label",
+            "vec_id",
             F.size("embedding").alias("_dim"),
             norm.alias("_norm"),
             nonfinite.cast("int").alias("_bad"),
@@ -3106,6 +3107,21 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_bad").cast("bigint").alias("n_nonfinite"),
             F.round(F.min("_lo"), 6).alias("min_val"),
             F.round(F.max("_hi"), 6).alias("max_val"),
+            # deepened pins (r12): label-group membership and the
+            # exact violator SET — the audit's counters alone let two
+            # vectors trade places between labels, and "3 non-unit
+            # vectors" says nothing about WHICH three.
+            F.sum("vec_id").cast("bigint").alias("vec_id_sum"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.abs(F.col("_norm") - 1.0) > 1e-3, F.col("vec_id")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("nonunit_id_sum"),
         )
         .orderBy("label")
     )
@@ -3113,7 +3129,7 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMBEDDING_NORM_AUDIT_ORACLE = """
 WITH v AS (
-    SELECT label,
+    SELECT label, vec_id,
            len(embedding) AS dim,
            sqrt(list_sum(list_transform(embedding,
                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
@@ -3132,7 +3148,11 @@ SELECT label,
            AS n_nonunit,
        CAST(sum(bad) AS BIGINT) AS n_nonfinite,
        round(min(lo), 6) AS min_val,
-       round(max(hi), 6) AS max_val
+       round(max(hi), 6) AS max_val,
+       CAST(sum(vec_id) AS BIGINT) AS vec_id_sum,
+       CAST(coalesce(sum(CASE WHEN abs(nrm - 1.0) > 0.001
+                              THEN vec_id END), 0) AS BIGINT)
+           AS nonunit_id_sum
 FROM v GROUP BY label ORDER BY label
 """
 
