@@ -1,0 +1,114 @@
+"""Unit tests for the wall-budget guard's measurement parsing and the
+r12 host-canary normalization — the logic that decides whether a wall
+flag means "the code got slower" or "the host got slower" must not
+itself regress silently (r12 measured +34.7% wall on IDENTICAL code
+across two boots; the canary is what keeps that from reading as a
+plan regression)."""
+
+from __future__ import annotations
+
+import importlib
+import json
+import sys
+
+sys.path.insert(0, "/root/repo/tools")
+
+wall_budget = importlib.import_module("wall_budget")
+
+
+def _write_jsonl(path, records):
+    with open(path, "w") as fh:
+        for r in records:
+            fh.write(json.dumps(r) + "\n")
+
+
+def test_suite_measurement_filters_tiny_chunks(tmp_path, monkeypatch):
+    walls = tmp_path / "walls.jsonl"
+    _write_jsonl(
+        walls,
+        [
+            # a tiny -k run: must be ignored (amortizes startup badly)
+            {"ts": 1, "n_tests": 5, "wall_s": 50.0, "exit": 0},
+            # a failed chunk: must be ignored
+            {"ts": 2, "n_tests": 300, "wall_s": 600.0, "exit": 1},
+            # two real chunks, newest first by ts
+            {"ts": 4, "n_tests": 200, "wall_s": 400.0, "exit": 0},
+            {"ts": 3, "n_tests": 200, "wall_s": 200.0, "exit": 0},
+        ],
+    )
+    monkeypatch.setattr(wall_budget, "WALLS", str(walls))
+    sec_per_test, covered = wall_budget.measure_suite_sec_per_test()
+    # (400 + 200) / (200 + 200) — the tiny and failed records excluded
+    assert covered == 400
+    assert sec_per_test == 1.5
+
+
+def test_suite_measurement_requires_coverage(tmp_path, monkeypatch):
+    walls = tmp_path / "walls.jsonl"
+    _write_jsonl(walls, [{"ts": 1, "n_tests": 60, "wall_s": 60.0, "exit": 0}])
+    monkeypatch.setattr(wall_budget, "WALLS", str(walls))
+    assert wall_budget.measure_suite_sec_per_test() is None
+
+
+def _run_guard(tmp_path, monkeypatch, budget, sidecar, walls_records):
+    budget_p = tmp_path / "wall_budget.json"
+    budget_p.write_text(json.dumps(budget))
+    side_p = tmp_path / "bench_structure.json"
+    side_p.write_text(json.dumps(sidecar))
+    walls_p = tmp_path / "walls.jsonl"
+    _write_jsonl(walls_p, walls_records)
+    monkeypatch.setattr(wall_budget, "BUDGET", str(budget_p))
+    monkeypatch.setattr(wall_budget, "BENCH_SIDE", str(side_p))
+    monkeypatch.setattr(wall_budget, "WALLS", str(walls_p))
+    monkeypatch.setattr(sys, "argv", ["wall_budget.py"])
+    return wall_budget.main()
+
+
+_OK_WALLS = [
+    {"ts": 3, "n_tests": 300, "wall_s": 300.0, "exit": 0},
+]
+
+
+def test_raw_growth_past_20pct_flags_without_canary(tmp_path, monkeypatch):
+    rc = _run_guard(
+        tmp_path,
+        monkeypatch,
+        budget={"suite_sec_per_test": 1.0, "bench_wall_sec": 300.0},
+        sidecar={"bench_wall_sec": 400.0},  # +33% raw, no canary anywhere
+        walls_records=_OK_WALLS,
+    )
+    assert rc == 1
+
+
+def test_host_drift_clears_the_flag(tmp_path, monkeypatch):
+    # +33% raw wall growth, but the canary says the host is 1.4x
+    # slower — normalized growth is negative; the guard must pass.
+    rc = _run_guard(
+        tmp_path,
+        monkeypatch,
+        budget={
+            "suite_sec_per_test": 1.0,
+            "bench_wall_sec": 300.0,
+            "machine_canary_sec": 0.25,
+        },
+        sidecar={"bench_wall_sec": 400.0, "machine_canary_sec": 0.35},
+        walls_records=_OK_WALLS,
+    )
+    assert rc == 0
+
+
+def test_code_regression_survives_normalization(tmp_path, monkeypatch):
+    # Same-speed host (canary flat) + +33% wall: a REAL regression —
+    # normalization must not absolve it.
+    rc = _run_guard(
+        tmp_path,
+        monkeypatch,
+        budget={
+            "suite_sec_per_test": 1.0,
+            "bench_wall_sec": 300.0,
+            "machine_canary_sec": 0.25,
+        },
+        sidecar={"bench_wall_sec": 400.0, "machine_canary_sec": 0.25},
+        walls_records=_OK_WALLS,
+    )
+    assert rc == 1
