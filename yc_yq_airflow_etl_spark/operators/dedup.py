@@ -869,6 +869,16 @@ def connected_components(
     the update itself. Labels only ever decrease, so the loop is
     monotone and cannot oscillate.
 
+    Convergence check (r12): monotonicity buys more than
+    no-oscillation — per vertex the label NEVER increases, so "some
+    label changed this round" is EXACTLY "sum(label) decreased". The
+    check is therefore a map-side scalar aggregate over the new
+    generation alone (sum as DECIMAL(38,0): overflow-safe at any
+    vertex-id scale), replacing the earlier O(V) anti-join of two
+    label generations — one full shuffle join per round saved, which
+    at a 100 TB edge list is the difference between 3 and 4 shuffles
+    every round.
+
     Storage hygiene: checkpoint blocks are NOT freed by
     ``DataFrame.unpersist()`` (the data lives in the checkpointed
     RDD's storage, outside the CacheManager), so each round frees the
@@ -917,6 +927,8 @@ def connected_components(
     # scratch copy has served both branches and can go now
     e.unpersist(blocking=False)
     label_id = _ckpt_id(labels)
+    _label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    prev_sum = labels.agg(_label_sum).first()[0]
     global LAST_CC_ROUNDS
     LAST_CC_ROUNDS = 0
     # try/finally like pagerank: a mid-iteration failure must not
@@ -945,15 +957,16 @@ def connected_components(
                 .localCheckpoint()  # eager: truncates plan AND materializes
             )
             new_id = _ckpt_id(new_labels)
-            changed = (
-                new_labels.join(labels, ["id", "label"], "left_anti")
-                .limit(1)
-                .count()
-            )
-            _free(label_id)  # previous generation: check was its last read
+            # monotone-sum convergence: labels never increase, so an
+            # unchanged sum IS "no vertex changed" (one scalar agg off
+            # the fresh checkpoint — no second generation read at all)
+            new_sum = new_labels.agg(_label_sum).first()[0]
+            _free(label_id)  # previous generation: the joins above
+            # were its last read (the check reads only new_labels)
             labels, label_id = new_labels, new_id
-            if changed == 0:
+            if new_sum == prev_sum:
                 break
+            prev_sum = new_sum
     except BaseException:
         _free(label_id)
         raise
