@@ -367,16 +367,30 @@ class ManifestTable:
         next version forever: a persistent non-race failure must
         surface as an error, not a livelock.
 
-        ATOMICITY CAVEAT: create(overwrite=False) is a true conditional
-        PUT only where the store provides one (HDFS namenode lease, S3
-        conditional writes / If-None-Match). On RawLocalFileSystem it
-        is check-then-act, so a real local race can lose an update —
-        use the default rename mode for ``file://`` tables (POSIX
-        rename is atomic); conditional-create mode is for object
-        stores."""
+        ATOMICITY: create(overwrite=False) is a true conditional PUT
+        where the store provides one (HDFS namenode lease, S3
+        conditional writes / If-None-Match). Hadoop's LOCAL filesystem
+        is the exception — there create(overwrite=False) is
+        check-then-act, a race window the r12 two-writer stress test
+        actually hit (both appends "won" the same version name). For
+        ``file://`` the claim therefore goes through POSIX
+        ``O_CREAT|O_EXCL`` instead, which IS atomic, same-process and
+        cross-process — the local twin then honors the same
+        exactly-one-winner contract as the object-store path."""
         jvm, fs = self._fs(spark)
         dest = self._jp(jvm, *parts)
         fs.mkdirs(dest.getParent())
+        if fs.getScheme() == "file":
+            import os
+
+            local = dest.toUri().getPath()
+            try:
+                fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False  # lost the race: the name is claimed
+            with os.fdopen(fd, "wb") as out_f:
+                out_f.write(content.encode("utf-8"))
+            return True
         try:
             out = fs.create(dest, False)
         except Exception as exc:
