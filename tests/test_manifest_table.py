@@ -130,6 +130,43 @@ def test_put_if_absent_claims_name_exactly_once(spark, tmp_path):
     assert t._try_manifest(spark, 0) == {"files": []}
 
 
+def test_put_if_absent_one_winner_under_contention(spark, tmp_path):
+    """16 threads claim the SAME version name simultaneously: exactly
+    one True, and the surviving bytes are the winner's — the atomic
+    exactly-one-winner contract of the claim primitive itself, under
+    far tighter contention than a full append pipeline can produce.
+    On file:// the claim is POSIX O_CREAT|O_EXCL (Hadoop's local
+    create(overwrite=false) is check-then-act and LOST this race —
+    the r12 two-writer stress run caught two appends sharing one
+    version name before the primitive was rerouted)."""
+    import threading
+
+    t = ManifestTable(str(tmp_path / "mt"), publish_mode="conditional-create")
+    n = 16
+    gate = threading.Barrier(n)
+    results: list[tuple[int, bool]] = []
+    lock = threading.Lock()
+
+    def claim(i: int) -> None:
+        content = '{"files": [], "writer": %d}' % i
+        gate.wait()
+        won = t._put_if_absent(spark, content, "_manifests", "v0.json")
+        with lock:
+            results.append((i, won))
+
+    threads = [threading.Thread(target=claim, args=(i,)) for i in range(n)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    winners = [i for i, won in results if won]
+    assert len(results) == n
+    assert len(winners) == 1  # exactly one claim succeeds
+    # the committed bytes are the winner's, complete and untorn
+    assert t._try_manifest(spark, 0) == {"files": [], "writer": winners[0]}
+
+
 def test_torn_manifest_ignored_and_version_burned(spark, tmp_path):
     """A writer that died mid-PUT (conditional-create mode) leaves a
     torn manifest under a claimed name. Readers must treat it as
