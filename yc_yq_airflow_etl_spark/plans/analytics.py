@@ -2404,6 +2404,11 @@ def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             # customer's lost revenue — exact integer, no rounding
             # slack.
             F.count(F.lit(1)).alias("n_return_lines"),
+            # deepened pin (r12): WHICH orders the returned lines came
+            # from — a line attributed to the wrong customer can
+            # balance counts (and, within rounding, revenue) across
+            # two top-20 rows, but not both orderkey checksums.
+            F.sum("l_orderkey").cast("long").alias("return_orderkey_sum"),
         )
         .orderBy(F.desc("lost_revenue"), F.col("c_custkey"))
         .limit(20)
@@ -2415,7 +2420,8 @@ SELECT c_custkey, c_name, n_name,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
            AS lost_revenue,
-       count(*) AS n_return_lines
+       count(*) AS n_return_lines,
+       CAST(sum(l_orderkey) AS BIGINT) AS return_orderkey_sum
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey

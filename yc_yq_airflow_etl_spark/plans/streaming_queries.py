@@ -60,19 +60,22 @@ FROM starts GROUP BY 1, 2 ORDER BY window_start, event_type
 
 def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_testdata(spark, sf_dir)
-    return session_window_stats(t["events"]).orderBy("user_id", "session_start")
+    # id_col (r12 deepening): per-session event membership checksum
+    return session_window_stats(t["events"], id_col="event_id").orderBy(
+        "user_id", "session_start"
+    )
 
 
 SESSION_ORACLE = """
 WITH flagged AS (
-    SELECT user_id, ts, value,
+    SELECT user_id, ts, value, event_id,
            CASE WHEN lag(ts) OVER w IS NULL
                   OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
                 THEN 1 ELSE 0 END AS new_session
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), sessions AS (
-    SELECT user_id, ts, value,
+    SELECT user_id, ts, value, event_id,
            sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
     FROM flagged
@@ -82,7 +85,8 @@ SELECT user_id,
        CAST(epoch_ns(max(ts)) // 1000000000 + 300
             - epoch_ns(min(ts)) // 1000000000 AS BIGINT) AS duration_s,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(sum(event_id) AS BIGINT) AS event_id_sum
 FROM sessions GROUP BY user_id, session_id
 ORDER BY user_id, session_start
 """
@@ -115,7 +119,8 @@ WITH c AS (
 SELECT c.user_id AS user_id,
        count(*) AS n_pairs,
        count(DISTINCT p.event_id) AS n_purchases,
-       CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(sum(DISTINCT p.event_id) AS BIGINT) AS purchase_id_sum
 FROM c JOIN p
   ON p.user_id = c.user_id
  AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL '30 minutes'

@@ -87,6 +87,14 @@ def attributed_purchases_per_user(
         F.sum(F.col("purchase_value").cast("decimal(18,2)"))
         .cast("double")
         .alias("sum_value"),
+        # deepened pin (r12): the attributed purchase SET, not just its
+        # size — a purchase attributed to the wrong user can keep both
+        # users' counts and (with offsetting values) their sums, but
+        # not both distinct-id checksums. Distinct because one
+        # purchase may pair with several clicks of its user.
+        F.sum_distinct(F.col("purchase_id")).cast("long").alias(
+            "purchase_id_sum"
+        ),
     )
 
 

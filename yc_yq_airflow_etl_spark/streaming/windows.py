@@ -76,25 +76,35 @@ def sliding_window_counts(
 
 
 def session_window_stats(
-    events: DataFrame, gap: str = "5 minutes", by: str = "user_id"
+    events: DataFrame,
+    gap: str = "5 minutes",
+    by: str = "user_id",
+    id_col: str | None = None,
 ) -> DataFrame:
     """Session windows: per key, events separated by < gap merge into
     one session (Spark's session_window: a session absorbs an event
     arriving strictly before last_ts + gap). Emits per-session event
-    count and duration."""
+    count and duration; with ``id_col`` also the per-session id sum —
+    a membership checksum pinning WHICH events each session absorbed
+    (an event crossing a session boundary keeps both counts only if
+    it also balances both id sums)."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+    ]
+    out_cols = ["n_events", "sum_value"]
+    if id_col is not None:
+        aggs.append(F.sum(id_col).cast("long").alias(f"{id_col}_sum"))
+        out_cols.append(f"{id_col}_sum")
     return (
         events.groupBy(F.session_window("ts", gap).alias("w"), F.col(by))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
-        )
+        .agg(*aggs)
         .select(
             F.col(by),
             F.unix_timestamp(F.col("w.start")).alias("session_start"),
             (
                 F.unix_timestamp(F.col("w.end")) - F.unix_timestamp(F.col("w.start"))
             ).alias("duration_s"),
-            "n_events",
-            "sum_value",
+            *out_cols,
         )
     )
