@@ -4391,6 +4391,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             # deepened pin (r11): the winner's contributing line count
             # — an exact integer behind the decimal argmax.
             F.count(F.lit(1)).alias("n_lines"),
+            # deepened pin (r12): WHICH lines — the exact orderkey
+            # checksum of the winning quarter's line set.
+            F.sum("l_orderkey").cast("long").alias("line_orderkey_sum"),
         )
     )
     mx = F.broadcast(rev.agg(F.max("_rev").alias("_mx")))
@@ -4406,6 +4409,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             F.col("_rev").cast("double").alias("total_revenue"),
             "n_lines",
+            "line_orderkey_sum",
         )
         .orderBy("s_suppkey")
     )
@@ -4416,14 +4420,15 @@ WITH r AS (
     SELECT l_suppkey,
            sum(CAST(l_extendedprice AS DECIMAL(18,2))
                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev,
-           count(*) AS n_lines
+           count(*) AS n_lines,
+           CAST(sum(l_orderkey) AS BIGINT) AS line_orderkey_sum
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1996-04-01'
     GROUP BY 1
 )
 SELECT s_suppkey, s_name, CAST(r.rev AS DOUBLE) AS total_revenue,
-       r.n_lines AS n_lines
+       r.n_lines AS n_lines, r.line_orderkey_sum AS line_orderkey_sum
 FROM r JOIN supplier ON l_suppkey = s_suppkey
 WHERE r.rev = (SELECT max(rev) FROM r)
 ORDER BY s_suppkey
