@@ -300,6 +300,55 @@ def test_stream_stream_interval_join(spark, testdata, tmp_path):
     assert q.lastProgress["batchId"] >= 1
 
 
+def test_membership_checksums_on_window_and_join_rollups(spark):
+    """Unit contract of the r12 membership-pin columns on handcrafted
+    data with known answers: session_window_stats emits the
+    per-session id sum only when id_col is given, and the attribution
+    rollup's purchase_id_sum counts a purchase ONCE even when it pairs
+    with several clicks of its user."""
+    from yc_yq_airflow_etl_spark.streaming.joins import (
+        attributed_purchases_per_user,
+    )
+    from yc_yq_airflow_etl_spark.streaming.windows import session_window_stats
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: events 10+11 in one session (1 min apart), 12
+            # alone after a 10-min gap
+            (1, "2024-01-01 00:00:00", "view", 1.0, 10),
+            (1, "2024-01-01 00:01:00", "view", 2.0, 11),
+            (1, "2024-01-01 00:11:00", "view", 4.0, 12),
+            # user 2: clicks at 00:00 and 00:05; one purchase at 00:06
+            # lands inside BOTH 30-minute windows
+            (2, "2024-01-01 00:00:00", "click", 0.0, 20),
+            (2, "2024-01-01 00:05:00", "click", 0.0, 21),
+            (2, "2024-01-01 00:06:00", "purchase", 9.5, 22),
+        ],
+        "user_id long, ts_s string, event_type string, value double, event_id long",
+    ).select(
+        "user_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+        "event_id",
+    )
+
+    plain = session_window_stats(ev)
+    assert "event_id_sum" not in plain.columns  # opt-in column
+    got = {
+        (r.user_id, r.n_events, r.event_id_sum)
+        for r in session_window_stats(ev, id_col="event_id").collect()
+    }
+    assert (1, 2, 21) in got  # events 10+11 merged: 10+11=21
+    assert (1, 1, 12) in got  # event 12 alone after the gap
+
+    [row] = attributed_purchases_per_user(ev).collect()
+    assert row.user_id == 2
+    assert row.n_pairs == 2  # purchase 22 pairs with clicks 20 and 21
+    assert row.n_purchases == 1
+    assert row.purchase_id_sum == 22  # distinct: counted once, not twice
+
+
 def test_spend_alerts_state_across_microbatches(spark, tmp_path):
     """Per-user spend alerts (applyInPandasWithState): lifetime cents
     accumulate across micro-batches; alerts fire exactly at threshold
