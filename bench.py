@@ -113,26 +113,12 @@ HEADLINE = [
 
 
 def machine_canary_sec() -> float:
-    """Deterministic single-thread CPU probe: sha256 over 256 MiB of a
-    reused buffer, best of 2. Boot-to-boot host-speed drift is real on
-    this rig (r12 measured the SAME committed code at 304.9s on one
-    boot and 410.8s on the next — +34.7% with zero code delta), and a
-    wall-only budget guard cannot tell that apart from a plan
-    regression. The canary records host speed IN the sidecar so
-    cross-round wall comparisons can be normalized mechanically —
-    measured attribution instead of judgment calls."""
-    import hashlib
+    """Deterministic single-thread CPU probe (see hostcanary.py — the
+    same probe also rides in every suite-wall record so each wall
+    metric is normalized by its OWN epoch's host speed)."""
+    from yc_yq_airflow_etl_spark.hostcanary import machine_canary_sec as probe
 
-    buf = b"\xa5" * (64 << 20)
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        h = hashlib.sha256()
-        for _i in range(4):
-            h.update(buf)
-        h.hexdigest()
-        best = min(best, time.time() - t0)
-    return round(best, 3)
+    return probe()
 
 
 def main() -> None:
@@ -883,23 +869,28 @@ def main() -> None:
         "host_canary_ratio": host_ratio,
         "host_normalized_growth_pct": norm_growth,
         "max_growth_pct": 20,
+        # When a canary ratio exists, the NORMALIZED growth is the
+        # sole effective metric (r12 ADVICE: OR-semantics would let a
+        # faster host mask a real plan regression — raw <= 20 passing
+        # while normalized > 20). Matches tools/wall_budget.py.
         "within_budget": (
             growth is None
-            or growth <= 20
-            or (norm_growth is not None and norm_growth <= 20)
+            or (norm_growth if norm_growth is not None else growth) <= 20
         ),
     }
     if not out["wall_budget"]["within_budget"]:
+        effective = norm_growth if norm_growth is not None else growth
         print(
-            f"# WALL BUDGET FLAG: bench wall {bench_wall}s is {growth}% "
-            f"over the committed {prev_bench_wall}s (>20%"
+            f"# WALL BUDGET FLAG: bench wall {bench_wall}s is "
+            f"{effective}% over the committed {prev_bench_wall}s "
+            f"(effective metric "
             + (
-                f"; host-normalized {norm_growth}% at canary ratio "
-                f"{host_ratio}"
+                f"host-normalized at canary ratio {host_ratio}; "
+                f"raw growth {growth}%"
                 if norm_growth is not None
-                else ""
+                else "raw — no canary in the committed sidecar"
             )
-            + ")",
+            + "; budget 20%)",
             file=sys.stderr,
         )
     elif growth is not None and growth > 20:

@@ -33,11 +33,18 @@ def pytest_sessionfinish(session, exitstatus):
             # budget (r10 ADVICE). The controller process (no
             # workerinput) still records the overall wall correctly.
             return
+        from yc_yq_airflow_etl_spark.hostcanary import machine_canary_sec
+
         rec = {
             "ts": round(time.time(), 1),
             "wall_s": round(time.time() - session.config._wall_t0, 1),
             "n_tests": int(session.testscollected or 0),
             "exit": int(exitstatus),
+            # host speed at THIS record's epoch — the wall-budget guard
+            # normalizes the suite sec/test metric by the suite
+            # records' own canary, never by the bench sidecar's (which
+            # may have been measured on a different boot; r12 ADVICE)
+            "canary_s": machine_canary_sec(),
         }
         path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

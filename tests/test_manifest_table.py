@@ -167,6 +167,59 @@ def test_put_if_absent_one_winner_under_contention(spark, tmp_path):
     assert t._try_manifest(spark, 0) == {"files": [], "writer": winners[0]}
 
 
+def test_put_if_absent_scheme_dispatch(spark, tmp_path, monkeypatch):
+    """The claim primitive dispatches on FS scheme (r12 verdict item):
+    a non-file store (mocked s3a) must go through Hadoop
+    ``fs.create(overwrite=False)`` — the store's real conditional PUT —
+    and NEVER through the POSIX ``O_CREAT|O_EXCL`` branch, which is
+    atomic only for the local filesystem. A refactor that silently
+    routed S3 through the local-only branch would reintroduce the
+    check-then-act race the r12 stress test caught on ``file://``."""
+    t = ManifestTable(str(tmp_path / "mt"), publish_mode="conditional-create")
+    real_jvm, _ = t._fs(spark)
+    calls: list[tuple] = []
+
+    class FakeStream:
+        def write(self, b):
+            calls.append(("write", bytes(b)))
+
+        def close(self):
+            calls.append(("close",))
+
+    class FakeFs:
+        def getScheme(self):
+            return "s3a"
+
+        def mkdirs(self, p):
+            calls.append(("mkdirs", str(p)))
+            return True
+
+        def create(self, p, overwrite):
+            calls.append(("create", str(p), overwrite))
+            return FakeStream()
+
+    monkeypatch.setattr(
+        ManifestTable, "_fs", lambda self, s: (real_jvm, FakeFs())
+    )
+    assert t._put_if_absent(spark, '{"files": []}', "_manifests", "v0.json")
+    create_calls = [c for c in calls if c[0] == "create"]
+    assert len(create_calls) == 1
+    assert create_calls[0][2] is False  # overwrite=False: conditional PUT
+    assert ("write", b'{"files": []}') in calls and ("close",) in calls
+    # and the local-only branch was NOT taken: nothing on disk
+    assert not os.path.exists(str(tmp_path / "mt" / "_manifests" / "v0.json"))
+
+
+def test_put_if_absent_file_scheme_writes_no_crc_sidecar(spark, tmp_path):
+    """On file:// the POSIX O_EXCL branch intentionally bypasses
+    Hadoop's ChecksumFileSystem — no .crc sidecar should appear
+    (manifest integrity is parse-and-quarantine, not Hadoop CRC)."""
+    t = ManifestTable(str(tmp_path / "mt"), publish_mode="conditional-create")
+    assert t._put_if_absent(spark, '{"files": []}', "_manifests", "v0.json")
+    names = os.listdir(str(tmp_path / "mt" / "_manifests"))
+    assert names == ["v0.json"]  # no .v0.json.crc
+
+
 def test_torn_manifest_ignored_and_version_burned(spark, tmp_path):
     """A writer that died mid-PUT (conditional-create mode) leaves a
     torn manifest under a claimed name. Readers must treat it as

@@ -3,15 +3,20 @@ r12 host-canary normalization — the logic that decides whether a wall
 flag means "the code got slower" or "the host got slower" must not
 itself regress silently (r12 measured +34.7% wall on IDENTICAL code
 across two boots; the canary is what keeps that from reading as a
-plan regression)."""
+plan regression). r13 hardened the guard per ADVICE: each metric is
+normalized by its OWN epoch's canary (suite walls carry their own,
+the bench sidecar its own), and when a canary pair exists the
+normalized growth is the SOLE effective metric — never OR-ed with
+raw, so a faster host cannot mask a real regression."""
 
 from __future__ import annotations
 
 import importlib
 import json
 import sys
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 
 wall_budget = importlib.import_module("wall_budget")
 
@@ -37,10 +42,11 @@ def test_suite_measurement_filters_tiny_chunks(tmp_path, monkeypatch):
         ],
     )
     monkeypatch.setattr(wall_budget, "WALLS", str(walls))
-    sec_per_test, covered = wall_budget.measure_suite_sec_per_test()
+    sec_per_test, covered, canary = wall_budget.measure_suite_sec_per_test()
     # (400 + 200) / (200 + 200) — the tiny and failed records excluded
     assert covered == 400
     assert sec_per_test == 1.5
+    assert canary is None  # pre-r13 records carry no canary
 
 
 def test_suite_measurement_requires_coverage(tmp_path, monkeypatch):
@@ -48,6 +54,23 @@ def test_suite_measurement_requires_coverage(tmp_path, monkeypatch):
     _write_jsonl(walls, [{"ts": 1, "n_tests": 60, "wall_s": 60.0, "exit": 0}])
     monkeypatch.setattr(wall_budget, "WALLS", str(walls))
     assert wall_budget.measure_suite_sec_per_test() is None
+
+
+def test_suite_canary_is_wall_weighted(tmp_path, monkeypatch):
+    walls = tmp_path / "walls.jsonl"
+    _write_jsonl(
+        walls,
+        [
+            {"ts": 4, "n_tests": 200, "wall_s": 300.0, "exit": 0,
+             "canary_s": 0.2},
+            {"ts": 3, "n_tests": 200, "wall_s": 100.0, "exit": 0,
+             "canary_s": 0.4},
+        ],
+    )
+    monkeypatch.setattr(wall_budget, "WALLS", str(walls))
+    _, _, canary = wall_budget.measure_suite_sec_per_test()
+    # (0.2*300 + 0.4*100) / 400 = 0.25
+    assert canary == 0.25
 
 
 def _run_guard(tmp_path, monkeypatch, budget, sidecar, walls_records):
@@ -83,6 +106,8 @@ def test_raw_growth_past_20pct_flags_without_canary(tmp_path, monkeypatch):
 def test_host_drift_clears_the_flag(tmp_path, monkeypatch):
     # +33% raw wall growth, but the canary says the host is 1.4x
     # slower — normalized growth is negative; the guard must pass.
+    # Uses the legacy shared-canary budget key (pre-r13 budgets remain
+    # valid as the BENCH reference).
     rc = _run_guard(
         tmp_path,
         monkeypatch,
@@ -112,3 +137,47 @@ def test_code_regression_survives_normalization(tmp_path, monkeypatch):
         walls_records=_OK_WALLS,
     )
     assert rc == 1
+
+
+def test_faster_host_cannot_mask_regression(tmp_path, monkeypatch):
+    # r12 ADVICE: raw growth +12% (within 20) but the host got 1.6x
+    # FASTER (canary 0.25 -> 0.156), so normalized growth is +79% — a
+    # real regression the old OR-semantics would have passed. The
+    # normalized metric must be the sole effective one and FLAG.
+    rc = _run_guard(
+        tmp_path,
+        monkeypatch,
+        budget={
+            "suite_sec_per_test": 1.0,
+            "bench_wall_sec": 300.0,
+            "machine_canary_sec": 0.25,
+        },
+        sidecar={"bench_wall_sec": 336.0, "machine_canary_sec": 0.156},
+        walls_records=_OK_WALLS,
+    )
+    assert rc == 1
+
+
+def test_suite_metric_uses_its_own_epoch_canary(tmp_path, monkeypatch):
+    # r12 ADVICE: the suite walls were measured on a 1.5x-slower boot
+    # (suite records carry canary 0.36 vs budget suite canary 0.24)
+    # while the bench sidecar was measured on a budget-speed boot
+    # (canary 0.24 flat). Suite raw growth +50% must be cleared by the
+    # SUITE canary pair; applying the bench canary (flat) would have
+    # flagged it.
+    rc = _run_guard(
+        tmp_path,
+        monkeypatch,
+        budget={
+            "suite_sec_per_test": 1.0,
+            "suite_machine_canary_sec": 0.24,
+            "bench_wall_sec": 300.0,
+            "bench_machine_canary_sec": 0.24,
+        },
+        sidecar={"bench_wall_sec": 310.0, "machine_canary_sec": 0.24},
+        walls_records=[
+            {"ts": 3, "n_tests": 300, "wall_s": 450.0, "exit": 0,
+             "canary_s": 0.36},
+        ],
+    )
+    assert rc == 0

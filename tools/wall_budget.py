@@ -14,8 +14,21 @@ budgets live in the committed ``wall_budget.json``:
 - ``bench_wall_sec`` — bench.py's end-to-end wall, which bench.py
   itself also records and self-flags in bench_structure.json.
 
+HOST-SPEED NORMALIZATION (r12): boot-to-boot host drift is real
+(+34.7% wall on identical code across two boots), so every wall
+measurement carries a deterministic sha256 canary and growth is judged
+canary-normalized. Each metric is normalized by its OWN epoch's
+canary (r12 ADVICE): the suite sec/test metric uses the canary
+recorded inside the walls.jsonl records it aggregates (the conftest
+hook stamps one per pytest invocation), the bench metric uses the
+bench sidecar's — the two may have been measured on different boots,
+so a single shared canary would misattribute drift. When a metric has
+canaries on both sides, the normalized growth is the SOLE effective
+metric (never OR-ed with raw — a faster host must not mask a real
+regression); without a canary pair it falls back to raw growth.
+
 ``python tools/wall_budget.py`` checks the latest measurements against
-the committed budget and exits 1 past +20% growth (a FLAG to
+the committed budget and exits 1 past +20% effective growth (a FLAG to
 investigate — this rig shows ±15% session noise, so re-measure once
 idle before concluding regression). ``--update`` rewrites the budget
 from the latest measurements after an accepted change.
@@ -43,9 +56,13 @@ MIN_COVERED_TESTS = 250
 MAX_GROWTH_PCT = 20.0
 
 
-def measure_suite_sec_per_test() -> tuple[float, int] | None:
-    """(sec_per_test, n_tests_covered) over the most recent real
-    chunks, or None if not enough has been recorded yet."""
+def measure_suite_sec_per_test() -> tuple[float, int, float | None] | None:
+    """(sec_per_test, n_tests_covered, canary_sec) over the most
+    recent real chunks, or None if not enough has been recorded yet.
+
+    canary_sec is the wall-weighted mean of the per-record host
+    canaries (each pytest invocation stamps its own epoch's canary);
+    None when the used records predate canary stamping."""
     if not os.path.exists(WALLS):
         return None
     recs = []
@@ -62,14 +79,21 @@ def measure_suite_sec_per_test() -> tuple[float, int] | None:
                 recs.append(r)
     recs.sort(key=lambda r: r["ts"], reverse=True)
     wall = tests = 0.0
+    canary_wall = canary_weighted = 0.0
+    used = []
     for r in recs:
         wall += r["wall_s"]
         tests += r["n_tests"]
+        used.append(r)
+        if r.get("canary_s"):
+            canary_wall += r["wall_s"]
+            canary_weighted += r["canary_s"] * r["wall_s"]
         if tests >= MIN_COVERED_TESTS:
             break
     if tests < MIN_COVERED_TESTS:
         return None
-    return round(wall / tests, 3), int(tests)
+    canary = round(canary_weighted / canary_wall, 3) if canary_wall else None
+    return round(wall / tests, 3), int(tests), canary
 
 
 def measure_bench_wall() -> tuple[float | None, float | None]:
@@ -85,17 +109,19 @@ def measure_bench_wall() -> tuple[float | None, float | None]:
 def main() -> int:
     update = "--update" in sys.argv[1:]
     suite = measure_suite_sec_per_test()
-    bench, canary = measure_bench_wall()
+    bench, bench_canary = measure_bench_wall()
+    suite_canary = suite[2] if suite else None
 
     if update:
         budget = {
             "suite_sec_per_test": suite[0] if suite else None,
             "suite_tests_covered": suite[1] if suite else None,
+            # per-metric host canaries at budget time — each metric is
+            # normalized by its OWN epoch's canary (the suite and the
+            # bench may have been measured on different boots)
+            "suite_machine_canary_sec": suite_canary,
             "bench_wall_sec": bench,
-            # host speed at budget time — lets future checks separate
-            # "the code got slower" from "the host got slower" (r12
-            # measured +34.7% wall on IDENTICAL code across two boots)
-            "machine_canary_sec": canary,
+            "bench_machine_canary_sec": bench_canary,
             "max_growth_pct": MAX_GROWTH_PCT,
         }
         with open(BUDGET, "w") as fh:
@@ -111,22 +137,28 @@ def main() -> int:
         print("no committed wall_budget.json — run with --update first")
         return 1
 
-    # Both walls scale with host speed; when both the budget and the
-    # current sidecar carry a canary, judge growth net of host drift.
-    ref_canary = budget.get("machine_canary_sec")
-    host_ratio = (
-        round(canary / ref_canary, 3) if canary and ref_canary else None
+    # legacy budget key (pre-r13) carried one shared canary, measured
+    # alongside the bench — it remains valid as the BENCH reference
+    ref_bench_canary = budget.get(
+        "bench_machine_canary_sec", budget.get("machine_canary_sec")
     )
+    ref_suite_canary = budget.get("suite_machine_canary_sec")
 
     flags = 0
-    for label, now, ref in (
+    for label, now, ref, now_canary, ref_canary in (
         ("suite sec/test", suite[0] if suite else None,
-         budget.get("suite_sec_per_test")),
-        ("bench wall sec", bench, budget.get("bench_wall_sec")),
+         budget.get("suite_sec_per_test"), suite_canary, ref_suite_canary),
+        ("bench wall sec", bench, budget.get("bench_wall_sec"),
+         bench_canary, ref_bench_canary),
     ):
         if now is None or not ref:
             print(f"SKIP  {label}: no measurement recorded yet")
             continue
+        host_ratio = (
+            round(now_canary / ref_canary, 3)
+            if now_canary and ref_canary
+            else None
+        )
         growth = 100.0 * (now / ref - 1.0)
         norm_growth = (
             100.0 * (now / host_ratio / ref - 1.0) if host_ratio else None
@@ -139,7 +171,7 @@ def main() -> int:
             f", host-normalized {norm_growth:+.1f}% at canary ratio "
             f"{host_ratio}"
             if norm_growth is not None
-            else ""
+            else ", no canary pair — raw growth is the effective metric"
         )
         print(
             f"{status} {label}: {now} vs budget {ref} "

@@ -54,31 +54,87 @@ _REGISTRY: list[QuerySpec] = []
 # (the PREVIOUS round's verified set — freshest hard signal) is
 # always the truncated tail and never re-checked early.
 #
-# Round-12 state: _FRONT = ntile_customer_quartiles (the ONE red row
-# in CORRECTNESS_r11.json — a failed query re-fronts immediately, it
-# never waits out a rotation cycle) followed by the 50 queries whose
-# last driver row is r9 (CORRECTNESS_r09.json order) — the
-# oldest-verified cohort. That makes _FRONT 51 names against a 50-row
-# driver window: the TAIL name (`q21_waiting_suppliers`) is the
-# accepted truncation casualty and MUST lead the round-13 front (its
-# r9→r13 gap is the one bound exception this re-check buys). The
-# middle is the r10-verified 50 (round-13's front after q21); _BACK is
-# the r11-verified cohort minus ntile (freshest hard signal, safest
-# to truncate).
+# Round-13 state: _FRONT = q21_waiting_suppliers (position 51 of the
+# r12 front — the accepted truncation casualty whose last driver row is
+# r9; re-fronting it here closes the one freshness-bound exception)
+# followed by the 50 queries whose last driver row is r10
+# (CORRECTNESS_r10.json order) — the oldest-verified cohort. That is
+# again 51 names against a 50-row window: the TAIL name
+# (`embedding_norm_audit`) is this round's accepted truncation casualty
+# and MUST lead the round-14 front (alongside the r11-verified cohort,
+# 1 + 49 = exactly 50 — the cascade self-resolves in r14 and the
+# rotation returns to a clean 3-round cycle from r15). The middle is
+# the r11-verified 49; _BACK is the r12-verified cohort (freshest hard
+# signal, safest to truncate).
 #
-# SATURATION: 150 queries = 3 full 50-slot windows — the rotation now
-# has ZERO slack. Every registry addition beyond 150 pushes some
-# existing query past the 3-round freshness bound. Adding a query in
-# a future round therefore requires either (a) the driver window
-# growing past 50, or (b) accepting that round's additions trade
-# 1-for-1 against bound slack (a query added mid-cycle waits ≤1 round
-# for its first row — fine — but the DISPLACED tail query goes 4
-# rounds between rows). Prefer deepening existing queries (more
-# pinned columns) over net-new registrations from here.
+# SATURATION: 150 queries = 3 full 50-slot windows — the rotation has
+# ZERO slack. Every registry addition beyond 150 pushes some existing
+# query past the 3-round freshness bound. Prefer deepening existing
+# queries (more pinned columns) over net-new registrations; a genuinely
+# new capability must retire or merge an existing query in the same
+# commit.
 _FRONT: tuple[str, ...] = (
-    # red in r11 (oracle-side HUGEINT/BIGINT cast, fixed this round):
+    "q21_waiting_suppliers",
+    "similarity_recall_report",
+    "manifest_stats_pruned_scan",
+    "salted_join_user_enrichment",
+    "interval_overlap_sessions",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_pairs",
+    "similarity_bruteforce_topk",
+    "similarity_lsh_topk",
+    "similarity_ivf_topk",
+    "similarity_knn_join",
+    "text_stats",
+    "text_boilerplate_stats",
+    "tfidf_top_terms",
+    "lang_id_eval",
+    "pretrain_quality_filter",
+    "doc_chunks",
+    "stratified_doc_sample",
+    "multimodal_features",
+    "udf_text_density",
+    "distinct_counts",
+    "rollup_orders",
+    "cube_orders",
+    "region_revenue",
+    "semi_anti_by_nation",
+    "cross_join_grid",
+    "topk_orders",
+    "set_ops_customers",
+    "percentile_stats",
+    "grouping_sets_orders",
+    "pivot_status_by_year",
+    "explode_embedding_dims",
+    "array_vector_stats",
+    "window_top_orders_per_customer",
+    "customer_order_stats",
+    "correlated_above_avg",
+    "window_running_totals",
+    "scalar_expressions",
+    "range_join_price_bands_bucketed",
+    "table_profile_approx",
+    "asof_nearest_click",
+    "skew_profile_report",
+    "partition_layout_advisor",
+    "incremental_dedup_new_batch",
+    "doc_token_histogram",
+    "zipf_fit_terms",
+    "cooccurrence_pmi",
+    "embedding_norm_audit",
+)
+
+# Truncation absorbers: the 50 queries driver-verified green in r12
+# (CORRECTNESS_r12.json order). If the 50-row cap cuts anything beyond
+# _FRONT's own tail, it cuts these — the freshest hard signal is the
+# safest to truncate. (The unlisted middle — the r11-verified 49 —
+# sits between _FRONT and _BACK in registration order and joins
+# embedding_norm_audit as the round-14 front.)
+_BACK: tuple[str, ...] = (
     "ntile_customer_quartiles",
-    # last driver row: r9 (CORRECTNESS_r09.json order) — round-12 cohort
     "udtf_top_ngrams",
     "q1_pricing_summary",
     "approx_distinct_customers",
@@ -128,69 +184,7 @@ _FRONT: tuple[str, ...] = (
     "q11_important_stock",
     "q16_supplier_part_counts",
     "q20_dominant_part_suppliers",
-    # position 51 — truncated this round; MUST lead the r13 front:
-    "q21_waiting_suppliers",
 )
-
-# Truncation absorbers: the 49 queries driver-verified green in r11
-# (CORRECTNESS_r11.json order, minus the re-fronted ntile). If the
-# 50-row cap cuts anything beyond _FRONT's own tail, it cuts these —
-# the freshest hard signal is the safest to truncate. (The unlisted
-# middle — the r10-verified 50 — sits between _FRONT and _BACK in
-# registration order and becomes the round-13 front after
-# q21_waiting_suppliers.)
-_BACK: tuple[str, ...] = (
-    "q12_priority_by_returnflag",
-    "federation_counts",
-    "cooling_window_filter",
-    "exclusion_join_diff",
-    "exclusion_join_clean_count",
-    "manifest_merge_upsert",
-    "range_frame_rolling_revenue",
-    "retention_cohorts",
-    "incremental_agg_maintenance",
-    "doc_repetition_stats",
-    "token_packing_bins",
-    "scd2_customer_history",
-    "unigram_logprob_scores",
-    "manifest_history_ops",
-    "manifest_bucket_pruned_scan",
-    "multimodal_ppm_features",
-    "asof_click_purchase_bucketed",
-    "zorder_pruned_scan",
-    "manifest_time_travel_counts",
-    "dedup_clusters",
-    "embedding_quantization_stats",
-    "pii_redaction_stats",
-    "decontamination_overlap",
-    "q4_late_shipment_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_item_customers",
-    "q13_order_count_distribution",
-    "q18_large_volume_orders",
-    "q22_idle_rich_customers",
-    "event_sessionization",
-    "bucketed_join_revenue",
-    "multi_format_union",
-    "cms_heavy_hitters",
-    "stream_exact_dedup",
-    "multimodal_resize_features",
-    "multimodal_video_frames",
-    "q7_bination_volume",
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "stream_static_enrichment",
-    "q15_top_supplier",
-    "events_tumbling_hourly",
-    "events_sliding_counts",
-    "events_session_stats",
-    "stream_click_purchase_join",
-    "stateful_spend_alerts",
-    "events_time_rollup",
-    "udaf_lang_stats",
-)
-
 
 def register(name: str, builder: QueryFn, oracle: str | None) -> None:
     _REGISTRY.append(QuerySpec(name, builder, oracle))

@@ -376,14 +376,25 @@ class ManifestTable:
         ``file://`` the claim therefore goes through POSIX
         ``O_CREAT|O_EXCL`` instead, which IS atomic, same-process and
         cross-process — the local twin then honors the same
-        exactly-one-winner contract as the object-store path."""
+        exactly-one-winner contract as the object-store path.
+
+        The POSIX branch intentionally bypasses Hadoop's
+        ChecksumFileSystem, so no ``.crc`` sidecar is written for the
+        claimed manifest (unlike ``fs.create``): manifest reads go
+        through ``_try_manifest``'s own parse-and-quarantine
+        validation, never through Hadoop checksum verification, so the
+        sidecar would be dead weight. The local path is resolved from
+        ``fs.makeQualified(dest)`` — NOT the raw ``dest`` — so a
+        relative table path resolves against the Hadoop FS working
+        directory rather than the Python process CWD (the two can
+        diverge; r12 ADVICE)."""
         jvm, fs = self._fs(spark)
         dest = self._jp(jvm, *parts)
         fs.mkdirs(dest.getParent())
         if fs.getScheme() == "file":
             import os
 
-            local = dest.toUri().getPath()
+            local = fs.makeQualified(dest).toUri().getPath()
             try:
                 fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
