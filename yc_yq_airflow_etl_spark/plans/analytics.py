@@ -2244,6 +2244,12 @@ def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             # — proves the Morton-clustered rewrite serves precisely
             # the original rows, not merely matching counts/sums.
             F.sum("l_orderkey").alias("orderkey_sum"),
+            # deepened pin (r13): the second clustering dimension's
+            # identity — the Morton rewrite interleaves (quantity,
+            # price) bits, so a bit-interleave bug that still lands
+            # the right orderkeys in the box would scramble WHICH
+            # parts they pair with.
+            F.sum("l_partkey").alias("partkey_sum"),
         )
         .orderBy("l_returnflag")
     )
@@ -2253,7 +2259,8 @@ ZORDER_PRUNED_ORACLE = """
 SELECT l_returnflag, count(*) AS n,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-       CAST(sum(l_orderkey) AS BIGINT) AS orderkey_sum
+       CAST(sum(l_orderkey) AS BIGINT) AS orderkey_sum,
+       CAST(sum(l_partkey) AS BIGINT) AS partkey_sum
 FROM lineitem
 WHERE l_quantity BETWEEN 5.0 AND 10.0
   AND l_extendedprice BETWEEN 20000.0 AND 40000.0
@@ -2293,6 +2300,11 @@ def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             # multi-late-line order, or traded one qualifying order
             # for another, moves the key sum even where counts agree.
             F.sum("o_orderkey").alias("orderkey_sum"),
+            # deepened pin (r13): a second, independent membership
+            # dimension — two qualifying orders swapped in a way that
+            # happens to preserve the orderkey sum still move the
+            # customer-attribution checksum.
+            F.sum("o_custkey").alias("custkey_sum"),
         )
         .orderBy("o_orderpriority")
     )
@@ -2300,7 +2312,8 @@ def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q4_ORACLE = """
 SELECT o_orderpriority, count(*) AS n_orders,
-       CAST(sum(o_orderkey) AS BIGINT) AS orderkey_sum
+       CAST(sum(o_orderkey) AS BIGINT) AS orderkey_sum,
+       CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
 FROM orders o
 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1997-01-01'
@@ -2447,7 +2460,7 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_custkey") == F.col("o_custkey"),
             "left",
         )
-        .groupBy("c_custkey")
+        .groupBy("c_custkey", "c_nationkey")
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return (
@@ -2460,6 +2473,10 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             # c_count buckets; twin swaps preserve both custdist
             # values but never both checksums.
             F.sum("c_custkey").alias("custkey_sum"),
+            # deepened pin (r13): a second, independent membership
+            # dimension — rides the same groupBy for free
+            # (c_nationkey is functionally dependent on c_custkey).
+            F.sum("c_nationkey").alias("nationkey_sum"),
         )
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
@@ -2467,11 +2484,12 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q13_ORACLE = """
 SELECT c_count, count(*) AS custdist,
-       CAST(sum(c_custkey) AS BIGINT) AS custkey_sum
+       CAST(sum(c_custkey) AS BIGINT) AS custkey_sum,
+       CAST(sum(c_nationkey) AS BIGINT) AS nationkey_sum
 FROM (
-    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    SELECT c.c_custkey, c.c_nationkey, count(o.o_orderkey) AS c_count
     FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-    GROUP BY 1)
+    GROUP BY 1, 2)
 GROUP BY c_count ORDER BY custdist DESC, c_count DESC
 """
 
@@ -2493,6 +2511,12 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             # — a double-counted or dropped line that happens to keep
             # the decimal sum over the threshold still moves this.
             F.count(F.lit(1)).alias("n_lines"),
+            # deepened pin (r13): WHICH lines — l_linenumber is unique
+            # within an order, so its sum pins the exact line SET
+            # behind each order's aggregate (a swap of two same-
+            # quantity lines across orders preserves n_lines and
+            # total_qty on both sides but never both linenumber sums).
+            F.sum("l_linenumber").alias("linenumber_sum"),
         )
         .filter(F.col("total_qty") > 200.0)
     )
@@ -2507,6 +2531,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice"),
             "total_qty",
             "n_lines",
+            "linenumber_sum",
         )
         .orderBy(F.desc("total_qty"), F.col("o_orderkey"))
     )
@@ -2515,11 +2540,12 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q18_ORACLE = """
 SELECT c_name, c_custkey, o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-       o_totalprice, total_qty, n_lines
+       o_totalprice, total_qty, n_lines, linenumber_sum
 FROM (
     SELECT l_orderkey,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
-           count(*) AS n_lines
+           count(*) AS n_lines,
+           CAST(sum(l_linenumber) AS BIGINT) AS linenumber_sum
     FROM lineitem GROUP BY 1 HAVING total_qty > 200.0)
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -2566,6 +2592,11 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             # of similar balance preserves n_idle (and idle_balance
             # within rounding) but not the id checksum.
             F.sum("c_custkey").alias("idle_custkey_sum"),
+            # deepened pin (r13): the idle balances in EXACT integer
+            # cents — idle_balance is a rounded DOUBLE, so a
+            # boundary-cent discrepancy in the threshold comparison
+            # could hide in its last ulp; this sum cannot.
+            F.sum(cents).alias("idle_cents_sum"),
         )
         .orderBy("c_nationkey")
     )
@@ -2579,7 +2610,9 @@ WITH t AS (
 )
 SELECT c_nationkey, count(*) AS n_idle,
        CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS idle_balance,
-       CAST(sum(c_custkey) AS BIGINT) AS idle_custkey_sum
+       CAST(sum(c_custkey) AS BIGINT) AS idle_custkey_sum,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS idle_cents_sum
 FROM customer c, t
 WHERE CAST(round(c_acctbal * 100) AS BIGINT) * t.n_pos > t.sum_cents
   AND NOT EXISTS (SELECT 1 FROM orders o
@@ -3761,26 +3794,61 @@ def manifest_history_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     demo table: operation kinds and per-snapshot row counts must match
     the oracle's closed-form replay of the same year slices. The log
     itself is manifest metadata (bounded by version count), so the
-    createDataFrame here is metadata-scale, not a data collect."""
+    createDataFrame here is metadata-scale, not a data collect.
+
+    Deepened pins (r13), both metadata-only:
+
+    - ``rows_added`` — each commit's delta as the MANIFESTS record it,
+      closed-form per year slice (an append that silently dropped or
+      duplicated rows moves this even where a later snapshot total is
+      compensated);
+    - ``prev_files_carried`` — 1 iff every file of version v-1 appears
+      BY NAME in version v's file list: the no-rewrite promise of
+      append (the same minimality contract manifest_merge_upsert pins
+      for MERGE). The oracle states it closed-form: 1 for both
+      appends and, vacuously, for the base overwrite."""
     from ..sources.manifest import ManifestTable
 
     mt = ManifestTable(ensure_manifest_demo(spark, sf_dir))
-    h = mt.history(spark)
+    h = sorted(mt.history(spark), key=lambda e: e["version"])
+    files = {
+        e["version"]: set(
+            mt._try_manifest(spark, e["version"]).get("files", [])
+        )
+        for e in h
+    }
+    rows = []
+    prev_rows = 0
+    for e in h:
+        v = e["version"]
+        carried = 1 if v == 0 else int(files[v - 1] <= files[v])
+        rows.append(
+            (v, e["op"], int(e["rows"]), int(e["rows"]) - prev_rows, carried)
+        )
+        prev_rows = int(e["rows"])
     return spark.createDataFrame(
-        [(e["version"], e["op"], int(e["rows"])) for e in h],
-        "version int, op string, n_rows bigint",
+        rows,
+        "version int, op string, n_rows bigint, rows_added bigint, "
+        "prev_files_carried int",
     ).orderBy("version")
 
 
 MANIFEST_HISTORY_ORACLE = """
 SELECT 0 AS version, 'overwrite' AS op,
-       (SELECT count(*) FROM lineitem WHERE year(l_shipdate) < 1997) AS n_rows
+       (SELECT count(*) FROM lineitem WHERE year(l_shipdate) < 1997) AS n_rows,
+       (SELECT count(*) FROM lineitem WHERE year(l_shipdate) < 1997)
+           AS rows_added,
+       1 AS prev_files_carried
 UNION ALL
 SELECT 1, 'append',
-       (SELECT count(*) FROM lineitem WHERE year(l_shipdate) <= 1997)
+       (SELECT count(*) FROM lineitem WHERE year(l_shipdate) <= 1997),
+       (SELECT count(*) FROM lineitem WHERE year(l_shipdate) = 1997),
+       1
 UNION ALL
 SELECT 2, 'append',
-       (SELECT count(*) FROM lineitem WHERE year(l_shipdate) <= 1998)
+       (SELECT count(*) FROM lineitem WHERE year(l_shipdate) <= 1998),
+       (SELECT count(*) FROM lineitem WHERE year(l_shipdate) = 1998),
+       1
 ORDER BY version
 """
 
@@ -5127,6 +5195,19 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_cnt",
             "cms_est",
             (F.col("cms_est") - F.col("true_cnt")).alias("overestimate"),
+            # deepened pin (r13): the hash-row-0 bucket address itself
+            # — cms_est pins the min over rows, which a bucketing bug
+            # could survive by colliding differently; the address pins
+            # the md5 placement directly (same construction as
+            # operators/sketches.build_cms).
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.col("k"), F.lit("|0"))), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 256
+            ).alias("bucket0"),
         )
         .orderBy(F.desc("true_cnt"), "user_id")
     )
@@ -5158,7 +5239,9 @@ WITH ev AS (
 )
 SELECT CAST(k AS BIGINT) AS user_id, true_cnt,
        CAST(cms_est AS BIGINT) AS cms_est,
-       CAST(cms_est - true_cnt AS BIGINT) AS overestimate
+       CAST(cms_est - true_cnt AS BIGINT) AS overestimate,
+       CAST(('0x' || substr(md5(k || '|0'), 1, 8))::BIGINT % 256
+            AS BIGINT) AS bucket0
 FROM est ORDER BY true_cnt DESC, user_id
 """
 
@@ -5324,6 +5407,16 @@ def multi_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             # deepened pin (r11): the region FK through every format —
             # a third column verified through the CSV/JSON round-trip.
             F.sum("n_regionkey").alias("region_checksum"),
+            # deepened pin (r13): the string BYTES, not just lengths —
+            # name_chars passes a case-mangled or padded-then-trimmed
+            # CSV/JSON round-trip; the md5-prefix content sum does not
+            # (md5 is the engine-portable hash, same as the CMS/
+            # sampling oracles).
+            F.sum(
+                F.conv(F.substring(F.md5("n_name"), 1, 8), 16, 10).cast(
+                    "long"
+                )
+            ).alias("name_hash_sum"),
         )
         .orderBy("fmt")
     )
@@ -5334,10 +5427,13 @@ WITH base AS (
     SELECT count(*) AS n_rows,
            CAST(sum(n_nationkey) AS BIGINT) AS key_checksum,
            CAST(sum(length(n_name)) AS BIGINT) AS name_chars,
-           CAST(sum(n_regionkey) AS BIGINT) AS region_checksum
+           CAST(sum(n_regionkey) AS BIGINT) AS region_checksum,
+           CAST(sum(('0x' || substr(md5(n_name), 1, 8))::BIGINT)
+                AS BIGINT) AS name_hash_sum
     FROM nation
 )
-SELECT fmt, n_rows, key_checksum, name_chars, region_checksum
+SELECT fmt, n_rows, key_checksum, name_chars, region_checksum,
+       name_hash_sum
 FROM base, (VALUES ('csv'), ('json'), ('parquet')) t(fmt)
 ORDER BY fmt
 """
