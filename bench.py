@@ -266,6 +266,13 @@ def main() -> None:
                     "dedup_minhash_pairs",
                     "multi_touch_attribution",
                     "incremental_dedup_new_batch",
+                    # r12 verdict item 7: the two remaining ratios
+                    # trending >2 without steady twins — both linear
+                    # (bucket-equi interval join; distinct-collapsed
+                    # cohort rollup), so cold-path noise was the only
+                    # thing their ratios could be measuring
+                    "interval_overlap_sessions",
+                    "retention_cohorts",
                 )
                 if n in qs
             ]
@@ -690,6 +697,10 @@ def main() -> None:
             ("dedup_minhash_pairs", 12),
             ("multi_touch_attribution", 12),
             ("incremental_dedup_new_batch", 12),
+            # r12 verdict item 7: steady twins recorded so cold-path
+            # noise can't masquerade as drift; both linear ops → 12
+            ("interval_overlap_sessions", 12),
+            ("retention_cohorts", 12),
         ):
             t0 = time.time()
             qs[name](spark, scale_dir).count()

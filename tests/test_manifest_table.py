@@ -58,12 +58,24 @@ def test_compact_preserves_rows_and_snapshot_isolation(spark, table):
     assert table.read(spark, version=pre_version).count() == 250
 
 
+def _backdate(path: str, seconds: float = 7200.0) -> None:
+    """Age a planted file past vacuum's in-flight orphan grace — the
+    tests below distinguish 'a crash left this an hour ago' (eligible)
+    from 'a live writer staged this just now' (protected)."""
+    import time
+
+    old = time.time() - seconds
+    os.utime(path, (old, old))
+
+
 def test_vacuum_retires_old_snapshots_only(spark, table):
     table.overwrite(_df(spark, 0, 100))
     table.compact(spark, target_files=1)
-    # orphan from a failed writer: never referenced by any manifest
+    # orphan from a writer that failed LONG AGO: never referenced by
+    # any manifest, and old enough to clear the in-flight grace
     orphan = os.path.join(table.path, "data", "deadbeef.parquet")
     open(orphan, "wb").close()
+    _backdate(orphan)
 
     deleted = table.vacuum(spark, keep_versions=1)
     assert "deadbeef.parquet" in deleted
@@ -78,9 +90,31 @@ def test_failed_write_leaves_table_untouched(spark, table):
     # files landed in data/ but no manifest references them
     files, _ = table._write_files(_df(spark, 1000, 2000))
     assert table.read(spark).count() == 10  # readers unaffected
+    # a FRESH never-referenced file is indistinguishable from a live
+    # writer's pre-publish stage — default vacuum must NOT touch it
+    # (an age-blind vacuum racing the pre-publish window would brick
+    # that writer's commit the moment its manifest lands)
     deleted = table.vacuum(spark, keep_versions=1)
+    assert not (set(files) & set(deleted))
+    for f in files:
+        assert os.path.exists(os.path.join(table.path, "data", f))
+    # past the grace (here: explicitly waived) the debris is collected
+    deleted = table.vacuum(spark, keep_versions=1, orphan_grace_seconds=0)
     assert set(files) <= set(deleted)  # garbage collected
     assert table.read(spark).count() == 10
+
+
+def test_vacuum_retired_history_deleted_regardless_of_age(spark, table):
+    """The in-flight grace protects only NEVER-referenced files: a
+    file some retired manifest references is provably committed
+    history — it deletes immediately even though its mtime is
+    seconds old."""
+    table.overwrite(_df(spark, 0, 100))
+    v0_files = set(table._manifest(spark, 0)["files"])
+    table.compact(spark, target_files=1)  # v1 rewrites; v0 files stale
+    deleted = set(table.vacuum(spark, keep_versions=1))
+    assert v0_files <= deleted  # fresh mtimes, still collected
+    assert table.read(spark).count() == 100
 
 
 def test_streaming_into_manifest_table_exactly_once(spark, testdata, tmp_path):
@@ -1162,11 +1196,14 @@ def test_vacuum_cleans_orphaned_dv_parts(spark, tmp_path):
     mt = ManifestTable(str(tmp_path / "orph"), stat_cols=("id",))
     mt.overwrite(_ranged(spark, 0, 50))
     mt.delete_where(spark, "id = 3", mode="merge-on-read")  # live DV
-    # simulate the crash: parts staged, no manifest published
+    # simulate a crash AN HOUR+ AGO: parts staged, no manifest
+    # published, mtimes past the in-flight grace
     orphan_parts, _ = mt._write_files(
         spark.createDataFrame([("zzz.parquet", 0)], "_f string, _pos long"),
         subdir="deletes",
     )
+    for p in orphan_parts:
+        _backdate(os.path.join(mt.path, "deletes", p))
     removed = mt.vacuum(spark, keep_versions=10)  # keep all manifests
     assert set(removed) == {f"deletes/{p}" for p in orphan_parts}
     assert mt.read(spark).count() == 49  # live DV still applied
@@ -3150,10 +3187,12 @@ def test_publish_failure_cleanup_classified_by_provability(
         len(list((tmp_path / "mt" / "data").glob("*.parquet"))) > n_before
     ), "ambiguous put must LEAVE the stage (vacuum debt, never delete)"
     # ...and the debt is reclaimable: nothing references the stage, so
-    # vacuum retires it
+    # vacuum retires it — once past the in-flight grace (the ambiguous
+    # put's manifest could still land server-side; waived here because
+    # the monkeypatch guarantees nothing is in flight)
     monkeypatch.undo()
     t.append(_df(spark, 5, 8))  # advance so vacuum has an old version
-    t.vacuum(spark, keep_versions=1)
+    t.vacuum(spark, keep_versions=1, orphan_grace_seconds=0)
     live = set(t._manifest(spark, t.current_version(spark))["files"])
     on_disk = {p.name for p in (tmp_path / "mt" / "data").glob("*.parquet")}
     assert on_disk == live  # orphaned stage reclaimed

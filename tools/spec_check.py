@@ -103,6 +103,12 @@ INVARIANTS: dict[str, tuple[str, list[str]]] = {
         ["test_restore_refuses_when_dv_parts_missing",
          "test_restore_refuses_vacuumed_target"],
     ),
+    "vacuum-inflight-grace": (
+        "never deletes a never-referenced file younger than the\n"
+        "  in-flight orphan grace",
+        ["test_failed_write_leaves_table_untouched",
+         "test_vacuum_retired_history_deleted_regardless_of_age"],
+    ),
     "pruned-reads-schema-complete": (
         "The recorded `schema`\n  keeps pruned reads schema-complete",
         ["test_read_where_schema_complete_on_evolved_snapshot"],

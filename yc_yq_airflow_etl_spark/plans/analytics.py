@@ -3970,9 +3970,16 @@ def manifest_vacuum_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
     mt.overwrite(nat.filter(nk < 12).coalesce(1))  # v0: file A
     mt.append(nat.filter(nk >= 12).coalesce(1))  # v1: files {A, B}
     mt.compact(spark, target_files=1)  # v2: file C (A, B now stale)
-    # failed-writer debris: landed in data/ but never committed
+    # failed-writer debris: landed in data/ but never committed —
+    # backdated past the in-flight orphan grace (r13), so the DEFAULT
+    # vacuum path is what this query pins: a fresh never-referenced
+    # file would be protected as a possible live writer's stage
+    import time as _time
+
     orphan = os.path.join(mt.path, "data", "orphan-deadbeef.parquet")
     open(orphan, "wb").close()
+    _old = _time.time() - 7200
+    os.utime(orphan, (_old, _old))
 
     rows_before = mt.read(spark).count()
     deleted = mt.vacuum(spark, keep_versions=1)

@@ -2929,13 +2929,38 @@ class ManifestTable:
                 continue  # base moved: re-check threshold, rebase, retry
         return None
 
-    def vacuum(self, spark: SparkSession, keep_versions: int = 1) -> list[str]:
+    def vacuum(
+        self,
+        spark: SparkSession,
+        keep_versions: int = 1,
+        orphan_grace_seconds: float = 3600.0,
+    ) -> list[str]:
         """Delete data files referenced ONLY by manifests older than
         the newest ``keep_versions`` snapshots (plus stray uncommitted
-        files), and drop the retired manifests. Returns deleted file
-        names. With keep_versions=1 only the live snapshot survives —
-        run after readers of old snapshots have drained (retention
-        windows in production)."""
+        files past a grace age), and drop the retired manifests.
+        Returns deleted file names. With keep_versions=1 only the live
+        snapshot survives — run after readers of old snapshots have
+        drained (retention windows in production).
+
+        Candidates fall into three classes:
+
+        - referenced by a KEPT manifest: never deleted;
+        - referenced only by RETIRED manifests: deleted regardless of
+          age — they are provably committed history being retired;
+        - referenced by NO present manifest: deleted only when older
+          than ``orphan_grace_seconds``. A never-referenced file is
+          either a crashed writer's debris OR a LIVE writer's
+          staged-but-unpublished file — every commit renames its files
+          into ``data/`` BEFORE its manifest publishes (the
+          pre-publish window), and the two are indistinguishable from
+          metadata alone. An age-blind vacuum racing that window
+          deletes the stage and the writer then publishes a manifest
+          referencing missing files — a bricked table (r13; the same
+          failure Delta's VACUUM retention window exists to prevent,
+          and the reason its default refuses retention < 168h). The
+          grace also covers CommitAmbiguousError debt, whose manifest
+          may still land server-side shortly after the client error.
+          Pass 0 only when no writer can possibly be in flight."""
         latest = self.current_version(spark)
         if latest is None:
             return []
@@ -2943,24 +2968,49 @@ class ManifestTable:
         keep_from = max(0, latest - keep_versions + 1)
         live: set[str] = set()
         live_dv: set[str] = set()
-        for v in range(keep_from, latest + 1):
+        ever: set[str] = set()  # referenced by ANY present manifest
+        ever_dv: set[str] = set()
+        for v in range(0, latest + 1):
             m = self._try_manifest(spark, v)
-            if m is not None:  # torn manifests reference nothing
-                live.update(m["files"])
-                live_dv.update(
-                    p for e in m.get("dvs", {}).values() for p in e["parts"]
-                )
+            if m is None:  # torn manifests reference nothing
+                continue
+            files = set(m["files"])
+            dvs = {p for e in m.get("dvs", {}).values() for p in e["parts"]}
+            ever.update(files)
+            ever_dv.update(dvs)
+            if v >= keep_from:
+                live.update(files)
+                live_dv.update(dvs)
+        now_ms = int(jvm.java.lang.System.currentTimeMillis())
+        grace_ms = int(orphan_grace_seconds * 1000)
+
+        def mtimes(subdir: str) -> dict[str, int]:
+            d = self._jp(jvm, subdir)
+            if not fs.exists(d):
+                return {}
+            return {
+                st.getPath().getName(): int(st.getModificationTime())
+                for st in fs.listStatus(d)
+            }
+
         deleted = []
-        for f in self._list_names(spark, "data"):
-            if f not in live:
-                fs.delete(self._jp(jvm, "data", f), False)
-                deleted.append(f)
-        for f in self._list_names(spark, "deletes"):
+        for f, mtime in mtimes("data").items():
+            if f in live:
+                continue
+            if f not in ever and now_ms - mtime < grace_ms:
+                continue  # possibly a live writer's pre-publish stage
+            fs.delete(self._jp(jvm, "data", f), False)
+            deleted.append(f)
+        for f, mtime in mtimes("deletes").items():
             # deletion-vector parts referenced only by retired
-            # manifests retire with them
-            if f not in live_dv:
-                fs.delete(self._jp(jvm, "deletes", f), False)
-                deleted.append(f"deletes/{f}")
+            # manifests retire with them; never-referenced parts get
+            # the same in-flight grace as data files
+            if f in live_dv:
+                continue
+            if f not in ever_dv and now_ms - mtime < grace_ms:
+                continue
+            fs.delete(self._jp(jvm, "deletes", f), False)
+            deleted.append(f"deletes/{f}")
         for mf in self._list_names(spark, "_manifests"):
             m = _MANIFEST_RE.match(mf)
             if m and int(m.group(1)) < keep_from:
