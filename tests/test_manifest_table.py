@@ -104,6 +104,33 @@ def test_failed_write_leaves_table_untouched(spark, table):
     assert table.read(spark).count() == 10
 
 
+def test_vacuum_racing_live_append_does_not_brick_commit(
+    spark, table, monkeypatch
+):
+    """The end-to-end pin of the in-flight grace: a maintenance vacuum
+    fires EXACTLY inside an append's pre-publish window (files renamed
+    into data/, manifest not yet up). The append must still publish a
+    fully readable snapshot — with the grace mutation-disabled
+    (orphan_grace_seconds=0 below), vacuum deletes the stage here and
+    the append commits a manifest referencing missing files (a bricked
+    table) — verified red before this landed."""
+    table.overwrite(_df(spark, 0, 10))
+    maintenance = ManifestTable(table.path)  # "another process"
+    real_publish = ManifestTable._publish_cleanly
+    fired = []
+
+    def vacuum_in_window(self, spark_, op, rebase, data_files, dv_parts=None):
+        if op == "append" and not fired:
+            fired.append(True)
+            maintenance.vacuum(spark_, keep_versions=1)
+        return real_publish(self, spark_, op, rebase, data_files, dv_parts)
+
+    monkeypatch.setattr(ManifestTable, "_publish_cleanly", vacuum_in_window)
+    table.append(_df(spark, 100, 150))
+    assert fired  # the race really interleaved
+    assert table.read(spark).count() == 60  # snapshot complete, readable
+
+
 def test_vacuum_retired_history_deleted_regardless_of_age(spark, table):
     """The in-flight grace protects only NEVER-referenced files: a
     file some retired manifest references is provably committed
