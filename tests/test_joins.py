@@ -930,10 +930,16 @@ def test_interval_overlap_join_matches_python_reference_property(spark):
     def prop(ls, rs, width):
         if not ls or not rs:
             return
+        # the TRUE half-open intersection test max(lo) < min(hi) — not
+        # the pairwise (l_lo < r_hi AND r_lo < l_hi) shortcut, which
+        # wrongly passes when one interval is EMPTY (r13: the shortcut
+        # was this reference's original formula, codifying the same
+        # empty-interval bug the operator had — the docstring said
+        # "must match nothing" while the formula matched)
         want = Counter()
         for li, (lk, llo, llen) in enumerate(ls):
             for ri, (rk, rlo, rlen) in enumerate(rs):
-                if lk == rk and llo < rlo + rlen and rlo < llo + llen:
+                if lk == rk and max(llo, rlo) < min(llo + llen, rlo + rlen):
                     want[(li, ri)] += 1
         ldf = spark.createDataFrame(
             [(k, lo, lo + n, i) for i, (k, lo, n) in enumerate(ls)],
@@ -953,3 +959,51 @@ def test_interval_overlap_join_matches_python_reference_property(spark):
         assert got == want, (width, sorted(got), sorted(want))
 
     prop()
+
+
+def test_interval_overlap_join_empty_and_inverted_match_nothing(spark):
+    """An empty ([5,5)) or inverted ([9,3)) interval intersects
+    nothing — the pairwise predicate alone would wrongly emit both
+    against a spanning interval (and the inverted one would explode a
+    descending bucket sequence). r13 regression pin."""
+    from yc_yq_airflow_etl_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 5, 5, "empty"), (1, 9, 3, "inverted"), (1, 2, 4, "real")],
+        "k int, a_lo long, a_hi long, tag string",
+    )
+    right = spark.createDataFrame([(1, 1, 10)], "k int, b_lo long, b_hi long")
+    got = {
+        r.tag
+        for r in interval_overlap_join(
+            left, right, "a_lo", "a_hi", "b_lo", "b_hi",
+            on=["k"], bucket_width=4,
+        ).collect()
+    }
+    assert got == {"real"}
+
+
+def test_interval_overlap_join_fanout_cap_raises_loudly(spark):
+    """One pathological interval spanning more buckets than the cap
+    must fail with an actionable error, not fan out unbounded replicas
+    (at a 10-minute bucket a year-long interval is ~50k rows PER input
+    row — an OOM with no hint of the culprit)."""
+    import pytest
+
+    from yc_yq_airflow_etl_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0, 1000)], "k int, a_lo long, a_hi long"
+    )
+    right = spark.createDataFrame([(1, 1, 5)], "k int, b_lo long, b_hi long")
+    with pytest.raises(Exception, match="spans"):
+        interval_overlap_join(
+            left, right, "a_lo", "a_hi", "b_lo", "b_hi",
+            on=["k"], bucket_width=1, max_buckets_per_interval=100,
+        ).collect()
+    # within the cap the same inputs join fine
+    n = interval_overlap_join(
+        left, right, "a_lo", "a_hi", "b_lo", "b_hi",
+        on=["k"], bucket_width=1, max_buckets_per_interval=2000,
+    ).count()
+    assert n == 1

@@ -102,11 +102,12 @@ def test_registry_rotation_contract():
     assert len(names) == len(set(names)), "duplicate registry names"
     oracles = registry.oracle_sql()
     assert set(oracles) == set(names), "every query needs an oracle twin"
-    # r12 exception: _FRONT carries 51 names (the r11 red row re-fronts
-    # immediately alongside the r9 cohort); its tail is the accepted
-    # truncation casualty and must lead the r13 front. _BACK shrinks to
-    # 49 (the r11-verified cohort minus the re-fronted query).
-    assert len(registry._FRONT) + len(registry._BACK) == 100
+    # r13 state: _FRONT again carries 51 names (the r12 truncation
+    # casualty q21_waiting_suppliers re-fronts alongside the r10
+    # cohort); its tail (embedding_norm_audit) is this round's
+    # accepted casualty and must lead the r14 front. _BACK is the full
+    # r12-verified 50.
+    assert len(registry._FRONT) + len(registry._BACK) == 101
     assert 49 <= len(registry._BACK) <= 50
     assert not set(registry._FRONT) & set(registry._BACK)
     missing = (set(registry._FRONT) | set(registry._BACK)) - set(names)

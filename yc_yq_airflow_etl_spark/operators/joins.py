@@ -640,6 +640,7 @@ def interval_overlap_join(
     r_hi: str,
     on: Sequence[str] = (),
     bucket_width: int = 600,
+    max_buckets_per_interval: int = 4096,
 ) -> DataFrame:
     """Interval-overlap join — all (left, right) pairs whose half-open
     numeric intervals ``[l_lo, l_hi)`` and ``[r_lo, r_hi)`` intersect,
@@ -661,23 +662,60 @@ def interval_overlap_join(
     Interval bounds must be numeric (cast timestamps to epoch first);
     column names must be disjoint between the two inputs except the
     shared ``on`` keys.
+
+    Degenerate inputs (r13):
+
+    - EMPTY/INVERTED intervals (``lo >= hi``) are dropped before the
+      join: an empty interval intersects nothing. The pairwise
+      predicate alone would wrongly emit them — ``(l_lo < r_hi) AND
+      (r_lo < l_hi)`` equals the true non-empty-intersection test
+      ``max(lo) < min(hi)`` only when BOTH intervals are non-empty
+      (an empty [5,5) against [1,10) passes both comparisons) — and
+      an inverted interval would explode a silently DESCENDING bucket
+      sequence.
+    - an interval spanning more than ``max_buckets_per_interval``
+      buckets fails LOUDLY instead of fanning out without bound: one
+      pathological row (a sensor stuck open for a year against a
+      10-minute bucket) otherwise explodes ~50k replicas per row and
+      OOMs the stage with no hint of which input or row did it. Widen
+      ``bucket_width`` or pre-split such intervals; raise the cap only
+      with the fan-out cost understood.
     """
     on = list(on)
     _reserve("interval_overlap_join", left, "_b_l", "_b_r")
     _reserve("interval_overlap_join", right, "_b_l", "_b_r")
     w = F.lit(bucket_width).cast("long")
 
-    def buckets(df: DataFrame, lo: str, hi: str, side: str) -> DataFrame:
-        b = F.explode(
-            F.sequence(
-                F.floor(F.col(lo) / w).cast("long"),
-                F.floor(F.col(hi) / w).cast("long"),
-            )
-        )
+    def buckets(
+        df: DataFrame, lo: str, hi: str, side: str, cap: int
+    ) -> DataFrame:
+        df = df.filter(F.col(lo) < F.col(hi))  # empty ∩ anything = ∅
+        lo_b = F.floor(F.col(lo) / w).cast("long")
+        hi_b = F.floor(F.col(hi) / w).cast("long")
+        n_b = hi_b - lo_b + F.lit(1)
+        guarded_lo = F.when(
+            n_b > F.lit(cap),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"interval_overlap_join: an interval in "
+                        f"{lo}/{hi} spans "
+                    ),
+                    n_b.cast("string"),
+                    F.lit(
+                        f" buckets (cap {cap} at bucket_width="
+                        f"{bucket_width}) — widen bucket_width, "
+                        "pre-split the interval, or raise "
+                        "max_buckets_per_interval"
+                    ),
+                )
+            ).cast("long"),
+        ).otherwise(lo_b)
+        b = F.explode(F.sequence(guarded_lo, hi_b))
         return df.withColumn(f"_b_{side}", b)
 
-    l = buckets(left, l_lo, l_hi, "l")
-    r = buckets(right, r_lo, r_hi, "r")
+    l = buckets(left, l_lo, l_hi, "l", max_buckets_per_interval)
+    r = buckets(right, r_lo, r_hi, "r", max_buckets_per_interval)
     cond = l["_b_l"] == r["_b_r"]
     for k in on:
         cond = cond & (l[k] == r[k])
