@@ -131,6 +131,86 @@ def test_vacuum_racing_live_append_does_not_brick_commit(
     assert table.read(spark).count() == 60  # snapshot complete, readable
 
 
+def test_concurrent_evolving_append_merges_schema_at_rebase(
+    spark, table, monkeypatch
+):
+    """Two writers race, one evolving: writer A stages a plain append
+    against the 1-column base, and INSIDE A's pre-publish window
+    writer B lands an append carrying a NEW column. A's rebase must
+    re-resolve the schema against B's commit-time snapshot (not the
+    one A read before the race): the final recorded schema is the
+    union, both row sets land, and A's rows NULL-backfill B's column."""
+    from pyspark.sql import functions as F
+
+    table.overwrite(_df(spark, 0, 10))
+    writer_b = ManifestTable(table.path)
+    real_publish = ManifestTable._publish_cleanly
+    fired = []
+
+    def b_lands_first(self, spark_, op, rebase, data_files, dv_parts=None):
+        if op == "append" and not fired and self is not writer_b:
+            fired.append(True)
+            writer_b.append(
+                _df(spark_, 100, 105).withColumn("extra", F.lit("b"))
+            )
+        return real_publish(self, spark_, op, rebase, data_files, dv_parts)
+
+    monkeypatch.setattr(ManifestTable, "_publish_cleanly", b_lands_first)
+    table.append(_df(spark, 200, 203))  # plain schema, races B
+    assert fired
+    out = table.read(spark)
+    assert set(out.columns) >= {"id", "extra"}
+    assert out.count() == 18  # 10 base + 5 from B + 3 from A
+    # A's rows (and the base) NULL-backfill B's evolved column
+    assert out.filter(F.col("extra").isNull()).count() == 13
+    # the rebase re-resolved on B's commit-time snapshot: A's files
+    # lack B's column, so the snapshot is correctly flagged evolved
+    # (heterogeneous files → union read), and the commit-time schema
+    # record is the compatible UNION — not a conflict, not a silent
+    # adoption of either writer's schema
+    m = table._manifest(spark, table.current_version(spark))
+    assert m.get("evolved") is True
+    assert set(m["columns"]) == {"id", "v", "extra"}
+
+
+def test_concurrent_type_change_flags_evolved_and_reads_fail_loudly(
+    spark, table, monkeypatch
+):
+    """The documented last-resort path (manifest._append_rebase): a
+    CONCURRENT overwrite changes a column's TYPE between an append's
+    entry-conformance check and its rebase. The append must commit
+    with the evolved flag — never silently adopt either schema — and
+    a plain read over the mixed physical types must fail LOUDLY via
+    mergeSchema instead of nondeterministically picking a footer."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    table.overwrite(_df(spark, 0, 10).withColumn("v", F.lit("s")))
+    writer_b = ManifestTable(table.path)
+    real_publish = ManifestTable._publish_cleanly
+    fired = []
+
+    def b_overwrites_with_new_type(
+        self, spark_, op, rebase, data_files, dv_parts=None
+    ):
+        if op == "append" and not fired and self is not writer_b:
+            fired.append(True)
+            writer_b.overwrite(
+                _df(spark_, 100, 105).withColumn("v", F.lit(7).cast("long"))
+            )
+        return real_publish(self, spark_, op, rebase, data_files, dv_parts)
+
+    monkeypatch.setattr(
+        ManifestTable, "_publish_cleanly", b_overwrites_with_new_type
+    )
+    table.append(_df(spark, 200, 203).withColumn("v", F.lit("a")))
+    assert fired
+    m = table._manifest(spark, table.current_version(spark))
+    assert m.get("evolved") is True and "schema" not in m
+    with pytest.raises(Exception):
+        table.read(spark).collect()  # loud, not a nondeterministic pick
+
+
 def test_vacuum_retired_history_deleted_regardless_of_age(spark, table):
     """The in-flight grace protects only NEVER-referenced files: a
     file some retired manifest references is provably committed
