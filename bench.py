@@ -273,6 +273,9 @@ def main() -> None:
                     # thing their ratios could be measuring
                     "interval_overlap_sessions",
                     "retention_cohorts",
+                    # r13: the last >2 cold ratio without attribution
+                    # (distinct-dedup collapses the hot user; linear)
+                    "dau_wau_metrics",
                 )
                 if n in qs
             ]
@@ -701,6 +704,7 @@ def main() -> None:
             # noise can't masquerade as drift; both linear ops → 12
             ("interval_overlap_sessions", 12),
             ("retention_cohorts", 12),
+            ("dau_wau_metrics", 12),
         ):
             t0 = time.time()
             qs[name](spark, scale_dir).count()
