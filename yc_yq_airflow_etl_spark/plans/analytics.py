@@ -327,9 +327,22 @@ def histogram_quantile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         o, "o_totalprice", 0.0, 600000.0, 256, group_cols=["yr"]
     )
     merged = merge_histograms(per_year)
-    return histogram_quantiles(
-        merged, [0.5, 0.9, 0.99], 0.0, 600000.0, 256
-    ).orderBy("q")
+    # deepened pins (r13): merge LINEARITY as data — the merged
+    # histogram's total mass (a lost or double-merged year's sheet
+    # moves it even where the three quantile bins survive) and its
+    # occupied-bin count (the merged SHAPE beyond the quantile bins);
+    # both ride a broadcast 1-row cross join, never a collect
+    mass = F.broadcast(
+        merged.agg(
+            F.sum("cnt").cast("bigint").alias("total_count"),
+            F.count(F.lit(1)).cast("int").alias("n_nonempty_bins"),
+        )
+    )
+    return (
+        histogram_quantiles(merged, [0.5, 0.9, 0.99], 0.0, 600000.0, 256)
+        .crossJoin(mass)
+        .orderBy("q")
+    )
 
 
 HISTOGRAM_QUANTILES_ORACLE = """
@@ -342,6 +355,10 @@ WITH h AS (
     SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM h
 ), n AS (
     SELECT count(*) AS total FROM orders
+), mass AS (
+    SELECT CAST(sum(cnt) AS BIGINT) AS total_count,
+           CAST(count(*) AS INT) AS n_nonempty_bins
+    FROM h
 ), pick AS (
     SELECT qs.q AS q, min(c.bin) AS bin
     FROM (VALUES (0.5), (0.9), (0.99)) qs(q), c, n
@@ -351,8 +368,9 @@ WITH h AS (
 SELECT CAST(p.q AS DOUBLE) AS q,
        0.0 + p.bin * (600000.0 / 256) AS estimate,
        CAST(p.bin AS INT) AS bin,
-       CAST((SELECT cum FROM c WHERE c.bin = p.bin) AS BIGINT) AS cum_count
-FROM pick p ORDER BY q
+       CAST((SELECT cum FROM c WHERE c.bin = p.bin) AS BIGINT) AS cum_count,
+       m.total_count, m.n_nonempty_bins
+FROM pick p, mass m ORDER BY q
 """
 
 
@@ -1032,7 +1050,7 @@ def json_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = F.from_json(corrupted, EVENT_PROPS)
     return (
         t["events"]
-        .select("event_type", parsed.getField("k").alias("k"))
+        .select("event_type", "event_id", parsed.getField("k").alias("k"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_records"),
@@ -1040,6 +1058,12 @@ def json_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_malformed"),
             F.sum("k").cast("bigint").alias("sum_k_parsed"),
+            # deepened pin (r13): WHICH records quarantined — a parser
+            # rejecting the right NUMBER of wrong records per type
+            # passes the counts; the reject-set id checksum does not
+            F.sum(F.when(F.col("k").isNull(), F.col("event_id")))
+            .cast("bigint")
+            .alias("malformed_id_sum"),
         )
         .orderBy("event_type")
     )
@@ -1047,7 +1071,7 @@ def json_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JSON_MALFORMED_ORACLE = """
 WITH c AS (
-    SELECT event_type,
+    SELECT event_type, event_id,
            CASE WHEN event_id % 7 = 0
                 THEN substr(props, 1, length(props) - 1)
                 ELSE props END AS props
@@ -1059,7 +1083,9 @@ SELECT event_type,
            AS n_malformed,
        CAST(sum(CASE WHEN json_valid(props)
                      THEN CAST(json_extract(props, '$.k') AS BIGINT)
-                     END) AS BIGINT) AS sum_k_parsed
+                     END) AS BIGINT) AS sum_k_parsed,
+       CAST(sum(CASE WHEN NOT json_valid(props) THEN event_id END)
+            AS BIGINT) AS malformed_id_sum
 FROM c GROUP BY event_type ORDER BY event_type
 """
 

@@ -909,6 +909,10 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(token_count("text")).cast("bigint").alias("n_tokens"),
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            # deepened pin (r13): WHICH docs weigh into each language's
+            # bucket — a doc attributed to the wrong lang can balance
+            # both langs' doc counts, never both id checksums
+            F.sum("doc_id").cast("bigint").alias("doc_id_sum"),
         )
     )
     totals = per_lang.agg(
@@ -921,6 +925,7 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "n_docs",
             "n_tokens",
+            "doc_id_sum",
             F.round(F.col("n_tokens") / F.col("_tot"), 6).alias(
                 "token_share"
             ),
@@ -936,20 +941,21 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CORPUS_MIXTURE_ORACLE = r"""
 WITH d AS (
-    SELECT lang,
+    SELECT lang, doc_id,
            len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
                             ' ')) AS n_tok
     FROM documents
 ), per_lang AS (
     SELECT lang, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-           count(*) AS n_docs
+           count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
     FROM d GROUP BY lang
 ), tot AS (
     SELECT CAST(sum(n_tokens) AS DOUBLE) AS t,
            CAST(count(*) AS DOUBLE) AS nl
     FROM per_lang
 )
-SELECT lang, n_docs, n_tokens,
+SELECT lang, n_docs, n_tokens, doc_id_sum,
        round(n_tokens / t, 6) AS token_share,
        round((1.0 / nl) / (n_tokens / t), 6) AS mix_weight
 FROM per_lang, tot ORDER BY lang

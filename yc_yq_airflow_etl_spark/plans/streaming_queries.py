@@ -499,6 +499,12 @@ def inactivity_closures(
     agg = sess.groupBy("user_id", "sid").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.max("ep").alias("last_ep"),
+        # deepened pins (r13), riding the same session rollup: the
+        # session START (a boundary drifted by one event moves it even
+        # when a downstream count compensates) and the full member-
+        # epoch checksum (pins exactly WHICH events each closure ate)
+        F.min("ep").alias("first_ep"),
+        F.sum("ep").cast("bigint").alias("ep_sum"),
     )
     last_sid = agg.groupBy("user_id").agg(F.max("sid").alias("msid"))
     return (
@@ -509,7 +515,11 @@ def inactivity_closures(
             | (F.col("last_ep") + gap_s < F.col("wm_ep"))
         )
         .select(
-            "user_id", "n_events", F.col("last_ep").alias("last_ts_epoch")
+            "user_id",
+            "n_events",
+            F.col("last_ep").alias("last_ts_epoch"),
+            F.col("first_ep").alias("first_ts_epoch"),
+            "ep_sum",
         )
     )
 
@@ -535,12 +545,14 @@ WITH e AS (
     FROM flagged
 ), agg AS (
     SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
-           max(ep) AS last_ep
+           max(ep) AS last_ep, min(ep) AS first_ep,
+           CAST(sum(ep) AS BIGINT) AS ep_sum
     FROM sess GROUP BY 1, 2
 ), lastsid AS (
     SELECT user_id, max(sid) AS msid FROM agg GROUP BY 1
 )
-SELECT a.user_id, a.n_events, a.last_ep AS last_ts_epoch
+SELECT a.user_id, a.n_events, a.last_ep AS last_ts_epoch,
+       a.first_ep AS first_ts_epoch, a.ep_sum
 FROM agg a JOIN lastsid l USING (user_id), wm
 WHERE a.sid < l.msid OR a.last_ep + 14400 < wm.wm_ep
 ORDER BY a.user_id, last_ts_epoch
