@@ -76,6 +76,40 @@ def test_asof_join_equal_timestamps_match(spark):
     assert out[0].r_y == 7.0
 
 
+def test_asof_join_null_times_never_match(spark):
+    """A right row with a NULL time can never satisfy the <= as-of
+    condition — before the r13 fix it SORTED FIRST in the carry window
+    (asc puts NULLs first) and was emitted as the 'match' (payload with
+    a NULL matched time) for every left row with no real earlier right
+    row, in BOTH formulations. A NULL-time left row keeps NULL payload
+    (left-outer)."""
+    left = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 09:00"), 1.0),  # before any real quote
+            ("A", _ts("2024-01-01 10:05"), 2.0),  # after the real quote
+            ("A", None, 3.0),  # NULL left time: matches nothing
+        ],
+        "sym string, ts timestamp, x double",
+    )
+    right = spark.createDataFrame(
+        [
+            ("A", None, 666.0),  # NULL right time: must never match
+            ("A", _ts("2024-01-01 10:00"), 7.0),
+        ],
+        "sym string, ts timestamp, y double",
+    )
+    for kw in ({}, {"bucket_width": 3600.0}):
+        got = {
+            r.x: (r.r_y, r.r_ts)
+            for r in asof_join(
+                left, right, on_time="ts", by=["sym"], **kw
+            ).collect()
+        }
+        assert got[1.0] == (None, None), kw  # not the NULL-time payload
+        assert got[2.0][0] == 7.0, kw  # the real quote still matches
+        assert got[3.0] == (None, None), kw  # NULL left: no match
+
+
 def test_asof_join_tolerance(spark):
     left = spark.createDataFrame(
         [("A", _ts("2024-01-01 10:00"), 1.0)], "sym string, ts timestamp, x double"

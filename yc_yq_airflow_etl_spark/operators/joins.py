@@ -344,6 +344,18 @@ def asof_join(
     same caveat as DuckDB/pandas as-of). Pick ``bucket_width`` near
     the typical left-to-match gap; with ``tolerance`` set, a bucket
     width ≥ the tolerance keeps phase-1 exact.
+
+    NULL times (r13): a right row with a NULL ``on_time`` can never
+    satisfy ``right.on_time <= left.on_time`` (the comparison is never
+    true), so such rows are dropped before the union. Without the
+    filter they SORT FIRST under the window's ascending order (Spark
+    puts NULLs first) and get carried as the "match" for every left
+    row that has no real earlier right row — emitting a payload with a
+    NULL matched time, exactly the row the semantics say must not
+    match (the tolerance path masked this; the no-tolerance path
+    emitted it). A left row with a NULL time keeps NULL payload: it
+    sorts before every remaining right row, so nothing is carried
+    into it — the left-outer contract.
     """
     from pyspark.sql import Window
 
@@ -353,6 +365,7 @@ def asof_join(
         "_side", "_b", "_asof", "_in_bucket", "_carry",
         "_r_payload", "_r_struct",
     )
+    right = right.filter(F.col(on_time).isNotNull())
     payload = [c for c in right.columns if c not in (*by, on_time)]
 
     if bucket_width is None:
