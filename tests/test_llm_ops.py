@@ -98,6 +98,48 @@ def test_lsh_topk_subset_of_bruteforce_scores(spark, testdata):
             assert r.cosine == brute_scores[r.vec_id]
 
 
+def test_zero_norm_vector_never_tops_the_ranking(spark):
+    """A zero vector has no direction — its cosine is NULL, never NaN.
+    Unguarded 0/0 yields NaN, and Spark sorts NaN ABOVE every real
+    double, so one all-zeros embedding poisoned every descending top-k
+    (it ranked FIRST). r13 regression pin for both the JVM-expression
+    and the Arrow-vectorized cosine paths."""
+    from yc_yq_airflow_etl_spark.operators.similarity import (
+        cosine_pairs_vectorized,
+    )
+
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),  # the poison vector
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = brute_force_topk(df, [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert [r.vec_id for r in top] == [1, 2]  # not the zero vector
+    assert all(r.cosine is not None for r in top)
+    # the vectorized pair path agrees: zero-norm -> NULL, not NaN
+    import math
+
+    pairs = df.alias("a").crossJoin(
+        df.selectExpr(
+            "vec_id AS rid", "embedding AS rembedding"
+        ).alias("b")
+    )
+    got = {
+        (r.vec_id, r.rid): r.c
+        for r in pairs.select(
+            "vec_id",
+            "rid",
+            cosine_pairs_vectorized(
+                F.col("embedding"), F.col("rembedding")
+            ).alias("c"),
+        ).collect()
+    }
+    assert got[(0, 1)] is None and got[(0, 0)] is None
+    assert got[(1, 1)] is not None and not math.isnan(got[(1, 1)])
+
+
 def test_embedding_cosine_dupes_precision(spark):
     # construct: v1 ≈ v2 (near-dup), v3 orthogonal
     rows = [

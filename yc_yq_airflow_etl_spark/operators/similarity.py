@@ -49,7 +49,15 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine with a zero-norm guard (r13): a zero vector has no
+    direction, so its cosine is NULL — NOT NaN. Unguarded, 0/0 yields
+    NaN, and Spark sorts NaN ABOVE every real double, so one all-zeros
+    embedding in the corpus would rank FIRST in every descending
+    top-k. NULL sorts last under desc (nulls-last default), i.e. below
+    every defined score — a zero vector can only surface when there
+    are fewer than k defined candidates."""
+    den = l2_norm(a) * l2_norm(b)
+    return F.when(den > 0, dot(a, b) / den)
 
 
 def cosine_pairs_vectorized(a: Column, b: Column) -> Column:
@@ -66,7 +74,9 @@ def cosine_pairs_vectorized(a: Column, b: Column) -> Column:
         if len(va) == 0:
             return pd.Series([], dtype="float64")
         # NULL on either side -> NULL cosine (np.vstack over a Series
-        # containing None raises and would kill the task)
+        # containing None raises and would kill the task); zero-norm
+        # vectors also -> NULL, matching cosine_similarity's guard
+        # (NaN would sort above every real score in a desc top-k)
         mask = (va.notna() & vb.notna()).to_numpy()
         out = np.full(len(va), np.nan)
         if mask.any():
@@ -74,9 +84,10 @@ def cosine_pairs_vectorized(a: Column, b: Column) -> Column:
             y = np.vstack(vb[mask].to_numpy()).astype(np.float64)
             num = np.einsum("ij,ij->i", x, y)
             den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
-            out[mask] = num / den
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out[mask] = np.where(den > 0, num / den, np.nan)
         res = pd.Series(out)
-        return res.where(pd.Series(mask), None)
+        return res.where(pd.Series(~np.isnan(out)), None)
 
     return cos(a, b)
 
