@@ -118,3 +118,45 @@ def test_registry_rotation_contract():
     assert names[-len(registry._BACK) :] == list(registry._BACK), (
         "truncation absorbers (last emitted) must be exactly _BACK"
     )
+
+
+def test_round6_engine_divergence_is_understood(spark):
+    """Executable record of a MEASURED cross-engine edge (r13): Spark's
+    round(x, 6) rounds the shortest-decimal rendering HALF_UP while
+    DuckDB rounds the binary double, so values within ~1 ulp of a
+    .xxxxxx5 boundary can differ by 1e-6. Three pins:
+
+    - the divergence is REAL on half-aligned probes (so a future
+      driver red with a single trailing-5 value off by 1e-6 is
+      instantly diagnosable — see the registry conventions header);
+    - off-boundary values agree exactly (the regime every current
+      fixture value lives in, proven each round by the full compare);
+    - the documented remedy — floor(x*1e6 + 0.5)/1e6, pure IEEE
+      multiply/add/floor — is bit-identical across engines on the
+      very probes that diverge.
+    """
+    import duckdb
+    from pyspark.sql import functions as F
+
+    half_aligned = [i / 2e6 for i in range(1, 4000, 7)]
+    off_boundary = [i / 3e6 + 1e-8 for i in range(1, 4000, 7)]
+    vals = half_aligned + off_boundary
+    df = spark.createDataFrame([(v,) for v in vals], "v double").select(
+        "v",
+        F.round("v", 6).alias("r"),
+        (F.floor(F.col("v") * 1e6 + 0.5) / 1e6).alias("f"),
+    )
+    got = {row.v: (row.r, row.f) for row in df.collect()}
+    duck = duckdb.sql(
+        "SELECT v, round(v, 6) AS r, floor(v * 1e6 + 0.5) / 1e6 AS f "
+        "FROM (SELECT unnest($1::DOUBLE[]) AS v)",
+        params=[vals],
+    ).fetchall()
+    round_diverged = sum(1 for v, r, _ in duck if got[v][0] != r)
+    floor_diverged = sum(1 for v, _, f in duck if got[v][1] != f)
+    off_diverged = sum(
+        1 for v, r, _ in duck if v in set(off_boundary) and got[v][0] != r
+    )
+    assert round_diverged > 0  # the edge is real, not hypothetical
+    assert off_diverged == 0  # and confined to half-aligned probes
+    assert floor_diverged == 0  # the documented remedy is exact
