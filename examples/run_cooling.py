@@ -11,12 +11,13 @@ watermark; prints the federation verification counts after each run.
 
 from __future__ import annotations
 
+import os
 import sys
 import tempfile
 
 from pyspark.sql import functions as F
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from yc_yq_airflow_etl_spark.plans.cooling import CoolingPipeline
 from yc_yq_airflow_etl_spark.plans.federation import federated_counts_by_year

@@ -7,11 +7,12 @@ context-window chunking → Hive-partitioned chunk corpus.
 
 from __future__ import annotations
 
+import os
 import sys
 import tempfile
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from yc_yq_airflow_etl_spark.catalog import load_testdata
 from yc_yq_airflow_etl_spark.plans.corpus import build_training_corpus
