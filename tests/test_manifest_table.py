@@ -224,6 +224,37 @@ def test_vacuum_retired_history_deleted_regardless_of_age(spark, table):
     assert table.read(spark).count() == 100
 
 
+def test_vacuum_reads_only_present_manifests(spark, table, monkeypatch):
+    """Vacuum enumerates PRESENT manifests (one listStatus), not every
+    version number since 0: on a long-lived table (streaming sink
+    committing per micro-batch) most old versions are already
+    vacuumed, and a range(0, latest+1) probe loop costs
+    O(total-commits-ever) failed fs.open calls per vacuum even at
+    keep_versions=1. Mutation check: the pre-r14 range loop calls
+    _try_manifest latest+1 = 12 times here; the listing-based loop
+    may read at most the 2 manifests that still exist."""
+    table.overwrite(_df(spark, 0, 10))
+    for lo in range(10, 120, 10):
+        table.append(_df(spark, lo, lo + 10))
+    assert table.current_version(spark) == 11
+    table.vacuum(spark, keep_versions=2)  # retires manifests v0..v9
+
+    calls = []
+    orig = ManifestTable._try_manifest
+
+    def counting(self, spark_, version):
+        calls.append(version)
+        return orig(self, spark_, version)
+
+    monkeypatch.setattr(ManifestTable, "_try_manifest", counting)
+    table.vacuum(spark, keep_versions=1)
+    # current_version reads v11 once; the ever/live scan reads only
+    # the present {v10, v11} — never the 10 vacuumed version numbers
+    assert set(calls) <= {10, 11}, calls
+    assert len(calls) <= 3, calls
+    assert table.read(spark).count() == 120
+
+
 def test_streaming_into_manifest_table_exactly_once(spark, testdata, tmp_path):
     """Micro-batches land as atomic manifest commits; a replayed
     batch id (at-least-once foreachBatch after a crash) is skipped

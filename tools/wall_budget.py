@@ -80,19 +80,29 @@ def measure_suite_sec_per_test() -> tuple[float, int, float | None] | None:
     recs.sort(key=lambda r: r["ts"], reverse=True)
     wall = tests = 0.0
     canary_wall = canary_weighted = 0.0
-    used = []
+    all_canaried = True
     for r in recs:
         wall += r["wall_s"]
         tests += r["n_tests"]
-        used.append(r)
         if r.get("canary_s"):
             canary_wall += r["wall_s"]
             canary_weighted += r["canary_s"] * r["wall_s"]
+        else:
+            all_canaried = False
         if tests >= MIN_COVERED_TESTS:
             break
     if tests < MIN_COVERED_TESTS:
         return None
-    canary = round(canary_weighted / canary_wall, 3) if canary_wall else None
+    # A canary is only meaningful when EVERY used record carries one:
+    # a window mixing pre-canary and canary records measured on
+    # different boots would misattribute host drift for the uncovered
+    # portion. Partial coverage → None → callers fall back to raw
+    # growth (the conservative comparison).
+    canary = (
+        round(canary_weighted / canary_wall, 3)
+        if all_canaried and canary_wall
+        else None
+    )
     return round(wall / tests, 3), int(tests), canary
 
 

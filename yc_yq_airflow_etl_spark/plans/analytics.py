@@ -3838,9 +3838,7 @@ def manifest_history_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     mt = ManifestTable(ensure_manifest_demo(spark, sf_dir))
     h = sorted(mt.history(spark), key=lambda e: e["version"])
     files = {
-        e["version"]: set(
-            mt._try_manifest(spark, e["version"]).get("files", [])
-        )
+        e["version"]: set(mt.manifest_files(spark, e["version"]))
         for e in h
     }
     rows = []

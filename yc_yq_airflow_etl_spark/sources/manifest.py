@@ -471,6 +471,15 @@ class ManifestTable:
             )
         return m
 
+    def manifest_files(self, spark: SparkSession, version: int) -> list[str]:
+        """Public accessor: the data-file names version ``version``
+        commits. Raises :class:`FileNotFoundError` with a descriptive
+        message for a missing or torn manifest — callers outside this
+        module should use this rather than reaching into
+        :meth:`_try_manifest` (whose None return turns into an
+        AttributeError at the ``.get`` call site)."""
+        return list(self._manifest(spark, version).get("files", []))
+
     # -- write path ------------------------------------------------------
 
     def _write_files(
@@ -2960,7 +2969,16 @@ class ManifestTable:
           and the reason its default refuses retention < 168h). The
           grace also covers CommitAmbiguousError debt, whose manifest
           may still land server-side shortly after the client error.
-          Pass 0 only when no writer can possibly be in flight."""
+          Pass 0 only when no writer can possibly be in flight.
+
+        Clock-skew caveat: the grace compares the CLIENT clock
+        (System.currentTimeMillis) against STORE-reported mtimes; on
+        object stores, client/server skew shrinks or inflates the
+        effective window the anti-brick guarantee depends on. The 1 h
+        default already pads typical NTP-bounded skew by orders of
+        magnitude; if the store's clock cannot be trusted to within
+        minutes of the client's, derive "now" store-side (mtime of a
+        just-written probe object) before tightening the grace."""
         latest = self.current_version(spark)
         if latest is None:
             return []
@@ -2970,7 +2988,17 @@ class ManifestTable:
         live_dv: set[str] = set()
         ever: set[str] = set()  # referenced by ANY present manifest
         ever_dv: set[str] = set()
-        for v in range(0, latest + 1):
+        # Enumerate only PRESENT manifests (one listStatus of
+        # _manifests/, already performed by _name_versions) rather than
+        # probing every version number since 0: on long-lived tables
+        # (the streaming sink commits per micro-batch) most old
+        # versions were already vacuumed, and a range(0, latest+1)
+        # probe loop costs O(total-commits-ever) failed fs.open calls
+        # per vacuum even at keep_versions=1. Present-but-torn
+        # manifests still parse to None and reference nothing.
+        for v in self._name_versions(spark):
+            if v > latest:
+                continue  # claimed name above the last VALID commit
             m = self._try_manifest(spark, v)
             if m is None:  # torn manifests reference nothing
                 continue
