@@ -160,3 +160,41 @@ def test_round6_engine_divergence_is_understood(spark):
     assert round_diverged > 0  # the edge is real, not hypothetical
     assert off_diverged == 0  # and confined to half-aligned probes
     assert floor_diverged == 0  # the documented remedy is exact
+
+
+def test_round6_helper_is_cross_engine_exact_on_divergent_grid(spark):
+    """The r14 migration pin: the shared :func:`round6` helper (now
+    used by every cosine/jaccard/norm column in operators/similarity,
+    operators/dedup and their oracles) agrees with the oracle-side
+    ``floor(x * 1e6 + 0.5) / 1e6`` splice EXACTLY on the half-aligned
+    grid where Spark/DuckDB round(x, 6) measurably diverge — including
+    negative values (cosines) and NULL (the zero-norm cosine guard).
+    This is the 'retired, not just documented' proof the r13 verdict
+    asked for: the divergence class cannot reach any migrated column."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from yc_yq_airflow_etl_spark.functions.scalar import round6, round6_sql
+
+    # the exact grid the sibling test proves diverges under round(x,6),
+    # mirrored negative for cosine-valued columns
+    half_aligned = [i / 2e6 for i in range(1, 4000, 7)]
+    vals = half_aligned + [-v for v in half_aligned]
+    df = spark.createDataFrame([(v,) for v in vals], "v double").select(
+        "v", round6("v").alias("f")
+    )
+    got = {row.v: row.f for row in df.collect()}
+    duck = duckdb.sql(
+        f"SELECT v, {round6_sql('v')} AS f "
+        "FROM (SELECT unnest($1::DOUBLE[]) AS v)",
+        params=[vals],
+    ).fetchall()
+    assert all(got[v] == f for v, f in duck)  # bit-identical, both signs
+    # NULL-safety: the zero-norm cosine path yields NULL, which round6
+    # must pass through (not coerce to a sortable value)
+    null_row = (
+        spark.createDataFrame([(None,)], "v double")
+        .select(round6("v").alias("f"))
+        .first()
+    )
+    assert null_row.f is None

@@ -57,3 +57,28 @@ def to_uint32(col: Column | str, name: str = "column") -> Column:
         c.isNull() | (c < 0),
         F.raise_error(F.lit(f"cast to UInt32 failed for {name}")),
     ).otherwise(c)
+
+
+def round6(col: Column | str) -> Column:
+    """IEEE-stable 6-decimal rounding: ``floor(x * 1e6 + 0.5) / 1e6``.
+
+    Spark's ``round(x, 6)`` rounds the shortest-decimal RENDERING
+    HALF_UP while DuckDB rounds the binary double, so values within
+    ~1 ulp of a .xxxxxx5 boundary can differ by 1e-6 between engines
+    (measured r13, 5/572 half-aligned probes; see the registry
+    conventions header and
+    tests/test_reference_queries.py::test_round6_engine_divergence_is_understood).
+    This form is pure double multiply/add/floor — bit-identical on
+    both engines — and is what derived-float oracle columns (cosines,
+    ratios) use on BOTH sides. Oracles use :data:`ROUND6_SQL`.
+    NULL-safe (floor(NULL) is NULL); only for |x| small enough that
+    x*1e6 stays well under 2^53 — cosines and ratios trivially are.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+
+def round6_sql(expr: str) -> str:
+    """The DuckDB/ANSI twin of :func:`round6` — splice into oracle SQL
+    as ``round6_sql("<expr>")`` so both sides round identically."""
+    return f"floor(({expr}) * 1e6 + 0.5) / 1e6"

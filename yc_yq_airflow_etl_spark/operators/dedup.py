@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scalar import round6
 from ..functions.text import normalize_text, word_shingles
 
 
@@ -347,11 +348,11 @@ def minhash_lsh_pairs(
         pairs.select(
             "id_a",
             "id_b",
-            F.round(est, 6).alias("est_jaccard"),
+            round6(est).alias("est_jaccard"),
             # union=0 is impossible for banded candidates (a signature
             # implies >=1 shingle) but ANSI divide-by-zero would kill
             # the job if parity ever broke - degrade to 0.0 instead
-            F.when(union > 0, F.round(inter.cast("double") / union, 6))
+            F.when(union > 0, round6(inter.cast("double") / union))
             .otherwise(F.lit(0.0))
             .alias("jaccard"),
         ).filter(F.col("jaccard") >= jaccard_threshold),
@@ -441,11 +442,11 @@ def _probe_sig_pairs(
         pairs.select(
             "new_id",
             "index_id",
-            F.round(est, 6).alias("est_jaccard"),
+            round6(est).alias("est_jaccard"),
             # union=0 is impossible for banded candidates (a signature
             # implies >=1 shingle) but ANSI divide-by-zero would kill
             # the job if parity ever broke - degrade to 0.0 instead
-            F.when(union > 0, F.round(inter.cast("double") / union, 6))
+            F.when(union > 0, round6(inter.cast("double") / union))
             .otherwise(F.lit(0.0))
             .alias("jaccard"),
         )
@@ -772,7 +773,7 @@ def ngram_jaccard_pairs(
     return out.select(
         "id_a",
         "id_b",
-        F.when(union > 0, F.round(inter.cast("double") / union, 6))
+        F.when(union > 0, round6(inter.cast("double") / union))
         .otherwise(F.lit(0.0))
         .alias("jaccard"),
     )
@@ -818,7 +819,7 @@ def embedding_cosine_dupes(
     cand = a.join(b, "_sketch").filter(F.col("id_a") < F.col("id_b"))
     cos = cosine_pairs_vectorized(F.col("v_a"), F.col("v_b"))
     return _finish_pairs(
-        cand.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).filter(
+        cand.select("id_a", "id_b", round6(cos).alias("cosine")).filter(
             F.col("cosine") >= threshold
         ),
         sk,

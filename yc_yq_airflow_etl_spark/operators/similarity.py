@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scalar import round6
+
 
 def _to_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
@@ -111,7 +113,7 @@ def brute_force_topk(
     return (
         df.select(
             F.col(id_col),
-            F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine"),
+            round6(cosine_similarity(F.col(vec_col), q)).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
@@ -213,7 +215,7 @@ def lsh_topk(
         .filter(F.col("_ham") <= max_hamming)
         .select(
             F.col(id_col),
-            F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine"),
+            round6(cosine_similarity(F.col(vec_col), q)).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
@@ -393,7 +395,7 @@ def ivf_topk(
         assigned.filter(F.col("_c").isin([int(c) for c in probe]))
         .select(
             F.col(id_col),
-            F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine"),
+            round6(cosine_similarity(F.col(vec_col), q)).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
@@ -470,7 +472,7 @@ def ivf_topk_indexed(
         index_df.filter(F.col("_c").isin([int(c) for c in probe]))
         .select(
             F.col(id_col),
-            F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine"),
+            round6(cosine_similarity(F.col(vec_col), q)).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
@@ -497,7 +499,7 @@ def lsh_topk_indexed(
         index_df.filter(ham <= max_hamming)
         .select(
             F.col(id_col),
-            F.round(cosine_similarity(F.col(vec_col), q), 6).alias("cosine"),
+            round6(cosine_similarity(F.col(vec_col), q)).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
@@ -579,7 +581,7 @@ def topk_join(
     ).crossJoin(r).select(
         "id_a",
         F.col("_rid").alias("id_b"),
-        F.round(cosine_similarity(F.col("_lvec"), F.col("_rvec")), 6).alias("cosine"),
+        round6(cosine_similarity(F.col("_lvec"), F.col("_rvec"))).alias("cosine"),
     )
     if exclude_self:
         scored = scored.filter(F.col("id_a") != F.col("id_b"))
@@ -649,8 +651,8 @@ def topk_join_blocked(
         .select(
             F.col("_lid").alias("id_a"),
             F.col("_rid").alias("id_b"),
-            F.round(
-                cosine_similarity(F.col("_lvec"), F.col("_rvec")), 6
+            round6(
+                cosine_similarity(F.col("_lvec"), F.col("_rvec"))
             ).alias("cosine"),
         )
         # a pair can match in several bands — dedupe before ranking

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import data_tag, load_testdata
+from ..functions.scalar import round6
 from ..functions.text import (
     LANG_ORDER,
     STOPWORDS,
@@ -89,10 +90,10 @@ WITH base AS (
       ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
 )
 SELECT id_a, id_b,
-       round(len(list_filter(list_zip(sig_a, sig_b), x -> x[1] = x[2])) / 24.0, 6)
-           AS est_jaccard,
-       round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-             / len(list_distinct(sh_a || sh_b)), 6) AS jaccard
+       floor(len(list_filter(list_zip(sig_a, sig_b), x -> x[1] = x[2])) / 24.0
+             * 1e6 + 0.5) / 1e6 AS est_jaccard,
+       floor(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+             / len(list_distinct(sh_a || sh_b)) * 1e6 + 0.5) / 1e6 AS jaccard
 FROM cand
 WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
       / len(list_distinct(sh_a || sh_b)) >= 0.5
@@ -255,8 +256,9 @@ DEDUP_NGRAM_ORACLE = (
           FROM documents)
 )
 SELECT k.id_a, k.id_b,
-       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-             / len(list_distinct(a.grams || b.grams)), 6) AS jaccard
+       floor(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(a.grams || b.grams)) * 1e6 + 0.5) / 1e6
+           AS jaccard
 FROM keep k
 JOIN sh a ON a.doc_id = k.id_a
 JOIN sh b ON b.doc_id = k.id_b
@@ -300,7 +302,7 @@ def _sketch_cte(planes: int = 8, seed: int = 42) -> str:
 )"""
 
 
-_COSINE_AB = """round(
+_COSINE_AB = """floor(
             list_sum(list_transform(list_zip(
                 list_transform(ea.embedding, x -> CAST(x AS DOUBLE)),
                 list_transform(eb.embedding, x -> CAST(x AS DOUBLE))),
@@ -308,7 +310,8 @@ _COSINE_AB = """round(
             / (sqrt(list_sum(list_transform(ea.embedding,
                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
              * sqrt(list_sum(list_transform(eb.embedding,
-                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"""
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+            * 1e6 + 0.5) / 1e6"""
 
 
 DEDUP_EMBEDDING_ORACLE = (
@@ -365,13 +368,14 @@ WITH q AS (
     FROM embeddings WHERE vec_id = 0
 ), scored AS (
     SELECT vec_id,
-           round(
+           floor(
              list_sum(list_transform(list_zip(
                  list_transform(embedding, x -> CAST(x AS DOUBLE)), qv),
                  p -> p[1] * p[2]))
              / (sqrt(list_sum(list_transform(embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                * sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cosine
+                * sqrt(list_sum(list_transform(qv, x -> x * x))))
+             * 1e6 + 0.5) / 1e6 AS cosine
     FROM embeddings, q
 )
 SELECT vec_id, cosine,
@@ -409,13 +413,14 @@ SIMILARITY_LSH_ORACLE = (
     SELECT s.vec_id FROM sk s, qs WHERE bit_count(xor(s.sketch, qsk)) <= 3
 ), scored AS (
     SELECT e.vec_id,
-           round(
+           floor(
              list_sum(list_transform(list_zip(
                  list_transform(e.embedding, x -> CAST(x AS DOUBLE)), qvec),
                  pr -> pr[1] * pr[2]))
              / (sqrt(list_sum(list_transform(e.embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-              * sqrt(list_sum(list_transform(qvec, x -> x * x)))), 6) AS cosine
+              * sqrt(list_sum(list_transform(qvec, x -> x * x))))
+             * 1e6 + 0.5) / 1e6 AS cosine
     FROM embeddings e JOIN cand USING (vec_id), qv
 )
 SELECT vec_id, cosine,
@@ -584,13 +589,14 @@ WITH xq AS (
     FROM embeddings WHERE vec_id = 0
 ), scored AS (
     SELECT e.vec_id,
-           round(
+           floor(
              list_sum(list_transform(list_zip(
                  list_transform(e.embedding, x -> CAST(x AS DOUBLE)), qvec),
                  pr -> pr[1] * pr[2]))
              / (sqrt(list_sum(list_transform(e.embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-              * sqrt(list_sum(list_transform(qvec, x -> x * x)))), 6) AS cosine
+              * sqrt(list_sum(list_transform(qvec, x -> x * x))))
+             * 1e6 + 0.5) / 1e6 AS cosine
     FROM embeddings e JOIN keep USING (vec_id), qv
 )
 SELECT vec_id, cosine,
@@ -621,15 +627,14 @@ def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = topk_join(probes, emb, k=3)
     norms = emb.select(
         F.col("vec_id").alias("id_b"),
-        F.round(
+        round6(
             F.sqrt(
                 F.aggregate(
                     F.transform("embedding", lambda x: x.cast("double")),
                     F.lit(0.0),
                     lambda acc, x: acc + x * x,
                 )
-            ),
-            6,
+            )
         ).alias("norm_b"),
     )
     return F.broadcast(top).join(norms, "id_b").select(
@@ -645,9 +650,10 @@ WITH e AS (
     SELECT * FROM e WHERE vec_id < 20
 ), scored AS (
     SELECT p.vec_id AS id_a, e.vec_id AS id_b,
-           round(list_sum(list_transform(list_zip(p.v, e.v), pr -> pr[1] * pr[2]))
+           floor(list_sum(list_transform(list_zip(p.v, e.v), pr -> pr[1] * pr[2]))
                  / (sqrt(list_sum(list_transform(p.v, x -> x * x)))
-                  * sqrt(list_sum(list_transform(e.v, x -> x * x)))), 6) AS cosine
+                  * sqrt(list_sum(list_transform(e.v, x -> x * x))))
+                 * 1e6 + 0.5) / 1e6 AS cosine
     FROM p JOIN e ON p.vec_id <> e.vec_id
 ), ranked AS (
     SELECT *, CAST(row_number() OVER (
@@ -655,7 +661,8 @@ WITH e AS (
     FROM scored
 )
 SELECT r.id_a, r.id_b, r.cosine, r.rnk,
-       round(sqrt(list_sum(list_transform(e.v, x -> x * x))), 6) AS norm_b
+       floor(sqrt(list_sum(list_transform(e.v, x -> x * x)))
+             * 1e6 + 0.5) / 1e6 AS norm_b
 FROM ranked r JOIN e ON e.vec_id = r.id_b
 WHERE r.rnk <= 3 ORDER BY id_a, rnk
 """
@@ -2257,13 +2264,14 @@ def _recall_query_ctes(qid: int) -> str:
     FROM embeddings WHERE vec_id = {qid}
 ), sc{qid} AS (
     SELECT e.vec_id,
-           round(
+           floor(
              list_sum(list_transform(list_zip(
                  list_transform(e.embedding, x -> CAST(x AS DOUBLE)), qvec),
                  pr -> pr[1] * pr[2]))
              / (sqrt(list_sum(list_transform(e.embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-              * sqrt(list_sum(list_transform(qvec, x -> x * x)))), 6) AS cosine
+              * sqrt(list_sum(list_transform(qvec, x -> x * x))))
+             * 1e6 + 0.5) / 1e6 AS cosine
     FROM embeddings e, qv{qid}
 ), bf{qid} AS (
     SELECT vec_id FROM sc{qid}
@@ -2824,10 +2832,10 @@ WITH base AS (
       ON a.band = b.band AND a.bucket = b.bucket
 )
 SELECT new_id, index_id,
-       round(len(list_filter(list_zip(sig_a, sig_b), x -> x[1] = x[2])) / 24.0, 6)
-           AS est_jaccard,
-       round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-             / len(list_distinct(sh_a || sh_b)), 6) AS jaccard
+       floor(len(list_filter(list_zip(sig_a, sig_b), x -> x[1] = x[2])) / 24.0
+             * 1e6 + 0.5) / 1e6 AS est_jaccard,
+       floor(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+             / len(list_distinct(sh_a || sh_b)) * 1e6 + 0.5) / 1e6 AS jaccard
 FROM cand
 WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
       / len(list_distinct(sh_a || sh_b)) >= 0.5
@@ -3111,8 +3119,8 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_nonunit"),
             F.sum("_bad").cast("bigint").alias("n_nonfinite"),
-            F.round(F.min("_lo"), 6).alias("min_val"),
-            F.round(F.max("_hi"), 6).alias("max_val"),
+            round6(F.min("_lo")).alias("min_val"),
+            round6(F.max("_hi")).alias("max_val"),
             # deepened pins (r12): label-group membership and the
             # exact violator SET — the audit's counters alone let two
             # vectors trade places between labels, and "3 non-unit
@@ -3153,8 +3161,8 @@ SELECT label,
        CAST(sum(CASE WHEN abs(nrm - 1.0) > 0.001 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_nonunit,
        CAST(sum(bad) AS BIGINT) AS n_nonfinite,
-       round(min(lo), 6) AS min_val,
-       round(max(hi), 6) AS max_val,
+       floor(min(lo) * 1e6 + 0.5) / 1e6 AS min_val,
+       floor(max(hi) * 1e6 + 0.5) / 1e6 AS max_val,
        CAST(sum(vec_id) AS BIGINT) AS vec_id_sum,
        CAST(coalesce(sum(CASE WHEN abs(nrm - 1.0) > 0.001
                               THEN vec_id END), 0) AS BIGINT)
