@@ -1135,12 +1135,18 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # >=, a min over the wrong event set) swaps members
                 # between stages while the counts can survive.
                 F.sum("user_id").alias("viewed_id_sum"),
+                # deepened pin (r14): the stage TIMES themselves — a
+                # min over a superset (e.g. clicks no longer gated on
+                # t_view) can keep the same member set but move some
+                # users' stage timestamps; the id sums are blind to it.
+                F.sum("t_view").cast("bigint").alias("viewed_t_sum"),
             )
         )
         .crossJoin(
             c.agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_clicked_after_view"),
                 F.sum("user_id").alias("clicked_id_sum"),
+                F.sum("t_click").cast("bigint").alias("clicked_t_sum"),
             )
         )
         .crossJoin(
@@ -1149,6 +1155,7 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("bigint")
                 .alias("n_purchased_after_click"),
                 F.sum("user_id").alias("purchased_id_sum"),
+                F.sum("t_purchase").cast("bigint").alias("purchased_t_sum"),
             )
         )
     )
@@ -1174,10 +1181,13 @@ WITH e AS (
 SELECT (SELECT count(DISTINCT user_id) FROM e) AS n_users,
        (SELECT count(*) FROM v) AS n_viewed,
        (SELECT CAST(sum(user_id) AS BIGINT) FROM v) AS viewed_id_sum,
+       (SELECT CAST(sum(t_view) AS BIGINT) FROM v) AS viewed_t_sum,
        (SELECT count(*) FROM c) AS n_clicked_after_view,
        (SELECT CAST(sum(user_id) AS BIGINT) FROM c) AS clicked_id_sum,
+       (SELECT CAST(sum(t_click) AS BIGINT) FROM c) AS clicked_t_sum,
        (SELECT count(*) FROM p) AS n_purchased_after_click,
-       (SELECT CAST(sum(user_id) AS BIGINT) FROM p) AS purchased_id_sum
+       (SELECT CAST(sum(user_id) AS BIGINT) FROM p) AS purchased_id_sum,
+       (SELECT CAST(sum(t_purchase) AS BIGINT) FROM p) AS purchased_t_sum
 """
 
 
@@ -5531,6 +5541,19 @@ def gap_fill_daily_report(events: DataFrame) -> DataFrame:
         )
         .cast("bigint")
         .alias("active_day_sum"),
+        # deepened pin (r14): WHICH value was carried on WHICH day —
+        # the day-weighted integer-cents checksum over the filled
+        # series. A fill that carried the right values onto the wrong
+        # gap days (or swapped two users' carry segments of equal
+        # total) preserves every count and revenue sum above; this
+        # product moves. Exact: epoch-day (INT) × cents (DECIMAL→
+        # BIGINT, exact ×100 of a DECIMAL(18,2)) summed as BIGINT.
+        F.sum(
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            * (F.col("filled_rev") * 100).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("carry_weighted_cents"),
     )
 
 
@@ -5561,7 +5584,10 @@ SELECT user_id,
        CAST(sum(filled_rev) AS DOUBLE) AS carried_revenue,
        CAST(sum(CASE WHEN rev IS NOT NULL
                      THEN day - DATE '1970-01-01' END) AS BIGINT)
-           AS active_day_sum
+           AS active_day_sum,
+       CAST(sum((day - DATE '1970-01-01')
+                * CAST(filled_rev * 100 AS BIGINT)) AS BIGINT)
+           AS carry_weighted_cents
 FROM filled GROUP BY user_id ORDER BY user_id
 """
 
@@ -6205,7 +6231,16 @@ def kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     us = os_.unionAll(cs).distinct().orderBy("h").limit(k).localCheckpoint()
     oa = os_.agg(F.count("h").alias("n_o"), F.max("h").alias("hk_o"))
     ca = cs.agg(F.count("h").alias("n_c"), F.max("h").alias("hk_c"))
-    ua = us.agg(F.count("h").alias("n_u"), F.max("h").alias("hk_u"))
+    ua = us.agg(
+        F.count("h").alias("n_u"),
+        F.max("h").alias("hk_u"),
+        # deepened pin (r14): the union sketch's CONTENT, not just its
+        # derived estimates — a sketch that admitted the wrong hashes
+        # (broken bottom-k merge, off-by-one limit) can still land
+        # within rounding of the same estimates; the mod-1e9 member
+        # checksum moves. Bounded: 256 × (1e9-1) << 2^63.
+        F.sum(F.col("h") % 1000000000).cast("bigint").alias("hms_u"),
+    )
     m = (
         us.join(os_, "h", "left_semi")
         .join(cs, "h", "left_semi")
@@ -6249,6 +6284,8 @@ def kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inter_exact",
         F.round(j * union_est, 2).alias("inter_est"),
         F.round(j, 6).alias("jaccard_est"),
+        F.col("hk_u").cast("bigint").alias("union_kth_hash"),
+        F.col("hms_u").alias("union_hash_mod_sum"),
     )
 
 
@@ -6268,7 +6305,8 @@ os AS (
     ) ORDER BY h LIMIT 256
 ), oa AS (SELECT count(*) AS n_o, max(h) AS hk_o FROM os),
 ca AS (SELECT count(*) AS n_c, max(h) AS hk_c FROM cs),
-ua AS (SELECT count(*) AS n_u, max(h) AS hk_u FROM us),
+ua AS (SELECT count(*) AS n_u, max(h) AS hk_u,
+              sum(h % 1000000000) AS hms_u FROM us),
 mm AS (
     SELECT count(*) AS m FROM us
     WHERE h IN (SELECT h FROM os) AND h IN (SELECT h FROM cs)
@@ -6290,7 +6328,9 @@ SELECT CAST(d_o AS BIGINT) AS d_orders_exact,
              * CASE WHEN n_u < 256 THEN CAST(n_u AS DOUBLE)
                     ELSE CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
                          / CAST(hk_u AS DOUBLE) END, 2) AS inter_est,
-       round(CAST(m AS DOUBLE) / n_u, 6) AS jaccard_est
+       round(CAST(m AS DOUBLE) / n_u, 6) AS jaccard_est,
+       CAST(hk_u AS BIGINT) AS union_kth_hash,
+       CAST(hms_u AS BIGINT) AS union_hash_mod_sum
 FROM oa, ca, ua, mm, ex
 """
 

@@ -152,7 +152,9 @@ WITH c AS (
 SELECT c.user_id AS user_id,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(p.event_id) AS BIGINT) AS n_attributed,
-       CAST(sum(DISTINCT c.event_id) AS BIGINT) AS click_id_sum
+       CAST(sum(DISTINCT c.event_id) AS BIGINT) AS click_id_sum,
+       CAST(coalesce(sum(DISTINCT p.event_id), 0) AS BIGINT)
+           AS purchase_id_sum
 FROM c LEFT JOIN p
   ON p.user_id = c.user_id
  AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL '30 minutes'

@@ -146,4 +146,11 @@ def attributed_and_orphan_clicks(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("purchase_id").alias("n_attributed"),
         F.sum_distinct(F.col("click_id")).cast("bigint").alias("click_id_sum"),
+        # deepened pin (r14): WHICH purchases matched — a join that
+        # attributed the wrong purchase inside the window keeps n_rows,
+        # n_attributed, and the click-side sum all balanced; only the
+        # purchase-side membership moves. 0 for all-orphan users.
+        F.coalesce(F.sum_distinct(F.col("purchase_id")), F.lit(0))
+        .cast("bigint")
+        .alias("purchase_id_sum"),
     )
