@@ -224,6 +224,124 @@ def test_vacuum_retired_history_deleted_regardless_of_age(spark, table):
     assert table.read(spark).count() == 100
 
 
+def test_restore_racing_vacuum_prepublish_refuses_loudly(
+    spark, table, monkeypatch
+):
+    """restore(v0) vs concurrent vacuum, vacuum landing BEFORE the
+    restore's manifest put: v0's files are referenced only by retired
+    manifests, so the vacuum deletes them regardless of age — a
+    restore that trusted its entry-time existence check would then
+    commit a live snapshot pointing at deleted files (a bricked
+    table; reproduced red on the pre-r14 single-check code). The
+    per-attempt recheck inside the rebase hook must refuse pre-put:
+    loud FileNotFoundError, NOTHING committed, live table intact."""
+    import pytest as _pytest
+
+    table.overwrite(_df(spark, 0, 100))  # v0
+    table.overwrite(_df(spark, 100, 150))  # v1 (v0 now retired-only)
+    maintenance = ManifestTable(table.path)
+    orig = ManifestTable._publish
+    fired = []
+
+    def vacuum_in_window(self, spark_, files, rows, op, extra=None, rebase=None):
+        if op == "restore" and not fired:
+            fired.append(True)
+            maintenance.vacuum(spark_, keep_versions=1)
+        return orig(self, spark_, files, rows, op, extra, rebase)
+
+    monkeypatch.setattr(ManifestTable, "_publish", vacuum_in_window)
+    pre = table.current_version(spark)
+    with _pytest.raises(FileNotFoundError, match="concurrent vacuum"):
+        table.restore(spark, 0)
+    assert fired
+    assert table.current_version(spark) == pre  # nothing committed
+    assert table.read(spark).count() == 50  # live table untouched
+
+
+def test_restore_racing_vacuum_postpublish_heals_and_raises(
+    spark, table, monkeypatch
+):
+    """The residual pure-CAS window: the vacuum's manifest scan ran
+    BEFORE the restore's put, its delete loop AFTER — the restore's
+    manifest is committed, then the files it references vanish. The
+    post-publish verify must detect the tear, HEAL the table by
+    re-publishing the newest materializable snapshot, and raise
+    RestoreRacedVacuumError — never leave the live table bricked
+    (mutation-verified: with the verify removed, read() of the live
+    snapshot throws PATH_NOT_FOUND)."""
+    import pytest as _pytest
+
+    from yc_yq_airflow_etl_spark.sources.manifest import (
+        RestoreRacedVacuumError,
+    )
+
+    table.overwrite(_df(spark, 0, 100))  # v0
+    table.overwrite(_df(spark, 100, 150))  # v1
+    v0_files = table.manifest_files(spark, 0)
+    orig = ManifestTable._publish
+    fired = []
+
+    def late_delete(self, spark_, files, rows, op, extra=None, rebase=None):
+        v = orig(self, spark_, files, rows, op, extra, rebase)
+        # a racing vacuum whose scan predated our commit fires its
+        # delete loop now: v0's files go, the restore manifest stays
+        if op == "restore" and not fired:
+            fired.append(True)
+            for f in v0_files:
+                os.remove(os.path.join(self.path, "data", f))
+        return v
+
+    monkeypatch.setattr(ManifestTable, "_publish", late_delete)
+    with _pytest.raises(RestoreRacedVacuumError, match="healed"):
+        table.restore(spark, 0)
+    assert fired
+    monkeypatch.setattr(ManifestTable, "_publish", orig)
+    # the heal re-published v1's content: live table readable, and the
+    # torn restore remains in history as a tombstone
+    assert table.read(spark).count() == 50
+    h = {e["version"]: e for e in table.history(spark)}
+    healed = max(h)
+    assert h[healed].get("op") == "restore"
+    assert table.read(spark, version=healed).count() == 50
+
+
+def test_timetravel_read_racing_vacuum_fails_loud_never_partial(
+    spark, table
+):
+    """Time-travel read at v racing vacuum retiring v: the DataFrame
+    resolves v's file list before the vacuum, the action runs after.
+    The pinned property is that the vacuum can only cause a LOUD
+    failure, never a silent partial result — even under the hostile
+    session config ``spark.sql.files.ignoreMissingFiles=true`` (which
+    would otherwise skip the deleted files and return fewer rows, and
+    would silently RESURRECT deleted rows when a deletion-vector part
+    goes missing). Snapshot readers force the option off per-relation;
+    mutation-verified: on plain ``spark.read`` this test returns a
+    partial count instead of raising."""
+    import pytest as _pytest
+
+    table.overwrite(_df(spark, 0, 100))  # v0
+    table.overwrite(_df(spark, 100, 150))  # v1
+    df_v0 = table.read(spark, version=0)  # lazy: file list resolved NOW
+    old = spark.conf.get("spark.sql.files.ignoreMissingFiles")
+    spark.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+    try:
+        deleted = table.vacuum(spark, keep_versions=1)
+        assert deleted  # v0's files really went
+        with _pytest.raises(Exception) as ei:
+            df_v0.count()
+        assert "FileNotFound" in str(ei.getrepr()) or "not exist" in str(
+            ei.value
+        ) or "PATH_NOT_FOUND" in str(ei.value)
+        # a read initiated AFTER the vacuum refuses descriptively
+        with _pytest.raises(FileNotFoundError, match="missing or torn"):
+            table.read(spark, version=0)
+        # the live snapshot is untouched by any of this
+        assert table.read(spark).count() == 50
+    finally:
+        spark.conf.set("spark.sql.files.ignoreMissingFiles", old)
+
+
 def test_vacuum_reads_only_present_manifests(spark, table, monkeypatch):
     """Vacuum enumerates PRESENT manifests (one listStatus), not every
     version number since 0: on a long-lived table (streaming sink

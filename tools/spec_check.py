@@ -153,6 +153,17 @@ INVARIANTS: dict[str, tuple[str, list[str]]] = {
         "is always a no-op, in both\nmodes",
         ["test_merge_null_key_in_both_clauses_is_deterministic"],
     ),
+    "restore-vacuum-race-heals": (
+        "a restore racing a vacuum can never leave the live table "
+        "bricked",
+        ["test_restore_racing_vacuum_prepublish_refuses_loudly",
+         "test_restore_racing_vacuum_postpublish_heals_and_raises"],
+    ),
+    "reads-never-silently-partial": (
+        "every snapshot reader forces `ignoreMissingFiles` off "
+        "per-relation",
+        ["test_timetravel_read_racing_vacuum_fails_loud_never_partial"],
+    ),
     "mixed-bounds-widening": (
         "int bounds\nwiden to double for the probe, an int bound too "
         "wide for an exact\ndouble (>2^53) makes its file conservatively "

@@ -40,6 +40,22 @@ def build_session(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if master is None:
         master = f"local[{cpus}]"
+    # Python WORKER importability, independent of cwd: the driver can
+    # import this package because the entry script put the repo root on
+    # sys.path (or cwd happened to be the checkout), but executor-side
+    # Python workers inherit neither — any Pandas UDF that references
+    # package code then dies with ModuleNotFoundError when the session
+    # is built from a foreign cwd (caught by tools/examples_smoke.py).
+    # Local-mode workers DO inherit the process environment, so putting
+    # the repo root on PYTHONPATH before the JVM starts fixes every
+    # local entry point; on a real cluster ship the package with
+    # --py-files / pip install as usual (this prepend is then inert).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
     if shuffle_partitions is None:
         shuffle_partitions = int(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)

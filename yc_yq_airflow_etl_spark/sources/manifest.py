@@ -278,6 +278,21 @@ class PublishContentionError(RuntimeError):
     have committed nothing (the cleanup paths rely on that)."""
 
 
+class RestoreRacedVacuumError(RuntimeError):
+    """A concurrent :meth:`ManifestTable.vacuum` deleted the restore
+    target's files in the window between the restore's last existence
+    check and its manifest publish (retired-history files delete
+    regardless of age, and a restore is the one operation that
+    resurrects them — the pure-CAS commit protocol cannot exclude the
+    interleaving entirely). The restore did NOT take effect: before
+    raising, the table was HEALED by re-publishing the newest still-
+    materializable snapshot as a forward commit, so the live table
+    stays readable; the torn restore version remains in history as an
+    unreadable tombstone. Operationally: don't schedule vacuum
+    concurrently with restores, or keep ``keep_versions`` above the
+    oldest restore target."""
+
+
 class CommitAmbiguousError(RuntimeError):
     """The manifest put itself raised, and the commit MAY have landed
     server-side anyway (on S3A the close() that raised IS the PUT) —
@@ -625,7 +640,9 @@ class ManifestTable:
             return {}
         from pyspark.sql import functions as F
 
-        df = spark.read.parquet(*[f"{self.path}/data/{f}" for f in files])
+        df = spark.read.option("ignoreMissingFiles", "false").parquet(
+            *[f"{self.path}/data/{f}" for f in files]
+        )
         types = dict(df.dtypes)
         for c in self.stat_cols:
             if types.get(c) not in _STATS_TYPES:
@@ -1334,25 +1351,36 @@ class ManifestTable:
 
         Concurrency: the HWM is re-resolved per commit attempt via the
         rebase hook, so losing a publish race can never resurrect a
-        stale high-water mark."""
+        stale high-water mark. The existence check ALSO re-runs per
+        attempt, and the committed snapshot is verified AFTER the
+        publish: a restore uniquely references files whose only other
+        referents are retired manifests — exactly what a concurrent
+        :meth:`vacuum` deletes regardless of age — so a vacuum landing
+        between the pre-publish check and the put would otherwise
+        commit a live snapshot pointing at deleted files (a bricked
+        table, found r14 by the interleaving stress test). When the
+        post-publish verify finds the race hit, the table is healed by
+        re-publishing the newest still-materializable snapshot and
+        :class:`RestoreRacedVacuumError` is raised."""
         target = self._manifest(spark, version)  # raises if missing
         jvm, fs = self._fs(spark)
-        missing = [
-            f
-            for f in target.get("files", [])
-            if not fs.exists(self._jp(jvm, "data", f))
-        ]
-        missing += [
-            f"deletes/{p}"
-            for p in sorted(
-                {
-                    p
-                    for e in target.get("dvs", {}).values()
-                    for p in e["parts"]
-                }
-            )
-            if not fs.exists(self._jp(jvm, "deletes", p))
-        ]
+
+        def _missing_of(m: dict) -> list[str]:
+            gone = [
+                f
+                for f in m.get("files", [])
+                if not fs.exists(self._jp(jvm, "data", f))
+            ]
+            gone += [
+                f"deletes/{p}"
+                for p in sorted(
+                    {p for e in m.get("dvs", {}).values() for p in e["parts"]}
+                )
+                if not fs.exists(self._jp(jvm, "deletes", p))
+            ]
+            return gone
+
+        missing = _missing_of(target)
         if missing:
             raise FileNotFoundError(
                 f"cannot restore v{version}: {len(missing)} of its data "
@@ -1360,26 +1388,79 @@ class ManifestTable:
                 f"{missing[0]}) — the snapshot is no longer "
                 "materializable"
             )
-        extra_base = {
-            k: target[k]
-            for k in ("columns", "schema", "stats", "evolved", "read_merged", "dvs")
-            if k in target
-        }
 
-        def rebase() -> tuple[list[str], int, dict]:
-            extra = dict(extra_base)
-            cur = self.current_version(spark)
-            hwm = (
-                int(self._manifest(spark, cur).get("last_batch_id", -1))
-                if cur is not None
-                else -1
+        def _content_publish(src: dict, src_version: int, extra2: dict) -> int:
+            extra_base = {
+                k: src[k]
+                for k in (
+                    "columns",
+                    "schema",
+                    "stats",
+                    "evolved",
+                    "read_merged",
+                    "dvs",
+                )
+                if k in src
+            }
+
+            def rebase() -> tuple[list[str], int, dict]:
+                extra = dict(extra_base)
+                cur = self.current_version(spark)
+                hwm = (
+                    int(self._manifest(spark, cur).get("last_batch_id", -1))
+                    if cur is not None
+                    else -1
+                )
+                if hwm >= 0:
+                    extra["last_batch_id"] = hwm
+                extra["restored_from"] = src_version
+                extra.update(extra2)
+                # per-attempt recheck: raised pre-put, so it provably
+                # commits nothing (the positional pre-put proof)
+                gone = _missing_of(src)
+                if gone:
+                    raise FileNotFoundError(
+                        f"restore target v{src_version} lost "
+                        f"{len(gone)} file(s) to a concurrent vacuum "
+                        f"(e.g. {gone[0]}) before the publish"
+                    )
+                return src.get("files", []), int(src.get("rows", 0)), extra
+
+            return self._publish(spark, [], 0, "restore", rebase=rebase)
+
+        new_v = _content_publish(target, version, {})
+        # Post-publish verify: a vacuum that scanned before our commit
+        # may delete the target's files after it. Residual pure-CAS
+        # window — detect it, heal, and fail loudly.
+        missing = _missing_of(target)
+        if not missing:
+            return new_v
+        healed_to = None
+        for v in reversed(self._name_versions(spark)):
+            if v == new_v:
+                continue
+            m = self._try_manifest(spark, v)
+            if m is None or _missing_of(m):
+                continue
+            try:
+                healed_to = _content_publish(
+                    m, v, {"healed_from_torn_restore": new_v}
+                )
+            except FileNotFoundError:
+                continue  # a further vacuum got this candidate too
+            break
+        raise RestoreRacedVacuumError(
+            f"restore of v{version} committed v{new_v}, but a concurrent "
+            f"vacuum deleted {len(missing)} of its file(s) (e.g. "
+            f"{missing[0]}); v{new_v} is a torn tombstone. "
+            + (
+                f"The table was healed: v{healed_to} re-publishes the "
+                "newest materializable snapshot."
+                if healed_to is not None
+                else "NO materializable snapshot remains — the table "
+                "needs a fresh overwrite."
             )
-            if hwm >= 0:
-                extra["last_batch_id"] = hwm
-            extra["restored_from"] = version
-            return target.get("files", []), int(target.get("rows", 0)), extra
-
-        return self._publish(spark, [], 0, "restore", rebase=rebase)
+        )
 
     # -- read path -------------------------------------------------------
 
@@ -1391,8 +1472,15 @@ class ManifestTable:
         subset cannot fix) a pruned read whose kept files all predate
         the evolution still returns the full table schema. Falls back
         to mergeSchema for legacy evolved manifests without a schema
-        record, else plain single-footer inference."""
-        reader = spark.read
+        record, else plain single-footer inference.
+
+        ``ignoreMissingFiles`` is FORCED off per-relation (r14): a
+        session that globally enables it would turn a time-travel read
+        racing a vacuum into a silent partial result instead of a loud
+        PATH_NOT_FOUND / FileNotFoundException. Snapshot reads resolve
+        exact file lists; a missing file is always a tear, never
+        skippable."""
+        reader = spark.read.option("ignoreMissingFiles", "false")
         sch = m.get("schema")
         if sch is not None:
             return reader.schema(_schema_from_json(sch))
@@ -1458,7 +1546,10 @@ class ManifestTable:
         from pyspark.sql import functions as F
 
         return (
-            spark.read.parquet(*[f"{self.path}/deletes/{p}" for p in parts])
+            # forced off like _reader_for: a skipped missing DV part
+            # silently RESURRECTS deleted rows
+            spark.read.option("ignoreMissingFiles", "false")
+            .parquet(*[f"{self.path}/deletes/{p}" for p in parts])
             .select(F.col("_f"), F.col("_pos"))
             .distinct()
         )
@@ -1810,9 +1901,11 @@ class ManifestTable:
     def _count(self, spark: SparkSession, files: list[str]) -> int:
         if not files:
             return 0
-        return spark.read.parquet(
-            *[f"{self.path}/data/{f}" for f in files]
-        ).count()
+        return (
+            spark.read.option("ignoreMissingFiles", "false")
+            .parquet(*[f"{self.path}/data/{f}" for f in files])
+            .count()
+        )
 
     @staticmethod
     def _recorded_rows(stats: dict, files) -> int | None:
