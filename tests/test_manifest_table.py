@@ -305,6 +305,76 @@ def test_restore_racing_vacuum_postpublish_heals_and_raises(
     assert table.read(spark, version=healed).count() == 50
 
 
+def test_wap_audit_outliving_grace_survives_vacuum_via_stage_marker(
+    spark, table, monkeypatch
+):
+    """WRITE-AUDIT-PUBLISH racing vacuum: the audit window is
+    unbounded by design, so an audit outlasting the in-flight orphan
+    grace leaves the staged files looking like stale debris — a
+    concurrent vacuum deleted them and the publish committed a
+    manifest referencing missing files (a bricked table; reproduced
+    red on the marker-less code, and mutation-verified red with the
+    marker protection stripped from vacuum). The stage marker makes
+    the staged files untouchable regardless of age; grace=0 below
+    models an audit older than any grace."""
+    from pyspark.sql import functions as F
+
+    from yc_yq_airflow_etl_spark.operators.expectations import Rule
+
+    table.overwrite(_df(spark, 0, 50))
+    orig = ManifestTable._publish_cleanly
+    fired = []
+
+    def vacuum_in_window(self, spark_, op, rebase, data_files, dv_parts=None):
+        if op == "wap" and not fired:
+            fired.append(True)
+            ManifestTable(self.path).vacuum(
+                spark_, keep_versions=1, orphan_grace_seconds=0
+            )
+        return orig(self, spark_, op, rebase, data_files, dv_parts)
+
+    monkeypatch.setattr(ManifestTable, "_publish_cleanly", vacuum_in_window)
+    v, report = table.write_audit_publish(
+        _df(spark, 100, 150), [Rule("v_even", F.col("v") % 2 == 0)]
+    )
+    assert fired and v is not None
+    assert table.read(spark).count() == 100  # published AND readable
+    # the marker is dropped once the files are manifest-referenced
+    assert table._list_names(spark, "_stage") == []
+
+
+def test_stage_marker_lifecycle_rejection_and_ttl_expiry(spark, table):
+    """Marker hygiene: an audit REJECTION drops both the stage and its
+    marker; a crashed WAP (marker left behind) protects its files from
+    vacuum until the marker outlives the TTL, after which marker and
+    files are both collected under the normal orphan rules."""
+    from pyspark.sql import functions as F
+
+    from yc_yq_airflow_etl_spark.operators.expectations import Rule
+
+    table.overwrite(_df(spark, 0, 50))
+    # rejection: odd values fail the rule → nothing staged survives
+    v, report = table.write_audit_publish(
+        spark.range(0, 10).select("id", (F.col("id") * 2 + 1).alias("v")),
+        [Rule("v_even", F.col("v") % 2 == 0)],
+    )
+    assert v is None
+    assert table._list_names(spark, "_stage") == []
+
+    # crashed WAP: stage + marker exist, publish never ran
+    files, _ = table._write_files(_df(spark, 100, 120))
+    marker = table._write_stage_marker(spark, files)
+    table.vacuum(spark, keep_versions=1, orphan_grace_seconds=0)
+    for f in files:  # protected by the live marker, however old
+        assert os.path.exists(os.path.join(table.path, "data", f))
+    # marker outlives its TTL → collected, protection lapses
+    _backdate(os.path.join(table.path, "_stage", marker), 8 * 86400)
+    deleted = table.vacuum(spark, keep_versions=1, orphan_grace_seconds=0)
+    assert set(files) <= set(deleted)
+    assert table._list_names(spark, "_stage") == []
+    assert table.read(spark).count() == 50
+
+
 def test_timetravel_read_racing_vacuum_fails_loud_never_partial(
     spark, table
 ):
@@ -371,6 +441,12 @@ def test_vacuum_reads_only_present_manifests(spark, table, monkeypatch):
     assert set(calls) <= {10, 11}, calls
     assert len(calls) <= 3, calls
     assert table.read(spark).count() == 120
+    # history()/version_as_of ride the same listing: only the present
+    # manifest (v11 after the second vacuum) is ever opened
+    calls.clear()
+    h = table.history(spark)
+    assert [e["version"] for e in h] == [11]
+    assert set(calls) <= {11}, calls
 
 
 def test_streaming_into_manifest_table_exactly_once(spark, testdata, tmp_path):

@@ -164,6 +164,12 @@ INVARIANTS: dict[str, tuple[str, list[str]]] = {
         "per-relation",
         ["test_timetravel_read_racing_vacuum_fails_loud_never_partial"],
     ),
+    "wap-stage-marker": (
+        "write-audit-publish stages under a `_stage/` marker that "
+        "vacuum\n  honors regardless of file age",
+        ["test_wap_audit_outliving_grace_survives_vacuum_via_stage_marker",
+         "test_stage_marker_lifecycle_rejection_and_ttl_expiry"],
+    ),
     "mixed-bounds-widening": (
         "int bounds\nwiden to double for the probe, an int bound too "
         "wide for an exact\ndouble (>2^53) makes its file conservatively "

@@ -27,7 +27,10 @@ def text_density_score(text: pd.Series) -> pd.Series:
     stripped = text.fillna("").str.strip().str.lower()
     toks = stripped.str.split(r"\s+").str.len().astype("float64")
     chars = stripped.str.len().astype("float64")
-    return (toks / np.sqrt(1.0 + chars)).round(6)
+    # floor(x*1e6+0.5)/1e6, not .round(6): numpy rounds half-even on
+    # the binary double while DuckDB rounds half away — the floor form
+    # is bit-identical across numpy/Spark/DuckDB (registry header)
+    return np.floor(toks / np.sqrt(1.0 + chars) * 1e6 + 0.5) / 1e6
 
 
 LANG_STATS_SCHEMA = T.StructType(
@@ -68,8 +71,14 @@ def lang_char_stats(documents: DataFrame) -> DataFrame:
             {
                 "lang": [pdf["lang"].iloc[0]],
                 "n_docs": [len(x)],
-                "mean_chars": [round(float(np.mean(x)), 6)],
-                "std_chars": [round(float(np.std(x, ddof=1)), 6)],
+                # IEEE-stable 6-decimal form, same rationale as
+                # text_density_score above
+                "mean_chars": [
+                    float(np.floor(np.mean(x) * 1e6 + 0.5) / 1e6)
+                ],
+                "std_chars": [
+                    float(np.floor(np.std(x, ddof=1) * 1e6 + 0.5) / 1e6)
+                ],
                 "sum_chars": [int(xi.sum())],
                 "min_chars": [int(xi.min())],
                 "max_chars": [int(xi.max())],

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalar import round6
 from ..catalog import data_tag, load_testdata
 from ..schemas import EVENT_PROPS
 
@@ -50,7 +51,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum(disc_price).cast("double").alias("sum_disc_price"),
             F.sum(charge).cast("double").alias("sum_charge"),
-            F.round(F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 6)
+            round6(F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)))
             .alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -67,8 +68,8 @@ SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                 * (1 - CAST(l_discount AS DECIMAL(18,2)))
                 * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
-           AS avg_qty,
+       floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+             * 1e6 + 0.5) / 1e6 AS avg_qty,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -550,7 +551,7 @@ def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             # deepened pin (r10): per-customer max — count and sum can
             # both survive a swapped pair of rows across customers;
             # the envelope cannot
-            F.coalesce(F.round(F.max("o_totalprice"), 6), F.lit(0.0)).alias(
+            F.coalesce(round6(F.max("o_totalprice")), F.lit(0.0)).alias(
                 "max_order"
             ),
         )
@@ -562,7 +563,8 @@ CUSTOMER_ORDER_STATS_ORACLE = """
 SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
        coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0)
            AS total_spent,
-       coalesce(round(max(o_totalprice), 6), 0.0) AS max_order
+       coalesce(floor(max(o_totalprice) * 1e6 + 0.5) / 1e6, 0.0)
+           AS max_order
 FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey, c_mktsegment
 ORDER BY c_custkey
@@ -1434,26 +1436,27 @@ def array_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.size("embedding").alias("dim"),
-        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
-        F.round(el_sum / F.size("embedding"), 6).alias("mean_val"),
+        round6(F.sqrt(sq_sum)).alias("l2_norm"),
+        round6(el_sum / F.size("embedding")).alias("mean_val"),
         # deepened pins (r10): elementwise extrema — norm and mean can
         # collide under sign flips or element permutes-with-replace;
         # min/max pin the actual value envelope per vector
-        F.round(F.array_min(vec), 6).alias("min_val"),
-        F.round(F.array_max(vec), 6).alias("max_val"),
+        round6(F.array_min(vec)).alias("min_val"),
+        round6(F.array_max(vec)).alias("max_val"),
     ).orderBy("vec_id")
 
 
 ARRAY_STATS_ORACLE = """
 SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS dim,
-       round(sqrt(list_sum(list_transform(embedding,
-             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
-       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
-             / len(embedding), 6) AS mean_val,
-       round(list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6)
-           AS min_val,
-       round(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6)
-           AS max_val
+       floor(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1e6 + 0.5) / 1e6
+           AS l2_norm,
+       floor(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+             / len(embedding) * 1e6 + 0.5) / 1e6 AS mean_val,
+       floor(list_min(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+             * 1e6 + 0.5) / 1e6 AS min_val,
+       floor(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+             * 1e6 + 0.5) / 1e6 AS max_val
 FROM embeddings ORDER BY vec_id
 """
 
@@ -1474,8 +1477,8 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderstatus"],
         probs=(0.25, 0.5, 0.75),
         extra_aggs=[
-            F.round(F.min("o_totalprice"), 6).alias("lo"),
-            F.round(F.max("o_totalprice"), 6).alias("hi"),
+            round6(F.min("o_totalprice")).alias("lo"),
+            round6(F.max("o_totalprice")).alias("hi"),
             # deepened pin (r10): group size — interpolated quantiles
             # can coincide under a dropped/duplicated row; the count
             # cannot
@@ -1491,9 +1494,9 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return gp.select(
         "o_orderstatus",
-        F.round("p25", 6).alias("p25"),
-        F.round("p50", 6).alias("p50"),
-        F.round("p75", 6).alias("p75"),
+        round6("p25").alias("p25"),
+        round6("p50").alias("p50"),
+        round6("p75").alias("p75"),
         "lo",
         "hi",
         "n",
@@ -1503,11 +1506,11 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PERCENTILE_ORACLE = """
 SELECT o_orderstatus,
-       round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
-       round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
-       round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
-       round(min(o_totalprice), 6) AS lo,
-       round(max(o_totalprice), 6) AS hi,
+       floor(quantile_cont(o_totalprice, 0.25) * 1e6 + 0.5) / 1e6 AS p25,
+       floor(quantile_cont(o_totalprice, 0.5) * 1e6 + 0.5) / 1e6 AS p50,
+       floor(quantile_cont(o_totalprice, 0.75) * 1e6 + 0.5) / 1e6 AS p75,
+       floor(min(o_totalprice) * 1e6 + 0.5) / 1e6 AS lo,
+       floor(max(o_totalprice) * 1e6 + 0.5) / 1e6 AS hi,
        count(*) AS n,
        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
            AS cents_sum
@@ -1618,9 +1621,9 @@ def explode_embedding_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         flat.groupBy("dim")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("val"), 6).alias("mean_val"),
-            F.round(F.min("val"), 6).alias("min_val"),
-            F.round(F.max("val"), 6).alias("max_val"),
+            round6(F.avg("val")).alias("mean_val"),
+            round6(F.min("val")).alias("min_val"),
+            round6(F.max("val")).alias("max_val"),
             # deepened pin (r9): exact integer sign count — immune to
             # the float-rounding slack the 6-decimal rounds allow
             F.sum((F.col("val") >= 0).cast("bigint")).alias("n_nonneg"),
@@ -1643,9 +1646,9 @@ WITH flat AS (
     FROM embeddings
 )
 SELECT CAST(p[2] - 1 AS INTEGER) AS dim, count(*) AS n,
-       round(avg(CAST(p[1] AS DOUBLE)), 6) AS mean_val,
-       round(min(CAST(p[1] AS DOUBLE)), 6) AS min_val,
-       round(max(CAST(p[1] AS DOUBLE)), 6) AS max_val,
+       floor(avg(CAST(p[1] AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mean_val,
+       floor(min(CAST(p[1] AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS min_val,
+       floor(max(CAST(p[1] AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS max_val,
        CAST(sum(CASE WHEN CAST(p[1] AS DOUBLE) >= 0 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_nonneg,
        CAST(sum(CASE WHEN CAST(p[1] AS DOUBLE) >= 0 THEN vec_id ELSE 0 END)
@@ -1959,8 +1962,8 @@ def skew_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_n").cast("bigint").alias("n_rows"),
             F.count(F.lit(1)).cast("bigint").alias("n_keys"),
             F.max("_n").cast("bigint").alias("max_freq"),
-            F.round(
-                F.max("_n") / F.sum("_n").cast("double"), 6
+            round6(
+                F.max("_n") / F.sum("_n").cast("double")
             ).alias("top1_share"),
             F.round(F.expr("percentile(_n, 0.5)"), 2).alias("median_freq"),
             F.round(
@@ -1998,7 +2001,7 @@ SELECT 'events.user_id' AS join_key,
        CAST(sum(n) AS BIGINT) AS n_rows,
        CAST(count(*) AS BIGINT) AS n_keys,
        CAST(max(n) AS BIGINT) AS max_freq,
-       round(max(n) / CAST(sum(n) AS DOUBLE), 6) AS top1_share,
+       floor(max(n) / CAST(sum(n) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS top1_share,
        round(quantile_cont(n, 0.5), 2) AS median_freq,
        round(max(n) / quantile_cont(n, 0.5), 2) AS skew_ratio,
        CAST(sum(n * n) AS BIGINT) AS selfjoin_rows,
@@ -2007,14 +2010,14 @@ SELECT 'events.user_id' AS join_key,
 FROM ev
 UNION ALL
 SELECT 'orders.o_custkey', CAST(sum(n) AS BIGINT), CAST(count(*) AS BIGINT),
-       CAST(max(n) AS BIGINT), round(max(n) / CAST(sum(n) AS DOUBLE), 6),
+       CAST(max(n) AS BIGINT), floor(max(n) / CAST(sum(n) AS DOUBLE) * 1e6 + 0.5) / 1e6,
        round(quantile_cont(n, 0.5), 2), round(max(n) / quantile_cont(n, 0.5), 2),
        CAST(sum(n * n) AS BIGINT),
        CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
 FROM oc
 UNION ALL
 SELECT 'lineitem.l_orderkey', CAST(sum(n) AS BIGINT), CAST(count(*) AS BIGINT),
-       CAST(max(n) AS BIGINT), round(max(n) / CAST(sum(n) AS DOUBLE), 6),
+       CAST(max(n) AS BIGINT), floor(max(n) / CAST(sum(n) AS DOUBLE) * 1e6 + 0.5) / 1e6,
        round(quantile_cont(n, 0.5), 2), round(max(n) / quantile_cont(n, 0.5), 2),
        CAST(sum(n * n) AS BIGINT),
        CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
@@ -2050,8 +2053,8 @@ def partition_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("candidate"),
             F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
             F.sum("_n").cast("bigint").alias("n_rows"),
-            F.round(
-                F.max("_n") / F.sum("_n").cast("double"), 6
+            round6(
+                F.max("_n") / F.sum("_n").cast("double")
             ).alias("max_share"),
             # deepened pins (r12): the smallest partition and the
             # small-file count (<100 rows) — the OTHER half of layout
@@ -2094,20 +2097,20 @@ WITH et AS (
 ), stats AS (
     SELECT 'event_type' AS candidate, CAST(count(*) AS BIGINT) AS n_partitions,
            CAST(sum(n) AS BIGINT) AS n_rows,
-           round(max(n) / CAST(sum(n) AS DOUBLE), 6) AS max_share,
+           floor(max(n) / CAST(sum(n) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS max_share,
            CAST(min(n) AS BIGINT) AS min_rows,
            CAST(sum(CASE WHEN n < 100 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_small_parts
     FROM et
     UNION ALL
     SELECT 'event_date', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT),
-           round(max(n) / CAST(sum(n) AS DOUBLE), 6),
+           floor(max(n) / CAST(sum(n) AS DOUBLE) * 1e6 + 0.5) / 1e6,
            CAST(min(n) AS BIGINT),
            CAST(sum(CASE WHEN n < 100 THEN 1 ELSE 0 END) AS BIGINT)
     FROM ed
     UNION ALL
     SELECT 'user_id', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT),
-           round(max(n) / CAST(sum(n) AS DOUBLE), 6),
+           floor(max(n) / CAST(sum(n) AS DOUBLE) * 1e6 + 0.5) / 1e6,
            CAST(min(n) AS BIGINT),
            CAST(sum(CASE WHEN n < 100 THEN 1 ELSE 0 END) AS BIGINT)
     FROM eu
@@ -2917,7 +2920,7 @@ def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_sessions"),
             F.sum("n_events").alias("n_events"),
             F.max("duration_s").alias("max_session_s"),
-            F.round(F.avg("n_events"), 6).alias("avg_events_per_session"),
+            round6(F.avg("n_events")).alias("avg_events_per_session"),
             # deepened pins (r11): BOUNDARY placement, not just session
             # counts. total_session_s = user's span minus the sum of
             # gaps actually broken on — breaking at a different gap
@@ -2957,7 +2960,8 @@ WITH e AS (
 SELECT user_id, count(*) AS n_sessions,
        CAST(sum(n_events) AS BIGINT) AS n_events,
        max(duration_s) AS max_session_s,
-       round(avg(n_events), 6) AS avg_events_per_session,
+       floor(avg(n_events) * 1e6 + 0.5) / 1e6
+           AS avg_events_per_session,
        CAST(sum(duration_s) AS BIGINT) AS total_session_s,
        CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_singleton_sessions
@@ -4310,8 +4314,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "promo_revenue",
         "total_revenue",
         "promo_orderkey_sum",
-        F.round(
-            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 6
+        round6(
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")
         ).alias("promo_pct"),
     )
 
@@ -4337,7 +4341,8 @@ WITH a AS (
 )
 SELECT n_lines, n_promo_lines, promo_revenue, total_revenue,
        promo_orderkey_sum,
-       round(100.0 * promo_revenue / total_revenue, 6) AS promo_pct
+       floor(100.0 * promo_revenue / total_revenue * 1e6 + 0.5) / 1e6
+           AS promo_pct
 FROM a
 """
 
@@ -4574,8 +4579,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .groupBy("l_partkey", "l_suppkey")
         .agg(
-            F.round(
-                F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6
+            round6(
+                F.min(F.col("l_extendedprice") / F.col("l_quantity"))
             ).alias("supply_cost")
         )
     )
@@ -4605,7 +4610,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q2_ORACLE = """
 WITH costs AS (
     SELECT l_partkey, l_suppkey,
-           round(min(l_extendedprice / l_quantity), 6) AS supply_cost
+           floor(min(l_extendedprice / l_quantity) * 1e6 + 0.5) / 1e6
+               AS supply_cost
     FROM lineitem GROUP BY 1, 2
 ), elig AS (
     SELECT c.l_partkey, c.supply_cost, s_acctbal, s_name, n_name
@@ -5826,7 +5832,7 @@ def dau_wau_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             "dau",
             "wau",
-            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+            round6(F.col("dau").cast("double") / F.col("wau")).alias(
                 "stickiness"
             ),
             "dau_user_id_sum",
@@ -5856,7 +5862,8 @@ WITH du AS (
 SELECT d.day,
        CAST(d.dau AS BIGINT) AS dau,
        CAST(w.wau AS BIGINT) AS wau,
-       round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness,
+       floor(CAST(d.dau AS DOUBLE) / w.wau * 1e6 + 0.5) / 1e6
+           AS stickiness,
        d.dau_user_id_sum,
        w.wau_user_id_sum
 FROM dau d JOIN wau w ON w.wday = d.day
@@ -6283,7 +6290,7 @@ def kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "inter_exact",
         F.round(j * union_est, 2).alias("inter_est"),
-        F.round(j, 6).alias("jaccard_est"),
+        round6(j).alias("jaccard_est"),
         F.col("hk_u").cast("bigint").alias("union_kth_hash"),
         F.col("hms_u").alias("union_hash_mod_sum"),
     )
@@ -6328,7 +6335,7 @@ SELECT CAST(d_o AS BIGINT) AS d_orders_exact,
              * CASE WHEN n_u < 256 THEN CAST(n_u AS DOUBLE)
                     ELSE CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
                          / CAST(hk_u AS DOUBLE) END, 2) AS inter_est,
-       round(CAST(m AS DOUBLE) / n_u, 6) AS jaccard_est,
+       floor(CAST(m AS DOUBLE) / n_u * 1e6 + 0.5) / 1e6 AS jaccard_est,
        CAST(hk_u AS BIGINT) AS union_kth_hash,
        CAST(hms_u AS BIGINT) AS union_hash_mod_sum
 FROM oa, ca, ua, mm, ex

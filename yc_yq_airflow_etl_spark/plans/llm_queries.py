@@ -694,7 +694,7 @@ def text_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(total > 0, distinct).otherwise(F.lit(0)).alias("n_distinct"),
         F.when(
             total > 0,
-            F.round(F.lit(1.0) - distinct.cast("double") / total, 6),
+            round6(F.lit(1.0) - distinct.cast("double") / total),
         )
         .otherwise(F.lit(0.0))
         .alias("rep_ratio"),
@@ -718,7 +718,8 @@ SELECT doc_id,
        CAST(CASE WHEN total > 0 THEN len(list_distinct(grams)) ELSE 0 END
             AS INTEGER) AS n_distinct,
        CASE WHEN total > 0
-            THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / total, 6)
+            THEN floor((1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                        / total) * 1e6 + 0.5) / 1e6
             ELSE 0.0 END AS rep_ratio
 FROM g ORDER BY doc_id
 """
@@ -743,10 +744,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(dfreq), "term").withColumn(
         "score",
-        F.round(
+        round6(
             F.col("tf")
-            * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0),
-            6,
+            * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0)
         ),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
@@ -773,7 +773,8 @@ WITH d AS (
     SELECT term, count(*) AS df FROM tf GROUP BY term
 ), scored AS (
     SELECT doc_id, term, tf, df,
-           round(tf * (ln((nd + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+           floor(tf * (ln((nd + 1.0) / (df + 1.0)) + 1.0)
+                 * 1e6 + 0.5) / 1e6 AS score
     FROM tf JOIN dfreq USING (term), n
 ), ranked AS (
     SELECT *, CAST(row_number() OVER (
@@ -933,13 +934,12 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "n_tokens",
             "doc_id_sum",
-            F.round(F.col("n_tokens") / F.col("_tot"), 6).alias(
+            round6(F.col("n_tokens") / F.col("_tot")).alias(
                 "token_share"
             ),
-            F.round(
+            round6(
                 (F.lit(1.0) / F.col("_nl"))
-                / (F.col("n_tokens") / F.col("_tot")),
-                6,
+                / (F.col("n_tokens") / F.col("_tot"))
             ).alias("mix_weight"),
         )
         .orderBy("lang")
@@ -963,8 +963,8 @@ WITH d AS (
     FROM per_lang
 )
 SELECT lang, n_docs, n_tokens, doc_id_sum,
-       round(n_tokens / t, 6) AS token_share,
-       round((1.0 / nl) / (n_tokens / t), 6) AS mix_weight
+       floor(n_tokens / t * 1e6 + 0.5) / 1e6 AS token_share,
+       floor((1.0 / nl) / (n_tokens / t) * 1e6 + 0.5) / 1e6 AS mix_weight
 FROM per_lang, tot ORDER BY lang
 """
 
@@ -983,8 +983,8 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.alias("n_tokens"),
         n_chars.alias("n_chars_norm"),
         n_punct.alias("n_punct"),
-        F.round(
-            (n_chars - (toks - 1)).cast("double") / toks, 6
+        round6(
+            (n_chars - (toks - 1)).cast("double") / toks
         ).alias("avg_word_len"),
         rolling_fingerprint("text").alias("fingerprint"),
         # deepened pin (r10): vocabulary size per doc — token COUNTS
@@ -1006,8 +1006,9 @@ SELECT doc_id,
        CAST(length(norm) AS INTEGER) AS n_chars_norm,
        CAST(length(norm) - length(regexp_replace(norm, '[.,!?;:]', '', 'g'))
             AS INTEGER) AS n_punct,
-       round(CAST(length(norm) - (len(string_split(norm, ' ')) - 1) AS DOUBLE)
-             / len(string_split(norm, ' ')), 6) AS avg_word_len,
+       floor(CAST(length(norm) - (len(string_split(norm, ' ')) - 1) AS DOUBLE)
+             / len(string_split(norm, ' ')) * 1e6 + 0.5) / 1e6
+           AS avg_word_len,
        list_reduce(list_prepend(CAST(0 AS BIGINT),
            list_transform(string_split_regex(norm, ''),
                           c -> CAST(ascii(c) AS BIGINT))),
@@ -1041,10 +1042,9 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_frac",
             F.when(
                 F.col("n_ngrams") > 0,
-                F.round(
+                round6(
                     F.lit(1.0)
-                    - F.col("n_distinct") / F.col("n_ngrams").cast("double"),
-                    6,
+                    - F.col("n_distinct") / F.col("n_ngrams").cast("double")
                 ),
             ).otherwise(F.lit(0.0)),
         )
@@ -1068,8 +1068,8 @@ SELECT doc_id,
        CAST(len(ngrams) AS INTEGER) AS n_ngrams,
        CAST(len(list_distinct(ngrams)) AS INTEGER) AS n_distinct,
        CASE WHEN len(ngrams) > 0
-            THEN round(1.0 - len(list_distinct(ngrams))
-                           / CAST(len(ngrams) AS DOUBLE), 6)
+            THEN floor((1.0 - len(list_distinct(ngrams))
+                           / CAST(len(ngrams) AS DOUBLE)) * 1e6 + 0.5) / 1e6
             ELSE 0.0 END AS dup_frac
 FROM g ORDER BY doc_id
 """
@@ -1163,8 +1163,8 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_tokens"),
-            F.round(
-                F.avg(F.log(F.col("_c") / F.col("_n"))), 6
+            round6(
+                F.avg(F.log(F.col("_c") / F.col("_n")))
             ).alias("avg_logprob"),
             # deepened pin (r11): the doc's rarest token's corpus
             # frequency as an exact integer — pins the score-back
@@ -1189,7 +1189,8 @@ WITH t AS (
 )
 SELECT doc_id,
        CAST(count(*) AS INTEGER) AS n_tokens,
-       round(avg(ln(CAST(c AS DOUBLE) / nn)), 6) AS avg_logprob,
+       floor(avg(ln(CAST(c AS DOUBLE) / nn)) * 1e6 + 0.5) / 1e6
+           AS avg_logprob,
        CAST(min(c) AS BIGINT) AS rarest_tok_count
 FROM t JOIN f USING (tok), n
 GROUP BY doc_id ORDER BY doc_id
@@ -1666,8 +1667,8 @@ def udf_text_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 UDF_DENSITY_ORACLE = r"""
 SELECT doc_id,
-       round(len(string_split_regex(trim(lower(text)), '\s+'))
-             / sqrt(1 + length(trim(text))), 6) AS density,
+       floor(len(string_split_regex(trim(lower(text)), '\s+'))
+             / sqrt(1 + length(trim(text))) * 1e6 + 0.5) / 1e6 AS density,
        CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS INTEGER)
            AS n_toks_jvm,
        CAST(length(trim(lower(text))) AS INTEGER) AS n_chars_jvm
@@ -1685,8 +1686,8 @@ def udaf_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 UDAF_LANG_STATS_ORACLE = """
 SELECT lang, count(*) AS n_docs,
-       round(avg(n_chars), 6) AS mean_chars,
-       round(stddev_samp(n_chars), 6) AS std_chars,
+       floor(avg(n_chars) * 1e6 + 0.5) / 1e6 AS mean_chars,
+       floor(stddev_samp(n_chars) * 1e6 + 0.5) / 1e6 AS std_chars,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        CAST(min(n_chars) AS BIGINT) AS min_chars,
        CAST(max(n_chars) AS BIGINT) AS max_chars,
@@ -2082,7 +2083,9 @@ def embedding_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(vec, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))),
         F.lit(1e-12),
     ) / F.lit(127.0)
-    deq = F.transform(vec, lambda x: F.round(x / scale) * scale)
+    # floor(x+0.5), not round(): the IEEE-stable cross-engine form —
+    # a code flipping at a .5-boundary ulp moves code_checksum by >=1
+    deq = F.transform(vec, lambda x: F.floor(x / scale + 0.5) * scale)
     sq_err = F.aggregate(
         F.zip_with(vec, deq, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
@@ -2097,7 +2100,7 @@ def embedding_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer checksum — every error stat above is rounded to 6
     # decimals, but a code off by one anywhere moves this by ≥1.
     code_sum = F.aggregate(
-        F.transform(vec, lambda x: F.round(x / scale)),
+        F.transform(vec, lambda x: F.floor(x / scale + 0.5)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -2112,9 +2115,9 @@ def embedding_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_vec.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.avg("_mse"), 6).alias("avg_mse"),
-            F.round(F.max("_maxe"), 6).alias("max_abs_err"),
-            F.round(F.avg("_scale"), 6).alias("avg_scale"),
+            round6(F.avg("_mse")).alias("avg_mse"),
+            round6(F.max("_maxe")).alias("max_abs_err"),
+            round6(F.avg("_scale")).alias("avg_scale"),
             F.sum("_codes").cast("bigint").alias("code_checksum"),
         )
         .orderBy("label")
@@ -2133,17 +2136,18 @@ WITH v AS (
     FROM v
 ), e AS (
     SELECT label, scale,
-           list_transform(vec, x -> x - round(x / scale) * scale) AS err,
-           list_aggregate(list_transform(vec, x -> round(x / scale)), 'sum')
-               AS codes
+           list_transform(vec, x -> x - floor(x / scale + 0.5) * scale)
+               AS err,
+           list_aggregate(list_transform(vec, x -> floor(x / scale + 0.5)),
+                          'sum') AS codes
     FROM s
 )
 SELECT label, count(*) AS n_vecs,
-       round(avg(list_aggregate(list_transform(err, x -> x * x), 'sum')
-                 / len(err)), 6) AS avg_mse,
-       round(max(list_aggregate(list_transform(err, x -> abs(x)), 'max')), 6)
-           AS max_abs_err,
-       round(avg(scale), 6) AS avg_scale,
+       floor(avg(list_aggregate(list_transform(err, x -> x * x), 'sum')
+                 / len(err)) * 1e6 + 0.5) / 1e6 AS avg_mse,
+       floor(max(list_aggregate(list_transform(err, x -> abs(x)), 'max'))
+             * 1e6 + 0.5) / 1e6 AS max_abs_err,
+       floor(avg(scale) * 1e6 + 0.5) / 1e6 AS avg_scale,
        CAST(sum(codes) AS BIGINT) AS code_checksum
 FROM e GROUP BY 1 ORDER BY label
 """
@@ -2673,7 +2677,7 @@ def pagerank_doc_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, _ = ensure_simhash_artifacts(spark, sf_dir)
     ranks = pagerank(pairs, iterations=3, damping=0.85)
     return ranks.select(
-        F.col("id").alias("doc_id"), F.round("rank", 6).alias("pr_rank")
+        F.col("id").alias("doc_id"), round6("rank").alias("pr_rank")
     ).orderBy("doc_id")
 
 
@@ -2710,7 +2714,8 @@ PAGERANK_ORACLE = (
     FROM edges e JOIN r2 r ON r.id = e.src JOIN deg d ON d.src = e.src
     GROUP BY e.dst
 )
-SELECT id AS doc_id, round(rank, 6) AS pr_rank FROM r3 ORDER BY doc_id
+SELECT id AS doc_id, floor(rank * 1e6 + 0.5) / 1e6 AS pr_rank
+FROM r3 ORDER BY doc_id
 """
 )
 
@@ -2744,8 +2749,12 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(kept, 1).otherwise(0))
             .cast("bigint")
             .alias("n_sampled"),
-            F.round(
-                F.sum(wcap).cast("double") / F.lit(500.0), 2
+            (
+                F.floor(
+                    F.sum(wcap).cast("double") / F.lit(500.0) * 1e2
+                    + F.lit(0.5)
+                )
+                / 1e2
             ).alias("expected_sampled"),
             F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
             .cast("bigint")
@@ -2771,7 +2780,8 @@ SELECT lang,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN u * 500 < wcap * 4294967296 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_sampled,
-       round(CAST(sum(wcap) AS DOUBLE) / 500.0, 2) AS expected_sampled,
+       floor(CAST(sum(wcap) AS DOUBLE) / 500.0 * 1e2 + 0.5) / 1e2
+           AS expected_sampled,
        CAST(sum(CASE WHEN u * 500 < wcap * 4294967296 THEN n_chars
                      ELSE 0 END) AS BIGINT) AS sampled_chars,
        CAST(sum(CASE WHEN u * 500 < wcap * 4294967296 THEN doc_id END)
@@ -2937,11 +2947,18 @@ def zipf_fit_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_terms"),
-        F.round(
-            F.expr("regr_slope(ln(freq), ln(rank))"), 4
+        (
+            F.floor(
+                F.expr("regr_slope(ln(freq), ln(rank))") * 1e4 + F.lit(0.5)
+            )
+            / 1e4
         ).alias("zipf_slope"),
-        F.round(
-            F.expr("regr_intercept(ln(freq), ln(rank))"), 4
+        (
+            F.floor(
+                F.expr("regr_intercept(ln(freq), ln(rank))") * 1e4
+                + F.lit(0.5)
+            )
+            / 1e4
         ).alias("zipf_intercept"),
         # rank is unique, so rank-1's term is the deterministic head
         F.expr("min_by(term, rank)").alias("top_term"),
@@ -2972,8 +2989,10 @@ WITH terms AS (
     FROM freq QUALIFY rank <= 100
 )
 SELECT CAST(count(*) AS BIGINT) AS n_terms,
-       round(regr_slope(ln(freq), ln(rank)), 4) AS zipf_slope,
-       round(regr_intercept(ln(freq), ln(rank)), 4) AS zipf_intercept,
+       floor(regr_slope(ln(freq), ln(rank)) * 1e4 + 0.5) / 1e4
+           AS zipf_slope,
+       floor(regr_intercept(ln(freq), ln(rank)) * 1e4 + 0.5) / 1e4
+           AS zipf_intercept,
        arg_min(term, rank) AS top_term,
        max(freq) AS top_freq,
        CAST(sum(freq) AS BIGINT) AS top100_freq_sum,
@@ -3030,13 +3049,12 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "term_b",
     )
-    pmi = F.round(
+    pmi = round6(
         F.log(
             F.col("c_ab").cast("double")
             * F.lit(float(n_docs))
             / (F.col("c_a") * F.col("c_b"))
-        ),
-        6,
+        )
     )
     return (
         joined.select(
@@ -3074,7 +3092,8 @@ WITH toks AS (
 ), n AS (SELECT count(*) AS nd FROM documents)
 SELECT term_a, term_b, c_ab,
        CAST(va.df AS BIGINT) AS c_a, CAST(vb.df AS BIGINT) AS c_b,
-       round(ln(CAST(c_ab AS DOUBLE) * nd / (va.df * vb.df)), 6) AS pmi
+       floor(ln(CAST(c_ab AS DOUBLE) * nd / (va.df * vb.df))
+             * 1e6 + 0.5) / 1e6 AS pmi
 FROM co
 JOIN vocab va ON va.term = co.term_a
 JOIN vocab vb ON vb.term = co.term_b, n

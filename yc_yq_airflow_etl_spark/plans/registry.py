@@ -21,19 +21,22 @@ driver's order-insensitive value-hash comparison stable:
   (epoch_ns//1e9 vs unix_timestamp) are safe by the nested-floor
   identity floor(floor(x/1e3)/1e6) = floor(x/1e9) for post-1970 data;
 - floating-point *derived* values (cosines, ratios) are rounded to 6
-  decimals on both sides. KNOWN EDGE (r13, measured): Spark's
-  ``round(x, 6)`` rounds the shortest-decimal rendering HALF_UP while
-  DuckDB rounds the binary double, so values within ~1 ulp of a
-  .xxxxxx5 boundary can differ by 1e-6 between engines (5 of 572
-  probes on a deliberately half-aligned grid diverged;
+  decimals on both sides via the IEEE-stable form
+  ``floor(x * 1e6 + 0.5) / 1e6`` — Spark side through
+  ``functions.scalar.round6``, oracle side through the same floor
+  splice (``round6_sql``). RETIRED EDGE (measured r13, migrated r14):
+  Spark's ``round(x, 6)`` rounds the shortest-decimal rendering
+  HALF_UP while DuckDB rounds the binary double, so values within
+  ~1 ulp of a .xxxxxx5 boundary could differ by 1e-6 between engines
+  (5 of 572 half-aligned probes diverged;
   tests/test_reference_queries.py::test_round6_engine_divergence_is_understood
-  keeps the measurement executable). Current fixtures hit no boundary
-  (the full value compare is the proof, re-run each round). If a
-  driver row ever reds with a single value off by exactly 1e-6 at a
-  trailing-5 boundary, THIS is why — fix by replacing that column's
-  round with the IEEE-identical form on BOTH sides:
-  ``floor(x * 1e6 + 0.5) / 1e6`` (pure double multiply/add/floor,
-  bit-equal across engines), not by nudging the fixture.
+  keeps the measurement executable, and
+  test_round6_helper_is_cross_engine_exact_on_divergent_grid proves
+  the floor form exact on the same grid). Every oracle-paired
+  6-decimal derived float now uses the floor form on BOTH sides (the
+  4/2-decimal zipf/expected-count rounds use the same form at 1e4/1e2)
+  — new derived-float columns MUST use round6/round6_sql, never
+  ``round(x, n)``.
 """
 
 from __future__ import annotations

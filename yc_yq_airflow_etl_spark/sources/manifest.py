@@ -564,6 +564,38 @@ class ManifestTable:
         for f in files:
             fs.delete(self._jp(jvm, subdir, f), False)
 
+    def _write_stage_marker(
+        self, spark: SparkSession, files: list[str]
+    ) -> str:
+        """Record a long-lived pre-publish stage under ``_stage/`` so
+        :meth:`vacuum` protects the listed data files REGARDLESS of
+        age (Iceberg's staged-snapshot protection, r14). The in-flight
+        orphan grace covers writers whose stage-to-publish window is
+        seconds (append, merge); WRITE-AUDIT-PUBLISH's audit window is
+        unbounded by design, so an audit outlasting the grace left its
+        staged files looking like stale debris — a concurrent vacuum
+        deleted them and the publish committed a manifest referencing
+        missing files (a bricked table; interleaving-stress-tested).
+        The marker is dropped on publish success, on audit rejection,
+        and on provably-unpublished failures; it survives
+        CommitAmbiguousError (a late-landing manifest may reference
+        the stage) and crashed writers, where vacuum's marker TTL
+        eventually reclaims it."""
+        name = f"stage_{uuid.uuid4().hex}.json"
+        self._write_text_atomic(
+            spark,
+            json.dumps({"files": list(files), "created_at": time.time()}),
+            "_stage",
+            name,
+        )
+        return name
+
+    def _drop_stage_marker(self, spark: SparkSession, name: str) -> None:
+        jvm, fs = self._fs(spark)
+        p = self._jp(jvm, "_stage", name)
+        if fs.exists(p):
+            fs.delete(p, False)
+
     @contextmanager
     def _staged_cleanup(self, spark: SparkSession, data_files, dv_parts=None):
         """PRE-PUBLISH no-orphan window: any exception between staging
@@ -1126,12 +1158,23 @@ class ManifestTable:
         # same type contract as append, checked before staging
         df = self._conform_to_current(df, "write_audit_publish")
         new_files, spark = self._write_files(df)
+        # the audit window is unbounded — a stage marker (not the
+        # in-flight orphan grace, which it can outlive) is what keeps
+        # a concurrent vacuum off the staged files (r14)
+        marker = (
+            self._write_stage_marker(spark, new_files) if new_files else None
+        )
+
+        def _drop_marker() -> None:
+            if marker is not None:
+                self._drop_stage_marker(spark, marker)
 
         def _abandon() -> None:
             # pre-publish rejections only: no put ran, a blind delete
             # is safe (publish failures go through _publish_cleanly's
             # positional classification)
             self._abandon_files(spark, new_files)
+            _drop_marker()
 
         try:
             if new_files:
@@ -1152,16 +1195,24 @@ class ManifestTable:
             _abandon()
             return None, report
         new_cols = sorted(staged.columns)
-        with self._staged_cleanup(spark, new_files):
-            new_stats = self._file_stats(spark, new_files)
-            rebase = self._append_rebase(
-                spark, new_files, new_cols, new_stats, batch_id,
-                new_schema=staged.schema,
-            )
-        # publish failures classified by _publish_cleanly: proven
-        # pre-put → stage deleted; ambiguous put → stage left for
-        # vacuum (a late-landing manifest may reference it)
-        version = self._publish_cleanly(spark, "wap", rebase, new_files)
+        try:
+            with self._staged_cleanup(spark, new_files):
+                new_stats = self._file_stats(spark, new_files)
+                rebase = self._append_rebase(
+                    spark, new_files, new_cols, new_stats, batch_id,
+                    new_schema=staged.schema,
+                )
+            # publish failures classified by _publish_cleanly: proven
+            # pre-put → stage deleted; ambiguous put → stage left for
+            # vacuum (a late-landing manifest may reference it)
+            version = self._publish_cleanly(spark, "wap", rebase, new_files)
+        except CommitAmbiguousError:
+            raise  # marker STAYS: the manifest may land late; the
+            # vacuum marker TTL reclaims it if it never does
+        except BaseException:
+            _drop_marker()  # stage already deleted where proven dead
+            raise
+        _drop_marker()  # files are manifest-referenced from here on
         return version, report
 
     def last_batch_id(self, spark: SparkSession) -> int:
@@ -1708,7 +1759,13 @@ class ManifestTable:
         if latest is None:
             return []
         out = []
-        for v in range(latest, -1, -1):
+        # present manifests only (one listStatus) — probing every
+        # version number since 0 costs O(total-commits-ever) failed
+        # fs.open calls on long-lived tables whose old versions were
+        # vacuumed (same shape as the r14 vacuum enumeration fix)
+        for v in sorted(self._name_versions(spark), reverse=True):
+            if v > latest:
+                continue  # claimed-but-torn name above the last commit
             m = self._try_manifest(spark, v)
             if m is not None:
                 row = {
@@ -3036,6 +3093,7 @@ class ManifestTable:
         spark: SparkSession,
         keep_versions: int = 1,
         orphan_grace_seconds: float = 3600.0,
+        stage_marker_ttl_seconds: float = 7 * 86400.0,
     ) -> list[str]:
         """Delete data files referenced ONLY by manifests older than
         the newest ``keep_versions`` snapshots (plus stray uncommitted
@@ -3049,6 +3107,10 @@ class ManifestTable:
         - referenced by a KEPT manifest: never deleted;
         - referenced only by RETIRED manifests: deleted regardless of
           age — they are provably committed history being retired;
+        - listed by a live ``_stage/`` marker (a write-audit-publish
+          stage mid-audit): never deleted while the marker is younger
+          than ``stage_marker_ttl_seconds`` — the audit window is
+          unbounded, so age is no evidence of abandonment here;
         - referenced by NO present manifest: deleted only when older
           than ``orphan_grace_seconds``. A never-referenced file is
           either a crashed writer's debris OR a LIVE writer's
@@ -3104,6 +3166,7 @@ class ManifestTable:
                 live_dv.update(dvs)
         now_ms = int(jvm.java.lang.System.currentTimeMillis())
         grace_ms = int(orphan_grace_seconds * 1000)
+        marker_ttl_ms = int(stage_marker_ttl_seconds * 1000)
 
         def mtimes(subdir: str) -> dict[str, int]:
             d = self._jp(jvm, subdir)
@@ -3114,12 +3177,40 @@ class ManifestTable:
                 for st in fs.listStatus(d)
             }
 
+        # Stage markers (_stage/, written by write_audit_publish):
+        # files a live marker lists are protected REGARDLESS of age —
+        # WAP's audit window is unbounded, so the orphan grace alone
+        # cannot cover its stage (r14; an audit outlasting the grace
+        # previously let vacuum delete the stage and the publish brick
+        # the table). A marker older than the TTL (or torn — markers
+        # write atomically, so torn = crashed writer debris) is itself
+        # deleted and its protection lapses; the files then fall to
+        # the normal never-referenced rules. TTL freshness uses the
+        # marker file's STORE mtime, same clock the grace compares.
+        staged_protect: set[str] = set()
+        for mf, mtime in mtimes("_stage").items():
+            expired = now_ms - mtime > marker_ttl_ms
+            rec = None
+            if not expired:
+                try:
+                    rec = json.loads(self._read_text(spark, "_stage", mf))
+                    files_of = set(rec.get("files", []))
+                except Exception:
+                    rec = None
+            if rec is None:
+                fs.delete(self._jp(jvm, "_stage", mf), False)
+                continue
+            staged_protect |= files_of
+
         deleted = []
         for f, mtime in mtimes("data").items():
             if f in live:
                 continue
-            if f not in ever and now_ms - mtime < grace_ms:
-                continue  # possibly a live writer's pre-publish stage
+            if f not in ever:
+                if f in staged_protect:
+                    continue  # a marked WAP stage, however old
+                if now_ms - mtime < grace_ms:
+                    continue  # possibly a live writer's pre-publish stage
             fs.delete(self._jp(jvm, "data", f), False)
             deleted.append(f)
         for f, mtime in mtimes("deletes").items():
