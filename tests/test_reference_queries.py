@@ -102,13 +102,14 @@ def test_registry_rotation_contract():
     assert len(names) == len(set(names)), "duplicate registry names"
     oracles = registry.oracle_sql()
     assert set(oracles) == set(names), "every query needs an oracle twin"
-    # r13 state: _FRONT again carries 51 names (the r12 truncation
-    # casualty q21_waiting_suppliers re-fronts alongside the r10
-    # cohort); its tail (embedding_norm_audit) is this round's
-    # accepted casualty and must lead the r14 front. _BACK is the full
-    # r12-verified 50.
-    assert len(registry._FRONT) + len(registry._BACK) == 101
-    assert 49 <= len(registry._BACK) <= 50
+    # r14 state: the truncation cascade self-resolved — _FRONT is
+    # exactly the 50-slot window (embedding_norm_audit, the r13
+    # casualty, leads; the r11-verified 49 follow) and _BACK is the
+    # full r13-verified 50. From r15 the rotation is a clean 3-round
+    # cycle: both lists stay at exactly 50.
+    assert len(registry._FRONT) == 50
+    assert registry._FRONT[0] == "embedding_norm_audit"
+    assert len(registry._BACK) == 50
     assert not set(registry._FRONT) & set(registry._BACK)
     missing = (set(registry._FRONT) | set(registry._BACK)) - set(names)
     assert not missing, f"rotation lists name unregistered queries: {missing}"
