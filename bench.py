@@ -135,9 +135,21 @@ def main() -> None:
         n for n in qs if n not in HEADLINE
     ]
 
+    # Setup is untimed by the per-query meters but ATTRIBUTED in the
+    # sidecar (setup_sec, r14): a wall regression with flat timed
+    # sections previously left ~200s of artifact-building and warm-up
+    # unexplained — run-over-run triage should be arithmetic over
+    # named steps, not archaeology.
+    setup_sec: dict[str, float] = {}
+
+    def _setup(label: str, fn, *args) -> None:
+        t0 = time.time()
+        fn(*args)
+        setup_sec[label] = round(time.time() - t0, 3)
+
     # warm the JVM/file-listing path once so per-query numbers measure
     # query execution, not first-touch initialization
-    qs[names[0]](spark, sf_dir).count()
+    _setup("warm_first_query", lambda: qs[names[0]](spark, sf_dir).count())
 
     # materialize the demo artifacts (ANN index, Z-order twins,
     # manifest snapshots, bucketed tables, format copies) untimed —
@@ -146,24 +158,30 @@ def main() -> None:
     from yc_yq_airflow_etl_spark.plans import analytics as _an
     from yc_yq_airflow_etl_spark.plans import llm_queries as _lq
 
-    _lq._ensure_ann_index(spark, sf_dir)
+    _setup("ann_index", _lq._ensure_ann_index, spark, sf_dir)
     # simhash pair set + cluster assignment: six registry queries sit
     # downstream of this one fixture pipeline; building it untimed
     # here means dedup_ngram_jaccard/dedup_clusters/
     # dedup_canonical_corpus/cluster_aware_splits/pagerank_doc_ranks
     # time their own decision logic, not a rebuild of the same pairs
     # (dedup_simhash_pairs stays un-memoized and times the pipeline)
-    _lq.ensure_simhash_artifacts(spark, sf_dir)
-    _an.ensure_zorder_demo(spark, sf_dir)
-    _an.ensure_manifest_demo(spark, sf_dir)
-    _an.ensure_manifest_stats_demo(spark, sf_dir)
-    _an.ensure_manifest_bucket_demo(spark, sf_dir)
-    _an.ensure_manifest_specevo_demo(spark, sf_dir)
-    _an.ensure_schema_evolution_demo(spark, sf_dir)
-    _an.ensure_cdf_demo(spark, sf_dir)
-    _an.ensure_bucketed_demo(spark, sf_dir)
-    _an.ensure_formats_demo(spark, sf_dir)
-    _an.ensure_merge_base_demo(spark, sf_dir)
+    _setup("simhash_artifacts", _lq.ensure_simhash_artifacts, spark, sf_dir)
+    _setup("zorder_demo", _an.ensure_zorder_demo, spark, sf_dir)
+    _setup("manifest_demo", _an.ensure_manifest_demo, spark, sf_dir)
+    _setup("manifest_stats_demo", _an.ensure_manifest_stats_demo, spark, sf_dir)
+    _setup(
+        "manifest_bucket_demo", _an.ensure_manifest_bucket_demo, spark, sf_dir
+    )
+    _setup(
+        "manifest_specevo_demo", _an.ensure_manifest_specevo_demo, spark, sf_dir
+    )
+    _setup(
+        "schema_evolution_demo", _an.ensure_schema_evolution_demo, spark, sf_dir
+    )
+    _setup("cdf_demo", _an.ensure_cdf_demo, spark, sf_dir)
+    _setup("bucketed_demo", _an.ensure_bucketed_demo, spark, sf_dir)
+    _setup("formats_demo", _an.ensure_formats_demo, spark, sf_dir)
+    _setup("merge_base_demo", _an.ensure_merge_base_demo, spark, sf_dir)
 
     meter = _StageMeter(spark)
     timings: dict[str, float] = {}
@@ -309,6 +327,7 @@ def main() -> None:
     from yc_yq_airflow_etl_spark.sources.generator import generate_payments
 
     workdir = tempfile.mkdtemp(prefix="bench_refscale_")
+    t0 = time.time()
     payments = generate_payments(spark, minutes=2675520)
     boundary = F.lit("2023-01-01").cast("timestamp")
     hot = payments.filter(F.col("payment_date") >= boundary).cache()
@@ -321,6 +340,9 @@ def main() -> None:
         .parquet(cold_path)
     )
     cold = spark.read.parquet(cold_path).drop("payment_year")
+    setup_sec["reference_scale_generate_and_export"] = round(
+        time.time() - t0, 3
+    )
     t0 = time.time()
     rows = federated_counts_by_year(hot, cold).collect()
     timings["reference_scale_federation_2675520_rows"] = round(time.time() - t0, 3)
@@ -342,7 +364,9 @@ def main() -> None:
 
     lake = LakeTable(f"{workdir}/recon_lake")
     lo, hi = datetime(2020, 1, 1), datetime(2021, 1, 1)
-    load_year(payments, lake, lo, hi)  # setup, untimed
+    t0 = time.time()
+    load_year(payments, lake, lo, hi)  # setup: untimed by meters, attributed
+    setup_sec["reference_scale_load_year"] = round(time.time() - t0, 3)
     t0 = time.time()
     diff = reconcile_year(spark, payments, lake, lo, hi)
     recon_first = round(time.time() - t0, 3)
@@ -489,6 +513,7 @@ def main() -> None:
         "sf": float(sf) if sf else None,
         "merge_mode_compare": mm,
         "evolved_read_compare": ev,
+        "setup_sec": setup_sec,
     }
 
     # 10x scale datapoint for the dedup/ANN family: blow documents/

@@ -64,6 +64,58 @@ def test_minhash_finds_near_dup_and_estimates_jaccard(docs):
     assert not any(4 in k for k in got)
 
 
+def test_dedup_survives_partitions_of_only_degenerate_docs(spark):
+    """A partition whose docs are ALL unusable (NULL text, empty,
+    fewer than shingle_k words) previously killed the whole job: the
+    signature generator yielded an empty pandas frame whose default
+    float64 columns Arrow cannot convert to array<string>/array<long>
+    ("NumPyConverter doesn't implement <list<element: string>>" —
+    found r14 by the degenerate-input sweep, mutation-verified red
+    with the non-empty-yield guard removed). Real ingests contain
+    short and NULL docs; dedup must skip them, not crash."""
+    from yc_yq_airflow_etl_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_lsh_pairs,
+        simhash,
+    )
+
+    degenerate = spark.createDataFrame(
+        [
+            (0, None),
+            (1, ""),
+            (2, "   "),
+            (3, "a"),
+            (4, "one two"),  # 2 words < shingle_k=3
+        ],
+        "doc_id long, text string",
+    ).repartition(4)
+    # every partition is all-skipped → result must be EMPTY, not a crash
+    assert minhash_lsh_pairs(degenerate).count() == 0
+    assert simhash(degenerate.filter("text IS NOT NULL")).count() == 4
+    # incremental: degenerate batch against a real index, and vice versa
+    real = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    assert incremental_minhash_dedup(real, degenerate).count() == 0
+    assert incremental_minhash_dedup(degenerate, real).count() == 0
+    # mixed frame: the valid pair still surfaces alongside the debris
+    mixed = degenerate.unionByName(
+        spark.createDataFrame(
+            [
+                (11, "alpha beta gamma delta epsilon zeta"),
+                (12, "alpha beta gamma delta epsilon zeta eta"),
+            ],
+            "doc_id long, text string",
+        )
+    ).repartition(5)
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(mixed, jaccard_threshold=0.3).collect()
+    }
+    assert got == {(11, 12)}
+
+
 def test_simhash_deterministic_and_locality(spark, docs):
     fp = {r.doc_id: r.simhash for r in simhash(docs).collect()}
     fp2 = {r.doc_id: r.simhash for r in simhash(docs).collect()}

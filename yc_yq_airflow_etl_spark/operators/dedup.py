@@ -173,7 +173,16 @@ def _signatures_pandas(
                 ids.append(doc_id)
                 shs.append(shingles)
                 sigs.append(sig)
-            yield pd.DataFrame({"_id": ids, "_sh": shs, "_sig": sigs})
+            # yield ONLY non-empty frames: a batch whose rows were all
+            # skipped (NULL text, fewer than shingle_k words) would
+            # build empty FLOAT64 columns, and Arrow cannot convert an
+            # empty float64 ndarray to array<string>/array<long> —
+            # pyarrow raises "NumPyConverter doesn't implement
+            # <list<element: string>>" and the whole job dies on the
+            # one partition of short docs (found r14 by the
+            # degenerate-input sweep; pinned in tests/test_llm_ops.py)
+            if ids:
+                yield pd.DataFrame({"_id": ids, "_sh": shs, "_sig": sigs})
 
     return df.select(id_col, text_col).mapInPandas(gen, schema)
 
@@ -648,7 +657,11 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
                     fp |= np.uint64(1) << np.uint64(b)
                 ids.append(doc_id)
                 fps.append(int(fp.astype(np.int64)))  # two's complement
-            yield pd.DataFrame({id_col: ids, "simhash": fps})
+            # same all-rows-skipped guard as _signatures_pandas: an
+            # empty frame's default float64 columns depend on Arrow's
+            # tolerance for the target type — don't rely on it
+            if ids:
+                yield pd.DataFrame({id_col: ids, "simhash": fps})
 
     return _spread(df, id_col).select(id_col, text_col).mapInPandas(gen, schema)
 
