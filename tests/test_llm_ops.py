@@ -133,6 +133,68 @@ def test_simhash_pairs_pigeonhole(docs):
     assert pairs[(1, 2)] == 0 and pairs[(1, 5)] == 0 and pairs[(2, 5)] == 0
 
 
+def test_similarity_survives_corrupt_vectors_and_ranks_them_last(spark):
+    """One corrupt embedding row must never kill or poison a
+    corpus-scale job (r14 sweep; all mutation-verified red on the
+    unguarded code):
+
+    - wrong-dim / empty vectors crashed np.vstack inside the sign
+      sketch, the pair verifier, and the IVF assignment ("all the
+      input array dimensions ... must match exactly") — one bad row
+      took down the whole LSH/IVF job;
+    - a wrong-dim vector among the k lowest ids poisoned IVF training
+      with a ragged centroid matrix;
+    - NaN/Inf components made the cosine NaN, and Spark sorts NaN
+      ABOVE every real double — the corrupt row ranked FIRST in every
+      descending top-k (the same failure mode as the r13 zero-norm
+      find, by a different route: NaN passes the den > 0 guard
+      because Spark treats NaN as greatest).
+
+    Contract: corrupt vectors score NULL, sort last, and never enter
+    an index; embedding_norm_audit is the tool that FINDS them, so
+    the operators must tolerate what the audit exists to detect."""
+    from yc_yq_airflow_etl_spark.operators.dedup import (
+        embedding_cosine_dupes,
+    )
+    from yc_yq_airflow_etl_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        train_ivf_centroids,
+    )
+
+    nan, inf = float("nan"), float("inf")
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0, 3.0, 4.0]),
+            (1, [0.0] * 4),          # zero norm (r13)
+            (2, None),               # NULL
+            (3, []),                 # empty
+            (4, [1.0, 2.0]),         # wrong dim
+            (5, [nan] * 4),          # NaN components
+            (6, [inf] * 4),          # Inf components
+            (7, [1.0, 2.0, 3.0, 4.1]),  # near dup of 0
+        ],
+        "vec_id long, embedding array<double>, label int".replace(
+            ", label int", ""
+        ),
+    ).repartition(4)
+    top = brute_force_topk(emb, [1.0, 2.0, 3.0, 4.0], k=3).collect()
+    assert [r.vec_id for r in top] == [0, 7] or [r.vec_id for r in top[:2]] == [0, 7]
+    assert top[0].cosine == 1.0  # corrupt rows never outrank real ones
+    assert all(r.cosine is not None for r in top[:2])
+    # LSH survives the same corpus and only real vectors can match
+    got = lsh_topk(emb, [1.0, 2.0, 3.0, 4.0], k=5)
+    assert {r.vec_id for r in got.collect()} <= {0, 1, 7}
+    # pair dedup survives and links exactly the real near-dup pair
+    pairs = embedding_cosine_dupes(emb, threshold=0.9)
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(0, 7)}
+    # IVF training excludes corrupt rows instead of building a ragged
+    # centroid matrix (vec_id 4's dim-2 vector sits among the lowest
+    # ids, exactly where deterministic init would have picked it up)
+    cents = train_ivf_centroids(emb, k_clusters=2, iters=2)
+    assert len(cents) == 2 and all(len(c) == 4 for c in cents)
+
+
 def test_lsh_topk_subset_of_bruteforce_scores(spark, testdata):
     emb = testdata["embeddings"]
     q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]

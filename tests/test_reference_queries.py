@@ -199,3 +199,36 @@ def test_round6_helper_is_cross_engine_exact_on_divergent_grid(spark):
         .first()
     )
     assert null_row.f is None
+    # Non-finite passthrough (r14): Spark's floor casts to LONG, so an
+    # unguarded floor form silently turns NaN into 0.0 and ±Inf into
+    # ±LONG_MAX/1e6 while DuckDB's yields NaN/±Inf — round6 must pass
+    # non-finite doubles through so the engines stay bit-identical on
+    # EVERY input, not just finite ones.
+    import math
+
+    nf = {
+        row.v: row.f
+        for row in spark.createDataFrame(
+            [(float("nan"),), (float("inf"),), (float("-inf"),)], "v double"
+        )
+        .select("v", round6("v").alias("f"))
+        .collect()
+        if not math.isnan(row.v)
+    }
+    assert nf[float("inf")] == float("inf")
+    assert nf[float("-inf")] == float("-inf")
+    nan_f = (
+        spark.createDataFrame([(float("nan"),)], "v double")
+        .select(round6("v").alias("f"))
+        .first()
+        .f
+    )
+    assert math.isnan(nan_f)
+    duck_nf = duckdb.sql(
+        "SELECT floor(v * 1e6 + 0.5) / 1e6 AS f FROM (SELECT unnest("
+        "[CAST('nan' AS DOUBLE), CAST('inf' AS DOUBLE), "
+        "CAST('-inf' AS DOUBLE)]) AS v) ORDER BY f"
+    ).fetchall()
+    assert math.isnan(duck_nf[-1][0])  # DuckDB sorts NaN last
+    assert duck_nf[0][0] == float("-inf")
+    assert duck_nf[1][0] == float("inf")

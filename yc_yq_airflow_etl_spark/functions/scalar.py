@@ -73,9 +73,17 @@ def round6(col: Column | str) -> Column:
     ratios) use on BOTH sides. Oracles use :data:`ROUND6_SQL`.
     NULL-safe (floor(NULL) is NULL); only for |x| small enough that
     x*1e6 stays well under 2^53 — cosines and ratios trivially are.
+
+    Non-finite passthrough (r14): Spark's ``floor`` casts to LONG, so
+    floor(NaN) is 0 and floor(±Inf) clamps to ±LONG_MAX — a corrupt
+    NaN cosine would silently become 0.0 while DuckDB's floor form
+    yields NaN/±Inf naturally. NaN/±Inf therefore pass through
+    unchanged, keeping the two engines bit-identical on EVERY double.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+    return F.when(
+        F.isnan(c) | (F.abs(c) == float("inf")), c
+    ).otherwise(F.floor(c * 1e6 + F.lit(0.5)) / 1e6)
 
 
 def round6_sql(expr: str) -> str:

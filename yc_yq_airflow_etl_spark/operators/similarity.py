@@ -57,9 +57,18 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     embedding in the corpus would rank FIRST in every descending
     top-k. NULL sorts last under desc (nulls-last default), i.e. below
     every defined score — a zero vector can only surface when there
-    are fewer than k defined candidates."""
+    are fewer than k defined candidates.
+
+    Non-finite guard (r14): vectors carrying NaN/±Inf components (the
+    corruption embedding_norm_audit counts in ``n_nonfinite``) make
+    the ratio NaN by a different route — Spark treats NaN as GREATER
+    than any value, so ``den > 0`` passes and the NaN score again
+    tops every descending top-k. A NaN result is as directionless as
+    a zero vector: NULL, sorts last. Matches cosine_pairs_vectorized,
+    whose numpy path already converts non-finite results to NULL."""
     den = l2_norm(a) * l2_norm(b)
-    return F.when(den > 0, dot(a, b) / den)
+    r = dot(a, b) / den
+    return F.when((den > 0) & ~F.isnan(r), r)
 
 
 def cosine_pairs_vectorized(a: Column, b: Column) -> Column:
@@ -78,10 +87,21 @@ def cosine_pairs_vectorized(a: Column, b: Column) -> Column:
         # NULL on either side -> NULL cosine (np.vstack over a Series
         # containing None raises and would kill the task); zero-norm
         # vectors also -> NULL, matching cosine_similarity's guard
-        # (NaN would sort above every real score in a desc top-k)
-        mask = (va.notna() & vb.notna()).to_numpy()
+        # (NaN would sort above every real score in a desc top-k).
+        # Length-mismatched or empty pairs -> NULL too: np.vstack over
+        # MIXED lengths raises and ONE corrupt row (wrong-dim vector —
+        # exactly what embedding_norm_audit exists to find) would kill
+        # the whole verify job (r14 sweep); pairs are processed per
+        # common length, deterministic row-by-row.
+        la = va.apply(lambda v: -1 if v is None else len(v)).to_numpy()
+        lb = vb.apply(lambda v: -1 if v is None else len(v)).to_numpy()
         out = np.full(len(va), np.nan)
-        if mask.any():
+        for dim in np.unique(la):
+            if dim <= 0:
+                continue
+            mask = (la == dim) & (lb == dim)
+            if not mask.any():
+                continue
             x = np.vstack(va[mask].to_numpy()).astype(np.float64)
             y = np.vstack(vb[mask].to_numpy()).astype(np.float64)
             num = np.einsum("ij,ij->i", x, y)
@@ -177,12 +197,21 @@ def sign_sketch(vec: Column, planes: int = 8, seed: int = 42) -> Column:
         # containing None raises, killing the task): the NULL sketch
         # then drops out of any hamming comparison naturally, matching
         # brute_force_topk's NULL-cosine-sorts-last tolerance.
-        mask = vecs.notna().to_numpy()
+        # Mixed-length batches are processed PER LENGTH (np.vstack over
+        # ragged rows raises, so one wrong-dim vector — the corruption
+        # embedding_norm_audit exists to find — killed the whole LSH
+        # job, r14 sweep); empty vectors sketch NULL. Each row's sketch
+        # depends only on its own values, so per-length grouping is
+        # deterministic under any partitioning.
+        lens = vecs.apply(lambda v: -1 if v is None else len(v)).to_numpy()
         out = pd.array([None] * len(vecs), dtype="Int32")
-        if mask.any():
+        for dim in np.unique(lens):
+            if dim <= 0:
+                continue
+            mask = lens == dim
             x = np.vstack(vecs[mask].to_numpy()).astype(np.float64)
             xq = _quantize_micro(x)
-            planes_mat = _rademacher(planes, x.shape[1], seed)  # (p, dim)
+            planes_mat = _rademacher(planes, int(dim), seed)  # (p, dim)
             bits = (xq @ planes_mat.T) > 0  # (n, p)
             out[mask] = (bits @ weights).astype("int32")
         return pd.Series(out)
@@ -276,6 +305,25 @@ def train_ivf_centroids(
     base = df.select(
         F.col(id_col).alias("_id"), quantize_vec(F.col(vec_col)).alias("_v")
     ).filter(F.col("_v").isNotNull()).persist(StorageLevel.MEMORY_AND_DISK)
+    # dimension contract (r14): train on the dimension of the
+    # lowest-id vector (deterministic) and EXCLUDE vectors of any
+    # other length — a single wrong-dim row (the corruption
+    # embedding_norm_audit exists to find) otherwise poisons the init
+    # collect with a ragged centroid matrix and kills every
+    # assignment matmul downstream.
+    first = base.orderBy("_id").select(F.size("_v").alias("_d")).first()
+    if first is None:
+        base.unpersist(blocking=False)
+        raise ValueError(
+            "train_ivf_centroids: no non-NULL vectors to train on"
+        )
+    dim0 = int(first._d)
+    homogeneous = base.filter(F.size("_v") == dim0)
+    if homogeneous is not base:
+        pruned = homogeneous.persist(StorageLevel.MEMORY_AND_DISK)
+        pruned.count()
+        base.unpersist(blocking=False)
+        base = pruned
     centroids = [
         [int(x) for x in r._v]
         for r in base.orderBy("_id").limit(k_clusters).collect()
@@ -314,7 +362,12 @@ def train_ivf_centroids(
                 "_c", _nearest_centroid(F.col("_v"), centroids)
             )
             new = (
-                assigned.groupBy("_c")
+                # _c IS NOT NULL: an unassignable row (NULL handled by
+                # the base filter; belt-and-braces for any future NULL
+                # path) would otherwise form a NULL group whose
+                # cluster_mean dies at int(None)
+                assigned.filter(F.col("_c").isNotNull())
+                .groupBy("_c")
                 .applyInPandas(cluster_mean, mean_schema)
                 .collect()
             )
@@ -341,8 +394,14 @@ def _nearest_centroid(v: Column, centroids: list[list[int]]) -> Column:
     @pandas_udf(T.IntegerType())
     def assign(vecs: pd.Series) -> pd.Series:
         # NULL embeddings -> NULL assignment (dropped from the index
-        # build rather than crashing the task in np.vstack)
-        mask = vecs.notna().to_numpy()
+        # build rather than crashing the task in np.vstack); vectors
+        # whose length differs from the centroid dim -> NULL too (they
+        # cannot be assigned, and one wrong-dim row would otherwise
+        # kill the task in the matmul — r14 sweep)
+        dim = cmat.shape[1]
+        mask = vecs.apply(
+            lambda v: v is not None and len(v) == dim
+        ).to_numpy()
         out = pd.array([None] * len(vecs), dtype="Int32")
         if mask.any():
             x = np.vstack(vecs[mask].to_numpy()).astype(np.int64)
