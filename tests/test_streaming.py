@@ -403,6 +403,58 @@ def test_spend_alerts_state_across_microbatches(spark, tmp_path):
     assert {r.user_id for r in rows} == {7}
 
 
+def test_spend_alerts_survive_poison_pill_events(spark, tmp_path):
+    """A malformed event — NaN/NULL value or NULL ts — must be DROPPED,
+    not kill the stateful query: inside the state function
+    int(round(NaN * 100)) raises, the streaming query dies, and a
+    restart replays the SAME micro-batch into the same death — one
+    poison event permanently wedges the pipeline (r14 sweep;
+    mutation-verified red with the wrapper filter removed: this test
+    raises StreamingQueryException on the unguarded code). Valid
+    events in the same batch still alert correctly."""
+    from datetime import datetime
+
+    from yc_yq_airflow_etl_spark.streaming.stateful import user_spend_alerts
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t1 = datetime(2024, 1, 1, 10, 0, 0)
+    # a corrupt upstream does not honor our nullability contract —
+    # write the poison batch under an all-nullable copy of EVENTS
+    from pyspark.sql import types as T
+
+    dirty = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in EVENTS.fields]
+    )
+    spark.createDataFrame(
+        [
+            (1, t1, 7, "purchase", 150.0, None),          # real: 15000
+            (2, t1, 7, "purchase", float("nan"), None),   # poison: NaN
+            (3, t1, 7, "purchase", None, None),           # poison: NULL value
+            (4, None, 7, "purchase", 100.0, None),        # poison: NULL ts
+            (5, t1, 7, "purchase", 100.0, None),          # real: +10000 → 25000
+        ],
+        dirty,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = read_file_stream(spark, src, dirty, max_files_per_trigger=1)
+    q = (
+        user_spend_alerts(stream, threshold_cents=20_000)
+        .writeStream.format("memory")
+        .queryName("spend_poison")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM spend_poison").collect()
+    # the two REAL purchases total 25000 → exactly one level-1 alert;
+    # the three malformed rows contribute nothing and kill nothing
+    assert [(r.alert_level, r.cum_cents) for r in rows] == [(1, 25_000)]
+
+
 def test_stream_stream_left_outer_join(spark, testdata, tmp_path):
     """LEFT OUTER stream-stream join under live micro-batches:
     unmatched clicks emit with NULL purchase columns only via

@@ -65,7 +65,16 @@ def _track(
 def user_activity_tracker(events: DataFrame) -> DataFrame:
     """Attach the running per-user tracker to an event stream (or a
     batch DataFrame in tests via a single 'micro-batch'). Emits one
-    updated row per user per micro-batch (update mode)."""
+    updated row per user per micro-batch (update mode). Malformed
+    events (NULL ts, non-finite value) are dropped before the
+    stateful function — same poison-pill rationale as
+    :func:`user_spend_alerts`."""
+    events = events.filter(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
+    )
     return events.groupBy("user_id").applyInPandasWithState(
         _track,
         outputStructType=TRACKER_OUTPUT,
@@ -149,9 +158,24 @@ def user_spend_alerts(
 
     Works over a stream (state persists across micro-batches) or a
     batch DataFrame (single state lifetime — the oracle-checkable
-    face, registered as ``stateful_spend_alerts``)."""
-    purchases = events.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts", "value"
+    face, registered as ``stateful_spend_alerts``).
+
+    Malformed events — NULL/NaN/±Inf value, NULL ts — are DROPPED
+    before the stateful function (JVM-side filter, r14): inside the
+    function, int(round(NaN * 100)) raises, the streaming query dies,
+    and the restart replays the SAME micro-batch into the same death —
+    one poison-pill event permanently wedges the pipeline. Cleansing
+    malformed rows is the admission gate's job; a stateful alerting
+    operator must tolerate them."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & ~F.isnan("value")
+            & (F.abs("value") != float("inf"))
+        )
+        .select("user_id", "event_id", "ts", "value")
     )
     return purchases.groupBy("user_id").applyInPandasWithState(
         _make_spend_alert_fn(threshold_cents),
@@ -234,7 +258,16 @@ def user_inactivity_alerts(
     of event time: (user_id, n_events, last_ts_epoch) at the moment
     the watermark passes their silence deadline. The state (two longs
     per key) is removed on emission — churned keys cost nothing."""
-    w = events.withWatermark("ts", watermark).select("user_id", "ts")
+    # NULL-ts rows carry no event time: they can neither advance the
+    # watermark nor define "silence", and a key whose only rows are
+    # NULL-ts would arm a timer at epoch+gap — behind the watermark,
+    # which Spark rejects, killing the query (same poison-pill shape
+    # as the NaN value in user_spend_alerts)
+    w = (
+        events.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
+        .select("user_id", "ts")
+    )
     return w.groupBy("user_id").applyInPandasWithState(
         _make_inactivity_fn(gap_seconds),
         outputStructType=INACTIVITY_OUTPUT,
