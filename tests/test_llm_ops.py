@@ -326,6 +326,41 @@ def test_wav_codec_roundtrip():
         decode_wav(encode_wav_pcm16(samples)[:20])
 
 
+def test_media_feature_extraction_quarantines_corrupt_payloads(spark):
+    """One corrupt media payload (truncated RIFF, NULL bytes) must not
+    kill a corpus-scale feature pass with a context-free parser error
+    (r14 sweep): the default failure now NAMES the offending media_id,
+    and on_error='skip' quarantines the row and keeps the job alive —
+    quarantined ids are the anti-join of input and output."""
+    import numpy as np
+    import pytest as _pytest
+
+    from yc_yq_airflow_etl_spark.operators.multimodal import (
+        encode_wav_pcm16,
+        extract_wav_features,
+    )
+
+    good = encode_wav_pcm16(np.array([0, 100, -100], dtype=np.int16))
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(good)),
+            (2, bytearray(good[:20])),  # truncated container
+            (3, None),                  # NULL payload
+            (4, bytearray(b"not a riff file at all")),
+        ],
+        "media_id long, payload binary",
+    ).repartition(2)
+    # default: loud failure that says WHICH media is corrupt
+    with _pytest.raises(Exception, match="media_id="):
+        extract_wav_features(media).collect()
+    # skip: valid rows survive, corrupt ones quarantine
+    rows = extract_wav_features(media, on_error="skip").collect()
+    assert {r.media_id for r in rows} == {1}
+    assert rows[0].n_samples == 3
+    with _pytest.raises(ValueError, match="on_error"):
+        extract_wav_features(media, on_error="typo")
+
+
 def test_ppm_codec_roundtrip_and_comments():
     import numpy as np
 

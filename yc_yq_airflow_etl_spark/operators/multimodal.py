@@ -207,20 +207,19 @@ def _with_payload(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf[pdf["payload"].notna()]
 
 
-def extract_wav_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched REAL decode of WAV payloads → integer features."""
+def extract_wav_features(media: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Arrow-batched REAL decode of WAV payloads → integer features.
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            pdf = _with_payload(pdf)
-            if not len(pdf):
-                continue
-            rows = [decode_wav(p) for p in pdf["payload"]]
-            out = pd.DataFrame(rows)
-            out.insert(0, "media_id", pdf["media_id"].values)
-            yield out
-
-    return media.mapInPandas(run, schema=WAV_FEATURE_SCHEMA)
+    ``on_error``: ``"raise"`` (default) fails the job on the first
+    undecodable payload, with the offending ``media_id`` in the error
+    (a bare wave.Error out of a 100 TB corpus is otherwise
+    unfindable); ``"skip"`` drops corrupt rows and keeps the job alive
+    — the corpus-curation mode, where one truncated upload must not
+    kill the whole feature pass. Quarantined ids are the anti-join of
+    input and output media_id."""
+    return _extract_decoded(
+        media, decode_wav, WAV_FEATURE_SCHEMA, on_error, "WAV"
+    )
 
 
 # --------------------------------------------------------------------
@@ -351,20 +350,52 @@ def synthesize_ppm_corpus(ids: DataFrame) -> DataFrame:
     return ids.mapInPandas(gen, schema="media_id long, payload binary")
 
 
-def extract_ppm_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched REAL decode of P6 payloads → integer features."""
+def extract_ppm_features(media: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Arrow-batched REAL decode of P6 payloads → integer features.
+    ``on_error`` as in :func:`extract_wav_features`."""
+    return _extract_decoded(
+        media, decode_ppm, PPM_FEATURE_SCHEMA, on_error, "PPM"
+    )
+
+
+def _extract_decoded(
+    media: DataFrame, decode, schema, on_error: str, what: str
+) -> DataFrame:
+    """Shared decode→features driver. One corrupt payload previously
+    killed the whole job with a context-free parser error (r14 sweep:
+    wave.Error / struct.error / ValueError with no media_id); now the
+    default failure NAMES the offending media_id, and ``on_error=
+    "skip"`` quarantines corrupt rows instead of dying — a curation
+    pass over a real corpus must survive a truncated upload."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = _with_payload(pdf)
             if not len(pdf):
                 continue
-            rows = [decode_ppm(p) for p in pdf["payload"]]
+            rows, ids = [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    if p is None:
+                        raise ValueError("NULL payload")
+                    rows.append(decode(p))
+                    ids.append(mid)
+                except Exception as e:
+                    if on_error == "raise":
+                        raise ValueError(
+                            f"undecodable {what} payload for "
+                            f"media_id={mid}: {e}"
+                        ) from e
+                    continue  # skip: quarantine the corrupt row
+            if not rows:
+                continue  # all-skipped batch: empty frame would mistype
             out = pd.DataFrame(rows)
-            out.insert(0, "media_id", pdf["media_id"].values)
+            out.insert(0, "media_id", ids)
             yield out
 
-    return media.mapInPandas(run, schema=PPM_FEATURE_SCHEMA)
+    return media.mapInPandas(run, schema=schema)
 
 
 # -- resize & video frame sampling --------------------------------------
