@@ -305,6 +305,37 @@ def test_salted_join_matches_plain_join_under_skew(spark):
         assert hot_split == plain, how
 
 
+def test_exclusion_join_nan_and_null_key_semantics_pinned(spark):
+    """Degenerate float keys in the 6-col float-bearing reconcile key
+    (r14 pin): NaN matches NaN across sides (Spark SQL defines
+    NaN = NaN as TRUE in equality and grouping, so a NaN-amount row
+    present in both stores correctly cancels), while NULL never
+    matches anything — a NULL-keyed row on either side is always
+    REPORTED as a diff (fail-closed for reconciliation: the weird row
+    gets flagged, never silently canceled; the reference pipeline
+    unwrap()s NULLs away before the join, so this only matters for
+    direct operator use). Both physical strategies must agree."""
+    from yc_yq_airflow_etl_spark.operators.joins import exclusion_join
+
+    nan = float("nan")
+    a = spark.createDataFrame(
+        [(1, 10.0), (2, nan), (3, None), (4, 40.0)], "id long, amt double"
+    )
+    b = spark.createDataFrame(
+        [(1, 10.0), (2, nan), (3, None), (5, 50.0)], "id long, amt double"
+    )
+    expect = {(3, None, "left"), (3, None, "right"), (4, 40.0, "left"),
+              (5, 50.0, "right")}
+    for strat in ("union", "anti", "auto"):
+        got = {
+            (r.id, r.amt, r.side)
+            for r in exclusion_join(
+                a, b, ["id", "amt"], tag_column="side", strategy=strat
+            ).collect()
+        }
+        assert got == expect, strat
+
+
 def test_exclusion_auto_probe_resolution(spark):
     """strategy='auto' must resolve to 'anti' on bulk-duplicate keys
     (the hot-window shape 'union' serializes on) and to 'union' on
