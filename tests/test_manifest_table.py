@@ -449,6 +449,50 @@ def test_vacuum_reads_only_present_manifests(spark, table, monkeypatch):
     assert set(calls) <= {11}, calls
 
 
+def test_ambiguous_commit_that_landed_is_skipped_on_streaming_replay(
+    spark, table, monkeypatch
+):
+    """The documented 'batch-id paths are safe to retry as-is' claim,
+    pinned end-to-end for the WORST ambiguous outcome: the manifest
+    put raises client-side but the write LANDED server-side (on S3A
+    the close() that raised IS the PUT). The sink's foreachBatch fails
+    with CommitAmbiguousError, the streaming runtime replays the SAME
+    batch id after restart — and the replay must be detected from the
+    landed manifest's high-water mark and SKIPPED before any write,
+    so rows land exactly once (a blind re-append would double them)."""
+    import pytest as _pytest
+
+    from yc_yq_airflow_etl_spark.sources.manifest import (
+        CommitAmbiguousError,
+    )
+    from yc_yq_airflow_etl_spark.streaming.manifest_sink import commit_batch
+
+    table.overwrite(_df(spark, 0, 10))
+    orig = ManifestTable._write_text_atomic
+    fired = []
+
+    def lands_then_raises(self, spark_, content, *parts):
+        ok = orig(self, spark_, content, *parts)
+        if parts[0] == "_manifests" and not fired:
+            fired.append(True)
+            raise IOError("synthetic: connection reset AFTER the put landed")
+        return ok
+
+    monkeypatch.setattr(ManifestTable, "_write_text_atomic", lands_then_raises)
+    with _pytest.raises(CommitAmbiguousError):
+        commit_batch(table, _df(spark, 100, 150), batch_id=7)
+    monkeypatch.undo()
+    # the commit DID land: rows present, HWM carries batch 7
+    assert table.read(spark).count() == 60
+    assert table.last_batch_id(spark) == 7
+    # the streaming replay of batch 7 must skip, not double-apply
+    assert commit_batch(table, _df(spark, 100, 150), batch_id=7) is False
+    assert table.read(spark).count() == 60
+    # and the NEXT batch proceeds normally
+    assert commit_batch(table, _df(spark, 150, 160), batch_id=8) is True
+    assert table.read(spark).count() == 70
+
+
 def test_streaming_into_manifest_table_exactly_once(spark, testdata, tmp_path):
     """Micro-batches land as atomic manifest commits; a replayed
     batch id (at-least-once foreachBatch after a crash) is skipped
