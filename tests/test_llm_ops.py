@@ -195,6 +195,40 @@ def test_similarity_survives_corrupt_vectors_and_ranks_them_last(spark):
     assert len(cents) == 2 and all(len(c) == 4 for c in cents)
 
 
+def test_sign_sketch_deterministic_under_partitioning_and_mixed_dims(spark):
+    """The r14 per-length batch grouping must not introduce batch-
+    composition dependence: every row's sketch is a pure function of
+    its own vector, so any repartitioning — and any interleaving of
+    wrong-dim rows into the batch — yields identical sketches."""
+    from pyspark.sql import functions as F
+
+    from yc_yq_airflow_etl_spark.operators.similarity import sign_sketch
+
+    import random
+
+    rng = random.Random(42)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ] + [(100 + i, [rng.uniform(-1, 1) for _ in range(3)]) for i in range(7)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def sketches(df):
+        return {
+            r.vec_id: r.s
+            for r in df.select(
+                "vec_id", sign_sketch(F.col("embedding")).alias("s")
+            ).collect()
+        }
+
+    base = sketches(emb.coalesce(1))
+    assert sketches(emb.repartition(7)) == base
+    assert sketches(emb.repartition(13, "vec_id")) == base
+    # dim-8 rows sketch identically whether or not dim-3 rows share
+    # their Arrow batch
+    only8 = sketches(emb.filter("vec_id < 100").coalesce(1))
+    assert {k: v for k, v in base.items() if k < 100} == only8
+
+
 def test_lsh_topk_subset_of_bruteforce_scores(spark, testdata):
     emb = testdata["embeddings"]
     q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]

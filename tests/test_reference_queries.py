@@ -232,3 +232,19 @@ def test_round6_helper_is_cross_engine_exact_on_divergent_grid(spark):
     assert math.isnan(duck_nf[-1][0])  # DuckDB sorts NaN last
     assert duck_nf[0][0] == float("-inf")
     assert duck_nf[1][0] == float("inf")
+    # the 1e4/1e2 inline floor forms (zipf slopes, expected-sample
+    # counts) are the same IEEE-stable construction at other scales —
+    # pin them on their own half-aligned grids, both signs
+    for scale, grid in ((1e4, 2e4), (1e2, 2e2)):
+        vals4 = [i / grid for i in range(1, 4000, 7)]
+        vals4 += [-v for v in vals4]
+        df4 = spark.createDataFrame([(v,) for v in vals4], "v double").select(
+            "v", (F.floor(F.col("v") * scale + F.lit(0.5)) / scale).alias("f")
+        )
+        got4 = {row.v: row.f for row in df4.collect()}
+        duck4 = duckdb.sql(
+            f"SELECT v, floor(v * {scale} + 0.5) / {scale} AS f "
+            "FROM (SELECT unnest($1::DOUBLE[]) AS v)",
+            params=[vals4],
+        ).fetchall()
+        assert all(got4[v] == f for v, f in duck4), scale
