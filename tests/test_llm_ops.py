@@ -393,6 +393,15 @@ def test_media_feature_extraction_quarantines_corrupt_payloads(spark):
     assert rows[0].n_samples == 3
     with _pytest.raises(ValueError, match="on_error"):
         extract_wav_features(media, on_error="typo")
+    # NULL payloads are fetch gaps, not decode faults: they quarantine
+    # under BOTH modes — raise mode over good+NULL rows succeeds and
+    # drops the NULL (r15, ADVICE pin)
+    good_and_null = spark.createDataFrame(
+        [(1, bytearray(good)), (3, None)], "media_id long, payload binary"
+    )
+    assert {
+        r.media_id for r in extract_wav_features(good_and_null).collect()
+    } == {1}
 
 
 def test_ppm_codec_roundtrip_and_comments():

@@ -412,6 +412,123 @@ def test_timetravel_read_racing_vacuum_fails_loud_never_partial(
         spark.conf.set("spark.sql.files.ignoreMissingFiles", old)
 
 
+def test_cdf_read_racing_vacuum_fails_loud_never_partial(spark, table):
+    """table_changes (CDF) is an exact-file-list read like every other
+    snapshot reader: under the hostile session config
+    ``spark.sql.files.ignoreMissingFiles=true``, a vacuum retiring the
+    from-version's files mid-read must cause a LOUD failure, never a
+    silently-partial change feed (a downstream incremental consumer
+    applying a partial feed diverges forever). Mutation-verified: on a
+    bare ``spark.read.option('mergeSchema', True)`` reader this test
+    returns fewer change rows instead of raising (r15, ADVICE)."""
+    import pytest as _pytest
+
+    table.overwrite(_df(spark, 0, 100))  # v0
+    table.overwrite(_df(spark, 100, 150))  # v1: 100 deletes + 50 inserts
+    cdf = table.table_changes(spark, 0, 1)  # file lists resolved NOW
+    old = spark.conf.get("spark.sql.files.ignoreMissingFiles")
+    spark.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+    try:
+        deleted = table.vacuum(spark, keep_versions=1)
+        assert deleted  # v0's files really went
+        with _pytest.raises(Exception) as ei:
+            cdf.count()
+        msg = str(ei.getrepr())
+        assert (
+            "FileNotFound" in msg
+            or "not exist" in msg
+            or "PATH_NOT_FOUND" in msg
+        )
+    finally:
+        spark.conf.set("spark.sql.files.ignoreMissingFiles", old)
+
+
+def test_wap_audit_on_vanished_stage_fails_loud_never_partial(
+    spark, table, monkeypatch
+):
+    """The WAP audit reads back the exact staged file list; if a staged
+    file vanishes between staging and the audit (vacuum after marker
+    TTL expiry, operator error), the audit must FAIL — under
+    ``ignoreMissingFiles=true`` a bare reader would silently validate
+    (and then PUBLISH a manifest referencing) a partial stage.
+    Mutation-verified: without the per-relation
+    ``ignoreMissingFiles=false`` the publish lands with the missing
+    file in its manifest (r15, ADVICE)."""
+    import pytest as _pytest
+
+    from yc_yq_airflow_etl_spark.operators import expectations as _exp
+    from yc_yq_airflow_etl_spark.operators.expectations import Rule
+
+    table.overwrite(_df(spark, 0, 50))
+    staged_names: list[str] = []
+    orig_marker = ManifestTable._write_stage_marker
+
+    def record_staged(self, spark_, files):
+        staged_names.extend(files)
+        return orig_marker(self, spark_, files)
+
+    orig_audit = _exp.audit
+    audit_validated_partial: list[bool] = []
+
+    def lose_a_file_then_audit(staged, rules):
+        # the race window: the reader is ALREADY constructed (footers
+        # read while all files were present); one staged data file
+        # disappears before the audit action scans it
+        # (repartition(2) below guarantees >=2 files)
+        os.remove(
+            os.path.join(table.path, "data", sorted(staged_names)[0])
+        )
+        out = orig_audit(staged, rules)
+        # layer pin: if this action SUCCEEDS, the audit just validated
+        # a partial stage — the WAP contract is already broken even if
+        # a later publish layer fails loud (mutation detector: the
+        # bare-reader form returns a clean report on 25 of 50 rows)
+        try:
+            out.collect()
+            audit_validated_partial.append(True)
+        except Exception:
+            pass
+        return out
+
+    monkeypatch.setattr(ManifestTable, "_write_stage_marker", record_staged)
+    monkeypatch.setattr(_exp, "audit", lose_a_file_then_audit)
+    # pin the layer: the AUDIT read must be the thing that fails —
+    # publish's own _file_stats is a loud backstop (invariant #26), but
+    # an audit that validated a partial stage has already broken the
+    # WAP contract even if a later layer saves the manifest
+    publish_attempts: list[str] = []
+    orig_publish = ManifestTable._publish_cleanly
+
+    def record_publish(self, *a, **kw):
+        publish_attempts.append("hit")
+        return orig_publish(self, *a, **kw)
+
+    monkeypatch.setattr(ManifestTable, "_publish_cleanly", record_publish)
+    old = spark.conf.get("spark.sql.files.ignoreMissingFiles")
+    spark.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+    try:
+        with _pytest.raises(Exception) as ei:
+            table.write_audit_publish(
+                _df(spark, 100, 150).repartition(2),
+                [Rule("v_even", F.col("v") % 2 == 0)],
+            )
+        msg = str(ei.getrepr())
+        assert (
+            "FileNotFound" in msg
+            or "not exist" in msg
+            or "PATH_NOT_FOUND" in msg
+        )
+    finally:
+        spark.conf.set("spark.sql.files.ignoreMissingFiles", old)
+    # nothing published, table untouched, no marker debris — and the
+    # failure came from the audit read, not a later publish backstop
+    assert audit_validated_partial == []
+    assert publish_attempts == []
+    assert table.current_version(spark) == 0
+    assert table.read(spark).count() == 50
+    assert table._list_names(spark, "_stage") == []
+
+
 def test_vacuum_reads_only_present_manifests(spark, table, monkeypatch):
     """Vacuum enumerates PRESENT manifests (one listStatus), not every
     version number since 0: on a long-lived table (streaming sink

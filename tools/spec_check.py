@@ -162,7 +162,9 @@ INVARIANTS: dict[str, tuple[str, list[str]]] = {
     "reads-never-silently-partial": (
         "every snapshot reader forces `ignoreMissingFiles` off "
         "per-relation",
-        ["test_timetravel_read_racing_vacuum_fails_loud_never_partial"],
+        ["test_timetravel_read_racing_vacuum_fails_loud_never_partial",
+         "test_cdf_read_racing_vacuum_fails_loud_never_partial",
+         "test_wap_audit_on_vanished_stage_fails_loud_never_partial"],
     ),
     "wap-stage-marker": (
         "write-audit-publish stages under a `_stage/` marker that "

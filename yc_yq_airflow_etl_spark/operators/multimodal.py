@@ -216,7 +216,13 @@ def extract_wav_features(media: DataFrame, on_error: str = "raise") -> DataFrame
     unfindable); ``"skip"`` drops corrupt rows and keeps the job alive
     — the corpus-curation mode, where one truncated upload must not
     kill the whole feature pass. Quarantined ids are the anti-join of
-    input and output media_id."""
+    input and output media_id.
+
+    NULL payloads are NOT decode errors and quarantine under BOTH
+    modes: MEDIA_SCHEMA declares payload nullable precisely because a
+    failed object-store fetch records NULL — a known, upstream,
+    anti-join-discoverable condition, not a data fault this operator
+    can diagnose (r15, ADVICE)."""
     return _extract_decoded(
         media, decode_wav, WAV_FEATURE_SCHEMA, on_error, "WAV"
     )
@@ -366,7 +372,13 @@ def _extract_decoded(
     wave.Error / struct.error / ValueError with no media_id); now the
     default failure NAMES the offending media_id, and ``on_error=
     "skip"`` quarantines corrupt rows instead of dying — a curation
-    pass over a real corpus must survive a truncated upload."""
+    pass over a real corpus must survive a truncated upload.
+
+    NULL payloads quarantine under BOTH modes (``_with_payload``,
+    before the decode loop): a NULL is a recorded fetch gap, not an
+    undecodable byte string — ``on_error`` governs decode faults
+    only (r15, ADVICE: the contract is documented here rather than
+    an unreachable in-loop None branch pretending to raise)."""
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
 
@@ -378,8 +390,6 @@ def _extract_decoded(
             rows, ids = [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    if p is None:
-                        raise ValueError("NULL payload")
                     rows.append(decode(p))
                     ids.append(mid)
                 except Exception as e:

@@ -318,9 +318,18 @@ def train_ivf_centroids(
             "train_ivf_centroids: no non-NULL vectors to train on"
         )
     dim0 = int(first._d)
-    homogeneous = base.filter(F.size("_v") == dim0)
-    if homogeneous is not base:
-        pruned = homogeneous.persist(StorageLevel.MEMORY_AND_DISK)
+    # re-persist the dim-pruned frame ONLY when wrong-dim rows exist:
+    # the clean-data probe is a limit(1) short-circuit scan, vs the
+    # full re-persist + count the dead `is not` identity check used to
+    # pay on every training call (r15, ADVICE — DataFrame.filter
+    # always returns a new object, so the old fast path never fired)
+    has_wrong_dim = (
+        base.filter(F.size("_v") != dim0).limit(1).count() > 0
+    )
+    if has_wrong_dim:
+        pruned = base.filter(F.size("_v") == dim0).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         pruned.count()
         base.unpersist(blocking=False)
         base = pruned

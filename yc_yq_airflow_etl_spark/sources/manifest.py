@@ -1178,8 +1178,14 @@ class ManifestTable:
 
         try:
             if new_files:
-                staged = spark.read.option("mergeSchema", True).parquet(
-                    *[f"{self.path}/data/{f}" for f in new_files]
+                # ignoreMissingFiles forced off (invariant #26): the
+                # audit reads an exact staged file list — under a
+                # session with ignoreMissingFiles=true a vacuum racing
+                # this audit would silently validate a PARTIAL stage.
+                staged = (
+                    spark.read.option("mergeSchema", True)
+                    .option("ignoreMissingFiles", "false")
+                    .parquet(*[f"{self.path}/data/{f}" for f in new_files])
                 )
             else:
                 staged = df.limit(0)
@@ -1857,10 +1863,13 @@ class ManifestTable:
             # and without it Spark adopts one file's schema by listing
             # order — the evolved column nondeterministically vanishes
             # and an update that only changed it cancels in exceptAll.
+            # ignoreMissingFiles forced off (invariant #26): this is an
+            # exact-file-list read; under ignoreMissingFiles=true a CDF
+            # read racing a vacuum silently DROPS change rows.
             return self._strip_dvs(
-                spark.read.option("mergeSchema", True).parquet(
-                    *[f"{self.path}/data/{f}" for f in names]
-                ),
+                spark.read.option("mergeSchema", True)
+                .option("ignoreMissingFiles", "false")
+                .parquet(*[f"{self.path}/data/{f}" for f in names]),
                 self._dv_frame(spark, m, names),
                 self._dv_rows(m, names),
             )
