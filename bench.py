@@ -294,6 +294,13 @@ def main() -> None:
                     # r13: the last >2 cold ratio without attribution
                     # (distinct-dedup collapses the hot user; linear)
                     "dau_wau_metrics",
+                    # r15: the wall-budget control set — steady walls
+                    # ALWAYS, so the control deflator compares
+                    # steady-vs-steady regardless of where the cohort
+                    # rotation puts them (q12 is already watched above)
+                    "q4_late_shipment_priority",
+                    "q14_promo_revenue",
+                    "q18_large_volume_orders",
                 )
                 if n in qs
             ]
@@ -747,6 +754,40 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+        # Attribute incremental_dedup_new_batch's steady-twin drift
+        # (r14 verdict item 6: the ratio moved 1.39→1.65-1.80 across
+        # epochs while every other twin held). The structure compare
+        # says it all: stages and shuffle bytes are BYTE-IDENTICAL in
+        # every committed sidecar since r13 (19 stages / 2336743 B),
+        # and the 10x steady wall itself FELL round-over-round
+        # (2.91→2.60→2.28 s) — the ratio rose only because the 1x
+        # steady DENOMINATOR fell faster (2.09→1.44→1.39 s). Both
+        # walls sit on a fixed ~1 s index-read + job-dispatch floor at
+        # this fixture size, so the ratio amplifies denominator noise,
+        # not scaling. Recorded per run so the next drift self-triages.
+        _idb = "incremental_dedup_new_batch"
+        _prev_idb = (
+            prev_side.get("scale_check", {}).get("queries", {}) or {}
+        ).get(_idb, {})
+        _prev_struct = (prev_side.get("structure") or {}).get(_idb)
+        _cur_struct = structure.get(_idb)
+        scale[_idb]["attribution"] = {
+            "structure_unchanged_vs_committed": (
+                _prev_struct == _cur_struct
+                if _prev_struct and _cur_struct
+                else None
+            ),
+            "prev_t_1x_steady": _prev_idb.get("t_1x_steady"),
+            "prev_t_10x_steady": _prev_idb.get("t_10x_steady"),
+            "note": (
+                "ratio drift is denominator-driven: plan structure is "
+                "unchanged vs the committed sidecar and the 10x steady "
+                "wall is flat-or-falling; the 1x steady wall sits on a "
+                "~1s fixed index-read/job-dispatch floor, so the "
+                "steady ratio amplifies 1x noise, not scaling"
+            ),
+        }
+
         # Attribute the simhash scale ratio (r5 watch item: 4.22× wall
         # at 10× data): candidate-pair volume (post-bucket-cap,
         # pre-verify) and output-pair volume at 1× and 10×, untimed.
@@ -880,39 +921,78 @@ def main() -> None:
     # FLAGGED (never fails the bench: the rig shows ±15% session
     # noise, so a flag means "re-run once idle and look", not "broken").
     bench_wall = round(time.time() - t_main0, 3)
-    prev_bench_wall = prev_side.get("bench_wall_sec")
+    prev_bench_wall = (
+        prev_side.get("bench_wall_sec")
+        if prev_side.get("sf") == out["sf"]
+        else None  # cross-SF walls are not comparable at all
+    )
     growth = (
         round(100.0 * (bench_wall / prev_bench_wall - 1.0), 1)
         if prev_bench_wall
         else None
     )
     out["bench_wall_sec"] = bench_wall
-    # Host-speed normalization: when the committed sidecar carries a
-    # canary, the growth that matters is wall growth BEYOND what the
-    # host itself slowed down by (canary ratio). A flag that survives
-    # normalization is a code/plan problem; one that normalization
-    # clears is the machine.
+    # Normalization ladder (r15, the r14 verdict's top tooling item):
+    # 1. CONTROL SET — median now/prev wall ratio of the untouched
+    #    TPC-H controls, timed inside this same parallel session, so it
+    #    sees the multi-core contention the single-thread canary
+    #    provably cannot (r14: flag at +23.3% with canary ratio 1.012
+    #    while controls moved ±40% both ways);
+    # 2. single-thread CANARY — boot-to-boot CPU drift;
+    # 3. raw growth.
+    # Whichever applies is the SOLE effective metric (r12 ADVICE).
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    )
+    from wall_budget import BENCH_CONTROLS, control_ratio
+
+    # walls are only comparable at the SAME scale factor: an sf0.01
+    # iteration run against the committed sf0.1 sidecar would read as
+    # "controls 2x faster, normalized growth +85%" — an artifact, not
+    # a regression. Cross-SF runs skip the comparison entirely.
+    same_sf = prev_side.get("sf") == out["sf"]
+    ctl_ratio, ctl_n = (
+        control_ratio(timings, prev_walls) if same_sf else (None, 0)
+    )
     canary = machine_canary_sec()
     prev_canary = prev_side.get("machine_canary_sec")
     host_ratio = (
         round(canary / prev_canary, 3) if prev_canary else None
     )
-    norm_growth = (
-        round(100.0 * (bench_wall / host_ratio / prev_bench_wall - 1.0), 1)
-        if prev_bench_wall and host_ratio
-        else None
-    )
+    if prev_bench_wall and ctl_ratio:
+        norm_growth = round(
+            100.0 * (bench_wall / ctl_ratio / prev_bench_wall - 1.0), 1
+        )
+        norm_src = "controls"
+    elif prev_bench_wall and host_ratio:
+        norm_growth = round(
+            100.0 * (bench_wall / host_ratio / prev_bench_wall - 1.0), 1
+        )
+        norm_src = "canary"
+    else:
+        norm_growth, norm_src = None, None
     out["machine_canary_sec"] = canary
     out["wall_budget"] = {
         "prev_committed_sec": prev_bench_wall,
         "growth_pct": growth,
         "host_canary_ratio": host_ratio,
-        "host_normalized_growth_pct": norm_growth,
+        "control_set": list(BENCH_CONTROLS),
+        "control_ratio": ctl_ratio,
+        "controls_paired": ctl_n,
+        "control_inflation_pct": (
+            round(100.0 * (ctl_ratio - 1.0), 1) if ctl_ratio else None
+        ),
+        "normalizer": norm_src,
+        "normalized_growth_pct": norm_growth,
+        # legacy key, kept so round-over-round sidecar diffs line up
+        "host_normalized_growth_pct": (
+            round(
+                100.0 * (bench_wall / host_ratio / prev_bench_wall - 1.0), 1
+            )
+            if prev_bench_wall and host_ratio
+            else None
+        ),
         "max_growth_pct": 20,
-        # When a canary ratio exists, the NORMALIZED growth is the
-        # sole effective metric (r12 ADVICE: OR-semantics would let a
-        # faster host mask a real plan regression — raw <= 20 passing
-        # while normalized > 20). Matches tools/wall_budget.py.
         "within_budget": (
             growth is None
             or (norm_growth if norm_growth is not None else growth) <= 20
@@ -925,19 +1005,30 @@ def main() -> None:
             f"{effective}% over the committed {prev_bench_wall}s "
             f"(effective metric "
             + (
-                f"host-normalized at canary ratio {host_ratio}; "
+                f"controls inflated "
+                f"{out['wall_budget']['control_inflation_pct']:+.1f}% "
+                f"(median of {ctl_n}), normalized growth {norm_growth}%; "
                 f"raw growth {growth}%"
-                if norm_growth is not None
-                else "raw — no canary in the committed sidecar"
+                if norm_src == "controls"
+                else f"host-normalized at canary ratio {host_ratio}; "
+                f"raw growth {growth}%"
+                if norm_src == "canary"
+                else "raw — no control/canary pair in the committed sidecar"
             )
             + "; budget 20%)",
             file=sys.stderr,
         )
     elif growth is not None and growth > 20:
         print(
-            f"# wall budget: raw growth {growth}% attributed to host "
-            f"speed (canary ratio {host_ratio}, normalized growth "
-            f"{norm_growth}%)",
+            f"# wall budget: raw growth {growth}% attributed to host — "
+            + (
+                f"controls inflated "
+                f"{out['wall_budget']['control_inflation_pct']:+.1f}% "
+                f"(median of {ctl_n}), normalized growth {norm_growth}%"
+                if norm_src == "controls"
+                else f"canary ratio {host_ratio}, normalized growth "
+                f"{norm_growth}%"
+            ),
             file=sys.stderr,
         )
 

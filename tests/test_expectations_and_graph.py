@@ -543,3 +543,54 @@ def test_normalize_entity_key_strips_tokens_not_prefixes(spark):
     assert got["Zinc"] == "zinc"
     assert got["Blinc"] == "blinc"
     assert got["The Acme Co"] == got["ACME-CO LLC"] == got["acme co, inc."] == "acmeco"
+
+
+def test_pagerank_degenerate_edges_null_selfloop_duplicate(spark):
+    """r15 degenerate-input sweep: NULL-id pairs are NON-EDGES (a NULL
+    never equi-matches, so a (NULL, b) edge receives rank mass the
+    src-side join can never pay back — ranks stop summing to 1 and a
+    ghost NULL vertex appears); self-loops and duplicate pairs are
+    legal and must not break mass conservation. Mutation-verified: on
+    the unfiltered code the NULL case emits an id=NULL row and the
+    rank sum drops below 1."""
+    pairs = spark.createDataFrame(
+        [
+            (1, 2),
+            (1, 2),        # duplicate pair
+            (2, 2),        # self-loop
+            (None, 3),     # NULL endpoint: non-edge
+            (3, None),
+            (None, None),
+        ],
+        "id_a long, id_b long",
+    )
+    got = pagerank(pairs, iterations=4).collect()
+    ids = {r.id for r in got}
+    assert ids == {1, 2}  # vertex 3 only had NULL-edges: isolated
+    assert None not in ids
+    assert math.isclose(sum(r.rank for r in got), 1.0, rel_tol=1e-9)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(pairs, damping=1.5)
+
+
+def test_connected_components_degenerate_edges(spark):
+    """r15 sweep twin for connected_components: NULL labels escape the
+    DECIMAL label sum (sum ignores NULL), so a NULL vertex breaks the
+    monotone-decrease convergence check; NULL-id pairs must be
+    non-edges. Self-loops and duplicates are harmless. Mutation-
+    verified: unfiltered, the output carries an id=NULL row."""
+    from yc_yq_airflow_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2),
+            (2, 3),
+            (2, 3),       # duplicate
+            (4, 4),       # self-loop: own component
+            (None, 5),    # non-edges
+            (5, None),
+        ],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.label for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4}

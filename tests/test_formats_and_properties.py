@@ -577,3 +577,37 @@ def test_token_packing_matches_python_reference_property(spark, lens):
         cell[1] += n
         cell[2] += i
     assert got == {k: tuple(v) for k, v in want.items()}, (lens, got)
+
+
+def test_scd2_rejects_null_key_and_null_eff_ts(spark):
+    """r15 degenerate-input sweep: a NULL business key never
+    equi-matches the open slice, so it falls to the INSERT path and
+    lands a new unmatchable open row EVERY batch (silent junk
+    accumulation); a NULL eff_ts closes the old row at valid_to=NULL —
+    i.e. leaves TWO open rows per key, the one invariant SCD2 exists
+    to hold. Both refuse loudly. Mutation-verified: the unguarded code
+    returns a frame with two open rows for key 1 under the NULL-eff_ts
+    input, and a NULL-keyed open row under the NULL-key input."""
+    from yc_yq_airflow_etl_spark.operators.scd import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "x", 10, None)],
+        "k long, attr string, valid_from int, valid_to int",
+    )
+    null_key = spark.createDataFrame(
+        [(None, "y", 20)], "k long, attr string, eff_ts int"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        scd2_apply(dim, null_key, "k", ["attr"], eff_col="eff_ts")
+    null_eff = spark.createDataFrame(
+        [(1, "y", None)], "k long, attr string, eff_ts int"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        scd2_apply(dim, null_eff, "k", ["attr"], eff_col="eff_ts")
+    # the guards reject the batch, not the operator: a clean batch
+    # against the same dim still applies
+    ok = spark.createDataFrame(
+        [(1, "y", 20)], "k long, attr string, eff_ts int"
+    )
+    out = scd2_apply(dim, ok, "k", ["attr"], eff_col="eff_ts")
+    assert out.filter(F.col("valid_to").isNull()).count() == 1

@@ -80,3 +80,58 @@ def test_view_chains_through_cow_and_mor_commits(spark, tmp_path):
     # the emptied groups are gone, not zero-rows
     grps = {r.grp for r in state.collect()}
     assert "8" not in grps and "9" not in grps
+
+
+def test_signed_delta_rejects_unknown_change_type(spark):
+    """r15 degenerate-input sweep: a change row whose _change_type is
+    neither 'insert' nor 'delete' (a Delta-style 'update_preimage', a
+    typo, a NULL) must fail the job naming the value — the old code
+    silently counted it as +1 and the view diverged forever with no
+    error to trace back. Mutation-verified red on the permissive
+    otherwise(+1) form."""
+    import pytest as _pytest
+
+    from yc_yq_airflow_etl_spark.operators.incremental import signed_delta
+
+    changes = spark.createDataFrame(
+        [("g", 1.0, "insert"), ("g", 2.0, "update_preimage")],
+        "grp string, v double, _change_type string",
+    )
+    with _pytest.raises(Exception, match="update_preimage"):
+        signed_delta(changes, ["grp"], ["v"]).collect()
+    null_type = spark.createDataFrame(
+        [("g", 1.0, None)], "grp string, v double, _change_type string"
+    )
+    with _pytest.raises(Exception, match="unknown"):
+        signed_delta(null_type, ["grp"], ["v"]).collect()
+
+
+def test_fold_fails_loud_on_negative_live_count(spark):
+    """r15 degenerate-input sweep: a delete the state never saw (a
+    double-applied batch, a feed read from the wrong version range)
+    drives a group's live count NEGATIVE — proof of corruption. The
+    old `> 0` filter silently dropped the group, erasing the evidence;
+    the fold must fail loudly instead. An exactly-zero group still
+    drops (correct full retraction). Mutation-verified: the filter-only
+    form returns an empty, healthy-looking view."""
+    import pytest as _pytest
+
+    from yc_yq_airflow_etl_spark.operators.incremental import (
+        fold_changes_into_view,
+        view_from_snapshot,
+    )
+
+    snap = spark.createDataFrame([("g", 1.0)], "grp string, v double")
+    state = view_from_snapshot(snap, ["grp"], ["v"])
+    one_delete = spark.createDataFrame(
+        [("g", 1.0, "delete")], "grp string, v double, _change_type string"
+    )
+    # full retraction: group drops cleanly
+    assert (
+        fold_changes_into_view(state, one_delete, ["grp"], ["v"]).count()
+        == 0
+    )
+    # the same delete applied TWICE: count would hit -1 — fail loud
+    twice = one_delete.unionAll(one_delete)
+    with _pytest.raises(Exception, match="negative"):
+        fold_changes_into_view(state, twice, ["grp"], ["v"]).collect()

@@ -12,7 +12,10 @@ from collections import Counter
 import pytest
 from pyspark.sql import functions as F
 
-from yc_yq_airflow_etl_spark.sources.manifest import ManifestTable
+from yc_yq_airflow_etl_spark.sources.manifest import (
+    ManifestTable,
+    WapRacedVacuumError,
+)
 
 
 @pytest.fixture()
@@ -3809,3 +3812,250 @@ def test_update_where_schemaless_snapshot_fails_loudly(spark, tmp_path):
         crc.unlink()
     with pytest.raises(ValueError, match="cannot validate"):
         t.update_where(spark, "id = 0", {"nope": F.lit(1)})
+
+
+def _backdate(path: str, days: float) -> None:
+    """Clock injection for TTL tests: push a file's store mtime into
+    the past (local fs — the same mtime vacuum's listStatus reports)."""
+    import time as _time
+
+    t = _time.time() - days * 86400.0
+    os.utime(path, (t, t))
+
+
+def test_wap_marker_refresh_after_audit_restores_vacuum_protection(
+    spark, table, monkeypatch
+):
+    """An audit that outlives the stage-marker TTL (clock-injected:
+    marker + staged files backdated 8 d > the 7 d default) loses
+    vacuum protection — but the publish REFRESHES the marker the
+    moment the audit passes, so a vacuum running in the publish window
+    sees a fresh marker and must not touch the stage; the publish then
+    lands normally. Mutation-verified: with the refresh removed, the
+    vacuum reclaims the expired marker and its files and the pre-put
+    recheck refuses the publish (r15 verdict item 3)."""
+    from pyspark.sql import functions as F
+
+    from yc_yq_airflow_etl_spark.operators import expectations as _exp
+    from yc_yq_airflow_etl_spark.operators.expectations import Rule
+
+    table.overwrite(_df(spark, 0, 50))
+
+    orig_audit = _exp.audit
+
+    def age_the_audit(staged, rules):
+        # the audit "took 8 days": everything staged so far — marker
+        # and data files alike — is older than TTL and orphan grace
+        for mf in os.listdir(os.path.join(table.path, "_stage")):
+            _backdate(os.path.join(table.path, "_stage", mf), 8)
+        v0_files = set(table._manifest(spark, 0)["files"])
+        for f in os.listdir(os.path.join(table.path, "data")):
+            if f not in v0_files:
+                _backdate(os.path.join(table.path, "data", f), 8)
+        return orig_audit(staged, rules)
+
+    orig_pub = ManifestTable._publish_cleanly
+
+    def vacuum_then_publish(self, spark_, op, rebase, data_files, dv_parts=None):
+        if op == "wap":
+            # default TTL (7 d) and grace (1 h): the 8-day-old stage is
+            # protected ONLY by the just-refreshed marker
+            ManifestTable(self.path).vacuum(spark_, keep_versions=1)
+        return orig_pub(self, spark_, op, rebase, data_files, dv_parts)
+
+    monkeypatch.setattr(_exp, "audit", age_the_audit)
+    monkeypatch.setattr(ManifestTable, "_publish_cleanly", vacuum_then_publish)
+    v, _report = table.write_audit_publish(
+        _df(spark, 100, 150), [Rule("v_even", F.col("v") % 2 == 0)]
+    )
+    assert v is not None
+    assert table.read(spark).count() == 100
+    assert table._list_names(spark, "_stage") == []
+
+
+def test_wap_preput_recheck_refuses_vacuumed_stage_loudly(
+    spark, table, monkeypatch
+):
+    """The residual window, first half: a vacuum that scanned _stage/
+    BEFORE the marker refresh deletes the TTL-expired stage after
+    _file_stats but before the manifest put. The per-attempt pre-put
+    recheck must refuse LOUDLY — no manifest referencing missing files
+    is ever committed, the table and its version counter are
+    untouched, no marker debris. Mutation-verified: with the recheck
+    stripped the publish commits a torn manifest (the post-publish
+    verify then heals, burning versions — this test's
+    current_version==0 assertion goes red either way)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from yc_yq_airflow_etl_spark.operators.expectations import Rule
+
+    table.overwrite(_df(spark, 0, 50))
+    orig_pub = ManifestTable._publish_cleanly
+
+    def vacuum_won_the_window(self, spark_, op, rebase, data_files, dv_parts=None):
+        if op == "wap":
+            # simulate the pre-refresh-scan vacuum's delete loop
+            # landing now: the staged data files vanish
+            for f in data_files:
+                os.remove(os.path.join(self.path, "data", f))
+        return orig_pub(self, spark_, op, rebase, data_files, dv_parts)
+
+    monkeypatch.setattr(ManifestTable, "_publish_cleanly", vacuum_won_the_window)
+    with _pytest.raises(FileNotFoundError, match="concurrent vacuum"):
+        table.write_audit_publish(
+            _df(spark, 100, 150), [Rule("v_even", F.col("v") % 2 == 0)]
+        )
+    assert table.current_version(spark) == 0
+    assert table.read(spark).count() == 50
+    assert table._list_names(spark, "_stage") == []
+
+
+def test_wap_postput_vacuum_heals_and_batch_replay_lands(
+    spark, table, monkeypatch
+):
+    """The residual window, second half: the vacuum's delete lands
+    AFTER the manifest put (its candidate scan predates the commit) —
+    the committed WAP manifest is a torn tombstone. Pinned properties:
+    WapRacedVacuumError raised; the table HEALS to the newest
+    materializable snapshot and stays readable; the healed commit
+    carries the CANDIDATE's high-water mark, never the torn commit's,
+    so a batch_id-keyed replay of the lost batch LANDS instead of
+    being silently skipped (the silent-data-loss shape). Mutation-
+    verified: with the post-publish verify removed, no error is raised
+    and the live table read crashes on missing files."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from yc_yq_airflow_etl_spark.operators.expectations import Rule
+
+    table.overwrite(_df(spark, 0, 50))  # v0, hwm -1
+    orig_publish = ManifestTable._publish
+
+    fired = []
+
+    def put_then_vacuum_deletes(self, spark_, files, rows, op, extra=None, rebase=None):
+        v = orig_publish(self, spark_, files, rows, op, extra=extra, rebase=rebase)
+        if op == "wap" and not fired:
+            fired.append(True)
+            m = self._manifest(spark_, v)
+            v0_files = set(self._manifest(spark_, 0)["files"])
+            for f in set(m["files"]) - v0_files:
+                os.remove(os.path.join(self.path, "data", f))
+        return v
+
+    monkeypatch.setattr(ManifestTable, "_publish", put_then_vacuum_deletes)
+    rules = [Rule("v_even", F.col("v") % 2 == 0)]
+    with _pytest.raises(WapRacedVacuumError, match="healed"):
+        table.write_audit_publish(_df(spark, 100, 150), rules, batch_id=7)
+    assert fired
+    # healed: live table readable with the BASE content
+    assert table.read(spark).count() == 50
+    # the torn version is refused descriptively, not silently partial
+    assert table.last_batch_id(spark) == -1  # hwm rolled back with the data
+    # the replay of the lost batch LANDS (no silent skip)
+    monkeypatch.setattr(ManifestTable, "_publish", orig_publish)
+    v2, _ = table.write_audit_publish(_df(spark, 100, 150), rules, batch_id=7)
+    assert v2 is not None
+    assert table.read(spark).count() == 100
+    assert table.last_batch_id(spark) == 7
+
+
+def test_compact_racing_delete_where_never_resurrects_rows(
+    spark, table, monkeypatch
+):
+    """r15 verdict item 4: a compact whose rewrite was READ before a
+    concurrent row-level delete landed must not resurrect the deleted
+    rows. The compact's rebase CAS refuses (ConcurrentWriteError) and
+    the retry on the new base materializes the delete. Both delete
+    modes stressed — merge-on-read is the dangerous shape: the
+    compact's rewritten files physically CONTAIN the rows the DV
+    killed. Mutation-verified: with compact's rebase CAS stripped the
+    pre-delete rewrite commits and ids < 20 come back from the dead
+    (count 100, not 80)."""
+    import pytest as _pytest
+
+    from yc_yq_airflow_etl_spark.sources.manifest import ConcurrentWriteError
+
+    orig_pub = ManifestTable._publish_cleanly
+    for mode in ("merge-on-read", "copy-on-write"):
+        t = ManifestTable(f"{table.path}_cvd_{mode[:3]}")
+        t.overwrite(_df(spark, 0, 100).repartition(4))  # v0, 4 files
+        fired = []
+
+        def delete_in_window(
+            self, spark_, op, rebase, data_files, dv_parts=None,
+            _t=t, _mode=mode, _fired=fired,
+        ):
+            if op == "compact" and not _fired:
+                _fired.append(True)
+                ManifestTable(_t.path).delete_where(
+                    spark_, "id < 20", mode=_mode
+                )
+            return orig_pub(self, spark_, op, rebase, data_files, dv_parts)
+
+        monkeypatch.setattr(ManifestTable, "_publish_cleanly", delete_in_window)
+        with _pytest.raises(ConcurrentWriteError, match="compact"):
+            t.compact(spark, target_files=2)
+        assert fired
+        # the delete survived the torn compact attempt
+        got = t.read(spark)
+        assert got.count() == 80
+        assert got.agg(F.min("id")).first()[0] == 20
+        # retry on the new base: the rewrite materializes the delete —
+        # same logical content, and (MOR) the DV debt is gone
+        v2 = t.compact(spark, target_files=2)
+        m2 = t._manifest(spark, v2)
+        assert not m2.get("dvs")
+        got2 = t.read(spark)
+        assert got2.count() == 80
+        assert got2.agg(F.sum("v")).first()[0] == sum(
+            2 * i for i in range(20, 100)
+        )
+        monkeypatch.setattr(ManifestTable, "_publish_cleanly", orig_pub)
+
+
+def test_delete_where_racing_compact_refuses_and_lands_on_retry(
+    spark, table, monkeypatch
+):
+    """The reverse interleaving: a delete computed against v0 while a
+    compact lands first. The delete's rebase CAS must refuse — a
+    committed delete manifest would otherwise reference v0's
+    pre-compact file list, silently undoing the compaction (and, once
+    vacuum retires those files, bricking the table). The retry on the
+    new base lands and (MOR) its DVs reference only files present in
+    the current manifest."""
+    import pytest as _pytest
+
+    from yc_yq_airflow_etl_spark.sources.manifest import ConcurrentWriteError
+
+    orig_pub = ManifestTable._publish_cleanly
+    for mode in ("merge-on-read", "copy-on-write"):
+        t = ManifestTable(f"{table.path}_dvc_{mode[:3]}")
+        t.overwrite(_df(spark, 0, 100).repartition(4))
+        fired = []
+
+        def compact_in_window(
+            self, spark_, op, rebase, data_files, dv_parts=None,
+            _t=t, _fired=fired,
+        ):
+            if op == "delete" and not _fired:
+                _fired.append(True)
+                ManifestTable(_t.path).compact(spark_, target_files=2)
+            return orig_pub(self, spark_, op, rebase, data_files, dv_parts)
+
+        monkeypatch.setattr(
+            ManifestTable, "_publish_cleanly", compact_in_window
+        )
+        with _pytest.raises(ConcurrentWriteError, match="delete"):
+            t.delete_where(spark, "id < 20", mode=mode)
+        assert fired
+        # nothing deleted by the torn attempt; the compact stands
+        assert t.read(spark).count() == 100
+        # retry on the new base
+        t.delete_where(spark, "id < 20", mode=mode)
+        got = t.read(spark)
+        assert got.count() == 80 and got.agg(F.min("id")).first()[0] == 20
+        m = t._manifest(spark, t.current_version(spark))
+        assert set(m.get("dvs", {})) <= set(m["files"])
+        monkeypatch.setattr(ManifestTable, "_publish_cleanly", orig_pub)

@@ -694,3 +694,61 @@ def test_salted_agg_sums_equal_plain_groupby_under_skew(spark):
     }
     assert got == want
     assert got["hot"][0] == 900 and got["warm"] == (1, None)
+
+
+def test_sketches_degenerate_inputs(spark):
+    """r15 degenerate-input sweep over the sketch family: NULL probe
+    keys estimate NULL, never 0 (the build filters NULL keys, so a 0
+    would be an UNDERcount for a table that did contain them —
+    violating the overcount-only contract); merge_cms() with no args
+    raises instead of IndexError; empty inputs build empty sketches
+    that probe to 0/false/exact-0 rather than crashing; NaN keys are
+    deterministic string-cast keys on both build and probe sides.
+    Mutation-verified: the pre-guard cms_estimate returns cms_est=0
+    for the NULL-key row."""
+    import pytest as _pytest
+
+    from yc_yq_airflow_etl_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+        build_cms,
+        cms_estimate,
+        kmv_sketch,
+        merge_cms,
+    )
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), (None,)], "k string"
+    )
+    cms = build_cms(df, "k")
+    probe = spark.createDataFrame([("a",), ("zz",), (None,)], "k string")
+    est = {r.k: r.cms_est for r in cms_estimate(cms, probe, "k").collect()}
+    assert est["a"] >= 2          # overcount-only
+    assert est["zz"] == 0         # genuinely unseen non-NULL key
+    assert est[None] is None      # no frequency semantics, not "0"
+
+    with _pytest.raises(ValueError, match="at least one"):
+        merge_cms()
+
+    # empty inputs: empty sketches, sane probes
+    empty = df.filter(F.lit(False))
+    assert build_cms(empty, "k").count() == 0
+    assert cms_estimate(build_cms(empty, "k"), probe.filter(
+        F.col("k").isNotNull()), "k").agg(F.max("cms_est")).first()[0] == 0
+    assert kmv_sketch(empty, "k").count() == 0
+    words = bloom_build(empty, "k")
+    got = df.filter(F.col("k").isNotNull()).filter(
+        bloom_might_contain(words, "k")
+    )
+    assert got.count() == 0  # empty filter contains nothing
+
+    # NaN keys: a deterministic key ("NaN" string-cast), consistent
+    # between build and probe — present NaN is found, absent is not
+    dnan = spark.createDataFrame(
+        [(float("nan"),), (1.0,)], "x double"
+    )
+    wn = bloom_build(dnan, "x")
+    assert dnan.filter(bloom_might_contain(wn, "x")).count() == 2
+    cn = build_cms(dnan, "x")
+    pn = cms_estimate(cn, dnan, "x").collect()
+    assert all(r.cms_est >= 1 for r in pn)

@@ -181,3 +181,138 @@ def test_suite_metric_uses_its_own_epoch_canary(tmp_path, monkeypatch):
         ],
     )
     assert rc == 0
+
+
+# ---------------------------------------------------------------------
+# r15: control-set normalization — the r14 verdict's top tooling item.
+# The single-thread canary cannot see multi-core contention (r14's
+# driver bench flagged +23.3% at canary ratio 1.012 while untouched
+# controls moved ±40% in both directions); the median wall ratio of
+# the untouched TPC-H controls, timed inside the same parallel
+# session, is the deflator that can.
+# ---------------------------------------------------------------------
+
+_CONTROLS_FLAT = {
+    "q4_late_shipment_priority": 1.0,
+    "q12_priority_by_returnflag": 0.5,
+    "q14_promo_revenue": 0.5,
+    "q18_large_volume_orders": 1.0,
+}
+
+
+def _scaled(walls, f):
+    return {k: round(v * f, 3) for k, v in walls.items()}
+
+
+def test_control_ratio_is_median_and_requires_pairing():
+    ratio, n = wall_budget.control_ratio(
+        _scaled(_CONTROLS_FLAT, 1.3), _CONTROLS_FLAT
+    )
+    assert n == 4 and ratio == 1.3
+    # median, not mean: one outlier control cannot drag the deflator
+    noisy = _scaled(_CONTROLS_FLAT, 1.3)
+    noisy["q18_large_volume_orders"] *= 10
+    ratio, n = wall_budget.control_ratio(noisy, _CONTROLS_FLAT)
+    assert n == 4 and ratio == 1.3
+    # < MIN_CONTROLS paired -> None (missing + zero walls both unpair)
+    two = {
+        "q4_late_shipment_priority": 1.2,
+        "q12_priority_by_returnflag": 0.6,
+        "q14_promo_revenue": 0.0,
+    }
+    ratio, n = wall_budget.control_ratio(two, _CONTROLS_FLAT)
+    assert ratio is None and n == 2
+    assert wall_budget.control_ratio(None, None) == (None, 0)
+
+
+def test_pure_noise_run_self_triages_via_controls(tmp_path, monkeypatch, capsys):
+    # The r14 driver-bench shape: wall +33% raw, single-thread canary
+    # FLAT (multi-core contention is invisible to it) — but the
+    # untouched controls inflated by the same 33%. The old guard
+    # flagged this; the control deflator must pass it, and the output
+    # must say so arithmetically (no more per-query archaeology).
+    rc = _run_guard(
+        tmp_path,
+        monkeypatch,
+        budget={
+            "suite_sec_per_test": 1.0,
+            "bench_wall_sec": 300.0,
+            "bench_machine_canary_sec": 0.25,
+            "bench_control_walls": _CONTROLS_FLAT,
+        },
+        sidecar={
+            "bench_wall_sec": 400.0,
+            "machine_canary_sec": 0.25,  # canary alone would FLAG
+            "queries": _scaled(_CONTROLS_FLAT, 4.0 / 3.0),
+        },
+        walls_records=_OK_WALLS,
+    )
+    assert rc == 0
+    outp = capsys.readouterr().out
+    assert "controls inflated" in outp and "normalized growth" in outp
+
+
+def test_real_regression_survives_control_normalization(
+    tmp_path, monkeypatch
+):
+    # Controls flat (the host is genuinely fine) + wall +33%: a REAL
+    # regression in the touched queries — controls must NOT absolve it,
+    # even though a slower-host canary would have (the reverse masking
+    # direction: controls outrank the canary).
+    rc = _run_guard(
+        tmp_path,
+        monkeypatch,
+        budget={
+            "suite_sec_per_test": 1.0,
+            "bench_wall_sec": 300.0,
+            "bench_machine_canary_sec": 0.25,
+            "bench_control_walls": _CONTROLS_FLAT,
+        },
+        sidecar={
+            "bench_wall_sec": 400.0,
+            "machine_canary_sec": 0.35,  # canary would have CLEARED it
+            "queries": dict(_CONTROLS_FLAT),
+        },
+        walls_records=_OK_WALLS,
+    )
+    assert rc == 1
+
+
+def test_missing_controls_fall_back_to_canary(tmp_path, monkeypatch):
+    # A budget predating r15 (no bench_control_walls) keeps the r13
+    # canary behavior: +33% wall on a 1.4x-slower host passes.
+    rc = _run_guard(
+        tmp_path,
+        monkeypatch,
+        budget={
+            "suite_sec_per_test": 1.0,
+            "bench_wall_sec": 300.0,
+            "machine_canary_sec": 0.25,
+        },
+        sidecar={"bench_wall_sec": 400.0, "machine_canary_sec": 0.35},
+        walls_records=_OK_WALLS,
+    )
+    assert rc == 0
+
+
+def test_update_records_control_walls(tmp_path, monkeypatch):
+    budget_p = tmp_path / "wall_budget.json"
+    side_p = tmp_path / "bench_structure.json"
+    side_p.write_text(
+        json.dumps(
+            {
+                "bench_wall_sec": 300.0,
+                "machine_canary_sec": 0.25,
+                "queries": dict(_CONTROLS_FLAT),
+            }
+        )
+    )
+    walls_p = tmp_path / "walls.jsonl"
+    _write_jsonl(walls_p, _OK_WALLS)
+    monkeypatch.setattr(wall_budget, "BUDGET", str(budget_p))
+    monkeypatch.setattr(wall_budget, "BENCH_SIDE", str(side_p))
+    monkeypatch.setattr(wall_budget, "WALLS", str(walls_p))
+    monkeypatch.setattr(sys, "argv", ["wall_budget.py", "--update"])
+    assert wall_budget.main() == 0
+    saved = json.loads(budget_p.read_text())
+    assert saved["bench_control_walls"] == _CONTROLS_FLAT

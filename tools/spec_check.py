@@ -172,6 +172,13 @@ INVARIANTS: dict[str, tuple[str, list[str]]] = {
         ["test_wap_audit_outliving_grace_survives_vacuum_via_stage_marker",
          "test_stage_marker_lifecycle_rejection_and_ttl_expiry"],
     ),
+    "wap-ttl-vacuum-race": (
+        "an audit that outlives the marker TTL must not produce a\n"
+        "  committed-missing-file manifest",
+        ["test_wap_marker_refresh_after_audit_restores_vacuum_protection",
+         "test_wap_preput_recheck_refuses_vacuumed_stage_loudly",
+         "test_wap_postput_vacuum_heals_and_batch_replay_lands"],
+    ),
     "mixed-bounds-widening": (
         "int bounds\nwiden to double for the probe, an int bound too "
         "wide for an exact\ndouble (>2^53) makes its file conservatively "

@@ -918,6 +918,16 @@ def connected_components(
     def _free(rdd_id: int | None) -> None:
         free_checkpoint(spark, rdd_id)
 
+    # NULL-id pairs are NON-EDGES (r15 degenerate-input sweep): NULL
+    # labels escape the DECIMAL label sum (sum ignores NULL), so a
+    # NULL vertex's label moving NULL→b INCREASES the sum and breaks
+    # the monotone-decrease convergence proof — the loop can stop a
+    # round early or spin to max_iter. And a NULL src never matches
+    # the propagation join, so components "connected" through a NULL
+    # id would silently stay split. Same contract as pagerank.
+    pairs = pairs.filter(
+        F.col(id_a).isNotNull() & F.col(id_b).isNotNull()
+    )
     # Persist the DIRECTED pair list before symmetrizing: the union's
     # two branches would otherwise each evaluate the caller's pair
     # pipeline (for LSH-derived graphs, the whole banding/verify

@@ -61,6 +61,17 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    if not 0.0 <= damping <= 1.0:
+        raise ValueError(f"damping must be in [0, 1], got {damping}")
+    # NULL-id pairs are NON-EDGES (r15 degenerate-input sweep): a NULL
+    # never equi-matches, so a (NULL, b) edge would receive rank mass
+    # at the NULL "vertex" that the src-side join can never pay back —
+    # ranks silently stop summing to 1 and a ghost NULL row appears in
+    # the output. Dropped here, same contract as join/DELETE NULL
+    # semantics and connected_components.
+    pairs = pairs.filter(
+        F.col(id_a).isNotNull() & F.col(id_b).isNotNull()
+    )
     edges = (
         pairs.select(
             F.col(id_a).alias("src"), F.col(id_b).alias("dst")

@@ -40,9 +40,29 @@ def signed_delta(
     """Collapse a change feed into per-group signed deltas: count
     delta ``_n`` (+1 per insert, -1 per delete) and one signed sum
     delta per ``sum_cols`` entry. One partial-aggregated shuffle over
-    |changes| rows."""
-    sign = F.when(F.col(change_type_col) == "delete", F.lit(-1)).otherwise(
-        F.lit(1)
+    |changes| rows.
+
+    Change types are STRICT (r15 degenerate-input sweep): anything
+    other than 'insert'/'delete' fails the job JVM-side naming the
+    offending value — a Delta-style 'update_preimage' row silently
+    counted as +1 would corrupt the view forever, and a corrupted
+    view has no error to trace back."""
+    sign = (
+        F.when(F.col(change_type_col) == "delete", F.lit(-1))
+        .when(F.col(change_type_col) == "insert", F.lit(1))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"signed_delta: unknown {change_type_col} value "
+                    ),
+                    F.coalesce(
+                        F.col(change_type_col), F.lit("NULL")
+                    ),
+                    F.lit(" — only 'insert'/'delete' are retractable"),
+                )
+            ).cast("int")
+        )
     )
     return changes.groupBy(*group_cols).agg(
         F.sum(sign).cast("bigint").alias("_n"),
@@ -72,7 +92,7 @@ def fold_changes_into_view(
     exact and order-independent — a double sum would drift from the
     full recompute it must stay equal to."""
     delta = signed_delta(changes, group_cols, sum_cols, change_type_col)
-    return (
+    folded = (
         state.unionByName(delta)
         .groupBy(*group_cols)
         .agg(
@@ -82,8 +102,37 @@ def fold_changes_into_view(
                 for c in sum_cols
             ],
         )
-        .filter(F.col("_n") > 0)
     )
+    # a NEGATIVE live count is proof the feed is corrupt (a delete
+    # without its insert — a double-applied batch or a feed read from
+    # the wrong version range). The old `> 0` filter silently dropped
+    # such groups, erasing the evidence; fail JVM-side instead (r15
+    # degenerate-input sweep). Exactly-zero groups still drop — that
+    # is the correct retraction of a fully-deleted group.
+    folded = folded.select(
+        *group_cols,
+        F.when(
+            F.col("_n") < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "fold_changes_into_view: live count went "
+                        "negative ("
+                    ),
+                    F.col("_n").cast("string"),
+                    F.lit(
+                        ") — the change feed deleted rows the state "
+                        "never saw (double-applied batch or wrong "
+                        "version range)"
+                    ),
+                )
+            ).cast("bigint"),
+        )
+        .otherwise(F.col("_n"))
+        .alias("_n"),
+        *sum_cols,
+    )
+    return folded.filter(F.col("_n") > 0)
 
 
 def view_from_snapshot(

@@ -53,6 +53,27 @@ def scd2_apply(
     keys = [key]
     a = list(attrs)
 
+    # degenerate-input guards (r15 sweep), all one bounded probe each:
+    # - a NULL business key never equi-matches the open slice, so it
+    #   falls through to the INSERT path and lands a new unmatchable
+    #   open row on EVERY batch — silent junk accumulation;
+    # - a NULL eff_ts closes the old row at valid_to=NULL, i.e. leaves
+    #   it OPEN alongside the reopened row — two open rows per key,
+    #   the one invariant SCD2 exists to hold.
+    bad = (
+        updates.filter(
+            F.col(key).isNull() | F.col(eff_col).isNull()
+        )
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            f"update batch carries a NULL {key!r} or NULL {eff_col!r} — "
+            "a dimension key and its effective timestamp must be "
+            "non-NULL (a NULL key would insert an unmatchable open row "
+            "every batch; a NULL eff_ts would leave two open rows)"
+        )
     if updates.groupBy(key).count().filter("count > 1").limit(1).count():
         raise ValueError(f"update batch carries duplicate {key!r} values")
 

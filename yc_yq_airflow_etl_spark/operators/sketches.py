@@ -206,6 +206,11 @@ def build_cms(
 def merge_cms(*sketches: DataFrame) -> DataFrame:
     """Merge CMS sketches: cells add (the linearity that makes the
     sketch a store, not a one-shot query)."""
+    if not sketches:
+        raise ValueError(
+            "merge_cms needs at least one sketch (an empty merge has "
+            "no schema to return)"
+        )
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionAll(s)
@@ -249,7 +254,17 @@ def cms_estimate(
     return (
         probe.join(F.broadcast(cms), ["r", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
+        .agg(
+            # a NULL probe key was never sketched (build filters NULLs),
+            # so its buckets are NULL and the join misses — reporting 0
+            # would be an UNDERcount for a table that did contain NULL
+            # keys, violating the overcount-only contract. NULL keys
+            # estimate NULL: "no frequency semantics", not "seen zero
+            # times" (r15 degenerate-input sweep).
+            F.when(F.col(key_col).isNull(), F.lit(None).cast("long"))
+            .otherwise(F.min(F.coalesce("cnt", F.lit(0))))
+            .alias("cms_est")
+        )
     )
 
 

@@ -384,6 +384,7 @@ def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("status"),
         _dec("o_totalprice").alias("price"),
         F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("ckey"),
     )
     return (
         o.rollup("yr", "status")
@@ -399,6 +400,11 @@ def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             # landing in the wrong cell can balance every count; the
             # orderkey sum can't balance across a swap
             F.sum("okey").cast("bigint").alias("orderkey_sum"),
+            # deepened pin (r15): distinct-cardinality — an independent
+            # invariant CLASS: compensating row swaps can balance both
+            # counts and sums, but not the per-cell distinct customer
+            # set's size
+            F.countDistinct("ckey").cast("bigint").alias("n_custs"),
         )
         .select(
             F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("yr"),
@@ -407,6 +413,7 @@ def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
             "lvl",
             "orderkey_sum",
+            "n_custs",
         )
         .orderBy("yr", "status")
     )
@@ -422,6 +429,7 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("status"),
         _dec("o_totalprice").alias("price"),
         F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("ckey"),
     )
     return (
         o.cube("priority", "status")
@@ -435,6 +443,9 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             # deepened pin (r12): per-cell membership checksum (see
             # rollup_orders)
             F.sum("okey").cast("bigint").alias("orderkey_sum"),
+            # deepened pin (r15): distinct-cardinality (see
+            # rollup_orders — an invariant class sums can't cover)
+            F.countDistinct("ckey").cast("bigint").alias("n_custs"),
         )
         .select(
             F.coalesce(F.col("priority"), F.lit("ALL")).alias("priority"),
@@ -443,6 +454,7 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
             "lvl",
             "orderkey_sum",
+            "n_custs",
         )
         .orderBy("priority", "status")
     )
@@ -455,7 +467,8 @@ SELECT coalesce(o_orderpriority, 'ALL') AS priority,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
        CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS INT)
            AS lvl,
-       CAST(sum(o_orderkey) AS BIGINT) AS orderkey_sum
+       CAST(sum(o_orderkey) AS BIGINT) AS orderkey_sum,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
 FROM orders
 GROUP BY CUBE (o_orderpriority, o_orderstatus)
 ORDER BY priority, status
@@ -469,7 +482,8 @@ SELECT coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
        CAST(GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderstatus) AS INT)
            AS lvl,
-       CAST(sum(o_orderkey) AS BIGINT) AS orderkey_sum
+       CAST(sum(o_orderkey) AS BIGINT) AS orderkey_sum,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
 FROM orders
 GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
 ORDER BY yr, status
@@ -1533,7 +1547,10 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + grouping(o_orderstatus) AS INT) AS lvl,
                -- deepened pin (r12): per-cell membership checksum,
                -- same contract as rollup_orders/cube_orders
-               CAST(sum(o_orderkey) AS BIGINT) AS orderkey_sum
+               CAST(sum(o_orderkey) AS BIGINT) AS orderkey_sum,
+               -- deepened pin (r15): distinct-cardinality (see
+               -- rollup_orders)
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
         FROM orders
         GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderstatus), ())
         ORDER BY yr, status
@@ -1547,7 +1564,8 @@ SELECT coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
        count(*) AS cnt,
        CAST(GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderstatus) AS INT)
            AS lvl,
-       CAST(sum(o_orderkey) AS BIGINT) AS orderkey_sum
+       CAST(sum(o_orderkey) AS BIGINT) AS orderkey_sum,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
 FROM orders
 GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderstatus), ())
 ORDER BY yr, status

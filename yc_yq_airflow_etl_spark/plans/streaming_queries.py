@@ -53,7 +53,8 @@ WITH starts AS (
     FROM events
 )
 SELECT window_start, event_type, count(*) AS n,
-       CAST(sum(event_id) AS BIGINT) AS event_id_sum
+       CAST(sum(event_id) AS BIGINT) AS event_id_sum,
+       CAST(bit_xor(event_id) AS BIGINT) AS event_id_xor
 FROM starts GROUP BY 1, 2 ORDER BY window_start, event_type
 """
 

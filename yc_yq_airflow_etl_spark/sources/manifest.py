@@ -293,6 +293,21 @@ class RestoreRacedVacuumError(RuntimeError):
     oldest restore target."""
 
 
+class WapRacedVacuumError(RuntimeError):
+    """A :meth:`ManifestTable.write_audit_publish` whose audit outlived
+    the vacuum stage-marker TTL lost its staged files to a concurrent
+    vacuum in the residual window between the publish's last existence
+    check and the manifest put landing in the vacuum's candidate scan
+    (the restore-race shape by another door, r15). The batch is NOT
+    durable: before raising, the table was HEALED by re-publishing the
+    newest still-materializable snapshot with THAT snapshot's streaming
+    high-water mark — never the torn commit's — so a batch_id-keyed
+    replay of the lost batch lands instead of being silently skipped
+    against data that no longer exists. Operationally: audits that can
+    run past ``stage_marker_ttl_seconds`` (default 7 d) should raise
+    the TTL or split the audit."""
+
+
 class CommitAmbiguousError(RuntimeError):
     """The manifest put itself raised, and the commit MAY have landed
     server-side anyway (on S3A the close() that raised IS the PUT) —
@@ -1201,13 +1216,55 @@ class ManifestTable:
             _abandon()
             return None, report
         new_cols = sorted(staged.columns)
+        # TTL-expiry hardening (r15): the audit window is unbounded, so
+        # by the time the audit passes the marker may have outlived
+        # vacuum's stage_marker_ttl and been reclaimed — protection
+        # lapsed, and the staged files (older than the orphan grace by
+        # then) are vacuum candidates. Three layers close the door:
+        # REFRESH the marker now (write a NEW marker before dropping
+        # the old one — overwriting in place is impossible, rename
+        # refuses an existing destination, and drop-then-write would
+        # open a no-marker gap; with write-first the protection never
+        # lapses and any vacuum that reads _stage/ after this point
+        # protects the publish window), RECHECK staged-file existence
+        # on every publish attempt (raised pre-put — provably commits
+        # nothing), and VERIFY after the put (a vacuum that scanned
+        # _stage/ before the refresh can still delete after the put —
+        # the restore-race residual window by another door).
+        if marker is not None:
+            fresh_marker = self._write_stage_marker(spark, new_files)
+            self._drop_stage_marker(spark, marker)
+            marker = fresh_marker
+        jvm, fs = self._fs(spark)
+
+        def _gone_staged() -> list[str]:
+            return [
+                f
+                for f in new_files
+                if not fs.exists(self._jp(jvm, "data", f))
+            ]
+
         try:
             with self._staged_cleanup(spark, new_files):
                 new_stats = self._file_stats(spark, new_files)
-                rebase = self._append_rebase(
+                inner_rebase = self._append_rebase(
                     spark, new_files, new_cols, new_stats, batch_id,
                     new_schema=staged.schema,
                 )
+
+            def rebase() -> tuple[list[str], int, dict]:
+                out = inner_rebase()
+                gone = _gone_staged()
+                if gone:
+                    raise FileNotFoundError(
+                        f"write_audit_publish lost {len(gone)} staged "
+                        f"file(s) to a concurrent vacuum before the "
+                        f"publish (e.g. {gone[0]}) — the stage marker "
+                        "TTL likely expired during a long audit; raise "
+                        "stage_marker_ttl_seconds or split the audit"
+                    )
+                return out
+
             # publish failures classified by _publish_cleanly: proven
             # pre-put → stage deleted; ambiguous put → stage left for
             # vacuum (a late-landing manifest may reference it)
@@ -1218,8 +1275,98 @@ class ManifestTable:
         except BaseException:
             _drop_marker()  # stage already deleted where proven dead
             raise
+        # post-publish verify: a vacuum that scanned _stage/ before the
+        # marker refresh may delete the staged files AFTER our put —
+        # the committed manifest is then a torn tombstone. Heal to the
+        # newest materializable snapshot (with ITS high-water mark, so
+        # the lost batch replays) and fail loudly.
+        gone = _gone_staged()
+        if gone:
+            healed_to = self._heal_to_materializable(spark, version)
+            _drop_marker()
+            raise WapRacedVacuumError(
+                f"write_audit_publish committed v{version}, but a "
+                f"concurrent vacuum deleted {len(gone)} of its staged "
+                f"file(s) (e.g. {gone[0]}); v{version} is a torn "
+                "tombstone and the batch is NOT durable. "
+                + (
+                    f"The table was healed: v{healed_to} re-publishes "
+                    "the newest materializable snapshot with its own "
+                    "high-water mark — a batch_id-keyed replay lands."
+                    if healed_to is not None
+                    else "NO materializable snapshot remains — the "
+                    "table needs a fresh overwrite."
+                )
+            )
         _drop_marker()  # files are manifest-referenced from here on
         return version, report
+
+    def _heal_to_materializable(
+        self, spark: SparkSession, torn_version: int
+    ) -> int | None:
+        """Re-publish the newest snapshot whose files all still exist,
+        skipping ``torn_version`` (and any snapshot stacked on its
+        vanished files — those fail the existence check naturally).
+        The healed commit carries the CANDIDATE's own streaming
+        high-water mark, never the torn commit's: rolling data back
+        without rolling the HWM back would make a batch_id-keyed
+        replay of the lost batch a silent no-op (r15). Returns the
+        healed version, or None when nothing is materializable."""
+        jvm, fs = self._fs(spark)
+
+        def _missing_of(m: dict) -> list[str]:
+            gone = [
+                f
+                for f in m.get("files", [])
+                if not fs.exists(self._jp(jvm, "data", f))
+            ]
+            gone += [
+                f"deletes/{p}"
+                for p in sorted(
+                    {p for e in m.get("dvs", {}).values() for p in e["parts"]}
+                )
+                if not fs.exists(self._jp(jvm, "deletes", p))
+            ]
+            return gone
+
+        for v in reversed(self._name_versions(spark)):
+            if v == torn_version:
+                continue
+            m = self._try_manifest(spark, v)
+            if m is None or _missing_of(m):
+                continue
+            extra_base = {
+                k: m[k]
+                for k in (
+                    "columns",
+                    "schema",
+                    "stats",
+                    "evolved",
+                    "read_merged",
+                    "dvs",
+                )
+                if k in m
+            }
+
+            def rebase() -> tuple[list[str], int, dict]:
+                extra = dict(extra_base)
+                hwm = int(m.get("last_batch_id", -1))
+                if hwm >= 0:
+                    extra["last_batch_id"] = hwm
+                extra["healed_from_torn_wap"] = torn_version
+                gone = _missing_of(m)
+                if gone:
+                    raise FileNotFoundError(
+                        f"heal candidate v{v} lost {len(gone)} file(s) "
+                        f"to a further vacuum (e.g. {gone[0]})"
+                    )
+                return m.get("files", []), int(m.get("rows", 0)), extra
+
+            try:
+                return self._publish(spark, [], 0, "heal", rebase=rebase)
+            except FileNotFoundError:
+                continue  # a further vacuum got this candidate too
+        return None
 
     def last_batch_id(self, spark: SparkSession) -> int:
         """High-water mark of committed streaming batch ids (-1 if

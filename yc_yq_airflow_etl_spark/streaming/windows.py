@@ -58,19 +58,25 @@ def sliding_window_counts(
     width/slide windows — Spark expands them engine-side. Emits the
     per-window event count plus the event-id checksum (r12 pin): an
     event expanded into the wrong window slot keeps the global count
-    balanced but moves the id sum. Both aggregates are plain sums, so
-    the same plan runs unchanged under Structured Streaming."""
+    balanced but moves the id sum. Deepened r15 with a bit_xor id
+    checksum — a different invariant CLASS (per-bit parity): a row
+    swap engineered to balance count AND sum still flips xor unless
+    the swapped ids are bitwise identical. All three aggregates are
+    plain commutative folds, so the same plan runs unchanged under
+    Structured Streaming (countDistinct would not)."""
     return (
         events.groupBy(F.window("ts", width, slide).alias("w"), F.col(by))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("event_id").cast("bigint").alias("event_id_sum"),
+            F.bit_xor("event_id").cast("bigint").alias("event_id_xor"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
             F.col(by),
             "n",
             "event_id_sum",
+            "event_id_xor",
         )
     )
 
