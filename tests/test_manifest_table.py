@@ -3814,13 +3814,11 @@ def test_update_where_schemaless_snapshot_fails_loudly(spark, tmp_path):
         t.update_where(spark, "id = 0", {"nope": F.lit(1)})
 
 
-def _backdate(path: str, days: float) -> None:
-    """Clock injection for TTL tests: push a file's store mtime into
-    the past (local fs — the same mtime vacuum's listStatus reports)."""
-    import time as _time
-
-    t = _time.time() - days * 86400.0
-    os.utime(path, (t, t))
+def _backdate_days(path: str, days: float) -> None:
+    """Clock injection for the TTL tests: like :func:`_backdate` but
+    in DAYS — the stage-marker TTL is 7 d, far past the grace the
+    seconds-based helper models."""
+    _backdate(path, seconds=days * 86400.0)
 
 
 def test_wap_marker_refresh_after_audit_restores_vacuum_protection(
@@ -3847,11 +3845,11 @@ def test_wap_marker_refresh_after_audit_restores_vacuum_protection(
         # the audit "took 8 days": everything staged so far — marker
         # and data files alike — is older than TTL and orphan grace
         for mf in os.listdir(os.path.join(table.path, "_stage")):
-            _backdate(os.path.join(table.path, "_stage", mf), 8)
+            _backdate_days(os.path.join(table.path, "_stage", mf), 8)
         v0_files = set(table._manifest(spark, 0)["files"])
         for f in os.listdir(os.path.join(table.path, "data")):
             if f not in v0_files:
-                _backdate(os.path.join(table.path, "data", f), 8)
+                _backdate_days(os.path.join(table.path, "data", f), 8)
         return orig_audit(staged, rules)
 
     orig_pub = ManifestTable._publish_cleanly
