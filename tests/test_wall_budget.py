@@ -316,3 +316,28 @@ def test_update_records_control_walls(tmp_path, monkeypatch):
     assert wall_budget.main() == 0
     saved = json.loads(budget_p.read_text())
     assert saved["bench_control_walls"] == _CONTROLS_FLAT
+
+
+def test_cross_sf_sidecar_skips_bench_comparison(tmp_path, monkeypatch, capsys):
+    # An sf0.01 iteration sidecar against the sf0.1 budget would read
+    # as a massive deflation (r15: observed +85% "normalized growth"
+    # on a 2x-faster control set) — walls are only comparable at the
+    # same scale factor, so the guard must SKIP, not flag.
+    rc = _run_guard(
+        tmp_path,
+        monkeypatch,
+        budget={
+            "suite_sec_per_test": 1.0,
+            "bench_wall_sec": 300.0,
+            "bench_sf": 0.1,
+            "bench_control_walls": _CONTROLS_FLAT,
+        },
+        sidecar={
+            "bench_wall_sec": 900.0,  # would flag hard if compared
+            "sf": 0.01,
+            "queries": _scaled(_CONTROLS_FLAT, 0.5),
+        },
+        walls_records=_OK_WALLS,
+    )
+    assert rc == 0
+    assert "not comparable" in capsys.readouterr().out
