@@ -4057,3 +4057,60 @@ def test_delete_where_racing_compact_refuses_and_lands_on_retry(
         m = t._manifest(spark, t.current_version(spark))
         assert set(m.get("dvs", {})) <= set(m["files"])
         monkeypatch.setattr(ManifestTable, "_publish_cleanly", orig_pub)
+
+
+def test_wap_heal_skips_commits_stacked_on_the_torn_snapshot(
+    spark, table, monkeypatch
+):
+    """The deepest WAP-raced-vacuum interleaving: after the torn WAP
+    commit (staged files vacuumed post-put) a concurrent APPEND lands
+    on top of it — the append's manifest carries the torn commit's
+    vanished files plus its own. The heal must skip BOTH unmaterializable
+    snapshots, re-publish the pre-WAP base, and the rolled-back
+    append's rows are reported gone by the loud error, not silently
+    half-readable. (Same roll-back-to-materializable contract as
+    restore's heal; the append's own files survive on disk for manual
+    recovery until vacuumed.) The materializability guard is layered —
+    the candidate-loop filter AND the heal rebase's pre-put recheck;
+    mutation-verified red with BOTH stripped (stripping only the loop
+    filter is absorbed by the recheck, by design)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from yc_yq_airflow_etl_spark.operators.expectations import Rule
+
+    table.overwrite(_df(spark, 0, 50))  # v0 — the only materializable base
+    orig_publish = ManifestTable._publish
+    fired = []
+
+    def put_stack_then_vacuum(self, spark_, files, rows, op, extra=None, rebase=None):
+        v = orig_publish(self, spark_, files, rows, op, extra=extra, rebase=rebase)
+        if op == "wap" and not fired:
+            fired.append(True)
+            m = self._manifest(spark_, v)
+            # a concurrent append stacks on the torn WAP commit BEFORE
+            # anyone notices (it sees a fully-present table — the
+            # vacuum hasn't hit yet)
+            ManifestTable(self.path).append(_df(spark_, 500, 510))
+            # now the TTL-blind vacuum's delete loop lands: the WAP's
+            # staged files vanish, tearing BOTH stacked snapshots
+            v0_files = set(self._manifest(spark_, 0)["files"])
+            for f in set(m["files"]) - v0_files:
+                os.remove(os.path.join(self.path, "data", f))
+        return v
+
+    monkeypatch.setattr(ManifestTable, "_publish", put_stack_then_vacuum)
+    with _pytest.raises(WapRacedVacuumError, match="healed"):
+        table.write_audit_publish(
+            _df(spark, 100, 150), [Rule("v_even", F.col("v") % 2 == 0)]
+        )
+    assert fired
+    monkeypatch.setattr(ManifestTable, "_publish", orig_publish)
+    # healed to the pre-WAP base: both the torn WAP rows AND the
+    # stacked append's rows are rolled back, loudly
+    got = table.read(spark)
+    assert got.count() == 50
+    assert got.agg(F.max("id")).first()[0] == 49
+    # the table keeps working: a fresh append lands on the healed tip
+    table.append(_df(spark, 500, 510))
+    assert table.read(spark).count() == 60

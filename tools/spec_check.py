@@ -177,7 +177,8 @@ INVARIANTS: dict[str, tuple[str, list[str]]] = {
         "  committed-missing-file manifest",
         ["test_wap_marker_refresh_after_audit_restores_vacuum_protection",
          "test_wap_preput_recheck_refuses_vacuumed_stage_loudly",
-         "test_wap_postput_vacuum_heals_and_batch_replay_lands"],
+         "test_wap_postput_vacuum_heals_and_batch_replay_lands",
+         "test_wap_heal_skips_commits_stacked_on_the_torn_snapshot"],
     ),
     "mixed-bounds-widening": (
         "int bounds\nwiden to double for the probe, an int bound too "
