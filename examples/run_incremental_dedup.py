@@ -80,7 +80,9 @@ def main() -> None:
         )
         links.unpersist()
 
-    n_index = spark.read.parquet(idx).count()
+    from yc_yq_airflow_etl_spark.operators.dedup import _index_table
+
+    n_index = _index_table(idx).read(spark).count()
     print(f"final index: {n_index} fingerprinted docs at {idx}")
     spark.stop()
 

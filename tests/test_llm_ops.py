@@ -1238,3 +1238,56 @@ def test_stratified_sample_keeps_null_lang_stratum(spark, monkeypatch):
     assert all(r.n_in_stratum == 2 for r in by_lang[None])
     assert all(r.n_in_stratum == 2 for r in by_lang["en"])
     assert all(r.n_in_stratum == 1 for r in by_lang["de"])
+
+
+def test_minhash_index_concurrent_appends_lose_nothing(spark, tmp_path, monkeypatch):
+    """r15: the fingerprint index is a ManifestTable, not a plain
+    parquet dir — ``mode('append')`` parquet writers share one
+    _temporary/ staging dir, so two concurrent appenders (ingest loop
+    + backfill) destroy each other's in-flight task files, and a probe
+    racing an append can read a half-landed batch. Pin the manifest
+    property: an append landing INSIDE another append's publish window
+    rebase-stacks — both batches' fingerprints land, none lost — and a
+    probe frame resolved before the appends still sees its own
+    complete snapshot."""
+    from pyspark.sql import functions as SF
+
+    from yc_yq_airflow_etl_spark.catalog import load_testdata
+    from yc_yq_airflow_etl_spark.operators.dedup import (
+        _index_table,
+        append_to_minhash_index,
+        write_minhash_index,
+    )
+    from yc_yq_airflow_etl_spark.sources.manifest import ManifestTable
+
+    docs = (
+        load_testdata(spark, "/root/testdata/sf0.001")["documents"]
+        .select("doc_id", "text")
+        .limit(12)
+    )
+    idx = str(tmp_path / "mh_idx")
+    write_minhash_index(docs.filter(SF.col("doc_id") % 3 == 0), idx)
+    pre_snapshot = _index_table(idx).read(spark)
+    n_pre = pre_snapshot.count()
+
+    orig_pub = ManifestTable._publish_cleanly
+    fired = []
+
+    def rival_append_in_window(self, spark_, op, rebase, data_files, dv_parts=None):
+        if op == "append" and not fired and self.path.endswith("mh_idx"):
+            fired.append(True)
+            append_to_minhash_index(
+                docs.filter(SF.col("doc_id") % 3 == 1), idx
+            )
+        return orig_pub(self, spark_, op, rebase, data_files, dv_parts)
+
+    monkeypatch.setattr(ManifestTable, "_publish_cleanly", rival_append_in_window)
+    append_to_minhash_index(docs.filter(SF.col("doc_id") % 3 == 2), idx)
+    assert fired
+    got = {
+        r._id for r in _index_table(idx).read(spark).select("_id").collect()
+    }
+    want = {r.doc_id for r in docs.collect()}
+    assert got == want, "a concurrent append lost fingerprints"
+    # the pre-append snapshot is unaffected by either append
+    assert pre_snapshot.count() == n_pre

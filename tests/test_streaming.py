@@ -783,9 +783,12 @@ def test_ingest_dedup_blocks_redelivered_ids_and_rebuilds_lost_index(
     assert table.read(spark).count() == 21, (
         "lost index must rebuild from the table, not blind-admit"
     )
-    # rebuilt index covers the whole corpus
+    # rebuilt index covers the whole corpus (manifest read — the index
+    # is a ManifestTable since r15)
+    from yc_yq_airflow_etl_spark.operators.dedup import _index_table
+
     n_idx = (
-        spark.read.parquet(idx).select("_id").distinct().count()
+        _index_table(idx).read(spark).select("_id").distinct().count()
     )
     assert n_idx == 21
 

@@ -463,6 +463,16 @@ def _probe_sig_pairs(
     )
 
 
+def _index_table(path: str):
+    """The minhash fingerprint index's ManifestTable handle: ``_id``
+    stats give metadata-only row accounting on every append (no
+    recount job) plus per-file id ranges for the sync anti-join's
+    benefit on long-lived indexes."""
+    from ..sources.manifest import ManifestTable
+
+    return ManifestTable(path, stat_cols=("_id",))
+
+
 def write_minhash_index(
     df: DataFrame,
     path: str,
@@ -480,11 +490,22 @@ def write_minhash_index(
     time (cheap integer slicing), so band-count/threshold tuning needs
     no index rebuild — only (shingle_k, num_hashes) are baked in, and
     every probe must pass the same values (same contract as the ANN
-    index's centroids/planes parameters)."""
+    index's centroids/planes parameters).
+
+    Storage is a :class:`~..sources.manifest.ManifestTable`, not a
+    plain parquet directory (r15): ``mode("append")`` parquet writes
+    share one ``_temporary/`` staging dir, so two concurrent appenders
+    (an ingest loop plus a backfill) destroy each other's in-flight
+    task files when the first job commit recursively deletes it — and
+    a probe racing an append can list a half-committed batch and
+    silently admit duplicates. The manifest commit protocol gives the
+    index CAS-safe concurrent appends (lost-update-free rebase) and
+    snapshot-isolated probes (the file list is resolved from one
+    manifest, complete by construction) on any store."""
     sig = _signatures_pandas(
         _spread(df, id_col), id_col, text_col, shingle_k, num_hashes
     )
-    sig.write.mode("overwrite").parquet(path)
+    _index_table(path).overwrite(sig)
 
 
 def append_to_minhash_index(
@@ -498,11 +519,14 @@ def append_to_minhash_index(
     """Incremental index maintenance: fingerprint the ADMITTED batch
     docs (the ingest loop's novel survivors) and append their files —
     no rewrite of landed fingerprints. Parameters must match the
-    original :func:`write_minhash_index` call."""
+    original :func:`write_minhash_index` call. The append is a
+    manifest commit (see :func:`write_minhash_index`): concurrent
+    appenders rebase-stack instead of corrupting each other, and
+    readers never observe a half-landed batch."""
     sig = _signatures_pandas(
         _spread(df, id_col), id_col, text_col, shingle_k, num_hashes
     )
-    sig.write.mode("append").parquet(path)
+    _index_table(path).append(sig)
 
 
 def probe_minhash_index(
@@ -535,7 +559,12 @@ def probe_minhash_index(
     immutable no matter what the caller does to the index next."""
     from pyspark import StorageLevel
 
-    sig_i = spark.read.parquet(path).persist(StorageLevel.MEMORY_AND_DISK)
+    # snapshot-isolated read (r15): the file list comes from ONE
+    # committed manifest — an append landing mid-probe can neither
+    # tear the scan nor leak its half-landed fingerprints in
+    sig_i = _index_table(path).read(spark).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sig_b = _signatures_pandas(
         _spread(batch, id_col), id_col, text_col, shingle_k, num_hashes
     ).persist(StorageLevel.MEMORY_AND_DISK)

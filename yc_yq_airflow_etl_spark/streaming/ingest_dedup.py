@@ -47,17 +47,16 @@ from ..sources.manifest import ManifestTable
 
 
 def _index_exists(spark: SparkSession, index_path: str) -> bool:
-    """True iff the minhash index's ``_SUCCESS`` sentinel exists, via
-    the Hadoop FileSystem API so the check works on ANY store the
-    parquet reader/writer supports (HDFS, s3a, local). A naive
-    ``os.path.exists`` is local-filesystem-only: on an object-store
-    index_path it is always False, so every micro-batch would take the
-    bootstrap branch and silently overwrite the index — disabling
-    dedup. Same resolution path as ``ManifestTable._fs``."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(index_path + "/_SUCCESS")
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(jpath))
+    """True iff the minhash index has a committed snapshot. The index
+    is a ManifestTable since r15 (CAS-safe concurrent appends,
+    snapshot-isolated probes), so existence = a valid manifest — the
+    same store-agnostic resolution the old ``_SUCCESS``-sentinel check
+    used, minus the sentinel (a plain ``os.path.exists`` would still
+    be wrong on object stores: always False → every micro-batch would
+    take the bootstrap branch and silently overwrite the index)."""
+    from ..operators.dedup import _index_table
+
+    return _index_table(index_path).current_version(spark) is not None
 
 
 def dedup_ingest_batch(
@@ -123,8 +122,11 @@ def dedup_ingest_batch(
     # the id being in the index still means it is already committed —
     # one column-pruned scan of fingerprint ids (the probe reads the
     # same files anyway) keeps ids unique in the corpus
+    from ..operators.dedup import _index_table
+
     indexed_ids = (
-        spark.read.parquet(index_path)
+        _index_table(index_path)
+        .read(spark)
         .select(F.col("_id").alias(id_col))
         .distinct()
     )
@@ -177,11 +179,12 @@ def sync_minhash_index(
     index lagging). The gap is found by an id anti-join — only the
     missing docs are hashed, so recovery cost is O(gap), not
     O(corpus). Returns the number of docs backfilled."""
-    from ..operators.dedup import append_to_minhash_index
+    from ..operators.dedup import _index_table, append_to_minhash_index
 
     corpus = table.read(spark)
     have = (
-        spark.read.parquet(index_path)
+        _index_table(index_path)
+        .read(spark)
         .select(F.col("_id").alias(id_col))
         .distinct()
         if _index_exists(spark, index_path)
