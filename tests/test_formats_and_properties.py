@@ -611,3 +611,35 @@ def test_scd2_rejects_null_key_and_null_eff_ts(spark):
     )
     out = scd2_apply(dim, ok, "k", ["attr"], eff_col="eff_ts")
     assert out.filter(F.col("valid_to").isNull()).count() == 1
+
+
+def test_read_table_fails_fast_on_malformed_rows(spark, tmp_path):
+    """r15 degenerate-input sweep: Spark's PERMISSIVE read default
+    turns a malformed CSV/JSON row into silent all-NULLs — at corpus
+    scale that is undetectable corruption. read_table defaults to
+    FAILFAST (loud), and a caller running a quarantine flow overrides
+    explicitly. Mutation-verified: with the default removed, the
+    malformed row reads back as NULLs and no error is raised."""
+    from pyspark.sql import types as T
+
+    p = str(tmp_path / "drop.csv")
+    with open(p, "w") as fh:
+        fh.write("id,v\n1,10\nnot_an_int,oops_extra,columns,here\n2,20\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    with pytest.raises(Exception, match="Malformed|FAILFAST|_corrupt"):
+        read_table(spark, p, "csv", schema).collect()
+    # the explicit quarantine override still works
+    rows = read_table(
+        spark, p, "csv", schema, mode="PERMISSIVE"
+    ).collect()
+    assert len(rows) == 3
+    # clean files read clean under the loud default
+    p2 = str(tmp_path / "clean.csv")
+    with open(p2, "w") as fh:
+        fh.write("id,v\n1,10\n2,20\n")
+    assert read_table(spark, p2, "csv", schema).count() == 2

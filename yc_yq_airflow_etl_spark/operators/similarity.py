@@ -509,7 +509,19 @@ def append_to_ann_index(
     layout — no retrain, no rewrite of landed partitions. This is the
     standard IVF maintenance trade: centroids drift as the corpus
     grows, so monitor recall (nprobe=k spot checks vs brute force) and
-    rebuild with :func:`write_ann_index` when it degrades."""
+    rebuild with :func:`write_ann_index` when it degrades.
+
+    CONCURRENCY CONTRACT — single writer (r15): the ANN index keeps
+    the plain ``partitionBy('_c')`` hive layout because the cluster-id
+    partition column is what turns every probe into PartitionFilters
+    pruning — the index's whole scale story — and that layout cannot
+    ride the manifest commit protocol the minhash index adopted
+    (``sources/manifest.ManifestTable`` tracks a flat file list).
+    Parquet append jobs share one ``_temporary/`` staging dir, so two
+    CONCURRENT appenders can delete each other's in-flight task files
+    at job commit. Serialize appends (the ingest-loop shape is
+    naturally serial); the ``_INDEX_READY`` sentinel already gates
+    readers against half-built rebuilds."""
     (
         df.withColumn(
             "_c", _nearest_centroid(quantize_vec(F.col(vec_col)), centroids)

@@ -13,8 +13,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 READ_OPTIONS: dict[str, dict[str, str]] = {
-    "csv": {"header": "true", "timestampFormat": "yyyy-MM-dd HH:mm:ss"},
-    "json": {},
+    # mode=FAILFAST (r15 degenerate-input sweep): Spark's PERMISSIVE
+    # default silently turns a malformed CSV/JSON row into all-NULLs —
+    # at corpus scale that is undetectable data corruption, the exact
+    # failure class the loud-or-quarantine doctrine exists for. Callers
+    # running a quarantine flow override with
+    # ``mode="PERMISSIVE", columnNameOfCorruptRecord="_corrupt"``.
+    "csv": {
+        "header": "true",
+        "timestampFormat": "yyyy-MM-dd HH:mm:ss",
+        "mode": "FAILFAST",
+    },
+    "json": {"mode": "FAILFAST"},
     "orc": {},
     "parquet": {},
 }
