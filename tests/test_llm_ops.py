@@ -1291,3 +1291,74 @@ def test_minhash_index_concurrent_appends_lose_nothing(spark, tmp_path, monkeypa
     assert got == want, "a concurrent append lost fingerprints"
     # the pre-append snapshot is unaffected by either append
     assert pre_snapshot.count() == n_pre
+
+
+def test_lang_char_stats_degenerate_groups_match_sql_semantics(spark):
+    """r15 degenerate-input sweep: the fixture data masked three
+    latent cross-engine divergences in the grouped-map UDAF —
+    (a) a single-doc group's numpy ddof=1 std is NaN where DuckDB's
+    stddev_samp is NULL (driver hash divergence), (b) a NULL n_chars
+    crashed the int64 conversion where SQL aggregates just ignore
+    NULLs, (c) the NULL language is a legal group the non-nullable
+    schema refused. Pinned against DuckDB running the ORACLE SQL shape
+    over the same rows. Mutation-verified: the old int64-everything
+    body crashes on (b) and emits NaN on (a)."""
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    from yc_yq_airflow_etl_spark.functions.udfs import lang_char_stats
+
+    rows = [
+        # lang, doc_id, n_chars
+        ("en", 1, 10),
+        ("en", 2, 30),
+        ("solo", 3, 7),      # single-doc group: std must be NULL
+        ("gap", 4, None),    # NULL n_chars in a counted row
+        ("gap", 5, 20),
+        (None, 6, 5),        # NULL language group
+        ("void", 7, None),   # all-NULL group: value stats all NULL
+    ]
+    df = spark.createDataFrame(
+        rows, "lang string, doc_id long, n_chars long"
+    )
+    got = {
+        r.lang: r.asDict()
+        for r in lang_char_stats(df.select("lang", "doc_id", "n_chars"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["lang", "doc_id", "n_chars"]),
+    )
+    want = con.execute(
+        """
+        SELECT lang, count(*) AS n_docs,
+               floor(avg(n_chars) * 1e6 + 0.5) / 1e6 AS mean_chars,
+               floor(stddev_samp(n_chars) * 1e6 + 0.5) / 1e6 AS std_chars,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars,
+               CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+        FROM documents GROUP BY lang
+        """
+    ).fetch_df()
+    assert len(got) == len(want)
+    for _, w in want.iterrows():
+        g = got[None if pd.isna(w["lang"]) else w["lang"]]
+        for col in (
+            "n_docs", "mean_chars", "std_chars",
+            "sum_chars", "min_chars", "max_chars", "doc_id_sum",
+        ):
+            gv, wv = g[col], w[col]
+            if gv is None or (isinstance(gv, float) and math.isnan(gv)):
+                assert pd.isna(wv), (w["lang"], col, gv, wv)
+                assert gv is None, (
+                    f"{col} must be NULL, not NaN — NaN hash-diverges "
+                    "from the oracle"
+                )
+            else:
+                assert not pd.isna(wv), (w["lang"], col, gv, wv)
+                assert float(gv) == float(wv), (w["lang"], col, gv, wv)

@@ -35,14 +35,19 @@ def text_density_score(text: pd.Series) -> pd.Series:
 
 LANG_STATS_SCHEMA = T.StructType(
     [
-        T.StructField("lang", T.StringType(), False),
+        # nullable by SQL semantics (r15 degenerate-input sweep): the
+        # NULL language is a legal group, a single-doc group's sample
+        # std is NULL (not numpy's NaN), and value stats over an
+        # all-NULL group are NULL — matching DuckDB/ANSI aggregates
+        # exactly, which is the whole point of the oracle pairing
+        T.StructField("lang", T.StringType(), True),
         T.StructField("n_docs", T.LongType(), False),
-        T.StructField("mean_chars", T.DoubleType(), False),
-        T.StructField("std_chars", T.DoubleType(), False),
-        T.StructField("sum_chars", T.LongType(), False),
-        T.StructField("min_chars", T.LongType(), False),
-        T.StructField("max_chars", T.LongType(), False),
-        T.StructField("doc_id_sum", T.LongType(), False),
+        T.StructField("mean_chars", T.DoubleType(), True),
+        T.StructField("std_chars", T.DoubleType(), True),
+        T.StructField("sum_chars", T.LongType(), True),
+        T.StructField("min_chars", T.LongType(), True),
+        T.StructField("max_chars", T.LongType(), True),
+        T.StructField("doc_id_sum", T.LongType(), True),
     ]
 )
 
@@ -60,29 +65,48 @@ def lang_char_stats(documents: DataFrame) -> DataFrame:
     MEMBERSHIP, not just the value distribution: two docs of equal
     length traded between languages preserve every char stat but
     never both groups' id checksums.
+
+    Degenerate groups follow SQL aggregate semantics exactly (r15
+    sweep — the fixture data masked three latent cross-engine
+    divergences): ``count(*)`` counts every row but the value stats
+    ignore NULL ``n_chars`` (the old int64 conversion CRASHED on a
+    NULL); a single-value group's sample std is NULL, not numpy's
+    ddof=1 NaN (DuckDB's ``stddev_samp`` returns NULL, and the driver
+    hash would diverge); an all-NULL group's mean/std/sum/min/max are
+    NULL; the NULL language is a legal group.
     """
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        x = pdf["n_chars"].to_numpy(dtype="float64")
-        xi = pdf["n_chars"].to_numpy(dtype="int64")
+        vals = pdf["n_chars"].dropna()
+        x = vals.to_numpy(dtype="float64")
+        xi = vals.to_numpy(dtype="int64")
+        n_vals = len(x)
+
+        def r6(v: float) -> float:
+            return float(np.floor(v * 1e6 + 0.5) / 1e6)
+
+        lang = pdf["lang"].iloc[0]
+        ids = pdf["doc_id"].dropna()
         return pd.DataFrame(
             {
-                "lang": [pdf["lang"].iloc[0]],
-                "n_docs": [len(x)],
+                "lang": [None if pd.isna(lang) else lang],
+                "n_docs": [len(pdf)],
                 # IEEE-stable 6-decimal form, same rationale as
                 # text_density_score above
-                "mean_chars": [
-                    float(np.floor(np.mean(x) * 1e6 + 0.5) / 1e6)
-                ],
+                "mean_chars": [r6(np.mean(x)) if n_vals else None],
                 "std_chars": [
-                    float(np.floor(np.std(x, ddof=1) * 1e6 + 0.5) / 1e6)
+                    r6(np.std(x, ddof=1)) if n_vals >= 2 else None
                 ],
-                "sum_chars": [int(xi.sum())],
-                "min_chars": [int(xi.min())],
-                "max_chars": [int(xi.max())],
-                "doc_id_sum": [int(pdf["doc_id"].to_numpy(dtype="int64").sum())],
+                "sum_chars": [int(xi.sum()) if n_vals else None],
+                "min_chars": [int(xi.min()) if n_vals else None],
+                "max_chars": [int(xi.max()) if n_vals else None],
+                "doc_id_sum": [
+                    int(ids.to_numpy(dtype="int64").sum())
+                    if len(ids)
+                    else None
+                ],
             }
         )
 
@@ -97,6 +121,11 @@ class WordNGrams:
     surface with a deterministic, oracle-checkable example."""
 
     def eval(self, doc_id: int, text: str, n: int):  # noqa: D401
+        if n is None or n < 1:
+            # a 0/negative/NULL n would silently yield empty or
+            # nonsense grams for every row (r15 sweep): words[i:i+0]
+            # is "" and the count still looks plausible downstream
+            raise ValueError(f"word_ngrams: n must be >= 1, got {n}")
         if text is None:
             return
         words = text.strip().lower().split()
