@@ -1362,3 +1362,23 @@ def test_lang_char_stats_degenerate_groups_match_sql_semantics(spark):
             else:
                 assert not pd.isna(wv), (w["lang"], col, gv, wv)
                 assert float(gv) == float(wv), (w["lang"], col, gv, wv)
+
+
+def test_lang_id_null_text_identifies_as_null(spark):
+    """r15 degenerate-input sweep: a NULL text's stopword scores are
+    all NULL, so every tie-check was three-valued-false and the old
+    fallthrough default classified every NULL doc as 'zh' — silently
+    misattributing fetch-failed docs into the zh stratum of mixture
+    weights and stratified splits. The oracle replay (CASE with no
+    ELSE) always said NULL; the engine now agrees. Mutation-verified:
+    the unguarded expr returns 'zh' for row 1."""
+    from yc_yq_airflow_etl_spark.functions.text import lang_id
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "the cat and the dog of a to in is that")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.lang for r in df.select(
+        "doc_id", lang_id("text").alias("lang")
+    ).collect()}
+    assert got == {1: None, 2: "en"}

@@ -168,13 +168,22 @@ def stopword_hits(col: Column | str, lang: str) -> Column:
 
 def lang_id(col: Column | str) -> Column:
     """Heuristic language ID: argmax of stopword hits, first-listed
-    language wins ties (so 'en' is the default for hit-less docs)."""
+    language wins ties (so 'en' is the default for hit-less docs).
+
+    NULL text identifies as NULL (r15 degenerate-input sweep): the
+    scores are all NULL, so every tie-check was three-valued-false and
+    the fallthrough default silently classified every NULL doc as the
+    LAST-listed language ('zh') — misattributing them into that
+    stratum in mixture weights and stratified splits. The oracle
+    replays (a CASE with no ELSE) always said NULL here; the fixture's
+    NULL-free text column is what masked the divergence."""
+    c = F.col(col) if isinstance(col, str) else col
     scores = [stopword_hits(col, lang) for lang in LANG_ORDER]
     best = F.greatest(*scores)
     expr = F.lit(LANG_ORDER[-1])
     for lang, score in reversed(list(zip(LANG_ORDER[:-1], scores[:-1]))):
         expr = F.when(score == best, F.lit(lang)).otherwise(expr)
-    return expr
+    return F.when(c.isNotNull(), expr)
 
 
 def chunk_documents(
