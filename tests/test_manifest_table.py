@@ -4114,3 +4114,34 @@ def test_wap_heal_skips_commits_stacked_on_the_torn_snapshot(
     # the table keeps working: a fresh append lands on the healed tip
     table.append(_df(spark, 500, 510))
     assert table.read(spark).count() == 60
+
+
+def test_nan_stat_bound_never_prunes_in_range_rows(spark, tmp_path):
+    """r15 degenerate-input sweep, the read-path silent-row-loss
+    shape: Spark's max() records NaN as a file's upper bound whenever
+    ANY value is NaN (NaN orders above every double), but pruned_files
+    compared bounds in PYTHON, where nan >= lo is falsy — one NaN in a
+    stat column pruned a file full of in-range rows out of read_where
+    entirely (reproduced: a [5.0, NaN] file returned ZERO rows for the
+    probe [4, 8]). A NaN bound is an unusable proof on that side and
+    the file must be kept. All-real files still prune. Mutation-
+    verified: without the NaN guard this returns no rows."""
+    nan = float("nan")
+    t = ManifestTable(str(tmp_path / "nanstats"), stat_cols=("x",))
+    # file A: real values + one NaN (max records NaN)
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 5.0), (2, nan), (3, 7.0)], "id long, x double"
+        ).coalesce(1)
+    )
+    # file B: all-real out-of-range values — must still prune
+    t.append(
+        spark.createDataFrame(
+            [(4, 100.0), (5, 200.0)], "id long, x double"
+        ).coalesce(1)
+    )
+    kept = t.pruned_files(spark, "x", 4.0, 8.0)
+    assert len(kept) == 1  # the NaN-bounded file kept, the 100s pruned
+    got = sorted(r.id for r in t.read_where(spark, "x", 4.0, 8.0).collect())
+    # Spark range semantics exclude the NaN row itself (NaN > 8.0)
+    assert got == [1, 3]

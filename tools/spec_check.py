@@ -180,6 +180,10 @@ INVARIANTS: dict[str, tuple[str, list[str]]] = {
          "test_wap_postput_vacuum_heals_and_batch_replay_lands",
          "test_wap_heal_skips_commits_stacked_on_the_torn_snapshot"],
     ),
+    "nan-bounds-never-prune": (
+        "a NaN bound is an unusable proof and never prunes",
+        ["test_nan_stat_bound_never_prunes_in_range_rows"],
+    ),
     "mixed-bounds-widening": (
         "int bounds\nwiden to double for the probe, an int bound too "
         "wide for an exact\ndouble (>2^53) makes its file conservatively "

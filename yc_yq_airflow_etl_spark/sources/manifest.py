@@ -2162,17 +2162,36 @@ class ManifestTable:
         every file; parquet row-group skipping then prunes WITHIN the
         survivors. Files with no recorded stats are kept
         (conservative), so the result is always a correct superset."""
+        import math
+
         v = self.current_version(spark) if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed snapshot at {self.path}")
         m = self._manifest(spark, v)
         stats = m.get("stats", {})
+
+        def _is_nan(b) -> bool:
+            return isinstance(b, float) and math.isnan(b)
+
         out = []
         for f in m["files"]:
             rng = stats.get(f, {}).get(col)
             # null bounds (stats written before the all-null guard, or a
             # hand-edited manifest) read as "no stats" — keep the file
             if rng is None or rng[0] is None or rng[1] is None:
+                out.append(f)
+            # NaN bounds (r15 degenerate-input sweep): Spark's max()
+            # records NaN whenever ANY value is NaN (NaN orders above
+            # every double), but this comparison runs in PYTHON, where
+            # nan >= lo is three-valued-FALSE — one NaN in the column
+            # silently pruned a file full of in-range rows out of
+            # read_where (reproduced: [5.0, nan] file, probe [4, 8],
+            # zero rows back). A NaN bound is an unusable proof on that
+            # side → keep the file (conservative superset, same rule
+            # as missing stats). The merge path was already sound: its
+            # proofs compare IN Spark, where NaN-greatest semantics
+            # match the NaN-greatest stats.
+            elif _is_nan(rng[0]) or _is_nan(rng[1]):
                 out.append(f)
             elif rng[0] <= hi and rng[1] >= lo:
                 out.append(f)
