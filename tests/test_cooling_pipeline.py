@@ -332,3 +332,46 @@ def test_overwrite_partitions_restores_session_conf(spark, tmp_path):
         assert spark.conf.get(key) == "static"
     finally:
         spark.conf.unset(key)
+
+
+def test_compaction_swap_never_deletes_before_replacement_lands(
+    spark, tmp_path
+):
+    """r15 hardening of the lake directory swap: the old
+    delete(old) -> rename(new, old) order had a crash window where the
+    ORIGINAL partition was already deleted before the replacement
+    landed — the partition was simply gone from the live tree. The
+    swap now renames the original ASIDE first and rolls it back when
+    the staged rename fails, so the live table is never left without
+    the partition while the original still exists. Exercised directly
+    against the helper with a missing staged dir (the failure Hadoop
+    signals by returning false)."""
+    import os
+
+    import pytest as _pytest
+
+    from yc_yq_airflow_etl_spark.sources.lake import _swap_partition_dir
+
+    base = tmp_path / "lake"
+    staging = tmp_path / "lake" / "_compacting"
+    part = base / "payment_year=2021"
+    os.makedirs(part)
+    (part / "part-0.parquet").write_bytes(b"live bytes")
+    os.makedirs(staging)  # staged replacement MISSING: rename returns false
+
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(str(base)).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    with _pytest.raises(RuntimeError, match="original partition restored"):
+        _swap_partition_dir(
+            jvm, fs, str(base), str(staging), "payment_year=2021"
+        )
+    # the original partition is back in place, bytes intact
+    assert (part / "part-0.parquet").read_bytes() == b"live bytes"
+    # and the happy path still swaps
+    staged = staging / "payment_year=2021"
+    os.makedirs(staged)
+    (staged / "part-0.parquet").write_bytes(b"compacted bytes")
+    _swap_partition_dir(jvm, fs, str(base), str(staging), "payment_year=2021")
+    assert (part / "part-0.parquet").read_bytes() == b"compacted bytes"

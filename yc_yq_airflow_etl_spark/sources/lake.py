@@ -212,16 +212,51 @@ class LakeTable:
                 "aborting swap (live data untouched)"
             )
         for dirname in before:
-            old = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{dirname}")
-            new = jvm.org.apache.hadoop.fs.Path(f"{staging}/{dirname}")
-            fs.delete(old, True)
-            if not fs.rename(new, old):
-                # Hadoop rename signals failure by returning false.
-                raise RuntimeError(
-                    f"compaction swap rename failed for {dirname}; "
-                    f"rewritten data preserved at {staging}"
-                )
+            _swap_partition_dir(jvm, fs, self.path, staging, dirname)
         fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
 
         after = self.partition_stats(spark)
         return {d: (before[d], after[d][1]) for d in before}
+
+
+def _swap_partition_dir(
+    jvm, fs, base: str, staging: str, dirname: str
+) -> None:
+    """Swap one live partition dir for its staged replacement via two
+    renames (r15): the old ``delete(old) → rename(new, old)`` order
+    left a crash window where the ORIGINAL data was already deleted
+    before the replacement landed — the partition was simply gone from
+    the live tree (the rewrite survived only as unreferenced staging
+    debris). Rename-aside first: the original moves to
+    ``<staging>/_replaced_<dirname>`` (rename refuses an existing
+    destination, so delete-first was never required — moving it is),
+    then the replacement renames in; on failure the original renames
+    BACK, loudly. A crash between the two renames leaves BOTH copies
+    on disk (recover by renaming ``_replaced_*`` back); nothing is
+    deleted until the staging cleanup after every partition swapped.
+    Readers racing the window still see a missing partition — the
+    documented trade of the Hive-layout lake vs the manifest table's
+    snapshot protocol (this module's docstring)."""
+    old = jvm.org.apache.hadoop.fs.Path(f"{base}/{dirname}")
+    new = jvm.org.apache.hadoop.fs.Path(f"{staging}/{dirname}")
+    trash = jvm.org.apache.hadoop.fs.Path(f"{staging}/_replaced_{dirname}")
+    if not fs.rename(old, trash):
+        raise RuntimeError(
+            f"compaction swap could not move live partition {dirname} "
+            "aside; live data untouched"
+        )
+    # Hadoop rename signals failure EITHER by returning false OR by
+    # raising (RawLocalFileSystem throws FileNotFoundException for a
+    # missing source) — the rollback must cover both, or the original
+    # would be stranded in the trash slot exactly when restoring it
+    # matters most
+    try:
+        ok = bool(fs.rename(new, old))
+    except Exception:
+        ok = False
+    if not ok:
+        fs.rename(trash, old)
+        raise RuntimeError(
+            f"compaction swap rename failed for {dirname}; original "
+            f"partition restored, rewritten data preserved at {staging}"
+        )
