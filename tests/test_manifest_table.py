@@ -3133,6 +3133,91 @@ def test_zorder_key_caps_bits_below_sign_bit(spark):
         zorder_key([f"c{i}" for i in range(64)], [0.0] * 64, [1.0] * 64)
 
 
+def test_zorder_key_refuses_non_finite_bounds_and_routes_nan_top(spark):
+    """Invariant #30 at the key-builder level: a NaN/Inf domain bound
+    poisons span → every row's key (not just the bad row's), so
+    zorder_key refuses it loudly naming the column; a NaN ROW under a
+    finite domain routes to the top bucket (NaN-greatest, matching
+    Spark sort order) instead of throwing CAST_OVERFLOW under the
+    default-ANSI session, and ±Inf rows clamp to the domain edges."""
+    from yc_yq_airflow_etl_spark.sources.zorder import zorder_key
+
+    for lo, hi in [(float("nan"), 1.0), (0.0, float("nan")),
+                   (float("-inf"), 1.0), (0.0, float("inf"))]:
+        with pytest.raises(ValueError, match="'a'.*non-finite domain bound"):
+            zorder_key(["a"], [lo], [hi])
+
+    df = spark.createDataFrame(
+        [(0.0,), (3.0,), (float("nan"),), (float("inf"),),
+         (float("-inf"),), (None,)],
+        "a double",
+    )
+    key = zorder_key(["a"], [0.0], [3.0])
+    got = [r.k for r in df.select(key.alias("k")).collect()]
+    top = got[1]  # key of the domain max
+    assert got[2] == top, "NaN row must land in the top bucket"
+    assert got[3] == top, "+Inf row must clamp to the top bucket"
+    assert got[4] == got[0] == 0, "-Inf/domain-min rows land in bucket 0"
+    assert got[5] == 0, "NULL rows keep landing in bucket 0"
+
+
+def test_cluster_zorder_one_nan_row_survives_and_stays_selective(
+    spark, tmp_path
+):
+    """Invariant #30, write path (r15 judge find): ONE NaN row in a
+    stat column must not poison the Morton scaling domain. Before the
+    fix, cluster(zorder=True) computed the domain with plain min/max,
+    span went NaN, and every row's norm.cast('long') threw
+    CAST_OVERFLOW under the engine's default-ANSI session — the whole
+    clustering maintenance pass died on a single bad row (and under
+    ANSI-off the column's key bits silently collapsed to a constant,
+    de-clustering the table). Now: the pass succeeds, the NaN row
+    lands (top bucket), and the CLEAN column's stats stay selective."""
+    mt = ManifestTable(str(tmp_path / "mznan"), stat_cols=("x", "y"))
+    grid = spark.range(0, 32 * 32).select(
+        (F.col("id") % 32).cast("double").alias("x"),
+        F.when(F.col("id") == 517, F.lit(float("nan")))
+        .otherwise((F.col("id") / 32).cast("bigint").cast("double"))
+        .alias("y"),
+    )
+    # striped layout: every file spans the full domain on both axes
+    for i in range(4):
+        part = grid.filter(F.col("id") % 4 == i).coalesce(1)
+        (mt.overwrite if i == 0 else mt.append)(part)
+
+    v = mt.cluster(spark, by=("x", "y"), target_files=8, zorder=True)
+    m = mt._manifest(spark, v)
+    assert len(m["files"]) == 8
+    got = mt.read(spark)
+    assert got.count() == 32 * 32
+    assert got.filter(F.isnan("y")).count() == 1, "the NaN row must land"
+    # the clean column still prunes: a 1/8-width slab on x touches
+    # only the z-curve cells it overlaps, never all 8 files
+    assert len(mt.pruned_files(spark, "x", 0.0, 3.0)) < 8
+    # and a read_where on the clean column returns exactly its rows
+    assert mt.read_where(spark, "x", 0.0, 3.0).filter(
+        ~F.isnan("y")
+    ).count() == 4 * 32
+
+
+def test_cluster_zorder_all_nan_column_refuses_loudly(spark, tmp_path):
+    """An ALL-NaN column sails past the all-NULL `is None` guard
+    (min of all-NaN is NaN, not None) and used to crash deep in
+    codegen with an error naming neither column nor row. It must hit
+    the same loud named-column path as all-NULL."""
+    mt = ManifestTable(str(tmp_path / "mzallnan"), stat_cols=("x",))
+    mt.overwrite(
+        spark.range(0, 16)
+        .select(
+            F.col("id").cast("double").alias("x"),
+            F.lit(float("nan")).alias("y"),
+        )
+        .coalesce(1)
+    )
+    with pytest.raises(ValueError, match=r"cannot zorder on \['y'\]"):
+        mt.cluster(spark, by=("x", "y"), zorder=True)
+
+
 def test_cluster_zorder_reserved_key_column_guard(spark, tmp_path):
     """A data column literally named __zkey would be replaced by the
     Morton key and then dropped — erased from the committed snapshot.

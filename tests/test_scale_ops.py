@@ -610,6 +610,57 @@ def test_write_zordered_empty_and_null_domain_guards(spark, tmp_path):
         write_zordered(nulls, str(tmp_path / "z_null"), ["a", "b"])
 
 
+def test_write_zordered_nan_inf_rows_and_all_nan_guard(spark, tmp_path):
+    """Invariant #30, standalone-writer path (r15 judge find): plain
+    min/max domain aggregates went NaN on a single NaN row, and every
+    row's key cast then threw CAST_OVERFLOW under the default-ANSI
+    engine session — one bad row killed the whole z-order write. Now
+    non-finite values are excluded from the domain, NaN rows route to
+    the top bucket, ±Inf clamps to the edges, and an all-NaN column
+    (which passes the all-NULL `is None` check) refuses loudly."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from yc_yq_airflow_etl_spark.sources.zorder import write_zordered
+
+    grid = spark.range(0, 16 * 16).selectExpr(
+        "CAST(id % 16 AS DOUBLE) AS a",
+        "CASE WHEN id = 37 THEN CAST('NaN' AS DOUBLE) "
+        "     WHEN id = 99 THEN CAST('Infinity' AS DOUBLE) "
+        "     ELSE CAST(CAST(id / 16 AS BIGINT) AS DOUBLE) END AS b",
+    )
+    zdir = str(tmp_path / "z_nan")
+    write_zordered(grid, zdir, ["a", "b"], num_files=8)
+    back = spark.read.parquet(zdir)
+    assert back.count() == 256, "every row must land, including NaN/Inf"
+    assert back.filter(F.isnan("b")).count() == 1
+    assert back.filter(F.col("b") == float("inf")).count() == 1
+
+    # the CLEAN column must still be clustered: per-file [min, max]
+    # rectangles on `a` average well below full domain width
+    spans, lo_g, hi_g = [], None, None
+    for f in glob.glob(f"{zdir}/*.parquet"):
+        md = pq.read_metadata(f)
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(names.index("a")).statistics
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        spans.append((lo, hi))
+        lo_g = lo if lo_g is None else min(lo_g, lo)
+        hi_g = hi if hi_g is None else max(hi_g, hi)
+    width = hi_g - lo_g
+    assert sum((hi - lo) / width for lo, hi in spans) / len(spans) < 0.75
+
+    allnan = spark.range(5).selectExpr(
+        "CAST(id AS DOUBLE) AS a", "CAST('NaN' AS DOUBLE) AS b"
+    )
+    with pytest.raises(ValueError, match=r"non-finite.*\['b'\]|\['b'\].*non-finite"):
+        write_zordered(allnan, str(tmp_path / "z_allnan"), ["a", "b"])
+
+
 def test_sketches_exclude_nulls_and_salted_count_handles_maps(spark):
     """Round-8 review regressions, NULL/type edges of the sketch and
     salting family:

@@ -184,6 +184,12 @@ INVARIANTS: dict[str, tuple[str, list[str]]] = {
         "a NaN bound is an unusable proof and never prunes",
         ["test_nan_stat_bound_never_prunes_in_range_rows"],
     ),
+    "zorder-nan-domain": (
+        "A NaN never enters the Z-order\n  scaling domain",
+        ["test_cluster_zorder_one_nan_row_survives_and_stays_selective",
+         "test_cluster_zorder_all_nan_column_refuses_loudly",
+         "test_zorder_key_refuses_non_finite_bounds_and_routes_nan_top"],
+    ),
     "mixed-bounds-widening": (
         "int bounds\nwiden to double for the probe, an int bound too "
         "wide for an exact\ndouble (>2^53) makes its file conservatively "

@@ -1481,15 +1481,36 @@ class ManifestTable:
             # a data column named __zkey would be REPLACED by
             # withColumn and then dropped — erased from the rewrite
             reserve_tags("cluster(zorder=True)", snap.columns, "__zkey")
+            # NaN/Inf are EXCLUDED from the scaling domain (invariant
+            # #30): plain min/max would return NaN if ANY row is NaN,
+            # poisoning the key for every row — the whole clustering
+            # pass dies with CAST_OVERFLOW under the default ANSI
+            # session, or silently de-clusters under ANSI-off. NaN
+            # rows themselves still land (top bucket, NaN-greatest —
+            # see sources/zorder.zorder_key); ±Inf clamps to the
+            # domain edges.
+            from .zorder import _finite_only
+
             bounds = snap.agg(
-                *[F.min(c).alias(f"_mn_{c}") for c in cols],
-                *[F.max(c).alias(f"_mx_{c}") for c in cols],
+                *[
+                    F.min(_finite_only(F.col(c).cast("double"))).alias(
+                        f"_mn_{c}"
+                    )
+                    for c in cols
+                ],
+                *[
+                    F.max(_finite_only(F.col(c).cast("double"))).alias(
+                        f"_mx_{c}"
+                    )
+                    for c in cols
+                ],
             ).first()  # one tiny row — fixes the bit-scaling domain
             unbounded = [c for c in cols if bounds[f"_mn_{c}"] is None]
             if unbounded:
                 raise ValueError(
-                    f"cannot zorder on {unbounded}: empty table or "
-                    "all-NULL column — no domain to scale the "
+                    f"cannot zorder on {unbounded}: empty table, "
+                    "all-NULL column, or a column with no finite "
+                    "value (all NaN/Inf) — no domain to scale the "
                     "interleave bits to"
                 )
             key = zorder_key(
