@@ -65,6 +65,20 @@ def build_session(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.session.timeZone", "UTC")
+        # ANSI posture is PINNED, not inherited: Spark 4 defaults ANSI
+        # on, Spark 3 defaulted it off, and operator semantics differ
+        # materially across the flag — cast overflow and div-by-zero
+        # throw vs return NULL, and degenerate-input failure modes
+        # flip between loud and silent (the z-order NaN domain hole
+        # was CAST_OVERFLOW under ANSI but SILENT de-clustering under
+        # ANSI-off; invariant #30). The engine's loud-or-quarantine
+        # doctrine assumes ANSI-on: unguarded arithmetic on corrupt
+        # data must fail the job, never fabricate NULLs. Operators
+        # that must tolerate bad rows carry their own explicit guards
+        # (try_cast/when-isnan/quarantine), so they behave identically
+        # either way — pinning `true` makes that the TESTED posture on
+        # every Spark version rather than whatever the build defaults.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
