@@ -24,6 +24,57 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+# Root-level reader sentinel marking one partition mid-swap. Leading
+# underscore: Spark's file index ignores it, so it never pollutes a
+# scan — only LakeTable.read looks for it.
+_SWAP_SENTINEL_PREFIX = "_swapping_"
+
+
+def _wait_for_swaps(
+    spark: SparkSession, path: str, tries: int = 10, delay_s: float = 0.2
+) -> None:
+    """Block a read while any partition of ``path`` is mid-swap.
+
+    The swap window is two renames (~ms), so a short bounded retry
+    almost always clears a LIVE swap; a sentinel that persists past
+    the retries means a crashed compactor left a partition out of the
+    live tree — the read fails LOUDLY naming the partitions instead
+    of silently returning a partial table. Metadata-only: one root
+    listStatus per attempt (the same listing Spark's own file index
+    performs), so cost scales with partition count, never data size.
+    """
+    import time
+
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    try:
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    except Exception:
+        return  # unreadable root: let the reader raise its own error
+    for attempt in range(tries):
+        if not fs.exists(root):
+            return
+        pending = [
+            st.getPath().getName()[len(_SWAP_SENTINEL_PREFIX):]
+            for st in fs.listStatus(root)
+            if st.isFile()
+            and st.getPath().getName().startswith(_SWAP_SENTINEL_PREFIX)
+        ]
+        if not pending:
+            return
+        if attempt < tries - 1:
+            time.sleep(delay_s)
+    raise RuntimeError(
+        f"partitions {sorted(pending)} of {path} are mid-swap "
+        f"(compaction sentinel still present after "
+        f"{tries * delay_s:.1f}s) — a live swap should clear in "
+        "milliseconds, so this is likely a crashed compactor: recover "
+        "by renaming _compacting/_replaced_<partition> back into the "
+        "table and deleting the _swapping_<partition> sentinel. "
+        "Refusing to read a tree with a partition missing."
+    )
+
+
 @dataclass(frozen=True)
 class LakeTable:
     path: str
@@ -31,6 +82,21 @@ class LakeTable:
     schema: T.StructType | None = None
 
     def read(self, spark: SparkSession) -> DataFrame:
+        # A compaction swap mid-flight leaves its partition ABSENT
+        # from the live tree for the two-rename window; a reader
+        # listing inside it would silently return zero rows for that
+        # partition — at 100 TB a year-scoped read racing routine
+        # maintenance becomes a reconciliation false-alarm (or a
+        # false PASS). The swap publishes per-partition sentinels
+        # (`_swapping_<dir>`, see _swap_partition_dir); check them
+        # right before Spark's eager file listing: brief retry (the
+        # window is two renames), then LOUD. A sentinel left by a
+        # crashed compactor keeps reads loud until the documented
+        # recovery (rename `_replaced_*` back, delete the sentinel) —
+        # the honest trade of the Hive-layout lake vs the manifest
+        # table's snapshot protocol. Residual check-then-list race is
+        # the same trade, documented here, not hidden.
+        _wait_for_swaps(spark, self.path)
         reader = spark.read
         if self.schema is not None:
             # partition columns come from directory names, not footers
@@ -234,13 +300,36 @@ def _swap_partition_dir(
     BACK, loudly. A crash between the two renames leaves BOTH copies
     on disk (recover by renaming ``_replaced_*`` back); nothing is
     deleted until the staging cleanup after every partition swapped.
-    Readers racing the window still see a missing partition — the
-    documented trade of the Hive-layout lake vs the manifest table's
-    snapshot protocol (this module's docstring)."""
+    Readers (r16): a ``_swapping_<dirname>`` sentinel at the table
+    root brackets the absent-partition window, so ``LakeTable.read``
+    retries briefly then fails LOUDLY instead of silently returning a
+    tree with the partition missing; the sentinel outlives a crashed
+    swap on purpose — reads stay loud until the operator recovers.
+    The remaining check-then-list race (a swap starting between the
+    sentinel check and Spark's file listing) is the documented trade
+    of the Hive-layout lake vs the manifest table's snapshot
+    protocol (this module's docstring)."""
     old = jvm.org.apache.hadoop.fs.Path(f"{base}/{dirname}")
     new = jvm.org.apache.hadoop.fs.Path(f"{staging}/{dirname}")
     trash = jvm.org.apache.hadoop.fs.Path(f"{staging}/_replaced_{dirname}")
+    # Publish the swap to READERS before the partition goes absent
+    # (r16): a read racing the two-rename window would list the tree
+    # without this partition and silently return zero rows for it.
+    # LakeTable.read checks these sentinels (leading `_` keeps Spark's
+    # own listing blind to the file). Created FIRST — if the sentinel
+    # can't land, abort with live data untouched.
+    sentinel = jvm.org.apache.hadoop.fs.Path(
+        f"{base}/{_SWAP_SENTINEL_PREFIX}{dirname}"
+    )
+    if not fs.createNewFile(sentinel):
+        raise RuntimeError(
+            f"compaction swap could not publish its reader sentinel "
+            f"for {dirname} (already present? crashed prior swap — "
+            f"recover by renaming {staging}/_replaced_{dirname} back "
+            "and deleting the sentinel); live data untouched"
+        )
     if not fs.rename(old, trash):
+        fs.delete(sentinel, False)
         raise RuntimeError(
             f"compaction swap could not move live partition {dirname} "
             "aside; live data untouched"
@@ -255,8 +344,29 @@ def _swap_partition_dir(
     except Exception:
         ok = False
     if not ok:
-        fs.rename(trash, old)
+        # the restore itself can fail (store error, path claimed) —
+        # checked, or the error would claim "restored" while the
+        # original actually sits in the trash slot
+        try:
+            restored = bool(fs.rename(trash, old))
+        except Exception:
+            restored = False
+        if restored:
+            fs.delete(sentinel, False)  # tree is whole again
+            raise RuntimeError(
+                f"compaction swap rename failed for {dirname}; original "
+                f"partition restored, rewritten data preserved at "
+                f"{staging}"
+            )
+        # sentinel INTENTIONALLY left in place: the partition is
+        # genuinely absent from the live tree, so readers must stay
+        # loud until the operator recovers
         raise RuntimeError(
-            f"compaction swap rename failed for {dirname}; original "
-            f"partition restored, rewritten data preserved at {staging}"
+            f"compaction swap rename failed for {dirname} AND the "
+            f"rollback rename failed: the original partition is "
+            f"PRESERVED (not restored) at {staging}/_replaced_{dirname} "
+            f"— rename it back to {base}/{dirname} and delete the "
+            f"{_SWAP_SENTINEL_PREFIX}{dirname} sentinel to recover; "
+            "nothing was deleted"
         )
+    fs.delete(sentinel, False)  # replacement is live — reopen reads
