@@ -525,3 +525,32 @@ def test_lake_read_racing_swap_is_loud_or_consistent(spark, tmp_path):
         assert lake.read(spark).count() == 10
     finally:
         t.join()
+
+
+def test_generator_param_guards_refuse_silent_junk(spark):
+    """r16 degenerate-param sweep: the generator seeds every fixture,
+    so junk here poisons everything downstream — and each of these
+    produced junk, not an error: negative minutes → a silently EMPTY
+    payments table (range(1, 0)); account_pool=0 → every payment on
+    account 0 with amount 0; negative pool → negative account ids;
+    negative num_partitions → an opaque JVM error. generate_accounts
+    with a negative pool → a silently empty FK side."""
+    import pytest as _pytest
+
+    from yc_yq_airflow_etl_spark.sources.generator import (
+        generate_accounts,
+        generate_payments,
+    )
+
+    with _pytest.raises(ValueError, match="minutes"):
+        generate_payments(spark, minutes=-1)
+    with _pytest.raises(ValueError, match="account_pool"):
+        generate_payments(spark, minutes=10, account_pool=0)
+    with _pytest.raises(ValueError, match="account_pool"):
+        generate_payments(spark, minutes=10, account_pool=-5)
+    with _pytest.raises(ValueError, match="num_partitions"):
+        generate_payments(spark, minutes=10, num_partitions=0)
+    with _pytest.raises(ValueError, match="account_pool"):
+        generate_accounts(spark, account_pool=-1)
+    # minutes=0 stays a legitimate empty-but-schema'd grid
+    assert generate_payments(spark, minutes=0).count() == 0

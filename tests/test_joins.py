@@ -1072,3 +1072,91 @@ def test_interval_overlap_join_fanout_cap_raises_loudly(spark):
         on=["k"], bucket_width=1, max_buckets_per_interval=2000,
     ).count()
     assert n == 1
+
+
+def test_bucketed_joins_refuse_nan_bucket_keys(spark):
+    """r16 degenerate sweep (the bucketed-join sibling of the z-order
+    NaN domain hole, invariant #30): Spark's floor(NaN/width) is
+    silently 0 — even under ANSI — so a NaN value in a bucket-keyed
+    column landed in bucket 0 and matched NEAR partners while
+    silently missing FAR ones: plan-dependent answers diverging from
+    each operator's declared naive-predicate semantics (reproduced on
+    the pre-fix code: interval [0, NaN) emitted against [0, 5) but
+    returned zero rows against [1200, 1800), which NaN-greatest
+    overlap semantics say must match). NaN bucket keys now refuse
+    loudly naming the column; NaN values whose no-match outcome is
+    CONSISTENT across both plan shapes (a NaN point probe, a NaN
+    interval lo) stay silent no-matches, exactly like NULL."""
+    import pytest
+
+    from yc_yq_airflow_etl_spark.operators.joins import (
+        asof_join,
+        bucketed_range_join,
+        interval_overlap_join,
+        nearest_join_bucketed,
+    )
+
+    nan = float("nan")
+
+    # interval_overlap_join: NaN hi refuses loudly...
+    L = spark.createDataFrame([(2, 0.0, nan)], "lid int, lo double, hi double")
+    R = spark.createDataFrame(
+        [(9, 1200.0, 1800.0)], "rid int, rlo double, rhi double"
+    )
+    with pytest.raises(Exception, match="NaN in 'hi'"):
+        interval_overlap_join(L, R, "lo", "hi", "rlo", "rhi").collect()
+    # ...while NaN lo is a CONSISTENT non-match (dropped like inverted)
+    L2 = spark.createDataFrame(
+        [(1, nan, 10.0), (3, 0.0, 10.0)], "lid int, lo double, hi double"
+    )
+    R2 = spark.createDataFrame([(9, 0.0, 5.0)], "rid int, rlo double, rhi double")
+    got = interval_overlap_join(L2, R2, "lo", "hi", "rlo", "rhi").collect()
+    assert [r.lid for r in got] == [3]
+
+    # bucketed_range_join: NaN band bound refuses loudly...
+    pts = spark.createDataFrame([(1, 3.0)], "pid int, p double")
+    bands = spark.createDataFrame([(7, 0.0, nan)], "bid int, lo double, hi double")
+    with pytest.raises(Exception, match="NaN in 'hi'"):
+        bucketed_range_join(pts, bands, "p", "lo", "hi", 10.0).collect()
+    # ...while a NaN POINT is a consistent no-match in both plans
+    pts2 = spark.createDataFrame([(1, nan)], "pid int, p double")
+    bands2 = spark.createDataFrame([(7, 0.0, 10.0)], "bid int, lo double, hi double")
+    assert bucketed_range_join(pts2, bands2, "p", "lo", "hi", 10.0).count() == 0
+
+    # asof_join two-phase bucketed twin: NaN event time refuses loudly
+    # (the window twin gives a NaN left row the LAST right row —
+    # NaN-greatest — which bucket 0 can never reproduce)
+    al = spark.createDataFrame([("u", nan)], "k string, t double")
+    ar = spark.createDataFrame([("u", 1.0, "x")], "k string, t double, v string")
+    with pytest.raises(Exception, match="NaN in 't'"):
+        asof_join(al, ar, by=["k"], on_time="t", bucket_width=10.0).collect()
+
+    # nearest_join_bucketed needs NO guard: |NaN - t| <= tol is false
+    # in BOTH formulations — pin the consistent no-match
+    nl = spark.createDataFrame([("u", nan)], "k string, t double")
+    nr = spark.createDataFrame([("u", 1.0, "x")], "k string, t double, v string")
+    out = nearest_join_bucketed(
+        nl, nr, by=["k"], on_time="t", tolerance=5.0
+    ).collect()
+    assert len(out) == 1 and out[0]["r_v"] is None
+
+
+def test_interval_and_range_join_param_guards(spark):
+    """r16 degenerate-param sweep: bucket_width=0 divides bounds to
+    ±Inf (double division never throws), a negative width makes
+    F.sequence silently DESCENDING (wrong buckets, wrong pairs), and
+    a cap < 1 blames the data for a parameter bug."""
+    import pytest
+
+    from yc_yq_airflow_etl_spark.operators.joins import interval_overlap_join
+
+    L = spark.createDataFrame([(1, 0, 10)], "lid int, lo long, hi long")
+    R = spark.createDataFrame([(9, 0, 5)], "rid int, rlo long, rhi long")
+    with pytest.raises(ValueError, match="bucket_width"):
+        interval_overlap_join(L, R, "lo", "hi", "rlo", "rhi", bucket_width=0)
+    with pytest.raises(ValueError, match="bucket_width"):
+        interval_overlap_join(L, R, "lo", "hi", "rlo", "rhi", bucket_width=-5)
+    with pytest.raises(ValueError, match="max_buckets_per_interval"):
+        interval_overlap_join(
+            L, R, "lo", "hi", "rlo", "rhi", max_buckets_per_interval=0
+        )

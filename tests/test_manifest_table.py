@@ -4230,3 +4230,60 @@ def test_nan_stat_bound_never_prunes_in_range_rows(spark, tmp_path):
     got = sorted(r.id for r in t.read_where(spark, "x", 4.0, 8.0).collect())
     # Spark range semantics exclude the NaN row itself (NaN > 8.0)
     assert got == [1, 3]
+
+
+def test_bucket_sets_exclude_null_rows_and_null_probe_guided(
+    spark, tmp_path
+):
+    """r16 degenerate sweep, bucketing NULL-probe semantics:
+    xxhash64(NULL) is the SEED (42), not NULL — so a NULL row used to
+    record phantom bucket pmod(42, n) in its file's bucket set. An
+    only-null file then carried a NON-empty set (contradicting the
+    code's own 'empty set is valid metadata' claim), and every file
+    containing any NULL was unprunable for 1/n of all equality probes
+    (the phantom bucket proves nothing: no probe value equals NULL).
+    Now NULL rows are excluded commit-side; an equality probe with
+    None refuses with a pointer at the IS NULL machinery; and a NaN
+    probe on a double bucket column is CONSISTENT end-to-end
+    (float→double NaN hashes identically; Spark's `=` treats
+    NaN = NaN as true, so the rows are found)."""
+    mt = ManifestTable(str(tmp_path / "mbn"), bucket_cols=(("x", 8),))
+    # file 0: only NULLs; file 1: value 5 plus a NULL; file 2: value 7
+    mt.overwrite(
+        spark.createDataFrame([(None, 1), (None, 2)], "x double, v int")
+        .coalesce(1)
+    )
+    mt.append(
+        spark.createDataFrame([(5.0, 3), (None, 4)], "x double, v int")
+        .coalesce(1)
+    )
+    mt.append(spark.createDataFrame([(7.0, 5)], "x double, v int").coalesce(1))
+    m = mt._manifest(spark, mt.current_version(spark))
+    sets = {f: m["stats"][f]["bucket:x"] for f in m["files"]}
+    only_null = [s for s in sets.values() if s == []]
+    assert len(only_null) == 1, (
+        f"the only-null file must record an EMPTY bucket set, got {sets}"
+    )
+    assert all(len(s) <= 1 for s in sets.values()), (
+        f"NULL rows must not add phantom buckets: {sets}"
+    )
+    # the only-null file is pruned for EVERY equality probe; the
+    # exact read still answers right
+    kept = mt.pruned_files_eq(spark, "x", 5.0)
+    assert len(kept) <= 2
+    got = mt.read_where_eq(spark, "x", 5.0).collect()
+    assert [(r.x, r.v) for r in got] == [(5.0, 3)]
+    # NULL probe: loud, with the IS NULL pointer
+    with pytest.raises(ValueError, match="read_where_null"):
+        mt.read_where_eq(spark, "x", None)
+    with pytest.raises(ValueError, match="read_where_null"):
+        mt.pruned_files_eq(spark, "x", None)
+    # NaN probe: consistent bucket both sides, rows found
+    mt.append(
+        spark.createDataFrame([(float("nan"), 6)], "x double, v int")
+        .coalesce(1)
+    )
+    got = mt.read_where_eq(spark, "x", float("nan")).collect()
+    assert [r.v for r in got] == [6]
+    nan_kept = mt.pruned_files_eq(spark, "x", float("nan"))
+    assert len(nan_kept) == 1  # only the NaN file's bucket matches

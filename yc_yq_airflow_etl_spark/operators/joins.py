@@ -23,6 +23,32 @@ def _reserve(op: str, df: DataFrame, *tags: str) -> None:
     reserve_tags(op, df.columns, *tags)
 
 
+def _nan_guarded_double(c: Column, op: str, col_name: str) -> Column:
+    """Cast to double, raising per-row on NaN (r16 degenerate sweep).
+
+    Every bucketed join keys on ``floor(col / width)`` — and Spark's
+    ``floor(NaN)`` is silently ``0`` (even under ANSI), so a NaN row
+    lands in bucket 0 instead of where the join's own residual
+    predicate says it belongs (NaN sorts GREATEST). The result is the
+    worst failure shape: the NaN row matches nearby bucket-0 partners
+    and silently misses far ones — plan-dependent answers, diverging
+    from the operator's declared (naive-predicate) semantics. Same
+    family as the z-order NaN domain hole (invariant #30): a NaN
+    bucket key is an unusable proof. JVM-side, no extra pass."""
+    d = c.cast("double")
+    return F.when(
+        F.isnan(d),
+        F.raise_error(
+            F.lit(
+                f"{op}: NaN in {col_name!r} cannot be bucketed — "
+                f"floor(NaN/width) silently lands in bucket 0, making "
+                "the row match near partners and miss far ones; "
+                "filter or repair the row (NULL means no-match)"
+            )
+        ).cast("double"),
+    ).otherwise(d)
+
+
 def _hashable_type(dt: T.DataType) -> bool:
     """Whether Spark's hash/xxhash64 accepts a column of this type.
 
@@ -251,7 +277,15 @@ def bucketed_range_join(
     _reserve("bucketed_range_join", left, "_bucket")
     _reserve("bucketed_range_join", right, "_bucket")
     w = float(bucket_width)
-    lo, hi = F.col(lower), F.col(upper)
+    # NaN interval bounds refuse loudly (r16): floor(NaN/w)=0 silently,
+    # so a NaN upper would explode a DESCENDING (wrong) bucket sequence
+    # while the residual predicate `p < NaN` is TRUE for every point —
+    # the bucketed plan would silently answer differently than the
+    # naive range_join. A NaN POINT needs no guard: `p < upper` is
+    # false under NaN-greatest in BOTH formulations (consistent
+    # no-match).
+    lo = _nan_guarded_double(F.col(lower), "bucketed_range_join", lower)
+    hi = _nan_guarded_double(F.col(upper), "bucketed_range_join", upper)
     bands = right.withColumn(
         "_bucket",
         F.explode(
@@ -396,7 +430,15 @@ def asof_join(
     bw = F.lit(float(bucket_width))
 
     def bucket_of(c: Column) -> Column:
-        return F.floor(c.cast("double") / bw).cast("long")
+        # NaN refuses loudly (r16): floor(NaN/w) is silently bucket 0,
+        # so a NaN event time would see only bucket-0 rights — while
+        # the window formulation above (the operator's declared
+        # semantics) gives a NaN left row the LAST right row
+        # (NaN-greatest sort). Plan-dependent answers = silent
+        # corruption; refuse naming the column instead.
+        return F.floor(
+            _nan_guarded_double(c, "asof_join", on_time) / bw
+        ).cast("long")
 
     r_struct = F.struct(
         F.col(on_time).alias("_r_time"),
@@ -695,6 +737,21 @@ def interval_overlap_join(
       with the fan-out cost understood.
     """
     on = list(on)
+    # degenerate-param sweep (r16): bucket_width=0 divides the bounds
+    # to ±Inf (double division never throws, even under ANSI) and a
+    # NEGATIVE width makes F.sequence(lo_b, hi_b) silently DESCENDING
+    # — wrong buckets, wrong pairs, no error; a cap < 1 would make
+    # every non-empty interval trip the fan-out raise with a message
+    # blaming the data instead of the parameter.
+    if bucket_width < 1:
+        raise ValueError(
+            f"bucket_width must be >= 1, got {bucket_width}"
+        )
+    if max_buckets_per_interval < 1:
+        raise ValueError(
+            "max_buckets_per_interval must be >= 1, got "
+            f"{max_buckets_per_interval}"
+        )
     _reserve("interval_overlap_join", left, "_b_l", "_b_r")
     _reserve("interval_overlap_join", right, "_b_l", "_b_r")
     w = F.lit(bucket_width).cast("long")
@@ -703,8 +760,17 @@ def interval_overlap_join(
         df: DataFrame, lo: str, hi: str, side: str, cap: int
     ) -> DataFrame:
         df = df.filter(F.col(lo) < F.col(hi))  # empty ∩ anything = ∅
+        # after the filter, lo can't be NaN (NaN < hi is false under
+        # NaN-greatest, same as the pairwise predicate — a NaN-lo row
+        # is CONSISTENTLY a non-match in both plans). hi CAN still be
+        # NaN (lo < NaN is true): the pairwise predicate would match
+        # it to everything right of lo, but floor(NaN/w) is silently
+        # bucket 0 — the row matches near partners and misses far
+        # ones. Refuse loudly (r16).
         lo_b = F.floor(F.col(lo) / w).cast("long")
-        hi_b = F.floor(F.col(hi) / w).cast("long")
+        hi_b = F.floor(
+            _nan_guarded_double(F.col(hi), "interval_overlap_join", hi) / w
+        ).cast("long")
         n_b = hi_b - lo_b + F.lit(1)
         guarded_lo = F.when(
             n_b > F.lit(cap),

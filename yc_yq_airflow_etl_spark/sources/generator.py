@@ -39,6 +39,23 @@ def generate_payments(
 ) -> DataFrame:
     """Minute-grid payments; closed-form row counts per year
     (527,040 leap / 525,600 common — BASELINE.md)."""
+    # degenerate-param sweep (r16): each of these produced silent
+    # junk, not an error — the generator seeds every fixture, so junk
+    # here poisons everything downstream.
+    if minutes < 0:
+        # spark.range(1, 0) is silently EMPTY — a caller bug would
+        # produce a zero-row "payments" table that every consumer
+        # happily aggregates to zeros
+        raise ValueError(f"minutes must be >= 0, got {minutes}")
+    if account_pool < 1:
+        # floor(rand()*0) = 0 for every row (all payments on account
+        # 0, amount 0); a NEGATIVE pool yields negative account ids —
+        # both are junk data, not errors, without this guard
+        raise ValueError(f"account_pool must be >= 1, got {account_pool}")
+    if num_partitions is not None and num_partitions < 1:
+        raise ValueError(
+            f"num_partitions must be >= 1 when given, got {num_partitions}"
+        )
     start_dt = datetime.strptime(start, "%Y-%m-%d")
     rng = spark.range(1, minutes + 1, 1, num_partitions or spark.sparkContext.defaultParallelism)
     accdt = F.floor(F.rand(seed) * account_pool).cast("long")
@@ -74,6 +91,10 @@ def generate_accounts(
     DELIBERATELY wider than the payments generator's ACCOUNT_POOL of
     1000: payments only ever reference accounts 0..999 / 1..1000,
     exactly as in the reference fixtures)."""
+    if account_pool < 0:
+        # range(0, 0) would be silently empty — the FK side of every
+        # payments join vanishing without a sound
+        raise ValueError(f"account_pool must be >= 0, got {account_pool}")
     return spark.range(0, account_pool + 1).select(
         F.col("id"),
         F.lpad(F.col("id").cast("string"), 20, "0").alias("num"),

@@ -254,6 +254,14 @@ def _bucket_canon_type(dtype: str | None, col: str) -> str:
 
 
 def _bucket_canon_type_of_value(value) -> str:
+    if value is None:
+        # SQL three-valued logic: `col = NULL` matches NO row, so an
+        # equality probe with None is always a caller bug — the IS
+        # NULL predicate has its own machinery (null-count stats)
+        raise ValueError(
+            "an equality probe with NULL matches no row — use "
+            "read_where_null / pruned_files_null for IS NULL"
+        )
     if isinstance(value, bool):
         raise ValueError("bucket probes on booleans are not supported")
     if isinstance(value, int):
@@ -718,7 +726,17 @@ class ManifestTable:
             canon = _bucket_canon_type(types.get(c), c)
             aggs.append(
                 F.collect_set(
-                    F.pmod(F.xxhash64(F.col(c).cast(canon)), F.lit(n))
+                    # NULL rows are EXCLUDED (r16): xxhash64(NULL) is
+                    # the SEED (42), not NULL, so a NULL row would
+                    # record phantom bucket pmod(42, n) — an only-null
+                    # file then carries a non-empty set and every file
+                    # with any NULL becomes unprunable for 1/n of all
+                    # equality probes (a probe value can never equal
+                    # NULL, so the phantom bucket proves nothing).
+                    F.when(
+                        F.col(c).isNotNull(),
+                        F.pmod(F.xxhash64(F.col(c).cast(canon)), F.lit(n)),
+                    )
                 ).alias(f"_bk_{c}")
             )
         rows = (
@@ -2392,9 +2410,11 @@ class ManifestTable:
         if bucket_n is not None:
             # hash every probe key with the SAME expression the commit
             # side recorded (xxhash64 over the column's canonical type
-            # — see bucket_of). NULL keys hash to NULL and match no
-            # file, like the range clause (a NULL probe never touches
-            # a file).
+            # — see bucket_of). NOTE xxhash64(NULL) is the SEED (42),
+            # not NULL — a NULL key still gets a numeric _b here; it
+            # matches no file only because the `hit` predicate below
+            # requires _k IS NOT NULL (r16: the commit side also stops
+            # recording the phantom NULL bucket in file sets).
             dtype = dict(self.read(spark, version=base).dtypes).get(key)
             canon = _bucket_canon_type(dtype, key)
             keyed = keyed.withColumn(
