@@ -1382,3 +1382,47 @@ def test_lang_id_null_text_identifies_as_null(spark):
         "doc_id", lang_id("text").alias("lang")
     ).collect()}
     assert got == {1: None, 2: "en"}
+
+
+def test_minhash_index_overwrite_purges_legacy_parquet_layout(
+    spark, docs, tmp_path
+):
+    """r16 ADVICE: a pre-r15 index written as plain append-mode
+    parquet at the top level of index_path is treated as ABSENT by
+    the ManifestTable layout — correctness was covered by the sync
+    rebuild, but the legacy files were never read, never vacuumed,
+    and a user pointing plain spark.read.parquet at the dir would
+    read the STALE index. write_minhash_index (replace-everything
+    contract) now deletes top-level part-*.parquet/_SUCCESS debris;
+    the manifest layout's own subdirectories are untouched."""
+    import os
+
+    from pyspark.sql import functions as SF
+
+    from yc_yq_airflow_etl_spark.operators.dedup import (
+        probe_minhash_index,
+        write_minhash_index,
+    )
+
+    idx = str(tmp_path / "mh_legacy")
+    # fake the pre-r15 layout: top-level parquet + _SUCCESS
+    docs.limit(2).select("doc_id").coalesce(1).write.parquet(idx)
+    top = set(os.listdir(idx))
+    assert any(n.endswith(".parquet") for n in top) and "_SUCCESS" in top
+
+    write_minhash_index(docs.filter(SF.col("doc_id") <= 3), idx)
+    top = set(os.listdir(idx))
+    assert not any(n.endswith(".parquet") for n in top), top
+    assert "_SUCCESS" not in top
+    # the rebuilt index works and the manifest layout is intact
+    assert {"data", "_manifests"} <= top
+    copy = docs.filter(SF.col("doc_id") == 1).select(
+        SF.lit(99).cast("long").alias("doc_id"), "text"
+    )
+    hits = {
+        (r.new_id, r.index_id): r.jaccard
+        for r in probe_minhash_index(
+            spark, idx, copy, jaccard_threshold=0.9
+        ).collect()
+    }
+    assert hits[(99, 1)] == 1.0  # exact copy found via the new index

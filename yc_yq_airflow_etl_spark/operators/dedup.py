@@ -505,7 +505,33 @@ def write_minhash_index(
     sig = _signatures_pandas(
         _spread(df, id_col), id_col, text_col, shingle_k, num_hashes
     )
+    _purge_legacy_parquet_index(df.sparkSession, path)
     _index_table(path).overwrite(sig)
+
+
+def _purge_legacy_parquet_index(spark, path: str) -> None:
+    """Remove a pre-r15 plain-parquet index layout before the first
+    ManifestTable overwrite (r16 ADVICE): the manifest layout keeps
+    its data under ``<path>/data/`` + ``<path>/_manifest/``, so
+    top-level ``part-*.parquet`` / ``_SUCCESS`` files from the old
+    ``mode("append")`` writer are treated as ABSENT by every read —
+    correctness is already covered by the rebuild, but the stale files
+    would sit as permanent debris no vacuum ever touches (and a user
+    pointing plain ``spark.read.parquet(path)`` at the dir would read
+    the STALE index). Deleting them on overwrite matches the call's
+    replace-everything contract. Top-level files only — never the
+    manifest layout's own subdirectories."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isFile() and (
+            name == "_SUCCESS" or name.endswith(".parquet")
+        ):
+            fs.delete(st.getPath(), False)
 
 
 def append_to_minhash_index(
