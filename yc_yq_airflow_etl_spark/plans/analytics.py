@@ -337,6 +337,14 @@ def histogram_quantile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.agg(
             F.sum("cnt").cast("bigint").alias("total_count"),
             F.count(F.lit(1)).cast("int").alias("n_nonempty_bins"),
+            # deepened pins (r16), two classes total_count/bin-count
+            # lack: EXTREMUM — the heaviest bin's mass (compensating
+            # cross-bin count swaps preserve totals but move the
+            # mode); PARITY — bit_xor over the occupied-bin id set (a
+            # swapped pair of occupied bins preserves the count and
+            # can balance the mass; xor membership can't be balanced)
+            F.max("cnt").cast("bigint").alias("max_bin_count"),
+            F.expr("bit_xor(bin)").cast("int").alias("bin_xor"),
         )
     )
     return (
@@ -358,7 +366,9 @@ WITH h AS (
     SELECT count(*) AS total FROM orders
 ), mass AS (
     SELECT CAST(sum(cnt) AS BIGINT) AS total_count,
-           CAST(count(*) AS INT) AS n_nonempty_bins
+           CAST(count(*) AS INT) AS n_nonempty_bins,
+           CAST(max(cnt) AS BIGINT) AS max_bin_count,
+           CAST(bit_xor(bin) AS INT) AS bin_xor
     FROM h
 ), pick AS (
     SELECT qs.q AS q, min(c.bin) AS bin
@@ -370,7 +380,7 @@ SELECT CAST(p.q AS DOUBLE) AS q,
        0.0 + p.bin * (600000.0 / 256) AS estimate,
        CAST(p.bin AS INT) AS bin,
        CAST((SELECT cum FROM c WHERE c.bin = p.bin) AS BIGINT) AS cum_count,
-       m.total_count, m.n_nonempty_bins
+       m.total_count, m.n_nonempty_bins, m.max_bin_count, m.bin_xor
 FROM pick p, mass m ORDER BY q
 """
 
@@ -3365,8 +3375,16 @@ def manifest_time_travel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             # historical version serving the right row count from the
             # wrong file set passes n_rows but not the key checksum.
             F.sum("l_orderkey").alias("orderkey_sum"),
+            # deepened pin (r16), DISTINCT-CARDINALITY class: a
+            # snapshot carrying duplicated files balances neither —
+            # but a swap of equal-count line GROUPS can balance count
+            # and sum together; the distinct order population can't
+            # follow both
+            F.count_distinct("l_orderkey").cast("bigint").alias("n_orders"),
         )
-        .select(F.lit(v).alias("version"), "n_rows", "orderkey_sum")
+        .select(
+            F.lit(v).alias("version"), "n_rows", "orderkey_sum", "n_orders"
+        )
         for v in (0, 1, 2)
     ]
     out = per_version[0]
@@ -3379,16 +3397,22 @@ MANIFEST_TIME_TRAVEL_ORACLE = """
 SELECT 0 AS version,
        (SELECT count(*) FROM lineitem WHERE year(l_shipdate) < 1997) AS n_rows,
        (SELECT CAST(sum(l_orderkey) AS BIGINT) FROM lineitem
-         WHERE year(l_shipdate) < 1997) AS orderkey_sum
+         WHERE year(l_shipdate) < 1997) AS orderkey_sum,
+       (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem
+         WHERE year(l_shipdate) < 1997) AS n_orders
 UNION ALL
 SELECT 1,
        (SELECT count(*) FROM lineitem WHERE year(l_shipdate) <= 1997),
        (SELECT CAST(sum(l_orderkey) AS BIGINT) FROM lineitem
+         WHERE year(l_shipdate) <= 1997),
+       (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem
          WHERE year(l_shipdate) <= 1997)
 UNION ALL
 SELECT 2,
        (SELECT count(*) FROM lineitem WHERE year(l_shipdate) <= 1998),
        (SELECT CAST(sum(l_orderkey) AS BIGINT) FROM lineitem
+         WHERE year(l_shipdate) <= 1998),
+       (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem
          WHERE year(l_shipdate) <= 1998)
 ORDER BY version
 """
@@ -5972,6 +5996,12 @@ def linear_attribution_report(ev: DataFrame) -> DataFrame:
         # distinct-pid checksum catches a window-boundary drift that
         # trades equal-count purchases between users
         F.sum_distinct(F.col("pid")).cast("bigint").alias("purchase_id_sum"),
+        # deepened pin (r16), EXTREMUM class: the user's widest
+        # per-purchase touch set — a window-boundary drift that trades
+        # one touch between two purchases of the same user preserves
+        # n_touches, the revenue split total, and the pid checksum,
+        # but moves the max fan-out
+        F.max("n_touch").cast("bigint").alias("max_fanout"),
     )
 
 
@@ -6000,7 +6030,8 @@ SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_touches,
        round(sum(CAST(cents AS DOUBLE) / n_touch) / 100.0, 2)
            AS attributed_revenue,
-       CAST(sum(DISTINCT pid) AS BIGINT) AS purchase_id_sum
+       CAST(sum(DISTINCT pid) AS BIGINT) AS purchase_id_sum,
+       CAST(max(n_touch) AS BIGINT) AS max_fanout
 FROM n GROUP BY user_id ORDER BY user_id
 """
 
@@ -6265,6 +6296,11 @@ def kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         # within rounding of the same estimates; the mod-1e9 member
         # checksum moves. Bounded: 256 × (1e9-1) << 2^63.
         F.sum(F.col("h") % 1000000000).cast("bigint").alias("hms_u"),
+        # deepened pin (r16), PARITY class: a compensating pair of
+        # wrong members can balance the mod-1e9 SUM checksum above;
+        # bit_xor over the raw 60-bit hashes is an independent
+        # membership invariant no such pair balances
+        F.expr("bit_xor(h)").cast("bigint").alias("hxor_u"),
     )
     m = (
         us.join(os_, "h", "left_semi")
@@ -6311,6 +6347,7 @@ def kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         round6(j).alias("jaccard_est"),
         F.col("hk_u").cast("bigint").alias("union_kth_hash"),
         F.col("hms_u").alias("union_hash_mod_sum"),
+        F.col("hxor_u").alias("union_hash_xor"),
     )
 
 
@@ -6331,7 +6368,8 @@ os AS (
 ), oa AS (SELECT count(*) AS n_o, max(h) AS hk_o FROM os),
 ca AS (SELECT count(*) AS n_c, max(h) AS hk_c FROM cs),
 ua AS (SELECT count(*) AS n_u, max(h) AS hk_u,
-              sum(h % 1000000000) AS hms_u FROM us),
+              sum(h % 1000000000) AS hms_u,
+              bit_xor(h) AS hxor_u FROM us),
 mm AS (
     SELECT count(*) AS m FROM us
     WHERE h IN (SELECT h FROM os) AND h IN (SELECT h FROM cs)
@@ -6355,7 +6393,8 @@ SELECT CAST(d_o AS BIGINT) AS d_orders_exact,
                          / CAST(hk_u AS DOUBLE) END, 2) AS inter_est,
        floor(CAST(m AS DOUBLE) / n_u * 1e6 + 0.5) / 1e6 AS jaccard_est,
        CAST(hk_u AS BIGINT) AS union_kth_hash,
-       CAST(hms_u AS BIGINT) AS union_hash_mod_sum
+       CAST(hms_u AS BIGINT) AS union_hash_mod_sum,
+       CAST(hxor_u AS BIGINT) AS union_hash_xor
 FROM oa, ca, ua, mm, ex
 """
 
