@@ -6195,7 +6195,13 @@ def scd2_point_in_time_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.scd import scd2_apply
 
     t = load_testdata(spark, sf_dir)
-    users = t["events"].select("user_id").distinct()
+    # eager localCheckpoint (r16): the distinct-users frame feeds the
+    # seed dimension, BOTH update batches, and each scd2_apply's
+    # validation probe — six consumers, each otherwise recomputing a
+    # full events scan + distinct. Materialized once, the per-apply
+    # validation becomes metadata-scale (the kmv sketch builder's
+    # precedent for small multiply-referenced derived frames).
+    users = t["events"].select("user_id").distinct().localCheckpoint()
     base_seg = F.concat(F.lit("tier"), (F.col("user_id") % 3).cast("string"))
     dim = users.select(
         F.col("user_id").alias("u_key"),
