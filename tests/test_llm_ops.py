@@ -1426,3 +1426,71 @@ def test_minhash_index_overwrite_purges_legacy_parquet_layout(
         ).collect()
     }
     assert hits[(99, 1)] == 1.0  # exact copy found via the new index
+
+
+def test_quantization_refuses_or_nulls_non_finite_vectors(spark):
+    """r16 sweep — the index-build sibling of the r14 cosine guard
+    (and the bucketed-join/z-order NaN family): Spark's floor(NaN) is
+    silently 0 and floor(+Inf) is Long.MAX, so a single NaN/Inf
+    embedding component used to quantize into a REAL vector — the
+    corrupt dim trained as 0.0, and the Inf micro-value WRAPPED the
+    trainer's int64 centroid sums (reproduced: one such vector
+    dragged a trained centroid to garbage). numpy's astype(int64) of
+    non-finite is likewise undefined garbage bits in the LSH sketch.
+    Contract now: data-side vectors with any non-finite component
+    quantize/sketch to NULL (dropping out of training, assignment and
+    hamming like NULL embeddings); driver-side QUERY vectors refuse
+    loudly."""
+    from pyspark.sql import functions as SF
+
+    from yc_yq_airflow_etl_spark.operators.similarity import (
+        _probe_clusters,
+        quantize_vec,
+        sign_sketch,
+        sketch_bits,
+        train_ivf_centroids,
+    )
+
+    nan, inf = float("nan"), float("inf")
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0]),
+            (2, [nan, 2.0]),
+            (3, [inf, 2.0]),
+            (4, [-inf, 2.0]),
+            (5, [3.0, 4.0]),
+            (6, None),
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    q = df.select(
+        "vec_id", quantize_vec(SF.col("embedding")).alias("q")
+    ).orderBy("vec_id")
+    got = {r.vec_id: r.q for r in q.collect()}
+    assert got[1] == [1000000, 2000000] and got[5] == [3000000, 4000000]
+    assert got[2] is None and got[3] is None and got[4] is None
+    assert got[6] is None  # NULL stays NULL
+
+    # training sees only the finite vectors: centroids are exactly the
+    # two clean rows (k=2, init = lowest ids, already converged)
+    cents = train_ivf_centroids(df, k_clusters=2, iters=2)
+    assert cents == [[1000000, 2000000], [3000000, 4000000]]
+
+    # LSH sketch: non-finite rows sketch NULL, finite rows match the
+    # driver-side sketch_bits bit-for-bit
+    sk = {
+        r.vec_id: r.s
+        for r in df.select(
+            "vec_id", sign_sketch(SF.col("embedding")).alias("s")
+        ).collect()
+    }
+    assert sk[2] is None and sk[3] is None and sk[4] is None
+    assert sk[1] == sketch_bits([1.0, 2.0]) and sk[5] == sketch_bits(
+        [3.0, 4.0]
+    )
+
+    # query vectors are caller input: loud
+    with pytest.raises(ValueError, match="NaN/Inf"):
+        sketch_bits([nan, 1.0])
+    with pytest.raises(ValueError, match="NaN/Inf"):
+        _probe_clusters([1.0, inf], cents, 1)

@@ -173,7 +173,15 @@ def sketch_bits(vec: Sequence[float], planes: int = 8, seed: int = 42) -> int:
     """Driver-side sketch of one vector (e.g. the query): bit h of the
     result is sign(planes[h] · quantize(v)) — exact integer math,
     matching :func:`sign_sketch` and the DuckDB replay bit-for-bit."""
-    xq = _quantize_micro(np.asarray(vec, dtype=np.float64))
+    x = np.asarray(vec, dtype=np.float64)
+    if not np.isfinite(x).all():
+        # a query vector is caller input, not data — refuse loudly
+        # (numpy's astype(int64) of NaN/Inf is undefined garbage that
+        # would silently probe the wrong buckets)
+        raise ValueError(
+            "sketch_bits: query vector carries NaN/Inf components"
+        )
+    xq = _quantize_micro(x)
     signs = (_rademacher(planes, len(xq), seed) @ xq) > 0
     return int(sum(1 << h for h, s in enumerate(signs) if s))
 
@@ -210,10 +218,17 @@ def sign_sketch(vec: Column, planes: int = 8, seed: int = 42) -> Column:
                 continue
             mask = lens == dim
             x = np.vstack(vecs[mask].to_numpy()).astype(np.float64)
-            xq = _quantize_micro(x)
+            # non-finite components → NULL sketch (r16): numpy's
+            # astype(int64) of NaN/Inf is undefined garbage bits that
+            # would silently land the row in a wrong LSH bucket; NULL
+            # drops it from hamming comparison like a NULL embedding
+            finite = np.isfinite(x).all(axis=1)
+            xq = _quantize_micro(x[finite])
             planes_mat = _rademacher(planes, int(dim), seed)  # (p, dim)
             bits = (xq @ planes_mat.T) > 0  # (n, p)
-            out[mask] = (bits @ weights).astype("int32")
+            sk = pd.array([None] * int(mask.sum()), dtype="Int32")
+            sk[finite] = (bits @ weights).astype("int32")
+            out[mask] = sk
         return pd.Series(out)
 
     return sketch(vec)
@@ -254,9 +269,22 @@ def lsh_topk(
 def quantize_vec(vec: Column) -> Column:
     """JVM-side micro-quantization of a float vector — the same
     ``floor(x*1e6 + 0.5)`` rule as :func:`_quantize_micro`, so
-    expression-level and Pandas-UDF stages agree exactly."""
-    return F.transform(
-        vec, lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long")
+    expression-level and Pandas-UDF stages agree exactly.
+
+    Non-finite guard (r16 sweep, the index-build sibling of the r14
+    cosine guard): a vector with ANY NaN/±Inf component quantizes to
+    NULL — the same contract as a NULL embedding. Unguarded,
+    Spark's floor(NaN) is silently 0 (the corrupt dim trains as if it
+    were 0.0) and floor(+Inf) is Long.MAX (which then WRAPS in the
+    trainer's int64 centroid sums) — both reproduced: one NaN/Inf
+    vector silently dragged a trained IVF centroid to garbage. NULL
+    vectors drop out of training/assignment exactly like before."""
+    d = lambda x: x.cast("double")  # noqa: E731
+    return F.when(
+        ~F.exists(vec, lambda x: F.isnan(d(x)) | (F.abs(d(x)) == F.lit(float("inf")))),
+        F.transform(
+            vec, lambda x: F.floor(d(x) * 1e6 + F.lit(0.5)).cast("long")
+        ),
     )
 
 
@@ -427,7 +455,14 @@ def _probe_clusters(
 ) -> list[int]:
     """The nprobe cluster ids nearest the (quantized) query — exact
     integer distances, ties to the lowest id."""
-    qq = _quantize_micro(np.asarray(query, dtype=np.float64))
+    q = np.asarray(query, dtype=np.float64)
+    if not np.isfinite(q).all():
+        # caller input — refuse loudly rather than probe garbage
+        # buckets (astype(int64) of NaN/Inf is undefined)
+        raise ValueError(
+            "ivf probe: query vector carries NaN/Inf components"
+        )
+    qq = _quantize_micro(q)
 
     def sq(c: Sequence[int]) -> int:
         return int(sum((int(x) - int(y)) ** 2 for x, y in zip(qq, c)))
