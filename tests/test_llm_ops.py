@@ -1494,3 +1494,39 @@ def test_quantization_refuses_or_nulls_non_finite_vectors(spark):
         sketch_bits([nan, 1.0])
     with pytest.raises(ValueError, match="NaN/Inf"):
         _probe_clusters([1.0, inf], cents, 1)
+
+
+def test_band_and_histogram_param_guards(spark, docs):
+    """r16 degenerate-param sweep, tail of the floor/sequence family:
+
+    - bands > num_hashes made rows-per-band 0 — every doc md5-hashed
+      an EMPTY signature slice into one shared bucket per band, the
+      bucket cap dropped those degenerate buckets, and LSH recall
+      silently became ZERO (no error, no candidates); bands < 1 made
+      F.sequence silently descend into junk band ids. Both refuse.
+    - build_histogram(lo == hi) divided every in-domain value to a
+      NaN bin that greatest/least silently clamped into the TOP edge
+      bin (all mass in bin N-1, no error); lo > hi mirrored the
+      binning. Both refuse, in build_histogram and the quantile
+      reader."""
+    from yc_yq_airflow_etl_spark.operators.dedup import minhash_lsh_pairs
+    from yc_yq_airflow_etl_spark.operators.sketches import (
+        build_histogram,
+        histogram_quantiles,
+    )
+
+    with pytest.raises(ValueError, match="cannot exceed num_hashes"):
+        minhash_lsh_pairs(docs, num_hashes=8, bands=16)
+    with pytest.raises(ValueError, match="bands must be >= 1"):
+        minhash_lsh_pairs(docs, num_hashes=8, bands=0)
+
+    df = spark.range(10).selectExpr("CAST(id AS DOUBLE) AS x")
+    with pytest.raises(ValueError, match="lo < hi"):
+        build_histogram(df, "x", 5.0, 5.0, 16)
+    with pytest.raises(ValueError, match="lo < hi"):
+        build_histogram(df, "x", 10.0, 0.0, 16)
+    with pytest.raises(ValueError, match="bins"):
+        build_histogram(df, "x", 0.0, 10.0, 0)
+    h = build_histogram(df, "x", 0.0, 10.0, 16)
+    with pytest.raises(ValueError, match="lo < hi"):
+        histogram_quantiles(h, [0.5], 5.0, 5.0, 16)

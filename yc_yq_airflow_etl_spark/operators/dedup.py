@@ -219,6 +219,26 @@ def exact_dedup(
     )
 
 
+def _band_params(num_hashes: int, bands: int) -> int:
+    """Rows-per-band, with the degenerate combinations refused (r16):
+    bands < 1 made F.sequence silently DESCEND into junk band ids,
+    and bands > num_hashes made r = 0 — every doc then md5-hashes an
+    EMPTY signature slice into the same bucket per band, the cap
+    guard drops those degenerate buckets, and recall silently becomes
+    zero (the worst failure mode: no error, no candidates). A
+    non-dividing bands leaves the num_hashes % bands tail rows
+    unused — standard LSH, allowed."""
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1, got {bands}")
+    if num_hashes < bands:
+        raise ValueError(
+            f"bands ({bands}) cannot exceed num_hashes ({num_hashes}) — "
+            "rows-per-band would be 0 and every document would share "
+            "one empty-slice bucket"
+        )
+    return num_hashes // bands
+
+
 def _band_explode(sig: DataFrame, bands: int, r: int) -> DataFrame:
     """Narrow (_id, band, bucket) table from a signature frame: the
     ``_sig`` vector sliced into ``bands`` bands of ``r`` rows, each
@@ -271,7 +291,7 @@ def minhash_lsh_pairs(
 
     Output: ``id_a < id_b, est_jaccard, jaccard``.
     """
-    r = num_hashes // bands
+    r = _band_params(num_hashes, bands)
     # The signature table is the expensive stage. Everything downstream
     # references it 3× (band explode, and both sides of the verify
     # join), so persist it once — Spark would otherwise recompute the
@@ -406,7 +426,7 @@ def _probe_sig_pairs(
     dedup candidates across bands, verify with exact shingle Jaccard.
     Inputs are (_id, _sh, _sig) frames — already persisted by the
     caller. Returns (new_id, index_id, est_jaccard, jaccard)."""
-    r = num_hashes // bands
+    r = _band_params(num_hashes, bands)
     banded_i = _band_explode(sig_i, bands, r)
     banded_b = _band_explode(sig_b, bands, r)
     bucket_sizes = banded_i.groupBy("band", "bucket").agg(

@@ -98,6 +98,17 @@ def build_histogram(
     Values outside the domain clamp into the edge bins (so totals are
     preserved and the merge stays lossless). Fixed domain is the price
     of mergeability — pick it from the column's business range."""
+    # degenerate-domain guard (r16): lo == hi divides every value by
+    # zero — in-domain values bin NaN, which greatest/least silently
+    # clamp into the TOP edge bin (all mass in bin N-1, no error);
+    # lo > hi flips the binning direction and mirrors the histogram.
+    # Both are caller bugs, refused loudly.
+    if not (hi > lo):
+        raise ValueError(
+            f"histogram domain must satisfy lo < hi, got [{lo}, {hi})"
+        )
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
     x = F.col(value_col).cast("double")
     raw = F.floor((x - F.lit(lo)) / F.lit(hi - lo) * bins).cast("int")
     bin_ = F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw))
@@ -134,6 +145,14 @@ def histogram_quantiles(
 
     from pyspark.sql import Window
 
+    # same domain contract as build_histogram (r16): a zero/negative
+    # span silently mislabels every estimate edge
+    if not (hi > lo):
+        raise ValueError(
+            f"histogram domain must satisfy lo < hi, got [{lo}, {hi})"
+        )
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
     total = hist.agg(F.sum("cnt")).first()[0] or 0
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.select("bin", "cnt").withColumn("cum", F.sum("cnt").over(w))
