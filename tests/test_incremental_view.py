@@ -135,3 +135,18 @@ def test_fold_fails_loud_on_negative_live_count(spark):
     twice = one_delete.unionAll(one_delete)
     with _pytest.raises(Exception, match="negative"):
         fold_changes_into_view(state, twice, ["grp"], ["v"]).collect()
+
+
+def test_signed_delta_reserves_live_count_tag(spark):
+    """r16: `_n` is the view's live-count column — a group or sum
+    column with that name silently collided with it in the fold
+    (same reserved-tag convention as joins/manifest/zorder)."""
+    import pytest
+
+    from yc_yq_airflow_etl_spark.operators.incremental import signed_delta
+
+    ch = spark.createDataFrame(
+        [("a", 1.0, "insert")], "_n string, v double, _change_type string"
+    )
+    with pytest.raises(ValueError, match="reserved internal tags"):
+        signed_delta(ch, ["_n"], ["v"])

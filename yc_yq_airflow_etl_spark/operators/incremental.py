@@ -47,6 +47,12 @@ def signed_delta(
     offending value — a Delta-style 'update_preimage' row silently
     counted as +1 would corrupt the view forever, and a corrupted
     view has no error to trace back."""
+    from .._reserved import reserve_tags
+
+    # `_n` is the view's live-count column: a group/sum column with
+    # that name would silently collide with it in the fold (r16,
+    # same reserved-tag convention as joins/manifest/zorder)
+    reserve_tags("signed_delta", [*group_cols, *sum_cols], "_n")
     sign = (
         F.when(F.col(change_type_col) == "delete", F.lit(-1))
         .when(F.col(change_type_col) == "insert", F.lit(1))
