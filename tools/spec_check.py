@@ -190,6 +190,10 @@ INVARIANTS: dict[str, tuple[str, list[str]]] = {
          "test_cluster_zorder_all_nan_column_refuses_loudly",
          "test_zorder_key_refuses_non_finite_bounds_and_routes_nan_top"],
     ),
+    "bucket-set-no-phantom-null": (
+        "A NULL row never enters a bucket set",
+        ["test_bucket_sets_exclude_null_rows_and_null_probe_guided"],
+    ),
     "mixed-bounds-widening": (
         "int bounds\nwiden to double for the probe, an int bound too "
         "wide for an exact\ndouble (>2^53) makes its file conservatively "
