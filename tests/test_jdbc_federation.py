@@ -155,3 +155,31 @@ def test_jdbc_write_back_round_trip(spark, derby):
         ).first()
     )
     assert agg(back) == agg(sample)
+
+
+def test_partitioned_read_requires_explicit_bounds(spark):
+    """r16 degenerate-param sweep: partition_column without bounds
+    reached the JVM as the string "None" and died deep in the JDBC
+    relation naming none of the four options; now refused loudly at
+    the descriptor, before any connection is opened."""
+    import pytest
+
+    bad = JdbcConnection(
+        name="pg-finance",
+        url="jdbc:derby:memory:unused",
+        table="t",
+        partition_column="id",
+    )
+    with pytest.raises(ValueError, match="lower_bound AND upper_bound"):
+        bad.read(spark)
+    bad2 = JdbcConnection(
+        name="pg-finance",
+        url="jdbc:derby:memory:unused",
+        table="t",
+        partition_column="id",
+        lower_bound="0",
+        upper_bound="10",
+        num_partitions=0,
+    )
+    with pytest.raises(ValueError, match="num_partitions"):
+        bad2.read(spark)

@@ -51,6 +51,21 @@ class JdbcConnection:
         for k, v in self.properties.items():
             reader = reader.option(k, v)
         if self.partition_column:
+            # Spark requires all four partitioned-read options
+            # together; a None bound reaches the JVM as the string
+            # "None" and dies deep in the JDBC relation with an error
+            # naming none of them (r16)
+            if self.lower_bound is None or self.upper_bound is None:
+                raise ValueError(
+                    f"JDBC source {self.name!r}: partition_column "
+                    f"{self.partition_column!r} needs explicit "
+                    "lower_bound AND upper_bound"
+                )
+            if self.num_partitions < 1:
+                raise ValueError(
+                    f"JDBC source {self.name!r}: num_partitions must "
+                    f"be >= 1, got {self.num_partitions}"
+                )
             reader = (
                 reader.option("partitionColumn", self.partition_column)
                 .option("lowerBound", self.lower_bound)
