@@ -892,3 +892,29 @@ def test_bucketed_demo_adopts_complete_dir_instead_of_clobbering(
     for tbl in ("b_adopt_src", "b_adopt_dst", "b_adopt_crash"):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+
+
+def test_salting_and_chunking_param_guards(spark, testdata):
+    """r16 degenerate-param sweep tail: salt/salt_buckets below 1 hit
+    pmod(x, 0) — DIVIDE_BY_ZERO deep in codegen under the pinned-ANSI
+    session, or NULL salts (one-reducer collapse / dropped matches)
+    under ANSI-off; chunk_tokens < 1 emitted empty chunks whose
+    md5('') all collide, silently; stride < 1 died mid-job naming
+    neither the parameter nor the operator."""
+    from yc_yq_airflow_etl_spark.functions.text import chunk_documents
+    from yc_yq_airflow_etl_spark.operators.skew import salted_agg
+
+    with pytest.raises(ValueError, match="salt_buckets"):
+        salted_agg(testdata["orders"], ["o_orderstatus"], salt_buckets=0)
+    with pytest.raises(ValueError, match="salt must be >= 1"):
+        salted_join(
+            testdata["lineitem"],
+            testdata["orders"].withColumnRenamed("o_orderkey", "l_orderkey"),
+            "l_orderkey",
+            salt_buckets=0,
+        )
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(docs, chunk_tokens=0)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(docs, stride=0)

@@ -204,6 +204,14 @@ def chunk_documents(
     chunk payload so downstream exact-dedup of chunks is a plain
     hash-groupBy.
     """
+    if chunk_tokens < 1:
+        # slice(length 0) emits EMPTY chunks whose md5("") all collide
+        # — junk rows, silently (r16)
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if stride < 1:
+        # F.sequence with step 0 / negative dies mid-job with an error
+        # naming neither the param nor the operator
+        raise ValueError(f"stride must be >= 1, got {stride}")
     toks = tokenize(text_col)
     exploded = (
         df.filter(F.col(text_col).isNotNull())

@@ -852,6 +852,13 @@ def salted_join(
     ``how``: 'inner' or 'left' (for 'right'/'full', replicated
     non-matching right rows would emit one null-padded row per salt;
     flip the sides instead)."""
+    if salt < 1:
+        # pmod(x, 0) throws DIVIDE_BY_ZERO deep in codegen under the
+        # pinned-ANSI session (or yields NULL salts under ANSI-off —
+        # every row on one reducer, silently un-salted); a negative
+        # salt replicates the right side zero times and DROPS every
+        # match (r16)
+        raise ValueError(f"salt must be >= 1, got {salt}")
     if how not in ("inner", "left"):
         raise ValueError(
             f"salted_join supports how='inner'|'left' (got {how!r}); "

@@ -44,6 +44,10 @@ def salted_agg(
     hot key's rows differ anywhere)."""
     from .joins import _hashable_type
 
+    if salt_buckets < 1:
+        # pmod(x, 0) is DIVIDE_BY_ZERO under the pinned-ANSI session
+        # (NULL salts / one-reducer collapse under ANSI-off) — r16
+        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
     keys = list(keys)
     sum_cols = list(sum_cols)
     # same guard as joins.salted_join: xxhash64 rejects MAP-typed
