@@ -1530,3 +1530,26 @@ def test_band_and_histogram_param_guards(spark, docs):
     h = build_histogram(df, "x", 0.0, 10.0, 16)
     with pytest.raises(ValueError, match="lo < hi"):
         histogram_quantiles(h, [0.5], 5.0, 5.0, 16)
+
+
+def test_multimodal_param_guards(spark):
+    """r16 degenerate-param sweep tail: a 0x0 resize target silently
+    produced 0-pixel junk payloads per row; every_k=0 raised a
+    range-step error inside the executor naming neither param nor
+    operator; grid=0 made every image's aHash the empty string — all
+    images silently 'duplicates'."""
+    from yc_yq_airflow_etl_spark.operators.multimodal import (
+        ppm_ahash,
+        resize_ppm_features,
+        sample_video_frames,
+        synthesize_ppm_corpus,
+    )
+
+    ids = spark.range(1, 3).selectExpr("id AS media_id")
+    media = synthesize_ppm_corpus(ids)
+    with pytest.raises(ValueError, match="resize target"):
+        resize_ppm_features(media, 0, 4)
+    with pytest.raises(ValueError, match="every_k"):
+        sample_video_frames(media, every_k=0)
+    with pytest.raises(ValueError, match="grid"):
+        ppm_ahash(media, grid=0)

@@ -437,6 +437,12 @@ def resize_ppm_features(
     feature-extract, all inside one mapInPandas stage (the bytes never
     leave the executor — at 100 TB the resize is a map-only pass with
     zero shuffle)."""
+    if out_w < 1 or out_h < 1:
+        # np.arange(0) silently yields a 0-pixel image whose encode/
+        # decode round-trip is degenerate junk, per-row (r16)
+        raise ValueError(
+            f"resize target must be >= 1x1, got {out_w}x{out_h}"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -483,6 +489,10 @@ def sample_video_frames(
     every ``every_k``-th frame, decode each kept frame to features.
     One mapInPandas stage — the explode happens executor-side on the
     decoded rows, not on the binary (the payload is read once)."""
+    if every_k < 1:
+        # range(0, n, 0) raises ZeroDivisionError-style errors inside
+        # the executor task naming neither param nor operator (r16)
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
     schema = T.StructType(
         [T.StructField("media_id", T.LongType(), False),
          T.StructField("n_frames", T.IntegerType(), False),
@@ -555,6 +565,10 @@ def ppm_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
     """Arrow-batched decode → average-hash, one mapInPandas stage —
     the image bytes never cross a shuffle; only the 64-char hash
     (and the id) continues into the grouping exchange."""
+    if grid < 1:
+        # a 0-cell hash is an empty string that every image shares —
+        # all images become "duplicates", silently (r16)
+        raise ValueError(f"grid must be >= 1, got {grid}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
