@@ -1553,3 +1553,42 @@ def test_multimodal_param_guards(spark):
         sample_video_frames(media, every_k=0)
     with pytest.raises(ValueError, match="grid"):
         ppm_ahash(media, grid=0)
+
+
+def test_sketch_param_guards(spark):
+    """r16 degenerate-param sweep tail, sketches: depth=0 exploded an
+    EMPTY row array — every input row silently dropped, the sketch
+    empty, every frequency estimate 0 (the one direction CMS must
+    never err); width=0 is `% 0` (DIVIDE_BY_ZERO under the pinned
+    ANSI session); kmv k=0 is limit(0) — an empty sketch whose
+    distinct estimates are silently 0; a bloom num_bits that is not a
+    multiple of 64 indexes PAST the probe-side word array
+    (IndexError naming neither param), and k=0 sets no bits so every
+    membership test answers 'absent' and the prefilter drops all
+    rows."""
+    from pyspark.sql import functions as SF
+
+    from yc_yq_airflow_etl_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+        build_cms,
+        cms_estimate,
+        kmv_sketch,
+    )
+
+    df = spark.range(10).selectExpr("CAST(id AS STRING) AS k")
+    with pytest.raises(ValueError, match="depth"):
+        build_cms(df, "k", depth=0)
+    with pytest.raises(ValueError, match="width"):
+        build_cms(df, "k", width=0)
+    with pytest.raises(ValueError, match="depth"):
+        cms_estimate(build_cms(df, "k"), df, "k", depth=0)
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        kmv_sketch(df, "k", k=0)
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_build(df, "k", num_bits=100)
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        bloom_build(df, "k", num_bits=128, k=0)
+    words = bloom_build(df, "k", num_bits=128, k=2)
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_might_contain(words, SF.col("k"), num_bits=100, k=2)

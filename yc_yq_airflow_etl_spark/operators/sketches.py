@@ -194,6 +194,14 @@ def build_cms(
     retirement the same way the reference's verified-then-retired
     contract expects. md5 keeps the construction engine-portable
     (replayed exactly in the DuckDB oracle)."""
+    # depth=0 explodes an EMPTY array — every row silently dropped,
+    # the sketch empty, every estimate 0 (the one direction CMS must
+    # never err); width=0 is `% 0` — DIVIDE_BY_ZERO under the
+    # pinned-ANSI session (r16)
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
     rows = F.explode(
         F.array(*[F.lit(r) for r in range(depth)])
     ).alias("r")
@@ -246,10 +254,16 @@ def cms_estimate(
     """Point-frequency estimates for ``keys``: min over hash rows of
     the key's cell (0 for an untouched cell). Estimates only ever
     OVERcount (collisions add), never under — the caller-visible
-    contract. The probe set is small by construction (heavy-hitter
+    contract.
+    Same depth/width contract as :func:`build_cms` (r16): degenerate
+    values refuse loudly before the probe plan is built. The probe set is small by construction (heavy-hitter
     candidates), so the probe side broadcasts and the sketch itself
     is ~depth×width rows — trivially broadcastable at any data
     scale."""
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
     rows = F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r")
     probe = keys.select(F.col(key_col), rows).withColumn(
         "bucket",
@@ -290,6 +304,21 @@ def cms_estimate(
 # -- Bloom filter: broadcastable membership pre-filter ------------------
 
 
+def _check_bloom_params(num_bits: int, k: int) -> None:
+    """num_bits must be a positive multiple of 64 (r16): the bitmap
+    is packed into 64-bit words, and a non-multiple makes the top
+    word's index land PAST the probe-side array — an IndexError deep
+    in the collect loop naming neither param; num_bits < 64 makes the
+    array empty. k < 1 sets no bits: every membership test silently
+    answers 'maybe absent' and the prefilter drops all rows."""
+    if num_bits < 64 or num_bits % 64:
+        raise ValueError(
+            f"num_bits must be a positive multiple of 64, got {num_bits}"
+        )
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+
 def _bloom_pos(col, seed: int, num_bits: int):
     """Bit position ``seed`` for a key: first 15 hex chars of
     md5(value ':' seed) as a 60-bit integer, mod ``num_bits``.
@@ -328,6 +357,7 @@ def bloom_build(
     build is one partial-aggregated shuffle of at most
     ``num_bits/64`` groups — metadata-scale regardless of input size.
     """
+    _check_bloom_params(num_bits, k)
     # md5(NULL) is NULL: a NULL key would emit a (NULL, NULL) word
     # row that crashes the probe's int() loop — and NULL has no
     # membership semantics in a Bloom filter anyway
@@ -364,6 +394,7 @@ def bloom_might_contain(
     join, no shuffle, no Python. This is the 100 TB shuffle-reduction
     shape — evaluate the cheap bitmap test BEFORE the exchange and
     only shuffle the survivors into the exact join."""
+    _check_bloom_params(num_bits, k)
     if num_bits > 1 << 24:
         raise ValueError(
             f"num_bits={num_bits} would embed a {num_bits // 8 >> 20} MB+ "
@@ -423,6 +454,10 @@ def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     sketch holds fewer than k values it IS the exact distinct set;
     otherwise D ≈ (k-1) · 2^60 / h_k with h_k the largest retained
     hash (standard error ≈ 1/√(k−2))."""
+    if k < 1:
+        # limit(0) is a silently EMPTY sketch — every distinct-count
+        # estimate downstream becomes 0 with no error (r16)
+        raise ValueError(f"k must be >= 1, got {k}")
     return (
         # NULL is not a value: md5(NULL) → h=NULL sorts FIRST under
         # ascending NULLS FIRST, stealing a bottom-k slot (inflating
