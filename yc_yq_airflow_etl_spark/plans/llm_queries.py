@@ -832,6 +832,10 @@ def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the id checksum pins exactly who landed where (the
             # no-leakage property the split exists for).
             F.sum("doc_id").alias("doc_id_sum"),
+            # deepened pin (r16), PARITY class: a compensating id pair
+            # (+k here, -k there) balances the sum across two cells;
+            # xor membership can't be balanced that way
+            F.expr("bit_xor(doc_id)").cast("bigint").alias("doc_id_xor"),
         )
         .orderBy("split", "lang")
     )
@@ -847,7 +851,8 @@ SELECT CASE WHEN b < 80 THEN 'train'
             WHEN b < 90 THEN 'val'
             ELSE 'test' END AS split,
        lang, count(*) AS n_docs,
-       CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+       CAST(sum(doc_id) AS BIGINT) AS doc_id_sum,
+       CAST(bit_xor(doc_id) AS BIGINT) AS doc_id_xor
 FROM h GROUP BY 1, 2 ORDER BY split, lang
 """
 
@@ -882,6 +887,12 @@ def source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_kept"),
             F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+            # deepened pins (r16): PARITY over the kept-id set (a
+            # compensating swap balances the sum, not the xor) and
+            # EXTREMUM — the hash-largest survivor (a rank-boundary
+            # drift replaces the tail doc; max id can't follow both)
+            F.expr("bit_xor(doc_id)").cast("bigint").alias("kept_id_xor"),
+            F.max("doc_id").cast("bigint").alias("kept_id_max"),
         )
         .orderBy("source")
     )
@@ -897,7 +908,9 @@ WITH ranked AS (
            ) AS rnk
     FROM documents
 )
-SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum,
+       CAST(bit_xor(doc_id) AS BIGINT) AS kept_id_xor,
+       CAST(max(doc_id) AS BIGINT) AS kept_id_max
 FROM ranked WHERE rnk <= 120
 GROUP BY source ORDER BY source
 """
