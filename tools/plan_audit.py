@@ -521,17 +521,40 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
          r"ReadSchema: struct<o_custkey:bigint>"),
     ],
     "table_profile": [
-        # one lazy plan end-to-end: scan → single groupBy-less agg →
-        # in-plan stack() unpivot (NO driver-side materialization —
-        # a local createDataFrame round-trip costs ~1 s per call)
+        # one lazy plan end-to-end: two crossJoined 1-row agg
+        # subtrees (stats; exact NDV) → in-plan stack() unpivot (NO
+        # driver-side materialization — a local createDataFrame
+        # round-trip costs ~1 s per call)
         ("unpivot is an in-plan stack(), not a driver round-trip",
          r"Arguments: stack\(4,"),
-        ("profile aggregates partially aggregated (one scan)",
+        ("profile aggregates partially aggregated",
          r"partial_count"),
-        ("no join anywhere in the profile", "!Join"),
+        # r17 split: the exact-NDV subtree carries no string min/max
+        # buffer, so its multi-distinct gid-Expand hash-aggregates
+        # (map-side dedup). The fused form compiled to a
+        # SortAggregate chain — three full sorts of the 5×-expanded
+        # scan, the thing that dies at 100 TB.
+        ("NDV Expand feeds a HashAggregate, never a Sort",
+         "!Sort \\(\\d+\\)\\s*\\n\\s*[:+\\- ]*\\+- Expand"),
+        ("the only join is the 1x1 stats × NDV fuse (broadcast "
+         "nested-loop over single-row sides)",
+         r"BroadcastNestedLoopJoin"),
         ("orders scan pruned to the four profiled columns",
          r"ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,"
          r"o_orderstatus:string,o_totalprice:double>"),
+    ],
+    "table_profile_approx": [
+        # r17: same split-plan contract as table_profile — the HLL
+        # sketches fold into the keyless stats pass (fixed-size
+        # buffers), the exact gate rides its own subtree whose
+        # gid-Expand hash-aggregates; no sort anywhere near the
+        # Expand.
+        ("unpivot is an in-plan stack(), not a driver round-trip",
+         r"Arguments: stack\(4,"),
+        ("HLL sketch folded into the stats pass",
+         r"partial_approx_count_distinct"),
+        ("NDV Expand feeds a HashAggregate, never a Sort",
+         "!Sort \\(\\d+\\)\\s*\\n\\s*[:+\\- ]*\\+- Expand"),
     ],
     "fk_integrity_audit": [
         ("orphan probes are broadcast anti-joins",

@@ -109,7 +109,19 @@ def profile_aggs(
     count, NDV via ``ndv``, min/max as strings), aliased POSITIONALLY
     (``c{i}__*``) so arbitrary column names never leak into
     identifiers. Null count is ``count(1) - count(col)`` — exact 0 on
-    an empty input, where ``sum(isnull)`` would be NULL."""
+    an empty input, where ``sum(isnull)`` would be NULL.
+
+    Fuse-in-one-agg note (r17): only safe when ``ndv`` is a
+    fixed-buffer aggregate (HLL). With EXACT ``count_distinct`` the
+    multi-distinct rewrite drags the string min/max buffers into the
+    gid-Expand aggregation, which demotes the whole chain to
+    SortAggregate — three full sorts of the 5×-expanded scan
+    (measured 2× the split plan at sf0.1, and the sorts scale with
+    the table). Exact-NDV callers use :func:`profile_stats_aggs` +
+    :func:`profile_ndv_aggs` as two crossJoined 1-row subtrees
+    instead: the NDV branch then has no min/max buffers, so the
+    Expand feeds a pure HashAggregate (map-side hash dedup, no
+    sorts)."""
     aggs: list[Column] = []
     for i, c in enumerate(cols):
         col = df[c]
@@ -123,6 +135,40 @@ def profile_aggs(
             F.max(col).cast("string").alias(f"c{i}__max"),
         ]
     return aggs
+
+
+def profile_stats_aggs(df: DataFrame, cols: Sequence[str]) -> list[Column]:
+    """The NDV-free half of :func:`profile_aggs` (count, null count,
+    min/max as strings) — one keyless partial+final agg, no sort, no
+    Expand. Same positional ``c{i}__*`` aliases."""
+    aggs: list[Column] = []
+    for i, c in enumerate(cols):
+        col = df[c]
+        aggs += [
+            F.count(F.lit(1)).cast("bigint").alias(f"c{i}__n"),
+            (F.count(F.lit(1)) - F.count(col))
+            .cast("bigint")
+            .alias(f"c{i}__nulls"),
+            F.min(col).cast("string").alias(f"c{i}__min"),
+            F.max(col).cast("string").alias(f"c{i}__max"),
+        ]
+    return aggs
+
+
+def profile_ndv_aggs(
+    df: DataFrame,
+    cols: Sequence[str],
+    ndv: Callable[[Column], Column],
+) -> list[Column]:
+    """The NDV-only half of :func:`profile_aggs`: kept free of any
+    variable-length (string min/max) buffer so the exact
+    ``count_distinct`` multi-distinct rewrite compiles to
+    HashAggregate over the gid-Expand — map-side hash dedup instead
+    of the SortAggregate chain (see :func:`profile_aggs` note)."""
+    return [
+        ndv(df[c]).cast("bigint").alias(f"c{i}__ndv")
+        for i, c in enumerate(cols)
+    ]
 
 
 def profile_stack_expr(
@@ -180,13 +226,27 @@ def profile_columns(
             RuntimeWarning,
             stacklevel=2,
         )
-    ndv = (
-        F.count_distinct
-        if exact
-        else (lambda col: F.approx_count_distinct(col, rsd))
-    )
     exact_lit = "true" if exact else "false"
-    return df.agg(*profile_aggs(df, cols, ndv)).selectExpr(
+    if exact:
+        # split plan (r17): stats and exact NDV as two crossJoined
+        # 1-row aggs — the NDV branch carries no string min/max
+        # buffer, so the multi-distinct Expand hash-aggregates
+        # (map-side dedup, zero sorts) instead of the SortAggregate
+        # chain the fused agg forces (2× wall at sf0.1; the three
+        # sorts of the 5×-expanded scan are what dies at 100 TB).
+        wide = df.agg(*profile_stats_aggs(df, cols)).crossJoin(
+            df.agg(*profile_ndv_aggs(df, cols, F.count_distinct))
+        )
+    else:
+        # HLL is a fixed-buffer declarative aggregate: it folds into
+        # the SAME keyless partial+final pass as count/min/max — one
+        # scan, still no sort, nothing to split.
+        wide = df.agg(
+            *profile_aggs(
+                df, cols, lambda col: F.approx_count_distinct(col, rsd)
+            )
+        )
+    return wide.selectExpr(
         profile_stack_expr(
             cols,
             "col, n_rows, n_nulls, n_distinct, ndv_exact, min_s, max_s",

@@ -1302,7 +1302,11 @@ def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggs fuse into ONE plan via a 1×1 crossJoin (each keeps its own
     # Aggregate subtree, so the Expand isolation holds) and the
     # unpivot is an in-plan stack() — no driver-side materialization.
-    from ..operators.profiling import profile_aggs, profile_stack_expr
+    from ..operators.profiling import (
+        profile_ndv_aggs,
+        profile_stack_expr,
+        profile_stats_aggs,
+    )
 
     approx_aggs = [
         F.approx_count_distinct(o[c], 0.02)
@@ -1310,8 +1314,14 @@ def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias(f"c{i}__andv")
         for i, c in enumerate(cols)
     ]
-    wide = o.agg(*profile_aggs(o, cols, F.count_distinct)).crossJoin(
-        o.agg(*approx_aggs)
+    # r17 split (same 2-scan count as before, zero sorts): the HLL
+    # sketches are fixed-buffer aggregates, so they fold into the SAME
+    # keyless pass as count/nulls/min/max; the exact-NDV gate rides
+    # its own agg subtree with no string min/max buffer, so its
+    # multi-distinct Expand hash-aggregates (map-side dedup) instead
+    # of the 3-sort SortAggregate chain the fused form compiled to.
+    wide = o.agg(*profile_stats_aggs(o, cols), *approx_aggs).crossJoin(
+        o.agg(*profile_ndv_aggs(o, cols, F.count_distinct))
     )
     return wide.selectExpr(
         profile_stack_expr(
