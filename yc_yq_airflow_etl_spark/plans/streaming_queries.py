@@ -12,6 +12,8 @@ session_window's 'absorb strictly-before last+gap' rule)."""
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -21,6 +23,26 @@ from ..streaming.windows import (
     sliding_window_counts,
     tumbling_window_counts,
 )
+
+
+@contextmanager
+def _no_data_batches_off(spark: SparkSession):
+    """Scope ``noDataMicroBatches.enabled=false`` around one bounded
+    demo stream (r17): after the last staged file, Spark's default
+    runs an extra EMPTY micro-batch purely to advance the watermark —
+    a full state-store commit cycle that cannot change these queries'
+    output (NoTimeout stateful op / complete-mode agg / append dedup
+    whose 30-day watermark evicts nothing inside the fixture span;
+    outputs verified identical both ways). Watermark-TIMER semantics
+    (inactivity alerts, outer-join null emission) need those no-data
+    batches, so the flag is scoped here, never session-wide."""
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,16 +254,32 @@ def stateful_spend_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import user_spend_alerts
 
     t = load_testdata(spark, sf_dir)
-    # Stage the source as a TIME-ORDERED log (4 files = 4 consecutive
-    # ts quartiles, written oldest-first so the file source's
+    # Stage the source as a TIME-ORDERED log (2 files = 2 consecutive
+    # ts halves, written oldest-first so the file source's
     # mod-time ordering replays them in event order) — the arrival
     # contract a Kafka partition or CDC log provides, and what a
     # lifetime-cumulative operator needs to be deterministic.
+    #
+    # Only PURCHASES are staged (r17): the operator's first step is a
+    # JVM-side event_type=='purchase' filter, so non-purchase rows
+    # never touch the state function and the alert output is
+    # byte-identical either way (verified against the oracle and the
+    # all-events staging) — but the staging's global ntile sort was
+    # ordering 5× the rows it needed to. Same reason the split stays
+    # correct: the (ts, event_id) total order of the purchase
+    # subsequence is preserved, and the operator sorts within each
+    # micro-batch, so alert emission depends only on per-user purchase
+    # order, not on where the batch boundary falls.
     src = tempfile.mkdtemp(prefix="spend_src_")
     # (ts, event_id) is a total order — ties on ts alone would split
     # a user's equal-ts events across files nondeterministically.
-    ev = t["events"].withColumn(
-        "_q", F.ntile(2).over(Window.orderBy("ts", "event_id"))
+    # localCheckpoint: both half-writes read the SAME materialized
+    # ntile frame — without it each filter re-runs the global sort.
+    ev = (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .withColumn("_q", F.ntile(2).over(Window.orderBy("ts", "event_id")))
+        .localCheckpoint()
     )
     for i in range(1, 3):
         ev.filter(F.col("_q") == i).drop("_q").coalesce(1).write.mode(
@@ -254,17 +292,18 @@ def stateful_spend_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     name = "spend_alerts_" + uuid.uuid4().hex[:8]
-    q = (
-        user_spend_alerts(stream, threshold_cents=20_000)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="spend_ck_"))
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    q.awaitTermination(60)
+    with _no_data_batches_off(spark):
+        q = (
+            user_spend_alerts(stream, threshold_cents=20_000)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="spend_ck_"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
     return spark.table(name).orderBy("user_id", "alert_level")
 
 
@@ -329,16 +368,19 @@ def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = stream.withWatermark("ts", "30 days").dropDuplicates(["event_id"])
     name = "stream_dedup_" + uuid.uuid4().hex[:8]
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sdedup_ck_"))
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    q.awaitTermination(60)
+    with _no_data_batches_off(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="sdedup_ck_")
+            )
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
     return (
         spark.table(name)
         .groupBy("event_type")
@@ -409,16 +451,19 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_id").cast("long").alias("event_id_sum"),
     )
     name = "senrich_" + uuid.uuid4().hex[:8]
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="senrich_ck_"))
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    q.awaitTermination(60)
+    with _no_data_batches_off(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="senrich_ck_")
+            )
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
     return spark.table(name).orderBy("tier")
 
 
