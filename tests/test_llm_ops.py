@@ -717,6 +717,43 @@ def test_connected_components_long_chain_converges_logarithmically(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_connected_components_convergence_rides_checkpoint_job(spark):
+    """r17: the per-round monotone-sum convergence check is a
+    ``DataFrame.observe`` metric on the round's eager localCheckpoint,
+    not a separate ``.agg().first()`` action — the checkpoint's own
+    materialization scan computes it, so each round saves one full
+    O(V) pass (and its job-submission latency). Pinned by job count:
+    an 8-vertex chain converges in 4 rounds and measures 30 jobs on
+    the fused shape vs 40 with the separate per-round agg — the pin
+    at 35 keeps AQE-noise headroom while staying red on the un-fused
+    shape (mutation-verified in-session)."""
+    from yc_yq_airflow_etl_spark.operators import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long"
+    )
+    dd.connected_components(pairs).collect()  # warm
+    sc = spark.sparkContext
+    sc.setJobGroup("cc_conv_jobs", "cc convergence job count")
+    try:
+        got = {
+            r.id: r.label
+            for r in dd.connected_components(pairs).collect()
+        }
+        n_jobs = len(
+            sc.statusTracker().getJobIdsForGroup("cc_conv_jobs")
+        )
+    finally:
+        sc.setJobGroup("", "")
+    assert got == {i: 1 for i in range(1, 9)}
+    assert dd.LAST_CC_ROUNDS == 4
+    assert n_jobs <= 35, (
+        f"connected_components launched {n_jobs} jobs for 4 rounds — "
+        "the convergence sum must ride the checkpoint job via "
+        "observe, not run as its own per-round aggregation action"
+    )
+
+
 def test_connected_components_spares_concurrent_persists(spark):
     """The CC loop frees each round's localCheckpoint blocks by the
     RDD id read off its OWN plan node. Regression pin: a concurrent

@@ -966,7 +966,10 @@ def connected_components(
     vertex-id scale), replacing the earlier O(V) anti-join of two
     label generations — one full shuffle join per round saved, which
     at a 100 TB edge list is the difference between 3 and 4 shuffles
-    every round.
+    every round. Since r17 the sum does not even get its own job: it
+    is attached as a ``DataFrame.observe`` metric to the round's
+    eager ``localCheckpoint``, so the checkpoint's materialization
+    scan computes it for free (zero extra passes over the labels).
 
     Storage hygiene: checkpoint blocks are NOT freed by
     ``DataFrame.unpersist()`` (the data lives in the checkpointed
@@ -1016,18 +1019,28 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Convergence sums ride the checkpoint's own materialization job
+    # via DataFrame.observe (r17): the eager localCheckpoint already
+    # scans every (id, label) row, so attaching the monotone-sum
+    # metric there removes the per-round `.agg().first()` job — one
+    # fewer full O(V) pass per round (and per-round job-submission
+    # latency), with the identical DECIMAL(38,0) overflow-safe sum.
+    from pyspark.sql import Observation
+
+    _label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    obs0 = Observation()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
+        .observe(obs0, _label_sum)
         .localCheckpoint()
     )
     # the eager checkpoint above materialized edges; the directed
     # scratch copy has served both branches and can go now
     e.unpersist(blocking=False)
     label_id = _ckpt_id(labels)
-    _label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-    prev_sum = labels.agg(_label_sum).first()[0]
+    prev_sum = obs0.get["s"]
     global LAST_CC_ROUNDS
     LAST_CC_ROUNDS = 0
     # try/finally like pagerank: a mid-iteration failure must not
@@ -1050,16 +1063,18 @@ def connected_components(
             lookup = merged.select(
                 F.col("id").alias("_lid"), F.col("label").alias("_llabel")
             )
+            obs = Observation()
             new_labels = (
                 merged.join(lookup, merged["label"] == lookup["_lid"])
                 .select("id", F.least("label", "_llabel").alias("label"))
+                .observe(obs, _label_sum)
                 .localCheckpoint()  # eager: truncates plan AND materializes
             )
             new_id = _ckpt_id(new_labels)
             # monotone-sum convergence: labels never increase, so an
-            # unchanged sum IS "no vertex changed" (one scalar agg off
-            # the fresh checkpoint — no second generation read at all)
-            new_sum = new_labels.agg(_label_sum).first()[0]
+            # unchanged sum IS "no vertex changed" — read off the
+            # checkpoint job's own observation (no extra scan/job)
+            new_sum = obs.get["s"]
             _free(label_id)  # previous generation: the joins above
             # were its last read (the check reads only new_labels)
             labels, label_id = new_labels, new_id
