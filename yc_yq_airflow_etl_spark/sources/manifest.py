@@ -2273,6 +2273,39 @@ class ManifestTable:
         delete_keys: DataFrame | None = None,
         mode: str = "copy-on-write",
     ) -> int:
+        """Entry point: persists the batch for the duration of the
+        merge, then runs :meth:`_merge_impl`. The batch PLAN is
+        evaluated up to three times inside (touched-file probe,
+        carry-forward drop keys, rewrite/append union) — for a CDC
+        batch derived by filtering a big table, that is three full
+        source scans; a micro-batch is O(batch) by contract, so
+        caching it is always cheap relative to re-deriving it (guide
+        §5: cache exactly what is re-used and expensive to recompute).
+        A batch the caller already persisted is left alone (persist
+        levels cannot be changed in place) and never unpersisted."""
+        from pyspark.storagelevel import StorageLevel
+
+        lvl = updates.storageLevel
+        ours = not (lvl.useMemory or lvl.useDisk or lvl.useOffHeap)
+        if ours:
+            updates = updates.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            return self._merge_impl(
+                updates, key, expected_version, batch_id, delete_keys, mode
+            )
+        finally:
+            if ours:
+                updates.unpersist(blocking=False)
+
+    def _merge_impl(
+        self,
+        updates: DataFrame,
+        key: str,
+        expected_version: int | None,
+        batch_id: int | None,
+        delete_keys: DataFrame | None,
+        mode: str,
+    ) -> int:
         """Copy-on-write MERGE (whole-row upsert by ``key``): rows of
         the current snapshot whose key appears in ``updates`` are
         replaced, unmatched update rows are inserted, everything else
