@@ -1465,6 +1465,28 @@ def test_minhash_index_overwrite_purges_legacy_parquet_layout(
     assert hits[(99, 1)] == 1.0  # exact copy found via the new index
 
 
+def test_query_score_expression_is_memoized_and_reusable(spark):
+    """r17: the per-query cosine expression is built once per
+    (vec_col, query) and memoized — building it costs ~0.2 s of py4j
+    round-trips and the recall report used to pay that per branch.
+    Pin the two properties the optimization rests on: same-args calls
+    return the SAME Column object, and one cached Column inserted
+    into two DIFFERENT plans scores both correctly."""
+    from yc_yq_airflow_etl_spark.operators.similarity import _query_score
+
+    q = (1.0, 0.0)
+    assert _query_score("embedding", q) is _query_score("embedding", q)
+    a = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id int, embedding array<double>"
+    )
+    b = spark.createDataFrame(
+        [(2, [0.0, 1.0])], "vec_id int, embedding array<double>"
+    )
+    sa = a.select(_query_score("embedding", q).alias("c")).first().c
+    sb = b.select(_query_score("embedding", q).alias("c")).first().c
+    assert sa == 1.0 and sb == 0.0
+
+
 def test_quantization_refuses_or_nulls_non_finite_vectors(spark):
     """r16 sweep — the index-build sibling of the r14 cosine guard
     (and the bucketed-join/z-order NaN family): Spark's floor(NaN) is

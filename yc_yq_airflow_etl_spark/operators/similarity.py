@@ -116,8 +116,32 @@ def cosine_pairs_vectorized(a: Column, b: Column) -> Column:
 
 def query_literal(vec: Sequence[float]) -> Column:
     """A query vector as a literal array<double> column (embedded in
-    the plan → shipped once with the task binary, no join needed)."""
-    return F.array(*[F.lit(float(x)) for x in vec])
+    the plan → shipped once with the task binary, no join needed).
+
+    Built as ONE ``F.lit(list)`` py4j call (r17): the element-wise
+    ``F.array(*[F.lit(x) …])`` form cost one JVM round-trip per
+    dimension, and a multi-branch audit query (recall report: 8
+    branches × 64 dims) spent more wall time BUILDING plans on the
+    driver than running them. Resulting literal is identical
+    (array<double>, containsNull=false — collect-verified)."""
+    vals = [float(x) for x in vec]
+    if not vals:
+        return F.array()
+    return F.lit(vals)
+
+
+@lru_cache(maxsize=64)
+def _query_score(vec_col: str, qt: tuple[float, ...]) -> Column:
+    """``round6(cosine(vec_col, literal(qt)))`` built once per
+    (column, query vector) and memoized (r17): the expression tree
+    costs ~0.2 s of driver py4j round-trips to BUILD (zip_with /
+    aggregate lambdas), and a multi-branch audit (recall report: 8
+    branches over 2 query vectors) paid it per branch — more wall
+    time constructing plans than executing them. A ``Column`` is an
+    immutable unresolved expression, safe to re-insert into any
+    number of plans; the cache key is pure values, so the entry is
+    deterministic."""
+    return round6(cosine_similarity(F.col(vec_col), query_literal(qt)))
 
 
 def brute_force_topk(
@@ -129,12 +153,9 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: scan + per-partition heap (TakeOrdered).
     Deterministic output via (score desc, id asc) ordering."""
-    q = query_literal(query)
+    score = _query_score(vec_col, tuple(float(x) for x in query))
     return (
-        df.select(
-            F.col(id_col),
-            round6(cosine_similarity(F.col(vec_col), q)).alias("cosine"),
-        )
+        df.select(F.col(id_col), score.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -249,18 +270,15 @@ def lsh_topk(
     cosine re-rank. The sketch filter is a cheap JVM predicate — at
     scale, persist the sketch as a materialized column (or partition
     by a sketch prefix) and the filter becomes partition pruning."""
-    q = query_literal(query)
     q_mask = sketch_bits(query, planes, seed)
     hamming = F.bit_count(
         sign_sketch(F.col(vec_col), planes, seed).bitwiseXOR(F.lit(q_mask))
     )
+    score = _query_score(vec_col, tuple(float(x) for x in query))
     return (
         df.withColumn("_ham", hamming)
         .filter(F.col("_ham") <= max_hamming)
-        .select(
-            F.col(id_col),
-            round6(cosine_similarity(F.col(vec_col), q)).alias("cosine"),
-        )
+        .select(F.col(id_col), score.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -582,13 +600,10 @@ def ivf_topk_indexed(
     the probe ``isin`` compiles to PartitionFilters — partition
     pruning, not a full scan (asserted in tools/plan_audit.py)."""
     probe = _probe_clusters(query, centroids, nprobe)
-    q = query_literal(query)
+    score = _query_score(vec_col, tuple(float(x) for x in query))
     return (
         index_df.filter(F.col("_c").isin([int(c) for c in probe]))
-        .select(
-            F.col(id_col),
-            round6(cosine_similarity(F.col(vec_col), q)).alias("cosine"),
-        )
+        .select(F.col(id_col), score.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -607,15 +622,12 @@ def lsh_topk_indexed(
     """LSH top-k over a materialized index: the stored ``_sketch``
     column replaces the per-query sketch recompute — the hamming
     filter is pure JVM bit arithmetic over an int column."""
-    q = query_literal(query)
     q_mask = sketch_bits(query, planes, seed)
     ham = F.bit_count(F.col("_sketch").bitwiseXOR(F.lit(q_mask)))
+    score = _query_score(vec_col, tuple(float(x) for x in query))
     return (
         index_df.filter(ham <= max_hamming)
-        .select(
-            F.col(id_col),
-            round6(cosine_similarity(F.col(vec_col), q)).alias("cosine"),
-        )
+        .select(F.col(id_col), score.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
