@@ -91,7 +91,7 @@ def test_failed_write_leaves_table_untouched(spark, table):
     table.overwrite(_df(spark, 0, 10))
     # simulate a writer dying between writing files and publishing:
     # files landed in data/ but no manifest references them
-    files, _ = table._write_files(_df(spark, 1000, 2000))
+    files, _, _n = table._write_files(_df(spark, 1000, 2000))
     assert table.read(spark).count() == 10  # readers unaffected
     # a FRESH never-referenced file is indistinguishable from a live
     # writer's pre-publish stage — default vacuum must NOT touch it
@@ -365,7 +365,7 @@ def test_stage_marker_lifecycle_rejection_and_ttl_expiry(spark, table):
     assert table._list_names(spark, "_stage") == []
 
     # crashed WAP: stage + marker exist, publish never ran
-    files, _ = table._write_files(_df(spark, 100, 120))
+    files, _, _n = table._write_files(_df(spark, 100, 120))
     marker = table._write_stage_marker(spark, files)
     table.vacuum(spark, keep_versions=1, orphan_grace_seconds=0)
     for f in files:  # protected by the live marker, however old
@@ -1694,7 +1694,7 @@ def test_vacuum_cleans_orphaned_dv_parts(spark, tmp_path):
     mt.delete_where(spark, "id = 3", mode="merge-on-read")  # live DV
     # simulate a crash AN HOUR+ AGO: parts staged, no manifest
     # published, mtimes past the in-flight grace
-    orphan_parts, _ = mt._write_files(
+    orphan_parts, _, _n = mt._write_files(
         spark.createDataFrame([("zzz.parquet", 0)], "_f string, _pos long"),
         subdir="deletes",
     )
@@ -3351,7 +3351,7 @@ def test_append_type_conflict_race_fallback_sets_evolved(spark, tmp_path):
     drifted = spark.range(10, 20).select(
         F.col("id"), (F.col("id") * 0.5).alias("v")  # v: double
     )
-    files, _ = t._write_files(drifted)
+    files, _, _n = t._write_files(drifted)
     rebase = t._append_rebase(
         spark, files, sorted(drifted.columns), {}, None,
         new_schema=drifted.schema,
@@ -3585,7 +3585,7 @@ def test_grandfathered_dotted_table_stays_compactable(spark, tmp_path):
         "id", F.lit("k").alias("a.b")
     ).coalesce(1)
     # simulate the pre-contract table: land files + manifest directly
-    files, _ = t._write_files(dotted)
+    files, _, _n = t._write_files(dotted)
     t._publish(
         spark, files, 10, "overwrite",
         {"columns": sorted(dotted.columns)},
@@ -3606,7 +3606,7 @@ def test_overwrite_rebaseline_open_for_grandfathered_dotted_table(
     NEW names, so a grandfathered dotted table can re-baseline."""
     t = ManifestTable(str(tmp_path / "mt"))
     dotted = spark.range(0, 5).select("id", F.lit("k").alias("a.b")).coalesce(1)
-    files, _ = t._write_files(dotted)
+    files, _, _n = t._write_files(dotted)
     t._publish(spark, files, 5, "overwrite", {"columns": sorted(dotted.columns)})
     # re-baseline with the SAME grandfathered name: allowed
     t.overwrite(t.read(spark))
@@ -3791,7 +3791,7 @@ def test_overwrite_commit_time_recheck_catches_renamed_away_name(
 
     t = ManifestTable(str(tmp_path / "mt"))
     dotted = spark.range(0, 5).select("id", F.lit("k").alias("a.b")).coalesce(1)
-    files0, _ = t._write_files(dotted)
+    files0, _, _n = t._write_files(dotted)
     t._publish(spark, files0, 5, "overwrite", {"columns": sorted(dotted.columns)})
 
     clean = spark.range(0, 5).select("id", F.lit(1).alias("ab")).coalesce(1)

@@ -162,7 +162,7 @@ def stopword_hits(col: Column | str, lang: str) -> Column:
     """Distinct stopword types of ``lang`` present in the text."""
     words = F.array_distinct(tokenize(col))
     return F.size(
-        F.array_intersect(words, F.array(*[F.lit(w) for w in STOPWORDS[lang]]))
+        F.array_intersect(words, F.lit(list(STOPWORDS[lang])))
     )
 
 

@@ -202,9 +202,7 @@ def build_cms(
         raise ValueError(f"depth must be >= 1, got {depth}")
     if width < 1:
         raise ValueError(f"width must be >= 1, got {width}")
-    rows = F.explode(
-        F.array(*[F.lit(r) for r in range(depth)])
-    ).alias("r")
+    rows = F.explode(F.lit(list(range(depth)))).alias("r")
     # NULL keys have no frequency semantics: md5(NULL) is NULL, so
     # unfiltered they would land as (r, NULL-bucket) junk cells — never
     # probed (NULL joins nothing) but carried by every merge forever
@@ -264,7 +262,7 @@ def cms_estimate(
         raise ValueError(f"depth must be >= 1, got {depth}")
     if width < 1:
         raise ValueError(f"width must be >= 1, got {width}")
-    rows = F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r")
+    rows = F.explode(F.lit(list(range(depth)))).alias("r")
     probe = keys.select(F.col(key_col), rows).withColumn(
         "bucket",
         F.conv(
@@ -404,7 +402,12 @@ def bloom_might_contain(
     arr = [0] * (num_bits // 64)
     for r in words.collect():  # bounded by num_bits/64 — metadata-scale
         arr[int(r["word_idx"])] = int(r["bits"])
-    lit_arr = F.array(*[F.lit(w) for w in arr])
+    # ONE py4j call for the whole words literal (r17): the unrolled
+    # F.array(*[F.lit(w) ...]) form cost one JVM round-trip per word
+    # (1024 for a 2^16-bit filter) — the predicate took longer to
+    # BUILD than the filtered scan took to run. Identical literal
+    # (array<bigint>, collect-verified).
+    lit_arr = F.lit(arr)
     cond = None
     for i in range(k):
         p = _bloom_pos(col, i, num_bits)

@@ -522,13 +522,19 @@ class ManifestTable:
 
     def _write_files(
         self, df: DataFrame, subdir: str = "data"
-    ) -> tuple[list[str], SparkSession]:
+    ) -> tuple[list[str], SparkSession, int]:
         """Land df as immutable uniquely-named parquet files under
         ``subdir``/ (data files, or deletion-vector parts under
-        deletes/) and return their names. The Spark job writes to a
-        staging dir; each part file is renamed to a unique name under
-        the target — renaming UNPUBLISHED files is safe on any store
-        because no manifest references them yet."""
+        deletes/) and return ``(names, spark, n_rows)``. The Spark job
+        writes to a staging dir; each part file is renamed to a unique
+        name under the target — renaming UNPUBLISHED files is safe on
+        any store because no manifest references them yet.
+
+        ``n_rows`` is the written row count, observed on the write
+        job itself (``DataFrame.observe`` — r17): commit paths on
+        stats-less tables used to pay a SECOND read of the
+        just-landed files purely to count them (``_rows_of``
+        fallback); the write scan now reports the count for free."""
         if subdir == "data":
             # the ONE choke point every data file passes through: keep
             # the DV position-key names out of committed snapshots, so
@@ -540,10 +546,17 @@ class ManifestTable:
             reserve_tags(
                 "ManifestTable write", df.columns, "__dv_f", "__dv_pos"
             )
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
         spark = df.sparkSession
         jvm, fs = self._fs(spark)
         staging_name = f"_staging_{uuid.uuid4().hex}"
-        df.write.mode("overwrite").parquet(f"{self.path}/{staging_name}")
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(f"{self.path}/{staging_name}")
+        n_rows = int(obs.get["n"])
         names: list[str] = []
         try:
             for fname in sorted(self._list_names(spark, staging_name)):
@@ -573,7 +586,7 @@ class ManifestTable:
             fs.delete(self._jp(jvm, staging_name), True)
             raise
         fs.delete(self._jp(jvm, staging_name), True)
-        return names, spark
+        return names, spark, n_rows
 
     def _abandon_files(
         self, spark: SparkSession, files: list[str], subdir: str = "data"
@@ -995,7 +1008,7 @@ class ManifestTable:
             else set()
         )
         _check_new_names(set(df.columns) - prev_cols, "overwrite")
-        files, spark = self._write_files(df)
+        files, spark, wrote_rows = self._write_files(df)
         # pre-publish no-orphan window: a stats/count job failure here
         # provably precedes every put, so the stage deletes safely
         with self._staged_cleanup(spark, files):
@@ -1006,7 +1019,7 @@ class ManifestTable:
             stats = self._file_stats(spark, files)
             if stats:
                 extra["stats"] = stats
-            rows = self._rows_of(spark, stats, files)
+            rows = wrote_rows  # observed on the write job itself
 
             def rebase() -> tuple[list[str], int, dict]:
                 # re-check the identifier contract against the
@@ -1033,6 +1046,7 @@ class ManifestTable:
         new_stats: dict,
         batch_id: int | None,
         new_schema=None,
+        new_rows_known: int | None = None,
     ):
         """The append-family rebase closure: stack pre-written files
         on whatever snapshot is current AT COMMIT TIME (re-resolved on
@@ -1047,10 +1061,16 @@ class ManifestTable:
         a commit race costs one listing + one manifest read, never a
         Spark job. (Recounting everything per attempt would make the
         commit loop O(table) under contention — exactly when it
-        retries most.) The new files' count itself comes from the
-        just-computed per-file stats when recorded; fallback recount
-        only for stats-less tables / legacy manifests."""
-        new_rows = self._rows_of(spark, new_stats, new_files)
+        retries most.) The new files' count itself comes from
+        ``new_rows_known`` (observed on the write job itself — r17)
+        or the just-computed per-file stats; the fallback recount
+        remains only for callers that cannot pass either (WAP, whose
+        audit re-reads the staged bytes anyway)."""
+        new_rows = (
+            new_rows_known
+            if new_rows_known is not None
+            else self._rows_of(spark, new_stats, new_files)
+        )
 
         def rebase() -> tuple[list[str], int, dict]:
             prev = self.current_version(spark)
@@ -1152,7 +1172,7 @@ class ManifestTable:
         because it reads first — one drifted micro-batch through the
         streaming sink would brick the table."""
         df = self._conform_to_current(df, "append")
-        new_files, spark = self._write_files(df)
+        new_files, spark, wrote_rows = self._write_files(df)
         # pre-publish no-orphan window (stats job + rebase build);
         # publish failures get _publish_cleanly's classification
         with self._staged_cleanup(spark, new_files):
@@ -1160,7 +1180,7 @@ class ManifestTable:
             new_stats = self._file_stats(spark, new_files)
             rebase = self._append_rebase(
                 spark, new_files, new_cols, new_stats, batch_id,
-                new_schema=df.schema,
+                new_schema=df.schema, new_rows_known=wrote_rows,
             )
         return self._publish_cleanly(spark, "append", rebase, new_files)
 
@@ -1190,7 +1210,7 @@ class ManifestTable:
         _check_rules(rules)
         # same type contract as append, checked before staging
         df = self._conform_to_current(df, "write_audit_publish")
-        new_files, spark = self._write_files(df)
+        new_files, spark, wrote_rows = self._write_files(df)
         # the audit window is unbounded — a stage marker (not the
         # in-flight orphan grace, which it can outlive) is what keeps
         # a concurrent vacuum off the staged files (r14)
@@ -1412,7 +1432,7 @@ class ManifestTable:
         :meth:`maybe_compact` retries on the new base."""
         v = self.current_version(spark)
         df = self.read(spark, version=v).coalesce(target_files)
-        files, _ = self._write_files(df)
+        files, _, wrote_rows = self._write_files(df)
         # compaction rewrites every row through one homogeneous schema,
         # so the evolved flag resets and columns/schema re-baseline
         with self._staged_cleanup(spark, files):  # pre-publish window
@@ -1429,7 +1449,7 @@ class ManifestTable:
             stats = self._file_stats(spark, files)
             if stats:
                 extra["stats"] = stats
-            rows = self._rows_of(spark, stats, files)
+            rows = wrote_rows  # observed on the write job itself
 
             def rebase() -> tuple[list[str], int, dict]:
                 cur = self.current_version(spark)
@@ -1546,7 +1566,7 @@ class ManifestTable:
             df = snap.repartitionByRange(n_out, *cols).sortWithinPartitions(
                 *cols
             )
-        files, _ = self._write_files(df)
+        files, _, wrote_rows = self._write_files(df)
         with self._staged_cleanup(spark, files):  # pre-publish window
             extra: dict = {
                 "columns": sorted(df.columns),
@@ -1558,7 +1578,7 @@ class ManifestTable:
             stats = self._file_stats(spark, files)
             if stats:
                 extra["stats"] = stats
-            rows = self._rows_of(spark, stats, files)
+            rows = wrote_rows  # observed on the write job itself
 
             def rebase() -> tuple[list[str], int, dict]:
                 cur = self.current_version(spark)
@@ -2602,7 +2622,7 @@ class ManifestTable:
             )
         else:
             new_data = updates
-        new_files, _ = self._write_files(new_data)
+        new_files, _, wrote_rows = self._write_files(new_data)
         # pre-publish no-orphan window: the stats/count jobs below can
         # fail (executor loss) with the rewrite already staged
         with self._staged_cleanup(spark, new_files):
@@ -2614,7 +2634,7 @@ class ManifestTable:
             # contribute their recorded effective total, which equals
             # the snapshot's rows minus the touched files' effective
             # (DV-subtracted) rows
-            new_rows = self._rows_of(spark, new_stats, new_files)
+            new_rows = wrote_rows  # observed on the write job itself
             if m.get("rows") is None:
                 rows = self._rows_of(
                     spark, {**stats, **new_stats}, final
@@ -2739,7 +2759,7 @@ class ManifestTable:
                 .collect()  # bounded by file count — metadata-scale
             }
             if per_file:
-                parts, _ = self._write_files(
+                parts, _, _n = self._write_files(
                     dead.select(
                         F.col("__dv_f").alias("_f"),
                         F.col("__dv_pos").alias("_pos"),
@@ -2757,7 +2777,7 @@ class ManifestTable:
         # whatever landed by then must not outlive the failure
         with self._staged_cleanup(spark, new_files, parts):
             if n_updates:
-                staged, _ = self._write_files(updates)
+                staged, _, _n = self._write_files(updates)
                 new_files.extend(staged)  # extend: cleanup sees them
                 new_stats = self._file_stats(spark, new_files)
             new_dvs = {f: dict(e) for f, e in m.get("dvs", {}).items()}
@@ -2901,7 +2921,7 @@ class ManifestTable:
         }
         if not per_file:
             return base
-        parts, _ = self._write_files(
+        parts, _, _n = self._write_files(
             hit.select(
                 F.col("__dv_f").alias("_f"), F.col("__dv_pos").alias("_pos")
             ),
@@ -3109,7 +3129,7 @@ class ManifestTable:
         if not per_file:
             return base  # no live row matches: no-op, no commit
         n_matched = sum(per_file.values())
-        parts, _ = self._write_files(
+        parts, _, _n = self._write_files(
             matched.select(
                 F.col("__dv_f").alias("_f"), F.col("__dv_pos").alias("_pos")
             ),
@@ -3119,7 +3139,7 @@ class ManifestTable:
         # pre-publish window: the parts are staged; the image write,
         # stats job and legacy recount below can all still fail
         with self._staged_cleanup(spark, new_files, parts):
-            staged, _ = self._write_files(
+            staged, _, _n = self._write_files(
                 # an assignment can change a column's type (v -> v*0.5):
                 # widen or fail before the file lands under the record
                 self._conform_to_schema(
@@ -3236,7 +3256,7 @@ class ManifestTable:
         )
         touched_before = old_rows.count()
         matched = old_rows.filter(F.coalesce(pred, F.lit(False))).count()
-        new_files, _ = self._write_files(
+        new_files, _, wrote_rows = self._write_files(
             # same type contract as _update_mor: the rewrite carries
             # the schema record forward, so its files must conform
             self._conform_to_schema(transform(old_rows), m, f"{op} rewrite")
@@ -3244,7 +3264,7 @@ class ManifestTable:
         # pre-publish window: stats/count jobs over the staged rewrite
         with self._staged_cleanup(spark, new_files):
             new_stats = self._file_stats(spark, new_files)
-            new_rows = self._rows_of(spark, new_stats, new_files)
+            new_rows = wrote_rows  # observed on the write job itself
             final = untouched + new_files
             # legacy manifest without a recorded count: recount like
             # merge()/_merge_mor/_delete_mor do — a 0 default would
