@@ -39,8 +39,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .dedup import _spread
-
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -534,15 +532,7 @@ def synthesize_video_corpus(ids: DataFrame, n_frames: int = 4) -> DataFrame:
                 {"media_id": pdf["media_id"], "payload": payloads}
             )
 
-    # video is the one corpus whose per-row synthesis (n_frames full
-    # PPM renders + container encode) outweighs a shuffle of longs:
-    # an under-partitioned id list (one small parquet split) would
-    # otherwise serialize the whole Python encode stage onto one task.
-    # The wav/ppm generators stay unspread — measured, the extra
-    # exchange costs more than their cheap per-row encode saves.
-    return _spread(ids, "media_id").mapInPandas(
-        gen, schema="media_id long, payload binary"
-    )
+    return ids.mapInPandas(gen, schema="media_id long, payload binary")
 
 
 # -- perceptual hashing (image near-dup detection) -----------------------
