@@ -102,23 +102,23 @@ def test_registry_rotation_contract():
     assert len(names) == len(set(names)), "duplicate registry names"
     oracles = registry.oracle_sql()
     assert set(oracles) == set(names), "every query needs an oracle twin"
-    # r17 state: clean 3-round cycle — _FRONT is the r14-verified
-    # cohort in CORRECTNESS_r14.json key order, _BACK the r16-verified
-    # cohort in CORRECTNESS_r16.json key order (pinned against the
+    # r18 state: clean 3-round cycle — _FRONT is the r15-verified
+    # cohort in CORRECTNESS_r15.json key order, _BACK the r17-verified
+    # cohort in CORRECTNESS_r17.json key order (pinned against the
     # committed records so a registry edit can't silently reorder the
     # window the driver grades).
     import json
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "CORRECTNESS_r14.json")) as fh:
-        r14_keys = list(json.load(fh))
-    with open(os.path.join(repo, "CORRECTNESS_r16.json")) as fh:
-        r16_keys = list(json.load(fh))
+    with open(os.path.join(repo, "CORRECTNESS_r15.json")) as fh:
+        r15_keys = list(json.load(fh))
+    with open(os.path.join(repo, "CORRECTNESS_r17.json")) as fh:
+        r17_keys = list(json.load(fh))
     assert len(registry._FRONT) == 50
-    assert list(registry._FRONT) == r14_keys
+    assert list(registry._FRONT) == r15_keys
     assert len(registry._BACK) == 50
-    assert list(registry._BACK) == r16_keys
+    assert list(registry._BACK) == r17_keys
     assert not set(registry._FRONT) & set(registry._BACK)
     missing = (set(registry._FRONT) | set(registry._BACK)) - set(names)
     assert not missing, f"rotation lists name unregistered queries: {missing}"

@@ -69,11 +69,11 @@ _REGISTRY: list[QuerySpec] = []
 # (the PREVIOUS round's verified set — freshest hard signal) is
 # always the truncated tail and never re-checked early.
 #
-# Round-17 state (clean 3-round cycle, per the r16 verdict): _FRONT =
-# the r14-verified cohort in CORRECTNESS_r14.json key order (oldest
+# Round-18 state (clean 3-round cycle, per the r17 verdict): _FRONT =
+# the r15-verified cohort in CORRECTNESS_r15.json key order (oldest
 # driver rows, due for re-verification), the middle is the
-# r15-verified cohort in registration order (fronts in r18), _BACK =
-# the r16-verified cohort in CORRECTNESS_r16.json key order (freshest
+# r16-verified cohort in registration order (fronts in r19), _BACK =
+# the r17-verified cohort in CORRECTNESS_r17.json key order (freshest
 # hard signal, safest to truncate). The three cohorts are disjoint
 # 50/50/50, so every registered query's last driver row stays ≤3
 # rounds old with zero exceptions.
@@ -85,6 +85,65 @@ _REGISTRY: list[QuerySpec] = []
 # new capability must retire or merge an existing query in the same
 # commit.
 _FRONT: tuple[str, ...] = (
+    "ntile_customer_quartiles",
+    "udtf_top_ngrams",
+    "q1_pricing_summary",
+    "approx_distinct_customers",
+    "q3_shipping_priority",
+    "q6_revenue_delta",
+    "salted_event_counts",
+    "json_event_props",
+    "asof_click_purchase",
+    "range_join_price_bands",
+    "histogram_quantile_store",
+    "manifest_schema_evolution",
+    "manifest_vacuum_safety",
+    "manifest_compaction_maintenance",
+    "exclusion_join_hotkey_diff",
+    "dedup_canonical_corpus",
+    "bloom_prefilter_scan",
+    "dataset_splits",
+    "corpus_mixture_weights",
+    "source_capped_sample",
+    "json_malformed_audit",
+    "table_profile",
+    "fk_integrity_audit",
+    "event_funnel",
+    "timeseries_gap_fill",
+    "revenue_anomaly_zscore",
+    "order_constraint_audit",
+    "pagerank_doc_ranks",
+    "weighted_doc_sample",
+    "cluster_aware_splits",
+    "kmv_join_cardinality",
+    "scd2_point_in_time_revenue",
+    "manifest_partition_evolution",
+    "manifest_table_changes",
+    "multimodal_phash_dupes",
+    "user_inactivity_report",
+    "entity_resolution_links",
+    "multi_touch_attribution",
+    "quality_percentile_calibration",
+    "manifest_files_metadata",
+    "dau_wau_metrics",
+    "manifest_wap_publish",
+    "stream_click_purchase_left",
+    "multimodal_wav_features",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_dominant_part_suppliers",
+)
+
+# Truncation absorbers: the 50 queries driver-verified green in r17
+# (CORRECTNESS_r17.json order). If the 50-row cap cuts anything beyond
+# _FRONT's own tail, it cuts these — the freshest hard signal is the
+# safest to truncate. (The unlisted middle — the r16-verified cohort —
+# sits between _FRONT and _BACK in registration order and fronts in
+# round 19.)
+_BACK: tuple[str, ...] = (
     "embedding_norm_audit",
     "q12_priority_by_returnflag",
     "federation_counts",
@@ -135,65 +194,6 @@ _FRONT: tuple[str, ...] = (
     "stateful_spend_alerts",
     "events_time_rollup",
     "udaf_lang_stats",
-)
-
-# Truncation absorbers: the 50 queries driver-verified green in r16
-# (CORRECTNESS_r16.json order). If the 50-row cap cuts anything beyond
-# _FRONT's own tail, it cuts these — the freshest hard signal is the
-# safest to truncate. (The unlisted middle — the r15-verified cohort —
-# sits between _FRONT and _BACK in registration order and fronts in
-# round 18.)
-_BACK: tuple[str, ...] = (
-    "q21_waiting_suppliers",
-    "similarity_recall_report",
-    "manifest_stats_pruned_scan",
-    "salted_join_user_enrichment",
-    "interval_overlap_sessions",
-    "dedup_exact",
-    "dedup_minhash_pairs",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_pairs",
-    "similarity_bruteforce_topk",
-    "similarity_lsh_topk",
-    "similarity_ivf_topk",
-    "similarity_knn_join",
-    "text_stats",
-    "text_boilerplate_stats",
-    "tfidf_top_terms",
-    "lang_id_eval",
-    "pretrain_quality_filter",
-    "doc_chunks",
-    "stratified_doc_sample",
-    "multimodal_features",
-    "udf_text_density",
-    "distinct_counts",
-    "rollup_orders",
-    "cube_orders",
-    "region_revenue",
-    "semi_anti_by_nation",
-    "cross_join_grid",
-    "topk_orders",
-    "set_ops_customers",
-    "percentile_stats",
-    "grouping_sets_orders",
-    "pivot_status_by_year",
-    "explode_embedding_dims",
-    "array_vector_stats",
-    "window_top_orders_per_customer",
-    "customer_order_stats",
-    "correlated_above_avg",
-    "window_running_totals",
-    "scalar_expressions",
-    "range_join_price_bands_bucketed",
-    "table_profile_approx",
-    "asof_nearest_click",
-    "skew_profile_report",
-    "partition_layout_advisor",
-    "incremental_dedup_new_batch",
-    "doc_token_histogram",
-    "zipf_fit_terms",
-    "cooccurrence_pmi",
 )
 
 def register(name: str, builder: QueryFn, oracle: str | None) -> None:
