@@ -100,6 +100,36 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("top-20 is TakeOrdered, not a global sort",
          r"TakeOrderedAndProject"),
         ("pair rollup partially aggregated", r"partial_count"),
+        # r18: the pair self-join reads the materialized vocab-token
+        # frame (one tokenize pass), never re-tokenizing the corpus —
+        # no parquet scan may survive in the executed plan
+        ("executed plan reads the checkpointed vocab-token frame, "
+         "not the corpus", "!Scan parquet"),
+        ("df lookups are metadata (local 40-row relation)",
+         "!regexp_replace"),
+    ],
+    "lang_id_eval": [
+        # r18 single-tokenize shape: the distinct-token array and the
+        # 5-score vector are bound ONCE as lambda variables (the
+        # 1-element transform 'let'); the argmax when-chain reads
+        # element_at lookups. The r17 plan re-expanded the tokenize
+        # subtree into every score reference — 48 regexp_replace
+        # copies in one projection (committed:
+        # plans/r17/lang_id_eval_before.txt).
+        ("tokenize bound once via higher-order let",
+         r"transform\(array\(array_distinct\(split\(regexp_replace"),
+        ("argmax never re-expands the intersect trees inline",
+         "!greatest\\(size\\(array_intersect"),
+        ("confusion rollup partially aggregated", r"partial_count"),
+    ],
+    "kmv_join_cardinality": [
+        # r18: every subtree of the executed plan reads the
+        # checkpointed distinct-key frames / sketches — base tables
+        # are scanned only in the eager checkpoint jobs (once per side)
+        ("executed plan reads checkpoints, never a base table",
+         "!Scan parquet"),
+        ("no sort-merge join in the metadata algebra",
+         "!SortMergeJoin"),
     ],
     "doc_token_histogram": [
         ("map-side combine before the exchange", r"partial_(count|min)"),
@@ -161,8 +191,14 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
         ("partial aggregation of the rollup", r"partial_count"),
     ],
     "histogram_quantile_store": [
-        ("bin counts partially aggregated before any exchange",
-         r"partial_count"),
+        # r18: the merged ≤256-row sheet is materialized once — the
+        # quantile branches and the mass pin all read the checkpoint,
+        # so the executed plan re-reads NO base table (the one orders
+        # scan happens in the eager checkpoint job)
+        ("executed plan reads the checkpointed sheet, not orders",
+         "!Scan parquet"),
+        ("quantile pick stays a bounded cum-filter, no join",
+         "!SortMergeJoin"),
     ],
     "q3_shipping_priority": [
         ("shipdate pushed to the lineitem scan",
@@ -344,6 +380,11 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
          r"partial_min"),
         ("size filter pushed to the part scan",
          r"PushedFilters: \[[^\]]*EqualTo\(p_size,15\)"),
+        # r18: the 1-in-50-selective size-15 part filter prefilters the
+        # fact scan BELOW the (part,supp) aggregation as a broadcast
+        # semi-join — the aggregation shuffles ~1/50 of lineitem
+        ("size-15 semi-join prefilters the fact side below the agg",
+         r"BroadcastHashJoin [^\n]*LeftSemi"),
     ],
     "q8_market_share": [
         ("customer-region and supplier-nation dims broadcast",
@@ -429,8 +470,17 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
     "q21_waiting_suppliers": [
         ("status filter pushed to the orders scan",
          r"PushedFilters: \[[^\]]*EqualTo\(o_orderstatus,F\)"),
-        ("per-order EXISTS/NOT-EXISTS collapsed to one partial aggregate",
-         r"partial_count"),
+        # r18 shape: lineitem⋈orders computed ONCE, grouped to
+        # (order, supplier) granularity with an any-late flag; the
+        # EXISTS/NOT-EXISTS counts ride a window over that aggregate —
+        # no second fact join, no join-back of the aggregate
+        ("any-late flag partially aggregated before the one fact shuffle",
+         r"partial_max"),
+        ("correlated counts ride a window over the pair aggregate",
+         r"windowspecdefinition\(l_orderkey"),
+        ("no sort-merge join-back of the aggregate", "!SortMergeJoin"),
+        ("no countDistinct Expand (pre-grouped pairs count plainly)",
+         "!Expand"),
         ("supplier name dim broadcast", r"BroadcastHashJoin"),
         ("no nested-loop correlation anywhere", "!BroadcastNestedLoopJoin"),
     ],
@@ -512,10 +562,17 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
     ],
     "bloom_prefilter_scan": [
         # the whole point: the membership test is a per-row expression
-        # BEFORE any join — the filter literally carries the md5 hash
-        ("bloom test is a plan-embedded filter expression", r"md5"),
-        ("exact residual join is a broadcast semi-join",
-         r"BroadcastHashJoin [^\n]*LeftSemi"),
+        # BEFORE any join — the projection literally carries the md5
+        # hash and the words literal
+        ("bloom test is a plan-embedded expression", r"md5"),
+        # r18 single-pass shape: ONE orders scan feeds one conditional
+        # aggregate; exact membership rides a broadcast LEFT join of
+        # the (unique) key set — the r17 three-agg-subtrees crossJoin
+        # fuse (and its BroadcastNestedLoopJoin 1x1 joins) is gone
+        ("exact membership is a broadcast join on the single pass",
+         r"BroadcastHashJoin [^\n]*LeftOuter"),
+        ("no 1x1 cross-join fuse of separate agg subtrees",
+         "!BroadcastNestedLoopJoin"),
         ("counts partially aggregated", r"partial_count"),
         ("orders scan pruned to the probe column",
          r"ReadSchema: struct<o_custkey:bigint>"),

@@ -327,7 +327,19 @@ def histogram_quantile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_year = build_histogram(
         o, "o_totalprice", 0.0, 600000.0, 256, group_cols=["yr"]
     )
-    merged = merge_histograms(per_year)
+    # materialize the merged histogram ONCE (r18, guide §5.3):
+    # histogram_quantiles references its input in FOUR subtrees (the
+    # total job plus one cum-filter branch per quantile) and the mass
+    # pin adds a fifth — each used to re-run the full orders scan +
+    # histogram aggregation. The whole point of a mergeable sketch
+    # store is that the merged sheet is metadata: one eager
+    # localCheckpoint of the ≤256-row sheet (coalesced to one block —
+    # the downstream cum-window needs a single partition anyway) makes
+    # every downstream reference metadata-scale, with one base scan
+    # total. (A collect + local re-create was measured SLOWER at bench
+    # SF — the driver round-trip beat five warm 150k-row scans — while
+    # the checkpoint wins both locally and at scale.)
+    merged = merge_histograms(per_year).coalesce(1).localCheckpoint()
     # deepened pins (r13): merge LINEARITY as data — the merged
     # histogram's total mass (a lost or double-merged year's sheet
     # moves it even where the three quantile bins survive) and its
@@ -2853,39 +2865,53 @@ def bloom_prefilter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
     )
     words = bloom_build(keys, "c_custkey", num_bits=1 << 16, k=3)
-    passed = t["orders"].filter(
-        bloom_might_contain(words, "o_custkey", num_bits=1 << 16, k=3)
-    )
-    exact = passed.join(
-        F.broadcast(keys),
-        passed["o_custkey"] == keys["c_custkey"],
-        "left_semi",
-    )
-    return (
+    # ONE orders scan (r18, guide §3/§6): the three counters used to be
+    # three separate agg subtrees over orders (full scan + bloom
+    # expression each), crossJoined — three scans, the k=3 md5 probe
+    # evaluated twice per surviving row. Now the bloom verdict is a
+    # single projected flag, exact membership comes from a broadcast
+    # LEFT join against the (unique — c_custkey is the customer PK, so
+    # the join can't fan out) key set, and all three counters fold into
+    # one conditional aggregate over that single pass. pass_key_sum's
+    # sum_distinct rides the same aggregate (NULL for non-passing rows
+    # — sum_distinct ignores NULLs, exactly the old passed-subtree
+    # semantics).
+    flagged = (
         t["orders"]
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
-        .crossJoin(
-            passed.agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_pass_bloom"),
-                # deepened pin (r12): the distinct-key checksum of the
-                # bloom-pass set pins the BIT PATTERN itself — a single
-                # flipped hash position changes which false positives
-                # slip through and fails the hash, not just the counts
-                F.sum_distinct(F.col("o_custkey"))
-                .cast("bigint")
-                .alias("pass_key_sum"),
-            )
-        )
-        .crossJoin(
-            exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
-        )
         .select(
-            "n_orders",
-            "n_pass_bloom",
-            "n_exact",
-            (F.col("n_pass_bloom") - F.col("n_exact")).alias("n_false_pos"),
-            "pass_key_sum",
+            "o_custkey",
+            bloom_might_contain(words, "o_custkey", num_bits=1 << 16, k=3)
+            .alias("_pass"),
         )
+        .join(
+            F.broadcast(keys.withColumn("_bldg", F.lit(1))),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.count(F.when(F.col("_pass"), 1)).cast("bigint").alias(
+            "n_pass_bloom"
+        ),
+        # no-false-negatives pin: exact membership THROUGH the bloom
+        # path — every true BUILDING key must also pass the filter
+        F.count(F.when(F.col("_pass") & F.col("_bldg").isNotNull(), 1))
+        .cast("bigint")
+        .alias("n_exact"),
+        # deepened pin (r12): the distinct-key checksum of the
+        # bloom-pass set pins the BIT PATTERN itself — a single
+        # flipped hash position changes which false positives
+        # slip through and fails the hash, not just the counts
+        F.sum_distinct(F.when(F.col("_pass"), F.col("o_custkey")))
+        .cast("bigint")
+        .alias("pass_key_sum"),
+    ).select(
+        "n_orders",
+        "n_pass_bloom",
+        "n_exact",
+        (F.col("n_pass_bloom") - F.col("n_exact")).alias("n_false_pos"),
+        "pass_key_sum",
     )
 
 
@@ -4613,8 +4639,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast dim before it touches the fact table; the (part, supp)
     cost aggregation is the only fact shuffle, and the correlated min
     rides the same partitioning as a window — no self-join of the
-    aggregate. Unit price is IEEE double on both engines (identical
-    division), so min/round replay exactly."""
+    aggregate. The 1-in-50-selective ``p_size=15`` part filter pushes
+    BELOW that aggregation as a broadcast semi-join on the fact side
+    (r18, guide §3.4): the final join keeps only size-15 parts and the
+    per-part window min depends only on rows of its own part, so
+    dropping other parts' lines before the shuffle changes nothing —
+    the aggregation now shuffles ~1/50 of lineitem. Unit price is IEEE
+    double on both engines (identical division), so min/round replay
+    exactly."""
     t = load_testdata(spark, sf_dir)
     euro_sup = F.broadcast(
         t["supplier"]
@@ -4627,8 +4659,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    parts15 = t["part"].filter(F.col("p_size") == 15)
     costs = (
         t["lineitem"]
+        .join(
+            F.broadcast(parts15.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
         .groupBy("l_partkey", "l_suppkey")
         .agg(
             round6(
@@ -4643,7 +4681,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         best.join(
-            F.broadcast(t["part"].filter(F.col("p_size") == 15)),
+            F.broadcast(parts15),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .select(
@@ -5126,12 +5164,17 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the testdata). A line is a 'wait' when its order has ANOTHER
     supplier (EXISTS) but NO other LATE supplier (NOT EXISTS).
 
-    Decorrelation: both correlated subqueries collapse into ONE
-    per-order aggregate — distinct supplier count and distinct LATE
-    supplier count — joined back to the late lines. The fact table
-    shuffles once on orderkey for the aggregate and once for the
-    join-back; the DuckDB oracle keeps the textbook EXISTS/NOT EXISTS
-    formulation, pinning the rewrite's equivalence."""
+    Decorrelation (r18, guide §2.1): ONE lineitem⋈orders pass grouped
+    to (order, supplier) granularity with a per-supplier any-late
+    flag, then the two correlated counts ride a window over the SAME
+    tiny aggregate — distinct suppliers = rows per order, distinct
+    late suppliers = sum of the flag. The r17 shape computed the
+    lineitem⋈orders join TWICE (per-order aggregate + the distinct
+    late-line set) and joined them back; now the fact tables are
+    scanned and joined once, and everything after the first aggregate
+    is per-(order,supplier) metadata. The DuckDB oracle keeps the
+    textbook EXISTS/NOT EXISTS formulation, pinning the rewrite's
+    equivalence."""
     t = load_testdata(spark, sf_dir)
     lo = (
         t["lineitem"]
@@ -5146,16 +5189,16 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
         "INTERVAL 90 DAYS"
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("_ns"),
-        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("_nl"),
+    per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(late.cast("int")).alias("_late")
     )
-    late_sup = (
-        lo.filter(late).select("l_orderkey", "l_suppkey").distinct()
-    )
+    w = Window.partitionBy("l_orderkey")
     return (
-        late_sup.join(per_order, "l_orderkey")
-        .filter((F.col("_ns") > 1) & (F.col("_nl") == 1))
+        per_os.withColumn("_ns", F.count(F.lit(1)).over(w))
+        .withColumn("_nl", F.sum("_late").over(w))
+        .filter(
+            (F.col("_late") == 1) & (F.col("_ns") > 1) & (F.col("_nl") == 1)
+        )
         .join(
             F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
             F.col("l_suppkey") == F.col("s_suppkey"),
@@ -6325,8 +6368,11 @@ def kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join-vs-full-join needs key-population sizes and overlap
     BEFORE paying the join; a KMV sketch answers from one
     TakeOrdered-style pass per side (every task keeps its local
-    bottom-k; the merge touches ≤ k·tasks hashes). Each ≤k-row sketch
-    is eagerly localCheckpoint'd, so the downstream union/membership/
+    bottom-k; the merge touches ≤ k·tasks hashes). Each side's
+    distinct-key frame is materialized once and shared by the sketch
+    build, the exact count and the exact intersection (r18 — one base
+    scan per side instead of three), and each ≤k-row sketch is
+    eagerly localCheckpoint'd, so the downstream union/membership/
     estimate algebra — which references each sketch three times — is
     metadata-scale and never re-scans a base table."""
     from ..operators.sketches import kmv_estimate_col, kmv_sketch
@@ -6334,8 +6380,32 @@ def kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = 256
     t = load_testdata(spark, sf_dir)
     regional = t["customer"].filter(F.col("c_nationkey") < 12)
-    os_ = kmv_sketch(t["orders"], "o_custkey", k).localCheckpoint()
-    cs = kmv_sketch(regional, "c_custkey", k).localCheckpoint()
+    # ONE base scan + ONE distinct per side (r18, guide §5.3): the
+    # sketch, the exact distinct count and the exact intersection all
+    # used to grow their own scan+distinct subtree — orders was read
+    # three times per run. Each side's distinct-key frame is now
+    # materialized once (eager localCheckpoint, the same hygiene as
+    # the ≤k-row sketches below) and every consumer — sketch build
+    # (assume_distinct skips the redundant re-dedup), exact count,
+    # intersection join — reads that; the semantics are unchanged
+    # (count over the null-filtered distinct frame IS count_distinct,
+    # and NULL keys never matched the inner intersection join).
+    dok = (
+        t["orders"]
+        .select(F.col("o_custkey").alias("key"))
+        .filter(F.col("key").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    dck = (
+        regional
+        .select(F.col("c_custkey").alias("key"))
+        .filter(F.col("key").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    os_ = kmv_sketch(dok, "key", k, assume_distinct=True).localCheckpoint()
+    cs = kmv_sketch(dck, "key", k, assume_distinct=True).localCheckpoint()
     us = os_.unionAll(cs).distinct().orderBy("h").limit(k).localCheckpoint()
     oa = os_.agg(F.count("h").alias("n_o"), F.max("h").alias("hk_o"))
     ca = cs.agg(F.count("h").alias("n_c"), F.max("h").alias("hk_c"))
@@ -6359,21 +6429,14 @@ def kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cs, "h", "left_semi")
         .agg(F.count("h").alias("m"))
     )
-    d_o = t["orders"].agg(
-        F.count_distinct("o_custkey").cast("bigint").alias("d_orders_exact")
+    d_o = dok.agg(
+        F.count("key").cast("bigint").alias("d_orders_exact")
     )
-    d_c = regional.agg(
-        F.count_distinct("c_custkey").cast("bigint").alias("d_customer_exact")
+    d_c = dck.agg(
+        F.count("key").cast("bigint").alias("d_customer_exact")
     )
-    inter = (
-        t["orders"]
-        .select(F.col("o_custkey").alias("key"))
-        .distinct()
-        .join(
-            regional.select(F.col("c_custkey").alias("key")).distinct(),
-            "key",
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("inter_exact"))
+    inter = dok.join(dck, "key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("inter_exact")
     )
     row = (
         oa.crossJoin(ca)
