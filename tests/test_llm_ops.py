@@ -1421,6 +1421,66 @@ def test_lang_id_null_text_identifies_as_null(spark):
     assert got == {1: None, 2: "en"}
 
 
+def test_lang_id_bound_form_matches_composed_scores(spark):
+    """r18 single-tokenize rewrite: lang_id binds the distinct-token
+    array and the 5-score vector once as lambda variables instead of
+    re-expanding the tokenize subtree into every score reference (48
+    regexp_replace copies in the r17 plan). This pins (a) value
+    equivalence against the straightforward composed form on corpus
+    text, ties, hit-less docs, NULL/empty/whitespace text, and (b)
+    the plan property — the projection carries exactly ONE tokenize
+    chain."""
+    from pyspark.sql import functions as F
+
+    from yc_yq_airflow_etl_spark.functions.text import (
+        LANG_ORDER,
+        lang_id,
+        stopword_hits,
+    )
+
+    def composed(col):
+        c = F.col(col)
+        scores = [stopword_hits(col, lang) for lang in LANG_ORDER]
+        best = F.greatest(*scores)
+        expr = F.lit(LANG_ORDER[-1])
+        for lang, score in reversed(
+            list(zip(LANG_ORDER[:-1], scores[:-1]))
+        ):
+            expr = F.when(score == best, F.lit(lang)).otherwise(expr)
+        return F.when(c.isNotNull(), expr)
+
+    df = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "   "),
+            (4, "the cat and the dog of a to in is that"),
+            (5, "der hund und die katze ist nicht mit ein"),
+            (6, "le chat et la maison est pas pour une"),
+            (7, "el perro los gatos es por para una con"),
+            (8, "de le shi bu wo ni ta men"),
+            (9, "the der le el es und — multi-language tie bait"),
+            (10, "zzz qqq xxx no stopwords at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = df.select(
+        "doc_id",
+        composed("text").alias("o"),
+        lang_id("text").alias("n"),
+    ).collect()
+    for r in rows:
+        assert r.o == r.n, (r.doc_id, r.o, r.n)
+    # plan pin: one tokenize chain per lang_id call, not one per score
+    plan = (
+        df.select(lang_id("text").alias("p"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("regexp_replace") == 1, plan.count("regexp_replace")
+
+
 def test_minhash_index_overwrite_purges_legacy_parquet_layout(
     spark, docs, tmp_path
 ):

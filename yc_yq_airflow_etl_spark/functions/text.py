@@ -170,6 +170,18 @@ def lang_id(col: Column | str) -> Column:
     """Heuristic language ID: argmax of stopword hits, first-listed
     language wins ties (so 'en' is the default for hit-less docs).
 
+    Single-tokenize shape (r18, guide §4.2): naively composing
+    ``stopword_hits`` per language re-expands the tokenize subtree
+    (two regexes + split + array_distinct) into EVERY score reference
+    — the r17 plan carried ~30 copies of it in one projection, and
+    Catalyst performs no CSE across the when/greatest tree. Both the
+    distinct-token array and the 5-score vector are therefore bound
+    ONCE as higher-order-function lambda variables (a 1-element
+    ``transform`` is the expression-level `let`): tokenize runs once
+    per row, the intersects once per language, and the argmax
+    when-chain only references cheap ``element_at`` lookups. Scores
+    and tie-breaking are byte-identical to the composed form.
+
     NULL text identifies as NULL (r15 degenerate-input sweep): the
     scores are all NULL, so every tie-check was three-valued-false and
     the fallthrough default silently classified every NULL doc as the
@@ -178,12 +190,38 @@ def lang_id(col: Column | str) -> Column:
     replays (a CASE with no ELSE) always said NULL here; the fixture's
     NULL-free text column is what masked the divergence."""
     c = F.col(col) if isinstance(col, str) else col
-    scores = [stopword_hits(col, lang) for lang in LANG_ORDER]
-    best = F.greatest(*scores)
-    expr = F.lit(LANG_ORDER[-1])
-    for lang, score in reversed(list(zip(LANG_ORDER[:-1], scores[:-1]))):
-        expr = F.when(score == best, F.lit(lang)).otherwise(expr)
-    return F.when(c.isNotNull(), expr)
+
+    def _pick(sc: Column) -> Column:
+        scores = [F.element_at(sc, i + 1) for i in range(len(LANG_ORDER))]
+        best = F.greatest(*scores)
+        expr = F.lit(LANG_ORDER[-1])
+        for lang, score in reversed(
+            list(zip(LANG_ORDER[:-1], scores[:-1]))
+        ):
+            expr = F.when(score == best, F.lit(lang)).otherwise(expr)
+        return expr
+
+    words = F.array_distinct(tokenize(c))
+    # bind `words` once; compute the per-language hit vector from it
+    scores_arr = F.get(
+        F.transform(
+            F.array(words),
+            lambda ws: F.array(
+                *[
+                    F.size(
+                        F.array_intersect(
+                            ws, F.lit(list(STOPWORDS[lang]))
+                        )
+                    )
+                    for lang in LANG_ORDER
+                ]
+            ),
+        ),
+        0,
+    )
+    # bind the score vector once; the argmax chain reads elements
+    picked = F.get(F.transform(F.array(scores_arr), _pick), 0)
+    return F.when(c.isNotNull(), picked)
 
 
 def chunk_documents(
