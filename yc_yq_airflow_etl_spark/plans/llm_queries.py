@@ -3021,13 +3021,28 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     PMI = ln(P(a,b) / (P(a)·P(b))) with probabilities over documents,
     for pairs co-occurring in ≥5 docs, top-20 by PMI.
 
-    Scale shape: the quadratic step is generated PER DOCUMENT from
-    its vocab-restricted DISTINCT term set — fan-out is bounded by
-    |vocab|²/2 per doc (≤780 here), never corpus². The vocabulary and
-    its doc-frequency table are tiny and broadcast; the pair rollup
-    is partial-aggregated; the final top-20 is a TakeOrdered, not a
-    global sort. PMI is a single log of an exact-integer ratio —
-    deterministic in both engines."""
+    Scale shape (r18, guide §2.1/§5.3): the quadratic step is
+    generated PER DOCUMENT from its vocab-restricted DISTINCT term
+    set — fan-out is bounded by |vocab|²/2 per doc (≤780 here), never
+    corpus². The r17 plan re-expanded the tokenize+vocab subtrees
+    into every reference (the vocab-token table fed a doc_id
+    self-join, and the top-40 vocabulary was itself a full
+    tokenize+groupBy recomputed per broadcast — up to four tokenize
+    passes over the corpus per run). Now the vocabulary is resolved
+    once as a bounded 40-row collect (the bloom_build precedent:
+    metadata-scale driver state embedded in the plan), each doc's
+    vocab tokens come from ONE tokenize pass (array_intersect against
+    the vocab literal, exploded and eagerly localCheckpoint'd —
+    vocab-tokens are a tiny fraction of the corpus), and the pair
+    self-join runs over that materialized frame: two tokenize passes
+    total (vocab job + vocab-token job), zero corpus re-reads in the
+    executed plan. (A fully narrow per-row pair generator — nested
+    ``transform`` over the sorted term array — was measured ~35%
+    SLOWER than the self-join at bench SF: higher-order functions run
+    interpreted, the hash self-join is codegen'd. Evidence kept per
+    guide §1.1.) The pair rollup is partial-aggregated; the final
+    top-20 is a TakeOrdered, not a global sort. PMI is a single log
+    of an exact-integer ratio — deterministic in both engines."""
     t = load_testdata(spark, sf_dir)
     d = t["documents"]
     n_docs = d.count()  # one scalar job; embedded as a literal
@@ -3039,8 +3054,23 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term").rlike("^[a-z]{4,}$"))
     )
     dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    vocab = dfreq.orderBy(F.col("df").desc(), "term").limit(40)
-    vt = toks.join(F.broadcast(vocab.select("term")), "term")
+    # top-40 by (df desc, term) — the SAME frame as before, resolved
+    # eagerly: 40 rows of driver state, identical selection semantics
+    vocab_rows = dfreq.orderBy(F.col("df").desc(), "term").limit(40).collect()
+    vocab_terms = [r.term for r in vocab_rows]
+    # per-doc vocab tokens in one pass: intersect the distinct token
+    # set with the vocab literal (every vocab term already matches the
+    # ^[a-z]{4,}$ gate, so the intersect subsumes the rlike filter),
+    # explode, materialize — the multiset equals the r17 broadcast
+    # join of toks against the vocab by construction
+    vt = d.select(
+        "doc_id",
+        F.explode(
+            F.array_intersect(
+                F.array_distinct(tokenize("text")), F.lit(vocab_terms)
+            )
+        ).alias("term"),
+    ).localCheckpoint()
     co = (
         vt.select("doc_id", F.col("term").alias("term_a"))
         .join(
@@ -3051,14 +3081,21 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
         .filter(F.col("c_ab") >= 5)
     )
+    vocab_local = spark.createDataFrame(
+        [(r.term, int(r.df)) for r in vocab_rows], "term string, df bigint"
+    )
     joined = co.join(
         F.broadcast(
-            vocab.select(F.col("term").alias("term_a"), F.col("df").alias("c_a"))
+            vocab_local.select(
+                F.col("term").alias("term_a"), F.col("df").alias("c_a")
+            )
         ),
         "term_a",
     ).join(
         F.broadcast(
-            vocab.select(F.col("term").alias("term_b"), F.col("df").alias("c_b"))
+            vocab_local.select(
+                F.col("term").alias("term_b"), F.col("df").alias("c_b")
+            )
         ),
         "term_b",
     )
