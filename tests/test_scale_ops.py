@@ -435,6 +435,28 @@ def test_kmv_sketch_exact_when_small_and_mergeable(spark):
     ]
 
 
+def test_kmv_sketch_assume_distinct_identical(spark):
+    """r18: ``assume_distinct=True`` (used by kmv_join_cardinality,
+    whose distinct-key frame is shared with the exact-count and
+    intersection consumers) must yield the exact same sketch as the
+    self-deduplicating path — the flag only skips a redundant
+    exchange, never changes values. Probed with duplicates UPSTREAM of
+    the caller-side distinct to prove the contract is about the
+    frame handed in, and with NULLs to pin the null-filter staying on
+    either way."""
+    from yc_yq_airflow_etl_spark.operators.sketches import kmv_sketch
+
+    raw = spark.createDataFrame(
+        [(i % 500,) for i in range(2000)] + [(None,)] * 5, "k bigint"
+    )
+    dedup = raw.distinct()
+    a = kmv_sketch(raw, "k", k=64).collect()
+    b = kmv_sketch(dedup, "k", k=64, assume_distinct=True).collect()
+    assert [r.h for r in a] == [r.h for r in b]
+    # NULL keys stay excluded on the assume_distinct path too
+    assert all(r.h is not None for r in b)
+
+
 def test_kmv_estimate_within_error_bound(spark):
     from yc_yq_airflow_etl_spark.operators.sketches import (
         kmv_estimate_col,

@@ -118,19 +118,29 @@ def query_literal(vec: Sequence[float]) -> Column:
     """A query vector as a literal array<double> column (embedded in
     the plan → shipped once with the task binary, no join needed).
 
-    Built as ONE ``F.lit(list)`` py4j call (r17): the element-wise
-    ``F.array(*[F.lit(x) …])`` form cost one JVM round-trip per
-    dimension, and a multi-branch audit query (recall report: 8
-    branches × 64 dims) spent more wall time BUILDING plans on the
-    driver than running them. Resulting literal is identical
-    (array<double>, containsNull=false — collect-verified)."""
+    Built as ONE py4j call via the numpy-1D form of ``F.lit`` (r18):
+    on classic PySpark, ``F.lit(list)`` (the r17 attempt) expands to
+    ``array(*[lit(x) …])`` — still one JVM round-trip per dimension,
+    so the r17 driver-time claim for it was wrong (the measured
+    recall-report win came from the ``_query_score`` memoization
+    below); only the ndarray path crosses the boundary once.
+    Resulting literal is identical (array<double>,
+    containsNull=false — collect-verified)."""
+    import numpy as np
+
     vals = [float(x) for x in vec]
     if not vals:
         return F.array()
-    return F.lit(vals)
+    return F.lit(np.asarray(vals, dtype=np.float64))
 
 
 @lru_cache(maxsize=64)
+def _query_score_for_ctx(
+    ctx_token: int, vec_col: str, qt: tuple[float, ...]
+) -> Column:
+    return round6(cosine_similarity(F.col(vec_col), query_literal(qt)))
+
+
 def _query_score(vec_col: str, qt: tuple[float, ...]) -> Column:
     """``round6(cosine(vec_col, literal(qt)))`` built once per
     (column, query vector) and memoized (r17): the expression tree
@@ -140,8 +150,18 @@ def _query_score(vec_col: str, qt: tuple[float, ...]) -> Column:
     time constructing plans than executing them. A ``Column`` is an
     immutable unresolved expression, safe to re-insert into any
     number of plans; the cache key is pure values, so the entry is
-    deterministic."""
-    return round6(cosine_similarity(F.col(vec_col), query_literal(qt)))
+    deterministic.
+
+    The key carries the ACTIVE SparkContext's identity (r18, ADVICE):
+    a Column wraps py4j JVM references, so an entry cached under a
+    stopped-and-recreated context would be a stale JVM handle and
+    every same-key call after the restart would die with opaque py4j
+    errors instead of rebuilding the expression. A new context simply
+    misses the cache and rebuilds."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    return _query_score_for_ctx(id(sc), vec_col, qt)
 
 
 def brute_force_topk(

@@ -399,15 +399,21 @@ def bloom_might_contain(
             "literal in the plan; for filters past 2^24 bits, join on "
             "word_idx against the words table instead of embedding it"
         )
+    import numpy as np
+
     arr = [0] * (num_bits // 64)
     for r in words.collect():  # bounded by num_bits/64 — metadata-scale
         arr[int(r["word_idx"])] = int(r["bits"])
-    # ONE py4j call for the whole words literal (r17): the unrolled
-    # F.array(*[F.lit(w) ...]) form cost one JVM round-trip per word
-    # (1024 for a 2^16-bit filter) — the predicate took longer to
-    # BUILD than the filtered scan took to run. Identical literal
-    # (array<bigint>, collect-verified).
-    lit_arr = F.lit(arr)
+    # ONE py4j call for the whole words literal (r18): on classic
+    # PySpark only the numpy-1D-array form of ``F.lit`` crosses the
+    # boundary as a single converter call — ``F.lit(list)`` (the r17
+    # attempt) expands to ``array(*[lit(item) ...])``, one JVM
+    # round-trip per word, so a 2^16-bit filter cost ~1 s of DRIVER
+    # time to build the predicate (measured: 1.10 s list vs 0.18 s
+    # numpy for 1024 words). int64 dtype pins the element type to
+    # bigint regardless of word values (the list form inferred it
+    # from content). Identical literal values, collect-verified.
+    lit_arr = F.lit(np.asarray(arr, dtype=np.int64))
     cond = None
     for i in range(k):
         p = _bloom_pos(col, i, num_bits)
@@ -439,7 +445,9 @@ def kmv_hash(col) -> "F.Column":
     ).cast("long")
 
 
-def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+def kmv_sketch(
+    df: DataFrame, col: str, k: int = 256, assume_distinct: bool = False
+) -> DataFrame:
     """The k smallest distinct hash values of ``df[col]`` — a
     mergeable bottom-k distinct sketch (Bar-Yossef et al.; the
     estimator Presto/Trino ship as ``approx_set``-style planning
@@ -461,14 +469,20 @@ def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
         # limit(0) is a silently EMPTY sketch — every distinct-count
         # estimate downstream becomes 0 with no error (r16)
         raise ValueError(f"k must be >= 1, got {k}")
+    # NULL is not a value: md5(NULL) → h=NULL sorts FIRST under
+    # ascending NULLS FIRST, stealing a bottom-k slot (inflating
+    # error) and counting as one extra distinct in the < k exact
+    # regime — and a merge would propagate it
+    base = df.select(F.col(col)).filter(F.col(col).isNotNull())
+    if not assume_distinct:
+        base = base.distinct()
+    # assume_distinct=True (r18): callers that already hold a
+    # deduplicated key frame (e.g. one shared with an exact-count
+    # consumer) skip the redundant distinct exchange; the sketch over
+    # a truly-distinct input is value-identical by construction
+    # (pinned by test_kmv_sketch_assume_distinct_identical).
     return (
-        # NULL is not a value: md5(NULL) → h=NULL sorts FIRST under
-        # ascending NULLS FIRST, stealing a bottom-k slot (inflating
-        # error) and counting as one extra distinct in the < k exact
-        # regime — and a merge would propagate it
-        df.select(F.col(col))
-        .filter(F.col(col).isNotNull())
-        .distinct()
+        base
         .select(kmv_hash(F.col(col)).alias("h"))
         # KMV is defined over DISTINCT hashes: a (60-bit md5) collision
         # between two distinct raw values must retain ONE h, not two —
