@@ -2509,6 +2509,33 @@ def test_write_audit_publish_gates_commits(spark, tmp_path):
     assert mt.read(spark).count() == 8
 
 
+def test_write_audit_publish_statless_records_observed_rows(
+    spark, tmp_path
+):
+    """r18: WAP threads the write-job's observed row count into the
+    commit record (``new_rows_known``), so a STATS-LESS table — where
+    per-file stats can't supply the count — no longer pays a third
+    read of the staged files. The pins: the committed manifest's
+    ``rows`` is exact on a stats-less WAP table, accumulates across
+    publishes, and survives a rejected batch in between unchanged."""
+    from pyspark.sql import functions as SF
+
+    from yc_yq_airflow_etl_spark.operators.expectations import Rule
+
+    mt = ManifestTable(str(tmp_path / "wap_nostats"))  # no stat_cols
+    rules = [Rule("v_pos", SF.col("v") > 0)]
+    v1, _ = mt.write_audit_publish(_df(spark, 1, 8).coalesce(1), rules)
+    assert v1 is not None
+    assert mt._manifest(spark, v1)["rows"] == 7
+    # rejected batch leaves the recorded count untouched
+    bad = _df(spark, 50, 55).withColumn("v", -SF.col("v"))
+    v2, _ = mt.write_audit_publish(bad.coalesce(1), rules)
+    assert v2 is None
+    v3, _ = mt.write_audit_publish(_df(spark, 10, 13).coalesce(1), rules)
+    assert mt._manifest(spark, v3)["rows"] == 10
+    assert mt.read(spark).count() == 10
+
+
 def test_write_audit_publish_no_orphans_on_audit_error(spark, tmp_path):
     """The no-orphan contract must hold even when the AUDIT itself
     raises (rule referencing a missing column): staged files are

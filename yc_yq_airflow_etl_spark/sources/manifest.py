@@ -1062,10 +1062,11 @@ class ManifestTable:
         Spark job. (Recounting everything per attempt would make the
         commit loop O(table) under contention — exactly when it
         retries most.) The new files' count itself comes from
-        ``new_rows_known`` (observed on the write job itself — r17)
-        or the just-computed per-file stats; the fallback recount
-        remains only for callers that cannot pass either (WAP, whose
-        audit re-reads the staged bytes anyway)."""
+        ``new_rows_known`` (observed on the write job itself — r17;
+        threaded through WAP too in r18, so no commit path recounts
+        freshly-written files) or the just-computed per-file stats;
+        the ``_rows_of`` fallback remains only as the legacy-manifest
+        safety net."""
         new_rows = (
             new_rows_known
             if new_rows_known is not None
@@ -1288,6 +1289,11 @@ class ManifestTable:
                 inner_rebase = self._append_rebase(
                     spark, new_files, new_cols, new_stats, batch_id,
                     new_schema=staged.schema,
+                    # observed on the write job (r18): without it a
+                    # stats-less WAP table paid a THIRD read of the
+                    # staged files (after the write and the audit)
+                    # purely to count rows for the commit record
+                    new_rows_known=wrote_rows,
                 )
 
             def rebase() -> tuple[list[str], int, dict]:
