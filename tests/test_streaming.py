@@ -403,6 +403,34 @@ def test_spend_alerts_state_across_microbatches(spark, tmp_path):
     assert {r.user_id for r in rows} == {7}
 
 
+def test_spend_alert_staging_frees_its_checkpoint(spark):
+    """r18 (ADVICE): the bench query's staging localCheckpoint must be
+    FREED once the two half-files land — unpersist() does not release
+    checkpoint blocks, so without the explicit free every invocation
+    leaked the purchase frame's blocks for the session lifetime (the
+    same hygiene contract operators/dedup enforces per CC round). The
+    pin: the persistent-RDD set after the builder returns is exactly
+    the set before it."""
+
+    def persisted_ids():
+        jm = spark.sparkContext._jsc.getPersistentRDDs()
+        it = jm.keySet().iterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(int(str(it.next())))
+        return ids
+
+    from yc_yq_airflow_etl_spark.plans.streaming_queries import (
+        stateful_spend_alerts,
+    )
+
+    before = persisted_ids()
+    df = stateful_spend_alerts(spark, "/root/testdata/sf0.001")
+    assert df.count() > 0  # the query itself still works end-to-end
+    leaked = persisted_ids() - before
+    assert not leaked, f"staging leaked persistent RDD blocks: {leaked}"
+
+
 def test_spend_alerts_survive_poison_pill_events(spark, tmp_path):
     """A malformed event — NaN/NULL value or NULL ts — must be DROPPED,
     not kill the stateful query: inside the state function

@@ -275,17 +275,28 @@ def stateful_spend_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a user's equal-ts events across files nondeterministically.
     # localCheckpoint: both half-writes read the SAME materialized
     # ntile frame — without it each filter re-runs the global sort.
+    # The checkpoint blocks are explicitly FREED once the staging
+    # writes land (r18, ADVICE): unpersist() does not release
+    # checkpoint storage, so each invocation would otherwise leak the
+    # purchase frame's blocks for the session lifetime — the same
+    # hygiene contract as operators/dedup's iterative loops.
+    from ..operators.checkpoints import checkpointed_rdd_id, free_checkpoint
+
     ev = (
         t["events"]
         .filter(F.col("event_type") == "purchase")
         .withColumn("_q", F.ntile(2).over(Window.orderBy("ts", "event_id")))
         .localCheckpoint()
     )
-    for i in range(1, 3):
-        ev.filter(F.col("_q") == i).drop("_q").coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-        time.sleep(0.05)  # distinct file mod-times → stable replay order
+    ev_rdd_id = checkpointed_rdd_id(ev)
+    try:
+        for i in range(1, 3):
+            ev.filter(F.col("_q") == i).drop("_q").coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            time.sleep(0.05)  # distinct mod-times → stable replay order
+    finally:
+        free_checkpoint(spark, ev_rdd_id)
     stream = (
         spark.readStream.schema(t["events"].schema)
         .option("maxFilesPerTrigger", 1)
@@ -368,6 +379,14 @@ def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = stream.withWatermark("ts", "30 days").dropDuplicates(["event_id"])
     name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    # The r17 full-bench "regression" of this query (2.92 → 3.45 s in
+    # both r17 runs) was bisected in r18 full-bench A/B runs and
+    # attributed to RUN-ORDER/session state, not this scoping: with
+    # identical r17 code and order the round-start baseline measured
+    # 2.64 s (below the r16 number), and at the rotated late position
+    # the scoping-ON first run beat the scoping-OFF first run (4.28 vs
+    # 5.13 s, steady 2.47 s) — the first-vs-steady gap dwarfs any
+    # scoping delta. Scoping kept (see OPTIMIZATION_r18.md).
     with _no_data_batches_off(spark):
         q = (
             deduped.writeStream.format("memory")
