@@ -196,15 +196,21 @@ def profile_columns(
     oversize: str = "error",
     rsd: float = 0.02,
 ) -> DataFrame:
-    """One-scan column profile: per column of ``cols``, row count,
-    null count, distinct count, and min/max as strings (one schema
-    fits numeric and text columns). All columns profile as
-    independent expressions in a single groupBy-less agg — one read
-    at any scale. NDV is exact ``count_distinct`` while the input is
-    under ``exact_row_limit`` rows; past it, fail loudly (default) or
-    route every NDV to HyperLogLog++ (``oversize="approx"``, fixed
-    accumulator folded in the same partial+final pass — the profile
-    stays ONE map-side-combined scan regardless of cardinality).
+    """Column profile: per column of ``cols``, row count, null count,
+    distinct count, and min/max as strings (one schema fits numeric
+    and text columns). All columns profile as independent expressions
+    in groupBy-less aggs. NDV is exact ``count_distinct`` while the
+    input is under ``exact_row_limit`` rows; past it, fail loudly
+    (default) or route every NDV to HyperLogLog++
+    (``oversize="approx"``, fixed accumulator folded into the stats
+    pass). Scan count (r17 split, docstring corrected r18): the
+    APPROX path is one map-side-combined scan; the EXACT path is TWO
+    scans BY DESIGN (stats and NDV as crossJoined 1-row aggs — the
+    NDV branch carries no string min/max buffers, so its
+    multi-distinct Expand hash-aggregates instead of demoting the
+    whole pass to a triple-sort SortAggregate chain; measured ~2.2×
+    faster than the fused one-scan form), plus the ``df.count()``
+    row-count gate below.
 
     Returns a ``len(cols)``-row frame: ``col, n_rows, n_nulls,
     n_distinct, ndv_exact, min_s, max_s`` as one lazy plan:
