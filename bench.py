@@ -1046,6 +1046,22 @@ def main() -> None:
     )
     with open(sidecar, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
+    # Per-run sidecar TWIN (r18, verdict item 2 — additions only): the
+    # primary sidecar is written in place, so back-to-back runs at
+    # different core counts destroy each other's per-query detail
+    # (the r17 driver's c8 run clobbered the c32 detail). A second
+    # copy suffixed with the resolved core count preserves each
+    # configuration's full record; everything else (the one-line JSON,
+    # the env contract, the committed-sidecar diff base) is unchanged.
+    cpus_tag = os.environ.get("SPARK_GRAFT_CPUS", "star")
+    with open(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f"bench_structure_c{cpus_tag}.json",
+        ),
+        "w",
+    ) as f:
+        json.dump(out, f, indent=1, sort_keys=True)
     summary_names = HEADLINE + [
         "reference_scale_federation_2675520_rows",
         "reference_scale_reconcile_527040_rows",
