@@ -431,6 +431,34 @@ def test_spend_alert_staging_frees_its_checkpoint(spark):
     assert not leaked, f"staging leaked persistent RDD blocks: {leaked}"
 
 
+def test_stream_demo_staging_frees_checkpoints(spark):
+    """r18: the exact-dedup and static-enrichment staging slices are
+    localCheckpoint'd (one events scan instead of 2-3, and the
+    enrichment's static tier dim reads the checkpoint per micro-batch
+    instead of re-scanning events) — and both must FREE their blocks
+    once their last consumer ran, same contract as the spend-alert
+    staging."""
+
+    def persisted_ids():
+        jm = spark.sparkContext._jsc.getPersistentRDDs()
+        it = jm.keySet().iterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(int(str(it.next())))
+        return ids
+
+    from yc_yq_airflow_etl_spark.plans.streaming_queries import (
+        stream_exact_dedup,
+        stream_static_enrichment,
+    )
+
+    for builder in (stream_exact_dedup, stream_static_enrichment):
+        before = persisted_ids()
+        assert builder(spark, "/root/testdata/sf0.001").count() > 0
+        leaked = persisted_ids() - before
+        assert not leaked, f"{builder.__name__} leaked blocks: {leaked}"
+
+
 def test_spend_alerts_survive_poison_pill_events(spark, tmp_path):
     """A malformed event — NaN/NULL value or NULL ts — must be DROPPED,
     not kill the stateful query: inside the state function

@@ -360,17 +360,34 @@ def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time
     import uuid
 
+    from ..operators.checkpoints import checkpointed_rdd_id, free_checkpoint
+
     t = load_testdata(spark, sf_dir)
-    base = t["events"].filter(F.col("event_id") % 25 == 0).select(
-        "event_id", "user_id", "ts", "event_type", "value"
+    # staging slice materialized ONCE (r18, guide §5.3): the two
+    # staged files used to grow three separate events scans (base ∪
+    # in-batch dupes, then the replay slice); the 1/25 slice is tiny,
+    # so checkpoint it, derive both files from the checkpoint, and
+    # free the blocks once the files land (same hygiene as the
+    # spend-alert staging).
+    base = (
+        t["events"]
+        .filter(F.col("event_id") % 25 == 0)
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .localCheckpoint()
     )
+    base_rdd_id = checkpointed_rdd_id(base)
     dup_in_batch = base.filter(F.col("event_id") % 50 == 0)
     replay_next_batch = base.filter(F.col("event_id") % 50 == 25)
 
     src = tempfile.mkdtemp(prefix="sdedup_src_")
-    base.unionAll(dup_in_batch).coalesce(1).write.mode("append").parquet(src)
-    time.sleep(0.05)  # distinct mod-times → stable file replay order
-    replay_next_batch.coalesce(1).write.mode("append").parquet(src)
+    try:
+        base.unionAll(dup_in_batch).coalesce(1).write.mode("append").parquet(
+            src
+        )
+        time.sleep(0.05)  # distinct mod-times → stable file replay order
+        replay_next_batch.coalesce(1).write.mode("append").parquet(src)
+    finally:
+        free_checkpoint(spark, base_rdd_id)
 
     stream = (
         spark.readStream.schema(base.schema)
@@ -439,50 +456,71 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time
     import uuid
 
+    from ..operators.checkpoints import checkpointed_rdd_id, free_checkpoint
+
     t = load_testdata(spark, sf_dir)
-    base = t["events"].filter(F.col("event_id") % 10 == 0).select(
-        "event_id", "user_id", "ts", "value"
+    # staging slice materialized ONCE (r18, guide §5.3): the 1/10
+    # slice used to be re-scanned from events for EACH half-file write
+    # AND for the static tier dimension — which the stream-static join
+    # re-evaluates per micro-batch (the static side is re-broadcast
+    # every trigger, so an un-materialized dimension re-reads the base
+    # table once per batch). The checkpoint makes staging and every
+    # per-batch tier derivation read the tiny slice; freed only after
+    # the stream stops (the live query is its last consumer).
+    base = (
+        t["events"]
+        .filter(F.col("event_id") % 10 == 0)
+        .select("event_id", "user_id", "ts", "value")
+        .localCheckpoint()
     )
-    tiers = (
-        base.select("user_id")
-        .distinct()
-        .withColumn("tier", (F.col("user_id") % 5).cast("int"))
-    )
-
-    src = tempfile.mkdtemp(prefix="senrich_src_")
-    half = F.col("event_id") % 20 == 0
-    base.filter(half).coalesce(1).write.mode("append").parquet(src)
-    time.sleep(0.05)
-    base.filter(~half).coalesce(1).write.mode("append").parquet(src)
-
-    stream = (
-        spark.readStream.schema(base.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    enriched = stream.join(F.broadcast(tiers), "user_id")
-    agg = enriched.groupBy("tier").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
-        # deepened pin (r12): per-tier event membership — a user
-        # enriched with the wrong tier moves whole event groups; twin
-        # swaps that balance counts can't balance both id checksums.
-        F.sum("event_id").cast("long").alias("event_id_sum"),
-    )
-    name = "senrich_" + uuid.uuid4().hex[:8]
-    with _no_data_batches_off(spark):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="senrich_ck_")
-            )
-            .start()
+    base_rdd_id = checkpointed_rdd_id(base)
+    try:
+        tiers = (
+            base.select("user_id")
+            .distinct()
+            .withColumn("tier", (F.col("user_id") % 5).cast("int"))
         )
-        q.processAllAvailable()
-        q.stop()
-        q.awaitTermination(60)
+
+        src = tempfile.mkdtemp(prefix="senrich_src_")
+        half = F.col("event_id") % 20 == 0
+        base.filter(half).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.05)
+        base.filter(~half).coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        enriched = stream.join(F.broadcast(tiers), "user_id")
+        agg = enriched.groupBy("tier").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+            # deepened pin (r12): per-tier event membership — a user
+            # enriched with the wrong tier moves whole event groups;
+            # twin swaps that balance counts can't balance both id
+            # checksums.
+            F.sum("event_id").cast("long").alias("event_id_sum"),
+        )
+        name = "senrich_" + uuid.uuid4().hex[:8]
+        with _no_data_batches_off(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option(
+                    "checkpointLocation",
+                    tempfile.mkdtemp(prefix="senrich_ck_"),
+                )
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(60)
+    finally:
+        free_checkpoint(spark, base_rdd_id)
     return spark.table(name).orderBy("tier")
 
 
