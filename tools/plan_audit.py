@@ -523,6 +523,12 @@ EXPECTATIONS: dict[str, list[tuple[str, str]]] = {
          r"BroadcastHashJoin"),
         ("no full-outer shuffle formulation", "!FullOuter"),
         ("per-key rollup partially aggregated", r"partial_count"),
+        # r18: the second apply consumes the MATERIALIZED first-
+        # generation dimension (localCheckpoint → ExistingRDD), not a
+        # re-expanded five-branch union — without it the plan carries
+        # 30 customer scans and each further batch multiplies by ~5
+        ("second batch reads the materialized first-generation "
+         "dimension", r"Scan ExistingRDD"),
     ],
     "doc_repetition_stats": [
         ("per-row n-gram lists never explode into rows (no shuffle "

@@ -3183,6 +3183,22 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("2022-06-01").cast("timestamp").alias("eff_ts"),
     )
     dim = scd2_apply(dim, u1, "c_custkey", ["segment"])
+    # first-generation dimension materialized between applies (r18,
+    # guide §5.3): scd2_apply references its input dimension five
+    # times (hist, the three open⋈batch dispositions, the insert
+    # anti-join), so chaining applies re-expands the WHOLE prior
+    # union per reference — the unmaterialized two-batch plan carried
+    # 30 customer scans / 20 exchanges, and each further batch would
+    # multiply that by ~5 (maintenance exponential in batches). One
+    # eager localCheckpoint of the ≤2-versions-per-key frame makes
+    # batch N read a materialized batch N−1: the executed plan drops
+    # to the checkpoint block plus the second batch's own scans, and
+    # at scale the nightly SCD2 job becomes linear in batches. Paired
+    # A/B at bench SF: 3.2–8.0 s → 1.9–2.3 s, values collect-verified
+    # identical. (scd2_point_in_time_revenue measured NO win from the
+    # same change — its dimension derives from an already-checkpointed
+    # users frame, so the re-expansion was cheap — and stays lazy.)
+    dim = dim.localCheckpoint()
     dim = scd2_apply(dim, u2, "c_custkey", ["segment"])
     return (
         dim.groupBy("c_custkey")
