@@ -313,6 +313,62 @@ def test_topk_join_per_row_neighbors(spark):
     assert best[1] == 2 and best[2] == 1 and best[3] == 2
 
 
+def test_topk_join_hoisted_norms_bit_identical(spark):
+    """r18: topk_join's per-side norm hoist must score BIT-identically
+    to the inline round6(cosine_similarity(...)) form — including the
+    zero-norm (NULL, not NaN) and non-finite-component guards — or
+    the oracle hash moves. Exact float equality on collected rows,
+    adversarial vectors included."""
+    from pyspark.sql import Window
+
+    from yc_yq_airflow_etl_spark.functions.scalar import round6
+    from yc_yq_airflow_etl_spark.operators.similarity import (
+        cosine_similarity,
+    )
+
+    rows = [
+        (1, [1.0, 0.25, -0.5, 2.0]),
+        (2, [0.9, 0.1, -0.4, 1.9]),
+        (3, [0.0, 0.0, 0.0, 0.0]),          # zero norm → NULL cosine
+        (4, [float("nan"), 1.0, 0.0, 0.0]),  # NaN component → NULL
+        (5, [-1.0, 3.5, 0.125, 0.3]),
+        (6, [7.0, -0.75, 0.5, 1e-3]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = topk_join(df, df, k=3).orderBy("id_a", "rnk").collect()
+
+    # reference: the pre-hoist scoring, verbatim
+    r = F.broadcast(
+        df.select(
+            F.col("vec_id").alias("_rid"), F.col("embedding").alias("_rvec")
+        )
+    )
+    scored = (
+        df.select(
+            F.col("vec_id").alias("id_a"), F.col("embedding").alias("_lvec")
+        )
+        .crossJoin(r)
+        .select(
+            "id_a",
+            F.col("_rid").alias("id_b"),
+            round6(
+                cosine_similarity(F.col("_lvec"), F.col("_rvec"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("cosine").desc(), F.col("id_b").asc()
+    )
+    ref = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("id_a", "rnk")
+        .collect()
+    )
+    assert got == ref  # Row equality is exact on doubles
+
+
 def test_multimodal_stub_raises(spark, docs):
     media = documents_as_media(docs)
     with pytest.raises(Exception, match="NotImplementedError|codec"):

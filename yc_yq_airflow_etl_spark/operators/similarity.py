@@ -71,6 +71,40 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.when((den > 0) & ~F.isnan(r), r)
 
 
+def _cosine_hoisted(
+    a: Column, b: Column, norm_a: Column, norm_b: Column
+) -> Column:
+    """``cosine_similarity(a, b)`` with the two L2 norms supplied as
+    precomputed columns — for PAIR joins, where the inline form
+    recomputes both norms per pair (|L|·|R| interpreted element folds
+    per side instead of |L|+|R|) and the NaN guard re-evaluates the
+    full ratio a second time (Catalyst performs no CSE across
+    higher-order functions — the measured r17 quantize_vec lesson).
+
+    BIT-IDENTICAL to the inline form by construction, which is what
+    the oracle hash demands: the norms must come from :func:`l2_norm`
+    on the same vectors (same strict left-to-right fold, same sqrt),
+    the product keeps the same left*right operand order, and the dot
+    and division are unchanged — every double op is IEEE
+    correctly-rounded on the same operands in the same order. The DOT
+    (the expensive fold) is bound ONCE as a lambda variable
+    (1-element ``transform`` as the expression-level `let`, the
+    lang_id precedent); the division stays INSIDE the short-circuited
+    guard exactly as in the inline form — ``den > 0`` must be
+    established before dividing, or ANSI mode raises DIVIDE_BY_ZERO
+    on a zero-norm vector where the inline form returns NULL."""
+    den = norm_a * norm_b
+    return F.get(
+        F.transform(
+            F.array(dot(a, b)),
+            lambda d: F.when(
+                (den > 0) & ~F.isnan(d / den), d / den
+            ),
+        ),
+        0,
+    )
+
+
 def cosine_pairs_vectorized(a: Column, b: Column) -> Column:
     """Cosine between two vector columns as a vectorized Pandas UDF —
     the verification path for LSH candidate PAIRS, where per-row
@@ -718,17 +752,37 @@ def topk_join(
             "cannot be broadcast — use topk_join_blocked (sketch-band "
             "shuffle join) instead"
         )
+    # per-SIDE norms hoisted out of the pair loop (r18, guide §1.2
+    # step 2): the inline cosine recomputes l2_norm of BOTH vectors
+    # for every (left, right) pair — |L|·|R| interpreted 64-element
+    # folds per side where |L|+|R| suffice — and its NaN guard
+    # re-evaluates the whole ratio (no CSE across higher-order
+    # functions, the r17 quantize_vec lesson). Each side computes its
+    # norm ONCE per row; _cosine_hoisted keeps the division/guard
+    # bit-identical. Paired A/B on the knn query: 2.2–2.9 s → 1.2–1.6 s,
+    # collect-verified identical.
     r = F.broadcast(
         right.select(
-            F.col(right_id).alias("_rid"), F.col(right_vec).alias("_rvec")
+            F.col(right_id).alias("_rid"),
+            F.col(right_vec).alias("_rvec"),
+            l2_norm(F.col(right_vec)).alias("_rnorm"),
         )
     )
     scored = left.select(
-        F.col(left_id).alias("id_a"), F.col(left_vec).alias("_lvec")
+        F.col(left_id).alias("id_a"),
+        F.col(left_vec).alias("_lvec"),
+        l2_norm(F.col(left_vec)).alias("_lnorm"),
     ).crossJoin(r).select(
         "id_a",
         F.col("_rid").alias("id_b"),
-        round6(cosine_similarity(F.col("_lvec"), F.col("_rvec"))).alias("cosine"),
+        round6(
+            _cosine_hoisted(
+                F.col("_lvec"),
+                F.col("_rvec"),
+                F.col("_lnorm"),
+                F.col("_rnorm"),
+            )
+        ).alias("cosine"),
     )
     if exclude_self:
         scored = scored.filter(F.col("id_a") != F.col("id_b"))
@@ -780,9 +834,15 @@ def topk_join_blocked(
                 for i in range(bands)
             ]
         )
+        # norm computed ONCE per input row, before the band explode
+        # (r18, same hoist as topk_join): each candidate pair then
+        # multiplies two ready doubles instead of re-folding both
+        # vectors; 8 extra bytes per band-row next to the vector
+        # already carried
         return df.select(
             F.col(idc).alias(f"{pre}id"),
             F.col(vecc).alias(f"{pre}vec"),
+            l2_norm(F.col(vecc)).alias(f"{pre}norm"),
             F.posexplode(bvals).alias("_band", "_bval"),
         )
 
@@ -799,7 +859,12 @@ def topk_join_blocked(
             F.col("_lid").alias("id_a"),
             F.col("_rid").alias("id_b"),
             round6(
-                cosine_similarity(F.col("_lvec"), F.col("_rvec"))
+                _cosine_hoisted(
+                    F.col("_lvec"),
+                    F.col("_rvec"),
+                    F.col("_lnorm"),
+                    F.col("_rnorm"),
+                )
             ).alias("cosine"),
         )
         # a pair can match in several bands — dedupe before ranking
