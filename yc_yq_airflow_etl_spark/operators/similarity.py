@@ -27,9 +27,6 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.scalar import round6
-
-
 def _to_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
 
@@ -71,37 +68,51 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.when((den > 0) & ~F.isnan(r), r)
 
 
-def _cosine_hoisted(
+def _let1(col: Column, f) -> Column:
+    """Expression-level `let`: bind ``col`` ONCE as a lambda variable
+    (1-element ``transform``) so ``f`` may reference it repeatedly at
+    the cost of a single evaluation — Catalyst performs no CSE across
+    higher-order functions (the measured r17 quantize_vec lesson), so
+    a guard or rounding wrapper that mentions a heavy fold twice
+    otherwise executes it twice. Exact: ``transform`` applies ``f``
+    element-wise, so ``_let1(x, f) ≡ f(x)`` value-for-value."""
+    return F.get(F.transform(F.array(col), f), 0)
+
+
+def _scored_cosine(
     a: Column, b: Column, norm_a: Column, norm_b: Column
 ) -> Column:
-    """``cosine_similarity(a, b)`` with the two L2 norms supplied as
-    precomputed columns — for PAIR joins, where the inline form
-    recomputes both norms per pair (|L|·|R| interpreted element folds
-    per side instead of |L|+|R|) and the NaN guard re-evaluates the
-    full ratio a second time (Catalyst performs no CSE across
-    higher-order functions — the measured r17 quantize_vec lesson).
+    """``round6(cosine_similarity(a, b))`` with precomputed norms and
+    every heavy subexpression bound exactly once per row.
 
-    BIT-IDENTICAL to the inline form by construction, which is what
-    the oracle hash demands: the norms must come from :func:`l2_norm`
-    on the same vectors (same strict left-to-right fold, same sqrt),
-    the product keeps the same left*right operand order, and the dot
-    and division are unchanged — every double op is IEEE
-    correctly-rounded on the same operands in the same order. The DOT
-    (the expensive fold) is bound ONCE as a lambda variable
-    (1-element ``transform`` as the expression-level `let`, the
-    lang_id precedent); the division stays INSIDE the short-circuited
-    guard exactly as in the inline form — ``den > 0`` must be
-    established before dividing, or ANSI mode raises DIVIDE_BY_ZERO
-    on a zero-norm vector where the inline form returns NULL."""
-    den = norm_a * norm_b
-    return F.get(
-        F.transform(
-            F.array(dot(a, b)),
-            lambda d: F.when(
-                (den > 0) & ~F.isnan(d / den), d / den
+    The naive composition evaluates the 64-element folds up to SIX
+    times per row: ``round6`` references its argument three times
+    (isnan probe, |x| probe, floor branch) and the cosine's own NaN
+    guard references the ratio twice — with no CSE across
+    higher-order functions every reference re-executes the dot and
+    both norms (confirmed in the executed bruteforce plan: the
+    query-literal's norm aggregate is NOT even constant-folded).
+    Here: den once, dot once, ratio once, then round6's three
+    references read a bound scalar.
+
+    BIT-IDENTICAL to ``round6(cosine_similarity(...))`` by
+    construction — same ops on the same operands in the same order
+    (den = norm_a * norm_b in the inline's l2(a)*l2(b) order; the
+    division stays INSIDE the short-circuited ``den > 0`` guard, or
+    ANSI raises DIVIDE_BY_ZERO on zero-norm vectors); pinned by
+    ``test_topk_join_hoisted_norms_bit_identical`` and the
+    ``_query_score`` memoization pins."""
+    return _let1(
+        norm_a * norm_b,
+        lambda dn: _let1(
+            dot(a, b),
+            lambda d: _let1(
+                F.when((dn > 0) & ~F.isnan(d / dn), d / dn),
+                lambda r: F.when(
+                    F.isnan(r) | (F.abs(r) == float("inf")), r
+                ).otherwise(F.floor(r * 1e6 + F.lit(0.5)) / 1e6),
             ),
         ),
-        0,
     )
 
 
@@ -172,7 +183,14 @@ def query_literal(vec: Sequence[float]) -> Column:
 def _query_score_for_ctx(
     ctx_token: int, vec_col: str, qt: tuple[float, ...]
 ) -> Column:
-    return round6(cosine_similarity(F.col(vec_col), query_literal(qt)))
+    # let-bound scoring (r18): the naive composition executed the
+    # query literal's norm fold (which Catalyst does NOT constant-
+    # fold), the corpus row's norm fold and the dot up to six times
+    # per row — see _scored_cosine. Same values, one evaluation each.
+    q = query_literal(qt)
+    return _scored_cosine(
+        F.col(vec_col), q, l2_norm(F.col(vec_col)), l2_norm(q)
+    )
 
 
 def _query_score(vec_col: str, qt: tuple[float, ...]) -> Column:
@@ -570,7 +588,10 @@ def ivf_topk(
         assigned.filter(F.col("_c").isin([int(c) for c in probe]))
         .select(
             F.col(id_col),
-            round6(cosine_similarity(F.col(vec_col), q)).alias("cosine"),
+            # let-bound scoring (r18, same values — _scored_cosine)
+            _scored_cosine(
+                F.col(vec_col), q, l2_norm(F.col(vec_col)), l2_norm(q)
+            ).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
@@ -758,9 +779,11 @@ def topk_join(
     # folds per side where |L|+|R| suffice — and its NaN guard
     # re-evaluates the whole ratio (no CSE across higher-order
     # functions, the r17 quantize_vec lesson). Each side computes its
-    # norm ONCE per row; _cosine_hoisted keeps the division/guard
-    # bit-identical. Paired A/B on the knn query: 2.2–2.9 s → 1.2–1.6 s,
-    # collect-verified identical.
+    # norm ONCE per row; _scored_cosine additionally binds the dot,
+    # den and ratio once each (round6's three references read a bound
+    # scalar) while keeping the division/guard bit-identical. Paired
+    # A/B on the knn query for the norm hoist alone: 2.2–2.9 s →
+    # 1.2–1.6 s, collect-verified identical.
     r = F.broadcast(
         right.select(
             F.col(right_id).alias("_rid"),
@@ -775,13 +798,11 @@ def topk_join(
     ).crossJoin(r).select(
         "id_a",
         F.col("_rid").alias("id_b"),
-        round6(
-            _cosine_hoisted(
-                F.col("_lvec"),
-                F.col("_rvec"),
-                F.col("_lnorm"),
-                F.col("_rnorm"),
-            )
+        _scored_cosine(
+            F.col("_lvec"),
+            F.col("_rvec"),
+            F.col("_lnorm"),
+            F.col("_rnorm"),
         ).alias("cosine"),
     )
     if exclude_self:
@@ -858,13 +879,11 @@ def topk_join_blocked(
         .select(
             F.col("_lid").alias("id_a"),
             F.col("_rid").alias("id_b"),
-            round6(
-                _cosine_hoisted(
-                    F.col("_lvec"),
-                    F.col("_rvec"),
-                    F.col("_lnorm"),
-                    F.col("_rnorm"),
-                )
+            _scored_cosine(
+                F.col("_lvec"),
+                F.col("_rvec"),
+                F.col("_lnorm"),
+                F.col("_rnorm"),
             ).alias("cosine"),
         )
         # a pair can match in several bands — dedupe before ranking
